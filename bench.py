@@ -1,0 +1,75 @@
+"""Benchmark harness: headline queries at $SPARK_GRAFT_SF_DIR (default
+/root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS].
+
+Prints ONE JSON line:
+  {"metric": ..., "value": total_sec, "unit": "sec",
+   "queries": {name: sec, ...}, "sf": ...}
+
+Each query is forced end-to-end with a noop-format write (full
+computation on executors, nothing collected to the driver), after a
+warmup run of the flagship to exclude JVM/codegen warmup from steady-
+state numbers.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from pandas_rust_algos_spark.plans import registry
+from pandas_rust_algos_spark.session import get_spark
+
+HEADLINE = [
+    "q1_pricing_summary",
+    "q3_top_orders",
+    "q5_region_revenue",
+    "group_sum",
+    "group_quantile_linear",
+    "group_cumsum",
+    "group_rank",
+    "asof_join",
+    "topk_per_group",
+    "events_tumbling_1h",
+    "dedup_exact",
+    "token_stats",
+    "minhash_near_dupes",
+    "cosine_topk",
+]
+
+
+def _force(df) -> None:
+    df.write.format("noop").mode("overwrite").save()
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+    spark = get_spark("pra-spark-bench")
+    spark.sparkContext.setLogLevel("ERROR")
+
+    # warmup: JVM + codegen + parquet footer caches
+    _force(registry.get("q1_pricing_summary").fn(spark, sf_dir))
+
+    times: dict[str, float] = {}
+    for name in HEADLINE:
+        fn = registry.get(name).fn
+        t0 = time.perf_counter()
+        _force(fn(spark, sf_dir))
+        times[name] = round(time.perf_counter() - t0, 3)
+
+    total = round(sum(times.values()), 3)
+    print(json.dumps({
+        "metric": "headline_suite_total",
+        "value": total,
+        "unit": "sec",
+        "queries": times,
+        "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+    }))
+
+
+if __name__ == "__main__":
+    main()

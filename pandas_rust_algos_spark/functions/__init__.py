@@ -1,0 +1,8 @@
+from pandas_rust_algos_spark.functions.na import (
+    exact_sum,
+    fixed_sum,
+    na_normalize,
+    with_min_count,
+)
+
+__all__ = ["na_normalize", "with_min_count", "exact_sum", "fixed_sum"]

@@ -1,0 +1,317 @@
+"""Deduplication operators for training-data pipelines.
+
+Five families, all shuffle-conscious and driver-loop-free:
+
+- exact:        hash-groupBy on (normalized) content — one shuffle.
+- minhash LSH:  shingle → 32 minhashes → 8 bands → bucket self-join.
+                Candidate generation never compares all pairs: only
+                docs sharing a band bucket meet, so cost tracks true
+                near-duplicate density, the property that makes
+                MinHash the standard at web scale.
+- simhash:      64-bit weighted token-hash sign fingerprint; near-dup
+                candidates via 16-bit chunk banding + hamming check.
+- n-gram jaccard: exact set similarity on blocked pairs (engine-
+                portable — no hash functions — hence oracle-checkable).
+- embedding cosine: near-dup pairs over a vector column, blocked to
+                keep the pair space linear-ish.
+
+Everything is built-in expressions (xxhash64, higher-order array
+functions, joins); no Python in the hot path.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+__all__ = [
+    "normalize_text",
+    "dedup_exact",
+    "shingles",
+    "minhash_signatures",
+    "minhash_candidates",
+    "minhash_near_dupes",
+    "simhash",
+    "simhash_near_dupes",
+    "ngram_jaccard_pairs",
+    "embedding_near_dupes",
+]
+
+
+def normalize_text(col: Column | str) -> Column:
+    """Canonical form for exact dedup: lowercase, collapse whitespace,
+    strip punctuation."""
+    c = F.col(col) if isinstance(col, str) else col
+    c = F.lower(c)
+    c = F.regexp_replace(c, r"[.,!?;:]", "")
+    return F.trim(F.regexp_replace(c, r"\s+", " "))
+
+
+def dedup_exact(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    *,
+    normalized: bool = True,
+) -> DataFrame:
+    """Exact dedup: one row per distinct content with the smallest id as
+    representative and the duplicate count. Single hash shuffle on the
+    content digest (group on md5, not the full text, so 100 KB docs
+    shuffle 32-byte keys)."""
+    content = normalize_text(text_col) if normalized else F.col(text_col)
+    return (
+        df.select(F.md5(content).alias("content_hash"), F.col(id_col))
+        .groupBy("content_hash")
+        .agg(
+            F.min(id_col).alias("rep_id"),
+            F.count(F.lit(1)).alias("n_copies"),
+        )
+    )
+
+
+def shingles(col: Column | str, k: int = 5) -> Column:
+    """Distinct character k-grams (array) — computed via sequence +
+    substring, JVM-side."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.array_distinct(
+        F.transform(
+            F.sequence(F.lit(1), F.greatest(F.length(c) - (k - 1), F.lit(1))),
+            lambda i: F.substring(c, i, k),
+        )
+    )
+
+
+def minhash_signatures(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    *,
+    k: int = 5,
+    num_hashes: int = 32,
+) -> DataFrame:
+    """Per-doc minhash signature: sig[i] = min over shingles of
+    xxhash64(i, shingle). One explode + one groupBy with num_hashes
+    aggregate mins — a single pass, map-side combined."""
+    sh = df.select(
+        F.col(id_col), F.explode(shingles(text_col, k)).alias("shingle")
+    )
+    mins = [
+        F.min(F.xxhash64(F.lit(i), F.col("shingle"))).alias(f"h{i}")
+        for i in range(num_hashes)
+    ]
+    agged = sh.groupBy(id_col).agg(*mins)
+    return agged.select(
+        id_col, F.array(*[f"h{i}" for i in range(num_hashes)]).alias("sig")
+    )
+
+
+def minhash_candidates(
+    sigs: DataFrame,
+    id_col: str = "doc_id",
+    *,
+    bands: int = 8,
+    rows_per_band: int = 4,
+) -> DataFrame:
+    """LSH banding: docs agreeing on all rows of any band become a
+    candidate pair. Bucket key = hash of the band slice; self-join on
+    (band, bucket) with id< id ordering; distinct."""
+    b = sigs.select(
+        F.col(id_col),
+        F.explode(
+            F.array(*[
+                F.struct(
+                    F.lit(i).alias("band"),
+                    F.xxhash64(
+                        F.lit(i),
+                        *[F.col("sig")[i * rows_per_band + r]
+                          for r in range(rows_per_band)],
+                    ).alias("bucket"),
+                )
+                for i in range(bands)
+            ])
+        ).alias("bb"),
+    ).select(id_col, "bb.band", "bb.bucket")
+    left = b.select(F.col(id_col).alias("id_a"), "band", "bucket")
+    right = b.select(F.col(id_col).alias("id_b"), "band", "bucket")
+    return (
+        left.join(right, ["band", "bucket"])
+        .where(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .distinct()
+    )
+
+
+def minhash_near_dupes(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    *,
+    k: int = 5,
+    num_hashes: int = 32,
+    bands: int = 8,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """End-to-end MinHash near-dup detection: signatures → LSH
+    candidates → estimated jaccard (fraction of agreeing minhashes)
+    filtered at ``threshold``."""
+    sigs = minhash_signatures(df, id_col, text_col, k=k, num_hashes=num_hashes)
+    cand = minhash_candidates(sigs, id_col, bands=bands,
+                              rows_per_band=num_hashes // bands)
+    sa = sigs.select(F.col(id_col).alias("id_a"), F.col("sig").alias("sig_a"))
+    sb = sigs.select(F.col(id_col).alias("id_b"), F.col("sig").alias("sig_b"))
+    est = (
+        F.size(
+            F.filter(
+                F.zip_with("sig_a", "sig_b", lambda a, b: a == b),
+                lambda x: x,
+            )
+        ).cast("double")
+        / num_hashes
+    )
+    return (
+        cand.join(sa, "id_a").join(sb, "id_b")
+        .select("id_a", "id_b", est.alias("est_jaccard"))
+        .where(F.col("est_jaccard") >= threshold)
+    )
+
+
+def simhash(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    *,
+    bits: int = 64,
+) -> DataFrame:
+    """64-bit SimHash over whitespace tokens: bit j of the fingerprint
+    is the sign of Σ_tokens (±1 depending on bit j of xxhash64(token)).
+
+    Computed as one explode + 64 conditional-sum aggregates (single
+    pass); fingerprint assembled with shiftleft/bitwise-or — all
+    JVM-side integer ops.
+    """
+    from pandas_rust_algos_spark.operators.text import tokens
+
+    tok = df.select(F.col(id_col), F.explode(tokens(text_col)).alias("tok"))
+    h = F.xxhash64("tok")
+    sums = [
+        F.sum(
+            F.when(F.shiftright(h, j).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
+        ).alias(f"b{j}")
+        for j in range(bits)
+    ]
+    agged = tok.groupBy(id_col).agg(*sums)
+    fp = F.lit(0).cast("long")
+    for j in range(bits):
+        fp = fp.bitwiseOR(
+            F.when(F.col(f"b{j}") > 0, F.shiftleft(F.lit(1).cast("long"), j))
+            .otherwise(F.lit(0).cast("long"))
+        )
+    return agged.select(id_col, fp.alias("simhash"))
+
+
+def simhash_near_dupes(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    *,
+    max_hamming: int = 3,
+) -> DataFrame:
+    """Near-dup pairs by SimHash hamming distance ≤ max_hamming.
+    Candidates via 16-bit chunk banding (pigeonhole: distance ≤ 3 ⇒ at
+    least one of 4 chunks identical), verified with bit_count(xor)."""
+    fps = simhash(df, id_col, text_col)
+    chunks = fps.select(
+        F.col(id_col),
+        F.col("simhash"),
+        F.explode(
+            F.array(*[
+                F.struct(
+                    F.lit(i).alias("chunk"),
+                    F.shiftright("simhash", i * 16)
+                    .bitwiseAND(F.lit(0xFFFF)).alias("val"),
+                )
+                for i in range(4)
+            ])
+        ).alias("cb"),
+    ).select(id_col, "simhash", "cb.chunk", "cb.val")
+    left = chunks.select(F.col(id_col).alias("id_a"),
+                         F.col("simhash").alias("fp_a"), "chunk", "val")
+    right = chunks.select(F.col(id_col).alias("id_b"),
+                          F.col("simhash").alias("fp_b"), "chunk", "val")
+    ham = F.bit_count(F.col("fp_a").bitwiseXOR(F.col("fp_b")))
+    return (
+        left.join(right, ["chunk", "val"])
+        .where(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", ham.alias("hamming"))
+        .distinct()
+        .where(F.col("hamming") <= max_hamming)
+    )
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    block_col: str = "lang",
+    *,
+    k: int = 5,
+    threshold: float = 0.2,
+) -> DataFrame:
+    """Exact n-gram Jaccard similarity for pairs within a blocking key.
+
+    gram-join candidate generation: pairs meet once per shared gram,
+    aggregated to intersection counts — never a full cross join. Engine-
+    portable (no hash functions), hence DuckDB-oracle-checkable.
+    """
+    grams = df.select(
+        F.col(id_col), F.col(block_col).alias("blk"),
+        F.explode(shingles(text_col, k)).alias("g"),
+    )
+    sizes = grams.groupBy(id_col).agg(F.count(F.lit(1)).alias("n"))
+    ga = grams.select(F.col(id_col).alias("id_a"), "blk", "g")
+    gb = grams.select(F.col(id_col).alias("id_b"), "blk", "g")
+    inter = (
+        ga.join(gb, ["blk", "g"])
+        .where(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).alias("inter"))
+    )
+    na = sizes.select(F.col(id_col).alias("id_a"), F.col("n").alias("n_a"))
+    nb = sizes.select(F.col(id_col).alias("id_b"), F.col("n").alias("n_b"))
+    jac = F.col("inter").cast("double") / (
+        F.col("n_a") + F.col("n_b") - F.col("inter")
+    )
+    return (
+        inter.join(na, "id_a").join(nb, "id_b")
+        .select("id_a", "id_b", jac.alias("jaccard"))
+        .where(F.col("jaccard") >= threshold)
+    )
+
+
+def embedding_near_dupes(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    block_col: str | None = "label",
+    *,
+    threshold: float = 0.95,
+) -> DataFrame:
+    """Embedding-cosine near-dup pairs, blocked (e.g. by cluster label)
+    so the pair space stays ~linear. Cosine is a zip_with/aggregate
+    expression — JVM-side, no UDF."""
+    from pandas_rust_algos_spark.operators.similarity import cosine
+
+    base = df.select(
+        F.col(id_col),
+        F.transform(F.col(vec_col), lambda x: x.cast("double")).alias("v"),
+        *( [F.col(block_col).alias("blk")] if block_col else [F.lit(0).alias("blk")] ),
+    )
+    a = base.select(F.col(id_col).alias("id_a"), F.col("v").alias("v_a"), "blk")
+    b = base.select(F.col(id_col).alias("id_b"), F.col("v").alias("v_b"), "blk")
+    sim = cosine(F.col("v_a"), F.col("v_b"))
+    return (
+        a.join(b, "blk")
+        .where(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", F.round(sim, 6).alias("cosine"))
+        .where(F.col("cosine") >= threshold)
+    )

@@ -1,0 +1,518 @@
+"""Grouped reductions — the reference's core surface, Spark-first.
+
+Each public function mirrors one reference kernel (SURVEY §2.1 rows
+4-16; bindings in ``/root/reference/src/lib.rs``, kernels in
+``/root/reference/src/groupby.rs``) as a *declarative* transformation:
+``df.groupBy(keys).agg(...)``. Catalyst compiles these to a partial
+(map-side) HashAggregate → shuffle on the group keys → final
+HashAggregate, all inside whole-stage codegen — the distributed
+equivalent of the reference's single-pass dense-accumulator loops
+(``groupby.rs:862-895``), with the map-side combine keeping shuffle
+volume at O(groups × partitions), not O(rows).
+
+Scale notes:
+- One ``groupBy().agg()`` per operator call, never one per column —
+  k value columns aggregate in a single pass, like the reference's
+  ``ArrayView2`` column loop.
+- No ``collect()``: results stay DataFrames.
+- Skewed keys are AQE's problem (skewJoin/coalesce enabled in
+  session.tune); for pathological single-key skew callers can pre-salt.
+
+NA semantics: pandas (native NULL == NA; NaN normalized to NULL for
+float columns via ``na_normalize``). The reference's int-0-is-NA quirk
+(``traits.rs:84-90``) is intentionally NOT reproduced (SURVEY §2.4).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from pandas_rust_algos_spark.functions.na import (
+    exact_sum,
+    na_normalize,
+    with_min_count,
+)
+
+__all__ = [
+    "group_count",
+    "group_sum",
+    "group_prod",
+    "group_mean",
+    "group_var",
+    "group_std",
+    "group_sem",
+    "group_skew",
+    "group_min",
+    "group_max",
+    "group_first",
+    "group_last",
+    "group_nth",
+    "group_ohlc",
+    "group_any_all",
+    "group_median",
+    "group_quantile",
+]
+
+
+def _cols(names: Sequence[str] | str) -> list[str]:
+    return [names] if isinstance(names, str) else list(names)
+
+
+def _prep(df: DataFrame, keys: Sequence[str], dropna_keys: bool) -> DataFrame:
+    """pandas drops NULL-key groups by default (reference label -1 is
+    skipped in every kernel, e.g. ``groupby.rs:871-872``)."""
+    if dropna_keys:
+        for k in _cols(keys):
+            df = df.where(F.col(k).isNotNull())
+    return df
+
+
+def _is_floating(df: DataFrame, col: str) -> bool:
+    return dict(df.dtypes).get(col) in ("float", "double")
+
+
+def _nn(df: DataFrame, col: str) -> Column:
+    """The value column with pandas-NA normalization applied."""
+    return na_normalize(col, floating=_is_floating(df, col))
+
+
+def _agg_per_value(
+    df: DataFrame,
+    keys: Sequence[str],
+    values: Sequence[str] | str,
+    make_agg,
+    *,
+    min_count: int = 0,
+    dropna_keys: bool = True,
+) -> DataFrame:
+    """Shared driver: one groupBy, one agg expression per value column."""
+    keys, values = _cols(keys), _cols(values)
+    df = _prep(df, keys, dropna_keys)
+    aggs = []
+    for v in values:
+        c = _nn(df, v)
+        aggs.append(
+            with_min_count(make_agg(c, v), F.count(c), min_count).alias(v)
+        )
+    return df.groupBy(*keys).agg(*aggs)
+
+
+def group_count(
+    df: DataFrame,
+    keys: Sequence[str] | str,
+    values: Sequence[str] | str,
+    *,
+    dropna_keys: bool = True,
+) -> DataFrame:
+    """Non-null count per group (the reference's ``counts`` out-array,
+    ``lib.rs:775-778``)."""
+    return _agg_per_value(df, _cols(keys), values, lambda c, v: F.count(c),
+                          dropna_keys=dropna_keys)
+
+
+def group_sum(
+    df: DataFrame,
+    keys: Sequence[str] | str,
+    values: Sequence[str] | str,
+    *,
+    min_count: int = 0,
+    dropna_keys: bool = True,
+    exact: bool = False,
+) -> DataFrame:
+    """Per-group NA-skipping sum (``group_sum``, ``groupby.rs:846-907``).
+
+    ``exact=True`` accumulates in decimal for order-independent doubles
+    (see ``functions.na.exact_sum``); default is the native codegen'd
+    double sum.
+    """
+    make = (lambda c, v: exact_sum(c)) if exact else (lambda c, v: F.sum(c))
+    return _agg_per_value(df, keys, values, make,
+                          min_count=min_count, dropna_keys=dropna_keys)
+
+
+def group_prod(
+    df: DataFrame,
+    keys: Sequence[str] | str,
+    values: Sequence[str] | str,
+    *,
+    min_count: int = 0,
+    dropna_keys: bool = True,
+) -> DataFrame:
+    """Per-group product (``group_prod``, ``groupby.rs:909-985``)."""
+    return _agg_per_value(df, keys, values, lambda c, v: F.product(c),
+                          min_count=min_count, dropna_keys=dropna_keys)
+
+
+def group_mean(
+    df: DataFrame,
+    keys: Sequence[str] | str,
+    values: Sequence[str] | str,
+    *,
+    min_count: int = 0,
+    dropna_keys: bool = True,
+    exact: bool = False,
+) -> DataFrame:
+    """Per-group mean (``group_mean``, ``groupby.rs:1271-1403``).
+
+    The reference Kahan-compensates (``groupby.rs:1325-1337``); Spark's
+    double avg is uncompensated, which is fine at double precision —
+    ``exact=True`` gives the order-independent decimal-sum/count form.
+    """
+    if exact:
+        make = lambda c, v: exact_sum(c) / F.count(c)
+    else:
+        make = lambda c, v: F.avg(c)
+    return _agg_per_value(df, keys, values, make,
+                          min_count=min_count, dropna_keys=dropna_keys)
+
+
+def group_var(
+    df: DataFrame,
+    keys: Sequence[str] | str,
+    values: Sequence[str] | str,
+    *,
+    ddof: int = 1,
+    name: str = "var",
+    dropna_keys: bool = True,
+) -> DataFrame:
+    """Per-group variance/std/sem (``group_var``, ``groupby.rs:987-1129``;
+    the ``name`` argument selects the post-processing exactly as the
+    reference's does, ``groupby.rs:1020-1021``).
+
+    Welford one-pass accumulation is Catalyst's own strategy for
+    ``var_samp``; sem has no builtin and is composed as
+    ``stddev / sqrt(count)``. The reference's masked-std bug
+    (``groupby.rs:1067``; SURVEY §2.4 #3) is not reproduced.
+    """
+    if name not in ("var", "std", "sem"):
+        raise ValueError(f"name must be var|std|sem, got {name!r}")
+    if ddof not in (0, 1):
+        raise ValueError("only ddof in (0, 1) supported (pandas default 1)")
+
+    def make(c: Column, v: str) -> Column:
+        var = F.var_samp(c) if ddof == 1 else F.var_pop(c)
+        if name == "var":
+            return var
+        std = F.sqrt(var)
+        if name == "std":
+            return std
+        return std / F.sqrt(F.count(c))
+
+    # ddof groups with too few obs: var_samp on n<=1 is NULL natively.
+    return _agg_per_value(df, keys, values, make, dropna_keys=dropna_keys)
+
+
+def group_std(df, keys, values, *, ddof: int = 1, dropna_keys: bool = True):
+    return group_var(df, keys, values, ddof=ddof, name="std", dropna_keys=dropna_keys)
+
+
+def group_sem(df, keys, values, *, ddof: int = 1, dropna_keys: bool = True):
+    return group_var(df, keys, values, ddof=ddof, name="sem", dropna_keys=dropna_keys)
+
+
+def group_skew(
+    df: DataFrame,
+    keys: Sequence[str] | str,
+    values: Sequence[str] | str,
+    *,
+    dropna_keys: bool = True,
+) -> DataFrame:
+    """Per-group *sample-adjusted* skewness (``group_skew``,
+    ``groupby.rs:1131-1268``): pandas' adjusted Fisher–Pearson
+    ``sqrt(n(n-1))/(n-2) · g1``. Spark's ``F.skewness`` is the
+    population ``g1 = m3/m2^1.5``, so we compose the adjustment; groups
+    with n < 3 are NULL (``groupby.rs:1199``). The reference's
+    total-vs-group-count bug (SURVEY §2.4 #4) is not reproduced.
+    """
+
+    def make(c: Column, v: str) -> Column:
+        n = F.count(c)
+        g1 = F.skewness(c)
+        adj = F.sqrt(n * (n - F.lit(1))) / (n - F.lit(2))
+        return F.when(n >= 3, adj * g1)
+
+    return _agg_per_value(df, keys, values, make, dropna_keys=dropna_keys)
+
+
+def group_min(
+    df: DataFrame,
+    keys: Sequence[str] | str,
+    values: Sequence[str] | str,
+    *,
+    min_count: int = 1,
+    dropna_keys: bool = True,
+) -> DataFrame:
+    """Per-group min (``group_min``; shared kernel ``groupby.rs:2039-2154``).
+    Default ``min_count=1`` matches the reference's
+    ``max(min_count, 1)`` clamp (``groupby.rs:2058``)."""
+    return _agg_per_value(df, keys, values, lambda c, v: F.min(c),
+                          min_count=min_count, dropna_keys=dropna_keys)
+
+
+def group_max(
+    df: DataFrame,
+    keys: Sequence[str] | str,
+    values: Sequence[str] | str,
+    *,
+    min_count: int = 1,
+    dropna_keys: bool = True,
+) -> DataFrame:
+    """Per-group max (``group_max``; ``compute_max=true`` arm of the shared
+    kernel, ``lib.rs:1296``)."""
+    return _agg_per_value(df, keys, values, lambda c, v: F.max(c),
+                          min_count=min_count, dropna_keys=dropna_keys)
+
+
+def _ordered_pick(c: Column, order: Column, *, last: bool) -> Column:
+    """First/last non-null value by an explicit order column.
+
+    ``max_by``/``min_by`` with an aggregate FILTER keeps this a single
+    codegen'd aggregate (no window, no second shuffle). The reference
+    kernels walk rows in array order (``groupby.rs:1662-1744``); in a
+    distributed engine row order must be an explicit column.
+    """
+    picker = F.max_by if last else F.min_by
+    return picker(c, F.when(c.isNotNull(), order))
+
+
+def group_first(
+    df: DataFrame,
+    keys: Sequence[str] | str,
+    values: Sequence[str] | str,
+    order: str,
+    *,
+    min_count: int = 1,
+    dropna_keys: bool = True,
+) -> DataFrame:
+    """First non-null per group in ``order`` (``group_nth`` rank=1,
+    ``groupby.rs:1831-1917``)."""
+    return _agg_per_value(
+        df, keys, values,
+        lambda c, v: _ordered_pick(c, F.col(order), last=False),
+        min_count=min_count, dropna_keys=dropna_keys)
+
+
+def group_last(
+    df: DataFrame,
+    keys: Sequence[str] | str,
+    values: Sequence[str] | str,
+    order: str,
+    *,
+    min_count: int = 1,
+    dropna_keys: bool = True,
+) -> DataFrame:
+    """Last non-null per group in ``order`` (``group_last``,
+    ``groupby.rs:1662-1744``)."""
+    return _agg_per_value(
+        df, keys, values,
+        lambda c, v: _ordered_pick(c, F.col(order), last=True),
+        min_count=min_count, dropna_keys=dropna_keys)
+
+
+def group_nth(
+    df: DataFrame,
+    keys: Sequence[str] | str,
+    values: str,
+    order: str,
+    *,
+    rank: int = 1,
+    dropna_keys: bool = True,
+) -> DataFrame:
+    """n-th non-null value per group, 1-based ``rank`` like the
+    reference (``groupby.rs:1876-1878``). Groups with < rank non-null
+    observations yield NULL.
+
+    Window ``row_number`` over the non-null subset then a thin agg —
+    one shuffle+sort on (keys, order).
+    """
+    from pyspark.sql.window import Window
+
+    keys = _cols(keys)
+    df = _prep(df, keys, dropna_keys)
+    c = _nn(df, values)
+    w = Window.partitionBy(*keys).orderBy(F.col(order))
+    nn = df.withColumn("__v", c).where(F.col("__v").isNotNull())
+    nn = nn.withColumn("__rn", F.row_number().over(w))
+    picked = (
+        nn.where(F.col("__rn") == rank)
+        .groupBy(*keys)
+        .agg(F.first("__v").alias(values))
+    )
+    # preserve groups whose non-null count < rank (pandas returns NA)
+    all_keys = df.select(*keys).distinct()
+    return all_keys.join(picked, on=keys, how="left")
+
+
+def group_ohlc(
+    df: DataFrame,
+    keys: Sequence[str] | str,
+    value: str,
+    order: str,
+    *,
+    dropna_keys: bool = True,
+) -> DataFrame:
+    """open/high/low/close of one value column per group
+    (``group_ohlc``, ``groupby.rs:1405-1530``). Implements the
+    *intended* semantics — the reference kernel's first-element test is
+    inverted and its low-update compares the high column (SURVEY §2.4
+    #2) — as a single 4-expression aggregate.
+    """
+    keys = _cols(keys)
+    df = _prep(df, keys, dropna_keys)
+    c = _nn(df, value)
+    ordc = F.col(order)
+    return df.groupBy(*keys).agg(
+        _ordered_pick(c, ordc, last=False).alias("open"),
+        F.max(c).alias("high"),
+        F.min(c).alias("low"),
+        _ordered_pick(c, ordc, last=True).alias("close"),
+    )
+
+
+def group_any_all(
+    df: DataFrame,
+    keys: Sequence[str] | str,
+    values: Sequence[str] | str,
+    *,
+    val_test: str = "any",
+    skipna: bool = True,
+    dropna_keys: bool = True,
+) -> DataFrame:
+    """Per-group ANY/ALL with Kleene three-valued logic
+    (``group_any_all``, ``groupby.rs:698-784``; output -1 = unknown maps
+    to NULL).
+
+    skipna=True: ``bool_or``/``bool_and`` over non-null values.
+    skipna=False (Kleene): ANY is TRUE if any TRUE, else NULL if any
+    NULL, else FALSE; dually for ALL (``groupby.rs:737-754``).
+    """
+    if val_test not in ("any", "all"):
+        raise ValueError("val_test must be 'any' or 'all'")
+    keys, values = _cols(keys), _cols(values)
+    df = _prep(df, keys, dropna_keys)
+    aggs = []
+    for v in values:
+        c = F.col(v)
+        base = F.bool_or(c) if val_test == "any" else F.bool_and(c)
+        if skipna:
+            agg = base
+        else:
+            has_null = F.max(c.isNull().cast("int")) == 1
+            if val_test == "any":
+                agg = F.when(F.coalesce(base, F.lit(False)), F.lit(True)) \
+                    .when(has_null, F.lit(None).cast("boolean")) \
+                    .otherwise(F.lit(False))
+            else:
+                agg = F.when(~F.coalesce(base, F.lit(True)), F.lit(False)) \
+                    .when(has_null, F.lit(None).cast("boolean")) \
+                    .otherwise(F.lit(True))
+        aggs.append(agg.alias(v))
+    return df.groupBy(*keys).agg(*aggs)
+
+
+def group_median(
+    df: DataFrame,
+    keys: Sequence[str] | str,
+    values: Sequence[str] | str,
+    *,
+    min_count: int = 0,
+    dropna_keys: bool = True,
+) -> DataFrame:
+    """Per-group exact median (``group_median_float64``,
+    ``groupby.rs:114-184``): even-sized groups average the two middle
+    elements (``groupby.rs:19-25``).
+
+    The reference builds this as counting-sort → gather → per-group
+    quickselect; Spark's ``F.median`` is the same selection inside a
+    single aggregate — the shuffle *is* the counting sort.
+    """
+    return _agg_per_value(df, keys, values, lambda c, v: F.median(c),
+                          min_count=min_count, dropna_keys=dropna_keys)
+
+
+def group_quantile(
+    df: DataFrame,
+    keys: Sequence[str] | str,
+    value: str,
+    qs: Sequence[float],
+    *,
+    interpolation: str = "linear",
+    dropna_keys: bool = True,
+) -> DataFrame:
+    """Per-group quantiles at each q with all five pandas interpolation
+    modes (``group_quantile``, ``groupby.rs:1532-1660``; modes at
+    ``1556-1562``). Output: long form ``keys + (q, quantile)``.
+
+    linear uses the builtin ``F.percentile``. The other four modes are
+    exact order statistics the builtin can't express, so we compute
+    within-group ranks once — a single shuffle+sort on (keys, value),
+    the distributed analogue of the reference's caller-supplied
+    ``sort_indexer`` (``lib.rs:917``) — and pick/average the straddling
+    elements with plain aggregates. q outside [0,1] raises, like
+    ``groupby.rs:1549-1554``.
+    """
+    from pyspark.sql.window import Window
+
+    for q in qs:
+        if not (0.0 <= q <= 1.0):
+            raise ValueError(f"each q must be within [0, 1), got {q}")
+    modes = ("linear", "lower", "higher", "nearest", "midpoint")
+    if interpolation not in modes:
+        raise ValueError(f"interpolation must be one of {modes}")
+
+    keys = _cols(keys)
+    df = _prep(df, keys, dropna_keys)
+    c = _nn(df, value)
+
+    if interpolation == "linear":
+        agged = df.groupBy(*keys).agg(
+            *[F.percentile(c, F.lit(q)).alias(f"__q{i}") for i, q in enumerate(qs)]
+        )
+    else:
+        nn = df.select(*keys, c.alias("__v")).where(F.col("__v").isNotNull())
+        w = Window.partitionBy(*keys)
+        nn = nn.withColumn("__rn", F.row_number().over(w.orderBy("__v")) - 1)
+        nn = nn.withColumn("__n", F.count("__v").over(w))
+        picks = []
+        for i, q in enumerate(qs):
+            target = F.lit(q) * (F.col("__n") - 1)
+            lo = F.floor(target)
+            hi = F.ceil(target)
+            frac = target - lo
+            if interpolation == "lower":
+                idx = lo
+            elif interpolation == "higher":
+                idx = hi
+            else:  # nearest / midpoint need both straddling elements
+                idx = None
+            if idx is not None:
+                picks.append(
+                    F.max(F.when(F.col("__rn") == idx, F.col("__v"))).alias(f"__q{i}")
+                )
+            else:
+                vlo = F.max(F.when(F.col("__rn") == lo, F.col("__v")))
+                vhi = F.max(F.when(F.col("__rn") == hi, F.col("__v")))
+                if interpolation == "midpoint":
+                    picks.append(((vlo + vhi) / 2).alias(f"__q{i}"))
+                else:  # nearest: pandas rule (frac, q) tie-break
+                    # frac is constant per group; > .5 → hi, == .5 → hi iff q > .5
+                    use_hi = F.max(
+                        (
+                            (frac > 0.5) | ((frac == 0.5) & F.lit(q > 0.5))
+                        ).cast("int")
+                    ) == 1
+                    picks.append(F.when(use_hi, vhi).otherwise(vlo).alias(f"__q{i}"))
+        agged = nn.groupBy(*keys).agg(*picks)
+
+    # long form: one row per (group, q)
+    pairs = F.array(*[
+        F.struct(F.lit(float(q)).alias("q"), F.col(f"__q{i}").alias("quantile"))
+        for i, q in enumerate(qs)
+    ])
+    return (
+        agged.select(*keys, F.explode(pairs).alias("__p"))
+        .select(*keys, F.col("__p.q").alias("q"), F.col("__p.quantile").alias("quantile"))
+    )

@@ -1,0 +1,356 @@
+"""Grouped transforms — per-row results over ordered groups.
+
+Mirrors the reference's cumulative/indexer kernels (SURVEY §2.1 rows
+17-23): ``group_cumsum`` ``group_cumprod`` ``group_cummin``
+``group_cummax`` (``/root/reference/src/groupby.rs:211-536,2185-2293``),
+``group_shift_indexer`` (``groupby.rs:538-595``),
+``group_fillna_indexer`` (``groupby.rs:621-669``) and the
+declared-but-unimplemented ``group_rank`` (``lib.rs:1259-1274``).
+
+The reference walks rows in array order with per-group running state; in
+a distributed engine "array order" must be an explicit order column and
+running state becomes a window frame:
+
+    Window.partitionBy(keys).orderBy(order)
+          .rowsBetween(unboundedPreceding, currentRow)
+
+One shuffle+sort on (keys, order) serves *all* window expressions built
+on the same spec — callers composing several transforms should pass the
+same keys/order so Catalyst reuses a single Sort+Exchange. All
+expressions stay JVM-side (no Python in the hot path); ``group_cumprod``
+has an optional exact ``applyInPandas`` escape hatch.
+
+NA semantics (pandas): an NA input row yields NA output at that row;
+with ``skipna=False`` the first NA *poisons* the rest of the group
+(``groupby.rs:505-519``) — expressed as a running has-seen-NA flag.
+Reference's cummax-computes-cummin dispatch bug (SURVEY §2.4 #1) is not
+reproduced.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window, WindowSpec
+
+from pandas_rust_algos_spark.functions.na import na_normalize
+
+__all__ = [
+    "running_window",
+    "group_cumsum",
+    "group_cumprod",
+    "group_cummin",
+    "group_cummax",
+    "group_cumcount",
+    "group_shift",
+    "group_fillna",
+    "group_rank",
+]
+
+
+def _cols(names: Sequence[str] | str) -> list[str]:
+    return [names] if isinstance(names, str) else list(names)
+
+
+def running_window(keys: Sequence[str] | str, order: Sequence[str] | str) -> WindowSpec:
+    """The shared running-frame window spec (start-of-group → current row)."""
+    return (
+        Window.partitionBy(*_cols(keys))
+        .orderBy(*_cols(order))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+
+
+def _is_floating(df: DataFrame, col: str) -> bool:
+    return dict(df.dtypes).get(col) in ("float", "double")
+
+
+def _cumulative(
+    df: DataFrame,
+    keys: Sequence[str] | str,
+    order: Sequence[str] | str,
+    values: Sequence[str] | str,
+    make_running,
+    *,
+    skipna: bool = True,
+    out_suffix: str,
+) -> DataFrame:
+    """Shared NA/poisoning scaffolding for all cumulative ops."""
+    w = running_window(keys, order)
+    out = df
+    for v in _cols(values):
+        c = na_normalize(v, floating=_is_floating(df, v))
+        run = make_running(c, w)
+        if skipna:
+            # NA row → NA output; later rows continue (sum/min/max skip nulls)
+            expr = F.when(c.isNull(), F.lit(None)).otherwise(run)
+        else:
+            seen_na = F.max(c.isNull().cast("int")).over(w) == 1
+            expr = F.when(seen_na, F.lit(None)).otherwise(run)
+        out = out.withColumn(f"{v}{out_suffix}", expr)
+    return out
+
+
+def group_cumsum(
+    df: DataFrame,
+    keys: Sequence[str] | str,
+    order: Sequence[str] | str,
+    values: Sequence[str] | str,
+    *,
+    skipna: bool = True,
+    out_suffix: str = "_cumsum",
+) -> DataFrame:
+    """Per-group running sum (``group_cumsum``, ``groupby.rs:424-536``).
+    The reference Kahan-compensates floats (``groupby.rs:302-360``);
+    window double sums at double precision are accepted as-is."""
+    return _cumulative(df, keys, order, values,
+                       lambda c, w: F.sum(c).over(w),
+                       skipna=skipna, out_suffix=out_suffix)
+
+
+def group_cummin(
+    df: DataFrame,
+    keys: Sequence[str] | str,
+    order: Sequence[str] | str,
+    values: Sequence[str] | str,
+    *,
+    skipna: bool = True,
+    out_suffix: str = "_cummin",
+) -> DataFrame:
+    """Per-group running min (``group_cummin``, ``groupby.rs:2185-2293``)."""
+    return _cumulative(df, keys, order, values,
+                       lambda c, w: F.min(c).over(w),
+                       skipna=skipna, out_suffix=out_suffix)
+
+
+def group_cummax(
+    df: DataFrame,
+    keys: Sequence[str] | str,
+    order: Sequence[str] | str,
+    values: Sequence[str] | str,
+    *,
+    skipna: bool = True,
+    out_suffix: str = "_cummax",
+) -> DataFrame:
+    """Per-group running max — the *intended* semantics; the reference's
+    dispatch passes ``compute_max=false`` everywhere (SURVEY §2.4 #1)."""
+    return _cumulative(df, keys, order, values,
+                       lambda c, w: F.max(c).over(w),
+                       skipna=skipna, out_suffix=out_suffix)
+
+
+def group_cumcount(
+    df: DataFrame,
+    keys: Sequence[str] | str,
+    order: Sequence[str] | str,
+    *,
+    out_col: str = "cumcount",
+) -> DataFrame:
+    """0-based running position within group (pandas ``cumcount``)."""
+    w = running_window(keys, order)
+    return df.withColumn(out_col, F.count(F.lit(1)).over(w) - 1)
+
+
+def group_cumprod(
+    df: DataFrame,
+    keys: Sequence[str] | str,
+    order: Sequence[str] | str,
+    values: Sequence[str] | str,
+    *,
+    skipna: bool = True,
+    method: str = "expr",
+    out_suffix: str = "_cumprod",
+) -> DataFrame:
+    """Per-group running product (``group_cumprod``,
+    ``groupby.rs:211-300``).
+
+    Spark has no windowed product builtin. ``method='expr'`` composes it
+    JVM-side as sign/zero-aware ``exp(Σ log|x|)``:
+
+        zeros>0 → 0;  parity(negatives) → sign;  exp(sum(log(abs)))
+
+    which is scale-friendly (pure window aggregates, ~1e-14 relative
+    error from the log/exp round-trip). ``method='pandas'`` is the exact
+    escape hatch via ``applyInPandas`` (Arrow-batched, one pass per
+    group; use when bit-exactness matters more than throughput).
+    """
+    if method == "pandas":
+        return _cumprod_pandas(df, keys, order, values, skipna=skipna,
+                               out_suffix=out_suffix)
+    if method != "expr":
+        raise ValueError("method must be 'expr' or 'pandas'")
+    w = running_window(keys, order)
+    out = df
+    for v in _cols(values):
+        c = na_normalize(v, floating=_is_floating(df, v))
+        zeros = F.sum(F.when(c == 0, 1).otherwise(0)).over(w)
+        negs = F.sum(F.when(c < 0, 1).otherwise(0)).over(w)
+        logsum = F.sum(F.when(c != 0, F.log(F.abs(c)))).over(w)
+        sign = F.when(negs % 2 == 1, F.lit(-1.0)).otherwise(F.lit(1.0))
+        run = F.when(zeros > 0, F.lit(0.0)).otherwise(sign * F.exp(logsum))
+        if skipna:
+            expr = F.when(c.isNull(), F.lit(None)).otherwise(run)
+        else:
+            seen_na = F.max(c.isNull().cast("int")).over(w) == 1
+            expr = F.when(seen_na, F.lit(None)).otherwise(run)
+        out = out.withColumn(f"{v}{out_suffix}", expr.cast("double"))
+    return out
+
+
+def _cumprod_pandas(
+    df: DataFrame,
+    keys: Sequence[str] | str,
+    order: Sequence[str] | str,
+    values: Sequence[str] | str,
+    *,
+    skipna: bool,
+    out_suffix: str,
+) -> DataFrame:
+    """Exact grouped cumprod via applyInPandas (Arrow-batched)."""
+    keys, order, values = _cols(keys), _cols(order), _cols(values)
+    out_fields = ", ".join(
+        f"`{v}{out_suffix}` double" for v in values
+    )
+    schema = f"{df.schema.simpleString()[7:-1]}, {out_fields}"
+
+    def fn(pdf):
+        pdf = pdf.sort_values(order, kind="mergesort")
+        for v in values:
+            pdf[f"{v}{out_suffix}"] = pdf[v].cumprod(skipna=skipna)
+        return pdf
+
+    return df.groupBy(*keys).applyInPandas(fn, schema=schema)
+
+
+def group_shift(
+    df: DataFrame,
+    keys: Sequence[str] | str,
+    order: Sequence[str] | str,
+    values: Sequence[str] | str,
+    *,
+    periods: int = 1,
+    out_suffix: str = "_shift",
+) -> DataFrame:
+    """Per-group shift by ±periods (``group_shift_indexer``,
+    ``groupby.rs:538-595``). The reference emits a row-index indexer
+    with -1 for shifted-out slots; Spark's ``lag``/``lead`` produce the
+    gathered values directly, NULL where the reference says -1 —
+    including groups shorter than \\|periods\\| (``groupby.rs:585-588``)."""
+    w = Window.partitionBy(*_cols(keys)).orderBy(*_cols(order))
+    out = df
+    for v in _cols(values):
+        expr = F.lag(v, periods).over(w) if periods >= 0 else F.lead(v, -periods).over(w)
+        out = out.withColumn(f"{v}{out_suffix}", expr)
+    return out
+
+
+def group_fillna(
+    df: DataFrame,
+    keys: Sequence[str] | str,
+    order: Sequence[str] | str,
+    values: Sequence[str] | str,
+    *,
+    direction: str = "ffill",
+    limit: int = -1,
+    dropna_keys: bool = False,
+    out_suffix: str = "_filled",
+) -> DataFrame:
+    """Per-group ffill/bfill with consecutive-fill ``limit``
+    (``group_fillna_indexer``, ``groupby.rs:621-669``).
+
+    ffill = last non-null over (start → current); bfill is the same
+    algorithm on the reversed order (``groupby.rs:606-608``), i.e.
+    first non-null over (current → end) ≡ last-non-null over a
+    descending-ordered running frame. ``limit`` caps the fill distance:
+    distance = row_number − row_number-at-last-valid (``645-650``).
+    ``dropna_keys=True`` (reference ``dropna``): NULL-key rows stay
+    unfilled (``groupby.rs:642-643``) — rows are kept, not dropped.
+    """
+    if direction not in ("ffill", "bfill"):
+        raise ValueError("direction must be 'ffill' or 'bfill'")
+    keys, order = _cols(keys), _cols(order)
+    ordering = [F.col(o) for o in order]
+    if direction == "bfill":
+        ordering = [o.desc() for o in ordering]
+    w = (
+        Window.partitionBy(*keys)
+        .orderBy(*ordering)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    out = df
+    for v in _cols(values):
+        c = na_normalize(v, floating=_is_floating(df, v))
+        rn = F.row_number().over(Window.partitionBy(*keys).orderBy(*ordering))
+        last_valid_rn = F.max(F.when(c.isNotNull(), rn)).over(w)
+        filled = F.last(c, ignorenulls=True).over(w)
+        if limit is not None and limit >= 0:
+            dist = rn - last_valid_rn
+            filled = F.when(dist <= limit, filled)
+        expr = F.when(c.isNotNull(), c).otherwise(filled)
+        if dropna_keys:
+            null_key = None
+            for k in keys:
+                nk = F.col(k).isNull()
+                null_key = nk if null_key is None else (null_key | nk)
+            expr = F.when(null_key, c).otherwise(expr)
+        out = out.withColumn(f"{v}{out_suffix}", expr)
+    return out
+
+
+def group_rank(
+    df: DataFrame,
+    keys: Sequence[str] | str,
+    value: str,
+    *,
+    method: str = "average",
+    ascending: bool = True,
+    pct: bool = False,
+    na_option: str = "keep",
+    out_col: str = "rank",
+) -> DataFrame:
+    """Per-group rank — the reference *declares* this with the full
+    pandas surface but raises NotImplementedError (``lib.rs:1259-1274``);
+    we implement the declared intent.
+
+    ties_method: average|min|max|first|dense; na_option: keep|top|bottom.
+    pct divides by the count of ranked (non-null) values per group.
+    """
+    methods = ("average", "min", "max", "first", "dense")
+    if method not in methods:
+        raise ValueError(f"method must be one of {methods}")
+    if na_option not in ("keep", "top", "bottom"):
+        raise ValueError("na_option must be keep|top|bottom")
+
+    keys = _cols(keys)
+    c = na_normalize(value, floating=_is_floating(df, value))
+    vc = c.asc() if ascending else c.desc()
+    if na_option == "top":
+        vc = c.asc_nulls_first() if ascending else c.desc_nulls_first()
+    elif na_option == "bottom":
+        vc = c.asc_nulls_last() if ascending else c.desc_nulls_last()
+    w = Window.partitionBy(*keys).orderBy(vc)
+
+    if method == "first":
+        r = F.row_number().over(w).cast("double")
+    elif method == "dense":
+        r = F.dense_rank().over(w).cast("double")
+    elif method == "min":
+        r = F.rank().over(w).cast("double")
+    else:
+        # max = rank + ties - 1 ; average = (min + max) / 2
+        ties = F.count(F.lit(1)).over(
+            Window.partitionBy(*keys, F.when(c.isNull(), F.lit("__na")).otherwise(c.cast("string")))
+        )
+        rmin = F.rank().over(w).cast("double")
+        r = rmin + (ties - 1) if method == "max" else rmin + (ties - 1) / 2.0
+
+    if na_option == "keep":
+        r = F.when(c.isNull(), F.lit(None)).otherwise(r)
+        denom = F.count(c).over(Window.partitionBy(*keys))
+    else:
+        denom = F.count(F.lit(1)).over(Window.partitionBy(*keys))
+    if pct:
+        r = r / denom
+    return df.withColumn(out_col, r)

@@ -1,0 +1,165 @@
+"""Similarity search over an embedding column (array<float>).
+
+Two tiers:
+
+- :func:`cosine_topk` — brute-force exact top-k: broadcast the (small)
+  query set against the full vector table; cosine is a
+  zip_with/aggregate column expression (JVM-side, codegen). At 100 TB
+  the scan is embarrassingly parallel and the top-k is a per-query
+  window over a similarity-pruned subset.
+- :func:`lsh_topk` — random-hyperplane LSH: deterministic pseudo-random
+  hyperplanes derived from xxhash64(plane, dim) (no driver-side RNG
+  state to ship), signature prefix buckets, search only within the
+  query's bucket. Trades recall for a ~bucket-fraction of the scan.
+
+No Python UDFs; everything is expression-level.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+__all__ = ["cosine", "dot", "cosine_topk", "lsh_signature", "lsh_topk"]
+
+
+def dot(a: Column, b: Column) -> Column:
+    """Σ aᵢ·bᵢ via zip_with + aggregate (sequential fold ⇒ deterministic
+    summation order, matching a single-threaded oracle)."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def norm(a: Column) -> Column:
+    return F.sqrt(dot(a, a))
+
+
+def cosine(a: Column, b: Column) -> Column:
+    return dot(a, b) / (norm(a) * norm(b))
+
+
+def _as_double(vec: Column) -> Column:
+    return F.transform(vec, lambda x: x.cast("double"))
+
+
+def cosine_topk(
+    df: DataFrame,
+    queries: DataFrame,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+    k: int = 5,
+    round_digits: int = 6,
+) -> DataFrame:
+    """Exact brute-force cosine top-k per query vector.
+
+    ``queries``: (query_id_col, vec_col). The query side is broadcast —
+    the fact scan never shuffles; the only exchange is the final tiny
+    per-query top-k. Similarities are rounded and tie-broken by id so
+    results are total-ordered and engine-comparable.
+    """
+    cand = df.select(F.col(id_col), _as_double(F.col(vec_col)).alias("v"))
+    qs = queries.select(
+        F.col(query_id_col).alias("qid"), _as_double(F.col(vec_col)).alias("qv")
+    )
+    sim = F.round(cosine(F.col("qv"), F.col("v")), round_digits)
+    scored = (
+        cand.crossJoin(F.broadcast(qs))
+        .where(F.col("qid") != F.col(id_col))
+        .select(F.col("qid").alias(query_id_col), F.col(id_col), sim.alias("sim"))
+    )
+    w = Window.partitionBy(query_id_col).orderBy(
+        F.col("sim").desc(), F.col(id_col)
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+    )
+
+
+def lsh_signature(vec: Column, *, planes: int = 16, dims: int = 64) -> Column:
+    """Random-hyperplane signature: bit p = sign(Σ_d v[d]·w(p,d)) with
+    w(p,d) ∈ {-1,+1} derived from xxhash64(p, d) — deterministic across
+    executors with zero shipped state."""
+    bits = []
+    for p in range(planes):
+        weights = F.array(*[
+            F.when(F.xxhash64(F.lit(p), F.lit(d)).bitwiseAND(F.lit(1)) == 1,
+                   F.lit(1.0)).otherwise(F.lit(-1.0))
+            for d in range(dims)
+        ])
+        proj = F.aggregate(
+            F.zip_with(vec, weights, lambda x, w: x * w),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+        bits.append(
+            F.when(proj > 0, F.shiftleft(F.lit(1).cast("long"), p))
+            .otherwise(F.lit(0).cast("long"))
+        )
+    sig = F.lit(0).cast("long")
+    for b in bits:
+        sig = sig.bitwiseOR(b)
+    return sig
+
+
+def lsh_topk(
+    df: DataFrame,
+    queries: DataFrame,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+    k: int = 5,
+    planes: int = 16,
+    dims: int = 64,
+    band_bits: int = 8,
+    round_digits: int = 6,
+) -> DataFrame:
+    """Approximate top-k: candidates = vectors sharing any of the
+    signature's ``planes/band_bits`` bands with the query, then exact
+    cosine within candidates. Recall rises with more bands; cost is
+    ~(bucket density) of brute force."""
+    nbands = planes // band_bits
+    mask = (1 << band_bits) - 1
+
+    def with_bands(frame: DataFrame, ident: str) -> DataFrame:
+        sig = lsh_signature(_as_double(F.col(vec_col)), planes=planes, dims=dims)
+        base = frame.select(
+            F.col(ident), _as_double(F.col(vec_col)).alias(f"v_{ident}"),
+            sig.alias("sig"),
+        )
+        return base.select(
+            F.col(ident), F.col(f"v_{ident}"),
+            F.explode(F.array(*[
+                F.struct(
+                    F.lit(i).alias("band"),
+                    F.shiftright("sig", i * band_bits)
+                    .bitwiseAND(F.lit(mask)).alias("bucket"),
+                )
+                for i in range(nbands)
+            ])).alias("bb"),
+        ).select(ident, f"v_{ident}", "bb.band", "bb.bucket")
+
+    cb = with_bands(df.select(F.col(id_col), F.col(vec_col)), id_col)
+    qb = with_bands(
+        queries.select(F.col(query_id_col), F.col(vec_col)), query_id_col
+    )
+    sim = F.round(
+        cosine(F.col(f"v_{query_id_col}"), F.col(f"v_{id_col}")), round_digits
+    )
+    cand = (
+        cb.join(F.broadcast(qb), ["band", "bucket"])
+        .where(F.col(query_id_col) != F.col(id_col))
+        .select(query_id_col, id_col, sim.alias("sim"))
+        .distinct()
+    )
+    w = Window.partitionBy(query_id_col).orderBy(
+        F.col("sim").desc(), F.col(id_col)
+    )
+    return cand.withColumn("rank", F.row_number().over(w)).where(F.col("rank") <= k)

@@ -1,0 +1,137 @@
+"""Time-window gate queries over the events table (batch form).
+
+The reference has no streaming surface (SURVEY §2.3); these are the
+batch-semantics twins of the Structured Streaming ops in
+``streaming/events.py`` — same windowing expressions, so a pipeline
+can run identical logic in batch backfill and streaming modes.
+
+Window starts are emitted as formatted strings so the hash compare is
+independent of engine timestamp internals; sums use fixed-point
+micro-units (rule 1).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from pandas_rust_algos_spark.plans.registry import dsum, register
+from pandas_rust_algos_spark.session import tune
+from pandas_rust_algos_spark.sources import load_table
+
+_FMT = "yyyy-MM-dd HH:mm:ss"
+_FMT_DUCK = "%Y-%m-%d %H:%M:%S"
+
+
+@register(
+    "events_tumbling_1h",
+    oracle=f"""
+    SELECT STRFTIME(DATE_TRUNC('hour', ts), '{_FMT_DUCK}') AS window_start,
+           event_type,
+           COUNT(*) AS n_events,
+           COUNT(DISTINCT user_id) AS n_users,
+           {dsum('value')} AS sum_value
+    FROM events GROUP BY 1, 2
+    """,
+)
+def events_tumbling_1h(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tumbling 1-hour window aggregation — ``F.window`` exactly as the
+    streaming twin uses it (streaming/events.py), run in batch."""
+    tune(spark)
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.countDistinct("user_id").alias("n_users"),
+            (F.sum(F.floor(F.col("value") * F.lit(1e6)).cast("long"))
+             .cast("double") / F.lit(1e6)).alias("sum_value"),
+        )
+        .select(
+            F.date_format("w.start", _FMT).alias("window_start"),
+            "event_type", "n_events", "n_users", "sum_value",
+        )
+    )
+
+
+@register(
+    "events_sliding_2h_1h",
+    oracle=f"""
+    WITH s AS (
+      SELECT STRFTIME(DATE_TRUNC('hour', ts) - INTERVAL (o) HOUR,
+                      '{_FMT_DUCK}') AS window_start,
+             value
+      FROM events CROSS JOIN (VALUES (0), (1)) t(o)
+    )
+    SELECT window_start, COUNT(*) AS n_events, {dsum('value')} AS sum_value
+    FROM s GROUP BY 1
+    """,
+)
+def events_sliding_2h_1h(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding window (2h length, 1h slide): each event lands in
+    exactly two windows; ``F.window`` enumerates them without a
+    self-join."""
+    tune(spark)
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.window("ts", "2 hours", "1 hour").alias("w"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            (F.sum(F.floor(F.col("value") * F.lit(1e6)).cast("long"))
+             .cast("double") / F.lit(1e6)).alias("sum_value"),
+        )
+        .select(
+            F.date_format("w.start", _FMT).alias("window_start"),
+            "n_events", "sum_value",
+        )
+    )
+
+
+@register(
+    "events_sessionize",
+    oracle="""
+    WITH e AS (
+      SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, value, event_id FROM events
+    ), g AS (
+      SELECT user_id, ts, value,
+             CASE WHEN ts - LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                       > INTERVAL 30 MINUTE
+                  OR LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+                  THEN 1 ELSE 0 END AS is_new,
+             event_id
+      FROM e
+    ), s AS (
+      SELECT user_id, value,
+             SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS session_id
+      FROM g
+    )
+    SELECT user_id, session_id, COUNT(*) AS n_events
+    FROM s GROUP BY user_id, session_id
+    """,
+)
+def events_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sessionization (30-min inactivity gap) via the gaps-and-islands
+    window pattern — one shuffle+sort per user, the batch twin of
+    streaming session windows."""
+    tune(spark)
+    from pyspark.sql.window import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    wrun = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    prev = F.lag("ts").over(w)
+    # microsecond-exact gap compare (cast-to-seconds would truncate and
+    # diverge from the oracle's INTERVAL comparison on sub-second gaps)
+    is_new = F.when(
+        prev.isNull()
+        | ((F.unix_micros(F.col("ts")) - F.unix_micros(prev)) > 1_800_000_000),
+        1,
+    ).otherwise(0)
+    return (
+        ev.withColumn("is_new", is_new)
+        .withColumn("session_id", F.sum("is_new").over(wrun))
+        .groupBy("user_id", "session_id")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+    )

@@ -1,0 +1,475 @@
+"""Gate queries for the grouped-reduction operators (SURVEY §2.1 rows
+4-16) over the driver fixtures, each paired with DuckDB oracle SQL.
+
+Two flavors appear on purpose:
+
+- operators whose native Spark form is already value-deterministic
+  (count/min/max/first/last/nth/ohlc/any_all/median/quantile picks) go
+  through the operator library directly;
+- float reductions (sum/mean/var/std/sem/skew) use the deterministic
+  decimal-accumulation form on BOTH sides (registry docstring, rule 1),
+  so the 32-way-parallel Spark result hashes identically to the
+  single-threaded oracle. The native forms (``F.avg``, ``F.var_samp``,
+  ...) are unit-tested against DuckDB with numeric tolerance in
+  ``tests/``.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from pandas_rust_algos_spark.operators import grouped_agg as ga
+from pandas_rust_algos_spark.plans.registry import dsum, register
+from pandas_rust_algos_spark.session import tune
+from pandas_rust_algos_spark.sources import load_table
+
+
+def _li(spark: SparkSession, sf_dir: str) -> DataFrame:
+    tune(spark)
+    return load_table(spark, sf_dir, "lineitem")
+
+
+def _ev(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """events with a deterministic nullable value column (the fixtures
+    have no NULLs; NA-handling paths need some)."""
+    tune(spark)
+    ev = load_table(spark, sf_dir, "events")
+    return ev.withColumn(
+        "v", F.when(F.col("event_id") % 7 == 0, F.lit(None)).otherwise(F.col("value"))
+    )
+
+
+_EV_V = "CASE WHEN event_id % 7 = 0 THEN NULL ELSE value END"
+
+
+def _exact(col):
+    """fixed-point deterministic sum (twin of registry.dsum)."""
+    return F.sum(F.floor(col * F.lit(1e6)).cast("long")).cast("double") / F.lit(1e6)
+
+
+# --------------------------------------------------------------- group_count
+
+
+@register(
+    "group_count",
+    oracle="""
+    SELECT l_returnflag, l_linestatus,
+           COUNT(*) AS n_rows, COUNT(l_quantity) AS n_qty
+    FROM lineitem GROUP BY l_returnflag, l_linestatus
+    """,
+)
+def group_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """counts out-array (`lib.rs:775-778`)."""
+    li = _li(spark, sf_dir)
+    return li.groupBy("l_returnflag", "l_linestatus").agg(
+        F.count(F.lit(1)).alias("n_rows"), F.count("l_quantity").alias("n_qty")
+    )
+
+
+# ----------------------------------------------------------------- group_sum
+
+
+@register(
+    "group_sum",
+    oracle=f"""
+    SELECT l_returnflag, l_linestatus,
+           {dsum('l_quantity')} AS sum_qty,
+           {dsum('l_extendedprice')} AS sum_base_price,
+           {dsum('l_extendedprice * (1 - l_discount)')} AS sum_disc_price
+    FROM lineitem GROUP BY l_returnflag, l_linestatus
+    """,
+)
+def group_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """group_sum (`groupby.rs:846-907`) — exact fixed-point accumulation."""
+    li = _li(spark, sf_dir)
+    return li.groupBy("l_returnflag", "l_linestatus").agg(
+        _exact(F.col("l_quantity")).alias("sum_qty"),
+        _exact(F.col("l_extendedprice")).alias("sum_base_price"),
+        _exact(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias(
+            "sum_disc_price"
+        ),
+    )
+
+
+# ---------------------------------------------------------------- group_mean
+
+
+@register(
+    "group_mean",
+    oracle=f"""
+    SELECT l_returnflag, l_linestatus,
+           {dsum('l_quantity')} / COUNT(l_quantity) AS avg_qty,
+           {dsum('l_extendedprice')} / COUNT(l_extendedprice) AS avg_price,
+           {dsum('l_discount')} / COUNT(l_discount) AS avg_disc
+    FROM lineitem GROUP BY l_returnflag, l_linestatus
+    """,
+)
+def group_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """group_mean (`groupby.rs:1271-1403`) as exact-sum / count."""
+    li = _li(spark, sf_dir)
+
+    def mean(c):
+        return _exact(F.col(c)) / F.count(F.col(c))
+
+    return li.groupBy("l_returnflag", "l_linestatus").agg(
+        mean("l_quantity").alias("avg_qty"),
+        mean("l_extendedprice").alias("avg_price"),
+        mean("l_discount").alias("avg_disc"),
+    )
+
+
+# ---------------------------------------------------------------- group_prod
+
+
+@register(
+    "group_prod",
+    oracle="""
+    SELECT l_orderkey, ROUND(PRODUCT(1 + l_discount), 6) AS prod_disc
+    FROM lineitem GROUP BY l_orderkey
+    """,
+)
+def group_prod(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """group_prod (`groupby.rs:909-985`): F.product, rounded (rule 4)."""
+    li = _li(spark, sf_dir).withColumn("disc1", 1 + F.col("l_discount"))
+    out = ga.group_prod(li, "l_orderkey", ["disc1"])
+    return out.select("l_orderkey", F.round("disc1", 6).alias("prod_disc"))
+
+
+# ------------------------------------------------------------- group_min/max
+
+
+@register(
+    "group_min_max",
+    oracle="""
+    SELECT l_returnflag, l_linestatus,
+           MIN(l_quantity) AS min_qty, MAX(l_quantity) AS max_qty,
+           MIN(l_extendedprice) AS min_price, MAX(l_extendedprice) AS max_price,
+           MIN(l_shipdate) AS min_shipdate, MAX(l_shipdate) AS max_shipdate
+    FROM lineitem GROUP BY l_returnflag, l_linestatus
+    """,
+)
+def group_min_max(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """group_min/group_max (`groupby.rs:2039-2154`), incl. the
+    datetimelike path (timestamps ride native, not i64+NaT)."""
+    li = _li(spark, sf_dir)
+    return li.groupBy("l_returnflag", "l_linestatus").agg(
+        F.min("l_quantity").alias("min_qty"),
+        F.max("l_quantity").alias("max_qty"),
+        F.min("l_extendedprice").alias("min_price"),
+        F.max("l_extendedprice").alias("max_price"),
+        F.min("l_shipdate").alias("min_shipdate"),
+        F.max("l_shipdate").alias("max_shipdate"),
+    )
+
+
+# ------------------------------------------------------- group_var/std/sem
+
+
+_VAR_ORACLE = f"""
+WITH m AS (
+  SELECT l_returnflag,
+         COUNT(l_quantity) AS n,
+         {dsum('l_quantity')} AS s1,
+         {dsum('l_quantity * l_quantity')} AS s2
+  FROM lineitem GROUP BY l_returnflag
+)
+SELECT l_returnflag,
+       (s2 - s1 * s1 / n) / (n - 1) AS var_qty,
+       SQRT((s2 - s1 * s1 / n) / (n - 1)) AS std_qty,
+       SQRT((s2 - s1 * s1 / n) / (n - 1)) / SQRT(n) AS sem_qty
+FROM m
+"""
+
+
+@register("group_var_std_sem", oracle=_VAR_ORACLE)
+def group_var_std_sem(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """group_var name=var|std|sem (`groupby.rs:987-1129`, selector at
+    1020-1021), ddof=1, via deterministic exact moments; masked-std bug
+    (§2.4 #3) not reproduced. Native F.var_samp path unit-tested."""
+    li = _li(spark, sf_dir)
+    q = F.col("l_quantity")
+    agged = li.groupBy("l_returnflag").agg(
+        F.count(q).alias("n"),
+        _exact(q).alias("s1"),
+        _exact(q * q).alias("s2"),
+    )
+    var = (F.col("s2") - F.col("s1") * F.col("s1") / F.col("n")) / (F.col("n") - 1)
+    return agged.select(
+        "l_returnflag",
+        var.alias("var_qty"),
+        F.sqrt(var).alias("std_qty"),
+        (F.sqrt(var) / F.sqrt(F.col("n"))).alias("sem_qty"),
+    )
+
+
+# ---------------------------------------------------------------- group_skew
+
+
+_SKEW_ORACLE = f"""
+WITH m AS (
+  SELECT l_returnflag,
+         COUNT(l_quantity) AS n,
+         {dsum('l_quantity')} / COUNT(l_quantity) AS m1,
+         {dsum('l_quantity * l_quantity')} / COUNT(l_quantity) AS r2,
+         {dsum('l_quantity * l_quantity * l_quantity')} / COUNT(l_quantity) AS r3
+  FROM lineitem GROUP BY l_returnflag
+), c AS (
+  SELECT l_returnflag, n,
+         r2 - m1 * m1 AS m2,
+         r3 - 3 * m1 * r2 + 2 * m1 * m1 * m1 AS m3
+  FROM m
+)
+SELECT l_returnflag,
+       CASE WHEN n >= 3 THEN
+         (SQRT(CAST(n * (n - 1) AS DOUBLE)) / (n - 2)) * (m3 / (m2 * SQRT(m2)))
+       END AS skew_qty
+FROM c
+"""
+
+
+@register("group_skew", oracle=_SKEW_ORACLE)
+def group_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """group_skew (`groupby.rs:1131-1268`): pandas' sample-adjusted
+    Fisher-Pearson from exact raw moments (x*sqrt(x), never pow — rule
+    3); n<3 → NULL (`groupby.rs:1199`). §2.4 #4 bug not reproduced."""
+    li = _li(spark, sf_dir)
+    q = F.col("l_quantity")
+    agged = li.groupBy("l_returnflag").agg(
+        F.count(q).alias("n"),
+        (_exact(q) / F.count(q)).alias("m1"),
+        (_exact(q * q) / F.count(q)).alias("r2"),
+        (_exact(q * q * q) / F.count(q)).alias("r3"),
+    )
+    n, m1, r2, r3 = F.col("n"), F.col("m1"), F.col("r2"), F.col("r3")
+    m2 = r2 - m1 * m1
+    m3 = r3 - 3 * m1 * r2 + 2 * m1 * m1 * m1
+    skew = (F.sqrt((n * (n - 1)).cast("double")) / (n - 2)) * (m3 / (m2 * F.sqrt(m2)))
+    return agged.select(
+        "l_returnflag", F.when(n >= 3, skew).alias("skew_qty")
+    )
+
+
+# -------------------------------------------------------------- group_median
+
+
+@register(
+    "group_median",
+    oracle="""
+    SELECT l_returnflag, l_linestatus,
+           ROUND(MEDIAN(l_quantity), 6) AS median_qty,
+           ROUND(MEDIAN(l_extendedprice), 6) AS median_price
+    FROM lineitem GROUP BY l_returnflag, l_linestatus
+    """,
+)
+def group_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """group_median_float64 (`groupby.rs:114-184`; even-n averaging at
+    19-25). The reference's countsort→gather→quickselect pipeline is
+    Catalyst's shuffle + F.median."""
+    li = _li(spark, sf_dir)
+    out = ga.group_median(li, ["l_returnflag", "l_linestatus"],
+                          ["l_quantity", "l_extendedprice"])
+    return out.select(
+        "l_returnflag", "l_linestatus",
+        F.round("l_quantity", 6).alias("median_qty"),
+        F.round("l_extendedprice", 6).alias("median_price"),
+    )
+
+
+# ------------------------------------------------------------ group_quantile
+
+
+_QS = [0.0, 0.25, 0.513, 0.75, 1.0]
+_QS_SQL = ", ".join(f"({q})" for q in _QS)
+
+
+@register(
+    "group_quantile_linear",
+    oracle="\nUNION ALL\n".join(
+        f"""
+    SELECT l_returnflag, CAST({q} AS DOUBLE) AS q,
+           ROUND(PERCENTILE_CONT({q}) WITHIN GROUP (ORDER BY l_extendedprice), 6)
+             AS quantile
+    FROM lineitem GROUP BY l_returnflag
+    """
+        for q in _QS
+    ),
+)
+def group_quantile_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """group_quantile interpolation=linear (`groupby.rs:1532-1660`)."""
+    li = _li(spark, sf_dir)
+    out = ga.group_quantile(li, "l_returnflag", "l_extendedprice", _QS,
+                            interpolation="linear")
+    return out.select("l_returnflag", "q", F.round("quantile", 6).alias("quantile"))
+
+
+def _quantile_mode_oracle(mode_expr: str) -> str:
+    return f"""
+    WITH nn AS (
+      SELECT l_returnflag AS k, l_extendedprice AS v,
+             ROW_NUMBER() OVER (PARTITION BY l_returnflag ORDER BY l_extendedprice) - 1 AS rn,
+             COUNT(*) OVER (PARTITION BY l_returnflag) AS n
+      FROM lineitem WHERE l_extendedprice IS NOT NULL
+    ), qs AS (SELECT CAST(q AS DOUBLE) AS q FROM (VALUES {_QS_SQL}) t(q)),
+    p AS (
+      SELECT k, q,
+        MAX(CASE WHEN rn = CAST(FLOOR(q * (n-1)) AS BIGINT) THEN v END) AS vlo,
+        MAX(CASE WHEN rn = CAST(CEIL(q * (n-1)) AS BIGINT) THEN v END) AS vhi,
+        MAX(CASE WHEN q * (n-1) - FLOOR(q * (n-1)) > 0.5
+                   OR (q * (n-1) - FLOOR(q * (n-1)) = 0.5 AND q > 0.5)
+                 THEN 1 ELSE 0 END) AS use_hi
+      FROM nn CROSS JOIN qs GROUP BY k, q
+    )
+    SELECT k AS l_returnflag, q, {mode_expr} AS quantile FROM p
+    """
+
+
+def _quantile_mode_query(mode: str):
+    def fn(spark: SparkSession, sf_dir: str) -> DataFrame:
+        li = _li(spark, sf_dir)
+        return ga.group_quantile(li, "l_returnflag", "l_extendedprice", _QS,
+                                 interpolation=mode)
+
+    fn.__name__ = f"group_quantile_{mode}"
+    fn.__doc__ = (
+        f"group_quantile interpolation={mode} — exact order statistics "
+        "(`groupby.rs:1556-1562`), no builtin; composed via in-group ranks."
+    )
+    return fn
+
+
+register("group_quantile_lower", oracle=_quantile_mode_oracle("vlo"))(
+    _quantile_mode_query("lower"))
+register("group_quantile_higher", oracle=_quantile_mode_oracle("vhi"))(
+    _quantile_mode_query("higher"))
+register("group_quantile_nearest", oracle=_quantile_mode_oracle(
+    "CASE WHEN use_hi = 1 THEN vhi ELSE vlo END"))(
+    _quantile_mode_query("nearest"))
+register("group_quantile_midpoint", oracle=_quantile_mode_oracle("(vlo + vhi) / 2"))(
+    _quantile_mode_query("midpoint"))
+
+
+# --------------------------------------------------------- first/last/nth
+
+
+@register(
+    "group_first_last",
+    oracle=f"""
+    WITH e AS (SELECT event_type, event_id, {_EV_V} AS v FROM events)
+    SELECT event_type,
+           MIN_BY(v, event_id) FILTER (WHERE v IS NOT NULL) AS first_v,
+           MAX_BY(v, event_id) FILTER (WHERE v IS NOT NULL) AS last_v
+    FROM e GROUP BY event_type
+    """,
+)
+def group_first_last(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """group_first / group_last, non-null by explicit order
+    (`groupby.rs:1662-1917`)."""
+    ev = _ev(spark, sf_dir)
+    firsts = ga.group_first(ev, "event_type", ["v"], "event_id") \
+        .withColumnRenamed("v", "first_v")
+    lasts = ga.group_last(ev, "event_type", ["v"], "event_id") \
+        .withColumnRenamed("v", "last_v")
+    return firsts.join(lasts, "event_type")
+
+
+@register(
+    "group_nth",
+    oracle=f"""
+    WITH e AS (
+      SELECT event_type, event_id, {_EV_V} AS v FROM events
+    ), nn AS (
+      SELECT event_type, v,
+             ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY event_id) AS rn
+      FROM e WHERE v IS NOT NULL
+    )
+    SELECT k.event_type, p.v AS nth_v
+    FROM (SELECT DISTINCT event_type FROM e) k
+    LEFT JOIN (SELECT event_type, v FROM nn WHERE rn = 3) p USING (event_type)
+    """,
+)
+def group_nth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """group_nth rank=3, 1-based over non-null values
+    (`groupby.rs:1876-1878`)."""
+    ev = _ev(spark, sf_dir)
+    out = ga.group_nth(ev, "event_type", "v", "event_id", rank=3)
+    return out.withColumnRenamed("v", "nth_v")
+
+
+# ------------------------------------------------------------------ ohlc
+
+
+@register(
+    "group_ohlc",
+    oracle=f"""
+    WITH e AS (SELECT event_type, event_id, {_EV_V} AS v FROM events)
+    SELECT event_type,
+           MIN_BY(v, event_id) FILTER (WHERE v IS NOT NULL) AS open,
+           MAX(v) AS high, MIN(v) AS low,
+           MAX_BY(v, event_id) FILTER (WHERE v IS NOT NULL) AS close
+    FROM e GROUP BY event_type
+    """,
+)
+def group_ohlc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """group_ohlc *intended* semantics (`groupby.rs:1405-1530`; the
+    reference kernel is buggy, SURVEY §2.4 #2)."""
+    ev = _ev(spark, sf_dir)
+    return ga.group_ohlc(ev, "event_type", "v", "event_id")
+
+
+# --------------------------------------------------------------- any / all
+
+
+@register(
+    "group_any_all",
+    oracle="""
+    SELECT l_orderkey,
+           BOOL_OR(l_quantity > 45) AS any_high_qty,
+           BOOL_AND(l_discount > 0) AS all_discounted
+    FROM lineitem GROUP BY l_orderkey
+    """,
+)
+def group_any_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """group_any_all skipna=True (`groupby.rs:698-784`)."""
+    li = _li(spark, sf_dir).select(
+        "l_orderkey",
+        (F.col("l_quantity") > 45).alias("any_high_qty"),
+        (F.col("l_discount") > 0).alias("all_discounted"),
+    )
+    return ga.group_any_all(li, "l_orderkey", ["any_high_qty"], val_test="any") \
+        .join(ga.group_any_all(li, "l_orderkey", ["all_discounted"], val_test="all"),
+              "l_orderkey")
+
+
+@register(
+    "group_any_all_kleene",
+    oracle="""
+    WITH b AS (
+      SELECT l_orderkey,
+             CASE WHEN l_linenumber = 2 THEN NULL ELSE l_quantity > 45 END AS flag
+      FROM lineitem
+    )
+    SELECT l_orderkey,
+           CASE WHEN BOOL_OR(flag) THEN TRUE
+                WHEN COUNT(CASE WHEN flag IS NULL THEN 1 END) > 0 THEN NULL
+                ELSE FALSE END AS any_flag,
+           CASE WHEN NOT BOOL_AND(flag) THEN FALSE
+                WHEN COUNT(CASE WHEN flag IS NULL THEN 1 END) > 0 THEN NULL
+                ELSE TRUE END AS all_flag
+    FROM b GROUP BY l_orderkey
+    """,
+)
+def group_any_all_kleene(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """group_any_all skipna=False — Kleene three-valued logic
+    (`groupby.rs:737-754`; -1 'unknown' ⇔ NULL)."""
+    li = _li(spark, sf_dir).select(
+        "l_orderkey",
+        F.when(F.col("l_linenumber") == 2, F.lit(None))
+        .otherwise(F.col("l_quantity") > 45)
+        .alias("flag"),
+    )
+    anys = ga.group_any_all(li, "l_orderkey", ["flag"], val_test="any",
+                            skipna=False).withColumnRenamed("flag", "any_flag")
+    alls = ga.group_any_all(li, "l_orderkey", ["flag"], val_test="all",
+                            skipna=False).withColumnRenamed("flag", "all_flag")
+    return anys.join(alls, "l_orderkey")

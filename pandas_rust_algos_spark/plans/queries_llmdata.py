@@ -1,0 +1,297 @@
+"""Gate queries for the training-data-pipeline operators (driver-brief
+extensions): dedup, text analysis, similarity search, multimodal
+plumbing, over the documents/embeddings fixtures.
+
+Engine-portable ops (no hash functions) carry DuckDB oracles; the
+hash-based ones (MinHash/SimHash/LSH — xxhash64 seeds differ per
+engine by definition) register without oracle → the driver records the
+weaker rows-only check, and pytest covers their semantics on synthetic
+documents with known duplicates instead.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from pandas_rust_algos_spark.operators import dedup as dd
+from pandas_rust_algos_spark.operators import multimodal as mm
+from pandas_rust_algos_spark.operators import similarity as sim
+from pandas_rust_algos_spark.operators import text as tx
+from pandas_rust_algos_spark.plans.registry import register
+from pandas_rust_algos_spark.session import tune
+from pandas_rust_algos_spark.sources import load_table
+
+
+def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    tune(spark)
+    return load_table(spark, sf_dir, "documents")
+
+
+def _emb(spark: SparkSession, sf_dir: str) -> DataFrame:
+    tune(spark)
+    return load_table(spark, sf_dir, "embeddings")
+
+
+_NORM_SQL = (
+    "TRIM(REGEXP_REPLACE(REGEXP_REPLACE(LOWER(text), '[.,!?;:]', '', 'g'),"
+    " '\\s+', ' ', 'g'))"
+)
+
+
+# ------------------------------------------------------------- exact dedup
+
+
+@register(
+    "dedup_exact",
+    oracle=f"""
+    SELECT MD5({_NORM_SQL}) AS content_hash,
+           MIN(doc_id) AS rep_id, COUNT(*) AS n_copies
+    FROM documents GROUP BY 1
+    """,
+)
+def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup on normalized content (hash-groupBy, one shuffle of
+    32-byte digests)."""
+    return dd.dedup_exact(_docs(spark, sf_dir))
+
+
+# -------------------------------------------------------------- text stats
+
+
+@register(
+    "token_stats",
+    oracle=f"""
+    SELECT doc_id,
+           {tx.sql_token_count('text')} AS n_tokens,
+           LENGTH(text) AS n_chars_text
+    FROM documents
+    """,
+)
+def token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token counting (whitespace tokenizer, empty-normalized)."""
+    d = _docs(spark, sf_dir)
+    return d.select(
+        "doc_id",
+        tx.token_count("text").alias("n_tokens"),
+        F.length("text").cast("long").alias("n_chars_text"),
+    )
+
+
+@register(
+    "text_quality",
+    oracle="""
+    WITH b AS (
+      SELECT doc_id, text,
+             LENGTH(text) AS n_chars,
+             LEN(LIST_FILTER(STRING_SPLIT_REGEX(TRIM(text), '\\s+'),
+                 x -> x <> '')) AS n_tokens,
+             LENGTH(text) - LENGTH(REGEXP_REPLACE(text, '[.,!?;:]', '', 'g'))
+               AS punct,
+             LENGTH(text) - LENGTH(REGEXP_REPLACE(text, '[0-9]', '', 'g'))
+               AS digits,
+             LENGTH(text) - LENGTH(REPLACE(text, ' ', '')) AS spaces
+      FROM documents
+    )
+    SELECT doc_id,
+           CAST(n_chars AS BIGINT) AS n_chars,
+           CAST(n_tokens AS BIGINT) AS n_tokens,
+           CAST(punct AS DOUBLE) / (CASE WHEN n_chars > 0 THEN n_chars ELSE 1 END)
+             AS punct_ratio,
+           CAST(digits AS DOUBLE) / (CASE WHEN n_chars > 0 THEN n_chars ELSE 1 END)
+             AS digit_ratio,
+           CAST(spaces AS DOUBLE) / (CASE WHEN n_chars > 0 THEN n_chars ELSE 1 END)
+             AS space_ratio,
+           CASE WHEN n_tokens > 0
+                THEN CAST(n_chars - spaces AS DOUBLE) / n_tokens END
+             AS mean_token_len
+    FROM b
+    """,
+)
+def text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality scoring: length/punct/digit/space ratios, mean token
+    length — pure expression DAG."""
+    return tx.quality_features(_docs(spark, sf_dir))
+
+
+# ----------------------------------------------------------------- lang id
+
+
+def _lang_id_oracle() -> str:
+    scores = tx.sql_lang_scores("text")
+    score_cols = ",\n           ".join(
+        f"{sql} AS score_{lang}" for lang, sql in scores.items()
+    )
+    greatest = "GREATEST(" + ", ".join(f"score_{l}" for l in scores) + ")"
+    case = " ".join(
+        f"WHEN score_{l} = g THEN '{l}'" for l in scores
+    )
+    return f"""
+    WITH s AS (SELECT doc_id, {score_cols} FROM documents),
+    g AS (SELECT *, {greatest} AS g FROM s)
+    SELECT doc_id, {', '.join('score_' + l for l in scores)},
+           CASE WHEN g > 0 THEN CASE {case} END ELSE 'und' END AS lang_pred
+    FROM g
+    """
+
+
+@register("lang_id", oracle=_lang_id_oracle())
+def lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heuristic language ID: per-language stopword-hit scores + argmax
+    (shared spec generates both the Spark expressions and the oracle)."""
+    return tx.lang_id(_docs(spark, sf_dir))
+
+
+# ------------------------------------------------------------- fingerprint
+
+
+@register(
+    "doc_fingerprint",
+    oracle=f"""
+    SELECT doc_id, {tx.sql_fingerprint('text')} AS fp
+    FROM documents
+    """,
+)
+def doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Order-sensitive polynomial rolling-hash fingerprint (exact
+    integer arithmetic — engine-portable)."""
+    d = _docs(spark, sf_dir)
+    return d.select("doc_id", tx.fingerprint("text").alias("fp"))
+
+
+# --------------------------------------------------------- n-gram jaccard
+
+
+@register(
+    "ngram_jaccard",
+    oracle="""
+    WITH g AS (
+      SELECT DISTINCT doc_id, lang,
+             UNNEST(LIST_TRANSFORM(
+               RANGE(1, GREATEST(LENGTH(text) - 4, 1) + 1),
+               i -> SUBSTR(text, CAST(i AS INT), 5))) AS g
+      FROM documents
+    ), sizes AS (
+      SELECT doc_id, COUNT(*) AS n FROM g GROUP BY doc_id
+    ), inter AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS inter
+      FROM g a JOIN g b ON a.lang = b.lang AND a.g = b.g AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    )
+    SELECT id_a, id_b,
+           CAST(inter AS DOUBLE) / (sa.n + sb.n - inter) AS jaccard
+    FROM inter
+    JOIN sizes sa ON sa.doc_id = id_a
+    JOIN sizes sb ON sb.doc_id = id_b
+    WHERE CAST(inter AS DOUBLE) / (sa.n + sb.n - inter) >= 0.2
+    """,
+)
+def ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact 5-gram Jaccard near-dup pairs blocked by lang — the
+    oracle-checkable dedup; candidate pairs meet via the gram join,
+    never a cross join."""
+    return dd.ngram_jaccard_pairs(_docs(spark, sf_dir), threshold=0.2)
+
+
+# ------------------------------------------- hash-based dedup (rows-only)
+
+
+@register("minhash_near_dupes")
+def minhash_near_dupes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash+LSH near-dup candidates (32 hashes, 8 bands; est.
+    jaccard ≥ 0.5). xxhash64-based → no cross-engine oracle; semantics
+    unit-tested on synthetic dupes in tests/test_dedup.py."""
+    return dd.minhash_near_dupes(_docs(spark, sf_dir), threshold=0.5)
+
+
+@register("simhash_fingerprints")
+def simhash_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """64-bit SimHash fingerprints (rows-only check; semantics
+    unit-tested)."""
+    return dd.simhash(_docs(spark, sf_dir))
+
+
+# ------------------------------------------------------------- similarity
+
+
+@register(
+    "cosine_topk",
+    oracle="""
+    WITH q AS (
+      SELECT vec_id AS qid, embedding::DOUBLE[] AS qv
+      FROM embeddings WHERE vec_id < 10
+    ), c AS (
+      SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+    ), s AS (
+      SELECT qid, vec_id,
+             ROUND(LIST_DOT_PRODUCT(qv, v) /
+                   (SQRT(LIST_DOT_PRODUCT(qv, qv)) * SQRT(LIST_DOT_PRODUCT(v, v))),
+                   6) AS sim
+      FROM q, c WHERE qid <> vec_id
+    ), r AS (
+      SELECT qid, vec_id, sim,
+             ROW_NUMBER() OVER (PARTITION BY qid ORDER BY sim DESC, vec_id) AS rn
+      FROM s
+    )
+    SELECT qid AS query_id, vec_id, sim, CAST(rn AS BIGINT) AS rank
+    FROM r WHERE rn <= 5
+    """,
+)
+def cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brute-force exact cosine top-5 for 10 query vectors — broadcast
+    queries, zip_with/aggregate cosine, per-query window top-k."""
+    emb = _emb(spark, sf_dir)
+    queries = emb.where(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    out = sim.cosine_topk(emb, queries, k=5)
+    return out.select("query_id", "vec_id", "sim",
+                      F.col("rank").cast("long").alias("rank"))
+
+
+@register("ann_lsh_topk")
+def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate NN via random-hyperplane LSH bucketing (rows-only;
+    recall vs brute force asserted in tests/test_similarity.py)."""
+    emb = _emb(spark, sf_dir)
+    queries = emb.where(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    out = sim.lsh_topk(emb, queries, k=5)
+    return out.select("query_id", "vec_id", "sim",
+                      F.col("rank").cast("long").alias("rank"))
+
+
+@register(
+    "embedding_near_dupes",
+    oracle="""
+    WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings)
+    SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+           ROUND(LIST_DOT_PRODUCT(a.v, b.v) /
+                 (SQRT(LIST_DOT_PRODUCT(a.v, a.v)) * SQRT(LIST_DOT_PRODUCT(b.v, b.v))),
+                 6) AS cosine
+    FROM e a JOIN e b ON a.label = b.label AND a.vec_id < b.vec_id
+    WHERE ROUND(LIST_DOT_PRODUCT(a.v, b.v) /
+                (SQRT(LIST_DOT_PRODUCT(a.v, a.v)) * SQRT(LIST_DOT_PRODUCT(b.v, b.v))),
+                6) >= 0.95
+    """,
+)
+def embedding_near_dupes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-dup pairs blocked by cluster label."""
+    return dd.embedding_near_dupes(_emb(spark, sf_dir), threshold=0.95)
+
+
+# ------------------------------------------------------------- multimodal
+
+
+@register("media_features")
+def media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal plumbing: documents' text bytes wrapped as opaque
+    binary media rows, features extracted via Arrow-batched mapInPandas
+    (deterministic fake decoder — real decoders are stubbed, see
+    operators/multimodal.py). Rows-only check."""
+    d = _docs(spark, sf_dir)
+    media = mm.as_media(d, "doc_id", "text", "image")
+    feats = mm.extract_features(media, decoder="fake", dim=8)
+    return feats.select("media_id", "modality", "n_bytes",
+                        F.round(F.element_at("feature", 1), 6).alias("f0"))

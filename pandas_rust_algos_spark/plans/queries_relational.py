@@ -1,0 +1,332 @@
+"""Relational gate queries — joins/sorts/top-k/set-style operators over
+the TPC-H-ish star schema.
+
+The reference has no joins (SURVEY §2.3): its only join-like primitive
+is the positional gather pandas uses to materialize join results. Here
+Catalyst provides the join algorithms; our job is to *shape the plans
+for 100 TB*:
+
+- dimension tables (region/nation/customer/supplier/part) are
+  explicitly ``F.broadcast`` — no shuffle of the fact table for dims
+  that fit in memory at any realistic scale;
+- fact-fact joins (orders⨝lineitem) shuffle on the join key once, and
+  aggregations that follow reuse that partitioning where possible;
+- the as-of join is the union-sort trick: one shuffle+sort of
+  events∪orders on (key, time), running last-non-null — no row
+  explosion, no per-key driver loop; this is THE scalable pattern for
+  temporal alignment of two big tables.
+
+Revenue-style sums use decimal accumulation (registry rule 1).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from pandas_rust_algos_spark.plans.registry import dsum, register
+from pandas_rust_algos_spark.session import tune
+from pandas_rust_algos_spark.sources import load_table
+
+
+def _t(spark: SparkSession, sf_dir: str, *names: str) -> list[DataFrame]:
+    tune(spark)
+    return [load_table(spark, sf_dir, n) for n in names]
+
+
+_REVENUE = "l_extendedprice * (1 - l_discount)"
+
+
+# ------------------------------------------------------------ Q1 (flagship)
+
+
+@register(
+    "q1_pricing_summary",
+    oracle=f"""
+    SELECT l_returnflag, l_linestatus,
+           {dsum('l_quantity')} AS sum_qty,
+           {dsum('l_extendedprice')} AS sum_base_price,
+           {dsum(_REVENUE)} AS sum_disc_price,
+           {dsum('l_extendedprice * (1 - l_discount) * (1 + l_tax)')} AS sum_charge,
+           {dsum('l_quantity')} / COUNT(l_quantity) AS avg_qty,
+           {dsum('l_extendedprice')} / COUNT(l_extendedprice) AS avg_price,
+           {dsum('l_discount')} / COUNT(l_discount) AS avg_disc,
+           COUNT(*) AS count_order
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+    GROUP BY l_returnflag, l_linestatus
+    """,
+)
+def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q1-shaped pricing summary — the flagship: one scan with
+    the shipdate predicate pushed to parquet, partial-agg before the
+    6-group shuffle; exercises sum/mean/count in one pass."""
+    (li,) = _t(spark, sf_dir, "lineitem")
+
+    def d(c):
+        return F.sum(F.floor(c * F.lit(1e6)).cast("long")).cast("double") / F.lit(1e6)
+
+    price, disc, tax, qty = (F.col(c) for c in
+                             ("l_extendedprice", "l_discount", "l_tax", "l_quantity"))
+    return (
+        li.where(F.col("l_shipdate") <= F.lit("1998-09-02").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            d(qty).alias("sum_qty"),
+            d(price).alias("sum_base_price"),
+            d(price * (1 - disc)).alias("sum_disc_price"),
+            d(price * (1 - disc) * (1 + tax)).alias("sum_charge"),
+            (d(qty) / F.count(qty)).alias("avg_qty"),
+            (d(price) / F.count(price)).alias("avg_price"),
+            (d(disc) / F.count(disc)).alias("avg_disc"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+    )
+
+
+# -------------------------------------------------------------- Q3-shaped
+
+
+@register(
+    "q3_top_orders",
+    oracle=f"""
+    SELECT l_orderkey,
+           {dsum(_REVENUE)} AS revenue,
+           o_orderdate, o_orderpriority
+    FROM customer JOIN orders ON c_custkey = o_custkey
+                  JOIN lineitem ON l_orderkey = o_orderkey
+    WHERE c_mktsegment = (SELECT MIN(c_mktsegment) FROM customer)
+    GROUP BY l_orderkey, o_orderdate, o_orderpriority
+    ORDER BY revenue DESC, l_orderkey
+    LIMIT 10
+    """,
+)
+def q3_top_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q3-shaped: broadcast the filtered customer dim into
+    orders⨝lineitem, aggregate revenue, deterministic top-10
+    (revenue DESC, orderkey ASC tie-break)."""
+    cu, od, li = _t(spark, sf_dir, "customer", "orders", "lineitem")
+    seg = cu.agg(F.min("c_mktsegment")).collect()[0][0]  # scalar param, tiny
+    cust = cu.where(F.col("c_mktsegment") == seg).select("c_custkey")
+    rev = F.floor(
+        F.col("l_extendedprice") * (1 - F.col("l_discount")) * F.lit(1e6)
+    ).cast("long")
+    return (
+        od.join(F.broadcast(cust), od.o_custkey == cust.c_custkey)
+        .join(li, F.col("l_orderkey") == F.col("o_orderkey"))
+        .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+        .agg((F.sum(rev).cast("double") / F.lit(1e6)).alias("revenue"))
+        .select("l_orderkey", "revenue", "o_orderdate", "o_orderpriority")
+        .orderBy(F.col("revenue").desc(), F.col("l_orderkey"))
+        .limit(10)
+    )
+
+
+# -------------------------------------------------------------- Q5-shaped
+
+
+@register(
+    "q5_region_revenue",
+    oracle=f"""
+    SELECT n_name, {dsum(_REVENUE)} AS revenue
+    FROM region JOIN nation ON n_regionkey = r_regionkey
+                JOIN supplier ON s_nationkey = n_nationkey
+                JOIN lineitem ON l_suppkey = s_suppkey
+    GROUP BY n_name
+    """,
+)
+def q5_region_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q5-shaped: the dim chain region→nation→supplier collapses
+    to one broadcast into the lineitem scan — zero fact-table
+    shuffles before the final small agg."""
+    rg, na, su, li = _t(spark, sf_dir, "region", "nation", "supplier", "lineitem")
+    dims = (
+        rg.join(na, na.n_regionkey == rg.r_regionkey)
+        .join(su, su.s_nationkey == na.n_nationkey)
+        .select("s_suppkey", "n_name")
+    )
+    rev = F.floor(
+        F.col("l_extendedprice") * (1 - F.col("l_discount")) * F.lit(1e6)
+    ).cast("long")
+    return (
+        li.join(F.broadcast(dims), li.l_suppkey == dims.s_suppkey)
+        .groupBy("n_name")
+        .agg((F.sum(rev).cast("double") / F.lit(1e6)).alias("revenue"))
+    )
+
+
+# ------------------------------------------------------------- as-of join
+
+
+@register(
+    "asof_join",
+    oracle="""
+    WITH o AS (
+      SELECT o_custkey, o_orderdate,
+             MAX(o_orderkey) AS o_orderkey,
+             ARG_MAX(o_totalprice, o_orderkey) AS o_totalprice
+      FROM orders GROUP BY o_custkey, o_orderdate
+    )
+    SELECT e.event_id, e.user_id, o.o_orderkey, o.o_totalprice
+    FROM (SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts FROM events) e
+    ASOF LEFT JOIN o ON e.user_id = o.o_custkey AND o.o_orderdate <= e.ts
+    """,
+)
+def asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join (backward, inclusive): each event matched to the
+    user's latest order with o_orderdate <= ts.
+
+    Spark lacks a native as-of join; the scalable pattern is the
+    union-sort trick: tag both inputs, union, one shuffle+sort on
+    (key, time, side) with right-side rows first at equal times, then
+    running last-non-null of the right columns — O(n log n), no row
+    explosion, works at any fan-in (vs the naive join+filter+argmax
+    which explodes on hot keys). Orders are pre-deduped to one row per
+    (custkey, orderdate) to make the match unique/deterministic.
+    """
+    tune(spark)
+    ev = load_table(spark, sf_dir, "events")
+    od = load_table(spark, sf_dir, "orders")
+    o = od.groupBy("o_custkey", "o_orderdate").agg(
+        F.max("o_orderkey").alias("o_orderkey"),
+        F.max_by("o_totalprice", "o_orderkey").alias("o_totalprice"),
+    )
+    right = o.select(
+        F.col("o_custkey").alias("k"),
+        F.col("o_orderdate").alias("t"),
+        F.lit(0).alias("side"),
+        F.lit(None).cast("long").alias("event_id"),
+        F.col("o_orderkey"),
+        F.col("o_totalprice"),
+    )
+    left = ev.select(
+        F.col("user_id").alias("k"),
+        F.col("ts").alias("t"),
+        F.lit(1).alias("side"),
+        F.col("event_id"),
+        F.lit(None).cast("long").alias("o_orderkey"),
+        F.lit(None).cast("double").alias("o_totalprice"),
+    )
+    w = (
+        Window.partitionBy("k")
+        .orderBy("t", "side")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    merged = right.unionByName(left).select(
+        "k", "side", "event_id",
+        F.last("o_orderkey", ignorenulls=True).over(w).alias("o_orderkey"),
+        F.last("o_totalprice", ignorenulls=True).over(w).alias("o_totalprice"),
+    )
+    return merged.where(F.col("side") == 1).select(
+        "event_id", F.col("k").alias("user_id"), "o_orderkey", "o_totalprice"
+    )
+
+
+# -------------------------------------------------------- top-k per group
+
+
+@register(
+    "topk_per_group",
+    oracle="""
+    SELECT o_custkey, o_orderkey, o_totalprice
+    FROM (
+      SELECT o_custkey, o_orderkey, o_totalprice,
+             ROW_NUMBER() OVER (PARTITION BY o_custkey
+                                ORDER BY o_totalprice DESC, o_orderkey) AS rn
+      FROM orders
+    ) WHERE rn <= 3
+    """,
+)
+def topk_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 orders by price per customer — window row_number with a
+    deterministic tie-break; at scale AQE handles per-key skew and the
+    rank filter prunes before any further join."""
+    (od,) = _t(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.col("o_totalprice").desc(), F.col("o_orderkey")
+    )
+    return (
+        od.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= 3)
+        .select("o_custkey", "o_orderkey", "o_totalprice")
+    )
+
+
+# --------------------------------------------------------- semi/anti join
+
+
+@register(
+    "semi_anti_join",
+    oracle="""
+    SELECT c.c_custkey, 'has_urgent' AS tag FROM customer c
+    WHERE EXISTS (SELECT 1 FROM orders o
+                  WHERE o.o_custkey = c.c_custkey
+                    AND o.o_orderpriority = '1-URGENT')
+    UNION ALL
+    SELECT c.c_custkey, 'no_orders' AS tag FROM customer c
+    WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+    """,
+)
+def semi_anti_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LEFT SEMI + LEFT ANTI joins — Catalyst executes both without
+    materializing the right side's payload (existence-only probes)."""
+    cu, od = _t(spark, sf_dir, "customer", "orders")
+    urgent = od.where(F.col("o_orderpriority") == "1-URGENT")
+    semi = cu.join(urgent, cu.c_custkey == urgent.o_custkey, "left_semi") \
+        .select("c_custkey", F.lit("has_urgent").alias("tag"))
+    anti = cu.join(od, cu.c_custkey == od.o_custkey, "left_anti") \
+        .select("c_custkey", F.lit("no_orders").alias("tag"))
+    return semi.unionByName(anti)
+
+
+# ----------------------------------------------------------------- rollup
+
+
+@register(
+    "rollup_revenue",
+    oracle=f"""
+    SELECT l_returnflag, l_linestatus,
+           {dsum(_REVENUE)} AS revenue, COUNT(*) AS n
+    FROM lineitem
+    GROUP BY ROLLUP(l_returnflag, l_linestatus)
+    """,
+)
+def rollup_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROLLUP grouping sets (subtotals + grand total) — absent from the
+    reference (§2.3), native in both engines."""
+    (li,) = _t(spark, sf_dir, "lineitem")
+    rev = F.floor(
+        F.col("l_extendedprice") * (1 - F.col("l_discount")) * F.lit(1e6)
+    ).cast("long")
+    return (
+        li.rollup("l_returnflag", "l_linestatus")
+        .agg((F.sum(rev).cast("double") / F.lit(1e6)).alias("revenue"),
+             F.count(F.lit(1)).alias("n"))
+    )
+
+
+# ----------------------------------------------------- distinct aggregation
+
+
+@register(
+    "distinct_agg",
+    oracle=f"""
+    SELECT l_returnflag,
+           COUNT(DISTINCT l_partkey) AS n_parts,
+           COUNT(DISTINCT l_suppkey) AS n_supps,
+           CAST(SUM(DISTINCT CAST(FLOOR(l_quantity * 1e6) AS BIGINT)) AS DOUBLE)
+             / 1e6 AS sum_distinct_qty
+    FROM lineitem GROUP BY l_returnflag
+    """,
+)
+def distinct_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DISTINCT aggregation — Catalyst expands to a two-phase
+    distinct+agg plan (partial distinct before the shuffle)."""
+    (li,) = _t(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.countDistinct("l_partkey").alias("n_parts"),
+        F.countDistinct("l_suppkey").alias("n_supps"),
+        (F.sum_distinct(F.floor(F.col("l_quantity") * F.lit(1e6)).cast("long"))
+         .cast("double") / F.lit(1e6)).alias("sum_distinct_qty"),
+    )

@@ -1,0 +1,355 @@
+"""Gate queries for the grouped transform/indexer operators (SURVEY
+§2.1 rows 17-23) and take/gather (rows 1-3), each with DuckDB oracle
+SQL producing per-row results.
+
+Ordering: the reference kernels walk rows in array order; here order is
+the explicit unique key (l_orderkey, l_linenumber) / event_id. All
+transforms over the same (partition, order) share one Sort+Exchange.
+
+Determinism: running double sums would associate differently in DuckDB
+(segment trees) vs Spark (running frame), so cumsum runs on fixed-point
+micro-unit longs in both engines (registry rule 1); cumprod rounds
+(rule 4); everything else (lag/lead, min/max, fill, rank picks) is
+exact.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from pandas_rust_algos_spark.operators import grouped_transform as gt
+from pandas_rust_algos_spark.operators import take as tk
+from pandas_rust_algos_spark.plans.registry import register
+from pandas_rust_algos_spark.session import tune
+from pandas_rust_algos_spark.sources import load_table
+
+# (l_orderkey, l_linenumber) is NOT unique in the fixtures, so the
+# window order extends to the value columns: rows tied on the full
+# ordering tuple are output-indistinguishable, making every windowed
+# result a deterministic row set even under engine-specific tie order.
+_ORDER = ["l_orderkey", "l_linenumber", "l_quantity", "l_extendedprice"]
+_ROWKEY = "l_orderkey, l_linenumber"
+_W = ("PARTITION BY l_suppkey "
+      "ORDER BY l_orderkey, l_linenumber, l_quantity, l_extendedprice "
+      "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW")
+
+
+def _li(spark: SparkSession, sf_dir: str) -> DataFrame:
+    tune(spark)
+    return load_table(spark, sf_dir, "lineitem")
+
+
+def _ev_nullable(spark: SparkSession, sf_dir: str) -> DataFrame:
+    tune(spark)
+    ev = load_table(spark, sf_dir, "events")
+    return ev.select(
+        "user_id", "event_id",
+        F.when(F.col("event_id") % 5 == 0, F.lit(None))
+        .otherwise(F.col("value")).alias("v"),
+    )
+
+
+_EV_NULLABLE = ("SELECT user_id, event_id, "
+                "CASE WHEN event_id % 5 = 0 THEN NULL ELSE value END AS v "
+                "FROM events")
+
+
+# ------------------------------------------------------------------- cumsum
+
+
+@register(
+    "group_cumsum",
+    oracle=f"""
+    SELECT {_ROWKEY},
+           CAST(SUM(CAST(FLOOR(l_quantity * 1e6) AS BIGINT)) OVER ({_W})
+                AS DOUBLE) / 1e6 AS qty_cumsum
+    FROM lineitem
+    """,
+)
+def group_cumsum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """group_cumsum (`groupby.rs:424-536`) — running frame window."""
+    li = _li(spark, sf_dir).withColumn(
+        "qty_fx", F.floor(F.col("l_quantity") * F.lit(1e6)).cast("long")
+    )
+    out = gt.group_cumsum(li, "l_suppkey", _ORDER, ["qty_fx"])
+    return out.select(
+        "l_orderkey", "l_linenumber",
+        (F.col("qty_fx_cumsum").cast("double") / F.lit(1e6)).alias("qty_cumsum"),
+    )
+
+
+@register(
+    "group_cumsum_skipna",
+    oracle=f"""
+    WITH b AS (
+      SELECT l_suppkey, {_ROWKEY}, l_quantity, l_extendedprice,
+             CASE WHEN l_linenumber = 2 THEN NULL
+                  ELSE CAST(FLOOR(l_quantity * 1e6) AS BIGINT) END AS v
+      FROM lineitem
+    )
+    SELECT {_ROWKEY},
+           CASE WHEN v IS NULL THEN NULL
+                ELSE CAST(SUM(v) OVER ({_W}) AS DOUBLE) / 1e6 END
+             AS cumsum_skipna,
+           CASE WHEN MAX(CASE WHEN v IS NULL THEN 1 ELSE 0 END) OVER ({_W}) = 1
+                THEN NULL
+                ELSE CAST(SUM(v) OVER ({_W}) AS DOUBLE) / 1e6 END
+             AS cumsum_poison
+    FROM b
+    """,
+)
+def group_cumsum_skipna(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NA rules of the cumulatives: NA row → NA out; skipna=False
+    poisons the rest of the group (`groupby.rs:505-519`)."""
+    li = _li(spark, sf_dir).withColumn(
+        "v",
+        F.when(F.col("l_linenumber") == 2, F.lit(None))
+        .otherwise(F.floor(F.col("l_quantity") * F.lit(1e6)).cast("long")),
+    )
+    out = gt.group_cumsum(li, "l_suppkey", _ORDER, ["v"], skipna=True,
+                          out_suffix="_sk")
+    out = gt.group_cumsum(out, "l_suppkey", _ORDER, ["v"], skipna=False,
+                          out_suffix="_po")
+    return out.select(
+        "l_orderkey", "l_linenumber",
+        (F.col("v_sk").cast("double") / F.lit(1e6)).alias("cumsum_skipna"),
+        (F.col("v_po").cast("double") / F.lit(1e6)).alias("cumsum_poison"),
+    )
+
+
+# ------------------------------------------------------------ cummin/cummax
+
+
+@register(
+    "group_cummin_cummax",
+    oracle=f"""
+    SELECT {_ROWKEY},
+           MIN(l_extendedprice) OVER ({_W}) AS price_cummin,
+           MAX(l_extendedprice) OVER ({_W}) AS price_cummax
+    FROM lineitem
+    """,
+)
+def group_cummin_cummax(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """group_cummin / group_cummax intended semantics
+    (`groupby.rs:2185-2293`; dispatch bug §2.4 #1 not reproduced)."""
+    li = _li(spark, sf_dir)
+    out = gt.group_cummin(li, "l_suppkey", _ORDER, ["l_extendedprice"],
+                          out_suffix="_cmn")
+    out = gt.group_cummax(out, "l_suppkey", _ORDER, ["l_extendedprice"],
+                          out_suffix="_cmx")
+    return out.select(
+        "l_orderkey", "l_linenumber",
+        F.col("l_extendedprice_cmn").alias("price_cummin"),
+        F.col("l_extendedprice_cmx").alias("price_cummax"),
+    )
+
+
+# ------------------------------------------------------------------ cumprod
+
+
+@register(
+    "group_cumprod",
+    oracle="""
+    SELECT l_orderkey, l_linenumber,
+           ROUND(PRODUCT(1 + l_discount) OVER (
+             PARTITION BY l_orderkey ORDER BY l_linenumber, l_discount
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 6) AS disc_cumprod
+    FROM lineitem
+    """,
+)
+def group_cumprod(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """group_cumprod (`groupby.rs:211-300`) — sign/zero-aware
+    exp(Σlog|x|) composition, JVM-side; rounded (rule 4)."""
+    li = _li(spark, sf_dir).withColumn("disc1", 1 + F.col("l_discount"))
+    out = gt.group_cumprod(li, "l_orderkey", ["l_linenumber", "l_discount"], ["disc1"])
+    return out.select(
+        "l_orderkey", "l_linenumber",
+        F.round("disc1_cumprod", 6).alias("disc_cumprod"),
+    )
+
+
+# ------------------------------------------------------------------- shift
+
+
+@register(
+    "group_shift",
+    oracle=f"""
+    SELECT {_ROWKEY},
+           LAG(l_quantity, 2) OVER
+             (PARTITION BY l_suppkey ORDER BY l_orderkey, l_linenumber,
+              l_quantity, l_extendedprice) AS qty_lag2,
+           LEAD(l_quantity, 1) OVER
+             (PARTITION BY l_suppkey ORDER BY l_orderkey, l_linenumber,
+              l_quantity, l_extendedprice) AS qty_lead1
+    FROM lineitem
+    """,
+)
+def group_shift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """group_shift_indexer ±periods (`groupby.rs:538-595`); NULL where
+    the reference emits -1, incl. groups shorter than |periods|."""
+    li = _li(spark, sf_dir)
+    out = gt.group_shift(li, "l_suppkey", _ORDER, ["l_quantity"], periods=2,
+                         out_suffix="_lag2")
+    out = gt.group_shift(out, "l_suppkey", _ORDER, ["l_quantity"], periods=-1,
+                         out_suffix="_lead1")
+    return out.select(
+        "l_orderkey", "l_linenumber",
+        F.col("l_quantity_lag2").alias("qty_lag2"),
+        F.col("l_quantity_lead1").alias("qty_lead1"),
+    )
+
+
+# ------------------------------------------------------------- ffill/bfill
+
+
+@register(
+    "group_fillna",
+    oracle=f"""
+    WITH e AS ({_EV_NULLABLE}),
+    r AS (
+      SELECT user_id, event_id, v,
+             ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY event_id) AS rn,
+             ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY event_id DESC) AS rnd
+      FROM e
+    )
+    SELECT event_id,
+           COALESCE(v, LAST_VALUE(v IGNORE NULLS) OVER wf) AS v_ffill,
+           COALESCE(v, LAST_VALUE(v IGNORE NULLS) OVER wb) AS v_bfill,
+           CASE WHEN v IS NOT NULL THEN v
+                WHEN rn - MAX(CASE WHEN v IS NOT NULL THEN rn END) OVER wf <= 2
+                THEN LAST_VALUE(v IGNORE NULLS) OVER wf
+           END AS v_ffill_limit2
+    FROM r
+    WINDOW
+      wf AS (PARTITION BY user_id ORDER BY event_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+      wb AS (PARTITION BY user_id ORDER BY event_id DESC
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+    """,
+)
+def group_fillna(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """group_fillna_indexer (`groupby.rs:621-669`): ffill, bfill
+    (reversed-order same algorithm, `606-608`), and limit= max
+    consecutive fills (`645-650`)."""
+    ev = _ev_nullable(spark, sf_dir)
+    out = gt.group_fillna(ev, "user_id", ["event_id"], ["v"],
+                          direction="ffill", out_suffix="_ff")
+    out = gt.group_fillna(out, "user_id", ["event_id"], ["v"],
+                          direction="bfill", out_suffix="_bf")
+    out = gt.group_fillna(out, "user_id", ["event_id"], ["v"],
+                          direction="ffill", limit=2, out_suffix="_ffl")
+    return out.select(
+        "event_id",
+        F.col("v_ff").alias("v_ffill"),
+        F.col("v_bf").alias("v_bfill"),
+        F.col("v_ffl").alias("v_ffill_limit2"),
+    )
+
+
+# -------------------------------------------------------------------- rank
+
+
+@register(
+    "group_rank",
+    oracle="""
+    WITH r AS (
+      SELECT o_orderkey, o_orderpriority, o_totalprice,
+             RANK() OVER w AS rmin,
+             DENSE_RANK() OVER w AS rdense,
+             ROW_NUMBER() OVER w AS rfirst,
+             COUNT(*) OVER (PARTITION BY o_orderpriority, o_totalprice) AS ties,
+             COUNT(*) OVER (PARTITION BY o_orderpriority) AS n
+      FROM orders
+      WINDOW w AS (PARTITION BY o_orderpriority ORDER BY o_totalprice)
+    )
+    SELECT o_orderkey,
+           CAST(rmin AS DOUBLE) + (ties - 1) / 2.0 AS rank_avg,
+           CAST(rmin AS DOUBLE) AS rank_min,
+           CAST(rdense AS DOUBLE) AS rank_dense,
+           (CAST(rmin AS DOUBLE) + (ties - 1) / 2.0) / n AS rank_pct
+    FROM r
+    """,
+)
+def group_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """group_rank — declared-but-stubbed in the reference
+    (`lib.rs:1259-1274`); implements the declared pandas surface:
+    ties average/min/dense (+first), pct."""
+    tune(spark)
+    od = load_table(spark, sf_dir, "orders")
+    out = gt.group_rank(od, "o_orderpriority", "o_totalprice",
+                        method="average", out_col="rank_avg")
+    out = gt.group_rank(out, "o_orderpriority", "o_totalprice",
+                        method="min", out_col="rank_min")
+    out = gt.group_rank(out, "o_orderpriority", "o_totalprice",
+                        method="dense", out_col="rank_dense")
+    out = gt.group_rank(out, "o_orderpriority", "o_totalprice",
+                        method="average", pct=True, out_col="rank_pct")
+    return out.select("o_orderkey", "rank_avg", "rank_min", "rank_dense",
+                      "rank_pct")
+
+
+# ---------------------------------------------------------------- cumcount
+
+
+@register(
+    "group_cumcount",
+    oracle=f"""
+    SELECT {_ROWKEY},
+           COUNT(*) OVER ({_W}) - 1 AS cumcount
+    FROM lineitem
+    """,
+)
+def group_cumcount(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """0-based within-group running position (pandas cumcount)."""
+    li = _li(spark, sf_dir)
+    out = gt.group_cumcount(li, "l_suppkey", _ORDER)
+    return out.select("l_orderkey", "l_linenumber", "cumcount")
+
+
+# ----------------------------------------------------------------- take_1d
+
+
+@register(
+    "take_1d",
+    oracle="""
+    WITH vals AS (
+      SELECT l_extendedprice AS val,
+             ROW_NUMBER() OVER (ORDER BY l_orderkey, l_linenumber,
+                                l_extendedprice) - 1 AS pos
+      FROM lineitem
+    ), n AS (SELECT COUNT(*) AS n FROM lineitem),
+    idx AS (
+      SELECT event_id AS pos,
+             CASE WHEN event_type = 'error' THEN -1
+                  ELSE (user_id * 131) % (SELECT n FROM n) END AS src_idx
+      FROM events
+    )
+    SELECT idx.pos, idx.src_idx,
+           COALESCE(vals.val, -1.0) AS taken
+    FROM idx LEFT JOIN vals
+      ON CASE WHEN idx.src_idx >= 0 THEN idx.src_idx END = vals.pos
+    """,
+)
+def take_1d(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """take_1d gather (`lib.rs:37-168`): out[i] = values[indexer[i]],
+    -1 → fill_value (a real parameter here; the reference hardcodes 0,
+    §2.4 #7). Indexer joins row-numbered values; Catalyst/AQE pick
+    broadcast vs shuffle."""
+    tune(spark)
+    li = load_table(spark, sf_dir, "lineitem")
+    ev = load_table(spark, sf_dir, "events")
+    n = li.count()  # scalar table size, like the reference's len(values)
+    vals = tk.with_position(li, ["l_orderkey", "l_linenumber", "l_extendedprice"]).select(
+        "pos", F.col("l_extendedprice").alias("val")
+    )
+    idx = ev.select(
+        F.col("event_id").alias("pos"),
+        F.when(F.col("event_type") == "error", F.lit(-1))
+        .otherwise((F.col("user_id") * 131) % F.lit(n))
+        .cast("long")
+        .alias("src_idx"),
+    )
+    out = tk.take_1d(vals, "val", idx, "src_idx", out_col="taken",
+                     fill_value=-1.0)
+    return out.select("pos", "src_idx", "taken")

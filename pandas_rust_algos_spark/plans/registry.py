@@ -1,0 +1,100 @@
+"""Named query registry — the single source of truth for the driver
+contract (``__spark_entry__.py``) and for ``bench.py``.
+
+Every implemented operator from SURVEY §2 registers one named query
+(a ``(spark, sf_dir) -> DataFrame`` callable) plus, when the semantics
+are SQL-expressible, the equivalent DuckDB oracle SQL. The driver runs
+both at sf0.01 and hash-compares row sets.
+
+Determinism contract for oracle-checked queries
+-----------------------------------------------
+The hash compare is bit-level, so float results must be *identical*,
+not approximately equal, between a 32-way parallel Spark run and a
+single-threaded DuckDB run. Rules used throughout:
+
+1. Sums of doubles accumulate exactly in fixed-point micro-units
+   (floor(x·1e6) as long — exact + associative ⇒ partitioning-
+   independent, and as fast as a double sum; the decimal(28,6)
+   alternative is ~5× slower through BigDecimal). Helper: :func:`dsum`
+   mirrors ``functions.na.fixed_sum`` on the SQL side.
+2. Scalar double arithmetic (per-row expressions, final divisions) is
+   IEEE-deterministic when both sides evaluate the same expression
+   tree — oracle SQL is written to match the Spark expression shape,
+   with float literals cast to DOUBLE (DuckDB parses bare ``0.25`` as
+   DECIMAL, which would diverge).
+3. ``pow`` is avoided (not correctly-rounded, engine-dependent);
+   ``x*sqrt(x)`` replaces ``x^1.5``.
+4. Where a small engine-side rounding difference is inherent
+   (log/exp cumprod, interpolated quantiles, cosine), both sides round
+   to 6 decimals; buckets are sized so representation error cannot
+   straddle a boundary in practice.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame, SparkSession
+
+QueryFn = Callable[[SparkSession, str], DataFrame]
+
+
+@dataclass(frozen=True)
+class QuerySpec:
+    name: str
+    fn: QueryFn
+    oracle: str | None
+    description: str = ""
+
+
+_REGISTRY: dict[str, QuerySpec] = {}
+
+
+def register(name: str, oracle: str | None = None, description: str = ""):
+    """Decorator: register a named query with optional DuckDB oracle SQL."""
+
+    def deco(fn: QueryFn) -> QueryFn:
+        if name in _REGISTRY:
+            raise ValueError(f"duplicate query name {name!r}")
+        _REGISTRY[name] = QuerySpec(name, fn, oracle, description or (fn.__doc__ or ""))
+        return fn
+
+    return deco
+
+
+def _load_all() -> None:
+    """Import every query module so registrations run (idempotent)."""
+    from pandas_rust_algos_spark.plans import (  # noqa: F401
+        queries_events,
+        queries_groupby,
+        queries_llmdata,
+        queries_relational,
+        queries_window,
+    )
+
+
+def all_queries() -> dict[str, QueryFn]:
+    _load_all()
+    return {n: s.fn for n, s in _REGISTRY.items()}
+
+
+def all_oracles() -> dict[str, str]:
+    _load_all()
+    return {n: s.oracle for n, s in _REGISTRY.items() if s.oracle is not None}
+
+
+def get(name: str) -> QuerySpec:
+    _load_all()
+    return _REGISTRY[name]
+
+
+# ---------------------------------------------------------------- SQL helpers
+
+
+def dsum(expr: str) -> str:
+    """Oracle-side deterministic sum — fixed-point micro-units, the SQL
+    twin of ``functions.na.fixed_sum`` (see module docstring rule 1;
+    1e6 written in scientific notation so DuckDB parses a DOUBLE, not a
+    DECIMAL literal)."""
+    return f"CAST(SUM(CAST(FLOOR(({expr}) * 1e6) AS BIGINT)) AS DOUBLE) / 1e6"

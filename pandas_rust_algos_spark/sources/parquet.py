@@ -1,0 +1,69 @@
+"""Parquet sources for the fixture star schema.
+
+The reference has no I/O layer at all — data arrives as in-memory NumPy
+arrays through PyO3 (``/root/reference/src/lib.rs:59-63``). Our engine's
+sources are lazy parquet scans: column pruning and predicate pushdown
+reach the file scan via Catalyst, so a 2-column projection over a
+100 TB table reads 2 columns' worth of bytes, not 100 TB.
+
+Nothing here caches or collects: a loaded table is a *plan node*, not
+data, and stays that way until an action runs.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+
+#: every fixture table the driver generates (TESTDATA.md)
+TABLES = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+
+def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Lazy parquet scan of one fixture table.
+
+    The events table carries TIMESTAMP(NANOS) which Spark's parquet
+    reader rejects; we read nanos as long
+    (``spark.sql.legacy.parquet.nanosAsLong``, runtime-settable) and
+    rebuild a microsecond timestamp with integer division — ``ts div
+    1000`` stays exact where a double division of epoch-nanos would
+    lose precision past 2^53. Truncation (not rounding) matches
+    DuckDB's TIMESTAMP_NS→TIMESTAMP cast, keeping oracles aligned.
+    """
+    if name not in TABLES:
+        raise KeyError(f"unknown fixture table {name!r}; one of {TABLES}")
+    path = os.path.join(sf_dir, f"{name}.parquet")
+    if name == "events":
+        try:
+            spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        except Exception:
+            pass
+        df = spark.read.parquet(path)
+        if dict(df.dtypes).get("ts") == "bigint":
+            from pyspark.sql import functions as F
+
+            df = df.withColumn(
+                "ts", F.timestamp_micros(F.expr("ts div 1000"))
+            )
+        return df
+    return spark.read.parquet(path)
+
+
+def load_tables(spark: SparkSession, sf_dir: str, *names: str) -> dict[str, DataFrame]:
+    """Lazy scans for several tables; all of TABLES when none named."""
+    wanted = names or TABLES
+    return {n: load_table(spark, sf_dir, n) for n in wanted}

@@ -1,0 +1,68 @@
+"""Structured Streaming ops over the events table.
+
+The reference has no streaming surface (SURVEY §2.3); this module is
+the driver-brief extension: the same windowing expressions as the batch
+queries in ``plans/queries_events.py``, lifted to ``readStream`` with
+watermarked state. A pipeline can therefore backfill in batch and tail
+in streaming with one definition of the aggregation logic.
+
+Scale notes: watermark bounds state (late rows beyond 2h are dropped);
+parquet source is used here because it's what the fixtures provide —
+swap for Kafka/files in production, the transformations don't change.
+"""
+
+from __future__ import annotations
+
+import os
+import tempfile
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+
+def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """events as an unbounded stream (schema taken from the batch file;
+    maxFilesPerTrigger keeps micro-batches bounded)."""
+    path = os.path.join(sf_dir, "events.parquet")
+    schema = spark.read.parquet(path).schema
+    return (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(path)
+    )
+
+
+def tumbling_counts(stream: DataFrame, *, watermark: str = "2 hours") -> DataFrame:
+    """Watermarked tumbling 1h counts per event_type — the streaming
+    twin of the batch query `events_tumbling_1h`."""
+    return (
+        stream.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            (F.sum(F.floor(F.col("value") * F.lit(1e6)).cast("long"))
+             .cast("double") / F.lit(1e6)).alias("sum_value"),
+        )
+        .select(
+            F.date_format("w.start", "yyyy-MM-dd HH:mm:ss").alias("window_start"),
+            "event_type", "n_events", "sum_value",
+        )
+    )
+
+
+def run_available_now(agged: DataFrame, *, table: str = "stream_out") -> DataFrame:
+    """Drain all available input through the streaming query into an
+    in-memory sink and return the result as a DataFrame (test/backfill
+    harness; trigger(availableNow) processes everything then stops)."""
+    with tempfile.TemporaryDirectory() as ckpt:
+        q = (
+            agged.writeStream.format("memory")
+            .queryName(table)
+            .outputMode("complete")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    spark = agged.sparkSession
+    return spark.table(table)
