@@ -446,12 +446,15 @@ def group_quantile(
     modes (``group_quantile``, ``groupby.rs:1532-1660``; modes at
     ``1556-1562``). Output: long form ``keys + (q, quantile)``.
 
-    linear uses the builtin ``F.percentile``. The other four modes are
-    exact order statistics the builtin can't express, so we compute
-    within-group ranks once — a single shuffle+sort on (keys, value),
-    the distributed analogue of the reference's caller-supplied
-    ``sort_indexer`` (``lib.rs:917``) — and pick/average the straddling
-    elements with plain aggregates. q outside [0,1] raises, like
+    All five modes share one plan shape: within-group ranks from a
+    single shuffle+sort on (keys, value) — the distributed analogue of
+    the reference's caller-supplied ``sort_indexer`` (``lib.rs:917``) —
+    then the straddling order statistics are picked/combined with plain
+    aggregates. ``F.percentile`` is deliberately NOT used even for
+    linear: it is an exact aggregate that buffers every group value in
+    the aggregation buffer, which serializes per group and OOMs on
+    large groups; the rank path keeps the sort distributed and the
+    aggregate O(1) per row. q outside [0,1] raises, like
     ``groupby.rs:1549-1554``.
     """
     from pyspark.sql.window import Window
@@ -467,45 +470,43 @@ def group_quantile(
     df = _prep(df, keys, dropna_keys)
     c = _nn(df, value)
 
-    if interpolation == "linear":
-        agged = df.groupBy(*keys).agg(
-            *[F.percentile(c, F.lit(q)).alias(f"__q{i}") for i, q in enumerate(qs)]
-        )
-    else:
-        nn = df.select(*keys, c.alias("__v")).where(F.col("__v").isNotNull())
-        w = Window.partitionBy(*keys)
-        nn = nn.withColumn("__rn", F.row_number().over(w.orderBy("__v")) - 1)
-        nn = nn.withColumn("__n", F.count("__v").over(w))
-        picks = []
-        for i, q in enumerate(qs):
-            target = F.lit(q) * (F.col("__n") - 1)
-            lo = F.floor(target)
-            hi = F.ceil(target)
-            frac = target - lo
-            if interpolation == "lower":
-                idx = lo
-            elif interpolation == "higher":
-                idx = hi
-            else:  # nearest / midpoint need both straddling elements
-                idx = None
-            if idx is not None:
-                picks.append(
-                    F.max(F.when(F.col("__rn") == idx, F.col("__v"))).alias(f"__q{i}")
-                )
-            else:
-                vlo = F.max(F.when(F.col("__rn") == lo, F.col("__v")))
-                vhi = F.max(F.when(F.col("__rn") == hi, F.col("__v")))
-                if interpolation == "midpoint":
-                    picks.append(((vlo + vhi) / 2).alias(f"__q{i}"))
-                else:  # nearest: pandas rule (frac, q) tie-break
-                    # frac is constant per group; > .5 → hi, == .5 → hi iff q > .5
-                    use_hi = F.max(
-                        (
-                            (frac > 0.5) | ((frac == 0.5) & F.lit(q > 0.5))
-                        ).cast("int")
-                    ) == 1
-                    picks.append(F.when(use_hi, vhi).otherwise(vlo).alias(f"__q{i}"))
-        agged = nn.groupBy(*keys).agg(*picks)
+    nn = df.select(*keys, c.alias("__v")).where(F.col("__v").isNotNull())
+    w = Window.partitionBy(*keys)
+    nn = nn.withColumn("__rn", F.row_number().over(w.orderBy("__v")) - 1)
+    nn = nn.withColumn("__n", F.count("__v").over(w))
+    picks = []
+    for i, q in enumerate(qs):
+        target = F.lit(q) * (F.col("__n") - 1)
+        lo = F.floor(target)
+        hi = F.ceil(target)
+        frac = target - lo
+        if interpolation == "lower":
+            picks.append(
+                F.max(F.when(F.col("__rn") == lo, F.col("__v"))).alias(f"__q{i}")
+            )
+        elif interpolation == "higher":
+            picks.append(
+                F.max(F.when(F.col("__rn") == hi, F.col("__v"))).alias(f"__q{i}")
+            )
+        else:  # linear / nearest / midpoint need both straddling elements
+            vlo = F.max(F.when(F.col("__rn") == lo, F.col("__v")))
+            vhi = F.max(F.when(F.col("__rn") == hi, F.col("__v")))
+            if interpolation == "linear":
+                # same interpolation expression PERCENTILE_CONT uses:
+                # vlo + frac * (vhi - vlo); frac is constant per group
+                gfrac = F.max(F.when(F.col("__rn") == lo, frac))
+                picks.append((vlo + gfrac * (vhi - vlo)).alias(f"__q{i}"))
+            elif interpolation == "midpoint":
+                picks.append(((vlo + vhi) / 2).alias(f"__q{i}"))
+            else:  # nearest: pandas rule (frac, q) tie-break
+                # frac is constant per group; > .5 → hi, == .5 → hi iff q > .5
+                use_hi = F.max(
+                    (
+                        (frac > 0.5) | ((frac == 0.5) & F.lit(q > 0.5))
+                    ).cast("int")
+                ) == 1
+                picks.append(F.when(use_hi, vhi).otherwise(vlo).alias(f"__q{i}"))
+    agged = nn.groupBy(*keys).agg(*picks)
 
     # long form: one row per (group, q)
     pairs = F.array(*[

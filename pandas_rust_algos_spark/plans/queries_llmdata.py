@@ -20,17 +20,20 @@ from pandas_rust_algos_spark.operators import similarity as sim
 from pandas_rust_algos_spark.operators import text as tx
 from pandas_rust_algos_spark.plans.registry import register
 from pandas_rust_algos_spark.session import tune
-from pandas_rust_algos_spark.sources import load_table
+from pandas_rust_algos_spark.sources import load_table, spread
 
 
 def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """documents, fanned out: every op here does expensive per-row work
+    (shingle hashing, token scans, vector math), so a one-row-group
+    scan must not pin the whole job to one task (sources.spread)."""
     tune(spark)
-    return load_table(spark, sf_dir, "documents")
+    return spread(load_table(spark, sf_dir, "documents"))
 
 
 def _emb(spark: SparkSession, sf_dir: str) -> DataFrame:
     tune(spark)
-    return load_table(spark, sf_dir, "embeddings")
+    return spread(load_table(spark, sf_dir, "embeddings"))
 
 
 _NORM_SQL = (
@@ -290,7 +293,10 @@ def media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     binary media rows, features extracted via Arrow-batched mapInPandas
     (deterministic fake decoder — real decoders are stubbed, see
     operators/multimodal.py). Rows-only check."""
-    d = _docs(spark, sf_dir)
+    tune(spark)
+    # capped fan-out: each partition here spawns a Python worker
+    # (mapInPandas), so tiny inputs should pay ≤8 interpreter startups
+    d = spread(load_table(spark, sf_dir, "documents"), cap=8)
     media = mm.as_media(d, "doc_id", "text", "image")
     feats = mm.extract_features(media, decoder="fake", dim=8)
     return feats.select("media_id", "modality", "n_bytes",

@@ -1,3 +1,8 @@
-from pandas_rust_algos_spark.sources.parquet import TABLES, load_table, load_tables
+from pandas_rust_algos_spark.sources.parquet import (
+    TABLES,
+    load_table,
+    load_tables,
+    spread,
+)
 
-__all__ = ["TABLES", "load_table", "load_tables"]
+__all__ = ["TABLES", "load_table", "load_tables", "spread"]

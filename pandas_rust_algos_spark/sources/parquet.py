@@ -67,3 +67,30 @@ def load_tables(spark: SparkSession, sf_dir: str, *names: str) -> dict[str, Data
     """Lazy scans for several tables; all of TABLES when none named."""
     wanted = names or TABLES
     return {n: load_table(spark, sf_dir, n) for n in wanted}
+
+
+def spread(df: DataFrame, min_factor: float = 0.5, cap: int | None = None) -> DataFrame:
+    """Fan a narrow scan out to the cluster before compute-heavy per-row
+    work.
+
+    Parquet splits at row-group granularity, so a small file (one row
+    group) scans as a single task no matter how many cores exist — and
+    every expensive expression downstream (hashing, shingling, vector
+    math) then runs serially. When the scan has fewer partitions than
+    ``min_factor ×`` the cluster's default parallelism, repartition
+    round-robin; otherwise return the plan untouched. At real scale
+    (many row groups per table) the condition is false and this is a
+    zero-cost no-op — the guard exists precisely so the fix for tiny
+    inputs never introduces a shuffle on big ones.
+
+    ``cap`` bounds the fan-out; use it for Python-worker paths
+    (``mapInPandas``/pandas UDF) where each partition spawns an
+    interpreter and tiny inputs pay worker-startup, not compute.
+    """
+    sc = df.sparkSession.sparkContext
+    target = sc.defaultParallelism
+    if cap is not None:
+        target = min(target, cap)
+    if df.rdd.getNumPartitions() < max(1, int(target * min_factor)):
+        return df.repartition(target)
+    return df
