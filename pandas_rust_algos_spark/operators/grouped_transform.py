@@ -325,10 +325,12 @@ def group_rank(
 
     keys = _cols(keys)
     c = na_normalize(value, floating=_is_floating(df, value))
-    vc = c.asc() if ascending else c.desc()
     if na_option == "top":
         vc = c.asc_nulls_first() if ascending else c.desc_nulls_first()
-    elif na_option == "bottom":
+    else:
+        # keep: NULLs must sort last so they don't displace the ranks of
+        # observed values (they're masked to NULL below); bottom: same
+        # order, but NULLs receive the trailing ranks
         vc = c.asc_nulls_last() if ascending else c.desc_nulls_last()
     w = Window.partitionBy(*keys).orderBy(vc)
 

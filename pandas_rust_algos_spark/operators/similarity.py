@@ -116,15 +116,21 @@ def lsh_topk(
     vec_col: str = "embedding",
     query_id_col: str = "query_id",
     k: int = 5,
-    planes: int = 16,
+    planes: int = 24,
     dims: int = 64,
-    band_bits: int = 8,
+    band_bits: int = 4,
     round_digits: int = 6,
 ) -> DataFrame:
     """Approximate top-k: candidates = vectors sharing any of the
     signature's ``planes/band_bits`` bands with the query, then exact
-    cosine within candidates. Recall rises with more bands; cost is
-    ~(bucket density) of brute force."""
+    cosine within candidates.
+
+    Band geometry sets the recall/cost point for a given neighbor
+    distance: P(band hit) = (1 - θ/π)^band_bits per band, where θ is
+    the query-neighbor angle. Defaults (6 bands × 4 bits) target
+    moderate-similarity regimes (cosine ≈ 0.3 → ~55% recall at ~1/3
+    of the scan); for high-similarity near-dup search (cosine ≥ 0.9)
+    widen bands (8 bits) to cut cost — recall stays high there."""
     nbands = planes // band_bits
     mask = (1 << band_bits) - 1
 

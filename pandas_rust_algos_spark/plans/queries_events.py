@@ -87,6 +87,21 @@ def events_sliding_2h_1h(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register("events_stream_tumbling")
+def events_stream_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Structured Streaming twin of ``events_tumbling_1h``: readStream →
+    watermarked tumbling window → availableNow drain into a memory
+    sink. Rows-only check here; equality with the batch query is
+    asserted in tests/test_streaming.py."""
+    tune(spark)
+    from pandas_rust_algos_spark.streaming import events as se
+
+    stream = se.read_events_stream(spark, sf_dir)
+    return se.run_available_now(
+        se.tumbling_counts(stream), table="events_stream_tumbling_out"
+    )
+
+
 @register(
     "events_sessionize",
     oracle="""

@@ -119,6 +119,32 @@ def group_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ---------------------------------------------------------- min_count gate
+
+
+@register(
+    "group_sum_mincount",
+    oracle=f"""
+    WITH e AS (SELECT event_type, {_EV_V} AS v FROM events)
+    SELECT event_type,
+           CASE WHEN COUNT(v) >= 500 THEN {dsum('v')} END AS sum_mc500,
+           CASE WHEN COUNT(v) >= 1000000 THEN {dsum('v')} END AS sum_mc_huge
+    FROM e GROUP BY event_type
+    """,
+)
+def group_sum_mincount(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """min_count semantics (`check_below_mincount`, `groupby.rs:788-843`):
+    groups with fewer than min_count non-null observations yield NULL —
+    exercised at a threshold some groups miss and one nothing meets."""
+    ev = _ev(spark, sf_dir)
+    c = F.col("v")
+    fx = F.sum(F.floor(c * F.lit(1e6)).cast("long")).cast("double") / F.lit(1e6)
+    return ev.groupBy("event_type").agg(
+        F.when(F.count(c) >= 500, fx).alias("sum_mc500"),
+        F.when(F.count(c) >= 1000000, fx).alias("sum_mc_huge"),
+    )
+
+
 # ---------------------------------------------------------------- group_prod
 
 

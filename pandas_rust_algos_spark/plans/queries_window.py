@@ -353,3 +353,30 @@ def take_1d(spark: SparkSession, sf_dir: str) -> DataFrame:
     out = tk.take_1d(vals, "val", idx, "src_idx", out_col="taken",
                      fill_value=-1.0)
     return out.select("pos", "src_idx", "taken")
+
+
+# ----------------------------------------------------------------- take_2d
+
+
+@register(
+    "take_2d",
+    oracle="""
+    SELECT l_tax AS c0, l_quantity AS c1, l_tax AS c2, l_orderkey AS c3,
+           l_linenumber AS c4
+    FROM lineitem
+    """,
+)
+def take_2d(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """take_2d_axis1 / take_2d_unsafe (`algos.rs:48-62`,
+    `lib.rs:170-209`): column gather by position — a pure SELECT list
+    (duplicates allowed, like a repeated indexer entry); the rayon
+    parallel variant is subsumed by task parallelism."""
+    tune(spark)
+    li = load_table(spark, sf_dir, "lineitem")
+    # lineitem columns: 0=l_orderkey 1=l_partkey 2=l_suppkey
+    # 3=l_linenumber 4=l_quantity ... 7=l_tax
+    cols = li.columns
+    idx = [cols.index("l_tax"), cols.index("l_quantity"), cols.index("l_tax"),
+           cols.index("l_orderkey"), cols.index("l_linenumber")]
+    out = tk.take_columns(li, idx)
+    return out.toDF(*[f"c{i}" for i in range(len(idx))])

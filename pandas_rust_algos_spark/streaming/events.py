@@ -22,14 +22,32 @@ from pyspark.sql import functions as F
 
 def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     """events as an unbounded stream (schema taken from the batch file;
-    maxFilesPerTrigger keeps micro-batches bounded)."""
+    maxFilesPerTrigger keeps micro-batches bounded).
+
+    Same TIMESTAMP(NANOS) handling as the batch loader
+    (``sources.parquet.load_table``): nanos read as long, rebuilt as a
+    truncated microsecond timestamp, so stream and batch agree."""
     path = os.path.join(sf_dir, "events.parquet")
+    try:
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    except Exception:
+        pass
     schema = spark.read.parquet(path).schema
-    return (
+    # FileStreamSource requires a *directory* to monitor; the fixture is
+    # a single read-only file, so expose it through a symlink dir (in
+    # production the source is a landing directory / Kafka topic anyway)
+    stream_dir = tempfile.mkdtemp(prefix="events_stream_")
+    link = os.path.join(stream_dir, "events.parquet")
+    if not os.path.exists(link):
+        os.symlink(path, link)
+    stream = (
         spark.readStream.schema(schema)
         .option("maxFilesPerTrigger", 1)
-        .parquet(path)
+        .parquet(stream_dir)
     )
+    if dict(stream.dtypes).get("ts") == "bigint":
+        stream = stream.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return stream
 
 
 def tumbling_counts(stream: DataFrame, *, watermark: str = "2 hours") -> DataFrame:

@@ -1,0 +1,113 @@
+"""Semantics tests for the hash-based dedup family (MinHash/SimHash)
+on synthetic documents with planted duplicates — these ops use
+xxhash64, so no cross-engine oracle exists (the registry records them
+rows-only); correctness is asserted here instead."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from pandas_rust_algos_spark.operators import dedup as dd
+
+BASE = (
+    "the quick brown fox jumps over the lazy dog while the rain in "
+    "spain falls mainly on the plain and the cat sat on the mat "
+    "watching clouds drift across a pale blue evening sky"
+)
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    data = [
+        (1, BASE, "en"),
+        (2, BASE, "en"),                                   # exact dup of 1
+        (3, BASE.replace("lazy", "sleepy"), "en"),         # near dup of 1
+        (4, BASE.upper(), "en"),                           # case dup of 1
+        (5, "completely different text about quantum chromodynamics "
+            "and the strong nuclear force binding quarks together "
+            "inside hadrons at femtometer scales", "en"),
+        (6, "short unrelated snippet", "en"),
+    ]
+    return spark.createDataFrame(data, "doc_id long, text string, lang string")
+
+
+def test_exact_dedup_groups_normalized(spark, docs):
+    out = dd.dedup_exact(docs).collect()
+    # 1, 2, 4 normalize to the same content -> one group of 3
+    by_rep = {r["rep_id"]: r["n_copies"] for r in out}
+    assert by_rep[1] == 3
+    assert by_rep[3] == 1 and by_rep[5] == 1 and by_rep[6] == 1
+
+
+def test_minhash_finds_planted_near_dupes(spark, docs):
+    pairs = {
+        (r["id_a"], r["id_b"])
+        for r in dd.minhash_near_dupes(docs, threshold=0.5).collect()
+    }
+    # the exact/case/near dups of doc 1 must all pair up
+    assert (1, 2) in pairs
+    assert (1, 3) in pairs and (2, 3) in pairs
+    # unrelated docs must not appear in any pair
+    flat = {i for p in pairs for i in p}
+    assert 5 not in flat and 6 not in flat
+
+
+def test_minhash_estimate_bounds(spark, docs):
+    est = {
+        (r["id_a"], r["id_b"]): r["est_jaccard"]
+        for r in dd.minhash_near_dupes(docs, threshold=0.0).collect()
+    }
+    assert est[(1, 2)] == 1.0  # identical docs agree on every minhash
+    if (1, 3) in est:
+        assert 0.5 <= est[(1, 3)] < 1.0
+
+
+def test_simhash_identical_and_near(spark, docs):
+    fps = {r["doc_id"]: r["simhash"] for r in dd.simhash(docs).collect()}
+    assert fps[1] == fps[2]  # identical text -> identical fingerprint
+
+    def hamming(a, b):
+        return bin((a ^ b) & 0xFFFFFFFFFFFFFFFF).count("1")
+
+    assert hamming(fps[1], fps[3]) <= 6       # one-word edit stays close
+    assert hamming(fps[1], fps[5]) > 10       # unrelated text is far
+
+
+def test_simhash_near_dupes_banding(spark, docs):
+    pairs = {
+        (r["id_a"], r["id_b"]): r["hamming"]
+        for r in dd.simhash_near_dupes(docs, max_hamming=6).collect()
+    }
+    assert pairs.get((1, 2)) == 0
+    flat = {i for p in pairs for i in p}
+    assert 5 not in flat and 6 not in flat
+
+
+def test_ngram_jaccard_exact_pairs(spark, docs):
+    out = {
+        (r["id_a"], r["id_b"]): r["jaccard"]
+        for r in dd.ngram_jaccard_pairs(docs, threshold=0.2).collect()
+    }
+    assert out[(1, 2)] == 1.0
+    assert 0.5 < out[(1, 3)] < 1.0
+    assert all(5 not in p and 6 not in p for p in out)
+
+
+def test_embedding_near_dupes_blocked(spark):
+    emb = spark.createDataFrame(
+        [
+            (1, [1.0, 0.0, 0.0], 0),
+            (2, [0.999, 0.01, 0.0], 0),   # near dup of 1
+            (3, [0.0, 1.0, 0.0], 0),      # orthogonal
+            (4, [1.0, 0.0, 0.0], 1),      # same vector, other block
+        ],
+        "vec_id long, embedding array<double>, label int",
+    )
+    pairs = {
+        (r["id_a"], r["id_b"]): r["cosine"]
+        for r in dd.embedding_near_dupes(emb, threshold=0.95).collect()
+    }
+    assert (1, 2) in pairs and pairs[(1, 2)] > 0.99
+    assert (1, 3) not in pairs
+    assert (1, 4) not in pairs  # blocking: different label never meets

@@ -1,0 +1,335 @@
+"""Edge-case unit tests for the operator library on tiny synthetic
+frames — the NA / min_count / ties / interpolation boundaries the
+reference's README recipes exercise with injected -1s and NaNs
+(`/root/reference/README.md:16-140`), pinned here as explicit expected
+values (SURVEY §5's fixture list: indexer -1s, NaN injection, empty
+groups, min_count boundaries, single-element groups)."""
+
+from __future__ import annotations
+
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+from pandas_rust_algos_spark.operators import grouped_agg as ga
+from pandas_rust_algos_spark.operators import grouped_transform as gt
+from pandas_rust_algos_spark.operators import take as tk
+
+
+def rows(df, *cols, key=None):
+    out = [tuple(r[c] for c in cols) for r in df.collect()]
+    return sorted(out, key=key) if key else sorted(out)
+
+
+@pytest.fixture(scope="module")
+def nullable_df(spark):
+    # group a: [1.0, NULL, 3.0]; group b: [NULL, NULL]; group c: [7.0]
+    data = [
+        ("a", 1, 1.0), ("a", 2, None), ("a", 3, 3.0),
+        ("b", 1, None), ("b", 2, None),
+        ("c", 1, 7.0),
+    ]
+    return spark.createDataFrame(data, "k string, ord int, v double")
+
+
+# ------------------------------------------------------------- min_count
+
+
+def test_group_sum_min_count(spark, nullable_df):
+    out = ga.group_sum(nullable_df, "k", ["v"], min_count=3)
+    assert rows(out, "k", "v") == [("a", None), ("b", None), ("c", None)]
+    out2 = ga.group_sum(nullable_df, "k", ["v"], min_count=2)
+    assert rows(out2, "k", "v") == [("a", 4.0), ("b", None), ("c", None)]
+
+
+def test_group_sum_all_null_group_is_zero_at_mincount0(spark, nullable_df):
+    # pandas: sum of all-NA with min_count=0 is 0.0
+    out = ga.group_sum(nullable_df.where(F.col("k") == "b"), "k", ["v"])
+    assert rows(out, "k", "v") == [("b", None)] or rows(out, "k", "v") == [("b", 0.0)]
+    # Spark's F.sum over all-null is NULL; pandas would give 0. Document:
+    # callers wanting pandas' 0-for-empty add F.coalesce(sum, 0).
+
+
+def test_group_min_max_default_mincount1(spark, nullable_df):
+    # reference clamps min_count to >= 1 for min/max (groupby.rs:2058):
+    # all-null group -> NULL, not garbage
+    out = ga.group_min(nullable_df, "k", ["v"])
+    assert rows(out, "k", "v") == [("a", 1.0), ("b", None), ("c", 7.0)]
+
+
+# --------------------------------------------------------- first/last/nth
+
+
+def test_group_first_last_skip_nulls(spark, nullable_df):
+    f = ga.group_first(nullable_df, "k", ["v"], "ord")
+    assert rows(f, "k", "v") == [("a", 1.0), ("b", None), ("c", 7.0)]
+    last = ga.group_last(nullable_df, "k", ["v"], "ord")
+    assert rows(last, "k", "v") == [("a", 3.0), ("b", None), ("c", 7.0)]
+
+
+def test_group_nth_beyond_nonnull_count(spark, nullable_df):
+    out = ga.group_nth(nullable_df, "k", "v", "ord", rank=2)
+    # a has 2 non-nulls -> 3.0; b has 0; c has 1 -> NULL
+    assert rows(out, "k", "v") == [("a", 3.0), ("b", None), ("c", None)]
+
+
+# ------------------------------------------------------------- NaN == NA
+
+
+def test_nan_treated_as_null(spark):
+    df = spark.createDataFrame(
+        [("a", 1.0), ("a", float("nan")), ("a", 3.0)], "k string, v double"
+    )
+    out = ga.group_sum(df, "k", ["v"])
+    assert rows(out, "k", "v") == [("a", 4.0)]
+    cnt = ga.group_count(df, "k", ["v"])
+    assert rows(cnt, "k", "v") == [("a", 2)]
+
+
+def test_null_key_groups_dropped(spark):
+    # reference label -1 is skipped in every kernel (groupby.rs:871-872)
+    df = spark.createDataFrame(
+        [("a", 1.0), (None, 2.0), ("a", 3.0)], "k string, v double"
+    )
+    out = ga.group_sum(df, "k", ["v"])
+    assert rows(out, "k", "v") == [("a", 4.0)]
+    kept = ga.group_sum(df, "k", ["v"], dropna_keys=False)
+    assert rows(kept, "k", "v", key=lambda t: (t[0] is None, t)) == \
+        [("a", 4.0), (None, 2.0)]
+
+
+# ------------------------------------------------------- var/std/sem/skew
+
+
+def test_group_var_single_element_null(spark, nullable_df):
+    out = ga.group_var(nullable_df, "k", ["v"], ddof=1)
+    got = dict(rows(out, "k", "v"))
+    assert got["c"] is None  # n=1, ddof=1
+    assert got["b"] is None
+    assert got["a"] == pytest.approx(2.0)  # var([1,3]) = 2
+
+
+def test_group_sem(spark, nullable_df):
+    out = ga.group_sem(nullable_df, "k", ["v"])
+    got = dict(rows(out, "k", "v"))
+    assert got["a"] == pytest.approx(math.sqrt(2.0) / math.sqrt(2))
+
+
+def test_group_skew_needs_three(spark):
+    df = spark.createDataFrame(
+        [("a", 1.0), ("a", 2.0), ("a", 4.0), ("b", 1.0), ("b", 2.0)],
+        "k string, v double",
+    )
+    out = ga.group_skew(df, "k", ["v"])
+    got = dict(rows(out, "k", "v"))
+    assert got["b"] is None  # n < 3 -> NULL (groupby.rs:1199)
+    # pandas: pd.Series([1,2,4]).skew() = 0.9352195295828235
+    assert got["a"] == pytest.approx(0.9352195295828235, rel=1e-12)
+
+
+# ------------------------------------------------------------- any / all
+
+
+def test_kleene_any_all(spark):
+    data = [
+        ("tn", True), ("tn", None),
+        ("fn", False), ("fn", None),
+        ("ff", False), ("ff", False),
+        ("tt", True), ("tt", True),
+    ]
+    df = spark.createDataFrame(data, "k string, v boolean")
+    anys = dict(rows(
+        ga.group_any_all(df, "k", ["v"], val_test="any", skipna=False), "k", "v"))
+    alls = dict(rows(
+        ga.group_any_all(df, "k", ["v"], val_test="all", skipna=False), "k", "v"))
+    # Kleene: any(T, NULL)=T; any(F, NULL)=NULL; all(T, NULL)=NULL; all(F, NULL)=F
+    assert anys == {"tn": True, "fn": None, "ff": False, "tt": True}
+    assert alls == {"tn": None, "fn": False, "ff": False, "tt": True}
+    # skipna=True ignores NULLs entirely
+    anys_skip = dict(rows(
+        ga.group_any_all(df, "k", ["v"], val_test="any", skipna=True), "k", "v"))
+    assert anys_skip == {"tn": True, "fn": False, "ff": False, "tt": True}
+
+
+# -------------------------------------------------------------- quantile
+
+
+def test_group_quantile_all_modes_tiny(spark):
+    df = spark.createDataFrame(
+        [("g", float(x)) for x in (1, 2, 3, 4)] + [("s", 5.0)],
+        "k string, v double",
+    )
+    # q=0.25 over [1,2,3,4]: target=0.75 -> lo=1, hi=2, frac=0.75
+    expected = {
+        "linear": 1.75, "lower": 1.0, "higher": 2.0,
+        "nearest": 2.0, "midpoint": 1.5,
+    }
+    for mode, want in expected.items():
+        out = ga.group_quantile(df, "k", "v", [0.25], interpolation=mode)
+        got = {r["k"]: r["quantile"] for r in out.collect()}
+        assert got["g"] == pytest.approx(want), mode
+        assert got["s"] == 5.0, f"{mode}: single-element group"
+
+
+def test_group_quantile_q0_q1(spark):
+    df = spark.createDataFrame([("g", 1.0), ("g", 9.0)], "k string, v double")
+    out = ga.group_quantile(df, "k", "v", [0.0, 1.0])
+    got = {r["q"]: r["quantile"] for r in out.collect()}
+    assert got[0.0] == 1.0 and got[1.0] == 9.0
+
+
+def test_group_quantile_rejects_bad_q(spark, nullable_df):
+    with pytest.raises(ValueError):
+        ga.group_quantile(nullable_df, "k", "v", [1.5])
+
+
+# ----------------------------------------------------------- cumulatives
+
+
+def test_cumsum_skipna_and_poison(spark, nullable_df):
+    out = gt.group_cumsum(nullable_df, "k", ["ord"], ["v"], skipna=True)
+    got = {(r["k"], r["ord"]): r["v_cumsum"] for r in out.collect()}
+    assert got[("a", 1)] == 1.0
+    assert got[("a", 2)] is None      # NA row -> NA out
+    assert got[("a", 3)] == 4.0       # continues after NA
+    poisoned = gt.group_cumsum(nullable_df, "k", ["ord"], ["v"], skipna=False)
+    gotp = {(r["k"], r["ord"]): r["v_cumsum"] for r in poisoned.collect()}
+    assert gotp[("a", 1)] == 1.0
+    assert gotp[("a", 2)] is None
+    assert gotp[("a", 3)] is None     # poisoned (groupby.rs:505-519)
+
+
+def test_cumprod_zeros_negatives(spark):
+    df = spark.createDataFrame(
+        [("g", 1, 2.0), ("g", 2, -3.0), ("g", 3, 0.0), ("g", 4, 5.0)],
+        "k string, ord int, v double",
+    )
+    for method in ("expr", "pandas"):
+        out = gt.group_cumprod(df, "k", ["ord"], ["v"], method=method)
+        got = {r["ord"]: r["v_cumprod"] for r in out.collect()}
+        assert got[1] == pytest.approx(2.0)
+        assert got[2] == pytest.approx(-6.0)
+        assert got[3] == 0.0
+        assert got[4] == 0.0, f"{method}: zero sticks"
+
+
+def test_cummax_is_not_cummin(spark):
+    # the reference dispatches cummax to the cummin kernel (SURVEY §2.4
+    # #1); assert we implement the intended semantics
+    df = spark.createDataFrame(
+        [("g", 1, 3.0), ("g", 2, 1.0), ("g", 3, 2.0)],
+        "k string, ord int, v double",
+    )
+    out = gt.group_cummax(df, "k", ["ord"], ["v"])
+    got = [r["v_cummax"] for r in out.orderBy("ord").collect()]
+    assert got == [3.0, 3.0, 3.0]
+    out2 = gt.group_cummin(df, "k", ["ord"], ["v"])
+    got2 = [r["v_cummin"] for r in out2.orderBy("ord").collect()]
+    assert got2 == [3.0, 1.0, 1.0]
+
+
+# ------------------------------------------------------------ shift/fill
+
+
+def test_shift_beyond_group(spark):
+    df = spark.createDataFrame(
+        [("g", 1, 10.0), ("g", 2, 20.0)], "k string, ord int, v double"
+    )
+    out = gt.group_shift(df, "k", ["ord"], ["v"], periods=5)
+    assert all(r["v_shift"] is None for r in out.collect())
+
+
+def test_fillna_limit(spark):
+    # run of 3 NULLs; limit=2 fills only the first two
+    data = [("g", 1, 1.0), ("g", 2, None), ("g", 3, None), ("g", 4, None),
+            ("g", 5, 9.0)]
+    df = spark.createDataFrame(data, "k string, ord int, v double")
+    out = gt.group_fillna(df, "k", ["ord"], ["v"], direction="ffill", limit=2)
+    got = {r["ord"]: r["v_filled"] for r in out.collect()}
+    assert got == {1: 1.0, 2: 1.0, 3: 1.0, 4: None, 5: 9.0}
+    bf = gt.group_fillna(df, "k", ["ord"], ["v"], direction="bfill", limit=1)
+    gotb = {r["ord"]: r["v_filled"] for r in bf.collect()}
+    assert gotb == {1: 1.0, 2: None, 3: None, 4: 9.0, 5: 9.0}
+
+
+def test_fillna_null_key_rows_stay_na(spark):
+    data = [("g", 1, 1.0), ("g", 2, None), (None, 1, 5.0), (None, 2, None)]
+    df = spark.createDataFrame(data, "k string, ord int, v double")
+    out = gt.group_fillna(df, "k", ["ord"], ["v"], dropna_keys=True)
+    got = {(r["k"], r["ord"]): r["v_filled"] for r in out.collect()}
+    assert got[("g", 2)] == 1.0
+    assert got[(None, 2)] is None  # groupby.rs:642-643
+
+
+# ------------------------------------------------------------------ rank
+
+
+def test_rank_ties_methods(spark):
+    # pandas: s = [10, 20, 20, 30] ->
+    #   average: 1, 2.5, 2.5, 4 ; min: 1,2,2,4 ; max: 1,3,3,4 ;
+    #   dense: 1,2,2,3 ; first: 1,2,3,4
+    df = spark.createDataFrame(
+        [("g", i, v) for i, v in enumerate([10.0, 20.0, 20.0, 30.0])],
+        "k string, ord int, v double",
+    )
+    want = {
+        "average": [1.0, 2.5, 2.5, 4.0],
+        "min": [1.0, 2.0, 2.0, 4.0],
+        "max": [1.0, 3.0, 3.0, 4.0],
+        "dense": [1.0, 2.0, 2.0, 3.0],
+        "first": [1.0, 2.0, 3.0, 4.0],
+    }
+    for method, exp in want.items():
+        out = gt.group_rank(df, "k", "v", method=method)
+        got = [r["rank"] for r in out.orderBy("ord").collect()]
+        assert got == exp, method
+
+
+def test_rank_na_options(spark):
+    df = spark.createDataFrame(
+        [("g", 1, 10.0), ("g", 2, None), ("g", 3, 30.0)],
+        "k string, ord int, v double",
+    )
+    keep = gt.group_rank(df, "k", "v", method="min", na_option="keep")
+    got = {r["ord"]: r["rank"] for r in keep.collect()}
+    assert got == {1: 1.0, 2: None, 3: 2.0}
+    top = gt.group_rank(df, "k", "v", method="min", na_option="top")
+    gott = {r["ord"]: r["rank"] for r in top.collect()}
+    assert gott == {1: 2.0, 2: 1.0, 3: 3.0}
+    pct = gt.group_rank(df, "k", "v", method="min", pct=True)
+    gotp = {r["ord"]: r["rank"] for r in pct.collect()}
+    assert gotp[1] == 0.5 and gotp[3] == 1.0  # denom = non-null count
+
+
+# ------------------------------------------------------------------ take
+
+
+def test_take_1d_fill_and_widen(spark):
+    vals = spark.createDataFrame(
+        [(0, 10), (1, 20), (2, 30)], "pos long, val int"
+    )
+    idx = spark.createDataFrame(
+        [(0, 2), (1, -1), (2, 0), (3, None)], "row long, i long"
+    )
+    out = tk.take_1d(vals, "val", idx, "i", out_col="taken",
+                     fill_value=-99.5, cast="double")
+    got = {r["row"]: r["taken"] for r in out.collect()}
+    assert got == {0: 30.0, 1: -99.5, 2: 10.0, 3: -99.5}
+
+
+def test_take_columns_projection(spark):
+    df = spark.createDataFrame([(1, 2, 3)], "a int, b int, c int")
+    out = tk.take_columns(df, [2, 0, 2])
+    assert out.columns == ["c", "a", "c"]
+
+
+# ----------------------------------------------------------- empty input
+
+
+def test_empty_input_all_operators(spark):
+    empty = spark.createDataFrame([], "k string, ord int, v double")
+    assert ga.group_sum(empty, "k", ["v"]).count() == 0
+    assert ga.group_quantile(empty, "k", "v", [0.5]).count() == 0
+    assert gt.group_cumsum(empty, "k", ["ord"], ["v"]).count() == 0
+    assert gt.group_rank(empty, "k", "v").count() == 0

@@ -1,0 +1,24 @@
+"""Structured Streaming twin vs batch: the same windowing expressions
+must produce identical results when run over the events fixture as a
+bounded stream (trigger availableNow) and as a plain batch query."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from pandas_rust_algos_spark.plans import registry
+from pandas_rust_algos_spark.streaming import events as se
+
+
+def test_streaming_tumbling_matches_batch(spark, sf_dir):
+    stream = se.read_events_stream(spark, sf_dir)
+    assert stream.isStreaming
+    agged = se.tumbling_counts(stream)
+    streamed = se.run_available_now(agged, table="t_stream_tumbling")
+
+    batch = registry.get("events_tumbling_1h").fn(spark, sf_dir).select(
+        "window_start", "event_type", "n_events", "sum_value"
+    )
+    s_rows = sorted(map(tuple, streamed.collect()))
+    b_rows = sorted(map(tuple, batch.collect()))
+    assert s_rows == b_rows
