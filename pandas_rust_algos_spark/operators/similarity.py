@@ -82,17 +82,27 @@ def cosine_topk(
     )
 
 
+def _plane_weight(p: int, d: int) -> float:
+    """Deterministic ±1 hyperplane weight from a splitmix64-style bit
+    mix of (p, d) — computed at plan-build time in Python, embedded as
+    literals, identical on every executor with zero shipped state."""
+    x = ((p * 1_000_003 + d) * 0x9E3779B97F4A7C15) & 0xFFFFFFFFFFFFFFFF
+    x ^= x >> 31
+    return 1.0 if x & 1 else -1.0
+
+
 def lsh_signature(vec: Column, *, planes: int = 16, dims: int = 64) -> Column:
-    """Random-hyperplane signature: bit p = sign(Σ_d v[d]·w(p,d)) with
-    w(p,d) ∈ {-1,+1} derived from xxhash64(p, d) — deterministic across
-    executors with zero shipped state."""
+    """Random-hyperplane signature: bit p = sign(Σ_d v[d]·w(p,d)).
+
+    Weights are *literal* arrays baked into the plan (see
+    :func:`_plane_weight`): an earlier per-element
+    ``xxhash64(lit, lit)``-inside-WHEN formulation was not constant-
+    folded by Catalyst and evaluated planes×dims hash calls per row —
+    ~7× slower at sf0.1. Literal arrays keep the whole signature one
+    codegen'd expression."""
     bits = []
     for p in range(planes):
-        weights = F.array(*[
-            F.when(F.xxhash64(F.lit(p), F.lit(d)).bitwiseAND(F.lit(1)) == 1,
-                   F.lit(1.0)).otherwise(F.lit(-1.0))
-            for d in range(dims)
-        ])
+        weights = F.array(*[F.lit(_plane_weight(p, d)) for d in range(dims)])
         proj = F.aggregate(
             F.zip_with(vec, weights, lambda x, w: x * w),
             F.lit(0.0),

@@ -1,0 +1,87 @@
+"""Physical-plan invariants — the scale properties the engine is
+designed around, pinned so a refactor can't silently regress them:
+
+- predicate pushdown + column pruning reach the parquet scan;
+- dimension joins broadcast (no fact-table shuffle);
+- aggregations are two-phase (map-side partial before the exchange);
+- JVM-only queries contain no Python evaluation nodes;
+- window transforms share one Sort+Exchange across expressions.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from pandas_rust_algos_spark.plans import registry
+
+
+def plan_of(spark, sf_dir, name: str) -> str:
+    df = registry.get(name).fn(spark, sf_dir)
+    return df._jdf.queryExecution().explainString(
+        spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+            "formatted"
+        )
+    )
+
+
+def test_q1_pushdown_and_pruning(spark, sf_dir):
+    plan = plan_of(spark, sf_dir, "q1_pricing_summary")
+    assert "LessThanOrEqual(l_shipdate" in plan, "shipdate not pushed to scan"
+    # pruned read: no l_orderkey/l_partkey in the lineitem ReadSchema
+    read = next(l for l in plan.splitlines() if "ReadSchema" in l)
+    assert "l_orderkey" not in read and "l_partkey" not in read
+    assert plan.count("HashAggregate") >= 2, "missing map-side partial agg"
+    assert "partial_" in plan
+
+
+def test_q5_broadcasts_dims_no_fact_shuffle(spark, sf_dir):
+    plan = plan_of(spark, sf_dir, "q5_region_revenue")
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan, "dim chain must broadcast, not shuffle"
+    # exactly one Exchange shuffles lineitem data: the final tiny agg
+    # (count detail-section nodes "(N) Exchange", not the tree echo)
+    import re
+
+    shuffles = re.findall(r"^\(\d+\) Exchange$", plan, flags=re.M)
+    assert len(shuffles) <= 1, f"unexpected extra shuffles: {shuffles}"
+
+
+def test_q3_broadcasts_filtered_customer(spark, sf_dir):
+    plan = plan_of(spark, sf_dir, "q3_top_orders")
+    assert "BroadcastHashJoin" in plan
+    assert "TakeOrderedAndProject" in plan or "Limit" in plan, \
+        "top-10 must not materialize the full sort"
+
+
+def test_groupby_queries_stay_jvm_side(spark, sf_dir):
+    # no Python evaluation in any hot path of the core operator queries
+    for name in ["group_sum", "group_mean", "group_var_std_sem",
+                 "group_quantile_linear", "group_cumsum", "group_rank",
+                 "asof_join", "dedup_exact", "token_stats"]:
+        plan = plan_of(spark, sf_dir, name)
+        for marker in ("BatchEvalPython", "ArrowEvalPython", "FlatMapGroupsInPandas"):
+            assert marker not in plan, f"{name}: Python in the hot path ({marker})"
+
+
+def test_window_transforms_share_one_sort_exchange(spark, sf_dir):
+    # cummin+cummax over the same (keys, order) must reuse a single
+    # shuffle+sort, not one per expression
+    plan = plan_of(spark, sf_dir, "group_cummin_cummax")
+    n_sorts = sum(1 for l in plan.splitlines() if l.strip().startswith("(")
+                  and ") Sort" in l)
+    n_exch = plan.count("Exchange hashpartitioning")
+    assert n_sorts <= 1, f"{n_sorts} sorts; window specs not shared"
+    assert n_exch <= 1, f"{n_exch} hash exchanges; window specs not shared"
+
+
+def test_scan_is_columnar_batched(spark, sf_dir):
+    plan = plan_of(spark, sf_dir, "group_sum")
+    assert "Batched: true" in plan, "parquet scan lost vectorized reading"
+
+
+def test_asof_join_single_shuffle(spark, sf_dir):
+    # union-sort as-of join: one hash exchange on the key for the
+    # window, nothing per-row exploding
+    plan = plan_of(spark, sf_dir, "asof_join")
+    assert plan.count("Exchange hashpartitioning") <= 2  # orders-dedup agg + window
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan
