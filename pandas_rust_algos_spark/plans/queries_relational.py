@@ -306,6 +306,134 @@ def rollup_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ------------------------------------------------------------------- cube
+
+
+@register(
+    "cube_revenue",
+    oracle=f"""
+    SELECT l_returnflag, l_linestatus,
+           {dsum(_REVENUE)} AS revenue, COUNT(*) AS n
+    FROM lineitem
+    GROUP BY CUBE(l_returnflag, l_linestatus)
+    """,
+)
+def cube_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE grouping sets (all key subsets) — one pass; Catalyst
+    expands to an Expand node feeding a single aggregation, not
+    2^k separate scans."""
+    (li,) = _t(spark, sf_dir, "lineitem")
+    rev = F.floor(
+        F.col("l_extendedprice") * (1 - F.col("l_discount")) * F.lit(1e6)
+    ).cast("long")
+    return (
+        li.cube("l_returnflag", "l_linestatus")
+        .agg((F.sum(rev).cast("double") / F.lit(1e6)).alias("revenue"),
+             F.count(F.lit(1)).alias("n"))
+    )
+
+
+# ---------------------------------------------------------------- set ops
+
+
+@register(
+    "set_ops",
+    oracle="""
+    SELECT c_custkey, 'both' AS tag FROM (
+      SELECT o_custkey AS c_custkey FROM orders WHERE o_orderpriority = '1-URGENT'
+      INTERSECT
+      SELECT o_custkey FROM orders WHERE o_orderpriority = '5-LOW'
+    )
+    UNION ALL
+    SELECT c_custkey, 'urgent_only' AS tag FROM (
+      SELECT o_custkey AS c_custkey FROM orders WHERE o_orderpriority = '1-URGENT'
+      EXCEPT
+      SELECT o_custkey FROM orders WHERE o_orderpriority = '5-LOW'
+    )
+    """,
+)
+def set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INTERSECT / EXCEPT (absent from the reference, SURVEY §2.3) —
+    Catalyst executes both as semi/anti joins over distinct sets."""
+    (od,) = _t(spark, sf_dir, "orders")
+    urgent = od.where(F.col("o_orderpriority") == "1-URGENT") \
+        .select(F.col("o_custkey").alias("c_custkey"))
+    low = od.where(F.col("o_orderpriority") == "5-LOW") \
+        .select(F.col("o_custkey").alias("c_custkey"))
+    both = urgent.intersect(low).select("c_custkey", F.lit("both").alias("tag"))
+    # subtract = EXCEPT DISTINCT (set semantics, like the SQL oracle);
+    # exceptAll would keep keys whose multiplicity merely differs
+    only = urgent.subtract(low) \
+        .select("c_custkey", F.lit("urgent_only").alias("tag"))
+    return both.unionByName(only)
+
+
+# ------------------------------------------------------------------- Q6
+
+
+@register(
+    "q6_forecast_revenue",
+    oracle=f"""
+    SELECT {dsum('l_extendedprice * l_discount')} AS revenue,
+           COUNT(*) AS n
+    FROM lineitem
+    WHERE l_discount BETWEEN 0.05 AND 0.07 AND l_quantity < 24
+    """,
+)
+def q6_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q6-shaped: pure filter + global agg — both range
+    predicates push to the parquet scan; zero shuffles beyond the
+    single-row final merge."""
+    (li,) = _t(spark, sf_dir, "lineitem")
+    return (
+        li.where(
+            F.col("l_discount").between(0.05, 0.07) & (F.col("l_quantity") < 24)
+        )
+        .agg(
+            (F.sum(F.floor(F.col("l_extendedprice") * F.col("l_discount")
+                           * F.lit(1e6)).cast("long"))
+             .cast("double") / F.lit(1e6)).alias("revenue"),
+            F.count(F.lit(1)).alias("n"),
+        )
+    )
+
+
+# ------------------------------------------------------------ salted agg
+
+
+@register(
+    "group_sum_salted",
+    oracle=f"""
+    SELECT l_returnflag,
+           {dsum('l_quantity')} AS sum_qty,
+           COUNT(l_quantity) AS n
+    FROM lineitem GROUP BY l_returnflag
+    """,
+)
+def group_sum_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew-safe two-phase salted aggregation
+    (operators/skew_handling.py): 3 whale groups over 600k rows —
+    exactly the tiny-group/hot-key shape where one reducer would
+    otherwise absorb a whole group. Fixed-point sums make the
+    two-phase merge bit-identical to the direct aggregation."""
+    from pandas_rust_algos_spark.operators.skew_handling import salted_agg
+
+    (li,) = _t(spark, sf_dir, "lineitem")
+    fx = li.withColumn(
+        "qty_fx", F.floor(F.col("l_quantity") * F.lit(1e6)).cast("long")
+    )
+    out = salted_agg(
+        fx, "l_returnflag",
+        {"sum_fx": ("sum", "qty_fx"), "n": ("count", "qty_fx")},
+        num_salts=32,
+    )
+    return out.select(
+        "l_returnflag",
+        (F.col("sum_fx").cast("double") / F.lit(1e6)).alias("sum_qty"),
+        "n",
+    )
+
+
 # ----------------------------------------------------- distinct aggregation
 
 

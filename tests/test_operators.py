@@ -333,3 +333,34 @@ def test_empty_input_all_operators(spark):
     assert ga.group_quantile(empty, "k", "v", [0.5]).count() == 0
     assert gt.group_cumsum(empty, "k", ["ord"], ["v"]).count() == 0
     assert gt.group_rank(empty, "k", "v").count() == 0
+
+
+# ---------------------------------------------------------- salted agg
+
+
+def test_salted_agg_matches_direct(spark):
+    from pandas_rust_algos_spark.operators.skew_handling import salted_agg
+
+    # whale key: 10k rows on one key, 3 rows on another
+    df = spark.range(10_000).select(
+        F.lit("whale").alias("k"), F.col("id").alias("v")
+    ).unionByName(
+        spark.range(3).select(F.lit("minnow").alias("k"), F.col("id").alias("v"))
+    )
+    out = salted_agg(
+        df, "k",
+        {"s": ("sum", "v"), "n": ("count", "v"),
+         "lo": ("min", "v"), "hi": ("max", "v")},
+        num_salts=8,
+    )
+    got = {r["k"]: (r["s"], r["n"], r["lo"], r["hi"]) for r in out.collect()}
+    assert got["whale"] == (49_995_000, 10_000, 0, 9_999)
+    assert got["minnow"] == (3, 3, 0, 2)
+
+
+def test_salted_agg_rejects_non_mergeable(spark):
+    from pandas_rust_algos_spark.operators.skew_handling import salted_agg
+
+    df = spark.createDataFrame([("a", 1.0)], "k string, v double")
+    with pytest.raises(ValueError):
+        salted_agg(df, "k", {"m": ("median", "v")})
