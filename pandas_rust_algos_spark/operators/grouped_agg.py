@@ -54,6 +54,9 @@ __all__ = [
     "group_any_all",
     "group_median",
     "group_quantile",
+    "group_quantile_approx",
+    "group_nunique",
+    "group_nunique_approx",
 ]
 
 
@@ -517,3 +520,69 @@ def group_quantile(
         agged.select(*keys, F.explode(pairs).alias("__p"))
         .select(*keys, F.col("__p.q").alias("q"), F.col("__p.quantile").alias("quantile"))
     )
+
+
+def group_quantile_approx(
+    df: DataFrame,
+    keys: Sequence[str] | str,
+    value: str,
+    qs: Sequence[float],
+    *,
+    accuracy: int = 10_000,
+    dropna_keys: bool = True,
+) -> DataFrame:
+    """Approximate per-group quantiles — the 100 TB scale path.
+
+    Exact quantiles need a per-group sort (``group_quantile``); this
+    uses Spark's mergeable approx_percentile sketch: one pass, fixed
+    memory per group, error <= 1/accuracy in *rank* space — the right
+    trade at petabyte scale or inside streaming state. Same long-form
+    output as :func:`group_quantile` so callers can swap exactness for
+    scan speed without plan changes downstream.
+    """
+    keys = _cols(keys)
+    df = _prep(df, keys, dropna_keys)
+    c = _nn(df, value)
+    agged = df.groupBy(*keys).agg(
+        F.percentile_approx(c, list(map(float, qs)), accuracy).alias("__qa")
+    )
+    pairs = F.array(*[
+        F.struct(F.lit(float(q)).alias("q"), F.col("__qa")[i].alias("quantile"))
+        for i, q in enumerate(qs)
+    ])
+    return (
+        agged.select(*keys, F.explode(pairs).alias("__p"))
+        .select(*keys, "__p.q", "__p.quantile")
+    )
+
+
+def group_nunique(
+    df: DataFrame,
+    keys: Sequence[str] | str,
+    values: Sequence[str] | str,
+    *,
+    dropna_keys: bool = True,
+) -> DataFrame:
+    """Exact distinct count per group (pandas ``nunique``). Catalyst
+    expands to a two-phase distinct+count; exact but shuffles the
+    distinct value space."""
+    return _agg_per_value(df, _cols(keys), values,
+                          lambda c, v: F.countDistinct(c),
+                          dropna_keys=dropna_keys)
+
+
+def group_nunique_approx(
+    df: DataFrame,
+    keys: Sequence[str] | str,
+    values: Sequence[str] | str,
+    *,
+    rsd: float = 0.01,
+    dropna_keys: bool = True,
+) -> DataFrame:
+    """Approximate distinct count (HyperLogLog++) — the scale path for
+    high-cardinality columns: fixed sketch memory per (group, column),
+    single pass, mergeable across partitions (no distinct-value
+    shuffle), relative error ``rsd``."""
+    return _agg_per_value(df, _cols(keys), values,
+                          lambda c, v: F.approx_count_distinct(c, rsd),
+                          dropna_keys=dropna_keys)

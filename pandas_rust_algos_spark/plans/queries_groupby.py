@@ -375,6 +375,28 @@ register("group_quantile_midpoint", oracle=_quantile_mode_oracle("(vlo + vhi) / 
     _quantile_mode_query("midpoint"))
 
 
+# ----------------------------------------------------- approx scale path
+
+
+@register("group_approx_stats")
+def group_approx_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate aggregations — the petabyte path: HLL++ distinct
+    counts (fixed sketch memory, no distinct-value shuffle) and
+    approx_percentile (mergeable rank sketch, no per-group sort).
+    Engine-specific sketches → rows-only check; accuracy vs the exact
+    operators is asserted in tests/test_operators.py."""
+    li = _li(spark, sf_dir)
+    nun = ga.group_nunique_approx(li, "l_returnflag", ["l_partkey"])
+    qa = ga.group_quantile_approx(li, "l_returnflag", "l_extendedprice",
+                                  [0.5, 0.95])
+    return nun.withColumnRenamed("l_partkey", "approx_nparts").join(
+        qa.groupBy("l_returnflag").pivot("q", ["0.5", "0.95"])
+        .agg(F.first("quantile")).withColumnsRenamed(
+            {"0.5": "approx_p50", "0.95": "approx_p95"}),
+        "l_returnflag",
+    )
+
+
 # --------------------------------------------------------- first/last/nth
 
 

@@ -364,3 +364,33 @@ def test_salted_agg_rejects_non_mergeable(spark):
     df = spark.createDataFrame([("a", 1.0)], "k string, v double")
     with pytest.raises(ValueError):
         salted_agg(df, "k", {"m": ("median", "v")})
+
+
+# ----------------------------------------------------- approx scale path
+
+
+def test_approx_quantile_within_rank_error(spark):
+    df = spark.range(10_000).select(
+        (F.col("id") % 4).cast("string").alias("k"),
+        F.col("id").cast("double").alias("v"),
+    )
+    exact = ga.group_quantile(df, "k", "v", [0.5])
+    approx = ga.group_quantile_approx(df, "k", "v", [0.5], accuracy=10_000)
+    e = {r["k"]: r["quantile"] for r in exact.collect()}
+    a = {r["k"]: r["quantile"] for r in approx.collect()}
+    for k in e:
+        # 2500 values/group, accuracy 10k -> rank error < 1 element but
+        # approx picks an actual element (no interpolation): allow one step
+        assert abs(a[k] - e[k]) <= 4.0, (k, a[k], e[k])
+
+
+def test_approx_nunique_within_rsd(spark):
+    df = spark.range(50_000).select(
+        (F.col("id") % 2).cast("string").alias("k"),
+        (F.col("id") % 9973).alias("v"),
+    )
+    exact = {r["k"]: r["v"] for r in ga.group_nunique(df, "k", ["v"]).collect()}
+    approx = {r["k"]: r["v"] for r in
+              ga.group_nunique_approx(df, "k", ["v"], rsd=0.01).collect()}
+    for k in exact:
+        assert abs(approx[k] - exact[k]) / exact[k] < 0.05
