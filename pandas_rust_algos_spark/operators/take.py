@@ -29,21 +29,51 @@ __all__ = ["with_position", "take_1d", "take_columns"]
 
 
 def with_position(
-    df: DataFrame, order: Sequence[str] | str, *, pos_col: str = "pos"
+    df: DataFrame,
+    order: Sequence[str] | str,
+    *,
+    pos_col: str = "pos",
+    scalable: bool = True,
 ) -> DataFrame:
-    """Attach a 0-based position column defined by a total order.
+    """Attach a dense 0-based position column defined by a total order.
 
-    A global ``row_number`` over an un-partitioned window serializes
-    through one task; for the gather semantics we only need a *stable,
-    dense* numbering, so at scale prefer ``zipWithIndex``-style
-    numbering: per-partition ``row_number`` + cumulative partition
-    offsets. Implemented here with the window over ``order`` for exact
-    reference parity (positions == sort order), which is fine up to
-    ~10^8 rows; swap in the offset variant for larger inputs.
+    ``scalable=True`` (default) is the distributed numbering:
+    range-partition on the order columns (each partition then holds a
+    contiguous key range), number rows *within* each partition, and add
+    per-partition offsets computed from a tiny partition-counts
+    aggregate joined back by broadcast. Every step is partition-
+    parallel; nothing funnels through one task.
+
+    ``scalable=False`` is the textbook global ``row_number()`` over an
+    un-partitioned window — simpler plan, but Spark moves every row
+    into a single task for the window, which caps at ~10^8 rows;
+    equality of the two paths is unit-tested.
     """
     order = [order] if isinstance(order, str) else list(order)
-    w = Window.orderBy(*[F.col(o) for o in order])
-    return df.withColumn(pos_col, F.row_number().over(w) - 1)
+    ocols = [F.col(o) for o in order]
+    if not scalable:
+        w = Window.orderBy(*ocols)
+        return df.withColumn(pos_col, F.row_number().over(w) - 1)
+
+    part = df.repartitionByRange(*ocols).withColumn(
+        "__pid", F.spark_partition_id()
+    )
+    # per-partition row number (local sort only — the range partitioner
+    # already made partitions globally ordered)
+    wlocal = Window.partitionBy("__pid").orderBy(*ocols)
+    part = part.withColumn("__rn", F.row_number().over(wlocal))
+    # cumulative offset of each partition: tiny (one row per partition),
+    # so the global-window cumsum over it is cheap, and the join back is
+    # a broadcast — no second shuffle of the data
+    counts = part.groupBy("__pid").agg(F.count(F.lit(1)).alias("__n"))
+    offsets = counts.withColumn(
+        "__off", F.sum("__n").over(Window.orderBy("__pid")) - F.col("__n")
+    ).select("__pid", "__off")
+    return (
+        part.join(F.broadcast(offsets), "__pid")
+        .withColumn(pos_col, (F.col("__rn") + F.col("__off") - 1).cast("long"))
+        .drop("__pid", "__rn", "__off")
+    )
 
 
 def take_1d(

@@ -68,6 +68,33 @@ def tumbling_counts(stream: DataFrame, *, watermark: str = "2 hours") -> DataFra
     )
 
 
+def session_counts(
+    stream: DataFrame,
+    *,
+    gap: str = "30 minutes",
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Watermarked session windows (30-min inactivity gap) per user —
+    the streaming twin of the batch gaps-and-islands `events_sessionize`.
+
+    ``F.session_window`` is Spark's native stateful session operator:
+    state per (user, open session), closed and emitted when the
+    watermark passes gap past the last event — bounded state, no custom
+    ``applyInPandasWithState`` needed for count/sum aggregates (reach
+    for that API only when per-session logic exceeds SQL aggregates).
+    """
+    return (
+        stream.withWatermark("ts", watermark)
+        .groupBy(F.session_window("ts", gap).alias("w"), "user_id")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            "user_id",
+            F.date_format("w.start", "yyyy-MM-dd HH:mm:ss").alias("session_start"),
+            "n_events",
+        )
+    )
+
+
 def run_available_now(agged: DataFrame, *, table: str = "stream_out") -> DataFrame:
     """Drain all available input through the streaming query into an
     in-memory sink and return the result as a DataFrame (test/backfill

@@ -394,3 +394,17 @@ def test_approx_nunique_within_rsd(spark):
               ga.group_nunique_approx(df, "k", ["v"], rsd=0.01).collect()}
     for k in exact:
         assert abs(approx[k] - exact[k]) / exact[k] < 0.05
+
+
+# -------------------------------------------------- scalable positioning
+
+
+def test_with_position_scalable_matches_window(spark):
+    df = spark.range(5_000).select(
+        (F.col("id") * 37 % 5_000).alias("a"), F.col("id").alias("b")
+    ).repartition(16)
+    slow = {(r["a"], r["b"]): r["pos"]
+            for r in tk.with_position(df, ["a", "b"], scalable=False).collect()}
+    fast = {(r["a"], r["b"]): r["pos"]
+            for r in tk.with_position(df, ["a", "b"], scalable=True).collect()}
+    assert fast == slow

@@ -22,3 +22,18 @@ def test_streaming_tumbling_matches_batch(spark, sf_dir):
     s_rows = sorted(map(tuple, streamed.collect()))
     b_rows = sorted(map(tuple, batch.collect()))
     assert s_rows == b_rows
+
+
+def test_streaming_sessions_match_batch_islands(spark, sf_dir):
+    """session_window (streaming stateful sessions) must agree with the
+    batch gaps-and-islands sessionization on (user, session) counts."""
+    stream = se.read_events_stream(spark, sf_dir)
+    streamed = se.run_available_now(
+        se.session_counts(stream), table="t_stream_sessions"
+    )
+    s = sorted(
+        (r["user_id"], r["n_events"]) for r in streamed.collect()
+    )
+    batch = registry.get("events_sessionize").fn(spark, sf_dir)
+    b = sorted((r["user_id"], r["n_events"]) for r in batch.collect())
+    assert s == b
