@@ -265,6 +265,20 @@ def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
                       F.col("rank").cast("long").alias("rank"))
 
 
+@register("ann_ivf_topk")
+def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate NN via IVF (k-means coarse quantizer, 4-of-16 cell
+    probes) — the data-adaptive ANN tier; recall vs brute force
+    asserted in tests/test_similarity.py."""
+    emb = _emb(spark, sf_dir)
+    queries = emb.where(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    out = sim.ivf_topk(emb, queries, k=5)
+    return out.select("query_id", "vec_id", "sim",
+                      F.col("rank").cast("long").alias("rank"))
+
+
 @register(
     "embedding_near_dupes",
     oracle="""

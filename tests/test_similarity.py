@@ -76,3 +76,15 @@ def test_lsh_sims_are_exact_within_candidates(spark, emb, queries):
     }
     for r in sim.lsh_topk(emb, queries, k=K).collect():
         assert brute[(r["query_id"], r["vec_id"])] == r["sim"]
+
+
+def test_ivf_recall_vs_bruteforce(spark, emb, queries):
+    brute = numpy_topk(emb.toPandas())
+    approx = {}
+    for r in sim.ivf_topk(emb, queries, k=K, n_cells=16, n_probe=4).collect():
+        approx.setdefault(r["query_id"], set()).add(r["vec_id"])
+    recalls = [len(approx.get(q, set()) & set(brute[q])) / K for q in brute]
+    mean_recall = sum(recalls) / len(recalls)
+    # probing 4 of 16 data-adapted cells: recall far above the 25%
+    # corpus fraction scanned
+    assert mean_recall >= 0.4, f"mean recall {mean_recall:.2f}"
