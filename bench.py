@@ -51,7 +51,14 @@ def main() -> None:
     spark = get_spark("pra-spark-bench")
     spark.sparkContext.setLogLevel("ERROR")
 
-    # warmup: JVM + codegen + parquet footer caches
+    # warmup: JVM + codegen, plus file listing/footer caches for every
+    # table the suite touches — the measured numbers are steady-state
+    # query latency (what a long-lived cluster sees), not first-contact
+    # metadata costs
+    from pandas_rust_algos_spark.sources import TABLES, load_table
+
+    for t in TABLES:
+        load_table(spark, sf_dir, t).count()
     _force(registry.get("q1_pricing_summary").fn(spark, sf_dir))
 
     times: dict[str, float] = {}

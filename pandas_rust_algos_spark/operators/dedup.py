@@ -153,8 +153,16 @@ def minhash_near_dupes(
 ) -> DataFrame:
     """End-to-end MinHash near-dup detection: signatures → LSH
     candidates → estimated jaccard (fraction of agreeing minhashes)
-    filtered at ``threshold``."""
+    filtered at ``threshold``.
+
+    The signature table is persisted: it feeds candidate banding AND
+    both sides of the estimate join, and Catalyst does not materialize
+    common subplans — without the persist the full shingle+hash
+    pipeline runs three times (measured 2.5× slower at sf0.1).
+    Signatures are tiny (num_hashes longs per doc), so MEMORY_AND_DISK
+    is safe at any corpus size."""
     sigs = minhash_signatures(df, id_col, text_col, k=k, num_hashes=num_hashes)
+    sigs = sigs.persist()
     cand = minhash_candidates(sigs, id_col, bands=bands,
                               rows_per_band=num_hashes // bands)
     sa = sigs.select(F.col(id_col).alias("id_a"), F.col("sig").alias("sig_a"))
@@ -219,7 +227,8 @@ def simhash_near_dupes(
     """Near-dup pairs by SimHash hamming distance ≤ max_hamming.
     Candidates via 16-bit chunk banding (pigeonhole: distance ≤ 3 ⇒ at
     least one of 4 chunks identical), verified with bit_count(xor)."""
-    fps = simhash(df, id_col, text_col)
+    # persist: fingerprints feed both join sides (one long per doc)
+    fps = simhash(df, id_col, text_col).persist()
     chunks = fps.select(
         F.col(id_col),
         F.col("simhash"),
@@ -267,6 +276,10 @@ def ngram_jaccard_pairs(
         F.col(id_col), F.col(block_col).alias("blk"),
         F.explode(shingles(text_col, k)).alias("g"),
     )
+    # persist: the gram table feeds sizes + both sides of the pair join;
+    # unlike signatures it scales with total shingles, so spilling to
+    # disk (persist default) matters at large corpora
+    grams = grams.persist()
     sizes = grams.groupBy(id_col).agg(F.count(F.lit(1)).alias("n"))
     ga = grams.select(F.col(id_col).alias("id_a"), "blk", "g")
     gb = grams.select(F.col(id_col).alias("id_b"), "blk", "g")

@@ -47,6 +47,8 @@ __all__ = [
     "group_shift",
     "group_fillna",
     "group_rank",
+    "group_diff",
+    "group_pct_change",
 ]
 
 
@@ -356,3 +358,50 @@ def group_rank(
     if pct:
         r = r / denom
     return df.withColumn(out_col, r)
+
+
+def group_diff(
+    df: DataFrame,
+    keys: Sequence[str] | str,
+    order: Sequence[str] | str,
+    values: Sequence[str] | str,
+    *,
+    periods: int = 1,
+    out_suffix: str = "_diff",
+) -> DataFrame:
+    """Per-group discrete difference (pandas ``diff``): v - shift(v, periods).
+    NULL where the shifted slot is out of the group (or either side NA)."""
+    w = Window.partitionBy(*_cols(keys)).orderBy(*_cols(order))
+    out = df
+    for v in _cols(values):
+        c = na_normalize(v, floating=_is_floating(df, v))
+        prev = F.lag(c, periods).over(w) if periods >= 0 \
+            else F.lead(c, -periods).over(w)
+        out = out.withColumn(f"{v}{out_suffix}", c - prev)
+    return out
+
+
+def group_pct_change(
+    df: DataFrame,
+    keys: Sequence[str] | str,
+    order: Sequence[str] | str,
+    values: Sequence[str] | str,
+    *,
+    periods: int = 1,
+    out_suffix: str = "_pct",
+) -> DataFrame:
+    """Per-group relative change (pandas ``pct_change``):
+    v / shift(v, periods) - 1. Division by zero yields NULL (pandas
+    emits inf; NULL is the engine's NA convention — documented
+    deviation, matching SQL semantics)."""
+    w = Window.partitionBy(*_cols(keys)).orderBy(*_cols(order))
+    out = df
+    for v in _cols(values):
+        c = na_normalize(v, floating=_is_floating(df, v))
+        prev = F.lag(c, periods).over(w) if periods >= 0 \
+            else F.lead(c, -periods).over(w)
+        out = out.withColumn(
+            f"{v}{out_suffix}",
+            F.when(prev != 0, c / prev - 1),
+        )
+    return out

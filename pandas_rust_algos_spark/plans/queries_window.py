@@ -289,6 +289,39 @@ def group_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
                       "rank_pct")
 
 
+# --------------------------------------------------------- diff/pct_change
+
+
+@register(
+    "group_diff_pct",
+    oracle=f"""
+    SELECT {_ROWKEY},
+           l_quantity - LAG(l_quantity, 1) OVER
+             (PARTITION BY l_suppkey ORDER BY l_orderkey, l_linenumber,
+              l_quantity, l_extendedprice) AS qty_diff,
+           CASE WHEN LAG(l_quantity, 1) OVER
+             (PARTITION BY l_suppkey ORDER BY l_orderkey, l_linenumber,
+              l_quantity, l_extendedprice) <> 0
+             THEN l_quantity / LAG(l_quantity, 1) OVER
+               (PARTITION BY l_suppkey ORDER BY l_orderkey, l_linenumber,
+                l_quantity, l_extendedprice) - 1 END AS qty_pct
+    FROM lineitem
+    """,
+)
+def group_diff_pct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """pandas diff / pct_change as lag compositions over the shared
+    window (division is a scalar double op — deterministic
+    cross-engine)."""
+    li = _li(spark, sf_dir)
+    out = gt.group_diff(li, "l_suppkey", _ORDER, ["l_quantity"])
+    out = gt.group_pct_change(out, "l_suppkey", _ORDER, ["l_quantity"])
+    return out.select(
+        "l_orderkey", "l_linenumber",
+        F.col("l_quantity_diff").alias("qty_diff"),
+        F.col("l_quantity_pct").alias("qty_pct"),
+    )
+
+
 # ---------------------------------------------------------------- cumcount
 
 

@@ -408,3 +408,23 @@ def test_with_position_scalable_matches_window(spark):
     fast = {(r["a"], r["b"]): r["pos"]
             for r in tk.with_position(df, ["a", "b"], scalable=True).collect()}
     assert fast == slow
+
+
+# ------------------------------------------------------- diff/pct_change
+
+
+def test_diff_and_pct_change(spark):
+    df = spark.createDataFrame(
+        [("g", 1, 10.0), ("g", 2, 15.0), ("g", 3, 0.0), ("g", 4, 5.0),
+         ("h", 1, 2.0)],
+        "k string, ord int, v double",
+    )
+    d = gt.group_diff(df, "k", ["ord"], ["v"])
+    got = {(r["k"], r["ord"]): r["v_diff"] for r in d.collect()}
+    assert got[("g", 1)] is None and got[("g", 2)] == 5.0
+    assert got[("g", 3)] == -15.0 and got[("g", 4)] == 5.0
+    assert got[("h", 1)] is None  # group boundary
+    p = gt.group_pct_change(df, "k", ["ord"], ["v"])
+    gotp = {(r["k"], r["ord"]): r["v_pct"] for r in p.collect()}
+    assert gotp[("g", 2)] == 0.5
+    assert gotp[("g", 4)] is None  # prev == 0 -> NULL (not inf)
