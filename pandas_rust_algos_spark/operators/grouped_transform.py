@@ -343,9 +343,13 @@ def group_rank(
     elif method == "min":
         r = F.rank().over(w).cast("double")
     else:
-        # max = rank + ties - 1 ; average = (min + max) / 2
+        # max = rank + ties - 1 ; average = (min + max) / 2.
+        # ties = size of the peers frame (RANGE CURRENT ROW..CURRENT ROW
+        # = rows equal on the order key) — shares the (keys, value)
+        # shuffle+sort of the rank window instead of forcing a second
+        # exchange partitioned by (keys, value)
         ties = F.count(F.lit(1)).over(
-            Window.partitionBy(*keys, F.when(c.isNull(), F.lit("__na")).otherwise(c.cast("string")))
+            w.rangeBetween(Window.currentRow, Window.currentRow)
         )
         rmin = F.rank().over(w).cast("double")
         r = rmin + (ties - 1) if method == "max" else rmin + (ties - 1) / 2.0

@@ -107,8 +107,10 @@ def q3_top_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders⨝lineitem, aggregate revenue, deterministic top-10
     (revenue DESC, orderkey ASC tie-break)."""
     cu, od, li = _t(spark, sf_dir, "customer", "orders", "lineitem")
-    seg = cu.agg(F.min("c_mktsegment")).collect()[0][0]  # scalar param, tiny
-    cust = cu.where(F.col("c_mktsegment") == seg).select("c_custkey")
+    # scalar subquery as a broadcast join (no driver-side collect job):
+    # the 1-row min-segment aggregate joins into the customer filter
+    min_seg = cu.agg(F.min("c_mktsegment").alias("c_mktsegment"))
+    cust = cu.join(F.broadcast(min_seg), "c_mktsegment").select("c_custkey")
     rev = F.floor(
         F.col("l_extendedprice") * (1 - F.col("l_discount")) * F.lit(1e6)
     ).cast("long")
