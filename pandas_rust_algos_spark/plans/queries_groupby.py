@@ -444,6 +444,43 @@ def group_nth(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.withColumnRenamed("v", "nth_v")
 
 
+# ------------------------------------------------- PyObject (string) path
+
+
+@register(
+    "group_first_last_string",
+    oracle="""
+    WITH e AS (
+      SELECT user_id, event_id,
+             CASE WHEN event_id % 11 = 0 THEN NULL ELSE event_type END AS et
+      FROM events
+    )
+    SELECT user_id,
+           MIN_BY(et, event_id) FILTER (WHERE et IS NOT NULL) AS first_type,
+           MAX_BY(et, event_id) FILTER (WHERE et IS NOT NULL) AS last_type,
+           COUNT(DISTINCT et) AS n_types
+    FROM e GROUP BY user_id
+    """,
+)
+def group_first_last_string(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reference's PyObject kernels (`group_last_pyobject` /
+    `group_nth_pyobject`, `groupby.rs:1746-2007`) exist because Rust
+    can't monomorphize over Python objects; Spark strings are native
+    columnar — same operators, no special path."""
+    tune(spark)
+    ev = load_table(spark, sf_dir, "events").withColumn(
+        "et", F.when(F.col("event_id") % 11 == 0, F.lit(None))
+        .otherwise(F.col("event_type"))
+    )
+    firsts = ga.group_first(ev, "user_id", ["et"], "event_id") \
+        .withColumnRenamed("et", "first_type")
+    lasts = ga.group_last(ev, "user_id", ["et"], "event_id") \
+        .withColumnRenamed("et", "last_type")
+    nuniq = ga.group_nunique(ev, "user_id", ["et"]) \
+        .withColumnRenamed("et", "n_types")
+    return firsts.join(lasts, "user_id").join(nuniq, "user_id")
+
+
 # ------------------------------------------------------------------ ohlc
 
 
