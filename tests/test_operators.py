@@ -428,3 +428,47 @@ def test_diff_and_pct_change(spark):
     gotp = {(r["k"], r["ord"]): r["v_pct"] for r in p.collect()}
     assert gotp[("g", 2)] == 0.5
     assert gotp[("g", 4)] is None  # prev == 0 -> NULL (not inf)
+
+
+# --------------------------------------------------- dtypes / datetimelike
+
+
+def test_widen_unsigned_u64_roundtrip(spark):
+    from decimal import Decimal
+
+    from pandas_rust_algos_spark.functions.dtypes import widen_unsigned
+
+    # max u64 does not fit a long; decimal(20,0) holds it exactly
+    df = spark.createDataFrame([("18446744073709551615",)], "v string")
+    out = df.select(widen_unsigned("v", "uint64").alias("w"))
+    assert out.collect()[0]["w"] == Decimal(18446744073709551615)
+    assert dict(out.dtypes)["w"] == "decimal(20,0)"
+    with pytest.raises(ValueError):
+        widen_unsigned("v", "int32")
+
+
+def test_nat_sentinel_to_null(spark):
+    from pandas_rust_algos_spark.functions.dtypes import nat_to_null
+
+    df = spark.createDataFrame(
+        [(1, 1_000_000), (2, -(2 ** 63))], "id int, epoch long"
+    )
+    out = df.select("id", F.timestamp_micros(nat_to_null("epoch")).alias("ts"))
+    got = {r["id"]: r["ts"] for r in out.collect()}
+    assert got[1] is not None and got[2] is None
+
+
+def test_transforms_on_timestamps(spark):
+    # the reference rides datetimes on i64+NaT; here they're native —
+    # shift/cummax/fillna must work on TimestampType directly
+    import datetime as dt
+
+    base = dt.datetime(2024, 1, 1)
+    rows = [("g", i, base + dt.timedelta(hours=i)) for i in range(3)]
+    df = spark.createDataFrame(rows, "k string, ord int, ts timestamp")
+    sh = gt.group_shift(df, "k", ["ord"], ["ts"], periods=1)
+    got = {r["ord"]: r["ts_shift"] for r in sh.collect()}
+    assert got[0] is None and got[1] == base
+    cm = gt.group_cummax(df, "k", ["ord"], ["ts"])
+    gotc = {r["ord"]: r["ts_cummax"] for r in cm.collect()}
+    assert gotc[2] == base + dt.timedelta(hours=2)
