@@ -1,7 +1,21 @@
 from pandas_rust_algos_spark.operators import (
+    dedup,
     grouped_agg,
     grouped_transform,
+    multimodal,
+    similarity,
+    skew_handling,
     take,
+    text,
 )
 
-__all__ = ["grouped_agg", "grouped_transform", "take"]
+__all__ = [
+    "grouped_agg",
+    "grouped_transform",
+    "take",
+    "dedup",
+    "similarity",
+    "text",
+    "multimodal",
+    "skew_handling",
+]
