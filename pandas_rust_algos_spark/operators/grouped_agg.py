@@ -57,6 +57,9 @@ __all__ = [
     "group_quantile_approx",
     "group_nunique",
     "group_nunique_approx",
+    "group_idxmax",
+    "group_idxmin",
+    "group_mode",
 ]
 
 
@@ -586,3 +589,60 @@ def group_nunique_approx(
     return _agg_per_value(df, _cols(keys), values,
                           lambda c, v: F.approx_count_distinct(c, rsd),
                           dropna_keys=dropna_keys)
+
+
+def group_idxmax(
+    df: DataFrame,
+    keys: Sequence[str] | str,
+    value: str,
+    idx: str,
+    *,
+    maximize: bool = True,
+    dropna_keys: bool = True,
+) -> DataFrame:
+    """pandas ``idxmax``/``idxmin``: the index label of the group's
+    extreme value. One aggregate — ``max_by``/``min_by`` on a
+    (value, -idx) struct so ties break to the smallest index
+    deterministically (pandas returns the first occurrence)."""
+    keys = _cols(keys)
+    df = _prep(df, keys, dropna_keys)
+    c = _nn(df, value)
+    picker = F.max_by if maximize else F.min_by
+    # tie-break: among equal values pick smallest idx -> order by
+    # (value, -idx) for max, (value, idx) for min
+    tiebreak = F.struct(c.alias("v"), (-F.col(idx)).alias("ti")) if maximize \
+        else F.struct(c.alias("v"), F.col(idx).alias("ti"))
+    return df.groupBy(*keys).agg(
+        picker(F.col(idx), F.when(c.isNotNull(), tiebreak)).alias(f"{value}_idx")
+    )
+
+
+def group_idxmin(df, keys, value, idx, *, dropna_keys: bool = True):
+    return group_idxmax(df, keys, value, idx, maximize=False,
+                        dropna_keys=dropna_keys)
+
+
+def group_mode(
+    df: DataFrame,
+    keys: Sequence[str] | str,
+    value: str,
+    *,
+    dropna_keys: bool = True,
+) -> DataFrame:
+    """Most frequent value per group, smallest-value tie-break (Spark's
+    and DuckDB's native ``mode`` both break ties arbitrarily — useless
+    under a deterministic oracle). Two aggregations: value counts, then
+    argmax by (count desc, value asc) via ``min_by`` on a sortable
+    struct."""
+    keys = _cols(keys)
+    df = _prep(df, keys, dropna_keys)
+    c = _nn(df, value)
+    counts = (
+        df.where(c.isNotNull())
+        .groupBy(*keys, c.alias("__v"))
+        .agg(F.count(F.lit(1)).alias("__n"))
+    )
+    return counts.groupBy(*keys).agg(
+        F.min_by("__v", F.struct((-F.col("__n")).alias("neg"),
+                                 F.col("__v").alias("v"))).alias(f"{value}_mode")
+    )

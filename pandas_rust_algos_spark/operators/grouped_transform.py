@@ -49,6 +49,7 @@ __all__ = [
     "group_rank",
     "group_diff",
     "group_pct_change",
+    "rolling_agg",
 ]
 
 
@@ -408,4 +409,45 @@ def group_pct_change(
             f"{v}{out_suffix}",
             F.when(prev != 0, c / prev - 1),
         )
+    return out
+
+
+def rolling_agg(
+    df: DataFrame,
+    keys: Sequence[str] | str,
+    order: Sequence[str] | str,
+    values: Sequence[str] | str,
+    *,
+    window: int,
+    aggs: Sequence[str] = ("mean",),
+    min_periods: int | None = None,
+    out_fmt: str = "{v}_roll_{a}",
+) -> DataFrame:
+    """pandas ``rolling(window, min_periods)`` over ordered groups:
+    trailing row-count frames (window-1 preceding .. current).
+
+    min_periods (default = window) NULLs positions whose frame holds
+    fewer non-null observations — expressed as a count over the same
+    frame, so every rolling expression for one (keys, order, window)
+    shares a single Sort+Exchange.
+    """
+    _AGGS = {"mean": F.avg, "sum": F.sum, "min": F.min, "max": F.max,
+             "std": F.stddev_samp, "count": F.count}
+    bad = set(aggs) - set(_AGGS)
+    if bad:
+        raise ValueError(f"unsupported rolling aggs {sorted(bad)}; "
+                         f"choose from {sorted(_AGGS)}")
+    mp = window if min_periods is None else min_periods
+    w = (
+        Window.partitionBy(*_cols(keys))
+        .orderBy(*_cols(order))
+        .rowsBetween(-(window - 1), Window.currentRow)
+    )
+    out = df
+    for v in _cols(values):
+        c = na_normalize(v, floating=_is_floating(df, v))
+        nobs = F.count(c).over(w)
+        for a in aggs:
+            expr = F.when(nobs >= mp, _AGGS[a](c).over(w))
+            out = out.withColumn(out_fmt.format(v=v, a=a), expr)
     return out

@@ -444,6 +444,54 @@ def group_nth(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.withColumnRenamed("v", "nth_v")
 
 
+# ---------------------------------------------------- idxmax/idxmin/mode
+
+
+@register(
+    "group_idx_mode",
+    oracle="""
+    WITH ranked AS (
+      SELECT o_custkey, o_orderkey, o_totalprice,
+             ROW_NUMBER() OVER (PARTITION BY o_custkey
+                                ORDER BY o_totalprice DESC, o_orderkey) AS rmax,
+             ROW_NUMBER() OVER (PARTITION BY o_custkey
+                                ORDER BY o_totalprice ASC, o_orderkey) AS rmin
+      FROM orders
+    ), prio AS (
+      SELECT o_custkey, o_orderpriority, COUNT(*) AS n FROM orders
+      GROUP BY o_custkey, o_orderpriority
+    ), pmode AS (
+      SELECT o_custkey, o_orderpriority,
+             ROW_NUMBER() OVER (PARTITION BY o_custkey
+                                ORDER BY n DESC, o_orderpriority) AS r
+      FROM prio
+    )
+    SELECT mx.o_custkey,
+           mx.o_orderkey AS price_idxmax,
+           mn.o_orderkey AS price_idxmin,
+           pm.o_orderpriority AS prio_mode
+    FROM (SELECT o_custkey, o_orderkey FROM ranked WHERE rmax = 1) mx
+    JOIN (SELECT o_custkey, o_orderkey FROM ranked WHERE rmin = 1) mn
+      USING (o_custkey)
+    JOIN (SELECT o_custkey, o_orderpriority FROM pmode WHERE r = 1) pm
+      USING (o_custkey)
+    """,
+)
+def group_idx_mode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """pandas idxmax/idxmin (first-occurrence tie-break) and a
+    deterministic mode (count desc, value asc) — all single-aggregate
+    compositions, no window over the full table."""
+    tune(spark)
+    od = load_table(spark, sf_dir, "orders")
+    mx = ga.group_idxmax(od, "o_custkey", "o_totalprice", "o_orderkey") \
+        .withColumnRenamed("o_totalprice_idx", "price_idxmax")
+    mn = ga.group_idxmin(od, "o_custkey", "o_totalprice", "o_orderkey") \
+        .withColumnRenamed("o_totalprice_idx", "price_idxmin")
+    md = ga.group_mode(od, "o_custkey", "o_orderpriority") \
+        .withColumnRenamed("o_orderpriority_mode", "prio_mode")
+    return mx.join(mn, "o_custkey").join(md, "o_custkey")
+
+
 # ------------------------------------------------- PyObject (string) path
 
 

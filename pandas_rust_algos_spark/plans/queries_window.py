@@ -340,6 +340,47 @@ def group_cumcount(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("l_orderkey", "l_linenumber", "cumcount")
 
 
+# ---------------------------------------------------------------- rolling
+
+
+@register(
+    "rolling_stats",
+    oracle=f"""
+    WITH b AS (
+      SELECT l_suppkey, l_orderkey, l_linenumber, l_quantity, l_extendedprice,
+             CAST(FLOOR(l_quantity * 1e6) AS BIGINT) AS qfx
+      FROM lineitem
+    )
+    SELECT {_ROWKEY},
+           CASE WHEN COUNT(qfx) OVER w3 >= 3 THEN
+             CAST(SUM(qfx) OVER w3 AS DOUBLE) / 1e6 / COUNT(qfx) OVER w3
+           END AS qty_roll_mean,
+           CASE WHEN COUNT(qfx) OVER w3 >= 3 THEN MAX(l_quantity) OVER w3
+           END AS qty_roll_max
+    FROM b
+    WINDOW w3 AS (PARTITION BY l_suppkey
+                  ORDER BY l_orderkey, l_linenumber, l_quantity, l_extendedprice
+                  ROWS BETWEEN 2 PRECEDING AND CURRENT ROW)
+    """,
+)
+def rolling_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """pandas rolling(3) mean/max with min_periods — trailing row
+    frames; the fixed-point mean keeps the oracle compare exact."""
+    li = _li(spark, sf_dir).withColumn(
+        "qfx", F.floor(F.col("l_quantity") * F.lit(1e6)).cast("long")
+    )
+    out = gt.rolling_agg(li, "l_suppkey", _ORDER, ["qfx"],
+                         window=3, aggs=("sum", "count"), min_periods=3)
+    out = gt.rolling_agg(out, "l_suppkey", _ORDER, ["l_quantity"],
+                         window=3, aggs=("max",), min_periods=3)
+    return out.select(
+        "l_orderkey", "l_linenumber",
+        (F.col("qfx_roll_sum").cast("double") / F.lit(1e6)
+         / F.col("qfx_roll_count")).alias("qty_roll_mean"),
+        F.col("l_quantity_roll_max").alias("qty_roll_max"),
+    )
+
+
 # ----------------------------------------------------------------- take_1d
 
 

@@ -472,3 +472,51 @@ def test_transforms_on_timestamps(spark):
     cm = gt.group_cummax(df, "k", ["ord"], ["ts"])
     gotc = {r["ord"]: r["ts_cummax"] for r in cm.collect()}
     assert gotc[2] == base + dt.timedelta(hours=2)
+
+
+# ------------------------------------------------- idxmax/idxmin/mode
+
+
+def test_idxmax_idxmin_first_occurrence_ties(spark):
+    df = spark.createDataFrame(
+        [("g", 1, 5.0), ("g", 2, 9.0), ("g", 3, 9.0), ("g", 4, 1.0)],
+        "k string, idx int, v double",
+    )
+    mx = ga.group_idxmax(df, "k", "v", "idx").collect()[0]["v_idx"]
+    assert mx == 2  # ties -> smallest index, like pandas first-occurrence
+    mn = ga.group_idxmin(df, "k", "v", "idx").collect()[0]["v_idx"]
+    assert mn == 4
+
+
+def test_mode_deterministic_tiebreak(spark):
+    df = spark.createDataFrame(
+        [("g", "b"), ("g", "b"), ("g", "a"), ("g", "a"), ("g", "c")],
+        "k string, v string",
+    )
+    out = ga.group_mode(df, "k", "v").collect()[0]["v_mode"]
+    assert out == "a"  # 2-2 tie between a and b -> smallest value
+
+
+# ----------------------------------------------------------- rolling
+
+
+def test_rolling_min_periods(spark):
+    df = spark.createDataFrame(
+        [("g", 1, 1.0), ("g", 2, 2.0), ("g", 3, None), ("g", 4, 4.0),
+         ("g", 5, 5.0)],
+        "k string, ord int, v double",
+    )
+    out = gt.rolling_agg(df, "k", ["ord"], ["v"], window=2,
+                         aggs=("sum", "mean"), min_periods=2)
+    got = {r["ord"]: (r["v_roll_sum"], r["v_roll_mean"]) for r in out.collect()}
+    assert got[1] == (None, None)          # frame has 1 obs < min_periods
+    assert got[2] == (3.0, 1.5)
+    assert got[3] == (None, None)          # [2, NULL] -> 1 obs
+    assert got[4] == (None, None)          # [NULL, 4] -> 1 obs
+    assert got[5] == (9.0, 4.5)
+
+
+def test_rolling_rejects_unknown_agg(spark, nullable_df):
+    with pytest.raises(ValueError):
+        gt.rolling_agg(nullable_df, "k", ["ord"], ["v"], window=2,
+                       aggs=("median",))
