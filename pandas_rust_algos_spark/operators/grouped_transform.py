@@ -50,6 +50,7 @@ __all__ = [
     "group_diff",
     "group_pct_change",
     "rolling_agg",
+    "group_ewm_mean",
 ]
 
 
@@ -450,4 +451,80 @@ def rolling_agg(
         for a in aggs:
             expr = F.when(nobs >= mp, _AGGS[a](c).over(w))
             out = out.withColumn(out_fmt.format(v=v, a=a), expr)
+    return out
+
+
+def group_ewm_mean(
+    df: DataFrame,
+    keys: Sequence[str] | str,
+    order: Sequence[str] | str,
+    values: Sequence[str] | str,
+    *,
+    alpha: float,
+    method: str = "window",
+    out_suffix: str = "_ewm",
+) -> DataFrame:
+    """Per-group exponentially weighted mean (pandas ``ewm(alpha=...)
+    .mean()``, adjusted form): y_t = Σ_{i<=t} (1-α)^(t-i)·x_i / Σ w^k.
+
+    ``method='window'`` stays JVM-side: the recurrence is re-expressed
+    as a fold over a *bounded* trailing frame — lookback K chosen so
+    (1-α)^K < 1e-15, i.e. truncated terms are below double precision
+    (for α=0.5 that's K=50; smaller α → longer K). State per row is the
+    collected frame (K values), so memory is bounded and independent of
+    group size — this is what makes it viable inside a 10^9-row group
+    where the exact recurrence would serialize.
+
+    NA handling: ``collect_list`` drops NULLs, so decay steps skip NA
+    rows — pandas' ``ignore_na=True`` convention (the default
+    ``ignore_na=False`` decays across gaps; use ``method='pandas'`` for
+    that).
+
+    ``method='pandas'`` is the exact escape hatch (applyInPandas,
+    Arrow-batched, one pass per group) for α small enough that K gets
+    silly or when bit-parity with pandas matters.
+    """
+    if not (0.0 < alpha <= 1.0):
+        raise ValueError(f"alpha must be in (0, 1], got {alpha}")
+    keys, order, values = _cols(keys), _cols(order), _cols(values)
+    if method == "pandas":
+        out_fields = ", ".join(f"`{v}{out_suffix}` double" for v in values)
+        schema = f"{df.schema.simpleString()[7:-1]}, {out_fields}"
+
+        def fn(pdf):
+            pdf = pdf.sort_values(order, kind="mergesort")
+            for v in values:
+                pdf[f"{v}{out_suffix}"] = pdf[v].ewm(alpha=alpha).mean()
+            return pdf
+
+        return df.groupBy(*keys).applyInPandas(fn, schema=schema)
+    if method != "window":
+        raise ValueError("method must be 'window' or 'pandas'")
+
+    import math
+
+    w1 = 1.0 - alpha
+    K = 0 if w1 == 0.0 else min(10_000, int(math.ceil(math.log(1e-15) / math.log(w1))))
+    frame = (
+        Window.partitionBy(*keys)
+        .orderBy(*order)
+        .rowsBetween(-K, Window.currentRow)
+    )
+    out = df
+    for v in values:
+        c = na_normalize(v, floating=_is_floating(df, v))
+        vals = F.collect_list(c).over(frame)  # non-null values, frame order
+        n = F.size(vals)
+        # fold oldest->newest: acc = (num, den); each step decays both
+        # then adds the current term — O(K) per row, bounded state
+        folded = F.aggregate(
+            vals,
+            F.struct(F.lit(0.0).alias("num"), F.lit(0.0).alias("den")),
+            lambda acc, x: F.struct(
+                (acc["num"] * F.lit(w1) + x).alias("num"),
+                (acc["den"] * F.lit(w1) + F.lit(1.0)).alias("den"),
+            ),
+        )
+        expr = F.when(c.isNotNull() & (n > 0), folded["num"] / folded["den"])
+        out = out.withColumn(f"{v}{out_suffix}", expr)
     return out

@@ -381,6 +381,34 @@ def rolling_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# -------------------------------------------------------------------- ewm
+
+
+@register(
+    "group_ewm_mean",
+    oracle="""
+    WITH r AS (
+      SELECT user_id, event_id, value,
+             ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY event_id) AS rn
+      FROM events
+    )
+    SELECT a.event_id,
+           ROUND(SUM(POW(0.5, a.rn - b.rn) * b.value)
+                 / SUM(POW(0.5, a.rn - b.rn)), 6) AS v_ewm
+    FROM r a JOIN r b ON a.user_id = b.user_id AND b.rn <= a.rn
+    GROUP BY a.event_id
+    """,
+)
+def group_ewm_mean_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exponentially weighted mean, α=0.5 (decay powers of 0.5 are
+    exact in binary fp, so the O(n²)-per-group SQL oracle agrees to
+    round-6 with the bounded-lookback fold)."""
+    tune(spark)
+    ev = load_table(spark, sf_dir, "events")
+    out = gt.group_ewm_mean(ev, "user_id", ["event_id"], ["value"], alpha=0.5)
+    return out.select("event_id", F.round("value_ewm", 6).alias("v_ewm"))
+
+
 # ----------------------------------------------------------------- take_1d
 
 

@@ -520,3 +520,37 @@ def test_rolling_rejects_unknown_agg(spark, nullable_df):
     with pytest.raises(ValueError):
         gt.rolling_agg(nullable_df, "k", ["ord"], ["v"], window=2,
                        aggs=("median",))
+
+
+# ---------------------------------------------------------------- ewm
+
+
+def test_ewm_matches_pandas(spark):
+    import pandas as pd
+
+    data = [("g", i, float(v)) for i, v in enumerate([1, 3, 2, 8, 5])]
+    df = spark.createDataFrame(data, "k string, ord int, v double")
+    want = pd.Series([1.0, 3.0, 2.0, 8.0, 5.0]).ewm(alpha=0.5).mean().tolist()
+    for method in ("window", "pandas"):
+        out = gt.group_ewm_mean(df, "k", ["ord"], ["v"], alpha=0.5,
+                                method=method)
+        got = [r["v_ewm"] for r in out.orderBy("ord").collect()]
+        for g, w in zip(got, want):
+            assert g == pytest.approx(w, rel=1e-12), method
+
+
+def test_ewm_na_row_stays_na(spark):
+    df = spark.createDataFrame(
+        [("g", 1, 2.0), ("g", 2, None), ("g", 3, 4.0)],
+        "k string, ord int, v double",
+    )
+    out = gt.group_ewm_mean(df, "k", ["ord"], ["v"], alpha=0.5)
+    got = {r["ord"]: r["v_ewm"] for r in out.collect()}
+    assert got[1] == 2.0 and got[2] is None
+    # ignore_na=True: weights skip the NA slot -> (0.5*2 + 4)/1.5
+    assert got[3] == pytest.approx((0.5 * 2 + 4) / 1.5)
+
+
+def test_ewm_rejects_bad_alpha(spark, nullable_df):
+    with pytest.raises(ValueError):
+        gt.group_ewm_mean(nullable_df, "k", ["ord"], ["v"], alpha=0.0)
