@@ -8,23 +8,61 @@ from __future__ import annotations
 
 import os
 import sys
+import tempfile
+import zipfile
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
-sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+_REPO_DIR = os.path.dirname(os.path.abspath(__file__))
+sys.path.insert(0, _REPO_DIR)
 
 from pandas_rust_algos_spark.plans import registry  # noqa: E402
+
+_shipped: set[int] = set()
+
+
+def _ship_package(spark: SparkSession) -> None:
+    """Ship the package source to executors via ``addPyFile``.
+
+    The driver loads this file by path from an arbitrary cwd, so Python
+    workers deserializing a pandas-UDF closure defined inside
+    ``pandas_rust_algos_spark`` can't rely on the driver's ``sys.path``.
+    Zipping the package onto the SparkContext is also exactly how the
+    engine deploys to a real multi-executor cluster — SparkFiles puts
+    the zip on every worker's import path."""
+    key = id(spark.sparkContext)
+    if key in _shipped:
+        return
+    pkg_dir = os.path.join(_REPO_DIR, "pandas_rust_algos_spark")
+    zpath = os.path.join(tempfile.gettempdir(), "pandas_rust_algos_spark_pkg.zip")
+    with zipfile.ZipFile(zpath, "w") as z:
+        for root, _, files in os.walk(pkg_dir):
+            for f in files:
+                if f.endswith(".py"):
+                    full = os.path.join(root, f)
+                    z.write(full, os.path.relpath(full, _REPO_DIR))
+    spark.sparkContext.addPyFile(zpath)
+    _shipped.add(key)
+
+
+def _wrap(fn: Callable[[SparkSession, str], DataFrame]):
+    def run(spark: SparkSession, sf_dir: str) -> DataFrame:
+        _ship_package(spark)
+        return fn(spark, sf_dir)
+
+    return run
 
 
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query (TPC-H Q1-shaped pricing summary) on sf0.001."""
+    _ship_package(spark)
     return registry.get("q1_pricing_summary").fn(spark, "/root/testdata/sf0.001")
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """One entry per implemented operator from SURVEY.md §2."""
-    return registry.all_queries()
+    return {n: _wrap(fn) for n, fn in registry.all_queries().items()}
 
 
 def oracle_sql() -> dict[str, str]:

@@ -51,6 +51,7 @@ __all__ = [
     "group_pct_change",
     "rolling_agg",
     "group_ewm_mean",
+    "group_ewm_var",
 ]
 
 
@@ -527,4 +528,68 @@ def group_ewm_mean(
         )
         expr = F.when(c.isNotNull() & (n > 0), folded["num"] / folded["den"])
         out = out.withColumn(f"{v}{out_suffix}", expr)
+    return out
+
+
+def group_ewm_var(
+    df: DataFrame,
+    keys: Sequence[str] | str,
+    order: Sequence[str] | str,
+    values: Sequence[str] | str,
+    *,
+    alpha: float,
+    std: bool = False,
+    out_suffix: str | None = None,
+) -> DataFrame:
+    """Per-group exponentially weighted variance / std (pandas
+    ``ewm(alpha=...).var()`` / ``.std()``, adjusted, bias=False).
+
+    Same bounded-lookback fold as :func:`group_ewm_mean`, carrying four
+    accumulators per row — Σw, Σw², Σw·x, Σw·x² (w = (1-α)^age) — then
+    the weighted-variance identity with the standard reliability
+    correction ``(Σw)² / ((Σw)² − Σw²)``. Rows with <2 prior
+    observations are NULL (the correction divides by zero there, as
+    pandas emits NaN). O(K) per row, state bounded by the lookback —
+    viable inside arbitrarily large groups.
+
+    NA handling matches group_ewm_mean: ``collect_list`` drops NULLs
+    (pandas ``ignore_na=True``).
+    """
+    if not (0.0 < alpha <= 1.0):
+        raise ValueError(f"alpha must be in (0, 1], got {alpha}")
+    import math
+
+    keys, order, values = _cols(keys), _cols(order), _cols(values)
+    if out_suffix is None:
+        out_suffix = "_ewmstd" if std else "_ewmvar"
+    w1 = 1.0 - alpha
+    K = 0 if w1 == 0.0 else min(10_000, int(math.ceil(math.log(1e-15) / math.log(w1))))
+    frame = (
+        Window.partitionBy(*keys)
+        .orderBy(*order)
+        .rowsBetween(-K, Window.currentRow)
+    )
+    out = df
+    for v in values:
+        c = na_normalize(v, floating=_is_floating(df, v))
+        vals = F.collect_list(c).over(frame)
+        folded = F.aggregate(
+            vals,
+            F.struct(
+                F.lit(0.0).alias("den"), F.lit(0.0).alias("den2"),
+                F.lit(0.0).alias("num"), F.lit(0.0).alias("sq"),
+            ),
+            lambda acc, x: F.struct(
+                (acc["den"] * F.lit(w1) + F.lit(1.0)).alias("den"),
+                (acc["den2"] * F.lit(w1 * w1) + F.lit(1.0)).alias("den2"),
+                (acc["num"] * F.lit(w1) + x).alias("num"),
+                (acc["sq"] * F.lit(w1) + x * x).alias("sq"),
+            ),
+        )
+        den, den2, num, sq = (folded[f] for f in ("den", "den2", "num", "sq"))
+        mean = num / den
+        biased = F.greatest(sq / den - mean * mean, F.lit(0.0))
+        var = biased * (den * den) / (den * den - den2)
+        expr = F.when(c.isNotNull() & (den * den > den2), var)
+        out = out.withColumn(f"{v}{out_suffix}", F.sqrt(expr) if std else expr)
     return out

@@ -158,6 +158,300 @@ def q5_region_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# -------------------------------------------------------------- Q2-shaped
+
+
+@register(
+    "q2_min_cost_supplier",
+    oracle="""
+    WITH costs AS (
+      SELECT l_partkey, l_suppkey,
+             MIN(l_extendedprice) AS min_price
+      FROM lineitem GROUP BY l_partkey, l_suppkey
+    ), best AS (
+      SELECT l_partkey, MIN(min_price) AS best_price
+      FROM costs GROUP BY l_partkey
+    )
+    SELECT c.l_partkey AS partkey,
+           MIN(s.s_name) AS supplier_name,
+           MIN(c.min_price) AS price
+    FROM costs c
+    JOIN best b ON c.l_partkey = b.l_partkey AND c.min_price = b.best_price
+    JOIN supplier s ON s.s_suppkey = c.l_suppkey
+    GROUP BY c.l_partkey
+    """,
+)
+def q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q2-shaped correlated subquery — "the supplier offering
+    each part at its minimum price". The correlation (price =
+    per-part MIN) is expressed as an aggregation self-join, exactly
+    Catalyst's own decorrelation; deterministic via MIN tie-breaks."""
+    li, su = _t(spark, sf_dir, "lineitem", "supplier")
+    costs = li.groupBy("l_partkey", "l_suppkey").agg(
+        F.min("l_extendedprice").alias("min_price")
+    )
+    best = costs.groupBy("l_partkey").agg(
+        F.min("min_price").alias("best_price")
+    ).withColumnRenamed("l_partkey", "b_partkey")
+    return (
+        costs.join(best, (F.col("l_partkey") == F.col("b_partkey"))
+                   & (F.col("min_price") == F.col("best_price")))
+        .join(F.broadcast(su), F.col("s_suppkey") == F.col("l_suppkey"))
+        .groupBy(F.col("l_partkey").alias("partkey"))
+        .agg(F.min("s_name").alias("supplier_name"),
+             F.min("min_price").alias("price"))
+    )
+
+
+# -------------------------------------------------------------- Q4-shaped
+
+
+@register(
+    "q4_priority_orders",
+    oracle="""
+    SELECT o_orderpriority, COUNT(*) AS n_orders
+    FROM orders o
+    WHERE EXISTS (
+      SELECT 1 FROM lineitem l
+      WHERE l.l_orderkey = o.o_orderkey AND l.l_shipdate > o.o_orderdate
+    )
+    GROUP BY o_orderpriority
+    """,
+)
+def q4_priority_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q4-shaped: EXISTS correlated predicate as a LEFT SEMI join
+    (no right-side payload materialized), then a tiny priority agg."""
+    od, li = _t(spark, sf_dir, "orders", "lineitem")
+    late = li.select("l_orderkey", "l_shipdate")
+    return (
+        od.join(late, (od.o_orderkey == late.l_orderkey)
+                & (late.l_shipdate > od.o_orderdate), "left_semi")
+        .groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("n_orders"))
+    )
+
+
+# -------------------------------------------------------------- Q7-shaped
+
+
+@register(
+    "q7_nation_trade",
+    oracle=f"""
+    SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+           EXTRACT(year FROM l_shipdate) AS l_year,
+           {dsum(_REVENUE)} AS revenue
+    FROM lineitem JOIN supplier ON s_suppkey = l_suppkey
+                  JOIN nation n1 ON s_nationkey = n1.n_nationkey
+                  JOIN orders ON o_orderkey = l_orderkey
+                  JOIN customer ON c_custkey = o_custkey
+                  JOIN nation n2 ON c_nationkey = n2.n_nationkey
+    WHERE n1.n_name < n2.n_name
+    GROUP BY supp_nation, cust_nation, l_year
+    """,
+)
+def q7_nation_trade(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q7-shaped nation-pair trade volume by ship year. Both
+    nation lookups ride broadcast dims (supplier→nation on lineitem,
+    customer→nation on orders); the only big shuffle is the
+    orders⨝lineitem key join, and the asymmetric-pair predicate
+    (n1 < n2) prunes before the final agg."""
+    li, su, na, od, cu = _t(
+        spark, sf_dir, "lineitem", "supplier", "nation", "orders", "customer"
+    )
+    supp_dim = (
+        su.join(na, su.s_nationkey == na.n_nationkey)
+        .select("s_suppkey", F.col("n_name").alias("supp_nation"))
+    )
+    cust_dim = (
+        cu.join(na, cu.c_nationkey == na.n_nationkey)
+        .select("c_custkey", F.col("n_name").alias("cust_nation"))
+    )
+    rev = F.floor(
+        F.col("l_extendedprice") * (1 - F.col("l_discount")) * F.lit(1e6)
+    ).cast("long")
+    return (
+        li.join(F.broadcast(supp_dim), li.l_suppkey == supp_dim.s_suppkey)
+        .join(od, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(cust_dim), F.col("o_custkey") == cust_dim.c_custkey)
+        .where(F.col("supp_nation") < F.col("cust_nation"))
+        .groupBy(
+            "supp_nation", "cust_nation",
+            F.year("l_shipdate").cast("long").alias("l_year"),
+        )
+        .agg((F.sum(rev).cast("double") / F.lit(1e6)).alias("revenue"))
+    )
+
+
+# -------------------------------------------------------------- Q8-shaped
+
+
+@register(
+    "q8_market_share",
+    oracle=f"""
+    WITH market AS (
+      SELECT EXTRACT(year FROM l_shipdate) AS o_year,
+             FLOOR(l_extendedprice * (1 - l_discount) * 1e6)::BIGINT AS rev_fx,
+             n_name
+      FROM lineitem JOIN part ON p_partkey = l_partkey
+                    JOIN supplier ON s_suppkey = l_suppkey
+                    JOIN nation ON n_nationkey = s_nationkey
+      WHERE p_type = (SELECT MIN(p_type) FROM part)
+    )
+    SELECT o_year,
+           CAST(SUM(CASE WHEN n_name = (SELECT MIN(n_name) FROM nation)
+                    THEN rev_fx ELSE 0 END) AS DOUBLE)
+             / CAST(SUM(rev_fx) AS DOUBLE) AS mkt_share
+    FROM market GROUP BY o_year
+    """,
+)
+def q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q8-shaped market share: within one part-type market, the
+    revenue fraction supplied by one nation, per year. Scalar params
+    (min part type / min nation name) are 1-row broadcast joins, never
+    driver collects; the share is a ratio of two fixed-point sums in
+    one aggregation pass (no self-join)."""
+    li, pa, su, na = _t(spark, sf_dir, "lineitem", "part", "supplier", "nation")
+    min_type = pa.agg(F.min("p_type").alias("p_type"))
+    target_parts = pa.join(F.broadcast(min_type), "p_type").select("p_partkey")
+    supp_nation = (
+        su.join(na, su.s_nationkey == na.n_nationkey)
+        .select("s_suppkey", "n_name")
+    )
+    min_nation = na.agg(F.min("n_name").alias("target_nation"))
+    rev = F.floor(
+        F.col("l_extendedprice") * (1 - F.col("l_discount")) * F.lit(1e6)
+    ).cast("long")
+    return (
+        li.join(F.broadcast(target_parts), li.l_partkey == F.col("p_partkey"))
+        .join(F.broadcast(supp_nation), li.l_suppkey == F.col("s_suppkey"))
+        .join(F.broadcast(min_nation))
+        .groupBy(F.year("l_shipdate").cast("long").alias("o_year"))
+        .agg(
+            (
+                F.sum(F.when(F.col("n_name") == F.col("target_nation"), rev)
+                      .otherwise(F.lit(0))).cast("double")
+                / F.sum(rev).cast("double")
+            ).alias("mkt_share")
+        )
+    )
+
+
+# -------------------------------------------------------------- Q10-shaped
+
+
+@register(
+    "q10_returned_items",
+    oracle=f"""
+    SELECT c_custkey, c_name, n_name, {dsum(_REVENUE)} AS revenue
+    FROM customer JOIN orders ON c_custkey = o_custkey
+                  JOIN lineitem ON l_orderkey = o_orderkey
+                  JOIN nation ON c_nationkey = n_nationkey
+    WHERE l_returnflag = 'R'
+    GROUP BY c_custkey, c_name, n_name
+    ORDER BY revenue DESC, c_custkey
+    LIMIT 20
+    """,
+)
+def q10_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q10-shaped returned-item reporting: top-20 customers by
+    lost revenue. The returnflag filter reaches the parquet scan;
+    customer⨝nation broadcasts into the orders⨝lineitem join; the
+    top-20 is a deterministic global sort-limit (TakeOrderedAndProject,
+    never a full result sort)."""
+    cu, od, li, na = _t(spark, sf_dir, "customer", "orders", "lineitem", "nation")
+    cust = (
+        cu.join(na, cu.c_nationkey == na.n_nationkey)
+        .select("c_custkey", "c_name", "n_name")
+    )
+    rev = F.floor(
+        F.col("l_extendedprice") * (1 - F.col("l_discount")) * F.lit(1e6)
+    ).cast("long")
+    return (
+        li.where(F.col("l_returnflag") == "R")
+        .join(od, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(cust), F.col("o_custkey") == F.col("c_custkey"))
+        .groupBy("c_custkey", "c_name", "n_name")
+        .agg((F.sum(rev).cast("double") / F.lit(1e6)).alias("revenue"))
+        .select("c_custkey", "c_name", "n_name", "revenue")
+        .orderBy(F.col("revenue").desc(), F.col("c_custkey"))
+        .limit(20)
+    )
+
+
+# ------------------------------------------------------- group sample
+
+
+@register(
+    "group_sample",
+    oracle="""
+    WITH h AS (
+      SELECT o_custkey, o_orderkey,
+             ROW_NUMBER() OVER (
+               PARTITION BY o_custkey
+               ORDER BY md5(CAST(o_orderkey AS VARCHAR)), o_orderkey
+             ) AS rn
+      FROM orders
+    )
+    SELECT o_custkey, o_orderkey FROM h WHERE rn <= 3
+    """,
+)
+def group_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """pandas groupby.sample(n=3, random_state=...) made distributed
+    AND reproducible: order each group by a keyed hash (md5 of the row
+    key) and keep the first n — a uniform-without-replacement sample
+    that's independent of partitioning, so re-runs and cluster
+    re-sizes return identical rows. One shuffle (the window)."""
+    (od,) = _t(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.md5(F.col("o_orderkey").cast("string").cast("binary")),
+        F.col("o_orderkey"),
+    )
+    return (
+        od.select("o_custkey", "o_orderkey",
+                  F.row_number().over(w).alias("rn"))
+        .where(F.col("rn") <= 3)
+        .drop("rn")
+    )
+
+
+# ------------------------------------------------------- group head/tail
+
+
+@register(
+    "group_head_tail",
+    oracle="""
+    WITH r AS (
+      SELECT o_custkey, o_orderkey,
+             ROW_NUMBER() OVER (PARTITION BY o_custkey ORDER BY o_orderkey) AS rh,
+             ROW_NUMBER() OVER (PARTITION BY o_custkey ORDER BY o_orderkey DESC) AS rt
+      FROM orders
+    )
+    SELECT o_custkey, o_orderkey, 'head' AS part FROM r WHERE rh <= 2
+    UNION ALL
+    SELECT o_custkey, o_orderkey, 'tail' AS part FROM r WHERE rt <= 2
+    """,
+)
+def group_head_tail(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """pandas groupby.head(n)/tail(n): first/last n rows per group in a
+    defined order — both directions share one shuffle (row_number over
+    asc and desc orders on the same partitioning)."""
+    from pyspark.sql.window import Window
+
+    (od,) = _t(spark, sf_dir, "orders")
+    wa = Window.partitionBy("o_custkey").orderBy(F.col("o_orderkey"))
+    wd = Window.partitionBy("o_custkey").orderBy(F.col("o_orderkey").desc())
+    base = od.select(
+        "o_custkey", "o_orderkey",
+        F.row_number().over(wa).alias("rh"),
+        F.row_number().over(wd).alias("rt"),
+    )
+    head = base.where(F.col("rh") <= 2).select(
+        "o_custkey", "o_orderkey", F.lit("head").alias("part"))
+    tail = base.where(F.col("rt") <= 2).select(
+        "o_custkey", "o_orderkey", F.lit("tail").alias("part"))
+    return head.unionByName(tail)
+
+
 # ------------------------------------------------------------- as-of join
 
 

@@ -409,6 +409,48 @@ def group_ewm_mean_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("event_id", F.round("value_ewm", 6).alias("v_ewm"))
 
 
+@register(
+    "group_ewm_var_std",
+    oracle="""
+    WITH r AS (
+      SELECT user_id, event_id, value,
+             ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY event_id) AS rn
+      FROM events
+    ), s AS (
+      SELECT a.event_id,
+             SUM(POW(0.5, a.rn - b.rn)) AS sw,
+             SUM(POW(0.5, a.rn - b.rn) * POW(0.5, a.rn - b.rn)) AS sw2,
+             SUM(POW(0.5, a.rn - b.rn) * b.value) AS swx,
+             SUM(POW(0.5, a.rn - b.rn) * b.value * b.value) AS swx2
+      FROM r a JOIN r b ON a.user_id = b.user_id AND b.rn <= a.rn
+      GROUP BY a.event_id
+    )
+    SELECT event_id,
+           ROUND(CASE WHEN sw * sw > sw2 THEN
+             GREATEST(swx2 / sw - (swx / sw) * (swx / sw), 0)
+               * (sw * sw) / (sw * sw - sw2) END, 6) AS v_ewmvar,
+           ROUND(CASE WHEN sw * sw > sw2 THEN
+             SQRT(GREATEST(swx2 / sw - (swx / sw) * (swx / sw), 0)
+               * (sw * sw) / (sw * sw - sw2)) END, 6) AS v_ewmstd
+    FROM s
+    """,
+)
+def group_ewm_var_std_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exponentially weighted variance + std, α=0.5 (exact decay powers;
+    round-6 absorbs association-order double noise between the bounded
+    fold and the O(n²) SQL oracle)."""
+    tune(spark)
+    ev = load_table(spark, sf_dir, "events")
+    out = gt.group_ewm_var(ev, "user_id", ["event_id"], ["value"], alpha=0.5)
+    out = gt.group_ewm_var(out, "user_id", ["event_id"], ["value"], alpha=0.5,
+                           std=True)
+    return out.select(
+        "event_id",
+        F.round("value_ewmvar", 6).alias("v_ewmvar"),
+        F.round("value_ewmstd", 6).alias("v_ewmstd"),
+    )
+
+
 # ----------------------------------------------------------------- take_1d
 
 

@@ -95,15 +95,24 @@ def session_counts(
     )
 
 
-def run_available_now(agged: DataFrame, *, table: str = "stream_out") -> DataFrame:
+def run_available_now(
+    agged: DataFrame,
+    *,
+    table: str = "stream_out",
+    output_mode: str = "complete",
+) -> DataFrame:
     """Drain all available input through the streaming query into an
     in-memory sink and return the result as a DataFrame (test/backfill
-    harness; trigger(availableNow) processes everything then stops)."""
+    harness; trigger(availableNow) processes everything then stops).
+    ``output_mode='update'`` for stateful operators
+    (applyInPandasWithState rejects complete); the memory sink then
+    accumulates one row per emission — callers keep the latest per key.
+    """
     with tempfile.TemporaryDirectory() as ckpt:
         q = (
             agged.writeStream.format("memory")
             .queryName(table)
-            .outputMode("complete")
+            .outputMode(output_mode)
             .option("checkpointLocation", ckpt)
             .trigger(availableNow=True)
             .start()

@@ -37,3 +37,32 @@ def test_streaming_sessions_match_batch_islands(spark, sf_dir):
     batch = registry.get("events_sessionize").fn(spark, sf_dir)
     b = sorted((r["user_id"], r["n_events"]) for r in batch.collect())
     assert s == b
+
+
+def test_stateful_profile_matches_batch_aggregate(spark, sf_dir):
+    """applyInPandasWithState running profile: after draining the whole
+    fixture, the final per-user state must equal the batch aggregate."""
+    from pyspark.sql import functions as F
+
+    from pandas_rust_algos_spark.sources import load_table
+    from pandas_rust_algos_spark.streaming.stateful import running_user_profile
+
+    stream = se.read_events_stream(spark, sf_dir)
+    prof = se.run_available_now(
+        running_user_profile(stream), table="t_stateful_profile",
+        output_mode="update"
+    )
+    # update mode: keep the latest emission per user
+    latest = {
+        r["user_id"]: (r["n_events"], r["sum_value_fx"])
+        for r in prof.orderBy("n_events").collect()
+    }
+    ev = load_table(spark, sf_dir, "events")
+    batch = {
+        r["user_id"]: (r["n"], r["s_fx"])
+        for r in ev.groupBy("user_id").agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.floor(F.col("value") * F.lit(1e6)).cast("long")).alias("s_fx"),
+        ).collect()
+    }
+    assert latest == batch
