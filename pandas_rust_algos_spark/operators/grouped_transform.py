@@ -463,6 +463,7 @@ def group_ewm_mean(
     *,
     alpha: float,
     method: str = "window",
+    ignore_na: bool = True,
     out_suffix: str = "_ewm",
 ) -> DataFrame:
     """Per-group exponentially weighted mean (pandas ``ewm(alpha=...)
@@ -476,10 +477,14 @@ def group_ewm_mean(
     group size — this is what makes it viable inside a 10^9-row group
     where the exact recurrence would serialize.
 
-    NA handling: ``collect_list`` drops NULLs, so decay steps skip NA
-    rows — pandas' ``ignore_na=True`` convention (the default
-    ``ignore_na=False`` decays across gaps; use ``method='pandas'`` for
-    that).
+    NA handling: with ``ignore_na=True``, ``collect_list`` drops NULLs
+    so decay steps skip NA rows; ``ignore_na=False`` (pandas' default)
+    decays across gaps — every row ages the weights whether or not it
+    carries a value (implemented by folding over (value, validity)
+    structs, so NULL rows decay the accumulators without contributing).
+    In both modes an NA *input* row emits NULL output, the engine-wide
+    transform convention (pandas instead carries the prior mean
+    forward; document-level deviation).
 
     ``method='pandas'`` is the exact escape hatch (applyInPandas,
     Arrow-batched, one pass per group) for α small enough that K gets
@@ -495,7 +500,8 @@ def group_ewm_mean(
         def fn(pdf):
             pdf = pdf.sort_values(order, kind="mergesort")
             for v in values:
-                pdf[f"{v}{out_suffix}"] = pdf[v].ewm(alpha=alpha).mean()
+                pdf[f"{v}{out_suffix}"] = pdf[v].ewm(
+                    alpha=alpha, ignore_na=ignore_na).mean()
             return pdf
 
         return df.groupBy(*keys).applyInPandas(fn, schema=schema)
@@ -514,19 +520,40 @@ def group_ewm_mean(
     out = df
     for v in values:
         c = na_normalize(v, floating=_is_floating(df, v))
-        vals = F.collect_list(c).over(frame)  # non-null values, frame order
-        n = F.size(vals)
-        # fold oldest->newest: acc = (num, den); each step decays both
-        # then adds the current term — O(K) per row, bounded state
-        folded = F.aggregate(
-            vals,
-            F.struct(F.lit(0.0).alias("num"), F.lit(0.0).alias("den")),
-            lambda acc, x: F.struct(
-                (acc["num"] * F.lit(w1) + x).alias("num"),
-                (acc["den"] * F.lit(w1) + F.lit(1.0)).alias("den"),
-            ),
-        )
-        expr = F.when(c.isNotNull() & (n > 0), folded["num"] / folded["den"])
+        if ignore_na:
+            vals = F.collect_list(c).over(frame)  # non-null values, frame order
+            n = F.size(vals)
+            # fold oldest->newest: acc = (num, den); each step decays both
+            # then adds the current term — O(K) per row, bounded state
+            folded = F.aggregate(
+                vals,
+                F.struct(F.lit(0.0).alias("num"), F.lit(0.0).alias("den")),
+                lambda acc, x: F.struct(
+                    (acc["num"] * F.lit(w1) + x).alias("num"),
+                    (acc["den"] * F.lit(w1) + F.lit(1.0)).alias("den"),
+                ),
+            )
+            expr = F.when(c.isNotNull() & (n > 0), folded["num"] / folded["den"])
+        else:
+            # keep every row in the frame: a NULL row still ages the
+            # accumulators (m=0 contributes nothing but the decay runs)
+            pair = F.struct(
+                F.coalesce(c, F.lit(0.0)).alias("x"),
+                c.isNotNull().cast("double").alias("m"),
+            )
+            vals = F.collect_list(pair).over(frame)
+            folded = F.aggregate(
+                vals,
+                F.struct(F.lit(0.0).alias("num"), F.lit(0.0).alias("den")),
+                lambda acc, p: F.struct(
+                    (acc["num"] * F.lit(w1) + p["x"] * p["m"]).alias("num"),
+                    (acc["den"] * F.lit(w1) + p["m"]).alias("den"),
+                ),
+            )
+            expr = F.when(
+                c.isNotNull() & (folded["den"] > F.lit(0.0)),
+                folded["num"] / folded["den"],
+            )
         out = out.withColumn(f"{v}{out_suffix}", expr)
     return out
 

@@ -606,3 +606,108 @@ def group_any_all_kleene(spark: SparkSession, sf_dir: str) -> DataFrame:
     alls = ga.group_any_all(li, "l_orderkey", ["flag"], val_test="all",
                             skipna=False).withColumnRenamed("flag", "all_flag")
     return anys.join(alls, "l_orderkey")
+
+
+# -------------------------------------------------------------------- pivot
+
+
+@register(
+    "group_pivot",
+    oracle=f"""
+    SELECT l_linestatus,
+           {dsum("CASE WHEN l_returnflag = 'A' THEN l_quantity ELSE NULL END")} AS qty_A,
+           {dsum("CASE WHEN l_returnflag = 'N' THEN l_quantity ELSE NULL END")} AS qty_N,
+           {dsum("CASE WHEN l_returnflag = 'R' THEN l_quantity ELSE NULL END")} AS qty_R
+    FROM lineitem GROUP BY l_linestatus
+    """,
+)
+def group_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """pandas ``pivot_table(index, columns, values, aggfunc='sum')`` as
+    ``groupBy().pivot(col, values)``. The pivot values are supplied
+    explicitly — Spark otherwise runs an extra distinct job to discover
+    them, a full scan you never want at 100 TB; with the list given the
+    pivot compiles to conditional aggregation in one pass (exactly the
+    oracle's CASE form)."""
+    li = _li(spark, sf_dir)
+    return (
+        li.groupBy("l_linestatus")
+        .pivot("l_returnflag", ["A", "N", "R"])
+        .agg(_exact(F.col("l_quantity")))
+        .withColumnRenamed("A", "qty_A")
+        .withColumnRenamed("N", "qty_N")
+        .withColumnRenamed("R", "qty_R")
+    )
+
+
+# ------------------------------------------------------------- value_counts
+
+
+@register(
+    "group_value_counts",
+    oracle="""
+    SELECT user_id, event_type, COUNT(*) AS n,
+           ROUND(CAST(COUNT(*) AS DOUBLE) / CAST(SUM(COUNT(*)) OVER (
+             PARTITION BY user_id) AS DOUBLE), 6) AS share
+    FROM events GROUP BY user_id, event_type
+    """,
+)
+def group_value_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """pandas ``groupby.value_counts(normalize=True)``: per-group value
+    frequencies plus each value's share of its group. The share reuses
+    the groupBy shuffle (window over the same partitioning — no second
+    exchange)."""
+    tune(spark)
+    from pyspark.sql.window import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id")
+    return (
+        ev.groupBy("user_id", "event_type")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .withColumn(
+            "share",
+            F.round(F.col("n").cast("double")
+                    / F.sum("n").over(w).cast("double"), 6),
+        )
+    )
+
+
+# ---------------------------------------------------------------- cut/qcut
+
+
+@register(
+    "group_cut_qcut",
+    oracle="""
+    WITH b AS (
+      SELECT event_id, value,
+             CAST(FLOOR(value / 25.0) AS BIGINT) AS cut_bin,
+             NTILE(4) OVER (ORDER BY value, event_id) AS qcut_bin
+      FROM events
+    )
+    SELECT cut_bin, qcut_bin, COUNT(*) AS n,
+           MIN(value) AS lo, MAX(value) AS hi
+    FROM b GROUP BY cut_bin, qcut_bin
+    """,
+)
+def group_cut_qcut(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """pandas ``cut`` (fixed-width bins — pure arithmetic, no data pass
+    to find edges) and ``qcut`` (equal-frequency bins via ntile; the
+    deterministic (value, id) sort makes tie assignment reproducible),
+    then a profile of each bin. ntile needs a global sort — at 100 TB
+    prefer approx percentile edges + the cut path; this exact form is
+    for the pandas-parity surface."""
+    tune(spark)
+    from pyspark.sql.window import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.orderBy(F.col("value"), F.col("event_id"))
+    b = ev.select(
+        "event_id", "value",
+        F.floor(F.col("value") / F.lit(25.0)).cast("long").alias("cut_bin"),
+        F.ntile(4).over(w).alias("qcut_bin"),
+    )
+    return b.groupBy("cut_bin", "qcut_bin").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.min("value").alias("lo"),
+        F.max("value").alias("hi"),
+    )

@@ -410,6 +410,41 @@ def group_ewm_mean_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "group_ewm_mean_noskip",
+    oracle="""
+    WITH r AS (
+      SELECT user_id, event_id,
+             CASE WHEN event_id % 7 = 0 THEN NULL ELSE value END AS v,
+             ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY event_id) AS rn
+      FROM events
+    )
+    SELECT a.event_id,
+           ROUND(CASE WHEN a.v IS NULL THEN NULL ELSE
+             SUM(POW(0.5, a.rn - b.rn) * b.v)
+             / SUM(CASE WHEN b.v IS NOT NULL
+                        THEN POW(0.5, a.rn - b.rn) END) END, 6) AS v_ewm_noskip
+    FROM r a JOIN r b ON a.user_id = b.user_id AND b.rn <= a.rn
+    GROUP BY a.event_id, a.v
+    """,
+)
+def group_ewm_mean_noskip_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exponentially weighted mean with pandas' default
+    ``ignore_na=False``: NULL rows age the decay weights without
+    contributing (the O(n²) oracle keys weights to absolute row
+    position, not observation count). NULLs injected deterministically
+    (event_id % 7)."""
+    tune(spark)
+    ev = load_table(spark, sf_dir, "events")
+    ev = ev.withColumn(
+        "v",
+        F.when(F.col("event_id") % 7 == 0, F.lit(None)).otherwise(F.col("value")),
+    )
+    out = gt.group_ewm_mean(ev, "user_id", ["event_id"], ["v"], alpha=0.5,
+                            ignore_na=False)
+    return out.select("event_id", F.round("v_ewm", 6).alias("v_ewm_noskip"))
+
+
+@register(
     "group_ewm_var_std",
     oracle="""
     WITH r AS (

@@ -4,5 +4,16 @@ from pandas_rust_algos_spark.sources.parquet import (
     load_tables,
     spread,
 )
+from pandas_rust_algos_spark.sources.sinks import (
+    read_partitioned,
+    write_partitioned,
+)
 
-__all__ = ["TABLES", "load_table", "load_tables", "spread"]
+__all__ = [
+    "TABLES",
+    "load_table",
+    "load_tables",
+    "spread",
+    "read_partitioned",
+    "write_partitioned",
+]
