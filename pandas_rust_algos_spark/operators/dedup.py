@@ -35,6 +35,7 @@ __all__ = [
     "simhash_near_dupes",
     "ngram_jaccard_pairs",
     "embedding_near_dupes",
+    "dup_clusters",
 ]
 
 
@@ -328,3 +329,74 @@ def embedding_near_dupes(
         .select("id_a", "id_b", F.round(sim, 6).alias("cosine"))
         .where(F.col("cosine") >= threshold)
     )
+
+
+def dup_clusters(
+    pairs: DataFrame,
+    all_ids: DataFrame,
+    *,
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+    id_col: str = "doc_id",
+    max_iter: int = 20,
+) -> DataFrame:
+    """Resolve near-dup *pairs* into duplicate *clusters* (connected
+    components): ``(doc_id, cluster_id)`` where cluster_id is the
+    smallest doc id reachable through the pair graph. Isolated docs get
+    their own id — the output covers every row of ``all_ids``, so
+    "keep one per cluster" is a single groupBy(min) away.
+
+    Algorithm: hash-min label propagation. Each round every node takes
+    the min of its own label and its neighbors' labels — one shuffle
+    join + aggregate per round, converging in O(component diameter)
+    rounds (near-dup clusters are shallow; chains longer than ~20 hops
+    mean the threshold is wrong, hence ``max_iter``). Per round the
+    frontier is ``localCheckpoint``ed: iterative plans otherwise grow
+    lineage linearly and re-execute the whole history each round (on a
+    cluster prefer reliable ``checkpoint`` to HDFS/S3 so a lost
+    executor doesn't recompute from scratch). The convergence test is
+    a distributed count of changed labels — no driver-side data.
+
+    The per-round plan is label-join-aggregate, i.e. the simple CC
+    formulation; the alternating large-star/small-star variant
+    (Kiveris et al., "Connected Components in MapReduce") halves round
+    count on web-scale graphs and slots into the same loop shape.
+    """
+    edges = (
+        pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
+        .unionByName(
+            pairs.select(F.col(id_b).alias("src"), F.col(id_a).alias("dst"))
+        )
+        .distinct()
+        .persist()
+    )
+    labels = all_ids.select(
+        F.col(id_col).alias("node"), F.col(id_col).alias("label")
+    ).localCheckpoint()
+    try:
+        for _ in range(max_iter):
+            neighbor_min = (
+                edges.join(labels, edges.dst == labels.node)
+                .groupBy("src")
+                .agg(F.min("label").alias("nmin"))
+            )
+            new_labels = (
+                labels.join(neighbor_min, labels.node == neighbor_min.src, "left")
+                .select(
+                    "node",
+                    F.least(
+                        F.col("label"), F.coalesce(F.col("nmin"), F.col("label"))
+                    ).alias("label"),
+                    (F.col("nmin") < F.col("label")).alias("changed"),
+                )
+                .localCheckpoint()
+            )
+            n_changed = new_labels.where(F.col("changed")).count()
+            labels = new_labels.drop("changed")
+            if n_changed == 0:
+                break
+        return labels.select(
+            F.col("node").alias(id_col), F.col("label").alias("cluster_id")
+        )
+    finally:
+        edges.unpersist()

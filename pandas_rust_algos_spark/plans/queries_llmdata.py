@@ -196,6 +196,52 @@ def ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dd.ngram_jaccard_pairs(_docs(spark, sf_dir), threshold=0.2)
 
 
+# --------------------------------------------------- duplicate clusters
+
+
+@register(
+    "dup_clusters",
+    oracle="""
+    WITH RECURSIVE g AS (
+      SELECT DISTINCT doc_id, lang,
+             UNNEST(LIST_TRANSFORM(
+               RANGE(1, GREATEST(LENGTH(text) - 4, 1) + 1),
+               i -> SUBSTR(text, CAST(i AS INT), 5))) AS g
+      FROM documents
+    ), sizes AS (
+      SELECT doc_id, COUNT(*) AS n FROM g GROUP BY doc_id
+    ), inter AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS inter
+      FROM g a JOIN g b ON a.lang = b.lang AND a.g = b.g AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    ), pairs AS (
+      SELECT id_a, id_b
+      FROM inter JOIN sizes sa ON sa.doc_id = id_a
+                 JOIN sizes sb ON sb.doc_id = id_b
+      WHERE CAST(inter AS DOUBLE) / (sa.n + sb.n - inter) >= 0.2
+    ), edges AS (
+      SELECT id_a AS a, id_b AS b FROM pairs
+      UNION SELECT id_b, id_a FROM pairs
+    ), reach(a, b) AS (
+      SELECT doc_id, doc_id FROM documents
+      UNION
+      SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a
+    )
+    SELECT a AS doc_id, MIN(b) AS cluster_id FROM reach GROUP BY a
+    """,
+)
+def dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup pairs resolved to connected components (hash-min label
+    propagation, one shuffle per round, lineage checkpointed). The
+    oracle computes the same components via a recursive transitive
+    closure over the same jaccard-0.2 edges — tractable for DuckDB at
+    gate scale, quadratic-in-component-size at real scale, which is
+    exactly why the distributed form exists."""
+    d = _docs(spark, sf_dir)
+    pairs = dd.ngram_jaccard_pairs(d, threshold=0.2)
+    return dd.dup_clusters(pairs, d.select("doc_id"))
+
+
 # ------------------------------------------- hash-based dedup (rows-only)
 
 

@@ -4,10 +4,14 @@ from pandas_rust_algos_spark.streaming.events import (
     session_counts,
     tumbling_counts,
 )
+from pandas_rust_algos_spark.streaming.joins import click_to_purchase
+from pandas_rust_algos_spark.streaming.stateful import running_user_profile
 
 __all__ = [
     "read_events_stream",
     "tumbling_counts",
     "session_counts",
     "run_available_now",
+    "click_to_purchase",
+    "running_user_profile",
 ]

@@ -111,3 +111,31 @@ def test_embedding_near_dupes_blocked(spark):
     assert (1, 2) in pairs and pairs[(1, 2)] > 0.99
     assert (1, 3) not in pairs
     assert (1, 4) not in pairs  # blocking: different label never meets
+
+
+def test_dup_clusters_transitive(spark):
+    """A chain a~b~c must land in ONE cluster even when a!~c directly,
+    isolated nodes keep their own id, and two separate components stay
+    separate."""
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (10, 11)], "id_a long, id_b long"
+    )
+    ids = spark.createDataFrame(
+        [(i,) for i in (1, 2, 3, 10, 11, 99)], "doc_id long"
+    )
+    out = {r["doc_id"]: r["cluster_id"]
+           for r in dd.dup_clusters(pairs, ids).collect()}
+    assert out == {1: 1, 2: 1, 3: 1, 10: 10, 11: 10, 99: 99}
+
+
+def test_dup_clusters_long_chain_converges(spark):
+    """Label propagation needs O(diameter) rounds — a 12-hop chain must
+    still fully converge to the minimum id."""
+    n = 12
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(n)], "id_a long, id_b long"
+    )
+    ids = spark.createDataFrame([(i,) for i in range(n + 1)], "doc_id long")
+    out = {r["doc_id"]: r["cluster_id"]
+           for r in dd.dup_clusters(pairs, ids).collect()}
+    assert set(out.values()) == {0}

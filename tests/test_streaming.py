@@ -66,3 +66,32 @@ def test_stateful_profile_matches_batch_aggregate(spark, sf_dir):
         ).collect()
     }
     assert latest == batch
+
+
+def test_stream_stream_join_matches_batch(spark, sf_dir):
+    """Watermarked click→purchase attribution join: drained streaming
+    result must equal the same join run in batch (append mode emits a
+    pair once its watermark closes; availableNow drains everything)."""
+    from pyspark.sql import functions as F
+
+    from pandas_rust_algos_spark.sources import load_table
+    from pandas_rust_algos_spark.streaming.joins import click_to_purchase
+
+    stream = se.read_events_stream(spark, sf_dir)
+    joined = click_to_purchase(stream)
+    got = se.run_available_now(joined, table="t_ss_join", output_mode="append")
+    s = sorted((r["click_id"], r["purchase_id"]) for r in got.collect())
+
+    ev = load_table(spark, sf_dir, "events")
+    c = ev.where(F.col("event_type") == "click").select(
+        F.col("user_id").alias("c_user"), F.col("event_id").alias("click_id"),
+        F.col("ts").alias("click_ts"))
+    p = ev.where(F.col("event_type") == "purchase").select(
+        F.col("user_id").alias("p_user"),
+        F.col("event_id").alias("purchase_id"), F.col("ts").alias("purchase_ts"))
+    b = c.join(p, (F.col("c_user") == F.col("p_user"))
+               & (F.col("purchase_ts") >= F.col("click_ts"))
+               & (F.col("purchase_ts") <= F.col("click_ts")
+                  + F.expr("INTERVAL 1 hour")))
+    bpairs = sorted((r["click_id"], r["purchase_id"]) for r in b.collect())
+    assert s == bpairs
