@@ -3,6 +3,7 @@ from pandas_rust_algos_spark.operators import (
     grouped_agg,
     grouped_transform,
     multimodal,
+    range_join,
     similarity,
     skew_handling,
     take,
@@ -18,4 +19,5 @@ __all__ = [
     "text",
     "multimodal",
     "skew_handling",
+    "range_join",
 ]

@@ -60,6 +60,7 @@ __all__ = [
     "group_idxmax",
     "group_idxmin",
     "group_mode",
+    "group_corr_cov",
 ]
 
 
@@ -646,3 +647,55 @@ def group_mode(
         F.min_by("__v", F.struct((-F.col("__n")).alias("neg"),
                                  F.col("__v").alias("v"))).alias(f"{value}_mode")
     )
+
+
+def group_corr_cov(
+    df: DataFrame,
+    keys: Sequence[str] | str,
+    x: str,
+    y: str,
+    *,
+    scale: int = 3,
+    dropna_keys: bool = True,
+) -> DataFrame:
+    """Per-group Pearson correlation and sample covariance of (x, y)
+    over pairwise-complete rows (pandas ``groupby[[x,y]].corr()`` /
+    ``.cov()`` semantics).
+
+    Built from the raw power sums (n, Σx, Σy, Σxy, Σx², Σy²) in ONE
+    aggregation pass — the textbook shift risk of this formula is
+    eliminated by computing the sums in *fixed-point integers*
+    (``floor(v·10^scale)``), exact in 38-digit decimal, so the result
+    is bit-deterministic across engines and partitionings, unlike
+    ``F.corr``'s float accumulation. Bound: |v·10^scale| ≤ ~1e8 and
+    group size ≤ ~3e4 keep every term within decimal(38); larger
+    groups → raise ``scale`` down or use F.corr with tolerance.
+
+    corr is scale-free; cov is descaled by 10^(2·scale). min 2 pairs,
+    zero-variance → NULL (pandas NaN).
+    """
+    keys = _cols(keys)
+    df = _prep(df, keys, dropna_keys)
+    k = 10 ** scale
+    fx = F.floor(F.col(x) * F.lit(k)).cast("decimal(38,0)")
+    fy = F.floor(F.col(y) * F.lit(k)).cast("decimal(38,0)")
+    both = F.col(x).isNotNull() & F.col(y).isNotNull()
+    fx, fy = F.when(both, fx), F.when(both, fy)
+    agged = df.groupBy(*keys).agg(
+        F.count(F.when(both, F.lit(1))).cast("decimal(38,0)").alias("__n"),
+        F.sum(fx).alias("__sx"),
+        F.sum(fy).alias("__sy"),
+        F.sum(fx * fy).alias("__sxy"),
+        F.sum(fx * fx).alias("__sxx"),
+        F.sum(fy * fy).alias("__syy"),
+    )
+    n, sx, sy = F.col("__n"), F.col("__sx"), F.col("__sy")
+    sxy, sxx, syy = F.col("__sxy"), F.col("__sxx"), F.col("__syy")
+    cov_num = (n * sxy - sx * sy).cast("double")
+    vx = (n * sxx - sx * sx).cast("double")
+    vy = (n * syy - sy * sy).cast("double")
+    corr = F.when((n >= 2) & (vx > 0) & (vy > 0),
+                  cov_num / F.sqrt(vx) / F.sqrt(vy))
+    cov = F.when(n >= 2,
+                 cov_num / (n * (n - 1)).cast("double") / F.lit(float(k * k)))
+    return agged.select(*keys, corr.alias("corr"), cov.alias("cov"))

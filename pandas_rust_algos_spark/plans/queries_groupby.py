@@ -711,3 +711,46 @@ def group_cut_qcut(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("value").alias("lo"),
         F.max("value").alias("hi"),
     )
+
+
+# ---------------------------------------------------------------- corr/cov
+
+
+@register(
+    "group_corr_cov",
+    oracle="""
+    WITH f AS (
+      SELECT l_suppkey,
+             CAST(FLOOR(l_quantity * 1000) AS HUGEINT) AS fx,
+             CAST(FLOOR(l_extendedprice * 1000) AS HUGEINT) AS fy
+      FROM lineitem
+    ), s AS (
+      SELECT l_suppkey, COUNT(*) AS n,
+             SUM(fx) AS sx, SUM(fy) AS sy, SUM(fx * fy) AS sxy,
+             SUM(fx * fx) AS sxx, SUM(fy * fy) AS syy
+      FROM f GROUP BY l_suppkey
+    )
+    SELECT l_suppkey,
+           ROUND(CASE WHEN n >= 2 AND n * sxx - sx * sx > 0
+                       AND n * syy - sy * sy > 0 THEN
+             CAST(n * sxy - sx * sy AS DOUBLE)
+               / SQRT(CAST(n * sxx - sx * sx AS DOUBLE))
+               / SQRT(CAST(n * syy - sy * sy AS DOUBLE)) END, 6) AS corr,
+           ROUND(CASE WHEN n >= 2 THEN
+             CAST(n * sxy - sx * sy AS DOUBLE)
+               / CAST(n * (n - 1) AS DOUBLE) / 1e6 END, 6) AS cov
+    FROM s
+    """,
+)
+def group_corr_cov(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group Pearson corr + sample cov of (quantity, price) via
+    exact fixed-point power sums — one aggregation pass, deterministic
+    across engines (decimal vs HUGEINT integer arithmetic; the float
+    division at the end starts from identical integers)."""
+    li = _li(spark, sf_dir)
+    out = ga.group_corr_cov(li, "l_suppkey", "l_quantity", "l_extendedprice")
+    return out.select(
+        "l_suppkey",
+        F.round("corr", 6).alias("corr"),
+        F.round("cov", 6).alias("cov"),
+    )

@@ -452,6 +452,50 @@ def group_head_tail(spark: SparkSession, sf_dir: str) -> DataFrame:
     return head.unionByName(tail)
 
 
+# ------------------------------------------------------------ range join
+
+
+@register(
+    "range_join",
+    oracle="""
+    WITH iv AS (
+      SELECT o_orderkey AS win_id, o_orderdate AS win_start,
+             o_orderdate + INTERVAL 3 DAY AS win_end
+      FROM orders WHERE o_orderkey % 97 = 0
+    )
+    SELECT win_id, COUNT(*) AS n_shipments,
+           COUNT(DISTINCT l_orderkey) AS n_orders
+    FROM lineitem JOIN iv
+      ON l_shipdate >= win_start AND l_shipdate < win_end
+    GROUP BY win_id
+    """,
+)
+def range_join_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Range (interval) join without a key: lineitem ship events
+    against sparse 3-day windows. Bucket banding turns the theta join
+    into an equi-join on day buckets (operators/range_join.py) — the
+    oracle's plain theta join is what we must NOT run distributed (it
+    plans as broadcast-nested-loop: every point × every interval)."""
+    from pandas_rust_algos_spark.operators.range_join import range_join
+
+    li, od = _t(spark, sf_dir, "lineitem", "orders")
+    iv = od.where(F.col("o_orderkey") % 97 == 0).select(
+        F.col("o_orderkey").alias("win_id"),
+        F.col("o_orderdate").alias("win_start"),
+        (F.col("o_orderdate") + F.expr("INTERVAL 3 DAY")).alias("win_end"),
+    )
+    pts = li.select("l_orderkey", "l_shipdate")
+    return (
+        range_join(pts, "l_shipdate", iv, "win_start", "win_end",
+                   bucket_seconds=86_400)
+        .groupBy("win_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_shipments"),
+            F.countDistinct("l_orderkey").alias("n_orders"),
+        )
+    )
+
+
 # ------------------------------------------------------------- as-of join
 
 

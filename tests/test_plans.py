@@ -85,3 +85,13 @@ def test_asof_join_single_shuffle(spark, sf_dir):
     plan = plan_of(spark, sf_dir, "asof_join")
     assert plan.count("Exchange hashpartitioning") <= 2  # orders-dedup agg + window
     assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan
+
+
+def test_range_join_is_banded_equi_join(spark, sf_dir):
+    """The bucket-banding must plan as a hash/merge equi-join on the
+    bucket — a BroadcastNestedLoopJoin means the theta predicate leaked
+    into the join and the operator is a cross join at scale."""
+    plan = plan_of(spark, sf_dir, "range_join")
+    assert "NestedLoop" not in plan, "range join fell back to nested loop"
+    assert ("SortMergeJoin" in plan or "ShuffledHashJoin" in plan
+            or "BroadcastHashJoin" in plan)
