@@ -336,6 +336,169 @@ def q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# -------------------------------------------------------------- Q9-shaped
+
+
+@register(
+    "q9_product_profit",
+    oracle=f"""
+    SELECT n_name, EXTRACT(year FROM l_shipdate) AS o_year,
+           {dsum('l_extendedprice * (1 - l_discount)'
+                 ' - p_retailprice * l_quantity * 0.1')} AS profit
+    FROM lineitem JOIN part ON p_partkey = l_partkey
+                  JOIN supplier ON s_suppkey = l_suppkey
+                  JOIN nation ON n_nationkey = s_nationkey
+    GROUP BY n_name, o_year
+    """,
+)
+def q9_product_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q9-shaped product profit by supplier nation and year
+    (the fixtures carry no partsupp, so supply cost is proxied as 10%
+    of retail price — the plan shape is Q9's: two broadcast dims into
+    the fact scan, profit expression evaluated pre-shuffle, small
+    final agg)."""
+    li, pa, su, na = _t(spark, sf_dir, "lineitem", "part", "supplier", "nation")
+    supp_nation = (
+        su.join(na, su.s_nationkey == na.n_nationkey)
+        .select("s_suppkey", "n_name")
+    )
+    parts = pa.select("p_partkey", "p_retailprice")
+    amount = (
+        F.col("l_extendedprice") * (1 - F.col("l_discount"))
+        - F.col("p_retailprice") * F.col("l_quantity") * F.lit(0.1)
+    )
+    profit = F.floor(amount * F.lit(1e6)).cast("long")
+    return (
+        li.join(F.broadcast(parts), li.l_partkey == parts.p_partkey)
+        .join(F.broadcast(supp_nation), li.l_suppkey == supp_nation.s_suppkey)
+        .groupBy("n_name", F.year("l_shipdate").cast("long").alias("o_year"))
+        .agg((F.sum(profit).cast("double") / F.lit(1e6)).alias("profit"))
+    )
+
+
+# -------------------------------------------------------------- Q14-shaped
+
+
+@register(
+    "q14_promo_share",
+    oracle="""
+    SELECT EXTRACT(year FROM l_shipdate) AS y,
+           EXTRACT(month FROM l_shipdate) AS m,
+           CAST(SUM(CASE WHEN p_type = 'PROMO' THEN
+                  FLOOR(l_extendedprice * (1 - l_discount) * 1e6)::BIGINT
+                  END) AS DOUBLE)
+             / CAST(SUM(FLOOR(l_extendedprice * (1 - l_discount)
+                              * 1e6)::BIGINT) AS DOUBLE)
+             * 100 AS promo_share_pct
+    FROM lineitem JOIN part ON p_partkey = l_partkey
+    GROUP BY y, m
+    """,
+)
+def q14_promo_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q14-shaped promotion revenue share per month: one
+    broadcast dim join, the conditional and total revenue folded into
+    a single aggregation pass (no self-join for the ratio)."""
+    li, pa = _t(spark, sf_dir, "lineitem", "part")
+    parts = pa.select("p_partkey", "p_type")
+    rev = F.floor(
+        F.col("l_extendedprice") * (1 - F.col("l_discount")) * F.lit(1e6)
+    ).cast("long")
+    promo = F.when(F.col("p_type") == "PROMO", rev)
+    return (
+        li.join(F.broadcast(parts), li.l_partkey == parts.p_partkey)
+        .groupBy(
+            F.year("l_shipdate").cast("long").alias("y"),
+            F.month("l_shipdate").cast("long").alias("m"),
+        )
+        .agg(
+            (F.sum(promo).cast("double")
+             / F.sum(rev).cast("double") * F.lit(100.0)).alias("promo_share_pct")
+        )
+    )
+
+
+# -------------------------------------------------------------- Q18-shaped
+
+
+@register(
+    "q18_large_orders",
+    oracle=f"""
+    SELECT o_orderkey, o_orderdate, o_totalprice,
+           {dsum('l_quantity')} AS total_qty
+    FROM orders JOIN lineitem ON l_orderkey = o_orderkey
+    GROUP BY o_orderkey, o_orderdate, o_totalprice
+    HAVING SUM(FLOOR(l_quantity * 1e6)::BIGINT) > 200 * 1000000
+    """,
+)
+def q18_large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q18-shaped large-volume orders (HAVING over a grouped
+    sum). The filter runs on the fixed-point sum itself — aggregate
+    pushdown-friendly, and AQE sizes the single shuffle."""
+    od, li = _t(spark, sf_dir, "orders", "lineitem")
+    qty = F.floor(F.col("l_quantity") * F.lit(1e6)).cast("long")
+    return (
+        li.join(od, F.col("l_orderkey") == F.col("o_orderkey"))
+        .groupBy("o_orderkey", "o_orderdate", "o_totalprice")
+        .agg(F.sum(qty).alias("__q"))
+        .where(F.col("__q") > 200 * 1_000_000)
+        .select(
+            "o_orderkey", "o_orderdate", "o_totalprice",
+            (F.col("__q").cast("double") / F.lit(1e6)).alias("total_qty"),
+        )
+    )
+
+
+# -------------------------------------------------------------- Q19-shaped
+
+
+@register(
+    "q19_bracket_revenue",
+    oracle=f"""
+    SELECT {dsum(_REVENUE)} AS revenue
+    FROM lineitem JOIN part ON p_partkey = l_partkey
+    WHERE (p_brand = 'Brand#1' AND p_size BETWEEN 1 AND 15
+           AND l_quantity BETWEEN 1 AND 20)
+       OR (p_brand = 'Brand#7' AND p_size BETWEEN 10 AND 30
+           AND l_quantity BETWEEN 10 AND 35)
+       OR (p_brand = 'Brand#13' AND p_size BETWEEN 20 AND 50
+           AND l_quantity BETWEEN 20 AND 50)
+    """,
+)
+def q19_bracket_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q19-shaped disjunctive bracket filter. The part-side
+    conjuncts (brand, size) filter the dim BEFORE the broadcast and the
+    lineitem-side quantity bound (derived common range 1..50) prunes
+    the fact scan — Catalyst can't split an OR-of-ANDs across tables by
+    itself, so the operator pre-factors it."""
+    li, pa = _t(spark, sf_dir, "lineitem", "part")
+    brackets = [
+        ("Brand#1", 1, 15, 1, 20),
+        ("Brand#7", 10, 30, 10, 35),
+        ("Brand#13", 20, 50, 20, 50),
+    ]
+    part_pred = None
+    for b, slo, shi, _, _ in brackets:
+        p = (F.col("p_brand") == b) & F.col("p_size").between(slo, shi)
+        part_pred = p if part_pred is None else (part_pred | p)
+    parts = pa.where(part_pred).select("p_partkey", "p_brand", "p_size")
+    qlo = min(b[3] for b in brackets)
+    qhi = max(b[4] for b in brackets)
+    joined = li.where(F.col("l_quantity").between(qlo, qhi)).join(
+        F.broadcast(parts), F.col("l_partkey") == F.col("p_partkey")
+    )
+    full = None
+    for b, slo, shi, lo, hi in brackets:
+        p = ((F.col("p_brand") == b) & F.col("p_size").between(slo, shi)
+             & F.col("l_quantity").between(lo, hi))
+        full = p if full is None else (full | p)
+    rev = F.floor(
+        F.col("l_extendedprice") * (1 - F.col("l_discount")) * F.lit(1e6)
+    ).cast("long")
+    return joined.where(full).agg(
+        (F.sum(rev).cast("double") / F.lit(1e6)).alias("revenue")
+    )
+
+
 # -------------------------------------------------------------- Q10-shaped
 
 

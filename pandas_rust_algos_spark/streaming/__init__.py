@@ -1,4 +1,5 @@
 from pandas_rust_algos_spark.streaming.events import (
+    dedup_stream,
     read_events_stream,
     run_available_now,
     session_counts,
@@ -12,6 +13,7 @@ __all__ = [
     "tumbling_counts",
     "session_counts",
     "run_available_now",
+    "dedup_stream",
     "click_to_purchase",
     "running_user_profile",
 ]

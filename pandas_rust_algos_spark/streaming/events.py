@@ -95,6 +95,27 @@ def session_counts(
     )
 
 
+def dedup_stream(
+    stream: DataFrame,
+    keys: list[str] | None = None,
+    *,
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Streaming exact dedup: drop rows whose ``keys`` were already
+    seen within the watermark horizon (at-least-once sources — Kafka
+    replays, file re-lists — made effectively-once).
+
+    ``dropDuplicatesWithinWatermark`` is the bounded-state form: a
+    key's fingerprint is held only until the watermark passes its event
+    time, unlike ``dropDuplicates`` on a stream which keeps every key
+    forever. The watermark is therefore the dedup window AND the state
+    bound — size it to the source's maximum replay lag."""
+    keys = keys or ["event_id"]
+    return stream.withWatermark("ts", watermark).dropDuplicatesWithinWatermark(
+        keys
+    )
+
+
 def run_available_now(
     agged: DataFrame,
     *,

@@ -95,3 +95,30 @@ def test_stream_stream_join_matches_batch(spark, sf_dir):
                   + F.expr("INTERVAL 1 hour")))
     bpairs = sorted((r["click_id"], r["purchase_id"]) for r in b.collect())
     assert s == bpairs
+
+
+def test_stream_dedup_within_watermark(spark, sf_dir, tmp_path):
+    """A doubled input (every row appears twice) must come out exactly
+    once per event_id; row payloads survive."""
+    import os
+
+    from pandas_rust_algos_spark.sources import load_table
+
+    ev = load_table(spark, sf_dir, "events")
+    dup_dir = str(tmp_path / "dup_events")
+    ev.unionByName(ev).repartition(2).write.parquet(dup_dir)
+
+    schema = spark.read.parquet(dup_dir).schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(dup_dir)
+    )
+    out = se.run_available_now(
+        se.dedup_stream(stream, ["event_id"]),
+        table="t_stream_dedup", output_mode="append",
+    )
+    n_distinct = ev.select("event_id").distinct().count()
+    got = out.select("event_id").collect()
+    assert len(got) == n_distinct
+    assert len({r["event_id"] for r in got}) == n_distinct
