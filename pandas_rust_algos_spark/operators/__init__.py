@@ -3,6 +3,7 @@ from pandas_rust_algos_spark.operators import (
     grouped_agg,
     grouped_transform,
     multimodal,
+    pivot,
     range_join,
     similarity,
     skew_handling,
@@ -20,4 +21,5 @@ __all__ = [
     "multimodal",
     "skew_handling",
     "range_join",
+    "pivot",
 ]

@@ -464,10 +464,20 @@ def group_ewm_mean(
     alpha: float,
     method: str = "window",
     ignore_na: bool = True,
+    adjust: bool = True,
     out_suffix: str = "_ewm",
 ) -> DataFrame:
     """Per-group exponentially weighted mean (pandas ``ewm(alpha=...)
     .mean()``, adjusted form): y_t = Σ_{i<=t} (1-α)^(t-i)·x_i / Σ w^k.
+
+    ``adjust=False`` computes the recursive form instead
+    (y_0 = x_0; y_t = (1-α)·y_{t-1} + α·x_t) via the same bounded
+    fold: the frame's oldest element seeds y, later elements apply the
+    recurrence. For rows deeper than the lookback this assigns the
+    frame-opening element weight (1-α)^K instead of the exact
+    α(1-α)^K + tail — an error below (1-α)^K ≈ 1e-15 relative, the
+    same truncation bound as the adjusted path. Only implemented for
+    ``ignore_na=True``.
 
     ``method='window'`` stays JVM-side: the recurrence is re-expressed
     as a fold over a *bounded* trailing frame — lookback K chosen so
@@ -501,12 +511,16 @@ def group_ewm_mean(
             pdf = pdf.sort_values(order, kind="mergesort")
             for v in values:
                 pdf[f"{v}{out_suffix}"] = pdf[v].ewm(
-                    alpha=alpha, ignore_na=ignore_na).mean()
+                    alpha=alpha, ignore_na=ignore_na, adjust=adjust).mean()
             return pdf
 
         return df.groupBy(*keys).applyInPandas(fn, schema=schema)
     if method != "window":
         raise ValueError("method must be 'window' or 'pandas'")
+    if not adjust and not ignore_na:
+        raise NotImplementedError(
+            "adjust=False with ignore_na=False: use method='pandas'"
+        )
 
     import math
 
@@ -520,7 +534,22 @@ def group_ewm_mean(
     out = df
     for v in values:
         c = na_normalize(v, floating=_is_floating(df, v))
-        if ignore_na:
+        if ignore_na and not adjust:
+            vals = F.collect_list(c).over(frame)
+            n = F.size(vals)
+            # recursive form: oldest frame element seeds y, the rest
+            # apply y = (1-α)y + αx; init flagged via a null sentinel
+            folded = F.aggregate(
+                vals,
+                F.struct(F.lit(None).cast("double").alias("y")),
+                lambda acc, x: F.struct(
+                    F.when(acc["y"].isNull(), x)
+                    .otherwise(acc["y"] * F.lit(w1) + x * F.lit(alpha))
+                    .alias("y")
+                ),
+            )
+            expr = F.when(c.isNotNull() & (n > 0), folded["y"])
+        elif ignore_na:
             vals = F.collect_list(c).over(frame)  # non-null values, frame order
             n = F.size(vals)
             # fold oldest->newest: acc = (num, den); each step decays both

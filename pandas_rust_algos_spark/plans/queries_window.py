@@ -410,6 +410,36 @@ def group_ewm_mean_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "group_ewm_mean_recursive",
+    oracle="""
+    WITH r AS (
+      SELECT event_id,
+             ARRAY_AGG(value) OVER (
+               PARTITION BY user_id ORDER BY event_id
+               ROWS BETWEEN 50 PRECEDING AND CURRENT ROW) AS vals
+      FROM events
+    )
+    SELECT event_id,
+           LIST_REDUCE(vals, (y, x) -> y * 0.5 + x * 0.5) AS v_ewm_rec
+    FROM r
+    """,
+)
+def group_ewm_mean_recursive_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ewm adjust=False (the recursive y=(1-α)y+αx form), α=0.5. The
+    oracle runs the *same* sequential fold (list_reduce seeds with the
+    frame-opening element, exactly like the Spark aggregate) over the
+    same 50-row lookback — identical operation order ⇒ bit-identical
+    doubles (no rounding: a Σ-of-weighted-terms oracle differs in
+    association order, and even ROUND itself tie-breaks differently
+    across engines)."""
+    tune(spark)
+    ev = load_table(spark, sf_dir, "events")
+    out = gt.group_ewm_mean(ev, "user_id", ["event_id"], ["value"], alpha=0.5,
+                            adjust=False)
+    return out.select("event_id", F.col("value_ewm").alias("v_ewm_rec"))
+
+
+@register(
     "group_ewm_mean_noskip",
     oracle="""
     WITH r AS (

@@ -554,3 +554,28 @@ def test_ewm_na_row_stays_na(spark):
 def test_ewm_rejects_bad_alpha(spark, nullable_df):
     with pytest.raises(ValueError):
         gt.group_ewm_mean(nullable_df, "k", ["ord"], ["v"], alpha=0.0)
+
+
+def test_pivot_dynamic_discovers_and_caps(spark, sf_dir):
+    from pyspark.sql import functions as F
+
+    from pandas_rust_algos_spark.operators.pivot import pivot_dynamic
+    from pandas_rust_algos_spark.sources import load_table
+
+    ev = load_table(spark, sf_dir, "events")
+    out = pivot_dynamic(
+        ev, "user_id", "event_type", F.count(F.lit(1)), max_values=10
+    )
+    # columns = user_id + sorted discovered event types
+    assert out.columns == ["user_id", "click", "error", "purchase",
+                           "signup", "view"]
+    row = out.where("user_id = 0").collect()[0]
+    batch = {r["event_type"]: r["n"] for r in
+             ev.where("user_id = 0").groupBy("event_type")
+             .agg(F.count(F.lit(1)).alias("n")).collect()}
+    assert {t: row[t] for t in batch} == batch
+
+    import pytest as _pytest
+    with _pytest.raises(ValueError, match="exceeds max_values"):
+        pivot_dynamic(ev, "user_id", "event_id", F.count(F.lit(1)),
+                      max_values=50)
