@@ -52,6 +52,7 @@ __all__ = [
     "rolling_agg",
     "group_ewm_mean",
     "group_ewm_var",
+    "group_zscore",
 ]
 
 
@@ -648,4 +649,44 @@ def group_ewm_var(
         var = biased * (den * den) / (den * den - den2)
         expr = F.when(c.isNotNull() & (den * den > den2), var)
         out = out.withColumn(f"{v}{out_suffix}", F.sqrt(expr) if std else expr)
+    return out
+
+
+def group_zscore(
+    df: DataFrame,
+    keys: Sequence[str] | str,
+    values: Sequence[str] | str,
+    *,
+    ddof: int = 1,
+    scale: int = 6,
+    out_suffix: str = "_z",
+) -> DataFrame:
+    """pandas ``groupby.transform('zscore')``: standardize each value
+    against its group's mean/std, keeping every row — the canonical
+    agg-broadcast-back transform, done as whole-partition window
+    aggregates so the group stats and the row values share ONE shuffle
+    (no separate agg + join back).
+
+    Mean and std derive from fixed-point integer power sums (exact in
+    38-digit decimal), so the standardized values are bit-deterministic
+    across engines and partitionings; the std is computed on the
+    10^-scale-quantized values (documented deviation — pandas uses the
+    raw floats; difference is ≤ quantization/σ).
+    """
+    keys, values = _cols(keys), _cols(values)
+    k = 10 ** scale
+    w = Window.partitionBy(*keys)
+    out = df
+    for v in values:
+        c = na_normalize(v, floating=_is_floating(df, v))
+        fx = F.floor(c * F.lit(k)).cast("decimal(38,0)")
+        n = F.count(c).over(w).cast("decimal(38,0)")
+        sx = F.sum(fx).over(w)
+        sxx = F.sum(fx * fx).over(w)
+        mean = (sx.cast("double") / F.lit(float(k))) / n.cast("double")
+        var_fx = (n * sxx - sx * sx).cast("double") \
+            / (n * (n - F.lit(ddof))).cast("double")
+        std = F.sqrt(var_fx) / F.lit(float(k))
+        z = F.when((n > ddof) & (std > 0), (c - mean) / std)
+        out = out.withColumn(f"{v}{out_suffix}", z)
     return out

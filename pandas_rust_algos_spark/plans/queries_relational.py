@@ -417,6 +417,134 @@ def q14_promo_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# -------------------------------------------------------------- Q15-shaped
+
+
+@register(
+    "q15_top_supplier",
+    oracle="""
+    WITH rev AS (
+      SELECT l_suppkey,
+             SUM(FLOOR(l_extendedprice * (1 - l_discount) * 1e6)::BIGINT)
+               AS r_fx
+      FROM lineitem GROUP BY l_suppkey
+    )
+    SELECT s_suppkey, s_name,
+           CAST(r_fx AS DOUBLE) / 1e6 AS total_revenue
+    FROM rev JOIN supplier ON s_suppkey = l_suppkey
+    WHERE r_fx = (SELECT MAX(r_fx) FROM rev)
+    """,
+)
+def q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q15-shaped top supplier: the revenue "view" aggregates
+    once and is reused for both the max (1-row broadcast, no collect)
+    and the final filter — persisted because Catalyst would otherwise
+    recompute the aggregation on both sides of its own self-join. The
+    max compares exact fixed-point longs, so ties are real ties."""
+    li, su = _t(spark, sf_dir, "lineitem", "supplier")
+    rev_fx = F.floor(
+        F.col("l_extendedprice") * (1 - F.col("l_discount")) * F.lit(1e6)
+    ).cast("long")
+    rev = (
+        li.groupBy("l_suppkey").agg(F.sum(rev_fx).alias("r_fx"))
+    ).persist()
+    best = rev.agg(F.max("r_fx").alias("r_fx"))
+    return (
+        rev.join(F.broadcast(best), "r_fx")
+        .join(F.broadcast(su), F.col("s_suppkey") == F.col("l_suppkey"))
+        .select(
+            "s_suppkey", "s_name",
+            (F.col("r_fx").cast("double") / F.lit(1e6)).alias("total_revenue"),
+        )
+    )
+
+
+# -------------------------------------------------------------- Q17-shaped
+
+
+@register(
+    "q17_small_qty_revenue",
+    oracle="""
+    WITH pa AS (
+      SELECT l_partkey AS pk, COUNT(*) AS n,
+             SUM(FLOOR(l_quantity * 1e6)::BIGINT) AS sq_fx
+      FROM lineitem GROUP BY l_partkey
+    )
+    SELECT CAST(SUM(FLOOR(l_extendedprice * 1e6)::BIGINT) AS DOUBLE)
+             / 1e6 / 7.0 AS avg_yearly
+    FROM lineitem JOIN pa ON l_partkey = pk
+    WHERE CAST(FLOOR(l_quantity * 1e6) AS DOUBLE)
+          < 0.2 * (CAST(sq_fx AS DOUBLE) / CAST(n AS DOUBLE))
+    """,
+)
+def q17_small_qty_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q17-shaped: revenue from lineitems below 20% of their
+    part's average quantity. The correlated scalar (per-part avg) is an
+    aggregation broadcast back into the fact scan; the comparison runs
+    on fixed-point values so both engines threshold identical doubles."""
+    (li,) = _t(spark, sf_dir, "lineitem")
+    qty_fx = F.floor(F.col("l_quantity") * F.lit(1e6)).cast("long")
+    pa = li.groupBy(F.col("l_partkey").alias("pk")).agg(
+        F.count(F.lit(1)).alias("n"), F.sum(qty_fx).alias("sq_fx")
+    )
+    avg_fx = F.col("sq_fx").cast("double") / F.col("n").cast("double")
+    price_fx = F.floor(F.col("l_extendedprice") * F.lit(1e6)).cast("long")
+    return (
+        li.join(F.broadcast(pa), li.l_partkey == F.col("pk"))
+        .where(qty_fx.cast("double") < F.lit(0.2) * avg_fx)
+        .agg((F.sum(price_fx).cast("double") / F.lit(1e6) / F.lit(7.0))
+             .alias("avg_yearly"))
+    )
+
+
+# -------------------------------------------------------------- Q22-shaped
+
+
+@register(
+    "q22_idle_customers",
+    oracle="""
+    WITH pos AS (
+      SELECT SUM(FLOOR(c_acctbal * 1e6)::BIGINT) AS s, COUNT(*) AS n
+      FROM customer WHERE c_acctbal > 0
+    )
+    SELECT c_nationkey, COUNT(*) AS n_cust,
+           CAST(SUM(FLOOR(c_acctbal * 1e6)::BIGINT) AS DOUBLE) / 1e6
+             AS total_bal
+    FROM customer c
+    WHERE CAST(FLOOR(c_acctbal * 1e6) AS DOUBLE)
+          > (SELECT CAST(s AS DOUBLE) / CAST(n AS DOUBLE) FROM pos)
+      AND NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey
+                      AND o_orderpriority = '1-URGENT')
+    GROUP BY c_nationkey
+    """,
+)
+def q22_idle_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q22-shaped: rich customers with no urgent order — a NOT
+    EXISTS as LEFT ANTI join (nothing from the right side is ever
+    materialized; the priority filter prunes the anti side before the
+    shuffle), with the above-average threshold as a 1-row broadcast.
+    (The original's "never ordered" is empty in these fixtures — every
+    customer has orders — so the predicate narrows to urgent ones.)"""
+    cu, od = _t(spark, sf_dir, "customer", "orders")
+    bal_fx = F.floor(F.col("c_acctbal") * F.lit(1e6)).cast("long")
+    pos = cu.where(F.col("c_acctbal") > 0).agg(
+        (F.sum(bal_fx).cast("double")
+         / F.count(F.lit(1)).cast("double")).alias("avg_fx")
+    )
+    return (
+        cu.join(F.broadcast(pos))
+        .where(bal_fx.cast("double") > F.col("avg_fx"))
+        .join(od.where(F.col("o_orderpriority") == "1-URGENT")
+              .select("o_custkey"),
+              F.col("c_custkey") == F.col("o_custkey"), "left_anti")
+        .groupBy("c_nationkey")
+        .agg(
+            F.count(F.lit(1)).alias("n_cust"),
+            (F.sum(bal_fx).cast("double") / F.lit(1e6)).alias("total_bal"),
+        )
+    )
+
+
 # -------------------------------------------------------------- Q18-shaped
 
 

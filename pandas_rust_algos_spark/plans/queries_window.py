@@ -589,3 +589,44 @@ def take_2d(spark: SparkSession, sf_dir: str) -> DataFrame:
            cols.index("l_orderkey"), cols.index("l_linenumber")]
     out = tk.take_columns(li, idx)
     return out.toDF(*[f"c{i}" for i in range(len(idx))])
+
+
+# ------------------------------------------------------------------ zscore
+
+
+@register(
+    "group_zscore",
+    oracle="""
+    WITH s AS (
+      SELECT l_orderkey, l_linenumber, l_extendedprice,
+             CAST(FLOOR(l_extendedprice * 1e6) AS HUGEINT) AS fx,
+             l_suppkey
+      FROM lineitem
+    ), g AS (
+      SELECT l_suppkey, COUNT(*) AS n, SUM(fx) AS sx, SUM(fx * fx) AS sxx
+      FROM s GROUP BY l_suppkey
+    )
+    SELECT l_orderkey, l_linenumber,
+           ROUND(CASE WHEN n > 1
+                  AND CAST(n * sxx - sx * sx AS DOUBLE)
+                      / CAST(n * (n - 1) AS DOUBLE) > 0 THEN
+             (l_extendedprice
+              - (CAST(sx AS DOUBLE) / 1e6) / CAST(n AS DOUBLE))
+             / (SQRT(CAST(n * sxx - sx * sx AS DOUBLE)
+                     / CAST(n * (n - 1) AS DOUBLE)) / 1e6) END, 6) AS z
+    FROM s JOIN g USING (l_suppkey)
+    """,
+)
+def group_zscore_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """groupby.transform zscore: per-row standardization against group
+    stats computed as whole-partition window aggregates — stats and
+    rows share one shuffle, no agg+join-back. Fixed-point power sums
+    keep it bit-deterministic (decimal on Spark, HUGEINT in the
+    oracle)."""
+    tune(spark)
+    li = load_table(spark, sf_dir, "lineitem")
+    out = gt.group_zscore(li, "l_suppkey", ["l_extendedprice"])
+    return out.select(
+        "l_orderkey", "l_linenumber",
+        F.round("l_extendedprice_z", 6).alias("z"),
+    )
