@@ -514,6 +514,11 @@ def group_quantile(
                 ) == 1
                 picks.append(F.when(use_hi, vhi).otherwise(vlo).alias(f"__q{i}"))
     agged = nn.groupBy(*keys).agg(*picks)
+    # all-NA groups vanished with the non-null filter; reinstate them
+    # with NULL quantiles (pandas emits NaN, SQL NULL) — the key list
+    # is a tiny agg joined back on the same partitioning
+    all_keys = df.groupBy(*keys).agg(F.lit(1).alias("__present"))
+    agged = all_keys.join(agged, keys, "left").drop("__present")
 
     # long form: one row per (group, q)
     pairs = F.array(*[

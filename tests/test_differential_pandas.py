@@ -1,0 +1,132 @@
+"""Differential tests against pandas itself — the reference's own
+methodology (README recipes: seeded random inputs, run both, compare;
+SURVEY §5). The DuckDB oracle gate checks SQL semantics; these check
+*pandas* semantics on adversarial seeded data: NaN injection, duplicate
+values (tie handling), single-element groups, and an empty-ish group
+mix the TPC-H fixtures don't exercise.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pytest
+
+from pandas_rust_algos_spark.operators import grouped_agg as ga
+from pandas_rust_algos_spark.operators import grouped_transform as gt
+
+N, NGROUPS, SEED = 400, 8, 1234
+
+
+@pytest.fixture(scope="module")
+def frame(spark):
+    rng = np.random.default_rng(SEED)
+    pdf = pd.DataFrame({
+        "k": rng.integers(0, NGROUPS, N),
+        "ord": np.arange(N),
+        # duplicates on purpose: quantize to 1 decimal so ties happen
+        "v": np.round(rng.normal(50, 20, N), 1),
+    })
+    pdf.loc[rng.choice(N, N // 10, replace=False), "v"] = np.nan
+    # one singleton group and one all-NaN group
+    pdf.loc[N - 1, "k"] = NGROUPS
+    pdf.loc[pdf["k"] == 0, "v"] = np.nan
+    sdf = spark.createDataFrame(pdf.assign(v=pdf["v"].astype(float)))
+    return pdf, sdf
+
+
+def collect_map(df, key_cols, val_col):
+    return {
+        tuple(r[c] for c in key_cols): r[val_col] for r in df.collect()
+    }
+
+
+def close(a, b, tol=1e-9):
+    if a is None or (isinstance(a, float) and np.isnan(a)):
+        return b is None or (isinstance(b, float) and np.isnan(b))
+    if b is None or (isinstance(b, float) and np.isnan(b)):
+        return False
+    return abs(a - b) <= tol * max(1.0, abs(a), abs(b))
+
+
+@pytest.mark.parametrize("interp", ["linear", "lower", "higher",
+                                    "nearest", "midpoint"])
+def test_quantile_matches_pandas(frame, interp):
+    pdf, sdf = frame
+    qs = [0.0, 0.1, 0.513, 0.9, 1.0]
+    got = {}
+    out = ga.group_quantile(sdf, "k", "v", qs, interpolation=interp)
+    for r in out.collect():
+        got[(r["k"], round(r["q"], 3))] = r["quantile"]
+    exp = pdf.groupby("k")["v"].quantile(qs, interpolation=interp)
+    for (k, q), val in exp.items():
+        assert close(got[(k, round(q, 3))], val), (interp, k, q, val)
+
+
+@pytest.mark.parametrize("ties", ["average", "min", "max", "first", "dense"])
+def test_rank_matches_pandas(frame, ties):
+    pdf, sdf = frame
+    out = gt.group_rank(sdf, "k", "v", method=ties, out_col="v_rank")
+    exp = pdf.groupby("k")["v"].rank(method=ties)
+    if ties == "first":
+        # 'first' breaks ties by input order, which a distributed sort
+        # does not preserve — the rank *multiset* per (group, value)
+        # is the defined contract
+        got = {}
+        for r in out.collect():
+            got.setdefault((r["k"], r["v"]), []).append(r["v_rank"])
+        want = {}
+        for i, val in exp.items():
+            want.setdefault((pdf.loc[i, "k"], pdf.loc[i, "v"]), []).append(val)
+        for key, vals in want.items():
+            if isinstance(key[1], float) and np.isnan(key[1]):
+                continue
+            assert sorted(got[key]) == sorted(vals), (key, vals)
+    else:
+        got = collect_map(out, ["ord", "k"], "v_rank")
+        for i, val in exp.items():
+            k = (pdf.loc[i, "ord"], pdf.loc[i, "k"])
+            assert close(got[k], val), (ties, i, val)
+
+
+@pytest.mark.parametrize("skipna", [True, False])
+def test_cumsum_matches_pandas(frame, skipna):
+    pdf, sdf = frame
+    out = gt.group_cumsum(sdf, "k", ["ord"], ["v"], skipna=skipna)
+    got = collect_map(out, ["ord"], "v_cumsum")
+    exp = pdf.sort_values("ord").groupby("k")["v"].cumsum(skipna=skipna)
+    for i, val in exp.items():
+        assert close(got[(pdf.loc[i, "ord"],)], val), (skipna, i, val)
+
+
+def test_ffill_limit_matches_pandas(frame):
+    pdf, sdf = frame
+    out = gt.group_fillna(sdf, "k", ["ord"], ["v"], direction="ffill", limit=2)
+    got = collect_map(out, ["ord"], "v_filled")
+    exp = pdf.sort_values("ord").groupby("k")["v"].ffill(limit=2)
+    for i, val in exp.items():
+        assert close(got[(pdf.loc[i, "ord"],)], val), (i, val)
+
+
+def test_ewm_mean_matches_pandas(frame):
+    pdf, sdf = frame
+    out = gt.group_ewm_mean(sdf, "k", ["ord"], ["v"], alpha=0.3)
+    got = collect_map(out, ["ord"], "v_ewm")
+    exp = pdf.sort_values("ord").groupby("k")["v"].transform(
+        lambda s: s.ewm(alpha=0.3, ignore_na=True).mean())
+    for i, val in exp.items():
+        v_in = pdf.loc[i, "v"]
+        want = np.nan if (isinstance(v_in, float) and np.isnan(v_in)) else val
+        assert close(got[(pdf.loc[i, "ord"],)], want, tol=1e-9), (i, val)
+
+
+def test_var_std_skew_match_pandas(frame):
+    pdf, sdf = frame
+    out = ga.group_var(sdf, "k", ["v"], ddof=1)
+    got = collect_map(out, ["k"], "v")
+    for k, val in pdf.groupby("k")["v"].var(ddof=1).items():
+        assert close(got[(k,)], val, tol=1e-7), ("var", k, val)
+    out = ga.group_skew(sdf, "k", ["v"])
+    got = collect_map(out, ["k"], "v")
+    for k, val in pdf.groupby("k")["v"].skew().items():
+        assert close(got[(k,)], val, tol=1e-7), ("skew", k, val)
