@@ -477,10 +477,17 @@ def group_quantile(
     df = _prep(df, keys, dropna_keys)
     c = _nn(df, value)
 
-    nn = df.select(*keys, c.alias("__v")).where(F.col("__v").isNotNull())
+    # NULL values sort LAST instead of being filtered out: non-null
+    # rows keep exactly the ranks the reference's sort_indexer gives
+    # them, while all-NA groups still reach the aggregation (emitting
+    # NULL quantiles, pandas/SQL semantics) — no second scan or key
+    # re-join needed to reinstate them
+    nn = df.select(*keys, c.alias("__v"))
     w = Window.partitionBy(*keys)
-    nn = nn.withColumn("__rn", F.row_number().over(w.orderBy("__v")) - 1)
-    nn = nn.withColumn("__n", F.count("__v").over(w))
+    nn = nn.withColumn(
+        "__rn", F.row_number().over(w.orderBy(F.col("__v").asc_nulls_last())) - 1
+    )
+    nn = nn.withColumn("__n", F.count("__v").over(w))  # non-null count
     picks = []
     for i, q in enumerate(qs):
         target = F.lit(q) * (F.col("__n") - 1)
@@ -514,11 +521,6 @@ def group_quantile(
                 ) == 1
                 picks.append(F.when(use_hi, vhi).otherwise(vlo).alias(f"__q{i}"))
     agged = nn.groupBy(*keys).agg(*picks)
-    # all-NA groups vanished with the non-null filter; reinstate them
-    # with NULL quantiles (pandas emits NaN, SQL NULL) — the key list
-    # is a tiny agg joined back on the same partitioning
-    all_keys = df.groupBy(*keys).agg(F.lit(1).alias("__present"))
-    agged = all_keys.join(agged, keys, "left").drop("__present")
 
     # long form: one row per (group, q)
     pairs = F.array(*[
