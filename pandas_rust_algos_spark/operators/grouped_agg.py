@@ -392,7 +392,11 @@ def group_any_all(
     (``group_any_all``, ``groupby.rs:698-784``; output -1 = unknown maps
     to NULL).
 
-    skipna=True: ``bool_or``/``bool_and`` over non-null values.
+    skipna=True: ``bool_or``/``bool_and`` over non-null values; a group
+    with NO non-null values yields the identity (any=False, all=True) —
+    the reference initializes ``out`` to 0/1 and an empty group never
+    flips it (``groupby.rs:712-718``), matching pandas and unlike SQL's
+    NULL-for-empty BOOL_OR.
     skipna=False (Kleene): ANY is TRUE if any TRUE, else NULL if any
     NULL, else FALSE; dually for ALL (``groupby.rs:737-754``).
     """
@@ -405,7 +409,7 @@ def group_any_all(
         c = F.col(v)
         base = F.bool_or(c) if val_test == "any" else F.bool_and(c)
         if skipna:
-            agg = base
+            agg = F.coalesce(base, F.lit(val_test == "all"))
         else:
             has_null = F.max(c.isNull().cast("int")) == 1
             if val_test == "any":

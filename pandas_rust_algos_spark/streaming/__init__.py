@@ -6,6 +6,7 @@ from pandas_rust_algos_spark.streaming.events import (
     tumbling_counts,
 )
 from pandas_rust_algos_spark.streaming.joins import click_to_purchase
+from pandas_rust_algos_spark.streaming.sinks import write_stream_partitioned
 from pandas_rust_algos_spark.streaming.stateful import running_user_profile
 
 __all__ = [
@@ -16,4 +17,5 @@ __all__ = [
     "dedup_stream",
     "click_to_purchase",
     "running_user_profile",
+    "write_stream_partitioned",
 ]

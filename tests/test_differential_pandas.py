@@ -130,3 +130,55 @@ def test_var_std_skew_match_pandas(frame):
     got = collect_map(out, ["k"], "v")
     for k, val in pdf.groupby("k")["v"].skew().items():
         assert close(got[(k,)], val, tol=1e-7), ("skew", k, val)
+
+
+def test_first_last_nth_match_pandas(frame):
+    pdf, sdf = frame
+    sorted_pdf = pdf.sort_values("ord")
+    g = sorted_pdf.groupby("k")["v"]
+
+    out = ga.group_first(sdf, "k", ["v"], "ord")
+    got = collect_map(out, ["k"], "v")
+    for k, val in g.first().items():   # pandas first = first non-NaN
+        assert close(got[(k,)], val), ("first", k, val)
+
+    out = ga.group_last(sdf, "k", ["v"], "ord")
+    got = collect_map(out, ["k"], "v")
+    for k, val in g.last().items():
+        assert close(got[(k,)], val), ("last", k, val)
+
+    out = ga.group_nth(sdf, "k", "v", "ord", rank=3)
+    got = collect_map(out, ["k"], "v")
+    exp = g.apply(lambda s: s.dropna().iloc[2] if s.count() >= 3 else np.nan)
+    for k, val in exp.items():
+        assert close(got[(k,)], val), ("nth3", k, val)
+
+
+def test_ohlc_matches_pandas(frame):
+    pdf, sdf = frame
+    out = ga.group_ohlc(sdf, "k", "v", "ord")
+    got = {r["k"]: (r["open"], r["high"], r["low"], r["close"])
+           for r in out.collect()}
+    # pandas ohlc: first/max/min/last of non-NaN in order
+    exp = pdf.sort_values("ord").groupby("k")["v"].agg(
+        ["first", "max", "min", "last"])
+    for k, row in exp.iterrows():
+        want = (row["first"], row["max"], row["min"], row["last"])
+        assert all(close(a, b) for a, b in zip(got[k], want)), (k, want)
+
+
+def test_any_all_match_pandas(frame):
+    pdf, sdf = frame
+    from pyspark.sql import functions as F
+
+    flagged = sdf.withColumn("flag", F.when(F.col("v").isNotNull(),
+                                            F.col("v") > 50))
+    pflag = pdf.assign(flag=pd.Series(
+        np.where(pdf["v"].isna(), None, pdf["v"] > 50), dtype=object))
+    for test in ("any", "all"):
+        out = ga.group_any_all(flagged, "k", ["flag"], val_test=test)
+        got = collect_map(out, ["k"], "flag")
+        exp = pflag.groupby("k")["flag"].apply(
+            lambda s: getattr(s.dropna(), test)())
+        for k, val in exp.items():
+            assert got[(k,)] == bool(val), (test, k, val, got[(k,)])
