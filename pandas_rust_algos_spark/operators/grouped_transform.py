@@ -50,6 +50,7 @@ __all__ = [
     "group_diff",
     "group_pct_change",
     "rolling_agg",
+    "rolling_corr_cov",
     "group_ewm_mean",
     "group_ewm_var",
     "group_zscore",
@@ -454,6 +455,59 @@ def rolling_agg(
             expr = F.when(nobs >= mp, _AGGS[a](c).over(w))
             out = out.withColumn(out_fmt.format(v=v, a=a), expr)
     return out
+
+
+def rolling_corr_cov(
+    df: DataFrame,
+    keys: Sequence[str] | str,
+    order: Sequence[str] | str,
+    x: str,
+    y: str,
+    *,
+    window: int,
+    min_periods: int | None = None,
+    scale: int = 3,
+    out_corr: str = "roll_corr",
+    out_cov: str = "roll_cov",
+) -> DataFrame:
+    """pandas ``rolling(window).corr/cov`` between two columns over
+    ordered groups — trailing row frames, pairwise-complete pairs.
+
+    Same exact fixed-point power-sum construction as
+    ``grouped_agg.group_corr_cov`` (n, Σx, Σy, Σxy, Σx², Σy² over
+    ``floor(v·10^scale)`` integers, exact in decimal(38)), but each sum
+    is a window aggregate over ONE shared frame: all six ride a single
+    Sort+Exchange on (keys, order), and the float division at the end
+    starts from identical integers on every engine/partitioning.
+
+    ``min_periods`` (default ``window``) applies to the count of
+    pairwise-complete rows in the frame; zero variance in the frame →
+    NULL corr (pandas NaN). Covariance is the sample (ddof=1) one.
+    """
+    mp = window if min_periods is None else min_periods
+    w = (
+        Window.partitionBy(*_cols(keys))
+        .orderBy(*_cols(order))
+        .rowsBetween(-(window - 1), Window.currentRow)
+    )
+    k = 10 ** scale
+    cx = na_normalize(x, floating=_is_floating(df, x))
+    cy = na_normalize(y, floating=_is_floating(df, y))
+    both = cx.isNotNull() & cy.isNotNull()
+    fx = F.when(both, F.floor(cx * F.lit(k)).cast("decimal(38,0)"))
+    fy = F.when(both, F.floor(cy * F.lit(k)).cast("decimal(38,0)"))
+    n = F.count(F.when(both, F.lit(1))).over(w).cast("decimal(38,0)")
+    sx, sy = F.sum(fx).over(w), F.sum(fy).over(w)
+    sxy = F.sum(fx * fy).over(w)
+    sxx, syy = F.sum(fx * fx).over(w), F.sum(fy * fy).over(w)
+    cov_num = (n * sxy - sx * sy).cast("double")
+    vx = (n * sxx - sx * sx).cast("double")
+    vy = (n * syy - sy * sy).cast("double")
+    corr = F.when((n >= mp) & (n >= 2) & (vx > 0) & (vy > 0),
+                  cov_num / F.sqrt(vx) / F.sqrt(vy))
+    cov = F.when((n >= mp) & (n >= 2),
+                 cov_num / (n * (n - 1)).cast("double") / F.lit(float(k * k)))
+    return df.withColumn(out_corr, corr).withColumn(out_cov, cov)
 
 
 def group_ewm_mean(

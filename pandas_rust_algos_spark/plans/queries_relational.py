@@ -1089,3 +1089,177 @@ def distinct_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.sum_distinct(F.floor(F.col("l_quantity") * F.lit(1e6)).cast("long"))
          .cast("double") / F.lit(1e6)).alias("sum_distinct_qty"),
     )
+
+
+# -------------------------------------------------------------- Q11-shaped
+
+
+@register(
+    "q11_important_parts",
+    oracle="""
+    WITH pv AS (
+      SELECT l_partkey AS partkey,
+             SUM(CAST(FLOOR(l_extendedprice * (1 - l_discount) * 1e6)
+                      AS BIGINT)) AS value_fp
+      FROM lineitem GROUP BY l_partkey
+    )
+    SELECT partkey, CAST(value_fp AS DOUBLE) / 1e6 AS value
+    FROM pv WHERE value_fp * 1500 > (SELECT SUM(value_fp) FROM pv)
+    """,
+)
+def q11_important_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q11-shaped important-stock identification (no partsupp in
+    the fixtures, so part value is proxied by lineitem revenue): parts
+    whose value exceeds 1/1500 of the global total. The global-total
+    scalar subquery is a 1-row re-aggregation of the per-part sums
+    broadcast back — no driver collect, no second fact scan; the
+    threshold compare stays in exact int64 (value_fp·1500 vs total)."""
+    (li,) = _t(spark, sf_dir, "lineitem")
+    rev_fp = F.floor(
+        F.col("l_extendedprice") * (1 - F.col("l_discount")) * F.lit(1e6)
+    ).cast("long")
+    per_part = li.groupBy(F.col("l_partkey").alias("partkey")).agg(
+        F.sum(rev_fp).alias("value_fp")
+    )
+    total = per_part.agg(F.sum("value_fp").alias("total_fp"))
+    return (
+        per_part.join(F.broadcast(total))
+        .where(F.col("value_fp") * F.lit(1500) > F.col("total_fp"))
+        .select("partkey",
+                (F.col("value_fp").cast("double") / F.lit(1e6)).alias("value"))
+    )
+
+
+# -------------------------------------------------------------- Q12-shaped
+
+
+@register(
+    "q12_late_priority",
+    oracle="""
+    SELECT l_linestatus,
+           COUNT(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                 THEN 1 END) AS high_line_count,
+           COUNT(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+                 THEN 1 END) AS low_line_count
+    FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+    WHERE l_shipdate > o_orderdate + INTERVAL 90 DAY
+    GROUP BY l_linestatus
+    """,
+)
+def q12_late_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q12-shaped shipping-priority audit (fixtures carry no
+    l_shipmode/commitdate: line status stands in for mode, late =
+    shipped >90 days after order). One fact-fact shuffle join on
+    orderkey; both conditional counts fold into a single tiny agg —
+    only (orderkey, priority, orderdate) leave the orders scan."""
+    od, li = _t(spark, sf_dir, "orders", "lineitem")
+    high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        od.select("o_orderkey", "o_orderdate", "o_orderpriority")
+        .join(li.select("l_orderkey", "l_shipdate", "l_linestatus"),
+              F.col("o_orderkey") == F.col("l_orderkey"))
+        .where(F.col("l_shipdate")
+               > F.col("o_orderdate") + F.expr("INTERVAL 90 DAYS"))
+        .groupBy("l_linestatus")
+        .agg(
+            F.count(F.when(high, F.lit(1))).alias("high_line_count"),
+            F.count(F.when(~high, F.lit(1))).alias("low_line_count"),
+        )
+    )
+
+
+# -------------------------------------------------------------- Q13-shaped
+
+
+@register(
+    "q13_order_distribution",
+    oracle="""
+    WITH c AS (
+      SELECT c_custkey, COUNT(o_orderkey) AS c_count
+      FROM customer LEFT JOIN orders
+        ON c_custkey = o_custkey AND o_orderpriority <> '1-URGENT'
+      GROUP BY c_custkey
+    )
+    SELECT c_count, COUNT(*) AS custdist FROM c GROUP BY c_count
+    """,
+)
+def q13_order_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q13-shaped customer order-count distribution: LEFT join
+    with the filter folded into the join condition (customers with
+    only urgent orders still count as 0), per-customer count reusing
+    the join's hash partitioning on custkey (one shuffle per input),
+    then a near-free re-agg of the tiny count column."""
+    cu, od = _t(spark, sf_dir, "customer", "orders")
+    filtered = od.where(F.col("o_orderpriority") != "1-URGENT") \
+        .select("o_custkey", "o_orderkey")
+    return (
+        cu.select("c_custkey")
+        .join(filtered, F.col("c_custkey") == F.col("o_custkey"), "left")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+        .groupBy("c_count")
+        .agg(F.count(F.lit(1)).alias("custdist"))
+    )
+
+
+# -------------------------------------------------------------- Q21-shaped
+
+
+@register(
+    "q21_waiting_suppliers",
+    oracle="""
+    WITH l AS (
+      SELECT l_orderkey, l_suppkey,
+             l_shipdate > o_orderdate + INTERVAL 365 DAY AS late
+      FROM lineitem JOIN orders ON o_orderkey = l_orderkey
+      WHERE o_orderstatus = 'F'
+    )
+    SELECT s_name, COUNT(*) AS numwait
+    FROM l l1 JOIN supplier ON s_suppkey = l1.l_suppkey
+    WHERE l1.late
+      AND EXISTS (SELECT 1 FROM l l2
+                  WHERE l2.l_orderkey = l1.l_orderkey
+                    AND l2.l_suppkey <> l1.l_suppkey)
+      AND NOT EXISTS (SELECT 1 FROM l l3
+                      WHERE l3.l_orderkey = l1.l_orderkey
+                        AND l3.l_suppkey <> l1.l_suppkey AND l3.late)
+    GROUP BY s_name
+    """,
+)
+def q21_waiting_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q21-shaped suppliers-who-kept-orders-waiting (late =
+    shipped >365 days after a finished order). The classic form is two
+    correlated EXISTS self-joins on lineitem (the oracle keeps that
+    shape); here both collapse into per-order window aggregates —
+    distinct-supplier and distinct-late-supplier sets over one
+    partition-by-orderkey frame — so the fact table is shuffled ONCE
+    and never self-joined: a line waits iff it is late, its order has
+    >1 supplier, and the late-supplier set is exactly {its supplier}."""
+    li, od, su = _t(spark, sf_dir, "lineitem", "orders", "supplier")
+    lines = (
+        li.select("l_orderkey", "l_suppkey", "l_shipdate")
+        .join(od.where(F.col("o_orderstatus") == "F")
+              .select("o_orderkey", "o_orderdate"),
+              F.col("l_orderkey") == F.col("o_orderkey"))
+        .select(
+            "l_orderkey", "l_suppkey",
+            (F.col("l_shipdate")
+             > F.col("o_orderdate") + F.expr("INTERVAL 365 DAYS")).alias("late"),
+        )
+    )
+    w = Window.partitionBy("l_orderkey")
+    stats = lines.select(
+        "*",
+        F.size(F.collect_set("l_suppkey").over(w)).alias("n_supp"),
+        F.size(F.collect_set(
+            F.when(F.col("late"), F.col("l_suppkey"))).over(w)
+        ).alias("n_late_supp"),
+    )
+    return (
+        stats.where(F.col("late") & (F.col("n_supp") > 1)
+                    & (F.col("n_late_supp") == 1))
+        .join(F.broadcast(su.select("s_suppkey", "s_name")),
+              F.col("l_suppkey") == F.col("s_suppkey"))
+        .groupBy("s_name")
+        .agg(F.count(F.lit(1)).alias("numwait"))
+    )

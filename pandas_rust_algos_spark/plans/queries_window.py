@@ -381,6 +381,52 @@ def rolling_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "rolling_corr_cov",
+    oracle=f"""
+    WITH f AS (
+      SELECT l_suppkey, l_orderkey, l_linenumber, l_quantity, l_extendedprice,
+             CAST(FLOOR(l_quantity * 1000) AS HUGEINT) AS fx,
+             CAST(FLOOR(l_extendedprice * 1000) AS HUGEINT) AS fy
+      FROM lineitem
+    ), s AS (
+      SELECT l_orderkey, l_linenumber,
+             COUNT(*) OVER w4 AS n,
+             SUM(fx) OVER w4 AS sx, SUM(fy) OVER w4 AS sy,
+             SUM(fx * fy) OVER w4 AS sxy,
+             SUM(fx * fx) OVER w4 AS sxx, SUM(fy * fy) OVER w4 AS syy
+      FROM f
+      WINDOW w4 AS (PARTITION BY l_suppkey
+                    ORDER BY l_orderkey, l_linenumber, l_quantity, l_extendedprice
+                    ROWS BETWEEN 3 PRECEDING AND CURRENT ROW)
+    )
+    SELECT {_ROWKEY},
+           ROUND(CASE WHEN n >= 4 AND n * sxx - sx * sx > 0
+                       AND n * syy - sy * sy > 0 THEN
+             CAST(n * sxy - sx * sy AS DOUBLE)
+               / SQRT(CAST(n * sxx - sx * sx AS DOUBLE))
+               / SQRT(CAST(n * syy - sy * sy AS DOUBLE)) END, 6) AS roll_corr,
+           ROUND(CASE WHEN n >= 4 THEN
+             CAST(n * sxy - sx * sy AS DOUBLE)
+               / CAST(n * (n - 1) AS DOUBLE) / 1e6 END, 6) AS roll_cov
+    FROM s
+    """,
+)
+def rolling_corr_cov_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """pandas rolling(4).corr/cov of (quantity, price) — six window
+    power sums over one shared frame (single Sort+Exchange), exact
+    fixed-point integers until the final float division (round-6:
+    engine rounding inherent in the divisions)."""
+    li = _li(spark, sf_dir)
+    out = gt.rolling_corr_cov(li, "l_suppkey", _ORDER,
+                              "l_quantity", "l_extendedprice", window=4)
+    return out.select(
+        "l_orderkey", "l_linenumber",
+        F.round("roll_corr", 6).alias("roll_corr"),
+        F.round("roll_cov", 6).alias("roll_cov"),
+    )
+
+
 # -------------------------------------------------------------------- ewm
 
 

@@ -26,12 +26,15 @@ def frame(spark):
         "ord": np.arange(N),
         # duplicates on purpose: quantize to 1 decimal so ties happen
         "v": np.round(rng.normal(50, 20, N), 1),
+        "v2": np.round(rng.normal(10, 5, N), 1),
     })
     pdf.loc[rng.choice(N, N // 10, replace=False), "v"] = np.nan
+    pdf.loc[rng.choice(N, N // 12, replace=False), "v2"] = np.nan
     # one singleton group and one all-NaN group
     pdf.loc[N - 1, "k"] = NGROUPS
     pdf.loc[pdf["k"] == 0, "v"] = np.nan
-    sdf = spark.createDataFrame(pdf.assign(v=pdf["v"].astype(float)))
+    sdf = spark.createDataFrame(
+        pdf.assign(v=pdf["v"].astype(float), v2=pdf["v2"].astype(float)))
     return pdf, sdf
 
 
@@ -182,3 +185,27 @@ def test_any_all_match_pandas(frame):
             lambda s: getattr(s.dropna(), test)())
         for k, val in exp.items():
             assert got[(k,)] == bool(val), (test, k, val, got[(k,)])
+
+
+def test_rolling_corr_cov_match_pandas(frame):
+    pdf, sdf = frame
+    out = gt.rolling_corr_cov(sdf, "k", "ord", "v", "v2",
+                              window=5, scale=6)
+    got = {(r["k"], r["ord"]): (r["roll_corr"], r["roll_cov"])
+           for r in out.collect()}
+    sp = pdf.sort_values("ord")
+    g = sp.groupby("k")
+    exp_corr = g.apply(
+        lambda d: d["v"].rolling(5).corr(d["v2"]), include_groups=False)
+    exp_cov = g.apply(
+        lambda d: d["v"].rolling(5).cov(d["v2"]), include_groups=False)
+    for (k, idx), want in exp_corr.items():
+        o = sp.loc[idx, "ord"]
+        # pandas emits ±inf/huge values for zero-variance frames where
+        # we (and SQL) define NULL; only compare well-defined frames
+        if want is not None and np.isfinite(want):
+            assert close(got[(k, o)][0], want, tol=1e-6), ("corr", k, o, want)
+    for (k, idx), want in exp_cov.items():
+        o = sp.loc[idx, "ord"]
+        if want is not None and np.isfinite(want):
+            assert close(got[(k, o)][1], want, tol=1e-6), ("cov", k, o, want)
