@@ -1263,3 +1263,83 @@ def q21_waiting_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("s_name")
         .agg(F.count(F.lit(1)).alias("numwait"))
     )
+
+
+# -------------------------------------------------------------- Q16-shaped
+
+
+@register(
+    "q16_supplier_parts",
+    oracle="""
+    SELECT p_brand, p_type, p_size,
+           COUNT(DISTINCT l_suppkey) AS supplier_cnt
+    FROM part JOIN lineitem ON l_partkey = p_partkey
+    WHERE p_brand <> 'Brand#1' AND p_size IN (1, 9, 14, 19, 23, 36, 45, 49)
+      AND l_suppkey NOT IN (SELECT s_suppkey FROM supplier
+                            WHERE s_acctbal < 0)
+    GROUP BY p_brand, p_type, p_size
+    """,
+)
+def q16_supplier_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q16-shaped parts/supplier relationship count (fixtures
+    carry no partsupp; distinct lineitem (part, supp) pairs stand in).
+    The NOT IN excluded-supplier subquery is a broadcast LEFT ANTI
+    join — never a shuffle of the fact side; part predicates ride the
+    broadcast dim into the scan, and COUNT(DISTINCT) expands to
+    Catalyst's two-phase partial-distinct plan."""
+    pa, li, su = _t(spark, sf_dir, "part", "lineitem", "supplier")
+    parts = pa.where(
+        (F.col("p_brand") != "Brand#1")
+        & F.col("p_size").isin(1, 9, 14, 19, 23, 36, 45, 49)
+    ).select("p_partkey", "p_brand", "p_type", "p_size")
+    bad_supp = su.where(F.col("s_acctbal") < 0).select("s_suppkey")
+    return (
+        li.select("l_partkey", "l_suppkey")
+        .join(F.broadcast(bad_supp),
+              F.col("l_suppkey") == F.col("s_suppkey"), "left_anti")
+        .join(F.broadcast(parts), F.col("l_partkey") == F.col("p_partkey"))
+        .groupBy("p_brand", "p_type", "p_size")
+        .agg(F.countDistinct("l_suppkey").alias("supplier_cnt"))
+    )
+
+
+# -------------------------------------------------------------- Q20-shaped
+
+
+@register(
+    "q20_excess_suppliers",
+    oracle="""
+    SELECT s_name FROM supplier WHERE s_suppkey IN (
+      SELECT l_suppkey
+      FROM lineitem JOIN part ON p_partkey = l_partkey
+      WHERE p_name LIKE 'small%'
+      GROUP BY l_suppkey, l_partkey
+      HAVING SUM(CAST(FLOOR(l_quantity * 1e6) AS BIGINT)) > 100 * 1000000
+    )
+    """,
+)
+def q20_excess_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q20-shaped excess-inventory suppliers (no partsupp
+    availqty: the threshold is a fixed 100-unit shipped quantity per
+    (supplier, part) over 'small%' parts). Shape preserved: filtered
+    dim broadcast into the fact scan, per-pair aggregate, then the IN
+    becomes a LEFT SEMI join against the small qualifying-supplier
+    set — supplier itself is never shuffled. Quantity compare in exact
+    fixed-point micro-units."""
+    su, li, pa = _t(spark, sf_dir, "supplier", "lineitem", "part")
+    small_parts = pa.where(F.col("p_name").like("small%")).select("p_partkey")
+    qfx = F.floor(F.col("l_quantity") * F.lit(1e6)).cast("long")
+    heavy = (
+        li.select("l_partkey", "l_suppkey", qfx.alias("qfx"))
+        .join(F.broadcast(small_parts),
+              F.col("l_partkey") == F.col("p_partkey"))
+        .groupBy("l_suppkey", "l_partkey")
+        .agg(F.sum("qfx").alias("qty_fx"))
+        .where(F.col("qty_fx") > F.lit(100) * F.lit(1_000_000))
+        .select("l_suppkey")
+        .distinct()
+    )
+    return (
+        su.join(heavy, F.col("s_suppkey") == F.col("l_suppkey"), "left_semi")
+        .select("s_name")
+    )

@@ -1,3 +1,7 @@
+from pandas_rust_algos_spark.sources.merge import (
+    merge_into_partitioned,
+    write_stream_upsert,
+)
 from pandas_rust_algos_spark.sources.parquet import (
     TABLES,
     load_table,
@@ -16,4 +20,6 @@ __all__ = [
     "spread",
     "read_partitioned",
     "write_partitioned",
+    "merge_into_partitioned",
+    "write_stream_upsert",
 ]
