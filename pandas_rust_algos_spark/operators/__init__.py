@@ -1,4 +1,5 @@
 from pandas_rust_algos_spark.operators import (
+    datasplit,
     dedup,
     grouped_agg,
     grouped_transform,
@@ -15,6 +16,7 @@ __all__ = [
     "grouped_agg",
     "grouped_transform",
     "take",
+    "datasplit",
     "dedup",
     "similarity",
     "text",

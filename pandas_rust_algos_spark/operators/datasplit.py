@@ -1,0 +1,108 @@
+"""Dataset splitting and document chunking — training-data-pipeline
+primitives (driver-brief extension; the reference has no I/O or text
+surface, SURVEY §2.3).
+
+**Deterministic hash split.** Train/val/test membership must be a pure
+function of a stable key — never `rand()` (changes per run, per retry,
+per partition recomputation: Spark may re-execute a task after a
+fetch failure, and a non-deterministic split silently leaks rows
+across sets). The standard recipe: hash the key with a salt, threshold
+the hash. Implemented engine-portably with md5 — the hex string is
+identical in every engine, so the split is reproducible outside Spark
+(the DuckDB oracle runs the same expression verbatim). Lexicographic
+compare of the 32-hex-char digest against a 6-hex-digit threshold
+prefix equals numeric compare of the first 24 bits, giving an exact
+membership fraction of ``floor(frac·16⁶)/16⁶`` with no float math.
+
+**Chunking.** Pretraining/RAG pipelines split long documents into
+overlapping windows. Expressed as pure column algebra — a generated
+start-offset sequence, ``posexplode``, ``substring`` — so Catalyst
+keeps it JVM-side and whole-stage-codegen'd; row counts grow by
+len/step per doc, which the shuffle-free narrow plan absorbs (no
+Python, no UDF, no collect).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+__all__ = ["split_threshold_hex", "train_val_split", "chunk_documents"]
+
+
+def split_threshold_hex(frac: float) -> str:
+    """6-hex-digit threshold prefix with exact membership fraction
+    ``floor(frac·16⁶)/16⁶``."""
+    if not 0.0 <= frac <= 1.0:
+        raise ValueError(f"frac must be in [0,1], got {frac}")
+    t = int(frac * 16 ** 6)
+    if t >= 16 ** 6:
+        return "g"  # sorts above every hex digest → all rows match
+    return format(t, "06x")
+
+
+def train_val_split(
+    df: DataFrame,
+    key_col: str,
+    *,
+    val_frac: float = 0.1,
+    salt: str = "v1",
+    out_col: str = "split",
+) -> DataFrame:
+    """Label every row 'val' or 'train' as a pure function of
+    (key, salt): md5(key || ':' || salt) under the threshold prefix →
+    'val'. Deterministic across runs, engines, partitionings and task
+    retries; rotating ``salt`` produces an independent split (e.g. for
+    cross-validation folds)."""
+    h = F.md5(
+        F.concat_ws(":", F.col(key_col).cast("string"), F.lit(salt))
+        .cast("binary")
+    )
+    thr = split_threshold_hex(val_frac)
+    return df.withColumn(
+        out_col, F.when(h < thr, F.lit("val")).otherwise(F.lit("train"))
+    )
+
+
+def sql_train_val_split(key_expr: str, val_frac: float, salt: str = "v1") -> str:
+    """The DuckDB twin of :func:`train_val_split`'s split expression —
+    byte-identical md5 input, same threshold string."""
+    thr = split_threshold_hex(val_frac)
+    return (
+        f"CASE WHEN md5(CAST({key_expr} AS VARCHAR) || ':' || '{salt}')"
+        f" < '{thr}' THEN 'val' ELSE 'train' END"
+    )
+
+
+def chunk_documents(
+    df: DataFrame,
+    text_col: str,
+    *,
+    chunk_size: int,
+    overlap: int = 0,
+    keep_cols: list[str] | None = None,
+    out_idx: str = "chunk_idx",
+    out_chunk: str = "chunk",
+) -> DataFrame:
+    """Split ``text_col`` into overlapping fixed-size character windows
+    (start offsets 0, step, 2·step, … with ``step = chunk_size -
+    overlap``; the last chunk may be shorter; an empty document yields
+    one empty chunk so no row is silently dropped). Token-window
+    chunking rides the same plumbing with token-boundary offsets."""
+    if not 0 <= overlap < chunk_size:
+        raise ValueError(f"need 0 <= overlap < chunk_size, got "
+                         f"overlap={overlap} chunk_size={chunk_size}")
+    step = chunk_size - overlap
+    t = F.col(text_col)
+    starts = F.sequence(
+        F.lit(0), F.greatest(F.length(t) - 1, F.lit(0)), F.lit(step)
+    )
+    keep = keep_cols or [c for c in df.columns if c != text_col]
+    return df.select(
+        *keep, t.alias("__text"),
+        F.posexplode(starts).alias(out_idx, "__start"),
+    ).select(
+        *keep, out_idx,
+        F.col("__text").substr(F.col("__start") + 1,
+                               F.lit(chunk_size)).alias(out_chunk),
+    )

@@ -14,6 +14,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from pandas_rust_algos_spark.operators import datasplit as ds
 from pandas_rust_algos_spark.operators import dedup as dd
 from pandas_rust_algos_spark.operators import multimodal as mm
 from pandas_rust_algos_spark.operators import similarity as sim
@@ -361,3 +362,48 @@ def media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     feats = mm.extract_features(media, decoder="fake", dim=8)
     return feats.select("media_id", "modality", "n_bytes",
                         F.round(F.element_at("feature", 1), 6).alias("f0"))
+
+
+# ------------------------------------------------- split / chunk (datasplit)
+
+
+@register(
+    "train_val_split",
+    oracle=f"""
+    SELECT {ds.sql_train_val_split('doc_id', 0.2, 'gate')} AS split,
+           lang, COUNT(*) AS n_docs
+    FROM documents GROUP BY split, lang
+    """,
+)
+def train_val_split_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic md5-threshold train/val split — membership is a
+    pure function of (doc_id, salt), bit-identical across engines (the
+    oracle evaluates the same expression verbatim in DuckDB)."""
+    docs = _docs(spark, sf_dir)
+    return (
+        ds.train_val_split(docs, "doc_id", val_frac=0.2, salt="gate")
+        .groupBy("split", "lang")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+    )
+
+
+@register(
+    "chunk_documents",
+    oracle="""
+    SELECT doc_id, CAST(start / 150 AS BIGINT) AS chunk_idx,
+           substr(text, start + 1, 200) AS chunk
+    FROM documents CROSS JOIN LATERAL (
+      SELECT UNNEST(range(0, GREATEST(LENGTH(text), 1), 150)) AS start
+    ) s
+    """,
+)
+def chunk_documents_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Overlapping character-window chunking (size 200, overlap 50) as
+    pure column algebra — sequence + posexplode + substr, zero Python,
+    narrow (shuffle-free) plan; the oracle rebuilds the same windows
+    with range/UNNEST/substr."""
+    docs = _docs(spark, sf_dir)
+    return ds.chunk_documents(
+        docs.select("doc_id", "text"), "text",
+        chunk_size=200, overlap=50, keep_cols=["doc_id"],
+    )

@@ -1,0 +1,83 @@
+"""Split/chunk operator properties: determinism, exact partition of the
+keyspace, fraction accuracy, and lossless chunk reassembly."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from pandas_rust_algos_spark.operators import datasplit as ds
+from pandas_rust_algos_spark.sources import load_table
+
+
+def test_split_is_deterministic_partition(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    a = ds.train_val_split(docs, "doc_id", val_frac=0.25, salt="s1")
+    b = ds.train_val_split(docs, "doc_id", val_frac=0.25, salt="s1")
+    # pure function of (key, salt): two evaluations agree row-for-row
+    joined = a.join(b.withColumnRenamed("split", "split_b"), "doc_id")
+    assert joined.where(F.col("split") != F.col("split_b")).count() == 0
+    # every row labeled, labels limited to the two classes
+    counts = dict(a.groupBy("split").count().collect())
+    assert set(counts) <= {"train", "val"}
+    assert sum(counts.values()) == docs.count()
+
+
+def test_split_fraction_and_salt_independence(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    n = docs.count()
+    out = ds.train_val_split(docs, "doc_id", val_frac=0.2, salt="s1")
+    val = out.where(F.col("split") == "val").count()
+    assert 0.1 * n < val < 0.3 * n  # 24-bit threshold, ~binomial noise
+    # a different salt reshuffles membership (not identical, not disjoint)
+    other = ds.train_val_split(docs, "doc_id", val_frac=0.2, salt="s2") \
+        .where(F.col("split") == "val").select("doc_id")
+    overlap = out.where(F.col("split") == "val").select("doc_id") \
+        .join(other, "doc_id").count()
+    assert 0 < overlap < val
+
+
+def test_split_edge_fractions(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    n = docs.count()
+    all_train = ds.train_val_split(docs, "doc_id", val_frac=0.0)
+    assert all_train.where(F.col("split") == "val").count() == 0
+    all_val = ds.train_val_split(docs, "doc_id", val_frac=1.0)
+    assert all_val.where(F.col("split") == "val").count() == n
+
+
+def test_chunks_reassemble_to_original(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    step = 150  # chunk 200, overlap 50
+    out = ds.chunk_documents(docs, "text", chunk_size=200, overlap=50,
+                             keep_cols=["doc_id"])
+    # drop each chunk's overlap tail (keep first `step` chars, except the
+    # last chunk which keeps everything) and concatenate in index order
+    w = F.max("chunk_idx").over(Window.partitionBy("doc_id"))
+    rebuilt = (
+        out.withColumn("last_idx", w)
+        .withColumn("piece", F.when(F.col("chunk_idx") < F.col("last_idx"),
+                                    F.col("chunk").substr(1, step))
+                    .otherwise(F.col("chunk")))
+        .groupBy("doc_id")
+        .agg(F.concat_ws(
+            "", F.array_sort(F.collect_list(F.struct("chunk_idx", "piece")))
+            .getField("piece")).alias("rebuilt"))
+    )
+    cmp = docs.join(rebuilt, "doc_id")
+    assert cmp.where(F.col("text") != F.col("rebuilt")).count() == 0
+    assert cmp.count() == docs.count()
+
+
+def test_chunk_bounds_and_empty_doc(spark):
+    df = spark.createDataFrame(
+        [(1, "abcdefghij"), (2, ""), (3, "xy")], ["doc_id", "text"])
+    out = ds.chunk_documents(df, "text", chunk_size=4, overlap=1,
+                             keep_cols=["doc_id"]).collect()
+    got = {(r["doc_id"], r["chunk_idx"]): r["chunk"] for r in out}
+    # starts 0,3,6,9 for len 10: windows abcd/defg/ghij/j
+    assert got[(1, 0)] == "abcd" and got[(1, 1)] == "defg"
+    assert got[(1, 2)] == "ghij" and got[(1, 3)] == "j"
+    assert got[(2, 0)] == ""  # empty doc → one empty chunk, row kept
+    assert got[(3, 0)] == "xy"
+    assert len(got) == 6
