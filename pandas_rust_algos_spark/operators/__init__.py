@@ -4,6 +4,7 @@ from pandas_rust_algos_spark.operators import (
     grouped_agg,
     grouped_transform,
     multimodal,
+    packing,
     pivot,
     range_join,
     similarity,
@@ -21,6 +22,7 @@ __all__ = [
     "similarity",
     "text",
     "multimodal",
+    "packing",
     "skew_handling",
     "range_join",
     "pivot",

@@ -27,7 +27,12 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["split_threshold_hex", "train_val_split", "chunk_documents"]
+__all__ = [
+    "split_threshold_hex",
+    "train_val_split",
+    "chunk_documents",
+    "stratified_sample",
+]
 
 
 def split_threshold_hex(frac: float) -> str:
@@ -105,4 +110,53 @@ def chunk_documents(
         *keep, out_idx,
         F.col("__text").substr(F.col("__start") + 1,
                                F.lit(chunk_size)).alias(out_chunk),
+    )
+
+
+def stratified_sample(
+    df: DataFrame,
+    strata_col: str,
+    key_col: str,
+    fracs: dict[str, float],
+    *,
+    default_frac: float = 0.0,
+    salt: str = "sample-v1",
+) -> DataFrame:
+    """Deterministic per-stratum downsampling — the mixture-rebalancing
+    step of a training-data pipeline (e.g. keep 100% of low-resource
+    languages, 5% of crawl boilerplate). Unlike ``df.sampleBy`` (seeded
+    pseudo-random per partition → changes under repartitioning and task
+    retries), membership is the same salted-md5 threshold as
+    :func:`train_val_split`, so the sample is a pure row property:
+    stable across runs, engines, and partitionings, and two samples
+    with the same salt are nested (frac 0.05 ⊂ frac 0.10 per stratum).
+    """
+    h = F.md5(
+        F.concat_ws(":", F.col(key_col).cast("string"), F.lit(salt))
+        .cast("binary")
+    )
+    thr = F.lit(split_threshold_hex(default_frac))
+    for stratum, frac in fracs.items():
+        thr = F.when(F.col(strata_col) == stratum,
+                     F.lit(split_threshold_hex(frac))).otherwise(thr)
+    return df.where(h < thr)
+
+
+def sql_stratified_sample(
+    strata_expr: str,
+    key_expr: str,
+    fracs: dict[str, float],
+    *,
+    default_frac: float = 0.0,
+    salt: str = "sample-v1",
+) -> str:
+    """DuckDB twin of :func:`stratified_sample`'s keep-predicate."""
+    arms = " ".join(
+        f"WHEN '{s}' THEN '{split_threshold_hex(f)}'"
+        for s, f in fracs.items()
+    )
+    return (
+        f"md5(CAST({key_expr} AS VARCHAR) || ':' || '{salt}') < "
+        f"(CASE {strata_expr} {arms} "
+        f"ELSE '{split_threshold_hex(default_frac)}' END)"
     )

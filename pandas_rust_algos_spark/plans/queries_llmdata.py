@@ -407,3 +407,44 @@ def chunk_documents_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         docs.select("doc_id", "text"), "text",
         chunk_size=200, overlap=50, keep_cols=["doc_id"],
     )
+
+
+@register(
+    "stratified_sample",
+    oracle=f"""
+    SELECT lang, COUNT(*) AS n_kept
+    FROM documents
+    WHERE {ds.sql_stratified_sample(
+        'lang', 'doc_id',
+        {'en': 0.5, 'de': 1.0, 'fr': 0.25}, default_frac=0.05)}
+    GROUP BY lang
+    """,
+)
+def stratified_sample_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic mixture rebalancing: per-language keep fractions
+    as a salted-md5 row property — same predicate evaluates in DuckDB,
+    so the *exact* sampled set is the oracle, not just its size."""
+    docs = _docs(spark, sf_dir)
+    kept = ds.stratified_sample(
+        docs, "lang", "doc_id",
+        {"en": 0.5, "de": 1.0, "fr": 0.25}, default_frac=0.05,
+    )
+    return kept.groupBy("lang").agg(F.count(F.lit(1)).alias("n_kept"))
+
+
+@register("pack_sequences")
+def pack_sequences_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Greedy per-shard sequence packing of documents into 512-token
+    budgets (rows-only: pack ids are shard-relative by design — no
+    global coordination — so the driver checks shape, pytest checks
+    the packing invariants)."""
+    from pandas_rust_algos_spark.operators.packing import pack_sequences
+
+    docs = _docs(spark, sf_dir).select(
+        "doc_id", tx.token_count("text").alias("n_tokens"))
+    packed = pack_sequences(docs, "n_tokens", budget=512, order_col="doc_id")
+    return (
+        packed.groupBy("pack_id")
+        .agg(F.count(F.lit(1)).alias("n_docs"),
+             F.sum("n_tokens").alias("pack_tokens"))
+    )

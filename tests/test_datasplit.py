@@ -81,3 +81,44 @@ def test_chunk_bounds_and_empty_doc(spark):
     assert got[(2, 0)] == ""  # empty doc → one empty chunk, row kept
     assert got[(3, 0)] == "xy"
     assert len(got) == 6
+
+
+# -------------------------------------------------------- sequence packing
+
+
+def test_packing_invariants(spark, sf_dir):
+    from pandas_rust_algos_spark.operators.packing import pack_sequences
+    from pandas_rust_algos_spark.operators.text import token_count
+
+    budget = 512
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", token_count("text").alias("n"))
+    packed = pack_sequences(docs, "n", budget=budget, order_col="doc_id")
+
+    # exactly-once: every doc lands in exactly one pack
+    assert packed.count() == docs.count()
+    assert packed.select("doc_id").distinct().count() == docs.count()
+
+    stats = packed.groupBy("pack_id").agg(
+        F.sum("n").alias("total"), F.count("*").alias("k"),
+        F.min("pack_pos").alias("pmin"), F.max("pack_pos").alias("pmax"),
+    ).collect()
+    for r in stats:
+        # budget respected unless a single oversized doc owns the pack
+        assert r["total"] <= budget or r["k"] == 1, r
+        # positions are contiguous 0..k-1
+        assert (r["pmin"], r["pmax"]) == (0, r["k"] - 1), r
+
+
+def test_packing_is_reasonably_tight(spark):
+    from pandas_rust_algos_spark.operators.packing import pack_sequences
+
+    # 400 items of size ≤ budget/2 → greedy next-fit guarantees every
+    # closed pack is > half full; overall fill must beat 50% even with
+    # per-shard tails
+    rows = [(i, 40 + (i * 37) % 60) for i in range(400)]
+    df = spark.createDataFrame(rows, ["id", "n"]).repartition(4)
+    packed = pack_sequences(df, "n", budget=256, order_col="id")
+    agg = packed.groupBy("pack_id").agg(F.sum("n").alias("t")).collect()
+    fill = sum(r["t"] for r in agg) / (256.0 * len(agg))
+    assert fill > 0.5, fill
