@@ -51,6 +51,7 @@ __all__ = [
     "group_pct_change",
     "rolling_agg",
     "rolling_corr_cov",
+    "rolling_quantile",
     "group_ewm_mean",
     "group_ewm_var",
     "group_zscore",
@@ -508,6 +509,55 @@ def rolling_corr_cov(
     cov = F.when((n >= mp) & (n >= 2),
                  cov_num / (n * (n - 1)).cast("double") / F.lit(float(k * k)))
     return df.withColumn(out_corr, corr).withColumn(out_cov, cov)
+
+
+def rolling_quantile(
+    df: DataFrame,
+    keys: Sequence[str] | str,
+    order: Sequence[str] | str,
+    value: str,
+    *,
+    window: int,
+    q: float,
+    min_periods: int | None = None,
+    out_col: str = "roll_quantile",
+) -> DataFrame:
+    """pandas ``rolling(window).quantile(q)`` (linear interpolation)
+    over ordered groups — exact order statistics from a sorted
+    *bounded* array per frame.
+
+    Unlike grouped quantiles (where buffering a whole group is the
+    scale hazard the rank-window path in ``grouped_agg`` exists to
+    avoid), a rolling frame holds at most ``window`` rows by
+    construction, so ``collect_list`` + ``array_sort`` per frame is
+    O(window) state — safe at any table size, still one shared
+    Sort+Exchange with every other window expression on the same
+    (keys, order).
+
+    Linear interpolation ``lo + (hi - lo)·frac`` over integer inputs
+    (e.g. fixed-point micro-units) is exact in doubles up to 2⁵¹, which
+    is what the oracle twin relies on; nulls are excluded and
+    ``min_periods`` (default ``window``) applies to the non-null count.
+    """
+    if not 0.0 <= q <= 1.0:
+        raise ValueError(f"q must be in [0,1], got {q}")
+    mp = window if min_periods is None else min_periods
+    w = (
+        Window.partitionBy(*_cols(keys))
+        .orderBy(*_cols(order))
+        .rowsBetween(-(window - 1), Window.currentRow)
+    )
+    c = na_normalize(value, floating=_is_floating(df, value))
+    arr = F.array_sort(F.collect_list(c).over(w))
+    n = F.size(arr)
+    pos = (n - 1).cast("double") * F.lit(float(q))
+    lo = F.floor(pos).cast("int")
+    frac = pos - lo.cast("double")
+    lo_v = F.element_at(arr, lo + 1).cast("double")
+    hi_v = F.element_at(arr, F.least(lo + 2, n)).cast("double")
+    val = lo_v + (hi_v - lo_v) * frac
+    return df.withColumn(out_col, F.when(n >= F.greatest(F.lit(mp), F.lit(1)),
+                                         val))
 
 
 def group_ewm_mean(

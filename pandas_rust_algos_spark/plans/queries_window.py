@@ -427,6 +427,59 @@ def rolling_corr_cov_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "rolling_quantile",
+    oracle=f"""
+    WITH b AS (
+      SELECT l_suppkey, l_orderkey, l_linenumber, l_quantity, l_extendedprice,
+             CAST(FLOOR(l_quantity * 1e6) AS BIGINT) AS qfx
+      FROM lineitem
+    ), s AS (
+      SELECT l_orderkey, l_linenumber,
+             list_sort(list(qfx) OVER w5) AS arr,
+             COUNT(qfx) OVER w5 AS n
+      FROM b
+      WINDOW w5 AS (PARTITION BY l_suppkey
+                    ORDER BY l_orderkey, l_linenumber, l_quantity, l_extendedprice
+                    ROWS BETWEEN 4 PRECEDING AND CURRENT ROW)
+    )
+    SELECT l_orderkey, l_linenumber,
+           CASE WHEN n >= 3 THEN
+             (CAST(arr[CAST(FLOOR((n-1) * 0.5) AS INT) + 1] AS DOUBLE)
+              + (CAST(arr[LEAST(CAST(FLOOR((n-1) * 0.5) AS INT) + 2, n)] AS DOUBLE)
+                 - CAST(arr[CAST(FLOOR((n-1) * 0.5) AS INT) + 1] AS DOUBLE))
+                * ((n-1) * 0.5 - FLOOR((n-1) * 0.5))) / 1e6
+           END AS roll_median,
+           CASE WHEN n >= 3 THEN
+             (CAST(arr[CAST(FLOOR((n-1) * 0.75) AS INT) + 1] AS DOUBLE)
+              + (CAST(arr[LEAST(CAST(FLOOR((n-1) * 0.75) AS INT) + 2, n)] AS DOUBLE)
+                 - CAST(arr[CAST(FLOOR((n-1) * 0.75) AS INT) + 1] AS DOUBLE))
+                * ((n-1) * 0.75 - FLOOR((n-1) * 0.75))) / 1e6
+           END AS roll_p75
+    FROM s
+    """,
+)
+def rolling_quantile_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """pandas rolling(5, min_periods=3).quantile for q=0.5/0.75 —
+    sorted bounded frame arrays (O(window) state, never whole-group
+    buffering); fixed-point micro-unit inputs make the linear
+    interpolation exact in doubles, so the oracle compares unrounded."""
+    li = _li(spark, sf_dir).withColumn(
+        "qfx", F.floor(F.col("l_quantity") * F.lit(1e6)).cast("long")
+    )
+    out = gt.rolling_quantile(li, "l_suppkey", _ORDER, "qfx",
+                              window=5, q=0.5, min_periods=3,
+                              out_col="med_fx")
+    out = gt.rolling_quantile(out, "l_suppkey", _ORDER, "qfx",
+                              window=5, q=0.75, min_periods=3,
+                              out_col="p75_fx")
+    return out.select(
+        "l_orderkey", "l_linenumber",
+        (F.col("med_fx") / F.lit(1e6)).alias("roll_median"),
+        (F.col("p75_fx") / F.lit(1e6)).alias("roll_p75"),
+    )
+
+
 # -------------------------------------------------------------------- ewm
 
 

@@ -209,3 +209,17 @@ def test_rolling_corr_cov_match_pandas(frame):
         o = sp.loc[idx, "ord"]
         if want is not None and np.isfinite(want):
             assert close(got[(k, o)][1], want, tol=1e-6), ("cov", k, o, want)
+
+
+@pytest.mark.parametrize("q", [0.0, 0.25, 0.5, 0.9, 1.0])
+def test_rolling_quantile_matches_pandas(frame, q):
+    pdf, sdf = frame
+    out = gt.rolling_quantile(sdf, "k", "ord", "v", window=6, q=q,
+                              min_periods=3, out_col="rq")
+    got = {(r["k"], r["ord"]): r["rq"] for r in out.collect()}
+    sp = pdf.sort_values("ord")
+    exp = sp.groupby("k")["v"].rolling(6, min_periods=3).quantile(
+        q, interpolation="linear")
+    for (k, idx), want in exp.items():
+        o = sp.loc[idx, "ord"]
+        assert close(got[(k, o)], want, tol=1e-9), (q, k, o, want)
