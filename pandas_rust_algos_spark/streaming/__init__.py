@@ -5,7 +5,7 @@ from pandas_rust_algos_spark.streaming.events import (
     session_counts,
     tumbling_counts,
 )
-from pandas_rust_algos_spark.streaming.joins import click_to_purchase
+from pandas_rust_algos_spark.streaming.joins import click_to_purchase, enrich_with_dim
 from pandas_rust_algos_spark.streaming.sinks import write_stream_partitioned
 from pandas_rust_algos_spark.streaming.stateful import running_user_profile
 
@@ -16,6 +16,7 @@ __all__ = [
     "run_available_now",
     "dedup_stream",
     "click_to_purchase",
+    "enrich_with_dim",
     "running_user_profile",
     "write_stream_partitioned",
 ]

@@ -14,7 +14,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["click_to_purchase"]
+__all__ = ["click_to_purchase", "enrich_with_dim"]
 
 
 def click_to_purchase(
@@ -61,3 +61,26 @@ def click_to_purchase(
         F.col("c_user").alias("user_id"),
         "click_id", "purchase_id", "amount", "click_ts", "purchase_ts",
     )
+
+
+def enrich_with_dim(
+    stream: DataFrame,
+    dim: DataFrame,
+    on,
+    *,
+    how: str = "left",
+    broadcast: bool = True,
+) -> DataFrame:
+    """Stream-static enrichment join — the stateless workhorse of every
+    event pipeline (attach user/account/catalog attributes to events).
+
+    Unlike a stream-stream join this keeps NO state: the static side is
+    re-evaluated against each micro-batch, so a dimension that lives in
+    a table the pipeline also maintains (e.g. the upsert-merge target)
+    is picked up fresh every batch — slowly-changing dimensions for
+    free. ``broadcast`` pins the build side to a broadcast hash join so
+    the streaming side never shuffles; leave it on for anything that
+    fits in executor memory (at 100 TB the event stream is the big
+    side by orders of magnitude)."""
+    d = F.broadcast(dim) if broadcast else dim
+    return stream.join(d, on, how)

@@ -153,3 +153,27 @@ def test_foreachbatch_sink_idempotent_partitioned(spark, sf_dir, tmp_path):
     drain(str(tmp_path / "ck2"))
     again = spark.read.parquet(out_dir)
     assert again.count() == ev.count()
+
+
+def test_stream_static_enrich_matches_batch(spark, sf_dir):
+    """Stream-static broadcast enrichment: streamed result must equal
+    the batch join, with every event preserved (left join) and the
+    stream side never shuffled (stateless — no watermark required)."""
+    from pandas_rust_algos_spark.sources import load_table
+    from pandas_rust_algos_spark.streaming.joins import enrich_with_dim
+
+    dim = load_table(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("user_id"), "c_mktsegment")
+    stream = se.read_events_stream(spark, sf_dir)
+    enriched = enrich_with_dim(
+        stream.select("event_id", "user_id", "value"), dim, "user_id")
+    streamed = se.run_available_now(enriched, table="t_stream_enrich",
+                                    output_mode="append")
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id", "user_id", "value")
+    batch = ev.join(dim, "user_id", "left")
+    assert sorted(map(tuple, streamed.collect())) \
+        == sorted(map(tuple, batch.collect()))
+    # left join: nothing dropped
+    assert streamed.count() == ev.count()
