@@ -150,3 +150,40 @@ def events_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("user_id", "session_id")
         .agg(F.count(F.lit(1)).alias("n_events"))
     )
+
+
+@register(
+    "events_rollup_hour_day",
+    oracle=f"""
+    WITH b AS (
+      SELECT event_type,
+             STRFTIME(DATE_TRUNC('day', ts), '{_FMT_DUCK}') AS day_start,
+             STRFTIME(DATE_TRUNC('hour', ts), '{_FMT_DUCK}') AS hour_start,
+             value
+      FROM events
+    )
+    SELECT event_type, day_start, hour_start,
+           COUNT(*) AS n_events, {dsum('value')} AS sum_value
+    FROM b GROUP BY ROLLUP(event_type, day_start, hour_start)
+    """,
+)
+def events_rollup_hour_day(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hypertable-style continuous-aggregate shape: hour, day,
+    per-type, and grand-total grains in ONE pass over the events table
+    (GROUP BY ROLLUP on the time hierarchy). At 100 TB this replaces
+    four separate scans with one; the per-hour grain dominates the
+    output and the coarser grains are a near-free re-aggregation of
+    the finest grain inside the same HashAggregate."""
+    tune(spark)
+    ev = load_table(spark, sf_dir, "events")
+    b = ev.select(
+        "event_type",
+        F.date_format(F.date_trunc("day", "ts"), _FMT).alias("day_start"),
+        F.date_format(F.date_trunc("hour", "ts"), _FMT).alias("hour_start"),
+        F.floor(F.col("value") * F.lit(1e6)).cast("long").alias("vfx"),
+    )
+    return (
+        b.rollup("event_type", "day_start", "hour_start")
+        .agg(F.count(F.lit(1)).alias("n_events"),
+             (F.sum("vfx").cast("double") / F.lit(1e6)).alias("sum_value"))
+    )
