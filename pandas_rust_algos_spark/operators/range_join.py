@@ -46,7 +46,10 @@ def range_join(
         raise ValueError(f"bucket_seconds must be positive, got {bucket_seconds}")
 
     def b(c: Column) -> Column:
-        return F.floor(F.unix_timestamp(c) / F.lit(bucket_seconds)).cast("long")
+        # cast("timestamp") tolerates TIMESTAMP_NTZ scans (UTC session ⇒ exact)
+        return F.floor(
+            F.unix_timestamp(c.cast("timestamp")) / F.lit(bucket_seconds)
+        ).cast("long")
 
     p = points.withColumn("__b", b(F.col(point_col)))
     iv = intervals.withColumn(

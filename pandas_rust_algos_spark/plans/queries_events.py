@@ -138,10 +138,18 @@ def events_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     wrun = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
     prev = F.lag("ts").over(w)
     # microsecond-exact gap compare (cast-to-seconds would truncate and
-    # diverge from the oracle's INTERVAL comparison on sub-second gaps)
+    # diverge from the oracle's INTERVAL comparison on sub-second gaps);
+    # cast("timestamp") first: parquet may scan ts as TIMESTAMP_NTZ, which
+    # unix_micros rejects — with the session pinned to UTC the cast is exact
     is_new = F.when(
         prev.isNull()
-        | ((F.unix_micros(F.col("ts")) - F.unix_micros(prev)) > 1_800_000_000),
+        | (
+            (
+                F.unix_micros(F.col("ts").cast("timestamp"))
+                - F.unix_micros(prev.cast("timestamp"))
+            )
+            > 1_800_000_000
+        ),
         1,
     ).otherwise(0)
     return (

@@ -47,6 +47,9 @@ def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     if dict(stream.dtypes).get("ts") == "bigint":
         stream = stream.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    elif dict(stream.dtypes).get("ts") == "timestamp_ntz":
+        # watermarks require TIMESTAMP; UTC session makes the cast exact
+        stream = stream.withColumn("ts", F.col("ts").cast("timestamp"))
     return stream
 
 
