@@ -1,0 +1,82 @@
+"""Frequency analysis: heavy hitters (most frequent keys), exact and
+approximate.
+
+The reference has no frequency surface (SURVEY §2.3 — no distinct
+aggregation at all); this is a driver-brief extension. In a training-
+data pipeline heavy hitters drive spam-domain discovery, boilerplate
+detection, and skew diagnosis (the keys found here are exactly the keys
+that need salting in ``skew_handling``).
+
+Two tiers, same contract as the other approx pairs in this engine:
+
+- exact: groupBy + distributed top-k. The per-key count is a map-side-
+  combined hash aggregate (traffic ∝ #distinct keys, not #rows) and the
+  top-k is ``TakeOrderedAndProject`` — each partition keeps its own k,
+  the driver merges P·k rows. No global sort, no single-partition
+  window, at any scale.
+- approximate: one pass, bounded memory, no shuffle of raw keys —
+  Spark's ``freqItems`` (Karp-Papadimitriou-Shenker misra-gries
+  variant). Guarantees a *superset* of every key with frequency >
+  support; counts are not returned (follow with one semi-joined exact
+  count over the candidate set when counts matter — traffic ∝ |candidates|).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+__all__ = ["heavy_hitters", "heavy_hitters_approx", "count_by_key"]
+
+
+def count_by_key(df: DataFrame, keys: Sequence[str] | str) -> DataFrame:
+    """Per-key occurrence counts (map-side combined)."""
+    keys = [keys] if isinstance(keys, str) else list(keys)
+    return df.groupBy(*keys).agg(F.count(F.lit(1)).alias("cnt"))
+
+
+def heavy_hitters(
+    df: DataFrame,
+    keys: Sequence[str] | str,
+    *,
+    k: int = 20,
+    min_count: int = 1,
+) -> DataFrame:
+    """Exact top-``k`` keys by occurrence count (count desc, then keys
+    asc — a total order, so the result is deterministic under ties).
+
+    ``orderBy().limit(k)`` compiles to TakeOrderedAndProject: a per-
+    partition bounded heap + driver merge of P·k candidate rows — the
+    scalable distributed top-k (never a global sort of all keys).
+    """
+    keys = [keys] if isinstance(keys, str) else list(keys)
+    counted = count_by_key(df, keys).where(F.col("cnt") >= min_count)
+    order = [F.col("cnt").desc()] + [F.col(c).asc() for c in keys]
+    return counted.orderBy(*order).limit(k)
+
+
+def heavy_hitters_approx(
+    df: DataFrame,
+    keys: Sequence[str] | str,
+    *,
+    support: float = 0.01,
+) -> DataFrame:
+    """Approximate heavy hitters: every key occurring in more than
+    ``support`` fraction of rows is returned (possibly with false
+    positives — no false negatives), in one pass with O(1/support)
+    memory per column and no per-key shuffle.
+
+    This is the 100 TB path: run it first to get a tiny candidate set,
+    then exact-count only the candidates. Output: one row per candidate
+    key value (exploded from Spark's array-valued ``freqItems`` result).
+    """
+    keys = [keys] if isinstance(keys, str) else list(keys)
+    if not 0.0 < support < 1.0:
+        raise ValueError(f"support must be in (0, 1), got {support}")
+    freq = df.stat.freqItems(keys, support)
+    col = f"{keys[0]}_freqItems" if len(keys) == 1 else None
+    if col is None:
+        raise ValueError("heavy_hitters_approx supports a single key column")
+    return freq.select(F.explode(col).alias(keys[0]))

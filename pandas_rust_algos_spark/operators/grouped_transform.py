@@ -50,6 +50,7 @@ __all__ = [
     "group_diff",
     "group_pct_change",
     "rolling_agg",
+    "rolling_time_agg",
     "rolling_corr_cov",
     "rolling_quantile",
     "group_ewm_mean",
@@ -456,6 +457,73 @@ def rolling_agg(
             expr = F.when(nobs >= mp, _AGGS[a](c).over(w))
             out = out.withColumn(out_fmt.format(v=v, a=a), expr)
     return out
+
+
+def rolling_time_agg(
+    df: DataFrame,
+    keys: Sequence[str] | str,
+    ts_col: str,
+    values: Sequence[str] | str,
+    *,
+    duration: str = "1 hour",
+    aggs: Sequence[str] = ("count", "sum"),
+    out_fmt: str = "{v}_troll_{a}",
+) -> DataFrame:
+    """pandas ``rolling('1h', on=ts)`` over ordered groups: trailing
+    *time-based* frames ``[t - duration, t]`` (both ends inclusive,
+    matching pandas' closed='right' and SQL RANGE ... PRECEDING).
+
+    Row-count frames (``rolling_agg``) answer "last k observations";
+    time frames answer "last hour" — the shape every event-rate /
+    velocity feature uses. Spark's RANGE frame needs a single numeric
+    order expression, so the timestamp is ordered as epoch microseconds
+    and the frame bound is the duration in microseconds — exact integer
+    arithmetic, no unit drift. Rows tied on ts are frame *peers*: every
+    one of them sees the identical frame (SQL RANGE semantics), making
+    the result a deterministic row set even when ties arrive in any
+    order — no tiebreak column is needed, unlike ROWS frames.
+
+    Scale: one Sort+Exchange on (keys, ts) serves all requested aggs;
+    state per frame is O(1) (sliding aggregates), never a buffered list.
+    """
+    _AGGS = {"mean": F.avg, "sum": F.sum, "min": F.min, "max": F.max,
+             "count": F.count}
+    bad = set(aggs) - set(_AGGS)
+    if bad:
+        raise ValueError(f"unsupported rolling aggs {sorted(bad)}; "
+                         f"choose from {sorted(_AGGS)}")
+    dur_us = _duration_to_us(duration)
+    ord_us = F.unix_micros(F.col(ts_col).cast("timestamp"))
+    w = (
+        Window.partitionBy(*_cols(keys))
+        .orderBy(ord_us)
+        .rangeBetween(-dur_us, 0)
+    )
+    out = df
+    for v in _cols(values):
+        c = na_normalize(v, floating=_is_floating(df, v))
+        for a in aggs:
+            out = out.withColumn(out_fmt.format(v=v, a=a), _AGGS[a](c).over(w))
+    return out
+
+
+_UNITS_US = {
+    "second": 1_000_000, "seconds": 1_000_000,
+    "minute": 60_000_000, "minutes": 60_000_000,
+    "hour": 3_600_000_000, "hours": 3_600_000_000,
+    "day": 86_400_000_000, "days": 86_400_000_000,
+}
+
+
+def _duration_to_us(duration: str) -> int:
+    """'90 minutes' → 5_400_000_000 µs (whole units only — RANGE bounds
+    are exact integers, never floats)."""
+    parts = duration.strip().split()
+    if len(parts) != 2 or not parts[0].isdigit() or parts[1] not in _UNITS_US:
+        raise ValueError(
+            f"duration must look like '<n> <unit>' with unit in "
+            f"{sorted(set(_UNITS_US))}, got {duration!r}")
+    return int(parts[0]) * _UNITS_US[parts[1]]
 
 
 def rolling_corr_cov(

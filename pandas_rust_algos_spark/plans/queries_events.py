@@ -161,6 +161,38 @@ def events_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "heavy_hitters",
+    oracle="""
+    WITH c AS (SELECT user_id, COUNT(*) AS cnt FROM events GROUP BY user_id)
+    SELECT user_id, cnt FROM c ORDER BY cnt DESC, user_id LIMIT 20
+    """,
+)
+def heavy_hitters_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact top-20 most frequent users: map-side-combined count per
+    key, then distributed top-k (TakeOrderedAndProject — per-partition
+    heaps, no global sort). Total order (cnt desc, user_id asc) makes
+    ties deterministic."""
+    tune(spark)
+    from pandas_rust_algos_spark.operators.frequency import heavy_hitters
+
+    return heavy_hitters(load_table(spark, sf_dir, "events"), "user_id", k=20)
+
+
+@register("heavy_hitters_approx")
+def heavy_hitters_approx_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate heavy hitters (freqItems / Misra-Gries family): one
+    pass, bounded memory, superset guarantee — the 100 TB candidate-
+    generation path; rows-only gate (the exact twin above is the
+    oracle-checked one). Superset-of-truth is asserted in
+    tests/test_operators.py."""
+    tune(spark)
+    from pandas_rust_algos_spark.operators.frequency import heavy_hitters_approx
+
+    ev = load_table(spark, sf_dir, "events")
+    return heavy_hitters_approx(ev, "user_id", support=0.01)
+
+
+@register(
     "events_rollup_hour_day",
     oracle=f"""
     WITH b AS (

@@ -382,6 +382,42 @@ def rolling_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "rolling_time_1h",
+    oracle="""
+    WITH b AS (
+      SELECT user_id, event_id, ts,
+             CAST(FLOOR(value * 1e6) AS BIGINT) AS vfx
+      FROM events
+    )
+    SELECT user_id, event_id,
+           COUNT(vfx) OVER w AS n_1h,
+           CAST(SUM(vfx) OVER w AS DOUBLE) / 1e6 AS sum_1h
+    FROM b
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts
+                 RANGE BETWEEN INTERVAL 1 HOUR PRECEDING AND CURRENT ROW)
+    """,
+)
+def rolling_time_1h(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-based trailing window (pandas ``rolling('1h', on=ts)``):
+    per-user count and exact fixed-point sum of the last hour's events
+    at every event — RANGE frame over epoch-microseconds, so rows tied
+    on ts are peers and the row set is deterministic without any
+    tiebreak (see ``rolling_time_agg``)."""
+    tune(spark)
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", "event_id", "ts",
+        F.floor(F.col("value") * F.lit(1e6)).cast("long").alias("vfx"),
+    )
+    out = gt.rolling_time_agg(ev, "user_id", "ts", ["vfx"],
+                              duration="1 hour", aggs=("count", "sum"))
+    return out.select(
+        "user_id", "event_id",
+        F.col("vfx_troll_count").alias("n_1h"),
+        (F.col("vfx_troll_sum").cast("double") / F.lit(1e6)).alias("sum_1h"),
+    )
+
+
+@register(
     "rolling_corr_cov",
     oracle=f"""
     WITH f AS (

@@ -1,3 +1,8 @@
+from pandas_rust_algos_spark.sources.formats import (
+    convert_to_parquet,
+    read_source,
+    write_sink,
+)
 from pandas_rust_algos_spark.sources.merge import (
     merge_into_partitioned,
     write_stream_upsert,
@@ -22,4 +27,7 @@ __all__ = [
     "write_partitioned",
     "merge_into_partitioned",
     "write_stream_upsert",
+    "read_source",
+    "write_sink",
+    "convert_to_parquet",
 ]

@@ -1,0 +1,102 @@
+"""Generic format sources/sinks: CSV, JSON(-lines), ORC, Parquet behind
+one interface.
+
+The reference has no I/O layer (data arrives as NumPy arrays through
+PyO3, ``/root/reference/src/lib.rs:59-63``); the fixtures are parquet.
+Real pipelines also land CSV/JSONL drops and exchange ORC — this module
+makes every format a first-class lazy scan with the same plan-quality
+contract as ``sources.parquet``:
+
+- **schema is explicit, never inferred, on text formats.** CSV/JSON
+  inference runs an extra full read of the data before the query even
+  plans — at 100 TB that is a second 100 TB scan. Callers pass a
+  ``StructType`` (or sample-infer once on a bounded prefix and persist
+  the result).
+- column pruning reaches every format's scan; predicate pushdown
+  reaches ORC/Parquet (row-group/stripe skipping). CSV/JSON cannot skip
+  bytes — convert landed text to parquet early (``convert_to_parquet``)
+  so every downstream query gets pushdown and column pruning for free.
+- text scans stay splittable: uncompressed or bzip2 text splits by
+  byte range; a gzip file is ONE task no matter its size — the landing
+  contract should forbid large gzip members.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql.types import StructType
+
+__all__ = ["read_source", "write_sink", "convert_to_parquet"]
+
+_FORMATS = ("parquet", "orc", "csv", "json")
+
+
+def read_source(
+    spark: SparkSession,
+    path: str,
+    fmt: str,
+    *,
+    schema: StructType | str | None = None,
+    **options: str,
+) -> DataFrame:
+    """Lazy scan of ``path`` in ``fmt``. Text formats (csv/json)
+    require ``schema`` — refusing to silently trigger an inference scan
+    is the point. CSV defaults: header=true, standard quoting/escapes
+    overridable via ``options``."""
+    if fmt not in _FORMATS:
+        raise ValueError(f"fmt must be one of {_FORMATS}, got {fmt!r}")
+    reader = spark.read
+    if fmt == "csv":
+        reader = reader.option("header", "true")
+    for k, v in options.items():
+        reader = reader.option(k, v)
+    if schema is not None:
+        reader = reader.schema(schema)
+    elif fmt in ("csv", "json"):
+        raise ValueError(
+            f"{fmt} reads require an explicit schema (inference would "
+            "full-scan the data before planning; infer once on a sample "
+            "and persist the schema instead)")
+    return reader.format(fmt).load(path)
+
+
+def write_sink(
+    df: DataFrame,
+    path: str,
+    fmt: str,
+    *,
+    mode: str = "error",
+    partition_by: list[str] | None = None,
+    **options: str,
+) -> None:
+    """Write ``df`` to ``path`` in ``fmt``. Columnar targets keep
+    statistics for pushdown; csv/json are for export/interchange only."""
+    if fmt not in _FORMATS:
+        raise ValueError(f"fmt must be one of {_FORMATS}, got {fmt!r}")
+    writer = df.write.mode(mode)
+    if fmt == "csv":
+        writer = writer.option("header", "true")
+    for k, v in options.items():
+        writer = writer.option(k, v)
+    if partition_by:
+        writer = writer.partitionBy(*partition_by)
+    writer.format(fmt).save(path)
+
+
+def convert_to_parquet(
+    spark: SparkSession,
+    src_path: str,
+    fmt: str,
+    schema: StructType | str,
+    dest_path: str,
+    *,
+    mode: str = "error",
+    **options: str,
+) -> DataFrame:
+    """Land-and-convert: one sequential pass over text input, parquet
+    out, returning the converted scan. Every later query then planned
+    against parquet gets pushdown + pruning + splittability — the
+    standard first stage of any text-landing pipeline."""
+    df = read_source(spark, src_path, fmt, schema=schema, **options)
+    write_sink(df, dest_path, "parquet", mode=mode)
+    return spark.read.parquet(dest_path)

@@ -579,3 +579,86 @@ def test_pivot_dynamic_discovers_and_caps(spark, sf_dir):
     with _pytest.raises(ValueError, match="exceeds max_values"):
         pivot_dynamic(ev, "user_id", "event_id", F.count(F.lit(1)),
                       max_values=50)
+
+
+# ---------------------------------------------------- time-based rolling
+
+
+def test_rolling_time_matches_pandas(spark):
+    """rolling_time_agg vs pandas rolling('1h', on=ts) on a frame with
+    tied timestamps and a NaN — frame peers must see identical frames."""
+    import pandas as pd
+
+    pdf = pd.DataFrame({
+        "k": ["a"] * 6 + ["b"] * 2,
+        "ts": pd.to_datetime([
+            "2024-01-01 00:00:00", "2024-01-01 00:30:00",
+            "2024-01-01 00:30:00",  # tie: peer rows
+            "2024-01-01 01:15:00", "2024-01-01 02:59:00",
+            "2024-01-01 03:00:00", "2024-01-01 00:00:00",
+            "2024-01-01 05:00:00",
+        ]),
+        "rid": [0, 1, 2, 3, 4, 5, 6, 7],
+        "v": [1.0, 2.0, 4.0, 8.0, float("nan"), 32.0, 64.0, 128.0],
+    })
+    df = spark.createDataFrame(pdf)
+    out = gt.rolling_time_agg(df, "k", "ts", ["v"],
+                              duration="1 hour", aggs=("count", "sum"))
+    got = {r["rid"]: (r["v_troll_count"], r["v_troll_sum"])
+           for r in out.collect()}
+
+    exp = {}
+    for k, grp in pdf.groupby("k"):
+        grp = grp.sort_values("ts")
+        for _, row in grp.iterrows():
+            frame = grp[(grp.ts >= row.ts - pd.Timedelta(hours=1))
+                        & (grp.ts <= row.ts)]
+            exp[row.rid] = (int(frame.v.count()),
+                            None if frame.v.count() == 0
+                            else float(frame.v.sum()))
+    assert got == exp
+
+
+def test_rolling_time_rejects_bad_duration(spark, nullable_df):
+    with pytest.raises(ValueError, match="duration must look like"):
+        gt.rolling_time_agg(
+            nullable_df.withColumn("ts", F.current_timestamp()),
+            "k", "ts", ["v"], duration="1.5 hours")
+
+
+# --------------------------------------------------------- heavy hitters
+
+
+def test_heavy_hitters_exact_and_superset(spark, sf_dir):
+    """Exact top-k is the true ordered head of the count table; the
+    freqItems approx result is a superset of every key above support."""
+    from pandas_rust_algos_spark.operators.frequency import (
+        count_by_key,
+        heavy_hitters,
+        heavy_hitters_approx,
+    )
+    from pandas_rust_algos_spark.sources import load_table
+
+    ev = load_table(spark, sf_dir, "events")
+    counts = {r["user_id"]: r["cnt"]
+              for r in count_by_key(ev, "user_id").collect()}
+    top = heavy_hitters(ev, "user_id", k=5).collect()
+    truth = sorted(counts.items(), key=lambda kv: (-kv[1], kv[0]))[:5]
+    assert [(r["user_id"], r["cnt"]) for r in top] == truth
+
+    support = 0.01
+    n = ev.count()
+    approx = {r["user_id"]
+              for r in heavy_hitters_approx(ev, "user_id",
+                                            support=support).collect()}
+    must_have = {k for k, c in counts.items() if c > support * n}
+    assert must_have <= approx
+
+
+def test_heavy_hitters_bad_support(spark, sf_dir):
+    from pandas_rust_algos_spark.operators.frequency import heavy_hitters_approx
+    from pandas_rust_algos_spark.sources import load_table
+
+    ev = load_table(spark, sf_dir, "events")
+    with pytest.raises(ValueError, match="support"):
+        heavy_hitters_approx(ev, "user_id", support=1.5)
