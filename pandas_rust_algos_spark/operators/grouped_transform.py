@@ -50,6 +50,7 @@ __all__ = [
     "group_diff",
     "group_pct_change",
     "rolling_agg",
+    "expanding_agg",
     "rolling_time_agg",
     "rolling_corr_cov",
     "rolling_quantile",
@@ -455,6 +456,41 @@ def rolling_agg(
         nobs = F.count(c).over(w)
         for a in aggs:
             expr = F.when(nobs >= mp, _AGGS[a](c).over(w))
+            out = out.withColumn(out_fmt.format(v=v, a=a), expr)
+    return out
+
+
+def expanding_agg(
+    df: DataFrame,
+    keys: Sequence[str] | str,
+    order: Sequence[str] | str,
+    values: Sequence[str] | str,
+    *,
+    aggs: Sequence[str] = ("mean",),
+    min_periods: int = 1,
+    out_fmt: str = "{v}_exp_{a}",
+) -> DataFrame:
+    """pandas ``expanding(min_periods)`` over ordered groups: start-of-
+    group → current-row frames (``rolling_agg`` with an unbounded left
+    edge). Positions whose frame holds fewer than ``min_periods``
+    non-null observations yield NULL.
+
+    Same single Sort+Exchange contract as every transform here: all
+    expanding expressions for one (keys, order) share the shuffle.
+    """
+    _AGGS = {"mean": F.avg, "sum": F.sum, "min": F.min, "max": F.max,
+             "std": F.stddev_samp, "var": F.var_samp, "count": F.count}
+    bad = set(aggs) - set(_AGGS)
+    if bad:
+        raise ValueError(f"unsupported expanding aggs {sorted(bad)}; "
+                         f"choose from {sorted(_AGGS)}")
+    w = running_window(keys, order)
+    out = df
+    for v in _cols(values):
+        c = na_normalize(v, floating=_is_floating(df, v))
+        nobs = F.count(c).over(w)
+        for a in aggs:
+            expr = F.when(nobs >= min_periods, _AGGS[a](c).over(w))
             out = out.withColumn(out_fmt.format(v=v, a=a), expr)
     return out
 

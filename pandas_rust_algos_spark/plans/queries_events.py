@@ -161,6 +161,42 @@ def events_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "events_json_props",
+    oracle="""
+    WITH p AS (
+      SELECT event_type,
+             CAST(json_extract(props, '$.k') AS BIGINT) AS k
+      FROM events
+    )
+    SELECT event_type,
+           COUNT(k) AS n_k,
+           CAST(SUM(k) AS BIGINT) AS sum_k,
+           MIN(k) AS min_k,
+           MAX(k) AS max_k
+    FROM p GROUP BY event_type
+    """,
+)
+def events_json_props(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-structured column handling: parse the ``props`` JSON string
+    with an explicit schema (``from_json`` — typed struct, no schema
+    inference pass) and aggregate the extracted field. With an explicit
+    parse schema Spark prunes the JSON parse to the referenced fields,
+    so a wide props blob costs only the fields a query touches; integer
+    aggregation keeps the oracle compare exact."""
+    tune(spark)
+    ev = load_table(spark, sf_dir, "events")
+    parsed = ev.select(
+        "event_type", F.from_json("props", "k bigint").alias("p")
+    )
+    return parsed.groupBy("event_type").agg(
+        F.count("p.k").alias("n_k"),
+        F.sum("p.k").alias("sum_k"),
+        F.min("p.k").alias("min_k"),
+        F.max("p.k").alias("max_k"),
+    )
+
+
+@register(
     "heavy_hitters",
     oracle="""
     WITH c AS (SELECT user_id, COUNT(*) AS cnt FROM events GROUP BY user_id)

@@ -382,6 +382,42 @@ def rolling_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "group_expanding",
+    oracle=f"""
+    WITH b AS (
+      SELECT l_suppkey, l_orderkey, l_linenumber, l_quantity, l_extendedprice,
+             CAST(FLOOR(l_quantity * 1e6) AS BIGINT) AS qfx
+      FROM lineitem
+    )
+    SELECT {_ROWKEY},
+           CASE WHEN COUNT(qfx) OVER w >= 2 THEN
+             CAST(SUM(qfx) OVER w AS DOUBLE) / 1e6 / COUNT(qfx) OVER w
+           END AS qty_exp_mean,
+           CASE WHEN COUNT(qfx) OVER w >= 2 THEN MAX(l_quantity) OVER w
+           END AS qty_exp_max
+    FROM b
+    WINDOW w AS ({_W})
+    """,
+)
+def group_expanding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """pandas ``expanding(min_periods=2)`` mean/max — start-of-group →
+    current-row frames; fixed-point mean keeps the compare exact."""
+    li = _li(spark, sf_dir).withColumn(
+        "qfx", F.floor(F.col("l_quantity") * F.lit(1e6)).cast("long")
+    )
+    out = gt.expanding_agg(li, "l_suppkey", _ORDER, ["qfx"],
+                           aggs=("sum", "count"), min_periods=2)
+    out = gt.expanding_agg(out, "l_suppkey", _ORDER, ["l_quantity"],
+                           aggs=("max",), min_periods=2)
+    return out.select(
+        "l_orderkey", "l_linenumber",
+        (F.col("qfx_exp_sum").cast("double") / F.lit(1e6)
+         / F.col("qfx_exp_count")).alias("qty_exp_mean"),
+        F.col("l_quantity_exp_max").alias("qty_exp_max"),
+    )
+
+
+@register(
     "rolling_time_1h",
     oracle="""
     WITH b AS (

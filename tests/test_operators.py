@@ -662,3 +662,30 @@ def test_heavy_hitters_bad_support(spark, sf_dir):
     ev = load_table(spark, sf_dir, "events")
     with pytest.raises(ValueError, match="support"):
         heavy_hitters_approx(ev, "user_id", support=1.5)
+
+
+def test_expanding_matches_pandas(spark):
+    import pandas as pd
+
+    pdf = pd.DataFrame({
+        "k": ["a"] * 4 + ["b"] * 2,
+        "ord": [1, 2, 3, 4, 1, 2],
+        "v": [1.0, float("nan"), 3.0, 5.0, 2.0, 4.0],
+    })
+    df = spark.createDataFrame(pdf)
+    out = gt.expanding_agg(df, "k", "ord", ["v"],
+                           aggs=("mean", "count"), min_periods=2)
+    got = {(r["k"], r["ord"]): (r["v_exp_mean"], r["v_exp_count"])
+           for r in out.collect()}
+    exp_mean = pdf.groupby("k", group_keys=False).apply(
+        lambda g: g.sort_values("ord").v.expanding(min_periods=2).mean(),
+        include_groups=False)
+    for (k, o), (m, _c) in got.items():
+        idx = pdf[(pdf.k == k) & (pdf.ord == o)].index[0]
+        e = exp_mean.loc[idx]
+        assert (m is None and pd.isna(e)) or abs(m - e) < 1e-12, (k, o, m, e)
+
+
+def test_expanding_rejects_unknown_agg(spark, nullable_df):
+    with pytest.raises(ValueError, match="unsupported expanding aggs"):
+        gt.expanding_agg(nullable_df, "k", "ord", ["v"], aggs=("median",))
