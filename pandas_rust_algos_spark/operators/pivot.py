@@ -1,4 +1,4 @@
-"""Pivot helpers.
+"""Pivot / reshape helpers.
 
 ``groupBy().pivot(col)`` without an explicit value list makes Spark
 run a separate distinct-discovery job over the full input before it
@@ -16,7 +16,7 @@ from collections.abc import Sequence
 
 from pyspark.sql import Column, DataFrame
 
-__all__ = ["pivot_explicit", "pivot_dynamic"]
+__all__ = ["pivot_explicit", "pivot_dynamic", "melt"]
 
 
 def pivot_explicit(
@@ -55,3 +55,23 @@ def pivot_dynamic(
             "pass an explicit subset via pivot_explicit instead"
         )
     return pivot_explicit(df, index, pivot_col, sorted(vals), agg)
+
+
+def melt(
+    df: DataFrame,
+    id_vars: Sequence[str] | str,
+    value_vars: Sequence[str],
+    *,
+    var_name: str = "variable",
+    value_name: str = "value",
+) -> DataFrame:
+    """pandas ``melt`` (wide → long), the inverse of pivot.
+
+    Compiles to Spark's native ``unpivot`` (an Expand node: each input
+    row emits len(value_vars) rows in the same task) — narrow, no
+    shuffle, no UDF; output size is rows × len(value_vars) regardless
+    of partitioning. Value columns are cast to their common promoted
+    type by Spark; pass pre-cast columns when mixing incompatible types.
+    """
+    id_vars = [id_vars] if isinstance(id_vars, str) else list(id_vars)
+    return df.unpivot(id_vars, list(value_vars), var_name, value_name)

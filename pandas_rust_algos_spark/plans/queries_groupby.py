@@ -754,3 +754,33 @@ def group_corr_cov(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round("corr", 6).alias("corr"),
         F.round("cov", 6).alias("cov"),
     )
+
+
+@register(
+    "group_melt",
+    oracle=f"""
+    WITH m AS (
+      SELECT 'l_quantity' AS variable, l_quantity AS value FROM lineitem
+      UNION ALL SELECT 'l_discount', l_discount FROM lineitem
+      UNION ALL SELECT 'l_tax', l_tax FROM lineitem
+    )
+    SELECT variable, COUNT(value) AS n,
+           {dsum('value')} AS sum_value
+    FROM m GROUP BY variable
+    """,
+)
+def group_melt(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """melt (wide → long, Spark native unpivot/Expand — no shuffle, no
+    UDF) then aggregate per variable; the long form is what plotting /
+    normalization pipelines consume. Fixed-point sums keep the compare
+    exact."""
+    from pandas_rust_algos_spark.operators.pivot import melt
+
+    li = _li(spark, sf_dir)
+    long = melt(li, ["l_orderkey", "l_linenumber"],
+                ["l_quantity", "l_discount", "l_tax"])
+    return long.groupBy("variable").agg(
+        F.count("value").alias("n"),
+        (F.sum(F.floor(F.col("value") * F.lit(1e6)).cast("long"))
+         .cast("double") / F.lit(1e6)).alias("sum_value"),
+    )

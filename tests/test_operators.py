@@ -689,3 +689,17 @@ def test_expanding_matches_pandas(spark):
 def test_expanding_rejects_unknown_agg(spark, nullable_df):
     with pytest.raises(ValueError, match="unsupported expanding aggs"):
         gt.expanding_agg(nullable_df, "k", "ord", ["v"], aggs=("median",))
+
+
+def test_melt_wide_to_long(spark):
+    from pandas_rust_algos_spark.operators.pivot import melt
+
+    df = spark.createDataFrame(
+        [(1, 10.0, 0.5), (2, 20.0, 1.5)], "id int, a double, b double")
+    out = melt(df, "id", ["a", "b"])
+    assert out.columns == ["id", "variable", "value"]
+    assert sorted(map(tuple, out.collect())) == [
+        (1, "a", 10.0), (1, "b", 0.5), (2, "a", 20.0), (2, "b", 1.5)]
+    # no shuffle: Expand is narrow
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan
