@@ -3,6 +3,10 @@ from pandas_rust_algos_spark.sources.formats import (
     read_source,
     write_sink,
 )
+from pandas_rust_algos_spark.sources.layout import (
+    write_zordered,
+    zorder_column,
+)
 from pandas_rust_algos_spark.sources.merge import (
     merge_into_partitioned,
     write_stream_upsert,
@@ -30,4 +34,6 @@ __all__ = [
     "read_source",
     "write_sink",
     "convert_to_parquet",
+    "zorder_column",
+    "write_zordered",
 ]
