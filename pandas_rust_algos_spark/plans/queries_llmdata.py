@@ -448,3 +448,30 @@ def pack_sequences_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("n_docs"),
              F.sum("n_tokens").alias("pack_tokens"))
     )
+
+
+@register(
+    "fuzzy_join",
+    oracle="""
+    WITH p AS (
+      SELECT doc_id, lang, SUBSTRING(text, 1, 16) AS s FROM documents
+    )
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+           levenshtein(a.s, b.s) AS dist
+    FROM p a JOIN p b ON a.lang = b.lang AND a.doc_id < b.doc_id
+    WHERE levenshtein(a.s, b.s) <= 3
+    """,
+)
+def fuzzy_join_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Edit-distance self-join on 16-char document prefixes (≤3 edits,
+    same language): lossless length banding turns the theta join into
+    an equi-join on (lang, length-bucket) — candidates only, never the
+    cross product. The DuckDB oracle IS the cross product (feasible at
+    sf0.01), so the hash match proves the banding loses no pairs."""
+    from pandas_rust_algos_spark.operators.fuzzy_join import fuzzy_self_join
+
+    tune(spark)
+    p = _docs(spark, sf_dir).select(
+        "doc_id", "lang", F.substring("text", 1, 16).alias("s"))
+    return fuzzy_self_join(p, "doc_id", "s", max_dist=3,
+                           extra_keys=["lang"])

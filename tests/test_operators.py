@@ -703,3 +703,28 @@ def test_melt_wide_to_long(spark):
     # no shuffle: Expand is narrow
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "Exchange" not in plan
+
+
+def test_fuzzy_self_join_planted_typos(spark):
+    from pandas_rust_algos_spark.operators.fuzzy_join import fuzzy_self_join
+
+    df = spark.createDataFrame(
+        [
+            (1, "kitten"), (2, "sitten"), (3, "sitting"),
+            (4, "completely-different-string"), (5, "kitten"),
+        ],
+        "id int, s string",
+    )
+    out = {(r["id_a"], r["id_b"]): r["dist"]
+           for r in fuzzy_self_join(df, "id", "s", max_dist=2).collect()}
+    # kitten~sitten=1, sitten~sitting=2, kitten~kitten=0 (dupe),
+    # kitten~sitting=3 excluded, long string matches nothing
+    assert out == {(1, 2): 1, (2, 3): 2, (1, 5): 0, (2, 5): 1}
+
+
+def test_fuzzy_self_join_rejects_lossy_width(spark):
+    from pandas_rust_algos_spark.operators.fuzzy_join import fuzzy_self_join
+
+    df = spark.createDataFrame([(1, "a")], "id int, s string")
+    with pytest.raises(ValueError, match="lossless"):
+        fuzzy_self_join(df, "id", "s", max_dist=5, bucket_width=2)
