@@ -537,6 +537,72 @@ def group_quantile(
     )
 
 
+def group_describe(
+    df: DataFrame,
+    keys: Sequence[str] | str,
+    value: str,
+    *,
+    scale: int = 3,
+    dropna_keys: bool = True,
+) -> DataFrame:
+    """pandas ``groupby(...)[value].describe()``: count, mean, std,
+    min, 25%/50%/75% (linear interpolation), max — in ONE shuffle.
+
+    The quartiles need a within-group sort, so the plan is the
+    rank-window shape of :func:`group_quantile`; every other statistic
+    is then computed in the SAME groupBy that picks the straddling
+    order statistics — Catalyst reuses the window's hash partitioning
+    for the aggregation, so the whole eight-column summary costs one
+    Exchange+Sort, not one pass per statistic. mean/std accumulate as
+    fixed-point decimal power sums (exact + associative ⇒ partition-
+    independent, same construction as :func:`group_corr_cov`).
+    """
+    from pyspark.sql.window import Window
+
+    keys = _cols(keys)
+    df = _prep(df, keys, dropna_keys)
+    c = _nn(df, value)
+    nn = df.select(*keys, c.alias("__v"))
+    w = Window.partitionBy(*keys)
+    nn = nn.withColumn(
+        "__rn", F.row_number().over(w.orderBy(F.col("__v").asc_nulls_last())) - 1
+    ).withColumn("__n", F.count("__v").over(w))
+
+    k = 10 ** scale
+    fx = F.floor(F.col("__v") * F.lit(k)).cast("decimal(38,0)")
+    picks = []
+    for name, q in (("q25", 0.25), ("q50", 0.5), ("q75", 0.75)):
+        target = F.lit(q) * (F.col("__n") - 1)
+        lo, hi = F.floor(target), F.ceil(target)
+        vlo = F.max(F.when(F.col("__rn") == lo, F.col("__v")))
+        vhi = F.max(F.when(F.col("__rn") == hi, F.col("__v")))
+        gfrac = F.max(F.when(F.col("__rn") == lo, target - lo))
+        picks.append((vlo + gfrac * (vhi - vlo)).alias(name))
+
+    agged = nn.groupBy(*keys).agg(
+        F.count("__v").cast("decimal(38,0)").alias("__cnt"),
+        F.sum(fx).alias("__sx"),
+        F.sum(fx * fx).alias("__sxx"),
+        F.min("__v").alias("min"),
+        F.max("__v").alias("max"),
+        *picks,
+    )
+    n, sx, sxx = F.col("__cnt"), F.col("__sx"), F.col("__sxx")
+    mean = F.when(n >= 1, sx.cast("double") / n.cast("double") / F.lit(float(k)))
+    varnum = (n * sxx - sx * sx).cast("double")
+    std = F.when(
+        n >= 2,
+        F.sqrt(F.greatest(varnum, F.lit(0.0))
+               / (n * (n - 1)).cast("double")) / F.lit(float(k)),
+    )
+    return agged.select(
+        *keys,
+        n.cast("long").alias("count"),
+        mean.alias("mean"), std.alias("std"),
+        "min", "q25", "q50", "q75", "max",
+    )
+
+
 def group_quantile_approx(
     df: DataFrame,
     keys: Sequence[str] | str,

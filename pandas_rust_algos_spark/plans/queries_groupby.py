@@ -784,3 +784,62 @@ def group_melt(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.sum(F.floor(F.col("value") * F.lit(1e6)).cast("long"))
          .cast("double") / F.lit(1e6)).alias("sum_value"),
     )
+
+
+def _desc_pick(q: str) -> str:
+    """Oracle fragments for one linear-interpolated quartile at q."""
+    t = f"CAST({q} AS DOUBLE) * (n - 1)"
+    tag = q.replace("0.", "")
+    return f"""
+         MAX(CASE WHEN rn = CAST(FLOOR({t}) AS BIGINT) THEN v END) AS lo{tag},
+         MAX(CASE WHEN rn = CAST(CEIL({t}) AS BIGINT) THEN v END) AS hi{tag},
+         MAX(CASE WHEN rn = CAST(FLOOR({t}) AS BIGINT)
+                  THEN {t} - FLOOR({t}) END) AS f{tag}"""
+
+
+@register(
+    "group_describe",
+    oracle=f"""
+    WITH nn AS (
+      SELECT l_returnflag AS k, l_extendedprice AS v,
+             CAST(FLOOR(l_extendedprice * 1e3) AS HUGEINT) AS fx,
+             ROW_NUMBER() OVER (PARTITION BY l_returnflag
+                                ORDER BY l_extendedprice) - 1 AS rn,
+             COUNT(*) OVER (PARTITION BY l_returnflag) AS n
+      FROM lineitem WHERE l_extendedprice IS NOT NULL
+    ), a AS (
+      SELECT k, COUNT(*) AS cnt, SUM(fx) AS sx, SUM(fx * fx) AS sxx,
+             MIN(v) AS vmin, MAX(v) AS vmax,
+             {_desc_pick('0.25')},
+             {_desc_pick('0.5')},
+             {_desc_pick('0.75')}
+      FROM nn GROUP BY k
+    )
+    SELECT k AS l_returnflag, cnt AS count,
+           CAST(sx AS DOUBLE) / CAST(cnt AS DOUBLE) / 1e3 AS mean,
+           CASE WHEN cnt >= 2 THEN
+             SQRT(GREATEST(CAST(cnt * sxx - sx * sx AS DOUBLE),
+                           CAST(0 AS DOUBLE))
+                  / CAST(cnt * (cnt - 1) AS DOUBLE)) / 1e3 END AS std,
+           vmin AS min,
+           ROUND(lo25 + f25 * (hi25 - lo25), 6) AS q25,
+           ROUND(lo5 + f5 * (hi5 - lo5), 6) AS q50,
+           ROUND(lo75 + f75 * (hi75 - lo75), 6) AS q75,
+           vmax AS max
+    FROM a
+    """,
+)
+def group_describe_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """pandas describe(): count/mean/std/min/quartiles/max in ONE
+    shuffle — the quantile rank-window's hash partitioning is reused by
+    the aggregation (no second Exchange); mean/std from exact decimal
+    power sums (deterministic vs the oracle's HUGEINT arithmetic)."""
+    li = _li(spark, sf_dir)
+    out = ga.group_describe(li, "l_returnflag", "l_extendedprice")
+    return out.select(
+        "l_returnflag", "count", "mean", "std", "min",
+        F.round("q25", 6).alias("q25"),
+        F.round("q50", 6).alias("q50"),
+        F.round("q75", 6).alias("q75"),
+        "max",
+    )

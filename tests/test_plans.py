@@ -95,3 +95,15 @@ def test_range_join_is_banded_equi_join(spark, sf_dir):
     assert "NestedLoop" not in plan, "range join fell back to nested loop"
     assert ("SortMergeJoin" in plan or "ShuffledHashJoin" in plan
             or "BroadcastHashJoin" in plan)
+
+
+def test_group_describe_single_shuffle(spark, sf_dir):
+    """describe(): the quantile rank-window's hash partitioning must be
+    reused by the final aggregation — exactly one Exchange of lineitem
+    data for the whole eight-statistic summary."""
+    import re
+
+    plan = plan_of(spark, sf_dir, "group_describe")
+    shuffles = re.findall(r"^\(\d+\) Exchange$", plan, flags=re.M)
+    assert len(shuffles) == 1, plan
+    assert "pythonUDF" not in plan and "BatchEvalPython" not in plan
