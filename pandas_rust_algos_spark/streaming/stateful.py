@@ -38,7 +38,12 @@ from pyspark.sql.types import (
     TimestampType,
 )
 
-__all__ = ["PROFILE_SCHEMA", "STATE_SCHEMA", "running_user_profile"]
+__all__ = [
+    "PROFILE_SCHEMA",
+    "STATE_SCHEMA",
+    "running_user_profile",
+    "running_user_profile_tws",
+]
 
 PROFILE_SCHEMA = StructType([
     StructField("user_id", LongType()),
@@ -106,5 +111,81 @@ def running_user_profile(
             stateStructType=STATE_SCHEMA,
             outputMode="update",
             timeoutConf=timeout,
+        )
+    )
+
+
+def running_user_profile_tws(
+    stream: DataFrame,
+    *,
+    state_ttl_ms: int | None = None,
+) -> DataFrame:
+    """The same running profile on ``transformWithStateInPandas`` —
+    Spark 4's successor to applyInPandasWithState (typed named state,
+    per-state TTL instead of a per-key timeout dance, composable value/
+    list/map state). Kept alongside the classic form so both stateful
+    APIs stay covered; tests assert the two emit identical final
+    profiles.
+
+    TTL replaces the manual timeout contract: pass ``state_ttl_ms`` on
+    continuous queries and expired state simply reads as absent —
+    bounded drains need no special-casing, unlike ProcessingTimeTimeout
+    (see module docstring).
+
+    Runtime requirement: the transformWithState protocol speaks
+    protobuf between the JVM and the Python state server; deployments
+    without ``google.protobuf`` must use :func:`running_user_profile`
+    (same semantics, no extra dependency) — checked here eagerly so the
+    failure is a clear ImportError at plan time, not a crashed
+    streaming worker mid-query.
+    """
+    try:
+        from google.protobuf import descriptor  # noqa: F401
+    except ImportError as exc:
+        raise ImportError(
+            "transformWithStateInPandas requires the protobuf package; "
+            "use running_user_profile (applyInPandasWithState) instead"
+        ) from exc
+    from pyspark.sql.streaming.stateful_processor import (
+        StatefulProcessor,
+        StatefulProcessorHandle,
+    )
+
+    ttl = state_ttl_ms
+
+    class _Profile(StatefulProcessor):
+        def init(self, handle: StatefulProcessorHandle) -> None:
+            self._state = handle.getValueState(
+                "profile", STATE_SCHEMA, ttlDurationMs=ttl)
+
+        def handleInputRows(self, key, rows, timerValues):
+            got = self._state.get()
+            n, s_fx, last_us = got if got is not None else (0, 0, 0)
+            for pdf in rows:
+                n += len(pdf)
+                s_fx += int(
+                    np.floor(pdf["value"].to_numpy() * 1e6)
+                    .astype("int64").sum())
+                ts_us = pdf["ts"].astype("int64") // 1000
+                last_us = max(last_us, int(ts_us.max()))
+            self._state.update((n, s_fx, last_us))
+            yield pd.DataFrame({
+                "user_id": [key[0]],
+                "n_events": [n],
+                "sum_value_fx": [s_fx],
+                "last_ts": [pd.Timestamp(last_us, unit="us")],
+            })
+
+        def close(self) -> None:
+            pass
+
+    return (
+        stream.select("user_id", "value", "ts")
+        .groupBy("user_id")
+        .transformWithStateInPandas(
+            statefulProcessor=_Profile(),
+            outputStructType=PROFILE_SCHEMA,
+            outputMode="Update",
+            timeMode="None",
         )
     )

@@ -83,3 +83,38 @@ def test_quantile_matches_pandas_on_random_input(spark, data, q):
     exp = pdf.groupby("k")["v"].quantile(q, interpolation="linear")
     for k, want in exp.items():
         assert _close(got[k], want), (keys, vals, k, q)
+
+
+@settings(**_SETTINGS)
+@given(
+    strings=st.lists(
+        st.text(alphabet="abc", min_size=0, max_size=8),
+        min_size=2, max_size=12),
+    k=st.integers(min_value=0, max_value=3),
+)
+def test_fuzzy_join_matches_bruteforce(spark, strings, k):
+    """Length-banded fuzzy join must equal the exhaustive O(n²) pair
+    scan for any strings and any max_dist — the losslessness proof,
+    searched."""
+    from pandas_rust_algos_spark.operators.fuzzy_join import fuzzy_self_join
+
+    def lev(a: str, b: str) -> int:
+        prev = list(range(len(b) + 1))
+        for i, ca in enumerate(a, 1):
+            cur = [i]
+            for j, cb in enumerate(b, 1):
+                cur.append(min(prev[j] + 1, cur[-1] + 1,
+                               prev[j - 1] + (ca != cb)))
+            prev = cur
+        return prev[-1]
+
+    rows = [(i, s) for i, s in enumerate(strings)]
+    df = spark.createDataFrame(rows, "id long, s string")
+    got = {(r["id_a"], r["id_b"]): r["dist"]
+           for r in fuzzy_self_join(df, "id", "s", max_dist=k).collect()}
+    want = {
+        (ia, ib): lev(sa, sb)
+        for ia, sa in rows for ib, sb in rows
+        if ia < ib and lev(sa, sb) <= k
+    }
+    assert got == want

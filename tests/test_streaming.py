@@ -177,3 +177,45 @@ def test_stream_static_enrich_matches_batch(spark, sf_dir):
         == sorted(map(tuple, batch.collect()))
     # left join: nothing dropped
     assert streamed.count() == ev.count()
+
+
+def test_transform_with_state_matches_classic(spark, sf_dir):
+    """transformWithStateInPandas (Spark 4 typed-state API) must emit
+    the same final per-user profile as the classic
+    applyInPandasWithState operator and the batch aggregate. Skipped
+    where the protobuf runtime dependency is absent; the operator then
+    raises a clear ImportError at plan time (also asserted)."""
+    import pytest
+
+    from pandas_rust_algos_spark.sources import load_table
+    from pandas_rust_algos_spark.streaming.stateful import (
+        running_user_profile_tws,
+    )
+
+    try:
+        from google.protobuf import descriptor  # noqa: F401
+    except ImportError:
+        stream = se.read_events_stream(spark, sf_dir)
+        with pytest.raises(ImportError, match="protobuf"):
+            running_user_profile_tws(stream)
+        pytest.skip("protobuf not available: transformWithState gated")
+
+    stream = se.read_events_stream(spark, sf_dir)
+    prof = se.run_available_now(
+        running_user_profile_tws(stream), table="t_tws_profile",
+        output_mode="update",
+    )
+    latest = {
+        r["user_id"]: (r["n_events"], r["sum_value_fx"])
+        for r in prof.orderBy("n_events").collect()
+    }
+    ev = load_table(spark, sf_dir, "events")
+    batch = {
+        r["user_id"]: (r["n"], r["s_fx"])
+        for r in ev.groupBy("user_id").agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.floor(F.col("value") * F.lit(1e6)).cast("long"))
+            .alias("s_fx"),
+        ).collect()
+    }
+    assert latest == batch
