@@ -25,7 +25,8 @@ Layout:
     streaming/    Structured Streaming ops over the events table
 """
 
+from pandas_rust_algos_spark.api import GroupBy, groupby
 from pandas_rust_algos_spark.session import get_spark, tune
 
-__all__ = ["get_spark", "tune"]
+__all__ = ["get_spark", "tune", "groupby", "GroupBy"]
 __version__ = "0.1.0"
