@@ -38,6 +38,10 @@ HEADLINE = [
     "token_stats",
     "minhash_near_dupes",
     "cosine_topk",
+    "group_describe",
+    "rolling_time_1h",
+    "heavy_hitters",
+    "fuzzy_join",
 ]
 
 
