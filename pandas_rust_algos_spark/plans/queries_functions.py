@@ -1,0 +1,99 @@
+"""Scalar-function surface gate queries.
+
+The reference has NO scalar functions at all — no string/date/math/
+array/JSON expressions anywhere (SURVEY §2.3, verified over all seven
+source files). A complete engine needs them, so this module pins the
+surface with oracle-checked queries: every expression here is a
+Catalyst builtin (whole-stage codegen, no Python), chosen so the DuckDB
+twin is bit-deterministic — exact string/date/integer functions, IEEE
+correctly-rounded sqrt, round-6 only where float representation is
+inherent (array elements).
+
+JSON extraction lives in ``queries_events.events_json_props``.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from pandas_rust_algos_spark.plans.registry import register
+from pandas_rust_algos_spark.session import tune
+from pandas_rust_algos_spark.sources import load_table
+
+
+@register(
+    "scalar_functions",
+    oracle=r"""
+    SELECT o_orderkey,
+           UPPER(o_orderpriority) AS prio_upper,
+           LENGTH(o_orderpriority) AS prio_len,
+           SUBSTRING(o_orderpriority, 1, 1) AS prio_code,
+           REGEXP_EXTRACT(o_orderpriority, '(\d+)', 1) AS prio_num,
+           CASE WHEN o_orderpriority LIKE '1%' THEN 1 ELSE 0 END AS is_urgent,
+           YEAR(o_orderdate) AS y,
+           MONTH(o_orderdate) AS m,
+           DAYOFMONTH(o_orderdate) AS d,
+           CAST(FLOOR(o_totalprice / 100) AS BIGINT) AS price_bucket,
+           SQRT(CAST(o_totalprice AS DOUBLE)) AS price_sqrt,
+           ABS(CAST(0 AS DOUBLE) - o_totalprice) AS price_abs
+    FROM orders
+    """,
+)
+def scalar_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """String/date/math scalar surface in one pass — all JVM builtins
+    inside whole-stage codegen. sqrt is IEEE correctly-rounded (exact
+    cross-engine); floor/abs/date-part/string ops are exact by
+    construction, so nothing here needs tolerance rounding."""
+    tune(spark)
+    o = load_table(spark, sf_dir, "orders")
+    return o.select(
+        "o_orderkey",
+        F.upper("o_orderpriority").alias("prio_upper"),
+        F.length("o_orderpriority").cast("long").alias("prio_len"),
+        F.substring("o_orderpriority", 1, 1).alias("prio_code"),
+        F.regexp_extract("o_orderpriority", r"(\d+)", 1).alias("prio_num"),
+        F.when(F.col("o_orderpriority").startswith("1"), F.lit(1))
+        .otherwise(F.lit(0)).alias("is_urgent"),
+        F.year("o_orderdate").cast("long").alias("y"),
+        F.month("o_orderdate").cast("long").alias("m"),
+        F.dayofmonth("o_orderdate").cast("long").alias("d"),
+        F.floor(F.col("o_totalprice") / 100).alias("price_bucket"),
+        F.sqrt(F.col("o_totalprice").cast("double")).alias("price_sqrt"),
+        F.abs(F.lit(0.0) - F.col("o_totalprice")).alias("price_abs"),
+    )
+
+
+@register(
+    "array_functions",
+    oracle="""
+    SELECT vec_id,
+           len(embedding) AS n_dims,
+           ROUND(CAST(embedding[1] AS DOUBLE), 6) AS first_dim,
+           ROUND(CAST(list_max(embedding) AS DOUBLE), 6) AS max_dim,
+           ROUND(CAST(list_min(embedding) AS DOUBLE), 6) AS min_dim,
+           ROUND(CAST(embedding[1] AS DOUBLE) + CAST(embedding[2] AS DOUBLE)
+                 + CAST(embedding[3] AS DOUBLE) + CAST(embedding[4] AS DOUBLE),
+                 6) AS head_sum
+    FROM embeddings
+    """,
+)
+def array_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Array-column surface over the embeddings table: size, indexing,
+    max/min (exact element picks), and an explicit fixed-order 4-term
+    sum (same expression tree both engines — no fold-order ambiguity).
+    round-6 absorbs float32→double display representation only."""
+    tune(spark)
+    e = load_table(spark, sf_dir, "embeddings")
+
+    def d(i: int):
+        return F.element_at("embedding", i).cast("double")
+
+    return e.select(
+        "vec_id",
+        F.size("embedding").cast("long").alias("n_dims"),
+        F.round(d(1), 6).alias("first_dim"),
+        F.round(F.array_max("embedding").cast("double"), 6).alias("max_dim"),
+        F.round(F.array_min("embedding").cast("double"), 6).alias("min_dim"),
+        F.round(d(1) + d(2) + d(3) + d(4), 6).alias("head_sum"),
+    )

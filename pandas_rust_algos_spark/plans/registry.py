@@ -67,6 +67,7 @@ def _load_all() -> None:
     """Import every query module so registrations run (idempotent)."""
     from pandas_rust_algos_spark.plans import (  # noqa: F401
         queries_events,
+        queries_functions,
         queries_groupby,
         queries_llmdata,
         queries_relational,
