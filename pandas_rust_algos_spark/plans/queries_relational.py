@@ -1343,3 +1343,90 @@ def q20_excess_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         su.join(heavy, F.col("s_suppkey") == F.col("l_suppkey"), "left_semi")
         .select("s_name")
     )
+
+
+def _orders_asof_right(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Right side for the directional as-of gates: one row per
+    (custkey, orderdate), deterministic payload, DATE cast to the
+    event clock's TIMESTAMP."""
+    od = load_table(spark, sf_dir, "orders")
+    return (
+        od.groupBy("o_custkey", "o_orderdate")
+        .agg(F.max("o_orderkey").alias("o_orderkey"))
+        .select(
+            F.col("o_custkey").alias("user_id"),
+            F.col("o_orderdate").cast("timestamp").alias("ts"),
+            "o_orderkey",
+        )
+    )
+
+
+_ASOF_ORACLE_CTE = """
+    WITH e AS (
+      SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts FROM events
+    ), o AS (
+      SELECT o_custkey, CAST(o_orderdate AS TIMESTAMP) AS ot,
+             MAX(o_orderkey) AS o_orderkey
+      FROM orders GROUP BY o_custkey, o_orderdate
+    )
+"""
+
+
+@register(
+    "asof_join_forward",
+    oracle=_ASOF_ORACLE_CTE + """
+    SELECT e.event_id, e.user_id, o.o_orderkey
+    FROM e ASOF LEFT JOIN o ON e.user_id = o.o_custkey AND o.ot >= e.ts
+    """,
+)
+def asof_join_forward(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Forward as-of join: each event matched to the user's NEXT order
+    at-or-after its timestamp — the same union-sort scan as backward
+    with time reversed (operators/asof.py merge_asof)."""
+    from pandas_rust_algos_spark.operators.asof import merge_asof
+
+    tune(spark)
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id", "user_id", "ts")
+    out = merge_asof(
+        ev, _orders_asof_right(spark, sf_dir),
+        on="ts", by="user_id", right_cols=["o_orderkey"],
+        direction="forward",
+    )
+    return out.select("event_id", "user_id", "o_orderkey")
+
+
+@register(
+    "asof_join_nearest",
+    oracle=_ASOF_ORACLE_CTE + """
+    , b AS (
+      SELECT e.event_id, o.o_orderkey AS bk, o.ot AS bt
+      FROM e ASOF LEFT JOIN o ON e.user_id = o.o_custkey AND o.ot <= e.ts
+    ), f AS (
+      SELECT e.event_id, o.o_orderkey AS fk, o.ot AS ft
+      FROM e ASOF LEFT JOIN o ON e.user_id = o.o_custkey AND o.ot >= e.ts
+    )
+    SELECT e.event_id, e.user_id,
+           CASE WHEN ft IS NULL THEN bk
+                WHEN bt IS NULL THEN fk
+                WHEN (e.ts - bt) <= (ft - e.ts) THEN bk ELSE fk
+           END AS o_orderkey
+    FROM e JOIN b USING (event_id) JOIN f USING (event_id)
+    """,
+)
+def asof_join_nearest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Nearest as-of join (ties → backward, pandas-compatible): both
+    directional scans share one partitioning; per-row absolute-distance
+    pick. The oracle composes two DuckDB ASOF joins with the same tie
+    rule."""
+    from pandas_rust_algos_spark.operators.asof import merge_asof
+
+    tune(spark)
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id", "user_id", "ts")
+    out = merge_asof(
+        ev, _orders_asof_right(spark, sf_dir),
+        on="ts", by="user_id", right_cols=["o_orderkey"],
+        direction="nearest",
+    )
+    return out.select("event_id", "user_id", "o_orderkey")

@@ -728,3 +728,96 @@ def test_fuzzy_self_join_rejects_lossy_width(spark):
     df = spark.createDataFrame([(1, "a")], "id int, s string")
     with pytest.raises(ValueError, match="lossless"):
         fuzzy_self_join(df, "id", "s", max_dist=5, bucket_width=2)
+
+
+# ------------------------------------------------------------ merge_asof
+
+
+def test_merge_asof_matches_pandas(spark):
+    """Union-sort merge_asof vs pandas.merge_asof across directions,
+    tolerance, and exact-match control on a seeded frame with key
+    collisions and equal-time rows."""
+    import numpy as np
+    import pandas as pd
+
+    rng = np.random.default_rng(7)
+    left = pd.DataFrame({
+        "k": rng.integers(0, 3, 40),
+        "t": rng.integers(0, 50, 40).astype("int64"),
+        "lid": np.arange(40, dtype="int64"),
+    })
+    rt = pd.DataFrame({
+        "k": rng.integers(0, 3, 25),
+        "t": rng.integers(0, 50, 25).astype("int64"),
+    }).drop_duplicates(["k", "t"]).reset_index(drop=True)
+    rt["price"] = (rt.k * 100 + rt.t).astype("int64")
+
+    from pandas_rust_algos_spark.operators.asof import merge_asof
+
+    sl = spark.createDataFrame(left)
+    sr = spark.createDataFrame(rt)
+
+    for direction in ("backward", "forward"):
+        for allow in (True, False):
+            for tol in (None, 5):
+                got = merge_asof(
+                    sl, sr, on="t", by="k", right_cols=["price"],
+                    direction=direction, tolerance=tol,
+                    allow_exact_matches=allow,
+                ).toPandas().sort_values("lid").reset_index(drop=True)
+                exp = pd.merge_asof(
+                    left.sort_values("t", kind="mergesort"),
+                    rt.sort_values("t", kind="mergesort"),
+                    on="t", by="k", direction=direction,
+                    tolerance=tol, allow_exact_matches=allow,
+                ).sort_values("lid").reset_index(drop=True)
+                for i in range(len(left)):
+                    g, e = got.price[i], exp.price[i]
+                    assert (pd.isna(g) and pd.isna(e)) or g == e, (
+                        direction, allow, tol, i, g, e)
+
+
+def test_merge_asof_nearest_matches_pandas(spark):
+    """nearest on tie-free times (odd left / even right) must equal
+    pandas exactly."""
+    import numpy as np
+    import pandas as pd
+
+    rng = np.random.default_rng(11)
+    left = pd.DataFrame({
+        "k": rng.integers(0, 3, 30),
+        "t": (rng.integers(0, 25, 30) * 2 + 1).astype("int64"),
+        "lid": np.arange(30, dtype="int64"),
+    })
+    rt = pd.DataFrame({
+        "k": rng.integers(0, 3, 20),
+        "t": (rng.integers(0, 25, 20) * 2).astype("int64"),
+    }).drop_duplicates(["k", "t"]).reset_index(drop=True)
+    rt["price"] = (rt.k * 1000 + rt.t).astype("int64")
+
+    from pandas_rust_algos_spark.operators.asof import merge_asof
+
+    got = merge_asof(
+        spark.createDataFrame(left), spark.createDataFrame(rt),
+        on="t", by="k", right_cols=["price"], direction="nearest",
+    ).toPandas().sort_values("lid").reset_index(drop=True)
+    exp = pd.merge_asof(
+        left.sort_values("t", kind="mergesort"),
+        rt.sort_values("t", kind="mergesort"),
+        on="t", by="k", direction="nearest",
+    ).sort_values("lid").reset_index(drop=True)
+    for i in range(len(left)):
+        g, e = got.price[i], exp.price[i]
+        assert (pd.isna(g) and pd.isna(e)) or g == e, (i, g, e)
+
+
+def test_merge_asof_rejects_collisions_and_bad_args(spark):
+    from pandas_rust_algos_spark.operators.asof import merge_asof
+
+    df = spark.createDataFrame([(1, 1, 1)], "k long, t long, price long")
+    with pytest.raises(ValueError, match="collide"):
+        merge_asof(df, df, on="t", by="k", right_cols=["price"])
+    r = df.select("k", "t", F.col("price").alias("p2"))
+    with pytest.raises(ValueError, match="direction"):
+        merge_asof(df, r, on="t", by="k", right_cols=["p2"],
+                   direction="sideways")
