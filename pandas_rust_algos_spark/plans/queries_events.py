@@ -160,6 +160,21 @@ def events_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register("events_stream_sessions")
+def events_stream_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Structured Streaming native session windows (30-min gap) drained
+    with availableNow — the streaming twin of the batch gaps-and-islands
+    `events_sessionize`. Rows-only gate; per-(user, session) count
+    equality with the batch query is asserted in tests/test_streaming.py."""
+    tune(spark)
+    from pandas_rust_algos_spark.streaming import events as se
+
+    stream = se.read_events_stream(spark, sf_dir)
+    return se.run_available_now(
+        se.session_counts(stream), table="events_stream_sessions_out"
+    )
+
+
 @register(
     "events_json_props",
     oracle="""

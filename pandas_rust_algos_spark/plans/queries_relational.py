@@ -1430,3 +1430,45 @@ def asof_join_nearest(spark: SparkSession, sf_dir: str) -> DataFrame:
         direction="nearest",
     )
     return out.select("event_id", "user_id", "o_orderkey")
+
+
+@register(
+    "snapshot_diff",
+    oracle="""
+    WITH old AS (
+      SELECT o_orderkey, o_totalprice FROM orders WHERE o_orderkey % 3 <> 0
+    ), new AS (
+      SELECT o_orderkey,
+             CASE WHEN o_orderkey % 7 = 0 THEN o_totalprice + 100
+                  ELSE o_totalprice END AS o_totalprice
+      FROM orders WHERE o_orderkey % 5 <> 0
+    )
+    SELECT COALESCE(o.o_orderkey, n.o_orderkey) AS o_orderkey,
+           CASE WHEN n.o_orderkey IS NULL THEN 'removed'
+                WHEN o.o_orderkey IS NULL THEN 'added'
+                WHEN o.o_totalprice IS DISTINCT FROM n.o_totalprice
+                  THEN 'changed'
+                ELSE 'unchanged' END AS status,
+           o.o_totalprice AS old_o_totalprice,
+           n.o_totalprice AS new_o_totalprice
+    FROM old o FULL OUTER JOIN new n ON o.o_orderkey = n.o_orderkey
+    """,
+)
+def snapshot_diff_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Row-level reconciliation of two snapshot versions (derived
+    deterministically from the orders fixture: %3 deletions on one
+    side, %5 on the other, %7 price bumps) — one full-outer hash join,
+    null-safe compare (operators/reconcile.py)."""
+    from pandas_rust_algos_spark.operators.reconcile import snapshot_diff
+
+    tune(spark)
+    od = load_table(spark, sf_dir, "orders")
+    old = od.where(F.col("o_orderkey") % 3 != 0).select(
+        "o_orderkey", "o_totalprice")
+    new = od.where(F.col("o_orderkey") % 5 != 0).select(
+        "o_orderkey",
+        F.when(F.col("o_orderkey") % 7 == 0,
+               F.col("o_totalprice") + 100)
+        .otherwise(F.col("o_totalprice")).alias("o_totalprice"),
+    )
+    return snapshot_diff(old, new, "o_orderkey", ["o_totalprice"])

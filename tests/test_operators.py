@@ -821,3 +821,23 @@ def test_merge_asof_rejects_collisions_and_bad_args(spark):
     with pytest.raises(ValueError, match="direction"):
         merge_asof(df, r, on="t", by="k", right_cols=["p2"],
                    direction="sideways")
+
+
+def test_snapshot_diff_classifies_and_summarizes(spark):
+    from pandas_rust_algos_spark.operators.reconcile import (
+        diff_summary,
+        snapshot_diff,
+    )
+
+    old = spark.createDataFrame(
+        [(1, 10.0), (2, None), (3, 30.0), (4, 40.0)], "k long, v double")
+    new = spark.createDataFrame(
+        [(2, None), (3, 31.0), (4, None), (5, 50.0)], "k long, v double")
+    d = snapshot_diff(old, new, "k", ["v"])
+    got = {r["k"]: r["status"] for r in d.collect()}
+    # 1 removed; 2 NULL==NULL unchanged; 3 changed; 4 value→NULL changed;
+    # 5 added
+    assert got == {1: "removed", 2: "unchanged", 3: "changed",
+                   4: "changed", 5: "added"}
+    s = {r["status"]: r["n"] for r in diff_summary(d).collect()}
+    assert s == {"removed": 1, "unchanged": 1, "changed": 2, "added": 1}
