@@ -138,6 +138,11 @@ class GroupBy:
         return _ga.group_describe(self._df, self._keys, col,
                                   dropna_keys=self._dropna)
 
+    def histogram(self, col: str, *, lo: float, hi: float,
+                  nbins: int) -> DataFrame:
+        return _ga.group_histogram(self._df, self._keys, col, lo=lo, hi=hi,
+                                   nbins=nbins, dropna_keys=self._dropna)
+
     def idxmax(self, value: str, idx: str) -> DataFrame:
         return _ga.group_idxmax(self._df, self._keys, value, idx,
                                 dropna_keys=self._dropna)

@@ -603,6 +603,46 @@ def group_describe(
     )
 
 
+def group_histogram(
+    df: DataFrame,
+    keys: Sequence[str] | str,
+    value: str,
+    *,
+    lo: float,
+    hi: float,
+    nbins: int,
+    dropna_keys: bool = True,
+) -> DataFrame:
+    """Per-group fixed-bin histogram of ``value`` over ``[lo, hi)`` —
+    the profiling primitive that scales where exact quantiles sort:
+    bucketing is a pure projection (no per-group sort), the count is
+    one map-side-combined aggregate, and the output is
+    ≤ groups × nbins rows regardless of input size. Empty bins are
+    omitted (sparse form); values outside [lo, hi) are excluded.
+
+    Output: keys + ``bucket`` (0-based), ``bin_lo`` (bin lower edge),
+    ``n``.
+    """
+    if nbins <= 0:
+        raise ValueError(f"nbins must be positive, got {nbins}")
+    if not lo < hi:
+        raise ValueError(f"need lo < hi, got [{lo}, {hi})")
+    keys = _cols(keys)
+    df = _prep(df, keys, dropna_keys)
+    c = _nn(df, value)
+    bucket = F.floor(
+        (c - F.lit(float(lo))) * F.lit(nbins) / F.lit(float(hi) - float(lo))
+    ).cast("long")
+    width = (float(hi) - float(lo)) / nbins
+    return (
+        df.where((c >= lo) & (c < hi))
+        .select(*keys, bucket.alias("bucket"))
+        .groupBy(*keys, "bucket")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .withColumn("bin_lo", F.lit(float(lo)) + F.col("bucket") * F.lit(width))
+    )
+
+
 def group_quantile_approx(
     df: DataFrame,
     keys: Sequence[str] | str,

@@ -843,3 +843,27 @@ def group_describe_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round("q75", 6).alias("q75"),
         "max",
     )
+
+
+@register(
+    "group_histogram",
+    oracle="""
+    WITH b AS (
+      SELECT l_returnflag,
+             CAST(FLOOR((l_quantity - CAST(1 AS DOUBLE)) * 10
+                        / CAST(50 AS DOUBLE)) AS BIGINT) AS bucket
+      FROM lineitem WHERE l_quantity >= 1 AND l_quantity < 51
+    )
+    SELECT l_returnflag, bucket, COUNT(*) AS n,
+           CAST(1 AS DOUBLE) + bucket * CAST(5 AS DOUBLE) AS bin_lo
+    FROM b GROUP BY l_returnflag, bucket
+    """,
+)
+def group_histogram_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-bin histogram of quantity per return flag: bucketing is a
+    projection + one map-side-combined count — the profiling shape that
+    needs no per-group sort at any scale. Integer-valued quantities make
+    every bin edge exact in both engines."""
+    li = _li(spark, sf_dir)
+    return ga.group_histogram(li, "l_returnflag", "l_quantity",
+                              lo=1, hi=51, nbins=10)

@@ -841,3 +841,17 @@ def test_snapshot_diff_classifies_and_summarizes(spark):
                    4: "changed", 5: "added"}
     s = {r["status"]: r["n"] for r in diff_summary(d).collect()}
     assert s == {"removed": 1, "unchanged": 1, "changed": 2, "added": 1}
+
+
+def test_group_histogram_edges_and_exclusions(spark):
+    data = [("a", 0.0), ("a", 4.99), ("a", 5.0), ("a", 10.0),
+            ("a", -0.1), ("b", 2.5), ("b", None)]
+    df = spark.createDataFrame(data, "k string, v double")
+    out = ga.group_histogram(df, "k", "v", lo=0.0, hi=10.0, nbins=2)
+    got = {(r["k"], r["bucket"]): (r["n"], r["bin_lo"]) for r in out.collect()}
+    # [0,5): 0.0, 4.99 ; [5,10): 5.0 ; 10.0 and -0.1 excluded; NULL dropped
+    assert got == {("a", 0): (2, 0.0), ("a", 1): (1, 5.0), ("b", 0): (1, 0.0)}
+    with pytest.raises(ValueError, match="nbins"):
+        ga.group_histogram(df, "k", "v", lo=0, hi=1, nbins=0)
+    with pytest.raises(ValueError, match="lo < hi"):
+        ga.group_histogram(df, "k", "v", lo=1, hi=1, nbins=2)
