@@ -15,7 +15,9 @@ from pandas_rust_algos_spark.sources.parquet import (
     TABLES,
     load_table,
     load_tables,
+    register_views,
     spread,
+    sql,
 )
 from pandas_rust_algos_spark.sources.sinks import (
     read_partitioned,
@@ -26,6 +28,8 @@ __all__ = [
     "TABLES",
     "load_table",
     "load_tables",
+    "register_views",
+    "sql",
     "spread",
     "read_partitioned",
     "write_partitioned",

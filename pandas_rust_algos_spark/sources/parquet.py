@@ -76,6 +76,23 @@ def load_tables(spark: SparkSession, sf_dir: str, *names: str) -> dict[str, Data
     return {n: load_table(spark, sf_dir, n) for n in wanted}
 
 
+def register_views(spark: SparkSession, sf_dir: str, *names: str) -> None:
+    """Register the fixture tables as temp views so plain
+    ``spark.sql("SELECT ... FROM lineitem ...")`` works — the SQL face
+    of the engine. Views are lazy plans over the parquet scans (same
+    pushdown/pruning as the DataFrame face); re-registration replaces.
+    """
+    for n, df in load_tables(spark, sf_dir, *names).items():
+        df.createOrReplaceTempView(n)
+
+
+def sql(spark: SparkSession, sf_dir: str, query: str) -> DataFrame:
+    """Run SQL text against the registered star schema (registering the
+    views first, idempotently)."""
+    register_views(spark, sf_dir)
+    return spark.sql(query)
+
+
 def spread(df: DataFrame, min_factor: float = 0.5, cap: int | None = None) -> DataFrame:
     """Fan a narrow scan out to the cluster before compute-heavy per-row
     work.

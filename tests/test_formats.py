@@ -79,3 +79,22 @@ def test_partitioned_csv_sink(spark, sf_dir, tmp_path):
     # partition column comes back from directory names
     assert "n_regionkey" in got.columns
     assert got.count() == src.count()
+
+
+def test_sql_face_matches_dataframe_face(spark, sf_dir):
+    """spark.sql over registered views must plan the same scans (with
+    pushdown) as the DataFrame face and return identical results."""
+    from pandas_rust_algos_spark.sources import sql
+
+    got = sql(spark, sf_dir, """
+        SELECT l_returnflag, COUNT(*) AS n
+        FROM lineitem WHERE l_quantity < 10
+        GROUP BY l_returnflag
+    """)
+    li = load_table(spark, sf_dir, "lineitem")
+    want = (li.where(F.col("l_quantity") < 10)
+            .groupBy("l_returnflag").agg(F.count(F.lit(1)).alias("n")))
+    assert sorted(map(tuple, got.collect())) == sorted(map(tuple, want.collect()))
+    plan = got._jdf.queryExecution().executedPlan().toString()
+    assert "PushedFilters: [" in plan and "l_quantity" in plan.split(
+        "PushedFilters")[1][:250]
