@@ -46,6 +46,7 @@ __all__ = [
     "group_cumcount",
     "group_shift",
     "group_fillna",
+    "group_interpolate",
     "group_rank",
     "group_diff",
     "group_pct_change",
@@ -305,6 +306,50 @@ def group_fillna(
                 nk = F.col(k).isNull()
                 null_key = nk if null_key is None else (null_key | nk)
             expr = F.when(null_key, c).otherwise(expr)
+        out = out.withColumn(f"{v}{out_suffix}", expr)
+    return out
+
+
+def group_interpolate(
+    df: DataFrame,
+    keys: Sequence[str] | str,
+    order: Sequence[str] | str,
+    values: Sequence[str] | str,
+    *,
+    out_suffix: str = "_interp",
+) -> DataFrame:
+    """pandas ``interpolate(method='linear')`` over ordered groups:
+    each NULL (or NaN) run is filled linearly between its surrounding
+    observed values by *row position* (pandas' default linear method
+    interpolates on the positional index, not on a time column).
+    pandas edge semantics: leading NULLs stay NULL (nothing to anchor
+    the left end), trailing NULLs hold the last observed value.
+
+    Everything is window algebra over ONE (keys, order) sort — the
+    surrounding anchors are last/first-non-null over half-open frames
+    with their row numbers, then a straight-line blend. No Python, no
+    per-group buffering; state per row is O(1).
+    """
+    keys, order = _cols(keys), _cols(order)
+    w = Window.partitionBy(*keys).orderBy(*order)
+    wb = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    wf = w.rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    rn = F.row_number().over(w)
+    out = df
+    for v in _cols(values):
+        c = na_normalize(v, floating=_is_floating(df, v))
+        marked_rn = F.when(c.isNotNull(), rn)
+        prev_v = F.last(c, ignorenulls=True).over(wb)
+        next_v = F.first(c, ignorenulls=True).over(wf)
+        prev_rn = F.last(marked_rn, ignorenulls=True).over(wb)
+        next_rn = F.first(marked_rn, ignorenulls=True).over(wf)
+        frac = (rn - prev_rn).cast("double") / (next_rn - prev_rn).cast("double")
+        expr = (
+            F.when(c.isNotNull(), c)
+            .when(prev_v.isNull(), F.lit(None))        # leading gap
+            .when(next_v.isNull(), prev_v)             # trailing gap: hold
+            .otherwise(prev_v + (next_v - prev_v) * frac)
+        )
         out = out.withColumn(f"{v}{out_suffix}", expr)
     return out
 

@@ -801,3 +801,47 @@ def group_zscore_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         "l_orderkey", "l_linenumber",
         F.round("l_extendedprice_z", 6).alias("z"),
     )
+
+
+@register(
+    "group_interpolate",
+    oracle=f"""
+    WITH e AS ({_EV_NULLABLE}),
+    r1 AS (
+      SELECT user_id, event_id, v,
+             ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY event_id) AS rn
+      FROM e
+    ), r2 AS (
+      SELECT user_id, event_id, v, rn,
+             LAST_VALUE(v IGNORE NULLS) OVER wb AS prev_v,
+             FIRST_VALUE(v IGNORE NULLS) OVER wf AS next_v,
+             LAST_VALUE(CASE WHEN v IS NOT NULL THEN rn END IGNORE NULLS)
+               OVER wb AS prev_rn,
+             FIRST_VALUE(CASE WHEN v IS NOT NULL THEN rn END IGNORE NULLS)
+               OVER wf AS next_rn
+      FROM r1
+      WINDOW wb AS (PARTITION BY user_id ORDER BY rn
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+             wf AS (PARTITION BY user_id ORDER BY rn
+                    ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
+    )
+    SELECT user_id, event_id,
+           ROUND(CASE WHEN v IS NOT NULL THEN v
+                      WHEN prev_v IS NULL THEN NULL
+                      WHEN next_v IS NULL THEN prev_v
+                      ELSE prev_v + (next_v - prev_v)
+                           * (CAST(rn - prev_rn AS DOUBLE)
+                              / CAST(next_rn - prev_rn AS DOUBLE))
+                 END, 6) AS v_interp
+    FROM r2
+    """,
+)
+def group_interpolate_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Linear interpolation of NULL runs over ordered per-user events
+    (pandas interpolate semantics: leading NULLs stay, trailing hold) —
+    pure window algebra, one sort; the oracle spells out the identical
+    anchor/blend expressions."""
+    ev = _ev_nullable(spark, sf_dir)
+    out = gt.group_interpolate(ev, "user_id", "event_id", ["v"])
+    return out.select(
+        "user_id", "event_id", F.round("v_interp", 6).alias("v_interp"))

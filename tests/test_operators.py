@@ -855,3 +855,28 @@ def test_group_histogram_edges_and_exclusions(spark):
         ga.group_histogram(df, "k", "v", lo=0, hi=1, nbins=0)
     with pytest.raises(ValueError, match="lo < hi"):
         ga.group_histogram(df, "k", "v", lo=1, hi=1, nbins=2)
+
+
+def test_group_interpolate_matches_pandas(spark):
+    import numpy as np
+    import pandas as pd
+
+    rng = np.random.default_rng(3)
+    pdf = pd.DataFrame({
+        "k": rng.integers(0, 4, 60).astype(str),
+        "ord": np.arange(60, dtype="int64"),
+        "v": rng.random(60),
+    })
+    # NULL runs incl. leading/trailing per group
+    pdf.loc[pdf.index % 3 == 0, "v"] = np.nan
+    df = spark.createDataFrame(pdf)
+    out = gt.group_interpolate(df, "k", "ord", ["v"])
+    got = {(r["k"], r["ord"]): r["v_interp"] for r in out.collect()}
+    exp = pdf.groupby("k", group_keys=False).apply(
+        lambda g: g.sort_values("ord").v.interpolate(method="linear"),
+        include_groups=False)
+    for (k, o), gv in got.items():
+        idx = pdf[(pdf.k == k) & (pdf.ord == o)].index[0]
+        ev = exp.loc[idx]
+        assert (gv is None and pd.isna(ev)) or abs(gv - ev) < 1e-12, (
+            k, o, gv, ev)
