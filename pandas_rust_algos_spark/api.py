@@ -200,6 +200,10 @@ class GroupBy:
         return _gt.group_fillna(self._df, self._keys, self._ordered(),
                                 list(cols), direction="bfill", limit=limit)
 
+    def interpolate(self, *cols: str) -> DataFrame:
+        return _gt.group_interpolate(self._df, self._keys, self._ordered(),
+                                     list(cols))
+
     def rank(self, col: str, *, method: str = "average",
              ascending: bool = True, pct: bool = False,
              na_option: str = "keep") -> DataFrame:

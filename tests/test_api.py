@@ -72,3 +72,12 @@ def test_bool_columns(spark):
         "k")
     assert {tuple(r) for r in gb.any("v").collect()} == {("a", True), ("b", True)}
     assert {tuple(r) for r in gb.all("v").collect()} == {("a", False), ("b", True)}
+
+
+def test_interpolate_via_facade(spark):
+    df = spark.createDataFrame(
+        [("a", 1, 1.0), ("a", 2, None), ("a", 3, 3.0)],
+        "k string, ord int, v double")
+    out = {r["ord"]: r["v_interp"]
+           for r in groupby(df, "k", order="ord").interpolate("v").collect()}
+    assert out == {1: 1.0, 2: 2.0, 3: 3.0}
