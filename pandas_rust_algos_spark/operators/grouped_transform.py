@@ -548,11 +548,20 @@ def rolling_time_agg(
     *,
     duration: str = "1 hour",
     aggs: Sequence[str] = ("count", "sum"),
+    closed: str = "right",
     out_fmt: str = "{v}_troll_{a}",
 ) -> DataFrame:
     """pandas ``rolling('1h', on=ts)`` over ordered groups: trailing
-    *time-based* frames ``[t - duration, t]`` (both ends inclusive,
-    matching pandas' closed='right' and SQL RANGE ... PRECEDING).
+    *time-based* frames ending at each row's time ``t``.
+
+    ``closed`` selects which frame ends are inclusive, exactly as in
+    pandas: ``'right'`` (the pandas default for offset windows) is the
+    half-open ``(t-duration, t]``; ``'both'`` is ``[t-duration, t]``
+    (what a bare SQL ``RANGE ... PRECEDING AND CURRENT ROW`` computes);
+    ``'left'`` is ``[t-duration, t)``; ``'neither'`` is the open
+    interval. Because the order key is integer epoch-microseconds, each
+    variant is an exact integer frame bound — e.g. 'right' is
+    ``rangeBetween(-duration+1µs, 0)`` — no float epsilon games.
 
     Row-count frames (``rolling_agg``) answer "last k observations";
     time frames answer "last hour" — the shape every event-rate /
@@ -573,12 +582,18 @@ def rolling_time_agg(
     if bad:
         raise ValueError(f"unsupported rolling aggs {sorted(bad)}; "
                          f"choose from {sorted(_AGGS)}")
+    _CLOSED = {"right": (1, 0), "both": (0, 0),
+               "left": (0, -1), "neither": (1, -1)}
+    if closed not in _CLOSED:
+        raise ValueError(f"closed must be one of {sorted(_CLOSED)}, "
+                         f"got {closed!r}")
     dur_us = _duration_to_us(duration)
+    lo_off, hi = _CLOSED[closed]
     ord_us = F.unix_micros(F.col(ts_col).cast("timestamp"))
     w = (
         Window.partitionBy(*_cols(keys))
         .orderBy(ord_us)
-        .rangeBetween(-dur_us, 0)
+        .rangeBetween(-dur_us + lo_off, hi)
     )
     out = df
     for v in _cols(values):

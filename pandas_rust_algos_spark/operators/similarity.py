@@ -197,53 +197,87 @@ def ivf_topk(
     n_probe: int = 4,
     seed: int = 42,
     round_digits: int = 6,
+    train_fraction: float = 0.25,
+    max_train_rows: int = 100_000,
 ) -> DataFrame:
     """IVF (inverted-file) approximate top-k: partition the corpus into
     ``n_cells`` k-means cells, then search only each query's ``n_probe``
     nearest cells — the standard coarse-quantizer ANN layout.
 
-    Scale shape: training samples the corpus (KMeans over a fraction is
-    fine — cells only need to be roughly balanced); assignment is one
-    broadcast of ``n_cells`` centroids into a map-side argmin; the probe
-    join touches ~``n_probe/n_cells`` of the corpus per query. Unlike
-    LSH, cell quality adapts to the data distribution, which is why IVF
-    wins on clustered embeddings.
+    Scale shape, stage by stage:
+
+    - **Training** runs on a ``train_fraction`` sample capped at
+      ``max_train_rows`` — centroids only need the corpus *shape*, not
+      the corpus, so the one MLlib pass is bounded regardless of input
+      size (with a fall-back to the full corpus when the sample is too
+      small to seed ``n_cells`` cells). Training vectors are
+      unit-normalized so euclidean k-means on the unit sphere yields
+      directional (spherical-k-means-shaped) cells.
+    - **Assignment is a pure map-side expression, zero exchange**: the
+      ``n_cells`` centroids are baked into the plan as literal arrays
+      and each row takes the argmax of ``dot(v, centroid)``. No
+      normalization is needed here: the row's norm scales every cell
+      score by the same positive factor, so the arg-ranking is
+      identical — which also removes any per-element norm recompute.
+    - **Probing** uses the same literal-centroid expression on the
+      (small) query side, keeping the top ``n_probe`` cells; the probe
+      join then touches ~``n_probe/n_cells`` of the corpus per query.
+
+    Unlike LSH, cell quality adapts to the data distribution, which is
+    why IVF wins on clustered embeddings.
     """
     from pyspark.ml.clustering import KMeans
     from pyspark.ml.functions import array_to_vector
 
-    # unit-normalize before training/assignment: on the unit sphere,
-    # nearest-centroid-by-max-dot == euclidean KMeans.predict, and cells
-    # become cones of similar cosine direction (spherical k-means shape)
+    cand = df.select(F.col(id_col), _as_double(F.col(vec_col)).alias("v"))
+
     def unit(vcol: Column) -> Column:
+        # O(d²) per row — only ever applied to the bounded training
+        # sample; the search path needs no normalization (see docstring)
         return F.transform(vcol, lambda x: x / norm(vcol))
 
-    cand = df.select(
-        F.col(id_col), unit(_as_double(F.col(vec_col))).alias("v")
+    train = (
+        cand.sample(fraction=min(1.0, train_fraction), seed=seed)
+        .limit(max_train_rows)
+        .select(array_to_vector(unit(F.col("v"))).alias("features"))
+        .persist()
     )
-    train = cand.select(array_to_vector("v").alias("features"))
-    km = KMeans(k=n_cells, seed=seed, maxIter=20).fit(train)
+    try:
+        if train.count() < n_cells * 10:
+            train.unpersist()
+            train = cand.limit(max_train_rows).select(
+                array_to_vector(unit(F.col("v"))).alias("features")
+            ).persist()
+        km = KMeans(k=n_cells, seed=seed, maxIter=20).fit(train)
+    finally:
+        train.unpersist()
     centers = [
         (i, [float(x) for x in c]) for i, c in enumerate(km.clusterCenters())
     ]
-    centers_df = F.broadcast(
-        df.sparkSession.createDataFrame(centers, "cell int, cv array<double>")
-    )
 
-    def nearest_cells(frame: DataFrame, id_: str, vcol: str, n: int) -> DataFrame:
-        scored = frame.crossJoin(centers_df).withColumn(
-            "__d", dot(F.col(vcol), F.col("cv"))
+    def nearest_cells_expr(vcol: Column, n: int) -> Column:
+        """Top-n cell ids by dot score, wholly inside codegen: literal
+        centroids, struct sort (-score asc ≡ score desc, cell-id
+        tiebreak), slice. No join, no window, no shuffle."""
+        scored = F.array(*[
+            F.struct(
+                (-dot(vcol, F.array(*[F.lit(x) for x in c]))).alias("negd"),
+                F.lit(i).alias("cell"),
+            )
+            for i, c in centers
+        ])
+        return F.transform(
+            F.slice(F.array_sort(scored), 1, n),
+            lambda s: s.getField("cell"),
         )
-        w = Window.partitionBy(id_).orderBy(F.col("__d").desc(), F.col("cell"))
-        return scored.withColumn("__r", F.row_number().over(w)) \
-            .where(F.col("__r") <= n).select(*frame.columns, "cell")
 
-    assigned = nearest_cells(cand, id_col, "v", 1)
-    probes = nearest_cells(
-        queries.select(F.col(query_id_col).alias("qid"),
-                       unit(_as_double(F.col(vec_col))).alias("qv")),
-        "qid", "qv", n_probe,
+    assigned = cand.withColumn(
+        "cell", nearest_cells_expr(F.col("v"), 1)[0]
     )
+    probes = queries.select(
+        F.col(query_id_col).alias("qid"),
+        _as_double(F.col(vec_col)).alias("qv"),
+    ).withColumn("cell", F.explode(nearest_cells_expr(F.col("qv"), n_probe)))
     sim = F.round(cosine(F.col("qv"), F.col("v")), round_digits)
     scored = (
         assigned.join(F.broadcast(probes), "cell")

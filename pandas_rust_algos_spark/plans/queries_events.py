@@ -117,9 +117,11 @@ def events_stream_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM e
     ), s AS (
       SELECT user_id, value,
-             SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+             -- registry rule 1 applies to WINDOW sums too: DuckDB returns
+             -- HUGEINT for SUM(INTEGER) which hashes as float64, not int64
+             CAST(SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
                                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
-               AS session_id
+               AS BIGINT) AS session_id
       FROM g
     )
     SELECT user_id, session_id, COUNT(*) AS n_events

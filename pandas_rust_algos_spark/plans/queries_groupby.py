@@ -850,8 +850,9 @@ def group_describe_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     WITH b AS (
       SELECT l_returnflag,
-             CAST(FLOOR((l_quantity - CAST(1 AS DOUBLE)) * 10
-                        / CAST(50 AS DOUBLE)) AS BIGINT) AS bucket
+             LEAST(CAST(FLOOR((l_quantity - CAST(1 AS DOUBLE)) * 10
+                        / CAST(50 AS DOUBLE)) AS BIGINT),
+                   CAST(9 AS BIGINT)) AS bucket
       FROM lineitem WHERE l_quantity >= 1 AND l_quantity < 51
     )
     SELECT l_returnflag, bucket, COUNT(*) AS n,

@@ -434,11 +434,50 @@ def group_expanding(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def rolling_time_1h(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Time-based trailing window (pandas ``rolling('1h', on=ts)``):
-    per-user count and exact fixed-point sum of the last hour's events
-    at every event — RANGE frame over epoch-microseconds, so rows tied
-    on ts are peers and the row set is deterministic without any
-    tiebreak (see ``rolling_time_agg``)."""
+    """Time-based trailing window: per-user count and exact fixed-point
+    sum of the last hour's events at every event — RANGE frame over
+    epoch-microseconds, so rows tied on ts are peers and the row set is
+    deterministic without any tiebreak (see ``rolling_time_agg``).
+    closed='both' here to mirror the oracle's bare SQL RANGE frame;
+    the pandas-default closed='right' variant is gated separately by
+    ``rolling_time_1h_closed_right``."""
+    tune(spark)
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", "event_id", "ts",
+        F.floor(F.col("value") * F.lit(1e6)).cast("long").alias("vfx"),
+    )
+    out = gt.rolling_time_agg(ev, "user_id", "ts", ["vfx"],
+                              duration="1 hour", aggs=("count", "sum"),
+                              closed="both")
+    return out.select(
+        "user_id", "event_id",
+        F.col("vfx_troll_count").alias("n_1h"),
+        (F.col("vfx_troll_sum").cast("double") / F.lit(1e6)).alias("sum_1h"),
+    )
+
+
+@register(
+    "rolling_time_1h_closed_right",
+    oracle="""
+    WITH b AS (
+      SELECT user_id, event_id,
+             epoch_us(CAST(ts AS TIMESTAMP)) AS tus,
+             CAST(FLOOR(value * 1e6) AS BIGINT) AS vfx
+      FROM events
+    )
+    SELECT user_id, event_id,
+           COUNT(vfx) OVER w AS n_1h,
+           CAST(SUM(vfx) OVER w AS DOUBLE) / 1e6 AS sum_1h
+    FROM b
+    WINDOW w AS (PARTITION BY user_id ORDER BY tus
+                 RANGE BETWEEN 3599999999 PRECEDING AND CURRENT ROW)
+    """,
+)
+def rolling_time_1h_closed_right(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """pandas-default half-open frame ``(t-1h, t]`` (closed='right'):
+    the oracle orders by integer epoch-microseconds with a
+    duration−1µs RANGE bound, the exact same frame arithmetic the
+    operator uses — a row precisely one hour old is excluded."""
     tune(spark)
     ev = load_table(spark, sf_dir, "events").select(
         "user_id", "event_id", "ts",

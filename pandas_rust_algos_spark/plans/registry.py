@@ -64,15 +64,24 @@ def register(name: str, oracle: str | None = None, description: str = ""):
 
 
 def _load_all() -> None:
-    """Import every query module so registrations run (idempotent)."""
-    from pandas_rust_algos_spark.plans import (  # noqa: F401
-        queries_events,
-        queries_functions,
-        queries_groupby,
-        queries_llmdata,
-        queries_relational,
-        queries_window,
-    )
+    """Import every query module so registrations run (idempotent).
+
+    Import order IS registration order IS the order the driver's
+    correctness gate walks the registry — and the round-1 driver run
+    truncated partway through. The SURVEY §2 core surface (window/take
+    transforms, then the relational TPC-H shapes, then the groupby
+    kernels) therefore registers FIRST, so a truncated run still
+    produces rows for every reference-parity gate; the extension
+    modules (events, scalar functions, LLM-data) follow.
+    """
+    # ordered, one per line — a parenthesized from-import would work but
+    # hides that sequence matters here
+    from pandas_rust_algos_spark.plans import queries_window  # noqa: F401
+    from pandas_rust_algos_spark.plans import queries_relational  # noqa: F401
+    from pandas_rust_algos_spark.plans import queries_groupby  # noqa: F401
+    from pandas_rust_algos_spark.plans import queries_events  # noqa: F401
+    from pandas_rust_algos_spark.plans import queries_functions  # noqa: F401
+    from pandas_rust_algos_spark.plans import queries_llmdata  # noqa: F401
 
 
 def all_queries() -> dict[str, QueryFn]:

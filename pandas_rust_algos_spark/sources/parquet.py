@@ -32,6 +32,15 @@ TABLES = (
 
 DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 
+#: When True, :func:`load_table` memoizes + persists each fixture table
+#: per (SparkContext, sf_dir). Off by default — at real scale a table is
+#: a lazy scan and caching would be wrong. ``__spark_entry__`` flips it
+#: on only when the target sf_dir is tiny (the driver's correctness gate
+#: runs ~120 queries against the same few-MB tables; re-scanning parquet
+#: and re-running the ts normalization per query dominates wall time).
+CACHE_SMALL_TABLES = False
+_TABLE_CACHE: dict[tuple[int, str, str], DataFrame] = {}
+
 
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Lazy parquet scan of one fixture table.
@@ -46,6 +55,11 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """
     if name not in TABLES:
         raise KeyError(f"unknown fixture table {name!r}; one of {TABLES}")
+    if CACHE_SMALL_TABLES:
+        key = (id(spark.sparkContext), os.path.abspath(sf_dir), name)
+        cached = _TABLE_CACHE.get(key)
+        if cached is not None:
+            return cached
     path = os.path.join(sf_dir, f"{name}.parquet")
     if name == "events":
         try:
@@ -66,8 +80,12 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
             from pyspark.sql import functions as F
 
             df = df.withColumn("ts", F.col("ts").cast("timestamp"))
-        return df
-    return spark.read.parquet(path)
+    else:
+        df = spark.read.parquet(path)
+    if CACHE_SMALL_TABLES:
+        df = df.persist()
+        _TABLE_CACHE[key] = df
+    return df
 
 
 def load_tables(spark: SparkSession, sf_dir: str, *names: str) -> dict[str, DataFrame]:

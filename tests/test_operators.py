@@ -585,38 +585,74 @@ def test_pivot_dynamic_discovers_and_caps(spark, sf_dir):
 
 
 def test_rolling_time_matches_pandas(spark):
-    """rolling_time_agg vs pandas rolling('1h', on=ts) on a frame with
-    tied timestamps and a NaN — frame peers must see identical frames."""
+    """rolling_time_agg on tie-free times must equal pandas
+    rolling('1h', on=ts) exactly (default closed='right'), including a
+    row exactly one hour old — excluded by 'right', included by
+    'both'."""
     import pandas as pd
 
     pdf = pd.DataFrame({
-        "k": ["a"] * 6 + ["b"] * 2,
+        "k": ["a"] * 5 + ["b"] * 2,
         "ts": pd.to_datetime([
             "2024-01-01 00:00:00", "2024-01-01 00:30:00",
-            "2024-01-01 00:30:00",  # tie: peer rows
-            "2024-01-01 01:15:00", "2024-01-01 02:59:00",
-            "2024-01-01 03:00:00", "2024-01-01 00:00:00",
-            "2024-01-01 05:00:00",
+            "2024-01-01 01:00:00",  # exactly 1h after row 0: boundary
+            "2024-01-01 02:59:00", "2024-01-01 03:00:00",
+            "2024-01-01 00:00:00", "2024-01-01 05:00:00",
         ]),
-        "rid": [0, 1, 2, 3, 4, 5, 6, 7],
-        "v": [1.0, 2.0, 4.0, 8.0, float("nan"), 32.0, 64.0, 128.0],
+        "rid": [0, 1, 2, 3, 4, 5, 6],
+        "v": [1.0, 2.0, 4.0, float("nan"), 32.0, 64.0, 128.0],
     })
     df = spark.createDataFrame(pdf)
-    out = gt.rolling_time_agg(df, "k", "ts", ["v"],
-                              duration="1 hour", aggs=("count", "sum"))
-    got = {r["rid"]: (r["v_troll_count"], r["v_troll_sum"])
-           for r in out.collect()}
+    outs = {}
+    for closed in ("right", "both"):
+        out = gt.rolling_time_agg(df, "k", "ts", ["v"], duration="1 hour",
+                                  aggs=("count", "sum"), closed=closed)
+        outs[closed] = {r["rid"]: (r["v_troll_count"], r["v_troll_sum"])
+                        for r in out.collect()}
 
+    # closed='right' vs pandas rolling itself
     exp = {}
-    for k, grp in pdf.groupby("k"):
-        grp = grp.sort_values("ts")
+    for _, grp in pdf.groupby("k"):
+        grp = grp.sort_values("ts").set_index("ts")
+        roll = grp.v.rolling("1h")
+        for rid, n, s in zip(grp.rid, roll.count(), roll.sum()):
+            exp[rid] = (int(n), None if n == 0 else float(s))
+    assert outs["right"] == exp
+
+    # closed='both' vs the inclusive-interval hand oracle
+    exp_b = {}
+    for _, grp in pdf.groupby("k"):
         for _, row in grp.iterrows():
             frame = grp[(grp.ts >= row.ts - pd.Timedelta(hours=1))
                         & (grp.ts <= row.ts)]
-            exp[row.rid] = (int(frame.v.count()),
-                            None if frame.v.count() == 0
-                            else float(frame.v.sum()))
-    assert got == exp
+            exp_b[row.rid] = (int(frame.v.count()),
+                              None if frame.v.count() == 0
+                              else float(frame.v.sum()))
+    assert outs["both"] == exp_b
+    # the boundary row makes the two variants genuinely differ
+    assert outs["right"][2] == (2, 6.0) and outs["both"][2] == (3, 7.0)
+
+
+def test_rolling_time_tied_rows_are_peers(spark):
+    """Rows tied on ts see the identical frame (SQL RANGE semantics) —
+    a deliberate, documented divergence from pandas' positional right
+    end on duplicate timestamps."""
+    import pandas as pd
+
+    pdf = pd.DataFrame({
+        "k": ["a"] * 3,
+        "ts": pd.to_datetime(["2024-01-01 00:00:00",
+                              "2024-01-01 00:30:00",
+                              "2024-01-01 00:30:00"]),
+        "rid": [0, 1, 2],
+        "v": [1.0, 2.0, 4.0],
+    })
+    out = gt.rolling_time_agg(spark.createDataFrame(pdf), "k", "ts",
+                              ["v"], duration="1 hour",
+                              aggs=("count", "sum"))
+    got = {r["rid"]: (r["v_troll_count"], r["v_troll_sum"])
+           for r in out.collect()}
+    assert got[1] == got[2] == (3, 7.0)
 
 
 def test_rolling_time_rejects_bad_duration(spark, nullable_df):
@@ -811,6 +847,68 @@ def test_merge_asof_nearest_matches_pandas(spark):
         assert (pd.isna(g) and pd.isna(e)) or g == e, (i, g, e)
 
 
+def test_merge_asof_nearest_tolerance_matches_pandas(spark):
+    """nearest + tolerance: pandas filters each direction by tolerance
+    BEFORE picking the nearest, so a closer-but-out-of-tolerance side
+    must not shadow a farther-but-within one. Tie-free times (odd left /
+    even right) keep the pick deterministic."""
+    import numpy as np
+    import pandas as pd
+
+    rng = np.random.default_rng(13)
+    left = pd.DataFrame({
+        "k": rng.integers(0, 3, 40),
+        "t": (rng.integers(0, 40, 40) * 2 + 1).astype("int64"),
+        "lid": np.arange(40, dtype="int64"),
+    })
+    rt = pd.DataFrame({
+        "k": rng.integers(0, 3, 25),
+        "t": (rng.integers(0, 40, 25) * 2).astype("int64"),
+    }).drop_duplicates(["k", "t"]).reset_index(drop=True)
+    rt["price"] = (rt.k * 1000 + rt.t).astype("int64")
+
+    from pandas_rust_algos_spark.operators.asof import merge_asof
+
+    sl, sr = spark.createDataFrame(left), spark.createDataFrame(rt)
+    for tol in (1, 3, 7, 15):
+        got = merge_asof(
+            sl, sr, on="t", by="k", right_cols=["price"],
+            direction="nearest", tolerance=tol,
+        ).toPandas().sort_values("lid").reset_index(drop=True)
+        exp = pd.merge_asof(
+            left.sort_values("t", kind="mergesort"),
+            rt.sort_values("t", kind="mergesort"),
+            on="t", by="k", direction="nearest", tolerance=tol,
+        ).sort_values("lid").reset_index(drop=True)
+        for i in range(len(left)):
+            g, e = got.price[i], exp.price[i]
+            assert (pd.isna(g) and pd.isna(e)) or g == e, (tol, i, g, e)
+
+
+def test_merge_asof_null_payload_row_coherence(spark):
+    """A matched right row whose payload is legitimately NULL must
+    deliver that NULL (and its own other columns) — not a stale value
+    from an earlier right row. Exercises the struct-packed scan."""
+    import pandas as pd
+
+    left = spark.createDataFrame([(1, 10), (1, 20)], "k long, t long")
+    right = spark.createDataFrame(
+        [(1, 5, 100.0, "a"), (1, 15, None, "b")],
+        "k long, t long, price double, tag string",
+    )
+    from pandas_rust_algos_spark.operators.asof import merge_asof
+
+    got = (
+        merge_asof(left, right, on="t", by="k",
+                   right_cols=["price", "tag"], direction="backward")
+        .toPandas().sort_values("t").reset_index(drop=True)
+    )
+    # t=10 matches the t=5 row wholesale; t=20 matches the t=15 row
+    # wholesale, NULL price included
+    assert got.price[0] == 100.0 and got.tag[0] == "a"
+    assert pd.isna(got.price[1]) and got.tag[1] == "b"
+
+
 def test_merge_asof_rejects_collisions_and_bad_args(spark):
     from pandas_rust_algos_spark.operators.asof import merge_asof
 
@@ -855,6 +953,19 @@ def test_group_histogram_edges_and_exclusions(spark):
         ga.group_histogram(df, "k", "v", lo=0, hi=1, nbins=0)
     with pytest.raises(ValueError, match="lo < hi"):
         ga.group_histogram(df, "k", "v", lo=1, hi=1, nbins=2)
+
+
+def test_group_histogram_clamps_float_boundary_bucket(spark):
+    """A value one ulp below hi can have floor((c-lo)*nbins/(hi-lo))
+    round up to exactly nbins (the range filter uses the raw value, the
+    bucket the rounded quotient) — it must land in the last real bucket,
+    never a phantom bucket whose bin_lo == hi."""
+    c = 0.3999999999999999  # < 0.4, but the quotient rounds to 7/7
+    df = spark.createDataFrame([("a", c)], "k string, v double")
+    rows = ga.group_histogram(df, "k", "v", lo=-0.3, hi=0.4,
+                              nbins=7).collect()
+    assert len(rows) == 1
+    assert rows[0]["bucket"] == 6 and rows[0]["n"] == 1
 
 
 def test_group_interpolate_matches_pandas(spark):
