@@ -47,20 +47,20 @@ def _ship_package(spark: SparkSession) -> None:
 
 
 _SMALL_SF_BYTES = 512 * 1024 * 1024
-_dir_bytes_cache: dict[str, int] = {}
 
 
 def _dir_bytes(sf_dir: str) -> int:
-    if sf_dir not in _dir_bytes_cache:
-        total = 0
-        try:
-            for root, _, files in os.walk(sf_dir):
-                for f in files:
-                    total += os.path.getsize(os.path.join(root, f))
-        except OSError:
-            total = _SMALL_SF_BYTES + 1
-        _dir_bytes_cache[sf_dir] = total
-    return _dir_bytes_cache[sf_dir]
+    # deliberately NOT memoized: the walk costs microseconds per gate
+    # query, and a cached measurement taken while the fixture dir was
+    # empty/partially written would misclassify it forever
+    total = 0
+    try:
+        for root, _, files in os.walk(sf_dir):
+            for f in files:
+                total += os.path.getsize(os.path.join(root, f))
+    except OSError:
+        total = _SMALL_SF_BYTES + 1
+    return total
 
 
 def _tune_for_small_sf(spark: SparkSession, sf_dir: str) -> None:
@@ -68,15 +68,25 @@ def _tune_for_small_sf(spark: SparkSession, sf_dir: str) -> None:
     against the same few-MB fixture dir. Persist the tiny tables once
     (sources.parquet.CACHE_SMALL_TABLES) and drop the initial shuffle
     fan-out — 32 shuffle tasks over 60k rows is pure scheduling overhead,
-    and AQE re-expands on real data. Both knobs are gated on actual input
-    bytes, so nothing here applies at cluster scale."""
-    if _dir_bytes(sf_dir) > _SMALL_SF_BYTES:
-        return
+    and AQE re-expands on real data. Re-evaluated per call: a later query
+    in the same session against a LARGE sf_dir resets the flag, drops the
+    small-dir caches, and restores the shuffle fan-out, so nothing here
+    sticks past the fixture dir that justified it."""
     from pandas_rust_algos_spark.sources import parquet as _pq
 
-    _pq.CACHE_SMALL_TABLES = True
+    small = _dir_bytes(sf_dir) <= _SMALL_SF_BYTES
+    if small == _pq.CACHE_SMALL_TABLES:
+        return
+    _pq.CACHE_SMALL_TABLES = small
+    if not small:
+        for df in _pq._TABLE_CACHE.values():
+            try:
+                df.unpersist()
+            except Exception:
+                pass
+        _pq._TABLE_CACHE.clear()
     try:
-        spark.conf.set("spark.sql.shuffle.partitions", "8")
+        spark.conf.set("spark.sql.shuffle.partitions", "8" if small else "32")
         spark.conf.set("spark.sql.adaptive.enabled", "true")
     except Exception:
         pass

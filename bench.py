@@ -65,18 +65,22 @@ def main() -> None:
         load_table(spark, sf_dir, t).count()
     _force(registry.get("q1_pricing_summary").fn(spark, sf_dir))
 
-    # best-of-2 per query: the first run of a plan shape pays one-time
-    # whole-stage-codegen compilation (measured 3-6x the steady-state
-    # execution); the reported number is the repeatable latency
+    # best-of-3 per query, raw runs preserved: the first run of a plan
+    # shape pays one-time whole-stage-codegen compilation (measured
+    # 3-6x steady-state), and this host shows ~2x run-to-run VM noise —
+    # the best is the repeatable latency, the raw runs make any
+    # round-over-round regression attributable (noise vs real)
     times: dict[str, float] = {}
+    runs: dict[str, list[float]] = {}
     for name in HEADLINE:
         fn = registry.get(name).fn
-        best = float("inf")
-        for _ in range(2):
+        rs = []
+        for _ in range(3):
             t0 = time.perf_counter()
             _force(fn(spark, sf_dir))
-            best = min(best, time.perf_counter() - t0)
-        times[name] = round(best, 3)
+            rs.append(round(time.perf_counter() - t0, 3))
+        runs[name] = rs
+        times[name] = min(rs)
 
     total = round(sum(times.values()), 3)
     print(json.dumps({
@@ -84,6 +88,7 @@ def main() -> None:
         "value": total,
         "unit": "sec",
         "queries": times,
+        "runs": runs,
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
     }))
 

