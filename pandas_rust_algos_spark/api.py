@@ -229,6 +229,25 @@ class GroupBy:
         return _gt.rolling_time_agg(self._df, self._keys, ts_col,
                                     list(cols), duration=duration, aggs=aggs)
 
+    def ewm_mean(self, *cols: str, alpha: float, adjust: bool = True,
+                 ignore_na: bool = True, na_output: str = "null",
+                 method: str = "window") -> DataFrame:
+        """pandas ``.ewm(alpha).mean()`` — all four (adjust, ignore_na)
+        modes; ``na_output='carry'`` reproduces pandas' carry-forward
+        output on NA input rows."""
+        return _gt.group_ewm_mean(self._df, self._keys, self._ordered(),
+                                  list(cols), alpha=alpha, adjust=adjust,
+                                  ignore_na=ignore_na, na_output=na_output,
+                                  method=method)
+
+    def ewm_var(self, *cols: str, alpha: float) -> DataFrame:
+        return _gt.group_ewm_var(self._df, self._keys, self._ordered(),
+                                 list(cols), alpha=alpha)
+
+    def ewm_std(self, *cols: str, alpha: float) -> DataFrame:
+        return _gt.group_ewm_var(self._df, self._keys, self._ordered(),
+                                 list(cols), alpha=alpha, std=True)
+
     def zscore(self, *cols: str) -> DataFrame:
         return _gt.group_zscore(self._df, self._keys, list(cols))
 

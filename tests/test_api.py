@@ -81,3 +81,19 @@ def test_interpolate_via_facade(spark):
     out = {r["ord"]: r["v_interp"]
            for r in groupby(df, "k", order="ord").interpolate("v").collect()}
     assert out == {1: 1.0, 2: 2.0, 3: 3.0}
+
+
+def test_ewm_via_facade(spark):
+    df = spark.createDataFrame(
+        [("a", 1, 2.0), ("a", 2, None), ("a", 3, 4.0)],
+        "k string, ord int, v double")
+    gb = groupby(df, "k", order="ord")
+    # adjust=False, ignore_na=False, carry: y1=2, y2 carries 2,
+    # y3 = (.65^2*2 + .35*4)/(.65^2 + .35) ≈ 2.9086
+    out = {r["ord"]: r["v_ewm"]
+           for r in gb.ewm_mean("v", alpha=0.35, adjust=False,
+                                ignore_na=False, na_output="carry").collect()}
+    assert out[1] == 2.0 and out[2] == 2.0
+    assert abs(out[3] - (0.65**2 * 2 + 0.35 * 4) / (0.65**2 + 0.35)) < 1e-12
+    assert gb.ewm_var("v", alpha=0.5).count() == 3
+    assert gb.ewm_std("v", alpha=0.5).count() == 3
