@@ -23,6 +23,10 @@ from pandas_rust_algos_spark.sources.sinks import (
     read_partitioned,
     write_partitioned,
 )
+from pandas_rust_algos_spark.sources.table_format import (
+    CommitConflict,
+    VersionedTable,
+)
 
 __all__ = [
     "TABLES",
@@ -40,4 +44,6 @@ __all__ = [
     "convert_to_parquet",
     "zorder_column",
     "write_zordered",
+    "VersionedTable",
+    "CommitConflict",
 ]
