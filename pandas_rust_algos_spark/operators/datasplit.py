@@ -32,6 +32,7 @@ __all__ = [
     "train_val_split",
     "chunk_documents",
     "stratified_sample",
+    "domain_mix_sample",
 ]
 
 
@@ -140,6 +141,117 @@ def stratified_sample(
         thr = F.when(F.col(strata_col) == stratum,
                      F.lit(split_threshold_hex(frac))).otherwise(thr)
     return df.where(h < thr)
+
+
+def _norm_weights(weights: dict[str, float]) -> dict[str, float]:
+    total = sum(weights.values())
+    if total <= 0 or any(w < 0 for w in weights.values()):
+        raise ValueError(f"weights must be non-negative with a positive "
+                         f"sum, got {weights}")
+    return {d: w / total for d, w in weights.items()}
+
+
+def domain_mix_sample(
+    df: DataFrame,
+    domain_col: str,
+    key_col: str,
+    weights: dict[str, float],
+    *,
+    salt: str = "mix-v1",
+) -> DataFrame:
+    """Rebalance a corpus to a target domain mixture by deterministic
+    downsampling — the "data mixing" step of a pretraining pipeline
+    (e.g. web 60% / code 25% / books 15%).
+
+    The output is the largest corpus achievable from the input by
+    *downsampling only* whose domain proportions match ``weights``:
+    with observed counts c_d and normalized weights w_d, the total is
+    T = min_d(c_d / w_d) and each domain keeps ≈ w_d·T rows. Domains
+    absent from ``weights`` are dropped.
+
+    Membership is the same salted-md5 row property as
+    :func:`train_val_split` — stable across runs, engines,
+    partitionings and task retries, and nested under rising fractions.
+    The per-domain acceptance thresholds are *computed in the plan*
+    (one small count aggregate, broadcast back) — never ``.collect()``
+    into literals, so the whole thing stays one distributed job and
+    recomputes consistently if a stage is retried.
+    """
+    wn = _norm_weights(weights)
+    spark = df.sparkSession
+    wdf = F.broadcast(spark.createDataFrame(
+        [(d, w) for d, w in wn.items()], f"{domain_col} string, __w double"))
+
+    counts = (
+        df.groupBy(domain_col).agg(F.count(F.lit(1)).alias("__c"))
+        .join(wdf, domain_col)  # inner: unweighted domains drop here
+    )
+    # T = min_d(c_d / w_d); one-row aggregate broadcast-joined back in
+    total = counts.agg(
+        F.min(F.col("__c").cast("double") / F.col("__w")).alias("__t"))
+    frac = F.least(
+        F.lit(1.0),
+        (F.col("__w") * F.col("__t")) / F.col("__c").cast("double"),
+    )
+    tint = F.floor(frac * F.lit(16 ** 6)).cast("long")
+    thresholds = (
+        counts.crossJoin(F.broadcast(total))
+        .select(
+            domain_col,
+            F.when(tint >= 16 ** 6, F.lit("g"))
+            .otherwise(F.format_string("%06x", tint)).alias("__thr"),
+        )
+    )
+    h = F.md5(
+        F.concat_ws(":", F.col(key_col).cast("string"), F.lit(salt))
+        .cast("binary")
+    )
+    return (
+        df.join(F.broadcast(thresholds), domain_col)
+        .where(h < F.col("__thr"))
+        .drop("__thr")
+    )
+
+
+def sql_domain_mix_sample(
+    from_table: str,
+    domain_expr: str,
+    key_expr: str,
+    weights: dict[str, float],
+    *,
+    salt: str = "mix-v1",
+) -> str:
+    """DuckDB twin of :func:`domain_mix_sample`: same normalized-weight
+    literals (full-precision repr), same c/w → T → frac → floor-hex
+    arithmetic, same md5 threshold compare — returns a SELECT of the
+    kept rows."""
+    wn = _norm_weights(weights)
+    wvals = ", ".join(f"('{d}', {w!r})" for d, w in wn.items())
+    return f"""
+    WITH __w(domain, w) AS (VALUES {wvals}),
+    __c AS (
+      SELECT {domain_expr} AS domain, COUNT(*) AS c
+      FROM {from_table} GROUP BY 1
+    ),
+    __cw AS (SELECT domain, c, w FROM __c JOIN __w USING (domain)),
+    __t AS (SELECT MIN(CAST(c AS DOUBLE) / w) AS t FROM __cw),
+    __thr AS (
+      SELECT domain,
+             CASE WHEN CAST(FLOOR(LEAST(CAST(1.0 AS DOUBLE),
+                        (w * t) / CAST(c AS DOUBLE)) * 16777216) AS BIGINT)
+                    >= 16777216
+                  THEN 'g'
+                  ELSE printf('%06x',
+                        CAST(FLOOR(LEAST(CAST(1.0 AS DOUBLE),
+                             (w * t) / CAST(c AS DOUBLE)) * 16777216)
+                             AS BIGINT))
+             END AS thr
+      FROM __cw CROSS JOIN __t
+    )
+    SELECT s.* FROM {from_table} s
+    JOIN __thr ON {domain_expr} = __thr.domain
+    WHERE md5(CAST({key_expr} AS VARCHAR) || ':' || '{salt}') < thr
+    """
 
 
 def sql_stratified_sample(

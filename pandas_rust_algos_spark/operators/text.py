@@ -19,11 +19,14 @@ from pyspark.sql import functions as F
 __all__ = [
     "tokens",
     "token_count",
+    "token_ngrams",
     "quality_features",
+    "repetition_signals",
     "lang_id",
     "fingerprint",
     "LANG_STOPWORDS",
     "sql_token_count",
+    "sql_token_ngrams",
     "sql_lang_scores",
 ]
 
@@ -56,6 +59,84 @@ def sql_token_count(expr: str) -> str:
     return (
         f"LEN(LIST_FILTER(STRING_SPLIT_REGEX(TRIM({expr}), '\\s+'),"
         " x -> x <> ''))"
+    )
+
+
+def token_ngrams(col: Column | str, n: int) -> Column:
+    """All space-joined token ``n``-grams in document order (repeats
+    kept — repetition analysis needs multiplicity; take
+    ``F.array_distinct`` for set semantics, as dedup/decontam do). A
+    document with fewer than ``n`` tokens has no grams (empty array).
+    Pure higher-order-function algebra — JVM-side, no UDF."""
+    toks = tokens(col)
+    # guard: F.sequence(1, 0) counts DOWN ([1, 0]) — a doc shorter than
+    # n tokens must yield an empty index array, not index 0
+    idx = F.when(
+        F.size(toks) >= n, F.sequence(F.lit(1), F.size(toks) - (n - 1))
+    ).otherwise(F.array().cast("array<int>"))
+    return F.transform(idx, lambda i: F.concat_ws(" ", F.slice(toks, i, n)))
+
+
+def sql_token_ngrams(expr: str, n: int) -> str:
+    """DuckDB twin of :func:`token_ngrams` (same tokenizer spec;
+    LIST_SLICE is 1-based inclusive)."""
+    toks = (f"LIST_FILTER(STRING_SPLIT_REGEX(TRIM({expr}), '\\s+'), "
+            "x -> x <> '')")
+    return (
+        f"LIST_TRANSFORM(RANGE(1, GREATEST(LEN({toks}) - {n - 1}, 0) + 1), "
+        f"i -> ARRAY_TO_STRING(LIST_SLICE({toks}, i, i + {n - 1}), ' '))"
+    )
+
+
+def repetition_signals(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    *,
+    n: int = 2,
+) -> DataFrame:
+    """Gopher-style intra-document repetition signals per document:
+    ``dup_ngram_frac`` (fraction of n-gram slots occupied by a repeat
+    of an earlier gram) and ``top_ngram_frac`` (share of the most
+    frequent single n-gram) — the published rules drop documents above
+    thresholds on exactly these (Rae et al. 2021 §A1.1).
+
+    Scale shape: multiplicity counting is explode → two map-side-
+    combined aggregations keyed by (doc, gram) then (doc). That is
+    deliberate — the tempting UDF-free alternative (per-row
+    ``aggregate`` over distinct grams counting matches) is O(grams²)
+    *per document*, which dies on a 10k-token document; the explode
+    form is linear and the (doc, gram) shuffle key is naturally
+    well-distributed. Documents shorter than ``n`` tokens report NULL
+    fractions (no gram slots), not 0 — "no signal" ≠ "no repetition".
+    """
+    grams = df.select(
+        F.col(id_col),
+        token_count(text_col).alias("n_tokens"),
+        F.explode_outer(token_ngrams(text_col, n)).alias("gram"),
+    )
+    per_gram = grams.groupBy(id_col, "n_tokens", "gram").agg(
+        F.count("gram").alias("c")
+    )
+    sig = per_gram.groupBy(id_col, "n_tokens").agg(
+        F.sum("c").alias("n_ngrams"),
+        F.count(F.when(F.col("gram").isNotNull(), 1)).alias("n_distinct"),
+        F.max("c").alias("top_count"),
+    )
+    nonzero = F.col("n_ngrams") > 0
+    return sig.select(
+        id_col,
+        "n_tokens",
+        F.col("n_ngrams").cast("long").alias("n_ngrams"),
+        F.col("n_distinct").cast("long").alias("n_distinct"),
+        F.when(
+            nonzero,
+            (F.col("n_ngrams") - F.col("n_distinct")).cast("double")
+            / F.col("n_ngrams"),
+        ).alias("dup_ngram_frac"),
+        F.when(
+            nonzero, F.col("top_count").cast("double") / F.col("n_ngrams")
+        ).alias("top_ngram_frac"),
     )
 
 

@@ -15,6 +15,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from pandas_rust_algos_spark.operators import datasplit as ds
+from pandas_rust_algos_spark.operators import decontam as dc
 from pandas_rust_algos_spark.operators import dedup as dd
 from pandas_rust_algos_spark.operators import multimodal as mm
 from pandas_rust_algos_spark.operators import similarity as sim
@@ -460,6 +461,115 @@ def stratified_sample_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         {"en": 0.5, "de": 1.0, "fr": 0.25}, default_frac=0.05,
     )
     return kept.groupBy("lang").agg(F.count(F.lit(1)).alias("n_kept"))
+
+
+@register(
+    "decontaminate",
+    oracle=f"""
+    WITH bench AS (
+      SELECT DISTINCT UNNEST({tx.sql_token_ngrams('text', 5)}) AS bg
+      FROM documents WHERE doc_id % 10 = 0
+    ), corpus AS (
+      SELECT doc_id,
+             LIST_DISTINCT({tx.sql_token_ngrams('text', 5)}) AS grams
+      FROM documents WHERE doc_id % 10 <> 0
+    ), ex AS (
+      SELECT doc_id,
+             UNNEST(CASE WHEN LEN(grams) = 0
+                         THEN [CAST(NULL AS VARCHAR)] ELSE grams END) AS gram
+      FROM corpus
+    )
+    SELECT doc_id,
+           CAST(COUNT(gram) AS BIGINT) AS n_grams,
+           CAST(COUNT(bg) AS BIGINT) AS n_hits,
+           COUNT(bg) >= 1 AS contaminated
+    FROM ex LEFT JOIN bench ON gram = bg
+    GROUP BY doc_id
+    """,
+)
+def decontaminate_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination: every 10th document stands in as the
+    held-out eval set; corpus documents report how many of their
+    distinct 5-token-grams appear anywhere in it. The benchmark gram
+    set broadcasts (eval sets are small by construction) — the corpus
+    never shuffles for the probe; the oracle recomputes the same gram
+    algebra so the hash match proves hit COUNTS, not just flags."""
+    docs = _docs(spark, sf_dir)
+    bench = docs.where(F.col("doc_id") % 10 == 0)
+    corpus = docs.where(F.col("doc_id") % 10 != 0)
+    out = dc.decontaminate(corpus, bench, n=5, min_hits=1)
+    return out.select("doc_id", F.col("n_grams").cast("long"),
+                      F.col("n_hits").cast("long"), "contaminated")
+
+
+@register(
+    "repetition_signals",
+    oracle=f"""
+    WITH g0 AS (
+      SELECT doc_id,
+             {tx.sql_token_count('text')} AS n_tokens,
+             {tx.sql_token_ngrams('text', 2)} AS grams
+      FROM documents
+    ), ex AS (
+      SELECT doc_id, n_tokens,
+             UNNEST(CASE WHEN LEN(grams) = 0
+                         THEN [CAST(NULL AS VARCHAR)] ELSE grams END) AS gram
+      FROM g0
+    ), pg AS (
+      SELECT doc_id, n_tokens, gram, COUNT(gram) AS c
+      FROM ex GROUP BY 1, 2, 3
+    ), sig AS (
+      SELECT doc_id, n_tokens,
+             CAST(SUM(c) AS BIGINT) AS n_ngrams,
+             CAST(COUNT(CASE WHEN gram IS NOT NULL THEN 1 END) AS BIGINT)
+               AS n_distinct,
+             MAX(c) AS top_count
+      FROM pg GROUP BY 1, 2
+    )
+    SELECT doc_id, CAST(n_tokens AS BIGINT) AS n_tokens, n_ngrams, n_distinct,
+           CASE WHEN n_ngrams > 0
+                THEN CAST(n_ngrams - n_distinct AS DOUBLE) / n_ngrams END
+             AS dup_ngram_frac,
+           CASE WHEN n_ngrams > 0
+                THEN CAST(top_count AS DOUBLE) / n_ngrams END
+             AS top_ngram_frac
+    FROM sig
+    """,
+)
+def repetition_signals_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style intra-document repetition: duplicate-2gram fraction
+    and top-2gram share per document (the published quality-filter
+    signals) — explode + two map-side-combined aggregations, linear in
+    tokens (never the O(grams²)-per-doc expression form)."""
+    return tx.repetition_signals(_docs(spark, sf_dir), n=2)
+
+
+_MIX_WEIGHTS = {"en": 0.4, "de": 0.2, "fr": 0.2, "zh": 0.2}
+
+
+@register(
+    "domain_mix_sample",
+    oracle=f"""
+    SELECT lang, COUNT(*) AS n_kept,
+           CAST(SUM(doc_id) AS BIGINT) AS sum_doc_id
+    FROM ({ds.sql_domain_mix_sample('documents', 'lang', 'doc_id',
+                                    _MIX_WEIGHTS)}) kept
+    GROUP BY lang
+    """,
+)
+def domain_mix_sample_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic mixture rebalancing to target domain weights
+    (en 40 / de 20 / fr 20 / zh 20; es unweighted → dropped): the
+    largest downsample-only corpus matching the mixture, membership a
+    salted-md5 row property, per-domain thresholds computed *in the
+    plan* from one broadcast count aggregate. The sum-of-kept-ids
+    column makes the oracle check exact membership, not just sizes."""
+    docs = _docs(spark, sf_dir)
+    kept = ds.domain_mix_sample(docs, "lang", "doc_id", _MIX_WEIGHTS)
+    return kept.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_kept"),
+        F.sum("doc_id").alias("sum_doc_id"),
+    )
 
 
 @register("pack_sequences")

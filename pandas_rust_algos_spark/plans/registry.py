@@ -91,6 +91,10 @@ _GATE_PRIORITY: tuple[str, ...] = (
     "pack_sequences",
     # (b) driver re-check after r2 oracle fix
     "events_sessionize",
+    # (b2) new in round 3 — never driver-checked, fresh code first
+    "decontaminate",
+    "repetition_signals",
+    "domain_mix_sample",
     # (c) modules changing this round
     "minhash_near_dupes",
     "simhash_fingerprints",
@@ -118,9 +122,10 @@ _GATE_PRIORITY: tuple[str, ...] = (
     "group_quantile_midpoint",
     "group_min_max",
     "group_first_last",
-    "group_nth",
-    "group_first_last_string",
-    "group_ohlc",
+    # (r1-green group_nth / group_first_last_string / group_ohlc yield
+    # their window slots to the round-3 gates above; the r2 module
+    # change — histogram clamp — never touched their code paths, and
+    # tests/test_oracle_parity.py keeps them green in-repo)
     "group_any_all",
     "group_any_all_kleene",
     "group_histogram",

@@ -1,0 +1,166 @@
+"""Round-3 training-pipeline operators: benchmark decontamination
+(operators/decontam.py), Gopher repetition signals (text.py), and
+domain-mixture sampling (datasplit.py) — semantics on planted inputs
+plus the scale/plan properties the modules claim."""
+
+from __future__ import annotations
+
+import pytest
+
+from pyspark.sql import functions as F
+
+from pandas_rust_algos_spark.operators.datasplit import domain_mix_sample
+from pandas_rust_algos_spark.operators.decontam import decontaminate
+from pandas_rust_algos_spark.operators.text import repetition_signals
+
+
+# ------------------------------------------------------------- decontam
+
+
+@pytest.fixture(scope="module")
+def contam_corpus(spark):
+    bench = spark.createDataFrame(
+        [(100, "the quick brown fox jumps over the lazy dog"),
+         (101, "pack my box with five dozen liquor jugs")],
+        "doc_id long, text string")
+    corpus = spark.createDataFrame(
+        [(1, "clean text with no overlap whatsoever in here at all"),
+         # contains overlapping bench 5-grams "the quick brown fox jumps"
+         # and "quick brown fox jumps over"
+         (2, "she saw the quick brown fox jumps over a fence today"),
+         # contains two bench grams
+         (3, "pack my box with five dozen liquor jugs he said"),
+         (4, "short doc"),  # < 5 tokens: zero grams
+        ],
+        "doc_id long, text string")
+    return corpus, bench
+
+
+def test_decontaminate_flags_and_counts(spark, contam_corpus):
+    corpus, bench = contam_corpus
+    out = {r["doc_id"]: r for r in decontaminate(corpus, bench).collect()}
+    assert set(out) == {1, 2, 3, 4}, "every corpus doc reports, even gramless"
+    assert not out[1]["contaminated"] and out[1]["n_hits"] == 0
+    assert out[2]["contaminated"] and out[2]["n_hits"] == 2
+    # doc 3 contains the full 8-token bench doc 101 → 8-5+1 = 4 grams hit
+    assert out[3]["contaminated"] and out[3]["n_hits"] == 4
+    assert out[4]["n_grams"] == 0 and not out[4]["contaminated"]
+
+
+def test_decontaminate_hashed_path_matches_exact(spark, contam_corpus):
+    corpus, bench = contam_corpus
+    exact = {(r["doc_id"], r["n_grams"], r["n_hits"], r["contaminated"])
+             for r in decontaminate(corpus, bench).collect()}
+    hashed = {(r["doc_id"], r["n_grams"], r["n_hits"], r["contaminated"])
+              for r in decontaminate(corpus, bench, hashed=True).collect()}
+    assert exact == hashed
+
+
+def test_decontaminate_min_hits_threshold(spark, contam_corpus):
+    corpus, bench = contam_corpus
+    out = {r["doc_id"]: r["contaminated"]
+           for r in decontaminate(corpus, bench, min_hits=3).collect()}
+    assert not out[2], "2 hits < min_hits=3"
+    assert out[3], "4 hits >= 3"
+
+
+def test_decontaminate_probe_broadcasts_not_shuffles(spark, contam_corpus):
+    """The benchmark gram set must reach the corpus as a broadcast —
+    a shuffle join here would reshuffle the whole corpus at scale."""
+    corpus, bench = contam_corpus
+    plan = decontaminate(corpus, bench)._jdf.queryExecution() \
+        .executedPlan().toString()
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+# ------------------------------------------------- repetition signals
+
+
+def test_repetition_signals_known_values(spark):
+    df = spark.createDataFrame(
+        [(1, "a b a b a"),        # 2-grams: ab ba ab ba -> 4 slots, 2 distinct
+         (2, "w x y z"),          # all distinct
+         (3, "solo"),             # 1 token: no 2-grams
+         (4, "go go go go"),      # gg gg gg -> top frac 1.0
+        ],
+        "doc_id long, text string")
+    out = {r["doc_id"]: r for r in repetition_signals(df).collect()}
+    assert out[1]["n_ngrams"] == 4 and out[1]["n_distinct"] == 2
+    assert out[1]["dup_ngram_frac"] == pytest.approx(0.5)
+    assert out[1]["top_ngram_frac"] == pytest.approx(0.5)
+    assert out[2]["dup_ngram_frac"] == 0.0
+    assert out[2]["top_ngram_frac"] == pytest.approx(1 / 3)
+    assert out[3]["n_ngrams"] == 0
+    assert out[3]["dup_ngram_frac"] is None, "no gram slots -> no signal"
+    assert out[4]["dup_ngram_frac"] == pytest.approx(2 / 3)
+    assert out[4]["top_ngram_frac"] == pytest.approx(1.0)
+
+
+def test_repetition_signals_gopher_filter_shape(spark, sf_dir):
+    """Usable as the published filter: thresholding yields a subset,
+    and every fixture doc reports exactly once."""
+    from pandas_rust_algos_spark.sources import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    sig = repetition_signals(docs)
+    n_docs = docs.count()
+    assert sig.count() == n_docs
+    kept = sig.where(F.col("dup_ngram_frac") <= 0.8).count()
+    assert 0 < kept <= n_docs
+
+
+# ------------------------------------------------- domain mix sampling
+
+
+@pytest.fixture(scope="module")
+def mixed(spark):
+    rows = [(i, "web") for i in range(600)] \
+        + [(i + 1000, "code") for i in range(100)] \
+        + [(i + 2000, "books") for i in range(300)]
+    return spark.createDataFrame(rows, "id long, domain string")
+
+
+def test_domain_mix_hits_target_proportions(spark, mixed):
+    # code is the binding domain: T = 100/0.25 = 400
+    kept = domain_mix_sample(
+        mixed, "domain", "id", {"web": 0.6, "code": 0.25, "books": 0.15})
+    counts = {r["domain"]: r["n"] for r in
+              kept.groupBy("domain").agg(F.count("*").alias("n")).collect()}
+    assert counts["code"] == 100, "binding domain keeps everything"
+    # md5 acceptance is binomial around the target; exact thresholds
+    # make the *fraction* exact, membership sampling adds +-smallish
+    assert abs(counts["web"] - 240) < 40
+    assert abs(counts["books"] - 60) < 20
+
+
+def test_domain_mix_drops_unweighted_and_is_deterministic(spark, mixed):
+    w = {"web": 0.5, "books": 0.5}
+    kept = domain_mix_sample(mixed, "domain", "id", w)
+    assert kept.where(F.col("domain") == "code").count() == 0
+    a = sorted(r["id"] for r in kept.collect())
+    b = sorted(r["id"] for r in
+               domain_mix_sample(mixed.repartition(7), "domain", "id", w)
+               .collect())
+    assert a == b, "membership must not depend on partitioning"
+
+
+def test_domain_mix_rejects_bad_weights(spark, mixed):
+    with pytest.raises(ValueError):
+        domain_mix_sample(mixed, "domain", "id", {"web": -1.0, "code": 2.0})
+    with pytest.raises(ValueError):
+        domain_mix_sample(mixed, "domain", "id", {"web": 0.0})
+
+
+def test_domain_mix_plan_has_no_collect_and_broadcasts(spark, mixed):
+    """Thresholds are computed in-plan: the final plan contains the
+    count aggregate + broadcast joins, and building the DataFrame
+    triggers no job (nothing is collected at plan time)."""
+    tracker = spark.sparkContext.statusTracker()
+    before = tracker.getJobIdsForGroup(None)
+    kept = domain_mix_sample(
+        mixed, "domain", "id", {"web": 0.6, "code": 0.25, "books": 0.15})
+    after = tracker.getJobIdsForGroup(None)
+    assert len(after) == len(before), "plan construction ran a Spark job"
+    plan = kept._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan
