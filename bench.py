@@ -42,6 +42,10 @@ HEADLINE = [
     "rolling_time_1h",
     "heavy_hitters",
     "fuzzy_join",
+    # round 3: training-pipeline additions
+    "decontaminate",
+    "repetition_signals",
+    "domain_mix_sample",
 ]
 
 
