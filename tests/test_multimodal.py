@@ -89,9 +89,127 @@ def test_decode_payload_local():
 
 
 def test_strict_decoder_raises(spark, sf_dir):
-    """Real media codecs (image/audio/video) raise until decoder libs
-    exist — the failure travels through the executor path."""
+    """Compressed media codecs raise until decoder libs exist — the
+    failure travels through the executor path."""
     d = load_table(spark, sf_dir, "documents").limit(5)
-    media = mm.as_media(d, "doc_id", "text", "image")
+    media = mm.as_media(d, "doc_id", "text", "image/jpeg")
     with pytest.raises(Exception, match="NotImplementedError|decoder libraries"):
         mm.extract_features(media).collect()
+
+
+# --------------------------------------- uncompressed codecs (round 3)
+
+
+def _rand_img(rng, h, w):
+    return rng.integers(0, 256, size=(h, w, 3), dtype=np.uint8)
+
+
+def test_bmp_roundtrip_exact():
+    rng = np.random.default_rng(7)
+    for h, w in [(1, 1), (3, 5), (7, 2), (16, 16)]:  # odd widths hit padding
+        img = _rand_img(rng, h, w)
+        out = mm.decode_payload(mm.encode_bmp(img), "image/bmp")
+        assert out.shape == (h, w, 3)
+        np.testing.assert_array_equal(out, img)
+
+
+def test_ppm_roundtrip_exact_and_comments():
+    rng = np.random.default_rng(8)
+    img = _rand_img(rng, 4, 6)
+    np.testing.assert_array_equal(
+        mm.decode_payload(mm.encode_ppm(img), "image/ppm"), img)
+    # header with comments and extra whitespace still parses
+    hdr = b"P6\n# a comment\n 6   4 \n# another\n255\n"
+    np.testing.assert_array_equal(
+        mm.decode_payload(hdr + img.tobytes(), "image/ppm"), img)
+
+
+def test_pcm_and_video_roundtrip():
+    samples = np.array([0, -32768, 32767, 12345], dtype="<i2")
+    out = mm.decode_payload(mm.encode_pcm_s16le(samples), "audio/pcm_s16le")
+    np.testing.assert_array_equal(out, samples)
+
+    rng = np.random.default_rng(9)
+    frames = [_rand_img(rng, 3, 4) for _ in range(5)]
+    dec = mm.decode_payload(mm.encode_ppm_seq(frames), "video/ppm-seq")
+    assert len(dec) == 5
+    for a, b in zip(dec, frames):
+        np.testing.assert_array_equal(a, b)
+
+
+def test_image_audio_video_features(spark):
+    """Features computed through the executor mapInPandas path match
+    hand-computed exact values for synthesized payloads."""
+    rng = np.random.default_rng(10)
+    img = _rand_img(rng, 5, 7)
+    pcm = np.array([100, -200, 300], dtype="<i2")
+    frames = [_rand_img(rng, 2, 3) for _ in range(4)]
+    rows = [
+        (1, "image/bmp", bytearray(mm.encode_bmp(img))),
+        (2, "image/ppm", bytearray(mm.encode_ppm(img))),
+        (3, "audio/pcm_s16le", bytearray(mm.encode_pcm_s16le(pcm))),
+        (4, "video/ppm-seq", bytearray(mm.encode_ppm_seq(frames))),
+    ]
+    media = spark.createDataFrame(
+        [(i, m, p, len(p), hashlib.md5(bytes(p)).hexdigest())
+         for i, m, p in rows],
+        schema=mm.MEDIA_SCHEMA)
+    feats = {r["media_id"]: r for r in mm.extract_features(media).collect()}
+
+    mean_px = int(img.sum(dtype=np.int64)) / img.size
+    for mid in (1, 2):
+        f = feats[mid]
+        assert (f["f0"], f["f1"], f["f3"]) == (5.0, 7.0, 3.0)
+        assert f["f2"] == pytest.approx(mean_px, abs=0)
+    f3 = feats[3]
+    assert f3["f0"] == 3.0 and f3["f1"] == pytest.approx(200.0)
+    assert (f3["f2"], f3["f3"]) == (-200.0, 300.0)
+    f4 = feats[4]
+    total = sum(int(f.sum(dtype=np.int64)) for f in frames)
+    assert (f4["f0"], f4["f1"], f4["f2"]) == (4.0, 2.0, 3.0)
+    assert f4["f3"] == pytest.approx(total / sum(f.size for f in frames))
+
+
+def test_resize_media_pipeline(spark):
+    """decode → nearest resize → re-encode through Spark; resized
+    payloads decode to the expected shape with exact NN pixel values;
+    non-image rows pass through byte-identical."""
+    rng = np.random.default_rng(11)
+    img = _rand_img(rng, 8, 12)
+    txt = b"pass through"
+    media = spark.createDataFrame(
+        [(1, "image/bmp", bytearray(mm.encode_bmp(img)), 0, "x"),
+         (2, "text/utf-8", bytearray(txt), len(txt),
+          hashlib.md5(txt).hexdigest())],
+        schema=mm.MEDIA_SCHEMA)
+    out = {r["media_id"]: r for r in
+           mm.resize_media(media, 4, 6).collect()}
+    resized = mm.decode_payload(out[1]["payload"], out[1]["modality"])
+    assert out[1]["modality"] == "image/ppm" and resized.shape == (4, 6, 3)
+    np.testing.assert_array_equal(resized, mm._resize_nearest(img, 4, 6))
+    assert bytes(out[2]["payload"]) == txt and out[2]["modality"] == "text/utf-8"
+    # metadata recomputed for the new payload
+    assert out[1]["n_bytes"] == len(bytes(out[1]["payload"]))
+
+
+def test_sample_frames(spark):
+    rng = np.random.default_rng(12)
+    frames = [_rand_img(rng, 2, 2) for _ in range(7)]
+    vid = mm.encode_ppm_seq(frames)
+    media = spark.createDataFrame(
+        [(5, "video/ppm-seq", bytearray(vid), len(vid),
+          hashlib.md5(vid).hexdigest())],
+        schema=mm.MEDIA_SCHEMA)
+    out = sorted(mm.sample_frames(media, every=3).collect(),
+                 key=lambda r: r["media_id"])
+    assert [r["media_id"] for r in out] == [5_000_000, 5_000_003, 5_000_006]
+    for r, idx in zip(out, (0, 3, 6)):
+        np.testing.assert_array_equal(
+            mm.decode_payload(r["payload"], "image/ppm"), frames[idx])
+
+
+def test_resize_nearest_identity_and_downscale():
+    img = np.arange(2 * 2 * 3, dtype=np.uint8).reshape(2, 2, 3)
+    np.testing.assert_array_equal(mm._resize_nearest(img, 2, 2), img)
+    one = mm._resize_nearest(img, 1, 1)
+    assert one.shape == (1, 1, 3)  # picks the pixel-center source
