@@ -324,6 +324,90 @@ class VersionedTable:
         adds = self._write_data_files(merged)
         return self._commit("merge", adds, touched, snap.version)
 
+    def delete(self, condition) -> int:
+        """Delete rows matching ``condition`` (a Column or SQL string),
+        rewriting only the files that actually contain matches. Finding
+        those files is a column-pruned scan of just the predicate
+        columns with ``input_file_name()`` — the standard two-phase
+        recipe: at 100 TB, phase 1 reads a few columns of the table
+        (parquet-pruned, filter pushed down) and phase 2 rewrites the
+        handful of matching files; clean files are never opened twice
+        and never rewritten."""
+        cond = F.expr(condition) if isinstance(condition, str) else condition
+        snap = self._snapshot()
+        if not snap.files:
+            return self._commit("delete", [], [], snap.version)
+        current = self.spark.read.parquet(
+            *[os.path.join(self.path, r) for r in sorted(snap.files)])
+        from urllib.parse import unquote, urlparse
+
+        # input_file_name() yields URIs; resolve to absolute paths and
+        # intersect with the snapshot's file list (metadata-sized)
+        hit_paths = {
+            unquote(urlparse(r[0]).path)
+            for r in current.where(cond)
+            .select(F.input_file_name().alias("f")).distinct().collect()
+        }
+        matched = [
+            rel for rel in sorted(snap.files)
+            if os.path.abspath(os.path.join(self.path, rel)) in hit_paths
+        ]
+        if not matched:
+            return self._commit("delete", [], [], snap.version)
+        survivors = self.spark.read.parquet(
+            *[os.path.join(self.path, m) for m in matched]).where(~cond)
+        adds = self._write_data_files(survivors)
+        return self._commit("delete", adds, matched, snap.version)
+
+    def compact(self, target_file_bytes: int = 128 * 1024 * 1024,
+                zorder_by: list[str] | None = None) -> int:
+        """OPTIMIZE: coalesce files smaller than ``target_file_bytes``
+        into well-sized ones (streaming appends leave small files; a
+        scan pays per-file open cost). A no-op data change — readers
+        pinned to earlier versions are untouched. With ``zorder_by``,
+        the rewritten data is Morton-ordered (``sources/layout.py``) so
+        later narrow predicates on ANY listed column prune via footer
+        stats. Returns the new version (or the current one if fewer
+        than two small files exist)."""
+        snap = self._snapshot()
+        small = [
+            rel for rel in sorted(snap.files)
+            if os.path.getsize(os.path.join(self.path, rel))
+            < target_file_bytes
+        ]
+        if len(small) < 2:
+            return snap.version
+        df = self.spark.read.parquet(
+            *[os.path.join(self.path, r) for r in small])
+        if zorder_by:
+            from pandas_rust_algos_spark.sources.layout import zorder_column
+
+            df = (df.withColumn("__z", zorder_column(df, zorder_by))
+                  .sortWithinPartitions("__z").drop("__z"))
+        n_bytes = sum(os.path.getsize(os.path.join(self.path, r))
+                      for r in small)
+        df = df.coalesce(max(1, n_bytes // target_file_bytes + 1))
+        adds = self._write_data_files(df)
+        return self._commit("compact", adds, small, snap.version)
+
+    def changes(self, v_from: int, v_to: int | None = None) -> DataFrame:
+        """Change data feed between two versions: the row-level diff of
+        the two pinned snapshots keyed by ``key_cols`` — ``status`` ∈
+        added/removed/changed with old_*/new_* values per compared
+        column (``operators/reconcile.snapshot_diff``). One full-outer
+        hash join on the table key, AQE-sized and skew-split — the same
+        single-shuffle cost as any fact-fact join; unchanged rows are
+        filtered before anything leaves the executors."""
+        from pandas_rust_algos_spark.operators.reconcile import snapshot_diff
+
+        if not self.key_cols:
+            raise ValueError("changes requires key_cols")
+        old = self.read(version=v_from)
+        new = self.read(version=v_to)
+        compare = [c for c in new.columns if c not in self.key_cols]
+        diff = snapshot_diff(old, new, self.key_cols, compare)
+        return diff.where(F.col("status") != "unchanged")
+
     # ------------------------------------------------------------- reads
 
     def read(self, version: int | None = None,
@@ -343,6 +427,44 @@ class VersionedTable:
 
     def file_count(self, version: int | None = None) -> int:
         return len(self._snapshot(version).files)
+
+    # ---------------------------------------------------------- streaming
+
+    def write_stream(self, stream: DataFrame, *, checkpoint: str,
+                     mode: str = "merge", delete_col: str | None = None,
+                     available_now: bool = True):
+        """Streaming sink: each micro-batch lands as one atomic commit
+        (``mode='append'`` for blind event streams, ``'merge'`` for
+        keyed upserts). foreachBatch is at-least-once; merge is
+        idempotent per batch (same keys → same result) and the commit
+        protocol makes replays visible in ``history()`` rather than
+        corrupting — the lakehouse answer to
+        ``merge.write_stream_upsert``. Returns the StreamingQuery."""
+        if mode not in ("append", "merge"):
+            raise ValueError(f"mode must be append|merge, got {mode!r}")
+
+        def sink(batch_df: DataFrame, batch_id: int) -> None:
+            if mode == "append":
+                if self.latest_version() is None:
+                    self.create(batch_df)
+                else:
+                    self.append(batch_df)
+            else:
+                if self.latest_version() is None:
+                    first = batch_df
+                    if delete_col is not None:
+                        first = batch_df.where(
+                            ~F.coalesce(F.col(delete_col), F.lit(False))
+                        ).drop(delete_col)
+                    self.create(first)
+                else:
+                    self.merge(batch_df, delete_col=delete_col)
+
+        writer = (stream.writeStream.foreachBatch(sink)
+                  .option("checkpointLocation", checkpoint))
+        if available_now:
+            writer = writer.trigger(availableNow=True)
+        return writer.start()
 
     # ------------------------------------------------------------- vacuum
 

@@ -171,6 +171,85 @@ def test_merge_empty_batch_is_noop_rewrite(spark, tmp_path):
     assert commit["remove"] == [], "empty batch must not rewrite any file"
 
 
+def test_delete_rewrites_only_matching_files(spark, tmp_path):
+    tbl = _mk(spark, tmp_path)
+    tbl.create(_df(spark, range(0, 50), "lo").repartition(1))
+    tbl.append(_df(spark, range(1000, 1050), "hi").repartition(1))
+    tbl.delete(F.col("id") >= 1040)
+    commit = json.load(open(tbl._log_path(tbl.latest_version())))
+    assert len(commit["remove"]) == 1, "only the hi file contains matches"
+    assert len(_ids(tbl)) == 90
+    assert 1039 in _ids(tbl) and 1040 not in _ids(tbl)
+    # no matches -> a pure no-op commit, nothing rewritten
+    tbl.delete(F.col("id") > 10_000)
+    commit = json.load(open(tbl._log_path(tbl.latest_version())))
+    assert commit["remove"] == [] and commit["add"] == []
+
+
+def test_compact_coalesces_small_files(spark, tmp_path):
+    tbl = _mk(spark, tmp_path)
+    tbl.create(_df(spark, [0], "a"))
+    for i in range(1, 8):
+        tbl.append(_df(spark, [i], "a"))
+    assert tbl.file_count() >= 8
+    v = tbl.compact()
+    assert tbl.file_count(v) < 8
+    assert _ids(tbl) == list(range(8))
+    # pinned pre-compaction reader unaffected; second compact is a no-op
+    assert _ids(tbl, version=v - 1) == list(range(8))
+    assert tbl.compact() == v
+
+
+def test_compact_zorder_preserves_data(spark, tmp_path):
+    tbl = VersionedTable(spark, str(tmp_path / "tbl"), key_cols=["id"])
+    rows = [(i, i % 13, f"p-{i}") for i in range(200)]
+    df = spark.createDataFrame(rows, "id long, bucket long, payload string")
+    tbl.create(df.repartition(4))
+    tbl.append(df.limit(0))  # second (empty) file so compact triggers
+    v = tbl.compact(zorder_by=["id", "bucket"])
+    got = sorted((r["id"], r["bucket"], r["payload"])
+                 for r in tbl.read(version=v).collect())
+    assert got == sorted(rows)
+
+
+def test_changes_feed(spark, tmp_path):
+    tbl = _mk(spark, tmp_path)
+    tbl.create(_df(spark, range(5), "a"))
+    updates = spark.createDataFrame(
+        [(2, "a-2-new", False), (9, "a-9", False), (4, None, True)],
+        "id long, payload string, is_delete boolean")
+    tbl.merge(updates, delete_col="is_delete")
+    feed = {r["id"]: r for r in tbl.changes(0, 1).collect()}
+    assert set(feed) == {2, 4, 9}
+    assert feed[2]["status"] == "changed" and feed[2]["new_payload"] == "a-2-new"
+    assert feed[9]["status"] == "added"
+    assert feed[4]["status"] == "removed" and feed[4]["old_payload"] == "a-4"
+
+
+def test_write_stream_merge_sink(spark, tmp_path):
+    """Rate-limited memory stream → versioned merge sink: every batch
+    is one atomic commit; final state equals last-writer-wins."""
+    src = str(tmp_path / "src")
+    _df(spark, range(10), "v1").write.mode("overwrite").parquet(src)
+    stream = (spark.readStream.schema("id long, payload string")
+              .option("maxFilesPerTrigger", "1").parquet(src))
+    tbl = _mk(spark, tmp_path)
+    q = tbl.write_stream(stream, checkpoint=str(tmp_path / "ckpt"))
+    q.awaitTermination(120)
+    assert _ids(tbl) == list(range(10))
+    ops = [h["op"] for h in tbl.history()]
+    assert ops[0] == "create" and set(ops[1:]) <= {"merge"}
+    # second stream of updates merges on top
+    src2 = str(tmp_path / "src2")
+    _df(spark, [3, 42], "v2").write.mode("overwrite").parquet(src2)
+    stream2 = (spark.readStream.schema("id long, payload string")
+               .parquet(src2))
+    q2 = tbl.write_stream(stream2, checkpoint=str(tmp_path / "ckpt2"))
+    q2.awaitTermination(120)
+    got = _payloads(tbl)
+    assert got[3] == "v2-3" and got[42] == "v2-42" and got[7] == "v1-7"
+
+
 def test_read_prunes_columns_and_filters(spark, tmp_path):
     """The snapshot read is a plain parquet scan — pushdown and column
     pruning still reach the files."""
