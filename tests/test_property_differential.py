@@ -118,3 +118,112 @@ def test_fuzzy_join_matches_bruteforce(spark, strings, k):
         if ia < ib and lev(sa, sb) <= k
     }
     assert got == want
+
+
+# ------------------------------------------------- round-3 pipeline ops
+
+
+@st.composite
+def token_docs(draw, min_docs=2, max_docs=8):
+    """Documents over a 4-word vocabulary — tiny domain forces shared
+    n-grams, repeats, and sub-n-token docs."""
+    n = draw(st.integers(min_docs, max_docs))
+    return [
+        " ".join(draw(st.lists(st.sampled_from(["aa", "bb", "cc", "dd"]),
+                               min_size=0, max_size=10)))
+        for _ in range(n)
+    ]
+
+
+def _py_grams(text: str, n: int) -> list[str]:
+    toks = text.split()
+    return [" ".join(toks[i:i + n]) for i in range(len(toks) - n + 1)]
+
+
+@settings(**_SETTINGS)
+@given(corpus=token_docs(), bench=token_docs(max_docs=4),
+       n=st.integers(2, 4))
+def test_decontaminate_matches_bruteforce(spark, corpus, bench, n):
+    """Both probe variants (string and xxhash64) must equal the
+    exhaustive Python gram-set intersection for any inputs."""
+    from pandas_rust_algos_spark.operators.decontam import decontaminate
+
+    cdf = spark.createDataFrame(list(enumerate(corpus)),
+                                "doc_id long, text string")
+    bdf = spark.createDataFrame(list(enumerate(bench)),
+                                "doc_id long, text string")
+    bench_set = {g for t in bench for g in _py_grams(t, n)}
+    want = {}
+    for i, t in enumerate(corpus):
+        grams = set(_py_grams(t, n))
+        want[i] = (len(grams), len(grams & bench_set))
+    for hashed in (False, True):
+        out = decontaminate(cdf, bdf, n=n, hashed=hashed).collect()
+        got = {r["doc_id"]: (r["n_grams"], r["n_hits"]) for r in out}
+        assert got == want, (corpus, bench, n, hashed)
+
+
+@settings(**_SETTINGS)
+@given(docs=token_docs())
+def test_repetition_signals_match_bruteforce(spark, docs):
+    from collections import Counter
+
+    from pandas_rust_algos_spark.operators.text import repetition_signals
+
+    sdf = spark.createDataFrame(list(enumerate(docs)),
+                                "doc_id long, text string")
+    got = {r["doc_id"]: r for r in repetition_signals(sdf, n=2).collect()}
+    for i, t in enumerate(docs):
+        grams = _py_grams(t, 2)
+        r = got[i]
+        assert r["n_tokens"] == len(t.split())
+        assert r["n_ngrams"] == len(grams)
+        assert r["n_distinct"] == len(set(grams))
+        if grams:
+            assert _close(r["dup_ngram_frac"],
+                          (len(grams) - len(set(grams))) / len(grams))
+            assert _close(r["top_ngram_frac"],
+                          Counter(grams).most_common(1)[0][1] / len(grams))
+        else:
+            assert r["dup_ngram_frac"] is None
+
+
+@settings(**_SETTINGS)
+@given(
+    rows=st.lists(st.tuples(st.integers(0, 10_000),
+                            st.sampled_from(["x", "y", "z"])),
+                  min_size=3, max_size=40, unique_by=lambda r: r[0]),
+    wx=st.integers(1, 5), wy=st.integers(0, 5), wz=st.integers(0, 5),
+)
+def test_domain_mix_matches_bruteforce(spark, rows, wx, wy, wz):
+    """Spark's in-plan threshold arithmetic must reproduce the Python
+    reference bit-exactly — the same reproducibility contract the
+    DuckDB oracle relies on."""
+    import hashlib
+    import math
+
+    from pandas_rust_algos_spark.operators.datasplit import domain_mix_sample
+
+    weights = {d: w for d, w in (("x", wx), ("y", wy), ("z", wz)) if w > 0}
+    sdf = spark.createDataFrame(rows, "id long, domain string")
+    kept = sorted(r["id"] for r in
+                  domain_mix_sample(sdf, "domain", "id", weights,
+                                    salt="prop").collect())
+
+    total_w = sum(weights.values())
+    wn = {d: w / total_w for d, w in weights.items()}
+    counts = {}
+    for _id, d in rows:
+        counts[d] = counts.get(d, 0) + 1
+    present = {d: c for d, c in counts.items() if d in wn}
+    t = min(float(c) / wn[d] for d, c in present.items())
+    want = []
+    for _id, d in rows:
+        if d not in present:
+            continue
+        frac = min(1.0, (wn[d] * t) / float(present[d]))
+        ti = int(math.floor(frac * 16 ** 6))
+        thr = "g" if ti >= 16 ** 6 else format(ti, "06x")
+        if hashlib.md5(f"{_id}:prop".encode()).hexdigest() < thr:
+            want.append(_id)
+    assert kept == sorted(want), (rows, weights)
