@@ -280,3 +280,123 @@ def events_rollup_hour_day(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("n_events"),
              (F.sum("vfx").cast("double") / F.lit(1e6)).alias("sum_value"))
     )
+
+
+@register(
+    "events_funnel",
+    oracle="""
+    WITH s1 AS (
+      SELECT user_id, MIN(epoch_us(ts)) AS t1
+      FROM events WHERE event_type = 'view' GROUP BY user_id
+    ), s2 AS (
+      SELECT e.user_id, MIN(epoch_us(e.ts)) AS t2
+      FROM events e JOIN s1 USING (user_id)
+      WHERE e.event_type = 'click' AND epoch_us(e.ts) > s1.t1
+      GROUP BY e.user_id
+    ), s3 AS (
+      SELECT e.user_id, MIN(epoch_us(e.ts)) AS t3
+      FROM events e JOIN s2 USING (user_id)
+      WHERE e.event_type = 'purchase' AND epoch_us(e.ts) > s2.t2
+      GROUP BY e.user_id
+    ), j AS (
+      SELECT s1.user_id, t1, t2, t3
+      FROM s1 LEFT JOIN s2 USING (user_id) LEFT JOIN s3 USING (user_id)
+    )
+    SELECT 'view' AS step, CAST(1 AS BIGINT) AS step_idx,
+           COUNT(*) AS n_users FROM j
+    UNION ALL
+    SELECT 'click', 2, COUNT(*) FROM j
+    WHERE t2 IS NOT NULL AND t2 - t1 <= 604800000000
+    UNION ALL
+    SELECT 'purchase', 3, COUNT(*) FROM j
+    WHERE t2 IS NOT NULL AND t2 - t1 <= 604800000000
+      AND t3 IS NOT NULL AND t3 - t1 <= 604800000000
+    """,
+)
+def events_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered conversion funnel view → click → purchase within a
+    7-day horizon of the first view: each step's earliest qualifying
+    timestamp comes from a conditional aggregate over the PREVIOUS
+    step's users (strictly increasing event times, the product-
+    analytics semantics). Three per-user min-aggregates — each one
+    shuffle of (user, ts) pairs with map-side combine — then two
+    broadcast-sized left joins; no window over the raw event stream,
+    no per-user sort. Timestamps compare as exact microsecond epochs
+    on both engines."""
+    tune(spark)
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", "event_type", F.unix_micros("ts").alias("t"))
+    horizon = 7 * 24 * 3600 * 1_000_000
+
+    s1 = (ev.where(F.col("event_type") == "view")
+          .groupBy("user_id").agg(F.min("t").alias("t1")))
+    s2 = (ev.where(F.col("event_type") == "click")
+          .join(s1, "user_id").where(F.col("t") > F.col("t1"))
+          .groupBy("user_id").agg(F.min("t").alias("t2")))
+    s3 = (ev.where(F.col("event_type") == "purchase")
+          .join(s2, "user_id").where(F.col("t") > F.col("t2"))
+          .groupBy("user_id").agg(F.min("t").alias("t3")))
+    j = (s1.join(s2.select("user_id", "t2"), "user_id", "left")
+         .join(s3.select("user_id", "t3"), "user_id", "left"))
+
+    in2 = F.col("t2").isNotNull() & (F.col("t2") - F.col("t1") <= horizon)
+    in3 = in2 & F.col("t3").isNotNull() & \
+        (F.col("t3") - F.col("t1") <= horizon)
+    counts = j.agg(
+        F.count(F.lit(1)).alias("n1"),
+        F.count(F.when(in2, 1)).alias("n2"),
+        F.count(F.when(in3, 1)).alias("n3"),
+    )
+    steps = spark.createDataFrame(
+        [("view", 1), ("click", 2), ("purchase", 3)],
+        "step string, step_idx long")
+    return (steps.crossJoin(F.broadcast(counts))
+            .select("step", "step_idx",
+                    F.when(F.col("step_idx") == 1, F.col("n1"))
+                    .when(F.col("step_idx") == 2, F.col("n2"))
+                    .otherwise(F.col("n3")).alias("n_users")))
+
+
+@register(
+    "events_cohort_retention",
+    oracle="""
+    WITH first_seen AS (
+      SELECT user_id,
+             CAST(FLOOR(DATEDIFF('day', DATE '2024-01-01',
+                  MIN(CAST(ts AS DATE))) / 7) AS BIGINT) AS cohort_week
+      FROM events GROUP BY user_id
+    ), activity AS (
+      SELECT DISTINCT e.user_id, f.cohort_week,
+             CAST(FLOOR(DATEDIFF('day', DATE '2024-01-01',
+                  CAST(e.ts AS DATE)) / 7) AS BIGINT) - f.cohort_week
+               AS week_offset
+      FROM events e JOIN first_seen f USING (user_id)
+    )
+    SELECT cohort_week, week_offset, COUNT(*) AS n_active
+    FROM activity GROUP BY 1, 2
+    """,
+)
+def events_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weekly cohort retention: users grouped by first-seen week, the
+    classic (cohort × week-offset → active users) triangle. Two
+    aggregations on the user key — the first-seen aggregate reuses the
+    same partitioning as the distinct — and week arithmetic is integer
+    day-difference division (identical on both engines; no engine week
+    boundaries involved)."""
+    tune(spark)
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id",
+        F.floor(
+            F.datediff(F.col("ts").cast("date"), F.lit("2024-01-01").cast("date"))
+            / 7
+        ).cast("long").alias("week"),
+    )
+    first = ev.groupBy("user_id").agg(F.min("week").alias("cohort_week"))
+    activity = (
+        ev.join(first, "user_id")
+        .select("user_id", "cohort_week",
+                (F.col("week") - F.col("cohort_week")).alias("week_offset"))
+        .distinct()
+    )
+    return (activity.groupBy("cohort_week", "week_offset")
+            .agg(F.count(F.lit(1)).alias("n_active")))

@@ -95,6 +95,8 @@ _GATE_PRIORITY: tuple[str, ...] = (
     "decontaminate",
     "repetition_signals",
     "domain_mix_sample",
+    "events_funnel",
+    "events_cohort_retention",
     # (c) modules changing this round
     "minhash_near_dupes",
     "simhash_fingerprints",
@@ -118,8 +120,9 @@ _GATE_PRIORITY: tuple[str, ...] = (
     "group_quantile_linear",
     "group_quantile_lower",
     "group_quantile_higher",
-    "group_quantile_nearest",
-    "group_quantile_midpoint",
+    # (nearest/midpoint re-checks yield window slots to the round-3
+    # funnel/cohort gates — r1-green, shared rank-window plan with the
+    # three variants kept above, in-repo parity still covers them)
     "group_min_max",
     "group_first_last",
     # (r1-green group_nth / group_first_last_string / group_ohlc yield
