@@ -46,6 +46,9 @@ HEADLINE = [
     "decontaminate",
     "repetition_signals",
     "domain_mix_sample",
+    "pii_scrub",
+    "quality_filter",
+    "tfidf_topterms",
 ]
 
 

@@ -36,6 +36,7 @@ __all__ = [
     "ngram_jaccard_pairs",
     "embedding_near_dupes",
     "dup_clusters",
+    "keep_canonical",
 ]
 
 
@@ -429,3 +430,24 @@ def dup_clusters(
         )
     finally:
         edges.unpersist()
+
+
+def keep_canonical(
+    docs: DataFrame,
+    clusters: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    cluster_col: str = "cluster_id",
+) -> DataFrame:
+    """End-to-end dedup filter: keep exactly one representative per
+    duplicate cluster — the smallest doc id, i.e. the rows where
+    :func:`dup_clusters` labeled a node with its own id.
+
+    One semi-join on the id key (broadcast when the representative set
+    is small, shuffle otherwise — Catalyst/AQE picks). This is the op
+    a 100 TB pipeline actually runs after near-dup detection: the pair
+    list and cluster map are metadata-scale relative to the corpus, so
+    the corpus is touched exactly once more, by a join that prunes to
+    the id column on the build side."""
+    reps = clusters.where(F.col(cluster_col) == F.col(id_col)).select(id_col)
+    return docs.join(reps, id_col, "leftsemi")

@@ -400,3 +400,43 @@ def events_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return (activity.groupBy("cohort_week", "week_offset")
             .agg(F.count(F.lit(1)).alias("n_active")))
+
+
+@register(
+    "events_stream_dedup",
+    oracle="""
+    SELECT event_type, COUNT(*) AS n_events,
+           COUNT(DISTINCT event_id) AS n_distinct
+    FROM events GROUP BY event_type
+    """,
+)
+def events_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming exact-once dedup, oracle-checked end-to-end: every
+    event is DUPLICATED (explode of a 2-element array — simulating an
+    at-least-once source replay), streamed through
+    ``dropDuplicatesWithinWatermark`` on event_id, drained with
+    availableNow, and aggregated per type. The result must equal the
+    batch per-type counts over the ORIGINAL table — every injected
+    duplicate must die in the dedup state, none of the originals may.
+
+    Determinism note: the fixture is a single parquet file → one
+    microbatch → the initial watermark covers every row, so no row is
+    late-dropped and exactly one copy per event_id survives. (On a
+    multi-batch production source the same plan stays correct for
+    duplicates arriving within the watermark horizon — that horizon is
+    the documented contract of the operator, streaming/events.py.)"""
+    tune(spark)
+    from pandas_rust_algos_spark.streaming import events as se
+
+    stream = se.read_events_stream(spark, sf_dir)
+    doubled = stream.withColumn("__copy", F.explode(F.array(F.lit(0), F.lit(1)))).drop(
+        "__copy"
+    )
+    deduped = se.dedup_stream(doubled, ["event_id"])
+    out = se.run_available_now(
+        deduped, table="events_stream_dedup_out", output_mode="append"
+    )
+    return out.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.count_distinct(F.col("event_id")).alias("n_distinct"),
+    )

@@ -1,0 +1,333 @@
+"""Gate queries for the scrubbing / corpus-statistics operators
+(driver-brief extension, SURVEY §2.3): PII detection+redaction,
+URL/domain frequency, Gopher-rule quality filtering, deterministic
+output sharding, TF-IDF top terms, inverted index, and end-to-end
+dedup-keep-canonical.
+
+The synthetic documents fixture is digit- and URL-free word soup, so
+the PII/URL gates *inject* deterministic patterns by pure column
+algebra — the SAME expression evaluates in Spark and in the DuckDB
+oracle, so the detection targets are bit-identical on both sides and
+the hash compare exercises the real extraction/redaction machinery.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from pandas_rust_algos_spark.operators import dedup as dd
+from pandas_rust_algos_spark.operators import scrub as sc
+from pandas_rust_algos_spark.operators import tfidf as ti
+from pandas_rust_algos_spark.plans.registry import register
+from pandas_rust_algos_spark.session import tune
+from pandas_rust_algos_spark.sources import load_table, spread
+
+
+def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    tune(spark)
+    return spread(load_table(spark, sf_dir, "documents"))
+
+
+# ------------------------------------------------------- injected text
+
+# Spark and SQL twins of the SAME augmentation: email for doc_id%3,
+# phone for %5, IPv4 for %7, a source-derived URL for %2, a second
+# fixed-domain URL for %6. Pure functions of (doc_id, source, text).
+
+
+def _aug_col() -> F.Column:
+    d = F.col("doc_id")
+    email = F.when(
+        d % 3 == 0,
+        F.concat(
+            F.lit(" contact user"), d.cast("string"), F.lit("@"),
+            F.col("source"), F.lit(".net"),
+        ),
+    ).otherwise(F.lit(""))
+    phone = F.when(
+        d % 5 == 0,
+        F.concat(
+            F.lit(" call 555-"),
+            F.lpad((d % 1000).cast("string"), 3, "0"),
+            F.lit("-"),
+            F.lpad((d % 10000).cast("string"), 4, "0"),
+        ),
+    ).otherwise(F.lit(""))
+    ip = F.when(
+        d % 7 == 0,
+        F.concat(
+            F.lit(" host 10."), (d % 256).cast("string"),
+            F.lit(".0."), (d % 100).cast("string"),
+        ),
+    ).otherwise(F.lit(""))
+    url = F.when(
+        d % 2 == 0,
+        F.concat(
+            F.lit(" see https://"), F.col("source"),
+            F.lit(".example.com/doc/"), d.cast("string"),
+        ),
+    ).otherwise(F.lit(""))
+    url2 = F.when(d % 6 == 0, F.lit(" and https://mirror.example.org/x")).otherwise(
+        F.lit("")
+    )
+    return F.concat(F.col("text"), email, phone, ip, url, url2)
+
+
+_AUG_SQL = """
+    text
+    || CASE WHEN doc_id % 3 = 0 THEN ' contact user' || CAST(doc_id AS VARCHAR)
+            || '@' || source || '.net' ELSE '' END
+    || CASE WHEN doc_id % 5 = 0 THEN ' call 555-'
+            || LPAD(CAST(doc_id % 1000 AS VARCHAR), 3, '0') || '-'
+            || LPAD(CAST(doc_id % 10000 AS VARCHAR), 4, '0') ELSE '' END
+    || CASE WHEN doc_id % 7 = 0 THEN ' host 10.' || CAST(doc_id % 256 AS VARCHAR)
+            || '.0.' || CAST(doc_id % 100 AS VARCHAR) ELSE '' END
+    || CASE WHEN doc_id % 2 = 0 THEN ' see https://' || source
+            || '.example.com/doc/' || CAST(doc_id AS VARCHAR) ELSE '' END
+    || CASE WHEN doc_id % 6 = 0 THEN ' and https://mirror.example.org/x'
+            ELSE '' END
+"""
+
+_PII_COUNT_SQL = sc.sql_pii_counts("t")
+
+
+@register(
+    "pii_scrub",
+    oracle=f"""
+    WITH aug AS (SELECT doc_id, {_AUG_SQL} AS t FROM documents)
+    SELECT doc_id,
+           CAST({_PII_COUNT_SQL['n_email']} AS BIGINT) AS n_email,
+           CAST({_PII_COUNT_SQL['n_phone']} AS BIGINT) AS n_phone,
+           CAST({_PII_COUNT_SQL['n_ipv4']} AS BIGINT) AS n_ipv4,
+           {sc.sql_pii_redact('t')} AS redacted
+    FROM aug
+    """,
+)
+def pii_scrub_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII detect + redact over injected emails/phones/IPs — narrow
+    regex expression DAG, zero shuffle, hash-checked down to the
+    redacted text itself."""
+    d = _docs(spark, sf_dir).select("doc_id", _aug_col().alias("t"))
+    out = sc.pii_scrub(d, "t")
+    return out.select(
+        "doc_id",
+        F.col("n_email").cast("long").alias("n_email"),
+        F.col("n_phone").cast("long").alias("n_phone"),
+        F.col("n_ipv4").cast("long").alias("n_ipv4"),
+        "redacted",
+    )
+
+
+@register(
+    "url_domains",
+    oracle=f"""
+    WITH aug AS (SELECT doc_id, {_AUG_SQL} AS t FROM documents),
+    u AS (
+      SELECT doc_id, UNNEST({sc.sql_url_domain('t')}) AS domain FROM aug
+    ), per_doc AS (
+      SELECT domain, doc_id, COUNT(*) AS n_in_doc FROM u GROUP BY 1, 2
+    )
+    SELECT domain, CAST(SUM(n_in_doc) AS BIGINT) AS n_mentions,
+           COUNT(*) AS n_docs
+    FROM per_doc GROUP BY domain
+    """,
+)
+def url_domains_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Domain frequency over injected URLs — explode + one shuffle on
+    the low-cardinality domain key."""
+    d = _docs(spark, sf_dir).select("doc_id", _aug_col().alias("t"))
+    return sc.url_domains(d, "t")
+
+
+_STOPS = (("the", 5), ("a", 3), ("of", 4), ("to", 4), ("and", 5))
+_STOP_SQL = " + ".join(
+    f"(LENGTH(' ' || LOWER(text) || ' ') - "
+    f"LENGTH(REPLACE(' ' || LOWER(text) || ' ', ' {w} ', ''))) / {n}"
+    for w, n in _STOPS
+)
+
+
+@register(
+    "quality_filter",
+    oracle=f"""
+    WITH b AS (
+      SELECT doc_id,
+             LEN(LIST_FILTER(STRING_SPLIT_REGEX(TRIM(text), '\\s+'),
+                 x -> x <> '')) AS n_tokens,
+             LENGTH(text) AS n_chars,
+             LENGTH(text) - LENGTH(REPLACE(text, ' ', '')) AS spaces,
+             LENGTH(text) - LENGTH(REPLACE(text, '#', '')) AS hashes,
+             LENGTH(text) - LENGTH(REPLACE(text, '…', '')) AS ellipses,
+             CAST({_STOP_SQL} AS BIGINT) AS stop_hits
+      FROM documents
+    ), f AS (
+      SELECT doc_id,
+             CAST(n_tokens AS BIGINT) AS n_tokens,
+             CASE WHEN n_tokens > 0
+                  THEN CAST(n_chars - spaces AS DOUBLE) / n_tokens END AS mw,
+             CASE WHEN n_tokens > 0
+                  THEN CAST(hashes + ellipses AS DOUBLE) / n_tokens
+                  ELSE CAST(0 AS DOUBLE) END AS sym,
+             stop_hits
+      FROM b
+    )
+    SELECT doc_id, n_tokens,
+           ROUND(mw, 6) AS mean_word_len,
+           stop_hits AS stopword_hits,
+           CAST(n_tokens >= 20 AND n_tokens <= 100000 AS INT) AS flag_len,
+           CAST(mw IS NOT NULL AND mw >= CAST(3.0 AS DOUBLE)
+                AND mw <= CAST(10.0 AS DOUBLE) AS INT) AS flag_word_len,
+           CAST(sym < CAST(0.1 AS DOUBLE) AS INT) AS flag_symbol,
+           CAST(stop_hits >= 2 AS INT) AS flag_stopword,
+           CAST(n_tokens >= 20 AND n_tokens <= 100000
+                AND mw IS NOT NULL AND mw >= CAST(3.0 AS DOUBLE)
+                AND mw <= CAST(10.0 AS DOUBLE)
+                AND sym < CAST(0.1 AS DOUBLE)
+                AND stop_hits >= 2 AS INT) AS keep
+    FROM f
+    """,
+)
+def quality_filter_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-rule quality flags (Rae et al. 2021 §A1.1 thresholds) —
+    narrow per-row expression DAG, the cheapest highest-rejection
+    stage a 100 TB pipeline runs first."""
+    out = sc.quality_filter(_docs(spark, sf_dir))
+    return out.select(
+        "doc_id",
+        "n_tokens",
+        F.col("mean_word_len"),
+        "stopword_hits",
+        F.col("flag_len").cast("int").alias("flag_len"),
+        F.col("flag_word_len").cast("int").alias("flag_word_len"),
+        F.col("flag_symbol").cast("int").alias("flag_symbol"),
+        F.col("flag_stopword").cast("int").alias("flag_stopword"),
+        F.col("keep").cast("int").alias("keep"),
+    )
+
+
+@register(
+    "shard_assign",
+    oracle=f"""
+    SELECT {sc.sql_shard_assign('doc_id', n_shards=8, salt='gate')} AS shard,
+           COUNT(*) AS n_docs, MIN(doc_id) AS min_id, MAX(doc_id) AS max_id
+    FROM documents GROUP BY shard
+    """,
+)
+def shard_assign_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic md5 output sharding — shard membership is a pure
+    function of (key, salt), identical in DuckDB, so the exact
+    assignment (not just the counts) is what the hash verifies."""
+    d = sc.shard_assign(_docs(spark, sf_dir), "doc_id", n_shards=8, salt="gate")
+    return d.groupBy("shard").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.min("doc_id").alias("min_id"),
+        F.max("doc_id").alias("max_id"),
+    )
+
+
+@register(
+    "tfidf_topterms",
+    oracle="""
+    WITH tok AS (
+      SELECT doc_id,
+             UNNEST(LIST_FILTER(STRING_SPLIT_REGEX(TRIM(text), '\\s+'),
+                    x -> x <> '')) AS term
+      FROM documents
+    ), tf AS (
+      SELECT doc_id, term, COUNT(*) AS tf FROM tok GROUP BY 1, 2
+    ), d AS (
+      SELECT *, COUNT(*) OVER (PARTITION BY term) AS df FROM tf
+    ), n AS (SELECT COUNT(*) AS n_docs FROM documents),
+    s AS (
+      SELECT doc_id, term, tf, df,
+             ROUND(tf * LN((n_docs + CAST(1.0 AS DOUBLE))
+                           / (df + CAST(1.0 AS DOUBLE))), 6) AS score
+      FROM d CROSS JOIN n
+    ), r AS (
+      SELECT *, ROW_NUMBER() OVER (PARTITION BY doc_id
+                                   ORDER BY score DESC, term) AS rn
+      FROM s
+    )
+    SELECT doc_id, term, tf, df, score, CAST(rn AS BIGINT) AS rank
+    FROM r WHERE rn <= 3
+    """,
+)
+def tfidf_topterms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 TF-IDF terms per document — explode, two keyed windows,
+    broadcast one-row corpus count; ranking on the ROUNDED score so
+    last-ulp ln() differences can't reorder engines."""
+    out = ti.tfidf_topk(_docs(spark, sf_dir), k=3)
+    return out.select(
+        "doc_id", "term", "tf", "df", "score",
+        F.col("rank").cast("long").alias("rank"),
+    )
+
+
+@register(
+    "inverted_index",
+    oracle="""
+    WITH tok AS (
+      SELECT DISTINCT doc_id, term FROM (
+        SELECT doc_id,
+               UNNEST(LIST_FILTER(STRING_SPLIT_REGEX(TRIM(text), '\\s+'),
+                      x -> x <> '')) AS term
+        FROM documents
+      )
+    )
+    SELECT term, COUNT(*) AS df,
+           STRING_AGG(CAST(doc_id AS VARCHAR), ',' ORDER BY doc_id) AS postings
+    FROM tok GROUP BY term
+    """,
+)
+def inverted_index_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact posting lists per term — map-side distinct, one shuffle
+    on the term key, sorted comma-joined ids (deterministic string)."""
+    return ti.inverted_index(_docs(spark, sf_dir))
+
+
+@register(
+    "dedup_keep_canonical",
+    oracle="""
+    WITH RECURSIVE g AS (
+      SELECT DISTINCT doc_id, lang,
+             UNNEST(LIST_TRANSFORM(
+               RANGE(1, GREATEST(LENGTH(text) - 4, 1) + 1),
+               i -> SUBSTR(text, CAST(i AS INT), 5))) AS g
+      FROM documents
+    ), sizes AS (
+      SELECT doc_id, COUNT(*) AS n FROM g GROUP BY doc_id
+    ), inter AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS inter
+      FROM g a JOIN g b ON a.lang = b.lang AND a.g = b.g AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    ), pairs AS (
+      SELECT id_a, id_b
+      FROM inter JOIN sizes sa ON sa.doc_id = id_a
+                 JOIN sizes sb ON sb.doc_id = id_b
+      WHERE CAST(inter AS DOUBLE) / (sa.n + sb.n - inter) >= 0.2
+    ), edges AS (
+      SELECT id_a AS a, id_b AS b FROM pairs
+      UNION SELECT id_b, id_a FROM pairs
+    ), reach(a, b) AS (
+      SELECT doc_id, doc_id FROM documents
+      UNION
+      SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a
+    ), clusters AS (
+      SELECT a AS doc_id, MIN(b) AS cluster_id FROM reach GROUP BY a
+    )
+    SELECT d.doc_id, d.lang, d.n_chars
+    FROM documents d JOIN clusters c ON d.doc_id = c.doc_id
+    WHERE c.cluster_id = d.doc_id
+    """,
+)
+def dedup_keep_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The op a pipeline actually runs after near-dup detection: the
+    corpus filtered to one representative per jaccard-0.2 cluster —
+    pair generation, label propagation, then ONE semi-join back
+    against the corpus. The oracle recomputes the same survivors via
+    the recursive transitive closure."""
+    d = _docs(spark, sf_dir)
+    pairs = dd.ngram_jaccard_pairs(d, threshold=0.2)
+    clusters = dd.dup_clusters(pairs, d.select("doc_id"))
+    return dd.keep_canonical(d, clusters).select("doc_id", "lang", "n_chars")

@@ -97,6 +97,14 @@ _GATE_PRIORITY: tuple[str, ...] = (
     "domain_mix_sample",
     "events_funnel",
     "events_cohort_retention",
+    "pii_scrub",
+    "url_domains",
+    "quality_filter",
+    "shard_assign",
+    "tfidf_topterms",
+    "inverted_index",
+    "dedup_keep_canonical",
+    "events_stream_dedup",
     # (c) modules changing this round
     "minhash_near_dupes",
     "simhash_fingerprints",
@@ -150,6 +158,7 @@ def _load_all() -> None:
     from pandas_rust_algos_spark.plans import queries_events  # noqa: F401
     from pandas_rust_algos_spark.plans import queries_functions  # noqa: F401
     from pandas_rust_algos_spark.plans import queries_llmdata  # noqa: F401
+    from pandas_rust_algos_spark.plans import queries_scrub  # noqa: F401
 
     ordered = {n: _REGISTRY[n] for n in _GATE_PRIORITY if n in _REGISTRY}
     if len(ordered) < len(_REGISTRY):

@@ -1,0 +1,199 @@
+"""Semantics tests for the scrub/tfidf family: PII detection +
+redaction on crafted strings, Gopher-rule quality flags on documents
+engineered to trip each rule, deterministic sharding invariants, and
+TF-IDF / inverted-index math on a corpus small enough to verify by
+hand."""
+
+from __future__ import annotations
+
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+from pandas_rust_algos_spark.operators import dedup as dd
+from pandas_rust_algos_spark.operators import scrub as sc
+from pandas_rust_algos_spark.operators import tfidf as ti
+
+
+# ------------------------------------------------------------------ PII
+
+
+@pytest.fixture(scope="module")
+def pii_docs(spark):
+    data = [
+        (1, "reach me at jane.doe+spam@mail.example.org thanks"),
+        (2, "call 555-123-4567 or 555-000-9999 today"),
+        (3, "server at 192.168.1.10 and backup 10.0.0.1"),
+        (4, "mixed bob@x.io then 555-111-2222 then 172.16.0.254 done"),
+        (5, "nothing sensitive here at all"),
+        (6, "not-a-phone 55-123-4567 and not-an-ip 999.999 stay"),
+    ]
+    return spark.createDataFrame(data, "doc_id long, text string")
+
+
+def test_pii_counts(spark, pii_docs):
+    out = {r["doc_id"]: r for r in sc.pii_scrub(pii_docs).collect()}
+    assert (out[1]["n_email"], out[1]["n_phone"], out[1]["n_ipv4"]) == (1, 0, 0)
+    assert out[2]["n_phone"] == 2
+    assert out[3]["n_ipv4"] == 2
+    assert (out[4]["n_email"], out[4]["n_phone"], out[4]["n_ipv4"]) == (1, 1, 1)
+    assert (out[5]["n_email"], out[5]["n_phone"], out[5]["n_ipv4"]) == (0, 0, 0)
+    # word-boundary guards: 2-digit prefix and malformed ip don't match
+    assert (out[6]["n_phone"], out[6]["n_ipv4"]) == (0, 0)
+
+
+def test_pii_redaction_replaces_every_match(spark, pii_docs):
+    out = {r["doc_id"]: r["redacted"] for r in sc.pii_scrub(pii_docs).collect()}
+    assert out[1] == "reach me at <EMAIL> thanks"
+    assert out[2] == "call <PHONE> or <PHONE> today"
+    assert out[3] == "server at <IP> and backup <IP>"
+    assert out[4] == "mixed <EMAIL> then <PHONE> then <IP> done"
+    assert out[5] == "nothing sensitive here at all"
+
+
+def test_url_domains_counts_mentions_and_docs(spark):
+    docs = spark.createDataFrame(
+        [
+            (1, "see https://a.example.com/x and https://a.example.com/y"),
+            (2, "also https://a.example.com/z plus http://b.example.org/"),
+            (3, "plain text, no links"),
+        ],
+        "doc_id long, text string",
+    )
+    out = {r["domain"]: r for r in sc.url_domains(docs).collect()}
+    assert out["a.example.com"]["n_mentions"] == 3
+    assert out["a.example.com"]["n_docs"] == 2
+    assert out["b.example.org"]["n_mentions"] == 1
+    assert set(out) == {"a.example.com", "b.example.org"}
+
+
+# -------------------------------------------------------------- quality
+
+
+def test_quality_filter_each_rule_trips(spark):
+    good = ("the cat and the dog ran to the house of the baker and "
+            "then the pair sat by the door of the barn to rest a while "
+            "and the sun set over the quiet field beyond")
+    docs = spark.createDataFrame(
+        [
+            (1, good),                                    # passes all
+            (2, "too short to keep"),                     # trips length
+            (3, " ".join(["hippopotomonstrosesquippedaliophobia"] * 30)
+                + " the a of to and"),                    # trips word len
+            (4, good + " " + " ".join(["#"] * 50)),       # trips symbols…
+            (5, " ".join(["zq"] * 40)),                   # trips stopwords+wordlen
+        ],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r for r in sc.quality_filter(docs).collect()}
+    assert out[1]["keep"] is True
+    assert out[2]["flag_len"] is False and out[2]["keep"] is False
+    assert out[3]["flag_word_len"] is False and out[3]["keep"] is False
+    assert out[4]["flag_symbol"] is False and out[4]["keep"] is False
+    assert out[5]["flag_stopword"] is False and out[5]["keep"] is False
+
+
+# ------------------------------------------------------------- sharding
+
+
+def test_shard_assign_deterministic_and_balanced(spark):
+    df = spark.range(0, 2000).withColumnRenamed("id", "k")
+    a = {r["k"]: r["shard"] for r in sc.shard_assign(df, "k", n_shards=8).collect()}
+    b = {
+        r["k"]: r["shard"]
+        for r in sc.shard_assign(
+            df.repartition(13), "k", n_shards=8
+        ).collect()
+    }
+    assert a == b  # partitioning-independent
+    counts = [0] * 8
+    for s in a.values():
+        counts[s] += 1
+    assert min(counts) > 2000 / 8 * 0.7  # roughly uniform
+    # different salt -> different assignment (overwhelmingly)
+    c = {
+        r["k"]: r["shard"]
+        for r in sc.shard_assign(df, "k", n_shards=8, salt="other").collect()
+    }
+    assert sum(1 for k in a if a[k] != c[k]) > 1000
+
+
+def test_shard_assign_validates(spark):
+    df = spark.range(1).withColumnRenamed("id", "k")
+    with pytest.raises(ValueError, match="n_shards"):
+        sc.shard_assign(df, "k", n_shards=0)
+
+
+# ---------------------------------------------------------------- tfidf
+
+
+@pytest.fixture(scope="module")
+def mini_corpus(spark):
+    data = [
+        (1, "apple banana apple"),
+        (2, "banana cherry"),
+        (3, "cherry cherry cherry durian"),
+    ]
+    return spark.createDataFrame(data, "doc_id long, text string")
+
+
+def test_tfidf_scores_by_hand(spark, mini_corpus):
+    out = ti.tfidf_topk(mini_corpus, k=10)
+    rows = {(r["doc_id"], r["term"]): r for r in out.collect()}
+    # apple: tf=2 in doc1, df=1, N=3 -> 2*ln(4/2)
+    r = rows[(1, "apple")]
+    assert r["tf"] == 2 and r["df"] == 1
+    assert r["score"] == round(2 * math.log(4 / 2), 6)
+    assert r["rank"] == 1  # highest score in doc 1
+    # banana appears in 2 docs -> lower idf
+    assert rows[(1, "banana")]["df"] == 2
+    assert rows[(1, "banana")]["score"] == round(1 * math.log(4 / 3), 6)
+
+
+def test_tfidf_topk_truncates(spark, mini_corpus):
+    out = ti.tfidf_topk(mini_corpus, k=1).collect()
+    per_doc = {r["doc_id"]: r for r in out}
+    assert len(out) == 3
+    assert per_doc[3]["term"] == "cherry"
+
+
+def test_inverted_index_postings(spark, mini_corpus):
+    out = {r["term"]: r for r in ti.inverted_index(mini_corpus).collect()}
+    assert out["banana"]["postings"] == "1,2"
+    assert out["banana"]["df"] == 2
+    assert out["cherry"]["postings"] == "2,3"
+    assert out["durian"]["postings"] == "3"
+
+
+def test_inverted_index_caps_postings_df_exact(spark, mini_corpus):
+    out = {
+        r["term"]: r
+        for r in ti.inverted_index(mini_corpus, max_postings=1).collect()
+    }
+    assert out["banana"]["postings"] == "1"
+    assert out["banana"]["df"] == 2  # df unaffected by the cap
+
+
+# ------------------------------------------------------- keep_canonical
+
+
+def test_keep_canonical_one_rep_per_cluster(spark):
+    base = ("the quick brown fox jumps over the lazy dog while rain "
+            "in spain falls mainly on the plain tonight")
+    docs = spark.createDataFrame(
+        [
+            (1, base, "en"),
+            (2, base, "en"),
+            (3, base.replace("lazy", "sleepy"), "en"),
+            (4, "entirely different text about tensor contractions "
+                "and index gymnastics in curved spacetime", "en"),
+        ],
+        "doc_id long, text string, lang string",
+    )
+    pairs = dd.ngram_jaccard_pairs(docs, threshold=0.2)
+    clusters = dd.dup_clusters(pairs, docs.select("doc_id"))
+    kept = sorted(
+        r["doc_id"] for r in dd.keep_canonical(docs, clusters).collect()
+    )
+    assert kept == [1, 4]
