@@ -49,6 +49,8 @@ HEADLINE = [
     "pii_scrub",
     "quality_filter",
     "tfidf_topterms",
+    "events_attribution",
+    "group_winsorize",
 ]
 
 

@@ -251,6 +251,13 @@ class GroupBy:
     def zscore(self, *cols: str) -> DataFrame:
         return _gt.group_zscore(self._df, self._keys, list(cols))
 
+    def winsorize(self, col: str, *, lower: float = 0.05,
+                  upper: float = 0.95) -> DataFrame:
+        """Clip ``col`` to its group's [lower, upper] interpolated
+        percentile bounds, keeping every row."""
+        return _gt.group_winsorize(self._df, self._keys, col,
+                                   lower=lower, upper=upper)
+
 
 def groupby(
     df: DataFrame,

@@ -24,7 +24,7 @@ Python, no UDF, no collect).
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 __all__ = [
@@ -33,6 +33,7 @@ __all__ = [
     "chunk_documents",
     "stratified_sample",
     "domain_mix_sample",
+    "token_budget_sample",
 ]
 
 
@@ -272,3 +273,75 @@ def sql_stratified_sample(
         f"(CASE {strata_expr} {arms} "
         f"ELSE '{split_threshold_hex(default_frac)}' END)"
     )
+
+
+def token_budget_sample(
+    df: DataFrame,
+    domain_col: str,
+    token_col: str,
+    key_col: str,
+    *,
+    budget: int,
+    salt: str = "budget-v1",
+    cum_col: str = "cum_tokens",
+) -> DataFrame:
+    """Fill a per-domain token budget: within each domain, admit
+    documents in a deterministic pseudo-random order (salted md5 of
+    the key) until the running token total reaches ``budget`` — the
+    "sample N tokens per source" step of assembling a pretraining mix,
+    where the budget is in tokens, not documents, so long docs crowd
+    out fewer short ones.
+
+    A document is admitted iff the budget was not yet exhausted when
+    its turn came (``cum - own < budget``) — the first over-budget doc
+    is therefore kept (budgets are targets, not hard caps; truncating
+    mid-document is the chunker's job, not the sampler's).
+
+    One shuffle keyed by domain for the ordered window; admission
+    order is a pure function of (key, salt) — stable across runs,
+    engines, partitionings, and task retries, and the sample is
+    *prefix-nested*: raising the budget only ever ADDS documents,
+    which is what incremental mix rebuilds need. Skew note: the
+    per-domain sort is the cost; at whale-domain scale pre-filter with
+    :func:`stratified_sample` to an over-estimate first, then
+    budget-trim the survivors.
+    """
+    if budget <= 0:
+        raise ValueError(f"budget must be positive, got {budget}")
+    h = F.md5(
+        F.concat(F.col(key_col).cast("string"), F.lit(":" + salt))
+    )
+    w = (
+        Window.partitionBy(domain_col)
+        .orderBy(h, F.col(key_col))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum = F.sum(F.col(token_col)).over(w)
+    return (
+        df.withColumn(cum_col, cum)
+        .where(F.col(cum_col) - F.col(token_col) < budget)
+    )
+
+
+def sql_token_budget_sample(
+    domain_expr: str,
+    token_expr: str,
+    key_expr: str,
+    *,
+    budget: int,
+    salt: str = "budget-v1",
+) -> str:
+    """DuckDB twin of :func:`token_budget_sample`: a full SELECT over
+    table ``t`` (aliasing columns verbatim) with the same md5
+    admission order and running-sum cutoff. The windowed SUM is cast
+    to BIGINT — DuckDB widens windowed integer sums to HUGEINT, which
+    would break schema parity."""
+    h = f"md5(CAST({key_expr} AS VARCHAR) || ':{salt}')"
+    return f"""
+    SELECT *, CAST(SUM({token_expr}) OVER (
+                PARTITION BY {domain_expr}
+                ORDER BY {h}, {key_expr}
+                ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_tokens
+    FROM t
+    QUALIFY cum_tokens - ({token_expr}) < {budget}
+    """

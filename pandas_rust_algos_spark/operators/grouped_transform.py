@@ -58,6 +58,7 @@ __all__ = [
     "group_ewm_mean",
     "group_ewm_var",
     "group_zscore",
+    "group_winsorize",
 ]
 
 
@@ -1012,3 +1013,50 @@ def group_zscore(
         z = F.when((n > ddof) & (std > 0), (c - mean) / std)
         out = out.withColumn(f"{v}{out_suffix}", z)
     return out
+
+
+def group_winsorize(
+    df: DataFrame,
+    keys: Sequence[str] | str,
+    value: str,
+    *,
+    lower: float = 0.05,
+    upper: float = 0.95,
+    out_col: str | None = None,
+) -> DataFrame:
+    """Per-group winsorization: clip ``value`` to the group's
+    [lower, upper] linear-interpolated percentile bounds, keeping every
+    row — the outlier-taming transform of a feature pipeline.
+
+    One shuffle: within-group ranks and the straddling order statistics
+    are all window aggregates over the SAME group partitioning (the
+    rank-window quantile formulation of :func:`~.grouped_agg
+    .group_quantile` — no value buffering, O(1) state per row, no
+    agg+join-back round trip). NULLs sort last, rank targets use the
+    non-null count, and NULL inputs stay NULL (guarded — least/greatest
+    silently skip NULLs on both engines, which would otherwise turn a
+    NULL into the lower bound)."""
+    if not (0.0 <= lower <= upper <= 1.0):
+        raise ValueError(
+            f"need 0 <= lower <= upper <= 1, got {lower}, {upper}"
+        )
+    keys = _cols(keys)
+    out_col = out_col or f"{value}_wins"
+    v = F.col(value)
+    wp = Window.partitionBy(*keys)
+    rn = F.row_number().over(wp.orderBy(v.asc_nulls_last())) - 1
+    n = F.count(value).over(wp)
+    tmp = df.withColumn("__rn", rn).withColumn("__n", n)
+
+    def bound(q: float) -> Column:
+        target = F.lit(q) * (F.col("__n") - 1)
+        lo, hi = F.floor(target), F.ceil(target)
+        vlo = F.max(F.when(F.col("__rn") == lo, v)).over(wp)
+        vhi = F.max(F.when(F.col("__rn") == hi, v)).over(wp)
+        frac = F.max(F.when(F.col("__rn") == lo, target - lo)).over(wp)
+        return vlo + frac * (vhi - vlo)
+
+    clipped = F.when(
+        v.isNotNull(), F.least(F.greatest(v, bound(lower)), bound(upper))
+    )
+    return tmp.withColumn(out_col, clipped).drop("__rn", "__n")

@@ -12,7 +12,7 @@ micro-units (rule 1).
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from pandas_rust_algos_spark.plans.registry import dsum, register
@@ -440,3 +440,154 @@ def events_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_events"),
         F.count_distinct(F.col("event_id")).alias("n_distinct"),
     )
+
+
+@register(
+    "events_attribution",
+    oracle="""
+    SELECT event_id, user_id, value,
+           ft.eid AS first_event, ft.et AS first_type,
+           lt.eid AS last_event,  lt.et AS last_type,
+           n_touches
+    FROM (
+      SELECT event_id, user_id, event_type, value,
+             MIN(CASE WHEN event_type IN ('view','click')
+                 THEN {'ts': epoch_us(ts), 'eid': event_id,
+                       'et': event_type} END)
+               OVER w AS ft,
+             MAX(CASE WHEN event_type IN ('view','click')
+                 THEN {'ts': epoch_us(ts), 'eid': event_id,
+                       'et': event_type} END)
+               OVER w AS lt,
+             COUNT(CASE WHEN event_type IN ('view','click')
+                   THEN 1 END) OVER w AS n_touches
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts)
+                   RANGE BETWEEN 604800000000 PRECEDING
+                             AND 1 PRECEDING)
+    ) WHERE event_type = 'purchase'
+    """,
+)
+def events_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-/last-touch marketing attribution: each purchase credits
+    the earliest and latest view/click by the same user in the 7 days
+    strictly before it, plus the touch count.
+
+    One shuffle (user key), one sort, three aggregates over a single
+    shared RANGE frame — never a self-join of the event stream against
+    itself (the naive purchases×touches join explodes on whale users;
+    the window form is linear in events per user). Time arithmetic is
+    exact integer microseconds (`unix_micros` ↔ `epoch_us`) — no
+    float-seconds drift between engines — and the earliest/latest
+    touch is a struct-min/max ordered by (ts, event_id, type), so
+    equal-timestamp ties break deterministically on both sides."""
+    tune(spark)
+    ev = load_table(spark, sf_dir, "events")
+    eus = F.unix_micros(F.col("ts"))
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(eus)
+        .rangeBetween(-604_800_000_000, -1)
+    )
+    touch = F.when(
+        F.col("event_type").isin("view", "click"),
+        F.struct(
+            eus.alias("ts"),
+            F.col("event_id").alias("eid"),
+            F.col("event_type").alias("et"),
+        ),
+    )
+    enriched = ev.select(
+        "event_id", "user_id", "event_type", "value",
+        F.min(touch).over(w).alias("ft"),
+        F.max(touch).over(w).alias("lt"),
+        F.count(touch).over(w).alias("n_touches"),
+    ).where(F.col("event_type") == "purchase")
+    return enriched.select(
+        "event_id", "user_id", "value",
+        F.col("ft.eid").alias("first_event"),
+        F.col("ft.et").alias("first_type"),
+        F.col("lt.eid").alias("last_event"),
+        F.col("lt.et").alias("last_type"),
+        "n_touches",
+    )
+
+
+@register(
+    "events_session_paths",
+    oracle="""
+    WITH e AS (
+      SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, event_type, event_id
+      FROM events
+    ), g AS (
+      SELECT user_id, ts, event_type, event_id,
+             CASE WHEN ts - LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                       > INTERVAL 30 MINUTE
+                  OR LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+                  THEN 1 ELSE 0 END AS is_new
+      FROM e
+    ), s AS (
+      SELECT user_id, ts, event_type, event_id,
+             CAST(SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS BIGINT) AS session_id
+      FROM g
+    ), p AS (
+      SELECT user_id, session_id,
+             STRING_AGG(event_type, '>' ORDER BY ts, event_id) AS path
+      FROM s GROUP BY user_id, session_id
+    )
+    SELECT path, COUNT(*) AS n_sessions FROM p GROUP BY path
+    """,
+)
+def events_session_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Clickstream path analysis: the frequency table of ordered
+    event-type sequences per 30-min-gap session.
+
+    Same gaps-and-islands sessionization as ``events_sessionize``
+    (one user-keyed shuffle+sort), then the path is assembled with
+    sort_array over (ts, event_id, type) structs — a deterministic
+    total order, so equal-timestamp events serialize identically on
+    both engines — and the final count shuffles only the (short) path
+    strings. Whale-session note: the path string is O(session length);
+    real pipelines cap it (slice the sorted array) before the final
+    groupBy — the fixture's sessions are bounded by the 30-min gap."""
+    tune(spark)
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    wrun = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    prev = F.lag("ts").over(w)
+    is_new = F.when(
+        prev.isNull()
+        | (
+            (
+                F.unix_micros(F.col("ts").cast("timestamp"))
+                - F.unix_micros(prev.cast("timestamp"))
+            )
+            > 1_800_000_000
+        ),
+        1,
+    ).otherwise(0)
+    sess = ev.withColumn("is_new", is_new).withColumn(
+        "session_id", F.sum("is_new").over(wrun)
+    )
+    paths = (
+        sess.groupBy("user_id", "session_id")
+        .agg(
+            F.sort_array(
+                F.collect_list(
+                    F.struct(
+                        F.unix_micros(F.col("ts").cast("timestamp")).alias("t"),
+                        F.col("event_id").alias("e"),
+                        F.col("event_type").alias("et"),
+                    )
+                )
+            ).alias("seq")
+        )
+        .select(
+            F.concat_ws(
+                ">", F.transform(F.col("seq"), lambda s: s.getField("et"))
+            ).alias("path")
+        )
+    )
+    return paths.groupBy("path").agg(F.count(F.lit(1)).alias("n_sessions"))

@@ -868,3 +868,59 @@ def group_histogram_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = _li(spark, sf_dir)
     return ga.group_histogram(li, "l_returnflag", "l_quantity",
                               lo=1, hi=51, nbins=10)
+
+
+def _wins_bound_sql(q: float, tag: str) -> str:
+    t = f"CAST({q} AS DOUBLE) * (n - 1)"
+    return f"""
+    MAX(CASE WHEN rn = CAST(FLOOR({t}) AS BIGINT) THEN v END)
+      OVER (PARTITION BY k) AS {tag}_vlo,
+    MAX(CASE WHEN rn = CAST(CEIL({t}) AS BIGINT) THEN v END)
+      OVER (PARTITION BY k) AS {tag}_vhi,
+    MAX(CASE WHEN rn = CAST(FLOOR({t}) AS BIGINT)
+        THEN {t} - FLOOR({t}) END)
+      OVER (PARTITION BY k) AS {tag}_frac"""
+
+
+@register(
+    "group_winsorize",
+    oracle=f"""
+    WITH nn AS (
+      SELECT l_returnflag AS k, l_orderkey, l_linenumber,
+             l_extendedprice AS v,
+             ROW_NUMBER() OVER (PARTITION BY l_returnflag
+                                ORDER BY l_extendedprice NULLS LAST) - 1 AS rn,
+             COUNT(l_extendedprice) OVER (PARTITION BY l_returnflag) AS n
+      FROM lineitem
+    ), b AS (
+      SELECT k, l_orderkey, l_linenumber, v,
+             {_wins_bound_sql(0.05, 'lo')},
+             {_wins_bound_sql(0.95, 'hi')}
+      FROM nn
+    )
+    SELECT k AS l_returnflag, l_orderkey, l_linenumber,
+           v AS l_extendedprice,
+           ROUND(CASE WHEN v IS NOT NULL THEN
+             LEAST(GREATEST(v, lo_vlo + lo_frac * (lo_vhi - lo_vlo)),
+                   hi_vlo + hi_frac * (hi_vhi - hi_vlo)) END, 6) AS wins
+    FROM b
+    """,
+)
+def group_winsorize_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group winsorization at [p05, p95] — the rank-window quantile
+    bounds and the clip share ONE group-keyed shuffle (no agg+join
+    back), every row kept; the oracle rebuilds the same interpolated
+    bounds from window order statistics."""
+    from pandas_rust_algos_spark.operators.grouped_transform import (
+        group_winsorize,
+    )
+
+    li = _li(spark, sf_dir)
+    out = group_winsorize(
+        li, "l_returnflag", "l_extendedprice", lower=0.05, upper=0.95,
+        out_col="wins",
+    )
+    return out.select(
+        "l_returnflag", "l_orderkey", "l_linenumber", "l_extendedprice",
+        F.round("wins", 6).alias("wins"),
+    )

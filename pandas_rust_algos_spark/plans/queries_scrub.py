@@ -331,3 +331,191 @@ def dedup_keep_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
     pairs = dd.ngram_jaccard_pairs(d, threshold=0.2)
     clusters = dd.dup_clusters(pairs, d.select("doc_id"))
     return dd.keep_canonical(d, clusters).select("doc_id", "lang", "n_chars")
+
+
+# ------------------------------------------------- budget / vector ops
+
+
+from pandas_rust_algos_spark.operators import datasplit as ds  # noqa: E402
+from pandas_rust_algos_spark.operators import text as tx  # noqa: E402
+from pandas_rust_algos_spark.operators import vectorops as vo  # noqa: E402
+from pandas_rust_algos_spark.operators.similarity import _as_double, dot  # noqa: E402
+
+
+def _emb(spark: SparkSession, sf_dir: str) -> DataFrame:
+    tune(spark)
+    return spread(load_table(spark, sf_dir, "embeddings"))
+
+
+_TBS_INNER = "SELECT doc_id, source, {tok} AS n_tokens FROM documents".format(
+    tok=tx.sql_token_count("text")
+)
+
+
+@register(
+    "token_budget_sample",
+    oracle=f"""
+    WITH t AS ({_TBS_INNER})
+    {ds.sql_token_budget_sample('source', 'n_tokens', 'doc_id',
+                                budget=2000, salt='gate')}
+    """,
+)
+def token_budget_sample_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source 2000-token budget fill in salted-md5 admission order
+    — the exact admitted set (not just its size) is the oracle, since
+    admission is a pure function of (doc_id, salt) and the running sum
+    is integer-exact on both engines."""
+    d = _docs(spark, sf_dir).select(
+        "doc_id", "source", tx.token_count("text").alias("n_tokens")
+    )
+    return ds.token_budget_sample(
+        d, "source", "n_tokens", "doc_id", budget=2000, salt="gate"
+    )
+
+
+@register(
+    "embedding_quantize",
+    oracle="""
+    WITH e AS (
+      SELECT vec_id,
+             LIST_TRANSFORM(embedding, x -> CAST(x AS DOUBLE)) AS v
+      FROM embeddings
+    ), a AS (
+      SELECT vec_id, v,
+             LIST_AGGREGATE(LIST_TRANSFORM(v, x -> ABS(x)), 'max') AS absmax
+      FROM e
+    )
+    SELECT vec_id,
+           CAST(LEN(v) AS BIGINT) AS dim,
+           absmax,
+           ROUND(SQRT(LIST_DOT_PRODUCT(v, v)), 6) AS l2_norm,
+           ARRAY_TO_STRING(LIST_TRANSFORM(v, x ->
+             CAST(COALESCE(CAST(FLOOR(x * CAST(127.0 AS DOUBLE)
+                    / (CASE WHEN absmax > 0 THEN absmax END)
+                    + CAST(0.5 AS DOUBLE)) AS INT), 0) AS VARCHAR)), ',')
+             AS q_str
+    FROM a
+    """,
+)
+def embedding_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Int8 absmax quantization of the embedding column, hash-checked
+    element-for-element (the quantized vector serialized as a string
+    so the compare is representation-stable across engines), plus the
+    round-6 L2 norm."""
+    e = _emb(spark, sf_dir)
+    q = vo.quantize_int8(e, "embedding")
+    v = _as_double(F.col("embedding"))
+    return q.select(
+        "vec_id",
+        F.size("embedding").cast("long").alias("dim"),
+        "absmax",
+        F.round(F.sqrt(dot(v, v)), 6).alias("l2_norm"),
+        F.concat_ws(
+            ",", F.transform(F.col("q"), lambda x: x.cast("string"))
+        ).alias("q_str"),
+    )
+
+
+# ------------------------------------------------------------ profiling
+
+
+from pandas_rust_algos_spark.operators import profile as pf  # noqa: E402
+
+_PROF_COLS = (
+    ("l_orderkey", "num"),
+    ("l_linenumber", "num"),
+    ("l_quantity", "num"),
+    ("l_extendedprice", "num"),
+    ("l_returnflag", "str"),
+    ("l_shipdate", "ts"),
+)
+
+
+def _prof_arm(c: str, kind: str) -> str:
+    if kind == "num":
+        lo, hi = f"CAST(MIN({c}) AS DOUBLE)", f"CAST(MAX({c}) AS DOUBLE)"
+        slo = shi = "CAST(NULL AS VARCHAR)"
+    elif kind == "str":
+        lo = hi = "CAST(NULL AS DOUBLE)"
+        slo, shi = f"MIN({c})", f"MAX({c})"
+    else:  # temporal, ISO-serialized
+        lo = hi = "CAST(NULL AS DOUBLE)"
+        slo, shi = f"CAST(MIN({c}) AS VARCHAR)", f"CAST(MAX({c}) AS VARCHAR)"
+    return f"""
+    SELECT '{c}' AS col_name, COUNT(*) AS n_rows,
+           COUNT(CASE WHEN {c} IS NULL THEN 1 END) AS n_nulls,
+           COUNT(DISTINCT {c}) AS n_distinct,
+           {lo} AS min_num, {hi} AS max_num,
+           {slo} AS min_str, {shi} AS max_str
+    FROM lineitem"""
+
+
+@register(
+    "profile_lineitem",
+    oracle="\nUNION ALL\n".join(_prof_arm(c, k) for c, k in _PROF_COLS),
+)
+def profile_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-pass whole-table profile of six lineitem columns — null
+    rates, exact distinct counts, typed min/max — one scan, one
+    aggregate, long-form explode of the single result row."""
+    tune(spark)
+    li = load_table(spark, sf_dir, "lineitem")
+    return pf.profile_table(li, [c for c, _ in _PROF_COLS])
+
+
+# ----------------------------------------------------- bigram LM stats
+
+
+@register(
+    "bigram_lm",
+    oracle=f"""
+    WITH g AS (
+      SELECT UNNEST({tx.sql_token_ngrams('text', 2)}) AS gram FROM documents
+    ), b AS (
+      SELECT STRING_SPLIT(gram, ' ')[1] AS w1,
+             STRING_SPLIT(gram, ' ')[2] AS w2
+      FROM g
+    ), c AS (
+      SELECT w1, w2, COUNT(*) AS c FROM b GROUP BY w1, w2
+    ), t AS (
+      SELECT *, CAST(SUM(c) OVER (PARTITION BY w1) AS BIGINT) AS total_w1
+      FROM c
+    ), v AS (SELECT COUNT(DISTINCT w2) AS vocab FROM b)
+    SELECT w1, w2, c, total_w1,
+           ROUND(LN((c + CAST(1.0 AS DOUBLE))
+                    / (total_w1 + vocab)), 6) AS logp
+    FROM t CROSS JOIN v
+    """,
+)
+def bigram_lm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus bigram language-model table with add-1 smoothing:
+    ``logp = ln((c(w1,w2)+1) / (c(w1·)+V))`` — the count-based LM
+    behind classic perplexity-style quality filters.
+
+    Token bigrams explode with multiplicity (the same JVM-side n-gram
+    algebra as decontamination), partial-aggregate map-side, shuffle
+    once on (w1,w2); the w1 marginal is a window over the aggregated
+    rows (second, w1-keyed shuffle) and the vocabulary size joins as a
+    broadcast one-row aggregate. Zipf-head w1 keys skew the window
+    stage — state is O(1)/key, so skew costs time, not memory."""
+    d = _docs(spark, sf_dir)
+    grams = d.select(
+        F.explode(tx.token_ngrams("text", 2)).alias("gram")
+    ).select(
+        F.split_part(F.col("gram"), F.lit(" "), F.lit(1)).alias("w1"),
+        F.split_part(F.col("gram"), F.lit(" "), F.lit(2)).alias("w2"),
+    )
+    from pyspark.sql import Window as W
+
+    c = grams.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c"))
+    t = c.withColumn(
+        "total_w1", F.sum("c").over(W.partitionBy("w1"))
+    )
+    v = grams.agg(F.count_distinct(F.col("w2")).alias("vocab"))
+    return t.crossJoin(F.broadcast(v)).select(
+        "w1", "w2", "c", "total_w1",
+        F.round(
+            F.ln((F.col("c") + F.lit(1.0)) / (F.col("total_w1") + F.col("vocab"))),
+            6,
+        ).alias("logp"),
+    )

@@ -92,6 +92,8 @@ _GATE_PRIORITY: tuple[str, ...] = (
     # (b) driver re-check after r2 oracle fix
     "events_sessionize",
     # (b2) new in round 3 — never driver-checked, fresh code first
+    # (all verified this session against the in-repo driver-mimicking
+    # oracle sim, tools/driver_sim.py, before registration here)
     "decontaminate",
     "repetition_signals",
     "domain_mix_sample",
@@ -105,6 +107,13 @@ _GATE_PRIORITY: tuple[str, ...] = (
     "inverted_index",
     "dedup_keep_canonical",
     "events_stream_dedup",
+    "token_budget_sample",
+    "embedding_quantize",
+    "events_attribution",
+    "group_winsorize",
+    "events_session_paths",
+    "profile_lineitem",
+    "bigram_lm",
     # (c) modules changing this round
     "minhash_near_dupes",
     "simhash_fingerprints",
