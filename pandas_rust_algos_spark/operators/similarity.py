@@ -302,3 +302,163 @@ def ivf_topk(
     )
     w = Window.partitionBy(query_id_col).orderBy(F.col("sim").desc(), F.col(id_col))
     return scored.withColumn("rank", F.row_number().over(w)).where(F.col("rank") <= k)
+
+
+def pq_train_codebooks(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    *,
+    m: int = 4,
+    k_codes: int = 16,
+    seed: int = 42,
+    max_train_rows: int = 100_000,
+) -> list[list[list[float]]]:
+    """Train product-quantization codebooks: split the vector into
+    ``m`` contiguous subspaces and k-means each on a bounded sample.
+    Returns ``m`` codebooks of ``k_codes`` sub-centroids each —
+    metadata-sized (m·k·(d/m) doubles), the only training-time pass;
+    everything downstream is pure expressions."""
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector
+
+    dims = len(df.select(vec_col).first()[0])
+    if dims % m != 0:
+        raise ValueError(f"dims {dims} not divisible by m={m}")
+    sub = dims // m
+    sample = df.select(_as_double(F.col(vec_col)).alias("v")).limit(
+        max_train_rows
+    )
+    books: list[list[list[float]]] = []
+    for j in range(m):
+        feats = sample.select(
+            array_to_vector(F.slice(F.col("v"), j * sub + 1, sub)).alias(
+                "features"
+            )
+        )
+        km = KMeans(k=k_codes, seed=seed + j, maxIter=20).fit(feats)
+        books.append([[float(x) for x in c] for c in km.clusterCenters()])
+    return books
+
+
+def pq_topk(
+    df: DataFrame,
+    queries: DataFrame,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+    k: int = 5,
+    m: int = 4,
+    k_codes: int = 16,
+    seed: int = 42,
+    round_digits: int = 6,
+    rerank: int | None = None,
+) -> DataFrame:
+    """Product-quantization ANN top-k by approximate inner product
+    (ADC — asymmetric distance computation), with optional exact
+    re-ranking of the PQ shortlist (``rerank`` candidates per query) —
+    the production IVF-PQ pattern: codes prune the corpus, a float
+    pass over the tiny shortlist restores ordering quality.
+
+    The 100 TB story: the corpus compresses to ``m`` small-int codes
+    per vector (e.g. 768 floats → 4 bytes at m=4, k=16) in a single
+    narrow map — the codebooks ride the plan as literals, so encoding
+    is zero-exchange and the code table is ~1000× smaller than the
+    raw embedding store. Each query precomputes an m×k_codes score
+    table (query subvector · each sub-centroid) on the broadcast-sized
+    query side; scoring a corpus row is then ``m`` array lookups —
+    no per-pair float vector math at all. Exact top-k per query over
+    the approximate scores via the standard rank window.
+    """
+    books = pq_train_codebooks(
+        df, vec_col, m=m, k_codes=k_codes, seed=seed
+    )
+    dims = sum(len(b[0]) for b in books)
+    sub = dims // m
+    bmats = [_lit_matrix(b) for b in books]
+
+    def encode(vcol: Column) -> Column:
+        codes = []
+        for j in range(m):
+            sv = F.slice(vcol, j * sub + 1, sub)
+            scored = F.transform(
+                bmats[j],
+                lambda c, i: F.struct(
+                    # nearest sub-centroid by euclidean distance ==
+                    # max (dot - ||c||²/2); fold keeps it one pass
+                    (
+                        F.aggregate(
+                            F.zip_with(sv, c, lambda x, y: (x - y) * (x - y)),
+                            F.lit(0.0),
+                            lambda a, x: a + x,
+                        )
+                    ).alias("d"),
+                    i.alias("code"),
+                ),
+            )
+            codes.append(F.array_min(scored).getField("code"))
+        return F.array(*codes)
+
+    def score_table(qcol: Column) -> Column:
+        # m × k_codes: table[j][c] = q_sub_j · centroid_{j,c}
+        tables = []
+        for j in range(m):
+            qv = F.slice(qcol, j * sub + 1, sub)
+            tables.append(
+                F.transform(bmats[j], lambda c: dot(qv, c))
+            )
+        return F.array(*tables)
+
+    coded = df.select(
+        F.col(id_col), encode(_as_double(F.col(vec_col))).alias("codes")
+    )
+    qs = queries.select(
+        F.col(query_id_col).alias("qid"),
+        score_table(_as_double(F.col(vec_col))).alias("tables"),
+    )
+    # approx dot = Σ_j tables[j][codes[j]]; element_at is 1-based
+    idx = F.sequence(F.lit(0), F.lit(m - 1))
+    approx = F.aggregate(
+        idx,
+        F.lit(0.0),
+        lambda acc, j: acc
+        + F.element_at(
+            F.element_at(F.col("tables"), j + 1),
+            F.element_at(F.col("codes"), j + 1) + 1,
+        ),
+    )
+    scored = coded.crossJoin(F.broadcast(qs)).select(
+        F.col("qid").alias(query_id_col),
+        id_col,
+        F.round(approx, round_digits).alias("approx_dot"),
+    ).where(F.col(query_id_col) != F.col(id_col))
+    w = Window.partitionBy(query_id_col).orderBy(
+        F.col("approx_dot").desc(), F.col(id_col)
+    )
+    ranked = scored.withColumn("rank", F.row_number().over(w))
+    if rerank is None:
+        return ranked.where(F.col("rank") <= k)
+    if rerank < k:
+        raise ValueError(f"rerank ({rerank}) must be >= k ({k})")
+    # exact pass over the shortlist only: |queries|·rerank rows — the
+    # raw-vector join touches a metadata-sized slice of the corpus
+    short = ranked.where(F.col("rank") <= rerank).select(query_id_col, id_col)
+    cvec = df.select(F.col(id_col), _as_double(F.col(vec_col)).alias("__cv"))
+    qvec = queries.select(
+        F.col(query_id_col), _as_double(F.col(vec_col)).alias("__qv")
+    )
+    exact = (
+        short.join(cvec, id_col)
+        .join(F.broadcast(qvec), query_id_col)
+        .select(
+            query_id_col, id_col,
+            F.round(dot(F.col("__qv"), F.col("__cv")), round_digits)
+            .alias("exact_dot"),
+        )
+    )
+    w2 = Window.partitionBy(query_id_col).orderBy(
+        F.col("exact_dot").desc(), F.col(id_col)
+    )
+    return exact.withColumn("rank", F.row_number().over(w2)).where(
+        F.col("rank") <= k
+    )

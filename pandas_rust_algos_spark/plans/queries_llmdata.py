@@ -313,6 +313,22 @@ def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
                       F.col("rank").cast("long").alias("rank"))
 
 
+@register("ann_pq_topk")
+def ann_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate NN via product quantization with exact shortlist
+    re-rank — the compressed-corpus ANN tier (codes are ~32× smaller
+    than the embeddings; the float pass touches only |queries|·rerank
+    rows). Rows-only; recall vs brute force asserted in
+    tests/test_similarity.py."""
+    emb = _emb(spark, sf_dir)
+    queries = emb.where(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    out = sim.pq_topk(emb, queries, k=5, m=8, k_codes=16, rerank=100)
+    return out.select("query_id", "vec_id", "exact_dot",
+                      F.col("rank").cast("long").alias("rank"))
+
+
 @register("ann_ivf_topk")
 def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Approximate NN via IVF (k-means coarse quantizer, 4-of-16 cell

@@ -1,8 +1,10 @@
 """Gate queries for the scrubbing / corpus-statistics operators
 (driver-brief extension, SURVEY §2.3): PII detection+redaction,
 URL/domain frequency, Gopher-rule quality filtering, deterministic
-output sharding, TF-IDF top terms, inverted index, and end-to-end
-dedup-keep-canonical.
+output sharding, TF-IDF top terms, inverted index, end-to-end
+dedup-keep-canonical, per-domain token-budget sampling, int8
+embedding quantization, whole-table profiling, bigram LM statistics,
+and incremental materialized-view maintenance.
 
 The synthetic documents fixture is digit- and URL-free word soup, so
 the PII/URL gates *inject* deterministic patterns by pure column
@@ -16,9 +18,14 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from pandas_rust_algos_spark.operators import datasplit as ds
 from pandas_rust_algos_spark.operators import dedup as dd
+from pandas_rust_algos_spark.operators import profile as pf
 from pandas_rust_algos_spark.operators import scrub as sc
+from pandas_rust_algos_spark.operators import text as tx
 from pandas_rust_algos_spark.operators import tfidf as ti
+from pandas_rust_algos_spark.operators import vectorops as vo
+from pandas_rust_algos_spark.operators.similarity import _as_double, dot
 from pandas_rust_algos_spark.plans.registry import register
 from pandas_rust_algos_spark.session import tune
 from pandas_rust_algos_spark.sources import load_table, spread
@@ -336,12 +343,6 @@ def dedup_keep_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ------------------------------------------------- budget / vector ops
 
 
-from pandas_rust_algos_spark.operators import datasplit as ds  # noqa: E402
-from pandas_rust_algos_spark.operators import text as tx  # noqa: E402
-from pandas_rust_algos_spark.operators import vectorops as vo  # noqa: E402
-from pandas_rust_algos_spark.operators.similarity import _as_double, dot  # noqa: E402
-
-
 def _emb(spark: SparkSession, sf_dir: str) -> DataFrame:
     tune(spark)
     return spread(load_table(spark, sf_dir, "embeddings"))
@@ -418,8 +419,6 @@ def embedding_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # ------------------------------------------------------------ profiling
 
-
-from pandas_rust_algos_spark.operators import profile as pf  # noqa: E402
 
 _PROF_COLS = (
     ("l_orderkey", "num"),
@@ -519,3 +518,98 @@ def bigram_lm(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("logp"),
     )
+
+
+# ------------------------------------------- incremental view maintenance
+
+
+@register(
+    "matview_incremental",
+    oracle="""
+    WITH base AS (
+      -- engine-portable unique surrogate id: the fixture's natural key
+      -- (orderkey, linenumber) is NOT unique, but adding the payload is;
+      -- 15 md5 hex chars -> 60-bit int, same recipe as shard_assign
+      SELECT CAST('0x' || SUBSTR(md5(
+               CAST(l_orderkey AS VARCHAR) || ':' ||
+               CAST(l_linenumber AS VARCHAR) || ':' ||
+               CAST(CAST(FLOOR(l_extendedprice * 100) AS BIGINT) AS VARCHAR)
+               || ':' || l_returnflag), 1, 15) AS BIGINT) AS id,
+             l_returnflag AS grp, l_extendedprice AS v
+      FROM lineitem
+    ), upd AS (
+      SELECT id, grp || 'x' AS grp, v + 0.5 AS v FROM base WHERE id % 7 = 0
+    ), merged AS (
+      SELECT b.id, COALESCE(u.grp, b.grp) AS grp, COALESCE(u.v, b.v) AS v
+      FROM base b LEFT JOIN upd u ON b.id = u.id
+      UNION ALL
+      SELECT id + 2305843009213693952, 'Z', v FROM base WHERE id % 11 = 0
+    ), final AS (
+      SELECT * FROM merged WHERE id % 5 <> 0
+    )
+    SELECT grp, COUNT(*) AS n,
+           -- registry rule 1: DuckDB SUM(BIGINT) widens to HUGEINT,
+           -- which the driver hashes as float64, not int64
+           CAST(SUM(CAST(FLOOR(v * 1e6) AS BIGINT)) AS BIGINT) AS v_sum_micro
+    FROM final GROUP BY grp
+    """,
+)
+def matview_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incrementally-maintained materialized aggregate, gate-proved:
+    build a versioned table from lineitem, refresh the SUM/COUNT view,
+    then MERGE (updates that move rows between groups + inserts) and
+    DELETE on the base table and refresh again — each refresh applies
+    only the change feed. The oracle computes the same final state
+    declaratively; matching hashes prove delta maintenance ==
+    full recompute, bit-exactly (fixed-point sums).
+
+    At 100 TB the refresh cost tracks change volume, not table size —
+    see sources/matview.py for why only COUNT/SUM self-maintain."""
+    import tempfile
+
+    from pandas_rust_algos_spark.sources.matview import MaterializedSumView
+    from pandas_rust_algos_spark.sources.table_format import VersionedTable
+
+    tune(spark)
+    li = load_table(spark, sf_dir, "lineitem")
+    sid = F.conv(
+        F.substring(
+            F.md5(
+                F.concat_ws(
+                    ":",
+                    F.col("l_orderkey").cast("string"),
+                    F.col("l_linenumber").cast("string"),
+                    F.floor(F.col("l_extendedprice") * 100).cast("long")
+                    .cast("string"),
+                    F.col("l_returnflag"),
+                )
+            ),
+            1, 15,
+        ),
+        16, 10,
+    ).cast("bigint")
+    base = li.select(
+        sid.alias("id"),
+        F.col("l_returnflag").alias("grp"),
+        F.col("l_extendedprice").alias("v"),
+    )
+    root = tempfile.mkdtemp(prefix="matview_gate_")
+    tbl = VersionedTable(spark, root + "/base", key_cols=["id"])
+    tbl.create(base)
+    view = MaterializedSumView(tbl, root + "/view", ["grp"], ["v"])
+    view.refresh()
+    updates = base.where(F.col("id") % 7 == 0).select(
+        "id",
+        F.concat(F.col("grp"), F.lit("x")).alias("grp"),
+        (F.col("v") + 0.5).alias("v"),
+    )
+    inserts = base.where(F.col("id") % 11 == 0).select(
+        (F.col("id") + 2_305_843_009_213_693_952).alias("id"),
+        F.lit("Z").alias("grp"),
+        F.col("v").alias("v"),
+    )
+    tbl.merge(updates.unionByName(inserts))
+    view.refresh()
+    tbl.delete(F.col("id") % 5 == 0)
+    view.refresh()
+    return view.read().select("grp", "n", "v_sum_micro")

@@ -114,6 +114,8 @@ _GATE_PRIORITY: tuple[str, ...] = (
     "events_session_paths",
     "profile_lineitem",
     "bigram_lm",
+    "matview_incremental",
+    "ann_pq_topk",
     # (c) modules changing this round
     "minhash_near_dupes",
     "simhash_fingerprints",

@@ -88,3 +88,54 @@ def test_ivf_recall_vs_bruteforce(spark, emb, queries):
     # probing 4 of 16 data-adapted cells: recall far above the 25%
     # corpus fraction scanned
     assert mean_recall >= 0.4, f"mean recall {mean_recall:.2f}"
+
+
+def numpy_dot_topk(emb_pdf, k=K):
+    # PQ approximates the raw inner product (no normalization) — its
+    # truth set is the dot-product ranking, not the cosine one
+    ids = emb_pdf["vec_id"].to_numpy()
+    M = np.stack(emb_pdf["embedding"].to_numpy()).astype("float64")
+    out = {}
+    for qi in range(N_QUERIES):
+        qrow = np.where(ids == qi)[0][0]
+        sims = M @ M[qrow]
+        order = sorted(
+            (i for i in range(len(ids)) if ids[i] != qi),
+            key=lambda i: (-sims[i], ids[i]),
+        )
+        out[qi] = [int(ids[i]) for i in order[:k]]
+    return out
+
+
+def test_pq_recall_vs_bruteforce(spark, emb, queries):
+    brute = numpy_dot_topk(emb.toPandas())
+    approx = {}
+    for r in sim.pq_topk(emb, queries, k=K, m=8, k_codes=16).collect():
+        approx.setdefault(r["query_id"], set()).add(r["vec_id"])
+    recalls = [len(approx.get(q, set()) & set(brute[q])) / K for q in brute]
+    mean_recall = sum(recalls) / len(recalls)
+    # 8 subspaces × 16 codes over 64 dims (32-bit codes per vector,
+    # a 32× shrink), codes only. KMeans cell shapes vary with
+    # partitioning, so the floor is loose — but still >15× above the
+    # random baseline (K/500 = 1%); the production-quality contract
+    # is the reranked path below.
+    assert mean_recall >= 0.15, f"mean recall {mean_recall:.2f}"
+
+
+def test_pq_rerank_recovers_recall(spark, emb, queries):
+    brute = numpy_dot_topk(emb.toPandas())
+    approx = {}
+    out = sim.pq_topk(emb, queries, k=K, m=8, k_codes=16, rerank=100)
+    for r in out.collect():
+        approx.setdefault(r["query_id"], set()).add(r["vec_id"])
+    recalls = [len(approx.get(q, set()) & set(brute[q])) / K for q in brute]
+    mean_recall = sum(recalls) / len(recalls)
+    # exact re-rank of a 100-candidate (20%) shortlist: near-exact
+    assert mean_recall >= 0.8, f"mean recall {mean_recall:.2f}"
+    with pytest.raises(ValueError, match="rerank"):
+        sim.pq_topk(emb, queries, k=10, rerank=5)
+
+
+def test_pq_validates_divisibility(spark, emb):
+    with pytest.raises(ValueError, match="divisible"):
+        sim.pq_train_codebooks(emb, m=7)
