@@ -591,3 +591,54 @@ def events_session_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return paths.groupBy("path").agg(F.count(F.lit(1)).alias("n_sessions"))
+
+
+@register(
+    "events_stream_funnel",
+    oracle="""
+    WITH s1 AS (
+      SELECT user_id, MIN(epoch_us(ts)) AS t1
+      FROM events WHERE event_type = 'view' GROUP BY user_id
+    ), s2 AS (
+      SELECT e.user_id, MIN(epoch_us(e.ts)) AS t2
+      FROM events e JOIN s1 USING (user_id)
+      WHERE e.event_type = 'click' AND epoch_us(e.ts) > s1.t1
+      GROUP BY e.user_id
+    ), s3 AS (
+      SELECT e.user_id, MIN(epoch_us(e.ts)) AS t3
+      FROM events e JOIN s2 USING (user_id)
+      WHERE e.event_type = 'purchase' AND epoch_us(e.ts) > s2.t2
+      GROUP BY e.user_id
+    ), j AS (
+      SELECT s1.user_id, t1, t2, t3
+      FROM s1 LEFT JOIN s2 USING (user_id) LEFT JOIN s3 USING (user_id)
+    )
+    SELECT 'view' AS step, CAST(1 AS BIGINT) AS step_idx,
+           COUNT(*) AS n_users FROM j
+    UNION ALL
+    SELECT 'click', 2, COUNT(*) FROM j
+    WHERE t2 IS NOT NULL AND t2 - t1 <= 604800000000
+    UNION ALL
+    SELECT 'purchase', 3, COUNT(*) FROM j
+    WHERE t2 IS NOT NULL AND t2 - t1 <= 604800000000
+      AND t3 IS NOT NULL AND t3 - t1 <= 604800000000
+    """,
+)
+def events_stream_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAMING funnel, oracle-checked against the batch semantics:
+    per-user view→click→purchase state (three longs) carried by
+    applyInPandasWithState, drained with availableNow, rolled up to
+    step counts. Single-file fixture → one sorted micro-batch → the
+    state machine reproduces the batch min-aggregates exactly (see
+    streaming/funnel.py for the continuous-mode contract)."""
+    tune(spark)
+    from pandas_rust_algos_spark.streaming import events as se
+    from pandas_rust_algos_spark.streaming import funnel as sf
+
+    stream = se.read_events_stream(spark, sf_dir)
+    drained = se.run_available_now(
+        sf.funnel_state(stream),
+        table="events_stream_funnel_out",
+        output_mode="update",
+    )
+    return sf.funnel_counts(drained)

@@ -116,6 +116,7 @@ _GATE_PRIORITY: tuple[str, ...] = (
     "bigram_lm",
     "matview_incremental",
     "ann_pq_topk",
+    "events_stream_funnel",
     # (c) modules changing this round
     "minhash_near_dupes",
     "simhash_fingerprints",

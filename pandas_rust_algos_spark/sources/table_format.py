@@ -204,7 +204,8 @@ class VersionedTable:
     # ------------------------------------------------------------ commits
 
     def _commit(self, op: str, add: list[dict], remove: list[str],
-                expected_version: int | None) -> int:
+                expected_version: int | None,
+                schema_json: str | None = None) -> int:
         """Atomically claim the next version. ``expected_version`` is
         the snapshot the writer based its work on; if another commit
         landed since, operations that are not blind appends raise
@@ -227,6 +228,8 @@ class VersionedTable:
                 "add": add,
                 "remove": remove,
             }
+            if schema_json is not None:
+                record["schema"] = schema_json
             tmp = os.path.join(log_dir, f".tmp-{uuid.uuid4().hex}.json")
             with open(tmp, "w") as f:
                 json.dump(record, f)
@@ -256,26 +259,87 @@ class VersionedTable:
             json.dump(cp, f)
         os.replace(tmp, self._log_path(version, checkpoint=True))
 
+    # ------------------------------------------------------------ schema
+
+    def table_schema(self, version: int | None = None):
+        """The committed logical schema at ``version`` (latest schema-
+        bearing commit at or before it) — None for pre-schema-tracking
+        tables. Commit logs survive vacuum, so this never loses the
+        schema history."""
+        from pyspark.sql.types import StructType
+
+        commits, _ = self._list_log()
+        if not commits:
+            return None
+        target = commits[-1] if version is None else version
+        latest = None
+        for v in commits:
+            if v > target:
+                break
+            with open(self._log_path(v)) as f:
+                rec = json.load(f)
+            if "schema" in rec:
+                latest = rec["schema"]
+        return None if latest is None else StructType.fromJson(
+            json.loads(latest))
+
+    def _evolved_schema(self, df: DataFrame, merge_schema: bool) -> str:
+        """Validate ``df`` against the current table schema and return
+        the post-commit schema JSON. Without ``merge_schema`` the
+        column sets must match exactly; with it, NEW columns append to
+        the table schema (readers see NULL for them in old files —
+        parquet scan with an explicit wider schema). Same-name type
+        conflicts always raise: silent coercion corrupts data."""
+        cur = self.table_schema()
+        if cur is None:
+            return df.schema.json()
+        cur_fields = {f.name: f for f in cur.fields}
+        new_fields = {f.name: f for f in df.schema.fields}
+        for name, f in new_fields.items():
+            if name in cur_fields and cur_fields[name].dataType != f.dataType:
+                raise ValueError(
+                    f"type conflict on column {name!r}: table has "
+                    f"{cur_fields[name].dataType}, batch has {f.dataType}")
+        extra = [n for n in new_fields if n not in cur_fields]
+        missing = [n for n in cur_fields if n not in new_fields]
+        if not merge_schema and (extra or missing):
+            raise ValueError(
+                f"schema mismatch (extra={extra}, missing={missing}); "
+                f"pass merge_schema=True to evolve")
+        from pyspark.sql.types import StructType
+
+        evolved = StructType(
+            cur.fields + [new_fields[n] for n in extra
+                          if n not in cur_fields])
+        return evolved.json()
+
     # ----------------------------------------------------------- mutations
 
     def create(self, df: DataFrame) -> int:
         """Bootstrap version 0. Fails if the table already exists."""
         if self.latest_version() is not None:
             raise FileExistsError(f"table already exists at {self.path}")
-        return self._commit("create", self._write_data_files(df), [], None)
+        return self._commit("create", self._write_data_files(df), [], None,
+                            schema_json=df.schema.json())
 
-    def append(self, df: DataFrame) -> int:
+    def append(self, df: DataFrame, *, merge_schema: bool = False) -> int:
         """Blind append — add-only, conflict-free by construction (two
-        concurrent appends both succeed in either order)."""
-        return self._commit("append", self._write_data_files(df), [], None)
+        concurrent appends both succeed in either order).
+        ``merge_schema=True`` lets the batch ADD columns (schema
+        evolution): the committed schema widens, and readers see NULL
+        for the new columns in pre-evolution files."""
+        schema_json = self._evolved_schema(df, merge_schema)
+        return self._commit("append", self._write_data_files(df), [], None,
+                            schema_json=schema_json)
 
     def overwrite(self, df: DataFrame) -> int:
         """Replace the table contents atomically (readers see the old
-        snapshot until the commit lands)."""
+        snapshot until the commit lands). The committed schema is
+        replaced wholesale — overwrite is the schema-reset op."""
         snap = self._snapshot()
         adds = self._write_data_files(df)
         return self._commit("overwrite", adds, list(snap.files),
-                            snap.version)
+                            snap.version, schema_json=df.schema.json())
 
     def merge(self, updates: DataFrame, *,
               delete_col: str | None = None) -> int:
@@ -418,11 +482,19 @@ class VersionedTable:
         snapshot's files explicitly, so concurrent commits and vacuums
         of *newer* garbage never change what this reader sees."""
         snap = self._snapshot(version, as_of_ts_ms)
+        schema = self.table_schema(snap.version)
         if not snap.files:
             first = self.spark.read.parquet(
                 os.path.join(self.path, _DATA_DIR)).limit(0)
-            return first
-        return self.spark.read.parquet(
+            return first if schema is None else first.sparkSession \
+                .createDataFrame([], schema)
+        reader = self.spark.read
+        if schema is not None:
+            # explicit (possibly evolved) schema: files written before
+            # a column existed scan it as NULL — no mergeSchema footer
+            # sweep over every file
+            reader = reader.schema(schema)
+        return reader.parquet(
             *[os.path.join(self.path, r) for r in sorted(snap.files)])
 
     def file_count(self, version: int | None = None) -> int:

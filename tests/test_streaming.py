@@ -219,3 +219,50 @@ def test_transform_with_state_matches_classic(spark, sf_dir):
         ).collect()
     }
     assert latest == batch
+
+
+def test_stream_funnel_state_spans_batches(spark, tmp_path):
+    """Per-user funnel state must carry across micro-batches: the view
+    arrives in file/batch 1, the qualifying click in batch 2."""
+    import datetime as dt
+
+    from pandas_rust_algos_spark.streaming import funnel as sf
+
+    def ts(minute):
+        return dt.datetime(2024, 1, 1, 10, minute)
+
+    f1 = spark.createDataFrame(
+        [(1, ts(0), 7, "view", 0.0, "{}"),
+         (2, ts(1), 8, "click", 0.0, "{}")],   # click with no prior view
+        "event_id long, ts timestamp, user_id long, event_type string,"
+        " value double, props string")
+    f2 = spark.createDataFrame(
+        [(3, ts(5), 7, "click", 0.0, "{}"),
+         (4, ts(9), 7, "purchase", 0.0, "{}"),
+         (5, ts(6), 8, "view", 0.0, "{}")],    # view after the click
+        "event_id long, ts timestamp, user_id long, event_type string,"
+        " value double, props string")
+    src = str(tmp_path / "ev")
+    f1.coalesce(1).write.parquet(src)
+    f2.coalesce(1).write.mode("append").parquet(src)
+
+    stream = (spark.readStream.schema(f1.schema)
+              .option("maxFilesPerTrigger", 1).parquet(src))
+    ckpt = str(tmp_path / "ck")
+    q = (sf.funnel_state(stream).writeStream.format("memory")
+         .queryName("t_funnel_span").outputMode("update")
+         .option("checkpointLocation", ckpt)
+         .trigger(availableNow=True).start())
+    q.awaitTermination()
+    out = spark.table("t_funnel_span")
+    from pyspark.sql import functions as F
+    latest = {r["user_id"]: r for r in out.groupBy("user_id").agg(
+        F.max(F.struct("t1", "t2", "t3")).alias("s")
+    ).select("user_id", "s.t1", "s.t2", "s.t3").collect()}
+    u7 = latest[7]
+    assert u7["t1"] is not None and u7["t2"] is not None \
+        and u7["t3"] is not None
+    assert u7["t1"] < u7["t2"] < u7["t3"]
+    # user 8's click preceded their first view: never advances past t1
+    u8 = latest[8]
+    assert u8["t1"] is not None and u8["t2"] is None

@@ -259,3 +259,101 @@ def test_read_prunes_columns_and_filters(spark, tmp_path):
             ._jdf.queryExecution().executedPlan().toString())
     assert "PushedFilters: [IsNotNull(id), GreaterThan(id,40)]" in plan
     assert "ReadSchema: struct<id:bigint>" in plan
+
+
+def test_schema_evolution_append(spark, tmp_path):
+    tbl = _mk(spark, tmp_path)
+    tbl.create(_df(spark, range(5), "a"))
+    wide = spark.createDataFrame(
+        [(100, "b-100", 1.5)], "id long, payload string, score double")
+    # default: mismatch rejected
+    with pytest.raises(ValueError, match="merge_schema"):
+        tbl.append(wide)
+    tbl.append(wide, merge_schema=True)
+    out = tbl.read()
+    assert [f.name for f in out.schema.fields] == ["id", "payload", "score"]
+    rows = {r["id"]: r for r in out.collect()}
+    assert rows[100]["score"] == 1.5
+    assert rows[0]["score"] is None  # pre-evolution files read as NULL
+    # time travel BEFORE the evolution sees the narrow schema
+    old = tbl.read(version=0)
+    assert [f.name for f in old.schema.fields] == ["id", "payload"]
+
+
+def test_schema_evolution_type_conflict_rejected(spark, tmp_path):
+    tbl = _mk(spark, tmp_path)
+    tbl.create(_df(spark, range(3), "a"))
+    bad = spark.createDataFrame([(1, 7)], "id long, payload long")
+    with pytest.raises(ValueError, match="type conflict"):
+        tbl.append(bad, merge_schema=True)
+
+
+def test_schema_evolution_missing_cols_fill_null(spark, tmp_path):
+    tbl = _mk(spark, tmp_path)
+    tbl.create(_df(spark, range(3), "a"))
+    narrow = spark.createDataFrame([(200,)], "id long")
+    tbl.append(narrow, merge_schema=True)
+    rows = {r["id"]: r for r in tbl.read().collect()}
+    assert rows[200]["payload"] is None
+
+
+def test_overwrite_resets_schema(spark, tmp_path):
+    tbl = _mk(spark, tmp_path)
+    tbl.create(_df(spark, range(3), "a"))
+    tbl.append(
+        spark.createDataFrame([(9, "x", 2.0)],
+                              "id long, payload string, score double"),
+        merge_schema=True)
+    tbl.overwrite(_df(spark, range(2), "z"))
+    assert [f.name for f in tbl.read().schema.fields] == ["id", "payload"]
+
+
+# ---------------------------------------------- python datasource reader
+
+
+def test_vtable_datasource_reads_snapshot(spark, tmp_path):
+    from pandas_rust_algos_spark.sources.vtable_source import (
+        register_vtable_source,
+    )
+
+    register_vtable_source(spark)
+    tbl = _mk(spark, tmp_path)
+    tbl.create(_df(spark, range(5), "a"))
+    tbl.merge(_df(spark, [3, 4, 5, 6], "b"))
+    via_fmt = spark.read.format("vtable").load(tbl.path)
+    assert sorted(r["id"] for r in via_fmt.collect()) == _ids(tbl)
+    assert {r["id"]: r["payload"] for r in via_fmt.collect()} == \
+        _payloads(tbl)
+
+
+def test_vtable_datasource_time_travel_and_evolution(spark, tmp_path):
+    from pandas_rust_algos_spark.sources.vtable_source import (
+        register_vtable_source,
+    )
+
+    register_vtable_source(spark)
+    tbl = _mk(spark, tmp_path)
+    tbl.create(_df(spark, range(3), "a"))
+    tbl.append(
+        spark.createDataFrame([(7, "x", 1.25)],
+                              "id long, payload string, score double"),
+        merge_schema=True)
+    v0 = spark.read.format("vtable").option("version", 0).load(tbl.path)
+    assert [f.name for f in v0.schema.fields] == ["id", "payload"]
+    latest = spark.read.format("vtable").load(tbl.path)
+    rows = {r["id"]: r for r in latest.collect()}
+    assert rows[7]["score"] == 1.25
+    assert rows[0]["score"] is None  # old files conformed with NULLs
+
+
+def test_vtable_datasource_sql_usable(spark, tmp_path):
+    from pandas_rust_algos_spark.sources.vtable_source import (
+        register_vtable_source,
+    )
+
+    register_vtable_source(spark)
+    tbl = _mk(spark, tmp_path)
+    tbl.create(_df(spark, range(4), "a"))
+    spark.sql(f"CREATE OR REPLACE TEMPORARY VIEW vt USING vtable "
+              f"OPTIONS (path '{tbl.path}')")
+    assert spark.sql("SELECT COUNT(*) AS n FROM vt").first()["n"] == 4
