@@ -242,3 +242,32 @@ def sql_fingerprint(expr: str, mod: int = _MOD) -> str:
         f"x -> x <> ''), ch -> CAST(ORD(ch) AS BIGINT))), "
         f"(acc, x) -> (acc * 31 + x) % {mod}), 0)"
     )
+
+
+# GPT-2-style pre-tokenizer, restricted to the regex subset whose
+# semantics are identical between Java regex (Spark) and RE2 (DuckDB):
+# contractions, optionally-space-prefixed letter runs, digit runs,
+# punctuation runs. No lookahead (RE2 has none) — trailing-space
+# handling therefore differs from the exact GPT-2 pattern, which is
+# fine for *counting* (budgets, stats), the use here.
+BPE_PATTERN = r"'[a-z]+| ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9\s']+"
+
+
+def bpe_tokens(col: Column | str) -> Column:
+    """BPE-ish pre-tokenization (see :data:`BPE_PATTERN`)."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.regexp_extract_all(c, F.lit(BPE_PATTERN), 0)
+
+
+def bpe_token_count(col: Column | str) -> Column:
+    """Sub-word-ish token count — the budget unit a training pipeline
+    actually meters (whitespace counts under-estimate punctuation-
+    heavy text)."""
+    return F.size(bpe_tokens(col)).cast("long")
+
+
+def sql_bpe_token_count(expr: str) -> str:
+    """DuckDB twin of :func:`bpe_token_count` (identical RE2-safe
+    pattern)."""
+    esc = BPE_PATTERN.replace("'", "''")
+    return f"LEN(REGEXP_EXTRACT_ALL({expr}, '{esc}'))"

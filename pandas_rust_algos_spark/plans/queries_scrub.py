@@ -613,3 +613,30 @@ def matview_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     tbl.delete(F.col("id") % 5 == 0)
     view.refresh()
     return view.read().select("grp", "n", "v_sum_micro")
+
+
+@register(
+    "bpe_token_stats",
+    oracle=f"""
+    SELECT doc_id,
+           CAST({tx.sql_bpe_token_count('text')} AS BIGINT) AS n_bpe,
+           CAST({tx.sql_token_count('text')} AS BIGINT) AS n_ws,
+           CAST(LEN(LIST_DISTINCT(REGEXP_EXTRACT_ALL(text,
+             '{tx.BPE_PATTERN.replace("'", "''")}'))) AS BIGINT)
+             AS n_distinct_bpe
+    FROM documents
+    """,
+)
+def bpe_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sub-word-ish (BPE-style regex) token counting next to the
+    whitespace count — the budget unit training pipelines meter; the
+    regex subset is Java↔RE2-identical so the oracle runs the same
+    pattern. Narrow per-row DAG, zero shuffle."""
+    d = _docs(spark, sf_dir)
+    return d.select(
+        "doc_id",
+        tx.bpe_token_count("text").alias("n_bpe"),
+        tx.token_count("text").alias("n_ws"),
+        F.size(F.array_distinct(tx.bpe_tokens("text"))).cast("long")
+        .alias("n_distinct_bpe"),
+    )

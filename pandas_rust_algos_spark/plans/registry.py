@@ -117,6 +117,7 @@ _GATE_PRIORITY: tuple[str, ...] = (
     "matview_incremental",
     "ann_pq_topk",
     "events_stream_funnel",
+    "bpe_token_stats",
     # (c) modules changing this round
     "minhash_near_dupes",
     "simhash_fingerprints",

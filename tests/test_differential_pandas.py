@@ -259,3 +259,25 @@ def test_rolling_quantile_matches_pandas(frame, q):
     for (k, idx), want in exp.items():
         o = sp.loc[idx, "ord"]
         assert close(got[(k, o)], want, tol=1e-9), (q, k, o, want)
+
+
+def test_winsorize_matches_pandas(frame):
+    pdf, sdf = frame
+    out = {
+        (r["k"], r["ord"]): r["v2_wins"]
+        for r in gt.group_winsorize(
+            sdf, "k", "v2", lower=0.1, upper=0.9
+        ).collect()
+    }
+
+    def wins(g):
+        lo, hi = g.quantile(0.1), g.quantile(0.9)  # linear interpolation
+        return g.clip(lo, hi)
+
+    expected = pdf.groupby("k")["v2"].transform(wins)
+    for (_, row), e in zip(pdf.iterrows(), expected):
+        got = out[(row["k"], row["ord"])]
+        if pd.isna(e):
+            assert got is None
+        else:
+            assert got == pytest.approx(e, rel=1e-12), (row["k"], row["ord"])

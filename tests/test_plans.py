@@ -118,3 +118,45 @@ def test_every_query_documented_in_survey():
     missing = [n for n in registry.all_queries() if f"`{n}`" not in survey
                and n not in survey]
     assert not missing, f"queries absent from SURVEY.md: {missing}"
+
+
+def test_scrub_ops_are_narrow_jvm_plans(spark, sf_dir):
+    """PII scrub and the quality filter must stay narrow, Python-free
+    expression DAGs — their whole point is running at scan speed
+    before any shuffle."""
+    for name in ("pii_scrub", "quality_filter"):
+        plan = plan_of(spark, sf_dir, name)
+        assert "EvalPython" not in plan and "InPandas" not in plan, name
+        # the only allowed exchange is the tiny-fixture fan-out
+        # (RoundRobin); no hash/range shuffle may appear
+        assert "hashpartitioning" not in plan.lower(), name
+        assert "rangepartitioning" not in plan.lower(), name
+
+
+def test_tfidf_plan_shape(spark, sf_dir):
+    """TF-IDF: corpus count must broadcast (one-row aggregate), never
+    shuffle-join; no Python in the pipeline."""
+    plan = plan_of(spark, sf_dir, "tfidf_topterms")
+    assert "EvalPython" not in plan and "InPandas" not in plan
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_attribution_single_user_shuffle(spark, sf_dir):
+    """Attribution must be the window form — one user-keyed exchange,
+    no self-join of the event stream."""
+    import re
+
+    plan = plan_of(spark, sf_dir, "events_attribution")
+    assert "Join" not in plan, "attribution must not self-join events"
+    assert len(re.findall(r"hashpartitioning\(user_id", plan)) >= 1
+
+
+def test_winsorize_single_exchange(spark, sf_dir):
+    """Winsorize: rank windows and clip share ONE group shuffle."""
+    import re
+
+    plan = plan_of(spark, sf_dir, "group_winsorize")
+    ex = {m.group(1) for m in re.finditer(
+        r"Exchange[^(\n]*\((\d+)\)", plan.split("== Initial Plan ==")[0])}
+    assert len(ex) <= 1, f"expected <=1 exchange, saw {len(ex)}"
