@@ -642,3 +642,43 @@ def events_stream_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
         output_mode="update",
     )
     return sf.funnel_counts(drained)
+
+
+@register(
+    "events_variant_props",
+    oracle="""
+    WITH p AS (
+      SELECT event_type,
+             CAST(json_extract(props, '$.k') AS BIGINT) AS k,
+             json_extract_string(props, '$.missing') AS m
+      FROM events
+    )
+    SELECT event_type,
+           COUNT(k) AS n_k,
+           CAST(SUM(k) AS BIGINT) AS sum_k,
+           COUNT(m) AS n_missing_hits
+    FROM p GROUP BY event_type
+    """,
+)
+def events_variant_props(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-structured handling on Spark 4's VARIANT type: ``props``
+    parses ONCE into the binary variant encoding (``parse_json``) and
+    fields extract with ``variant_get`` path access — unlike
+    ``from_json`` this needs no up-front schema and repeated field
+    reads don't re-parse the document (the engine's answer to
+    schemaless JSON at 100 TB; columnar shredding applies when stored
+    as a variant column). Absent paths are NULL, counted here to pin
+    that semantic."""
+    tune(spark)
+    ev = load_table(spark, sf_dir, "events")
+    v = F.parse_json(F.col("props"))
+    p = ev.select(
+        "event_type",
+        F.variant_get(v, "$.k", "bigint").alias("k"),
+        F.variant_get(v, "$.missing", "string").alias("m"),
+    )
+    return p.groupBy("event_type").agg(
+        F.count("k").alias("n_k"),
+        F.sum("k").alias("sum_k"),
+        F.count("m").alias("n_missing_hits"),
+    )

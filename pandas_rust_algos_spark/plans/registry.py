@@ -118,6 +118,7 @@ _GATE_PRIORITY: tuple[str, ...] = (
     "ann_pq_topk",
     "events_stream_funnel",
     "bpe_token_stats",
+    "events_variant_props",
     # (c) modules changing this round
     "minhash_near_dupes",
     "simhash_fingerprints",

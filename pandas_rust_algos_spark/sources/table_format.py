@@ -71,6 +71,35 @@ class _Snapshot:
     ts_ms: int = 0
 
 
+def file_add_action(table_path: str, fpath: str,
+                    key_cols: list[str]) -> dict:
+    """Add-action for one parquet file: footer-derived row count and
+    key min/max stats (metadata reads only, never data)."""
+    import pyarrow.parquet as pq
+
+    meta = pq.ParquetFile(fpath).metadata
+    idx = {meta.schema.column(i).name: i for i in range(meta.num_columns)}
+    stats: dict[str, dict] = {}
+    for k in key_cols:
+        if k not in idx:
+            continue
+        lo = hi = None
+        for rg in range(meta.num_row_groups):
+            s = meta.row_group(rg).column(idx[k]).statistics
+            if s is None or not s.has_min_max:
+                lo = hi = None
+                break
+            lo = s.min if lo is None else min(lo, s.min)
+            hi = s.max if hi is None else max(hi, s.max)
+        if lo is not None:
+            stats[k] = {"min": lo, "max": hi}
+    return {
+        "path": os.path.relpath(fpath, table_path),
+        "rows": meta.num_rows,
+        "stats": stats,
+    }
+
+
 @dataclass
 class VersionedTable:
     """Handle to a versioned parquet table rooted at ``path``.
@@ -172,34 +201,12 @@ class VersionedTable:
         token = uuid.uuid4().hex[:12]
         out_dir = os.path.join(self.path, _DATA_DIR, token)
         df.write.mode("error").parquet(out_dir)
-        adds = []
-        for name in sorted(os.listdir(out_dir)):
-            if not name.endswith(".parquet"):
-                continue
-            fpath = os.path.join(out_dir, name)
-            meta = pq.ParquetFile(fpath).metadata
-            idx = {meta.schema.column(i).name: i
-                   for i in range(meta.num_columns)}
-            stats: dict[str, dict] = {}
-            for k in self.key_cols:
-                if k not in idx:
-                    continue
-                lo = hi = None
-                for rg in range(meta.num_row_groups):
-                    s = meta.row_group(rg).column(idx[k]).statistics
-                    if s is None or not s.has_min_max:
-                        lo = hi = None
-                        break
-                    lo = s.min if lo is None else min(lo, s.min)
-                    hi = s.max if hi is None else max(hi, s.max)
-                if lo is not None:
-                    stats[k] = {"min": lo, "max": hi}
-            adds.append({
-                "path": os.path.relpath(fpath, self.path),
-                "rows": meta.num_rows,
-                "stats": stats,
-            })
-        return adds
+        return [
+            file_add_action(self.path, os.path.join(out_dir, name),
+                            self.key_cols)
+            for name in sorted(os.listdir(out_dir))
+            if name.endswith(".parquet")
+        ]
 
     # ------------------------------------------------------------ commits
 
@@ -283,18 +290,19 @@ class VersionedTable:
         return None if latest is None else StructType.fromJson(
             json.loads(latest))
 
-    def _evolved_schema(self, df: DataFrame, merge_schema: bool) -> str:
-        """Validate ``df`` against the current table schema and return
-        the post-commit schema JSON. Without ``merge_schema`` the
-        column sets must match exactly; with it, NEW columns append to
-        the table schema (readers see NULL for them in old files —
-        parquet scan with an explicit wider schema). Same-name type
-        conflicts always raise: silent coercion corrupts data."""
+    def _evolved_schema(self, batch_schema, merge_schema: bool) -> str:
+        """Validate a batch's StructType against the current table
+        schema and return the post-commit schema JSON. Without
+        ``merge_schema`` the column sets must match exactly; with it,
+        NEW columns append to the table schema (readers see NULL for
+        them in old files — parquet scan with an explicit wider
+        schema). Same-name type conflicts always raise: silent
+        coercion corrupts data."""
         cur = self.table_schema()
         if cur is None:
-            return df.schema.json()
+            return batch_schema.json()
         cur_fields = {f.name: f for f in cur.fields}
-        new_fields = {f.name: f for f in df.schema.fields}
+        new_fields = {f.name: f for f in batch_schema.fields}
         for name, f in new_fields.items():
             if name in cur_fields and cur_fields[name].dataType != f.dataType:
                 raise ValueError(
@@ -328,7 +336,7 @@ class VersionedTable:
         ``merge_schema=True`` lets the batch ADD columns (schema
         evolution): the committed schema widens, and readers see NULL
         for the new columns in pre-evolution files."""
-        schema_json = self._evolved_schema(df, merge_schema)
+        schema_json = self._evolved_schema(df.schema, merge_schema)
         return self._commit("append", self._write_data_files(df), [], None,
                             schema_json=schema_json)
 

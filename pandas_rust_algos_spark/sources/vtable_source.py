@@ -26,12 +26,20 @@ from __future__ import annotations
 
 import os
 
-from pyspark.sql.datasource import DataSource, DataSourceReader, InputPartition
+import uuid
+
+from pyspark.sql.datasource import (
+    DataSource,
+    DataSourceArrowWriter,
+    DataSourceReader,
+    InputPartition,
+    WriterCommitMessage,
+)
 from pyspark.sql.types import StructType
 
 from pandas_rust_algos_spark.sources.table_format import VersionedTable
 
-__all__ = ["VTableDataSource", "register_vtable_source"]
+__all__ = ["VTableDataSource", "VTableArrowWriter", "register_vtable_source"]
 
 
 class _FilePartition(InputPartition):
@@ -75,18 +83,73 @@ class VTableDataSource(DataSource):
     def reader(self, schema: StructType) -> "VTableReader":
         return VTableReader(self.options, schema)
 
+    def writer(self, schema: StructType, overwrite: bool):
+        return VTableArrowWriter(self.options, schema, overwrite)
+
 
 class VTableReader(DataSourceReader):
     def __init__(self, options, schema: StructType) -> None:
         self.options = options
         self.schema = schema
+        self._pushed: list = []
+
+    def pushFilters(self, filters):
+        """Stats-based file skipping: comparison filters on columns
+        with committed footer min/max stats prune whole files in
+        :meth:`partitions` — the DataSource face of the same pruning
+        the table's MERGE/DELETE use. Every filter is also returned as
+        residual (Spark re-applies it row-level), so pruning can only
+        skip files the stats PROVE empty — never wrong, only faster."""
+        from pyspark.sql.datasource import (
+            EqualTo, GreaterThan, GreaterThanOrEqual,
+            LessThan, LessThanOrEqual,
+        )
+
+        supported = (EqualTo, GreaterThan, GreaterThanOrEqual,
+                     LessThan, LessThanOrEqual)
+        for f in filters:
+            if isinstance(f, supported) and len(f.attribute) == 1:
+                self._pushed.append(f)
+            yield f  # all filters stay residual — see docstring
+
+    @staticmethod
+    def _excluded(stats: dict, f) -> bool:
+        """True iff the file's [min, max] for the filter column proves
+        NO row can match (missing stats → cannot exclude)."""
+        from pyspark.sql.datasource import (
+            EqualTo, GreaterThan, GreaterThanOrEqual,
+            LessThan, LessThanOrEqual,
+        )
+
+        s = stats.get(f.attribute[0])
+        if not s:
+            return False
+        lo, hi, v = s["min"], s["max"], f.value
+        try:
+            if isinstance(f, EqualTo):
+                return v < lo or v > hi
+            if isinstance(f, GreaterThan):
+                return hi <= v
+            if isinstance(f, GreaterThanOrEqual):
+                return hi < v
+            if isinstance(f, LessThan):
+                return lo >= v
+            if isinstance(f, LessThanOrEqual):
+                return lo > v
+        except TypeError:  # incomparable types: never exclude
+            return False
+        return False
 
     def partitions(self):
         tbl, version, as_of = _resolve(self.options)
         snap = tbl._snapshot(version, as_of)
         return [
             _FilePartition(os.path.join(tbl.path, rel))
-            for rel in sorted(snap.files)
+            for rel, action in sorted(snap.files.items())
+            if not any(
+                self._excluded(action.get("stats", {}), f)
+                for f in self._pushed
+            )
         ]
 
     def read(self, partition: _FilePartition):
@@ -114,5 +177,93 @@ class VTableReader(DataSourceReader):
 
 
 def register_vtable_source(spark) -> None:
-    """Idempotently register the format with a session."""
+    """Idempotently register the format with a session. Python-side
+    filter pushdown is opt-in in Spark 4 — a reader that implements
+    ``pushFilters`` FAILS planning with the flag off, so registration
+    enables it (runtime-settable SQL conf, no restart)."""
+    spark.conf.set("spark.sql.python.filterPushdown.enabled", "true")
     spark.dataSource.register(VTableDataSource)
+
+
+# ------------------------------------------------------------- writer
+
+
+class _AddMessage(WriterCommitMessage):
+    def __init__(self, adds: list, rels: list) -> None:
+        self.adds = adds
+        self.rels = rels
+
+
+class VTableArrowWriter(DataSourceArrowWriter):
+    """Atomic multi-task writes through the format face:
+    ``df.write.format("vtable").mode("append"|"overwrite").save(path)``.
+
+    Each task streams its Arrow batches into ONE immutable parquet
+    file under ``data/`` and returns the add-action (footer stats
+    included) as its commit message; the DRIVER then claims a single
+    commit in the table's action log — the same all-or-nothing
+    contract as the native write path, now speaking Spark's
+    DataSourceWriter protocol (task retries write orphan files that
+    the commit never references and VACUUM later removes; ``abort``
+    deletes them eagerly)."""
+
+    def __init__(self, options, schema: StructType, overwrite: bool) -> None:
+        self.path = options.get("path")
+        if not self.path:
+            raise ValueError("vtable writer requires a path")
+        kc = options.get("keycols")
+        self.key_cols = [c.strip() for c in kc.split(",")] if kc else []
+        self.merge_schema = (
+            str(options.get("mergeschema", "false")).lower() == "true"
+        )
+        self.schema = schema
+        self.overwrite = overwrite
+        self.token = uuid.uuid4().hex[:12]
+
+    def write(self, iterator) -> _AddMessage:
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        from pandas_rust_algos_spark.sources.table_format import (
+            _DATA_DIR, file_add_action,
+        )
+
+        batches = list(iterator)
+        if not batches or sum(b.num_rows for b in batches) == 0:
+            return _AddMessage([], [])
+        out_dir = os.path.join(self.path, _DATA_DIR, self.token)
+        os.makedirs(out_dir, exist_ok=True)
+        fpath = os.path.join(out_dir, f"part-{uuid.uuid4().hex}.parquet")
+        pq.write_table(pa.Table.from_batches(batches), fpath)
+        add = file_add_action(self.path, fpath, self.key_cols)
+        return _AddMessage([add], [add["path"]])
+
+    def _table(self) -> VersionedTable:
+        return VersionedTable(spark=None, path=self.path,
+                              key_cols=self.key_cols)
+
+    def commit(self, messages) -> None:
+        tbl = self._table()
+        adds = [a for m in messages if m is not None for a in m.adds]
+        existing = tbl.latest_version()
+        if existing is None:
+            tbl._commit("create", adds, [], None,
+                        schema_json=self.schema.json())
+            return
+        if self.overwrite:
+            snap = tbl._snapshot()
+            tbl._commit("overwrite", adds, list(snap.files), snap.version,
+                        schema_json=self.schema.json())
+        else:
+            schema_json = tbl._evolved_schema(self.schema, self.merge_schema)
+            tbl._commit("append", adds, [], None, schema_json=schema_json)
+
+    def abort(self, messages) -> None:
+        for m in messages:
+            if m is None:
+                continue
+            for rel in m.rels:
+                try:
+                    os.unlink(os.path.join(self.path, rel))
+                except OSError:
+                    pass

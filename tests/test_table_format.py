@@ -357,3 +357,87 @@ def test_vtable_datasource_sql_usable(spark, tmp_path):
     spark.sql(f"CREATE OR REPLACE TEMPORARY VIEW vt USING vtable "
               f"OPTIONS (path '{tbl.path}')")
     assert spark.sql("SELECT COUNT(*) AS n FROM vt").first()["n"] == 4
+
+
+def test_vtable_datasource_filter_prunes_files(spark, tmp_path):
+    from pyspark.sql.datasource import EqualTo, GreaterThan
+
+    from pandas_rust_algos_spark.sources.vtable_source import (
+        VTableReader, register_vtable_source,
+    )
+
+    register_vtable_source(spark)
+    tbl = _mk(spark, tmp_path)
+    # three single-file commits with disjoint key ranges
+    tbl.create(_df(spark, range(0, 10), "a").coalesce(1))
+    tbl.append(_df(spark, range(100, 110), "b").coalesce(1))
+    tbl.append(_df(spark, range(200, 210), "c").coalesce(1))
+
+    # correctness through the format with a filter applied
+    out = (spark.read.format("vtable").load(tbl.path)
+           .where("id >= 200").collect())
+    assert sorted(r["id"] for r in out) == list(range(200, 210))
+
+    # pruning proof: the reader's partitions() must skip excluded files
+    df = spark.read.format("vtable").load(tbl.path)
+    reader = VTableReader({"path": tbl.path}, df.schema)
+    assert len(reader.partitions()) == 3
+    residual = list(reader.pushFilters([GreaterThan(("id",), 150)]))
+    assert len(residual) == 1  # every filter stays residual (safe)
+    assert len(reader.partitions()) == 1
+    reader2 = VTableReader({"path": tbl.path}, df.schema)
+    list(reader2.pushFilters([EqualTo(("id",), 105)]))
+    assert len(reader2.partitions()) == 1
+    # a filter on a stats-free column must not prune
+    reader3 = VTableReader({"path": tbl.path}, df.schema)
+    list(reader3.pushFilters([EqualTo(("payload",), "zzz")]))
+    assert len(reader3.partitions()) == 3
+
+
+def test_vtable_datasource_write_append_and_overwrite(spark, tmp_path):
+    from pandas_rust_algos_spark.sources.vtable_source import (
+        register_vtable_source,
+    )
+
+    register_vtable_source(spark)
+    path = str(tmp_path / "wtbl")
+    _df(spark, range(5), "a").write.format("vtable") \
+        .option("keyCols", "id").mode("append").save(path)  # creates v0
+    tbl = VersionedTable(spark, path, key_cols=["id"])
+    assert _ids(tbl) == list(range(5))
+    # append through the format
+    _df(spark, range(10, 13), "b").write.format("vtable") \
+        .option("keyCols", "id").mode("append").save(path)
+    assert _ids(tbl) == list(range(5)) + [10, 11, 12]
+    # the written files carry key stats -> merge pruning works on them
+    assert all(
+        a.get("stats", {}).get("id")
+        for a in tbl._snapshot().files.values()
+    )
+    # overwrite through the format
+    _df(spark, range(100, 102), "c").write.format("vtable") \
+        .option("keyCols", "id").mode("overwrite").save(path)
+    assert _ids(tbl) == [100, 101]
+    # history shows create -> append -> overwrite, all atomic commits
+    assert [h["op"] for h in tbl.history()][-3:] == \
+        ["create", "append", "overwrite"]
+
+
+def test_vtable_datasource_write_schema_evolution(spark, tmp_path):
+    from pandas_rust_algos_spark.sources.vtable_source import (
+        register_vtable_source,
+    )
+
+    register_vtable_source(spark)
+    path = str(tmp_path / "wtbl2")
+    _df(spark, range(3), "a").write.format("vtable") \
+        .mode("append").save(path)
+    wide = spark.createDataFrame(
+        [(9, "x", 1.5)], "id long, payload string, score double")
+    with pytest.raises(Exception, match="merge_schema|mergeSchema"):
+        wide.write.format("vtable").mode("append").save(path)
+    wide.write.format("vtable").option("mergeSchema", "true") \
+        .mode("append").save(path)
+    tbl = VersionedTable(spark, path)
+    rows = {r["id"]: r for r in tbl.read().collect()}
+    assert rows[9]["score"] == 1.5 and rows[0]["score"] is None
