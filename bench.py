@@ -51,6 +51,11 @@ HEADLINE = [
     "tfidf_topterms",
     "events_attribution",
     "group_winsorize",
+    # round 3b: pipeline-infrastructure additions
+    "expectations_report",
+    "curate_pipeline",
+    "events_resample_5m",
+    "pagerank_suppliers",
 ]
 
 

@@ -1,0 +1,131 @@
+"""Link-graph analytics: distributed PageRank in FIXED-POINT integer
+arithmetic.
+
+The engine already has one iterative graph operator — connected
+components via hash-min label propagation (``dedup.dup_clusters``,
+used to resolve near-dup clusters). PageRank adds the other classic:
+node centrality by power iteration, the standard way to weight crawl
+frontiers and score document authority in a web-scale corpus
+pipeline.
+
+Why fixed point: float PageRank sums ``rank/out_degree`` doubles whose
+addition order differs per partitioning — results drift between runs,
+engines, and cluster sizes, so a float implementation can only ever be
+"approximately tested". Here ranks are BIGINT micro-units
+(``scale = 1e6`` ⇒ rank 1.0 ≡ 1_000_000): each edge carries
+``rank DIV out_degree`` (integer division) and the damping update is
+``(100-p)·scale/100 + p·Σcontribs DIV 100`` — all integer ops, so the
+result is BIT-IDENTICAL regardless of partitioning or engine, and a
+DuckDB oracle can replay the exact iteration (see
+``sql_pagerank_fixed``). Quantization error is ≤ out_degree
+micro-units per node per iteration — noise for ranking purposes, zero
+for determinism purposes.
+
+Scale shape: each iteration is the canonical 2-shuffle pagerank step
+(edges⋈ranks on src, then Σ by dst). Edges are hash-partitioned on
+``src`` ONCE up front so every iteration's join reuses that exchange
+(Spark reuses the sorted/partitioned side; only the rank table — one
+row per NODE, far smaller than edges — moves per iteration).
+``checkpoint_every`` truncates the growing lineage with
+``localCheckpoint`` exactly like ``dup_clusters`` does; iteration
+count is fixed (power iteration, not convergence-tested), so the
+driver never inspects data — there is no ``collect()`` anywhere.
+
+Dangling nodes (no out-edges) contribute nothing — their mass leaks,
+i.e. the common "non-normalized" convention; document scores are
+relative so renormalization is a consumer choice. Pinned by tests.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+__all__ = ["pagerank_fixed", "sql_pagerank_fixed"]
+
+
+def pagerank_fixed(
+    edges: DataFrame,
+    *,
+    src: str = "src",
+    dst: str = "dst",
+    damping_pct: int = 85,
+    n_iter: int = 5,
+    scale: int = 1_000_000,
+    checkpoint_every: int = 0,
+) -> DataFrame:
+    """PageRank over directed ``edges``; returns ``(node, rank)`` with
+    ``rank`` in integer ``scale``-units (1.0 ≡ ``scale``).
+
+    ``damping_pct`` is the damping factor in percent (85 ⇒ 0.85) so the
+    update stays in integer arithmetic end-to-end.
+    """
+    if not 0 <= damping_pct <= 100:
+        raise ValueError(f"damping_pct must be in [0,100], got {damping_pct}")
+    if n_iter < 0:
+        raise ValueError(f"n_iter must be >= 0, got {n_iter}")
+    e = (
+        edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
+        .distinct()
+        .repartition("src")  # the one edge shuffle, reused every iteration
+    )
+    nodes = (
+        e.select(F.col("src").alias("node"))
+        .union(e.select(F.col("dst").alias("node")))
+        .distinct()
+    )
+    deg = e.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
+    base = (100 - damping_pct) * scale // 100
+    ranks = nodes.withColumn("rank", F.lit(scale).cast("long"))
+    for i in range(n_iter):
+        contribs = (
+            e.join(ranks, e.src == ranks.node)
+            .join(deg, "src")
+            .select("dst", F.expr("rank div deg").alias("c"))
+        )
+        sums = contribs.groupBy("dst").agg(F.sum("c").alias("s"))
+        ranks = (
+            nodes.join(sums, nodes.node == sums.dst, "left")
+            .select(
+                "node",
+                (F.lit(base)
+                 + F.expr(f"({damping_pct} * coalesce(s, 0L)) div 100"))
+                .cast("long").alias("rank"),
+            )
+        )
+        if checkpoint_every and (i + 1) % checkpoint_every == 0:
+            ranks = ranks.localCheckpoint(eager=True)
+    return ranks
+
+
+def sql_pagerank_fixed(
+    edges_sql: str,
+    *,
+    damping_pct: int = 85,
+    n_iter: int = 5,
+    scale: int = 1_000_000,
+) -> str:
+    """DuckDB twin replaying the exact integer iteration: the power
+    loop unrolls into ``n_iter`` CTE layers (plain GROUP BYs — no
+    recursive-CTE aggregation restrictions), bit-identical to
+    :func:`pagerank_fixed` because every op is integer. ``edges_sql``
+    must select columns ``src, dst``."""
+    base = (100 - damping_pct) * scale // 100
+    parts = [
+        f"e AS (SELECT DISTINCT src, dst FROM ({edges_sql}))",
+        "nodes AS (SELECT DISTINCT node FROM "
+        "(SELECT src AS node FROM e UNION ALL SELECT dst FROM e))",
+        "deg AS (SELECT src, COUNT(*) AS deg FROM e GROUP BY src)",
+        f"pr0 AS (SELECT node, CAST({scale} AS BIGINT) AS rank FROM nodes)",
+    ]
+    for i in range(n_iter):
+        parts.append(
+            f"c{i} AS (SELECT e.dst AS node, SUM(p.rank // d.deg) AS s "
+            f"FROM e JOIN pr{i} p ON e.src = p.node "
+            f"JOIN deg d ON e.src = d.src GROUP BY e.dst)"
+        )
+        parts.append(
+            f"pr{i + 1} AS (SELECT n.node, CAST({base} + "
+            f"({damping_pct} * COALESCE(c.s, 0)) // 100 AS BIGINT) AS rank "
+            f"FROM nodes n LEFT JOIN c{i} c ON n.node = c.node)"
+        )
+    return "WITH " + ",\n".join(parts) + f"\nSELECT node, rank FROM pr{n_iter}"

@@ -1,0 +1,445 @@
+"""Gate queries for pipeline-infrastructure operators (round 3):
+data-quality expectations, end-to-end corpus curation, and gap-filled
+time-series resampling.
+
+These are the glue a 100 TB training-data pipeline runs *around* the
+per-operator kernels: validate a batch before joining it, run the whole
+quality→dedup→decontaminate curation as ONE composed lazy plan, and
+regularize event streams onto a fixed time grid for feature windows.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from pyspark.sql.window import Window
+
+from pandas_rust_algos_spark.operators import datasplit as ds
+from pandas_rust_algos_spark.operators import decontam as dc
+from pandas_rust_algos_spark.operators import dedup as dd
+from pandas_rust_algos_spark.operators import scrub as sc
+from pandas_rust_algos_spark.operators import text as tx
+from pandas_rust_algos_spark.operators import validate as V
+from pandas_rust_algos_spark.operators.datasplit import split_threshold_hex
+from pandas_rust_algos_spark.plans.registry import register
+from pandas_rust_algos_spark.session import tune
+from pandas_rust_algos_spark.sources import load_table, spread
+
+
+@register(
+    "expectations_report",
+    oracle="""
+    WITH t AS (SELECT COUNT(*) AS total FROM lineitem),
+    rows_out AS (
+      SELECT 'not_null' AS rule, 'l_orderkey' AS target,
+             (SELECT COUNT(*) FROM lineitem WHERE l_orderkey IS NULL)
+               AS violations, total FROM t
+      UNION ALL
+      SELECT 'in_range[1.0,25.0]', 'l_quantity',
+             (SELECT COUNT(*) FROM lineitem
+              WHERE l_quantity IS NOT NULL
+                AND l_quantity NOT BETWEEN 1.0 AND 25.0), total FROM t
+      UNION ALL
+      SELECT 'in_set[A,N,R]', 'l_returnflag',
+             (SELECT COUNT(*) FROM lineitem
+              WHERE l_returnflag IS NOT NULL
+                AND l_returnflag NOT IN ('A','N','R')), total FROM t
+      UNION ALL
+      SELECT 'matches[[OF]]', 'l_linestatus',
+             (SELECT COUNT(*) FROM lineitem
+              WHERE l_linestatus IS NOT NULL
+                AND NOT regexp_matches(l_linestatus, '[OF]')),
+             total FROM t
+      UNION ALL
+      SELECT 'unique', 'l_orderkey,l_linenumber',
+             (SELECT COUNT(*) - COUNT(DISTINCT (l_orderkey, l_linenumber))
+              FROM lineitem), total FROM t
+      UNION ALL
+      SELECT 'foreign_key', 'l_orderkey',
+             (SELECT COUNT(*) FROM lineitem
+              WHERE l_orderkey IS NOT NULL
+                AND l_orderkey NOT IN (SELECT o_orderkey FROM orders)),
+             total FROM t
+      UNION ALL
+      SELECT 'fk_even_orders_only', 'l_orderkey',
+             (SELECT COUNT(*) FROM lineitem
+              WHERE l_orderkey IS NOT NULL AND l_orderkey NOT IN
+                (SELECT o_orderkey FROM orders WHERE o_orderkey % 2 = 0)),
+             total FROM t
+    )
+    SELECT rule, target, CAST(violations AS BIGINT) AS violations,
+           CAST(total AS BIGINT) AS total, violations = 0 AS passed
+    FROM rows_out
+    """,
+)
+def expectations_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data-quality expectations over lineitem, one folded-agg scan for
+    the five row/uniqueness rules plus one broadcast anti-join per FK
+    (``operators/validate.py`` — see its docstring for the 100 TB cost
+    model). The second FK deliberately references a *halved* dim so the
+    gate proves violation COUNTING, not just all-green booleans."""
+    tune(spark)
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    half = orders.where(F.col("o_orderkey") % 2 == 0)
+    return V.expectations_report(
+        li,
+        rules=[
+            V.not_null("l_orderkey"),
+            V.in_range("l_quantity", 1.0, 25.0),
+            V.in_set("l_returnflag", ["A", "N", "R"]),
+            V.matches("l_linestatus", "[OF]"),
+        ],
+        uniques=[V.unique("l_orderkey", "l_linenumber")],
+        fks=[
+            V.foreign_key("l_orderkey", orders, "o_orderkey"),
+            V.foreign_key("l_orderkey", half, "o_orderkey",
+                          name="fk_even_orders_only"),
+        ],
+    )
+
+
+# ---------------------------------------------------- curation funnel
+
+_MIX = {"en": 0.5, "de": 1.0, "fr": 0.25}
+_MIX_DEFAULT = 0.05
+_MIX_SALT = "curate"
+
+# DuckDB twin of operators.dedup.normalize_text
+_NORM_SQL = (
+    "TRIM(REGEXP_REPLACE(REGEXP_REPLACE(LOWER(text), '[.,!?;:]', '', 'g'),"
+    " '\\s+', ' ', 'g'))"
+)
+
+
+def _curate_oracle() -> str:
+    from pandas_rust_algos_spark.plans.queries_scrub import _STOP_SQL
+
+    sampled = ds.sql_stratified_sample(
+        "d.lang", "d.doc_id", _MIX, default_frac=_MIX_DEFAULT,
+        salt=_MIX_SALT)
+    stage = (
+        "SELECT '{name}' AS stage, COUNT(*) AS n_docs, "
+        "CAST(COALESCE(SUM(doc_id), 0) AS BIGINT) AS sum_doc_id "
+        "FROM f WHERE {cond}"
+    )
+    return f"""
+    WITH corpus AS (SELECT * FROM documents WHERE doc_id % 10 <> 0),
+    b AS (
+      SELECT doc_id, lang, text,
+             LEN(LIST_FILTER(STRING_SPLIT_REGEX(TRIM(text), '\\s+'),
+                 x -> x <> '')) AS n_tokens,
+             LENGTH(text) AS n_chars,
+             LENGTH(text) - LENGTH(REPLACE(text, ' ', '')) AS spaces,
+             LENGTH(text) - LENGTH(REPLACE(text, '#', '')) AS hashes,
+             LENGTH(text) - LENGTH(REPLACE(text, '…', '')) AS ellipses,
+             CAST({_STOP_SQL} AS BIGINT) AS stop_hits
+      FROM corpus
+    ), q AS (
+      SELECT doc_id, lang, text,
+             (n_tokens BETWEEN 20 AND 100000
+              AND n_tokens > 0
+              AND CAST(n_chars - spaces AS DOUBLE) / n_tokens
+                    BETWEEN CAST(3.0 AS DOUBLE) AND CAST(10.0 AS DOUBLE)
+              AND CAST(hashes + ellipses AS DOUBLE) / n_tokens
+                    < CAST(0.1 AS DOUBLE)
+              AND stop_hits >= 2) AS keep
+      FROM b
+    ), d AS (
+      SELECT *, ROW_NUMBER() OVER (
+               PARTITION BY MD5({_NORM_SQL}), keep ORDER BY doc_id) AS rn
+      FROM q
+    ), bench AS (
+      SELECT DISTINCT UNNEST({tx.sql_token_ngrams('text', 5)}) AS bg
+      FROM documents WHERE doc_id % 10 = 0
+    ), cg AS (
+      SELECT doc_id,
+             {tx.sql_token_ngrams('text', 5)} AS grams
+      FROM corpus
+    ), ex AS (
+      SELECT doc_id,
+             UNNEST(CASE WHEN LEN(grams) = 0
+                         THEN [CAST(NULL AS VARCHAR)] ELSE grams END) AS gram
+      FROM cg
+    ), hits AS (
+      SELECT doc_id, COUNT(bg) AS n_hits
+      FROM ex LEFT JOIN bench ON gram = bg
+      GROUP BY doc_id
+    ), f AS (
+      SELECT d.doc_id, d.lang, d.keep, d.rn,
+             (hits.n_hits >= 1) AS contaminated,
+             ({sampled}) AS sampled
+      FROM d JOIN hits ON d.doc_id = hits.doc_id
+    )
+    {stage.format(name='0_ingest', cond='TRUE')}
+    UNION ALL {stage.format(name='1_quality', cond='keep')}
+    UNION ALL {stage.format(name='2_exact_dedup', cond='keep AND rn = 1')}
+    UNION ALL {stage.format(
+        name='3_decontaminated',
+        cond='keep AND rn = 1 AND NOT contaminated')}
+    UNION ALL {stage.format(
+        name='4_mix_sampled',
+        cond='keep AND rn = 1 AND NOT contaminated AND sampled')}
+    """
+
+
+@register("curate_pipeline", oracle=_curate_oracle())
+def curate_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end corpus curation as ONE composed lazy plan: Gopher
+    quality rules → exact dedup (canonical = smallest doc_id per
+    normalized-content digest among quality survivors) → benchmark
+    decontamination (every 10th doc stands in as the eval set) →
+    stratified mixture sampling. Returns the funnel: per cumulative
+    stage, surviving doc count and the exact-membership proof
+    ``sum(doc_id)``.
+
+    Scale shape — the reason this is one plan, not four jobs: every
+    stage is a FLAG column, so the corpus is scanned ONCE and the
+    funnel is a single folded aggregation over the flags (the naive
+    form — filter, count, filter, count — re-executes the whole prefix
+    per stage). Cost: one window shuffle on the 32-byte content digest
+    (dedup), one doc_id-keyed join for contamination flags (the gram
+    probe explodes corpus-side but the benchmark side broadcasts), and
+    the sampling predicate is pure column algebra. Quality and
+    sampling add zero shuffles.
+    """
+    tune(spark)
+    docs = spread(load_table(spark, sf_dir, "documents"))
+    bench = docs.where(F.col("doc_id") % 10 == 0)
+    corpus = docs.where(F.col("doc_id") % 10 != 0)
+
+    q = sc.quality_filter(corpus)
+    w = Window.partitionBy(
+        F.md5(dd.normalize_text("text")), "keep").orderBy("doc_id")
+    flagged = q.withColumn("__rn", F.row_number().over(w))
+    rep = dc.decontaminate(corpus, bench, n=5, min_hits=1)
+    flagged = flagged.join(
+        rep.select("doc_id", "contaminated"), "doc_id")
+
+    h = F.md5(F.concat_ws(
+        ":", F.col("doc_id").cast("string"), F.lit(_MIX_SALT)
+    ).cast("binary"))
+    thr = F.lit(split_threshold_hex(_MIX_DEFAULT))
+    for lang, frac in _MIX.items():
+        thr = F.when(F.col("lang") == lang,
+                     F.lit(split_threshold_hex(frac))).otherwise(thr)
+    sampled = h < thr
+
+    stages = [
+        ("0_ingest", F.lit(True)),
+        ("1_quality", F.col("keep")),
+        ("2_exact_dedup", F.col("keep") & (F.col("__rn") == 1)),
+        ("3_decontaminated",
+         F.col("keep") & (F.col("__rn") == 1) & ~F.col("contaminated")),
+        ("4_mix_sampled",
+         F.col("keep") & (F.col("__rn") == 1) & ~F.col("contaminated")
+         & sampled),
+    ]
+    aggs = []
+    for i, (_, cond) in enumerate(stages):
+        aggs.append(F.sum(cond.cast("long")).alias(f"__n{i}"))
+        aggs.append(
+            F.coalesce(F.sum(F.when(cond, F.col("doc_id"))), F.lit(0))
+            .alias(f"__s{i}")
+        )
+    one = flagged.agg(*aggs)
+    entries = [
+        F.struct(
+            F.lit(name).alias("stage"),
+            F.col(f"__n{i}").alias("n_docs"),
+            F.col(f"__s{i}").alias("sum_doc_id"),
+        )
+        for i, (name, _) in enumerate(stages)
+    ]
+    return one.select(F.explode(F.array(*entries)).alias("e")).select("e.*")
+
+
+# ------------------------------------------------- gap-filled resample
+
+
+@register(
+    "events_resample_5m",
+    oracle="""
+    WITH b AS (
+      SELECT time_bucket(INTERVAL 5 MINUTE, ts) AS bucket,
+             event_type, value
+      FROM events
+    ), bounds AS (SELECT MIN(bucket) AS lo, MAX(bucket) AS hi FROM b),
+    grid AS (
+      SELECT t.event_type, g.bucket
+      FROM (SELECT DISTINCT event_type FROM b) t
+      CROSS JOIN (
+        SELECT UNNEST(generate_series(lo, hi, INTERVAL 5 MINUTE)) AS bucket
+        FROM bounds
+      ) g
+    ), agg AS (
+      SELECT event_type, bucket, COUNT(*) AS n,
+             CAST(SUM(CAST(FLOOR(value * 1e6) AS BIGINT)) AS DOUBLE) / 1e6
+               AS s
+      FROM b GROUP BY 1, 2
+    ), j AS (
+      SELECT g.event_type, g.bucket,
+             COALESCE(a.n, 0) AS n_events,
+             COALESCE(a.s, CAST(0 AS DOUBLE)) AS sum_value,
+             CASE WHEN a.n > 0 THEN a.s / a.n END AS avg0
+      FROM grid g LEFT JOIN agg a
+        ON g.event_type = a.event_type AND g.bucket = a.bucket
+    )
+    SELECT event_type,
+           STRFTIME(bucket, '%Y-%m-%d %H:%M:%S') AS bucket_start,
+           CAST(n_events AS BIGINT) AS n_events, sum_value,
+           LAST_VALUE(avg0 IGNORE NULLS) OVER (
+             PARTITION BY event_type ORDER BY bucket
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+             AS avg_ffill
+    FROM j
+    """,
+)
+def events_resample_5m(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-filled time-series resampling (pandas
+    ``resample('5min').agg(...).ffill()``): every event type gets a row
+    for EVERY 5-minute bucket between the table's global min and max
+    bucket — empty buckets appear with ``n_events = 0`` and carry the
+    last observed per-bucket mean forward (``last(ignorenulls)`` over
+    an unbounded-preceding frame).
+
+    Scale shape: the bucket aggregation is the only data-sized shuffle
+    (map-side combined); the grid is built from a 1-row bounds agg
+    cross-joined with the distinct type set (both metadata-sized, both
+    broadcast), so densification never shuffles the fact table. The
+    forward-fill window partitions by event_type — bounded state, one
+    pass. Buckets come from ``F.window('5 minutes')`` whose epoch
+    origin matches DuckDB's ``time_bucket`` (both origins are
+    300-second-aligned), pinning identical bucket edges. The carried
+    mean stays deliberately UNROUNDED: it is a division of two
+    engine-identical values (fixed-point sum, exact count), and IEEE
+    double division is bit-identical across engines while ROUND's
+    half-way behavior is not (Java HALF_UP vs DuckDB on e.g.
+    66.6149995 — the exact mismatch this gate first caught)."""
+    tune(spark)
+    ev = load_table(spark, sf_dir, "events")
+    b = ev.select(
+        F.window("ts", "5 minutes").start.alias("bucket"),
+        "event_type", "value",
+    )
+    agg = b.groupBy("event_type", "bucket").agg(
+        F.count(F.lit(1)).alias("n"),
+        (F.sum(F.floor(F.col("value") * F.lit(1e6)).cast("long"))
+         .cast("double") / F.lit(1e6)).alias("s"),
+    )
+    bounds = b.agg(F.min("bucket").alias("lo"), F.max("bucket").alias("hi"))
+    grid = (
+        b.select("event_type").distinct()
+        .crossJoin(F.broadcast(bounds))
+        .select(
+            "event_type",
+            F.explode(F.sequence(
+                "lo", "hi", F.expr("INTERVAL 5 MINUTES"))).alias("bucket"),
+        )
+    )
+    j = grid.join(agg, ["event_type", "bucket"], "left").select(
+        "event_type",
+        "bucket",
+        F.coalesce("n", F.lit(0)).alias("n_events"),
+        F.coalesce("s", F.lit(0.0)).alias("sum_value"),
+        F.when(F.col("n") > 0, F.col("s") / F.col("n")).alias("avg0"),
+    )
+    w = (
+        Window.partitionBy("event_type").orderBy("bucket")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return j.select(
+        "event_type",
+        F.date_format("bucket", "yyyy-MM-dd HH:mm:ss").alias("bucket_start"),
+        "n_events",
+        "sum_value",
+        F.last("avg0", ignorenulls=True).over(w).alias("avg_ffill"),
+    )
+
+
+# ------------------------------------------------------- UDTF face
+
+
+def _pii_spans_oracle() -> str:
+    from pandas_rust_algos_spark.plans.queries_scrub import _AUG_SQL
+
+    arms = " UNION ALL ".join(
+        f"SELECT doc_id, '{kind}' AS kind, "
+        f"UNNEST(REGEXP_EXTRACT_ALL(t, '{pat}')) AS hit FROM aug"
+        for kind, pat, _ in sc.PII_PATTERNS
+    )
+    return f"""
+    WITH aug AS (SELECT doc_id, {_AUG_SQL} AS t FROM documents)
+    {arms}
+    """
+
+
+@register("udtf_pii_spans", oracle=_pii_spans_oracle())
+def udtf_pii_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The Python UDTF face (Spark 4): ``LATERAL pii_spans(text)``
+    expands each document into one row per PII match
+    (``operators/udtf_ops.py``). The gate hashes (doc_id, kind, hit) —
+    the span OFFSETS the UDTF adds are verified by in-repo slice-back
+    tests (tests/test_udtf.py), since no SQL oracle can produce match
+    offsets. Deliberately the slow path: Arrow-batched but
+    row-iterating Python — the expression twin (``pii_scrub``) is the
+    100 TB path, and this gate exists to pin the escape hatch's
+    semantics, not to race it."""
+    from pandas_rust_algos_spark.operators.udtf_ops import register_udtfs
+    from pandas_rust_algos_spark.plans.queries_scrub import _aug_col
+
+    tune(spark)
+    register_udtfs(spark)
+    docs = spread(load_table(spark, sf_dir, "documents"))
+    docs.select("doc_id", _aug_col().alias("t")) \
+        .createOrReplaceTempView("pra_udtf_aug")
+    return spark.sql(
+        "SELECT d.doc_id, s.kind, s.hit "
+        "FROM pra_udtf_aug d, LATERAL pii_spans(d.t) s"
+    )
+
+
+# ------------------------------------------------------ link analytics
+
+_PR_EDGES_SQL = (
+    "SELECT l_partkey * 2 AS src, l_suppkey * 2 + 1 AS dst FROM lineitem "
+    "UNION ALL "
+    "SELECT l_suppkey * 2 + 1 AS src, l_partkey * 2 AS dst FROM lineitem"
+)
+
+
+def _pagerank_oracle() -> str:
+    from pandas_rust_algos_spark.operators.graph import sql_pagerank_fixed
+
+    inner = sql_pagerank_fixed(_PR_EDGES_SQL, n_iter=5)
+    return f"""
+    SELECT (node - 1) // 2 AS supp_id, rank AS rank_micros
+    FROM ({inner}) WHERE node % 2 = 1
+    """
+
+
+@register("pagerank_suppliers", oracle=_pagerank_oracle())
+def pagerank_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Supplier centrality by PageRank over the bipartite
+    part↔supplier co-occurrence graph (both edge directions, so rank
+    flows). Fixed-point integer iteration (``operators/graph.py``)
+    makes 5 power iterations BIT-IDENTICAL across partitionings and
+    engines — which is why this iterative algorithm can have a full
+    value-hash oracle (the DuckDB twin unrolls the same integer
+    update) where float PageRank could only ever be rows-only."""
+    from pandas_rust_algos_spark.operators.graph import pagerank_fixed
+
+    tune(spark)
+    li = load_table(spark, sf_dir, "lineitem")
+    fwd = li.select(
+        (F.col("l_partkey") * 2).alias("src"),
+        (F.col("l_suppkey") * 2 + 1).alias("dst"),
+    )
+    edges = fwd.union(fwd.select(F.col("dst").alias("src"),
+                                 F.col("src").alias("dst")))
+    ranks = pagerank_fixed(edges, n_iter=5)
+    return ranks.where(F.col("node") % 2 == 1).select(
+        F.expr("(node - 1) div 2").alias("supp_id"),
+        F.col("rank").alias("rank_micros"),
+    )

@@ -119,6 +119,11 @@ _GATE_PRIORITY: tuple[str, ...] = (
     "events_stream_funnel",
     "bpe_token_stats",
     "events_variant_props",
+    "expectations_report",
+    "curate_pipeline",
+    "events_resample_5m",
+    "udtf_pii_spans",
+    "pagerank_suppliers",
     # (c) modules changing this round
     "minhash_near_dupes",
     "simhash_fingerprints",
@@ -173,6 +178,7 @@ def _load_all() -> None:
     from pandas_rust_algos_spark.plans import queries_functions  # noqa: F401
     from pandas_rust_algos_spark.plans import queries_llmdata  # noqa: F401
     from pandas_rust_algos_spark.plans import queries_scrub  # noqa: F401
+    from pandas_rust_algos_spark.plans import queries_pipeline  # noqa: F401
 
     ordered = {n: _REGISTRY[n] for n in _GATE_PRIORITY if n in _REGISTRY}
     if len(ordered) < len(_REGISTRY):

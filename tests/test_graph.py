@@ -1,0 +1,80 @@
+"""Tests for fixed-point PageRank (operators/graph.py): agreement with
+a pure-Python replay of the integer iteration, stationary cycle,
+dangling-mass convention, partition invariance (bit-exactness), and
+the checkpointed path."""
+
+from __future__ import annotations
+
+from collections import Counter, defaultdict
+
+import pytest
+
+from pandas_rust_algos_spark.operators.graph import pagerank_fixed
+
+SCALE = 1_000_000
+
+
+def _ref(edges, n_iter=5, damping_pct=85, scale=SCALE):
+    es = sorted(set(edges))
+    nodes = sorted({n for e in es for n in e})
+    deg = Counter(s for s, _ in es)
+    rank = {n: scale for n in nodes}
+    base = (100 - damping_pct) * scale // 100
+    for _ in range(n_iter):
+        sums = defaultdict(int)
+        for s, d in es:
+            sums[d] += rank[s] // deg[s]
+        rank = {n: base + damping_pct * sums.get(n, 0) // 100 for n in nodes}
+    return rank
+
+
+def _run(spark, edges, **kw):
+    df = spark.createDataFrame(edges, "src long, dst long")
+    return {r["node"]: r["rank"]
+            for r in pagerank_fixed(df, **kw).collect()}
+
+
+def test_cycle_is_stationary(spark):
+    got = _run(spark, [(1, 2), (2, 3), (3, 1)], n_iter=4)
+    assert got == {1: SCALE, 2: SCALE, 3: SCALE}
+
+
+def test_star_matches_reference(spark):
+    edges = [(i, 0) for i in range(1, 6)] + [(0, 1)]
+    assert _run(spark, edges, n_iter=5) == _ref(edges, n_iter=5)
+    # hub receives everything -> must outrank the spokes
+    got = _run(spark, edges, n_iter=5)
+    assert got[0] > got[2]
+
+
+def test_dangling_mass_leaks(spark):
+    # 1 -> 2, 2 has no out-edges: total mass shrinks per iteration
+    edges = [(1, 2)]
+    got = _run(spark, edges, n_iter=3)
+    assert got == _ref(edges, n_iter=3)
+    assert sum(got.values()) < 2 * SCALE
+
+
+def test_partition_invariance_bit_exact(spark):
+    edges = [(i, (i * 7) % 23) for i in range(100)] + \
+            [((i * 3) % 23, i) for i in range(50)]
+    df = spark.createDataFrame(edges, "src long, dst long")
+    a = {r["node"]: r["rank"]
+         for r in pagerank_fixed(df, n_iter=4).collect()}
+    b = {r["node"]: r["rank"]
+         for r in pagerank_fixed(df.repartition(17), n_iter=4).collect()}
+    assert a == b == _ref(edges, n_iter=4)
+
+
+def test_checkpoint_path_identical(spark):
+    edges = [(i, (i + 1) % 10) for i in range(10)] + [(0, 5), (3, 7)]
+    assert _run(spark, edges, n_iter=6, checkpoint_every=2) == \
+        _ref(edges, n_iter=6)
+
+
+def test_bad_args(spark):
+    df = spark.createDataFrame([(1, 2)], "src long, dst long")
+    with pytest.raises(ValueError):
+        pagerank_fixed(df, damping_pct=101)
+    with pytest.raises(ValueError):
+        pagerank_fixed(df, n_iter=-1)

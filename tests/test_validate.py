@@ -1,0 +1,88 @@
+"""Unit tests for the expectations operator (operators/validate.py):
+NULL conventions, uniqueness struct semantics, FK anti-join counting,
+the approx (HLL) path, and the one-scan plan shape."""
+
+from __future__ import annotations
+
+import pytest
+
+from pandas_rust_algos_spark.operators import validate as V
+
+
+def _report(df, **kw):
+    rows = V.expectations_report(df, **kw).collect()
+    return {(r["rule"], r["target"]): r for r in rows}
+
+
+def test_row_rules_null_convention(spark):
+    df = spark.createDataFrame(
+        [(1, 5.0, "A"), (2, None, "B"), (3, 99.0, None), (None, 2.0, "A")],
+        "id long, x double, flag string",
+    )
+    rep = _report(
+        df,
+        rules=[
+            V.not_null("id"),
+            V.in_range("x", 0.0, 10.0),
+            V.in_set("flag", ["A", "B"]),
+            V.matches("flag", "[AB]"),
+        ],
+    )
+    assert rep[("not_null", "id")]["violations"] == 1
+    # NULL x is NOT an in_range violation; 99.0 is
+    assert rep[("in_range[0.0,10.0]", "x")]["violations"] == 1
+    # NULL flag is NOT a set/regex violation
+    assert rep[("in_set[A,B]", "flag")]["violations"] == 0
+    assert rep[("matches[[AB]]", "flag")]["violations"] == 0
+    assert all(r["total"] == 4 for r in rep.values())
+    assert rep[("not_null", "id")]["passed"] is False
+    assert rep[("in_set[A,B]", "flag")]["passed"] is True
+
+
+def test_unique_composite_and_null_fields(spark):
+    df = spark.createDataFrame(
+        [(1, 1), (1, 1), (1, 2), (None, 1), (None, 1)],
+        "a long, b long",
+    )
+    rep = _report(df, uniques=[V.unique("a", "b")])
+    # (1,1) duplicated once, (NULL,1) duplicated once — NULL key fields
+    # participate as values (struct equality), so both count.
+    assert rep[("unique", "a,b")]["violations"] == 2
+
+
+def test_unique_approx_is_labeled_and_close(spark):
+    df = spark.range(0, 2000).selectExpr("id % 1000 AS k")
+    rep = _report(df, uniques=[V.unique("k")], approx=True)
+    (key,) = rep
+    assert key[0] == "unique~hll"
+    # HLL error is ~2.3%; 1000 surplus rows must be within 10%
+    assert abs(rep[key]["violations"] - 1000) < 100
+
+
+def test_foreign_key_counts_and_null_fk(spark):
+    child = spark.createDataFrame(
+        [(1,), (2,), (9,), (9,), (None,)], "k long")
+    dim = spark.createDataFrame([(1,), (2,), (3,)], "pk long")
+    rep = _report(df=child, fks=[V.foreign_key("k", dim, "pk")])
+    r = rep[("foreign_key", "k")]
+    # two dangling rows (9 twice); NULL fk is not a violation
+    assert r["violations"] == 2 and r["total"] == 5 and not r["passed"]
+
+
+def test_no_expectations_raises(spark):
+    df = spark.range(1)
+    with pytest.raises(ValueError):
+        V.expectations_report(df)
+
+
+def test_row_rules_fold_into_one_aggregate(spark):
+    """Plan shape: N row rules + a uniqueness rule must not add scans —
+    everything folds into one aggregation over one relation."""
+    df = spark.range(0, 100).selectExpr("id", "id * 2 AS x")
+    rep = V.expectations_report(
+        df,
+        rules=[V.not_null("id"), V.in_range("x", 0, 50), V.not_null("x")],
+        uniques=[V.unique("id")],
+    )
+    plan = rep._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Range (0, 100") <= 1
