@@ -56,6 +56,9 @@ HEADLINE = [
     "curate_pipeline",
     "events_resample_5m",
     "pagerank_suppliers",
+    "scd2_join",
+    "events_anomaly",
+    "basket_pairs",
 ]
 
 

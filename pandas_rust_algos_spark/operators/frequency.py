@@ -80,3 +80,64 @@ def heavy_hitters_approx(
     if col is None:
         raise ValueError("heavy_hitters_approx supports a single key column")
     return freq.select(F.explode(col).alias(keys[0]))
+
+
+def basket_pairs(
+    df: DataFrame,
+    basket_col: str,
+    item_col: str,
+    *,
+    min_pairs: int = 3,
+) -> DataFrame:
+    """Market-basket co-occurrence with lift — the first (and usually
+    only needed) pass of association mining: for every item pair that
+    appears together in ≥ ``min_pairs`` baskets, the co-count, the
+    per-item basket counts, and ``lift = n_ab·N / (n_a·n_b)``.
+
+    Scale shape: pair generation is ARRAY ALGEBRA after one shuffle —
+    baskets aggregate to a sorted distinct item array, and ordered
+    pairs come from a nested ``transform``/``slice``/``flatten`` over
+    that array (cost ∝ Σ basket_size², bounded by the largest basket,
+    typically tens of items). Never the unbounded items⋈items
+    self-join a naive SQL formulation runs (the DuckDB oracle DOES run
+    that self-join — the point of the gate is that both roads agree).
+    The pair count and item counts are map-side-combined aggregates;
+    lift is a BIGINT/BIGINT division, engine-identical without
+    rounding.
+    """
+    if min_pairs < 1:
+        raise ValueError(f"min_pairs must be >= 1, got {min_pairs}")
+    items = df.select(
+        F.col(basket_col).alias("b"), F.col(item_col).alias("i")
+    ).distinct()
+    n_orders = items.select(F.count_distinct("b").alias("n_baskets"))
+    arr = items.groupBy("b").agg(F.array_sort(F.collect_set("i")).alias("a"))
+    pairs = (
+        arr.select(
+            F.explode(
+                F.flatten(F.transform(
+                    "a",
+                    lambda x, i: F.transform(
+                        F.slice(F.col("a"), i + 2, F.size("a")),
+                        lambda y: F.struct(x.alias("pa"), y.alias("pb")),
+                    ),
+                ))
+            ).alias("p")
+        )
+        .select("p.*")
+        .groupBy("pa", "pb")
+        .agg(F.count(F.lit(1)).alias("n_ab"))
+        .where(F.col("n_ab") >= min_pairs)
+    )
+    cnt = items.groupBy("i").agg(F.count(F.lit(1)).alias("c"))
+    ca = cnt.select(F.col("i").alias("pa"), F.col("c").alias("n_a"))
+    cb = cnt.select(F.col("i").alias("pb"), F.col("c").alias("n_b"))
+    return (
+        pairs.join(ca, "pa").join(cb, "pb")
+        .crossJoin(F.broadcast(n_orders))
+        .select(
+            "pa", "pb", "n_ab", "n_a", "n_b",
+            ((F.col("n_ab") * F.col("n_baskets")).cast("double")
+             / (F.col("n_a") * F.col("n_b"))).alias("lift"),
+        )
+    )

@@ -63,17 +63,29 @@ def pagerank_fixed(
         raise ValueError(f"damping_pct must be in [0,100], got {damping_pct}")
     if n_iter < 0:
         raise ValueError(f"n_iter must be >= 0, got {n_iter}")
+    from pyspark import StorageLevel
+
+    # Persist the loop invariants: without this, lazy evaluation
+    # re-runs the whole edge lineage (scan + distinct + repartition)
+    # and the degree/node aggregations once PER ITERATION — the #1
+    # iterative-algorithm mistake on Spark. MEMORY_AND_DISK because at
+    # graph scale the edge set may not fit in executor memory.
     e = (
         edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
         .distinct()
         .repartition("src")  # the one edge shuffle, reused every iteration
+        .persist(StorageLevel.MEMORY_AND_DISK)
     )
     nodes = (
         e.select(F.col("src").alias("node"))
         .union(e.select(F.col("dst").alias("node")))
         .distinct()
+        .persist(StorageLevel.MEMORY_AND_DISK)
     )
-    deg = e.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
+    deg = (
+        e.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
     base = (100 - damping_pct) * scale // 100
     ranks = nodes.withColumn("rank", F.lit(scale).cast("long"))
     for i in range(n_iter):

@@ -97,3 +97,41 @@ def array_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.array_min("embedding").cast("double"), 6).alias("min_dim"),
         F.round(d(1) + d(2) + d(3) + d(4), 6).alias("head_sum"),
     )
+
+
+@register(
+    "try_functions",
+    oracle="""
+    SELECT o_orderkey,
+           CASE WHEN o_orderkey % 5 = 0 THEN NULL
+                ELSE o_totalprice / (o_orderkey % 5) END AS safe_div,
+           TRY_CAST(CASE WHEN o_orderkey % 3 = 0 THEN 'not-a-number'
+                         ELSE '123' END AS INTEGER) AS safe_cast,
+           CASE WHEN o_orderkey > 7 THEN NULL
+                ELSE o_orderkey + 9223372036854775800 END AS safe_add,
+           [1, 2, 3][4] AS safe_oob
+    FROM orders
+    """,
+)
+def try_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANSI error-safety surface: Spark 4 runs with ANSI mode ON, so
+    division by zero / overflow / bad casts THROW by default — the
+    ``try_*`` family is the production form for dirty data (NULL
+    instead of a failed 100 TB job). The oracle states the same
+    semantics with explicit guards (plus DuckDB's natively-NULL
+    out-of-bounds list access), pinning: divide-by-zero → NULL, string
+    cast failure → NULL, BIGINT overflow → NULL, array index past the
+    end → NULL."""
+    tune(spark)
+    o = load_table(spark, sf_dir, "orders")
+    return o.select(
+        "o_orderkey",
+        F.try_divide(F.col("o_totalprice"),
+                     F.col("o_orderkey") % 5).alias("safe_div"),
+        F.when(F.col("o_orderkey") % 3 == 0, F.lit("not-a-number"))
+        .otherwise(F.lit("123")).try_cast("int").alias("safe_cast"),
+        F.try_add(F.col("o_orderkey"),
+                  F.lit(9223372036854775800)).alias("safe_add"),
+        F.try_element_at(F.array(F.lit(1), F.lit(2), F.lit(3)),
+                         F.lit(4)).alias("safe_oob"),
+    )

@@ -443,3 +443,191 @@ def pagerank_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr("(node - 1) div 2").alias("supp_id"),
         F.col("rank").alias("rank_micros"),
     )
+
+
+# -------------------------------------------------- SCD2 temporal join
+
+_SCD2_DIM_SQL = """
+      SELECT c_custkey, c_mktsegment,
+             DATE '1997-01-01' + CAST(c_custkey % 730 AS INT) AS split
+      FROM customer
+"""
+
+
+@register(
+    "scd2_join",
+    oracle=f"""
+    WITH s AS ({_SCD2_DIM_SQL}),
+    dim AS (
+      SELECT c_custkey AS custkey, c_mktsegment AS seg,
+             DATE '1995-01-01' AS valid_from, split AS valid_to FROM s
+      UNION ALL
+      SELECT c_custkey, c_mktsegment || '-V2', split, DATE '2002-01-01'
+      FROM s
+    )
+    SELECT seg AS segment, COUNT(*) AS n_orders,
+           CAST(SUM(CAST(FLOOR(o_totalprice * 1e6) AS BIGINT)) AS DOUBLE)
+             / 1e6 AS sum_total
+    FROM orders JOIN dim ON o_custkey = custkey
+      AND o_orderdate >= valid_from AND o_orderdate < valid_to
+    GROUP BY 1
+    """,
+)
+def scd2_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Slowly-changing-dimension (type 2) join: each customer's
+    market segment has two validity eras (split date is a pure
+    function of the key, so the dim is deterministic), and every order
+    joins to the era covering its order date — the standard
+    point-in-time dimension lookup of a warehouse.
+
+    Scale shape: temporal-validity joins have no equi-key on the date,
+    so this rides ``operators/range_join.py``'s bucket banding
+    (interval rows explode into ~era/365d buckets, points bucket once,
+    equi-join on (custkey, bucket), exact predicate re-checked) —
+    never the broadcast-nested-loop a naive BETWEEN join degenerates
+    to. Row-count conservation (every order hits exactly one era) is
+    implied by the oracle's row hash."""
+    from pandas_rust_algos_spark.operators.range_join import range_join
+
+    tune(spark)
+    cust = load_table(spark, sf_dir, "customer")
+    split = F.date_add(F.to_date(F.lit("1997-01-01")),
+                       (F.col("c_custkey") % 730).cast("int"))
+    base = cust.select(
+        F.col("c_custkey").alias("o_custkey"),
+        F.col("c_mktsegment"), split.alias("split"),
+    )
+    dim = base.select(
+        "o_custkey",
+        F.explode(F.array(
+            F.struct(
+                F.to_date(F.lit("1995-01-01")).alias("valid_from"),
+                F.col("split").alias("valid_to"),
+                F.col("c_mktsegment").alias("segment"),
+            ),
+            F.struct(
+                F.col("split").alias("valid_from"),
+                F.to_date(F.lit("2002-01-01")).alias("valid_to"),
+                F.concat(F.col("c_mktsegment"), F.lit("-V2"))
+                .alias("segment"),
+            ),
+        )).alias("e"),
+    ).select("o_custkey", "e.*")
+    orders = load_table(spark, sf_dir, "orders")
+    joined = range_join(
+        orders, "o_orderdate", dim, "valid_from", "valid_to",
+        bucket_seconds=86_400 * 365, extra_keys=["o_custkey"],
+    )
+    return joined.groupBy("segment").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        (F.sum(F.floor(F.col("o_totalprice") * F.lit(1e6)).cast("long"))
+         .cast("double") / F.lit(1e6)).alias("sum_total"),
+    )
+
+
+# ------------------------------------------------- anomaly detection
+
+_HOUR_US = 3_600_000_000
+
+
+@register(
+    "events_anomaly",
+    oracle=f"""
+    WITH w AS (
+      SELECT event_type, value,
+             SUM(CAST(FLOOR(value * 1e6) AS BIGINT)) OVER win AS s1,
+             SUM(CAST(FLOOR(value * value * 1e6) AS BIGINT)) OVER win AS s2,
+             COUNT(*) OVER win AS n
+      FROM events
+      WINDOW win AS (PARTITION BY event_type ORDER BY epoch_us(ts)
+                     RANGE BETWEEN {_HOUR_US - 1} PRECEDING
+                           AND CURRENT ROW)
+    ), f AS (
+      SELECT event_type, value, n,
+             (CAST(s1 AS DOUBLE) / 1e6) / n AS mean,
+             (CAST(s2 AS DOUBLE) / 1e6) / n AS ex2
+      FROM w
+    )
+    SELECT event_type, COUNT(*) AS n_events,
+           CAST(SUM(CASE WHEN n >= 30 AND (value - mean) * (value - mean)
+                              > 9 * (ex2 - mean * mean)
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_anomalies
+    FROM f GROUP BY 1
+    """,
+)
+def events_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trailing-window anomaly detection: an event is anomalous when
+    its value sits more than 3σ from the trailing-1h mean of its type
+    (computed over the half-open RANGE frame ``(t-1h, t]`` on
+    epoch-µs, ≥30 observations required). One shuffle (the window
+    partition); sums inside the frame are fixed-point micro-units so
+    mean/variance derive from engine-identical integers, and every
+    subsequent double op is scalar per row — bit-identical across
+    engines without any rounding."""
+    tune(spark)
+    ev = load_table(spark, sf_dir, "events")
+    t = F.unix_micros(F.col("ts"))
+    win = (
+        Window.partitionBy("event_type").orderBy(t)
+        .rangeBetween(-(_HOUR_US - 1), 0)
+    )
+    w = ev.select(
+        "event_type", "value",
+        F.sum(F.floor(F.col("value") * F.lit(1e6)).cast("long"))
+        .over(win).alias("s1"),
+        F.sum(F.floor(F.col("value") * F.col("value") * F.lit(1e6))
+              .cast("long")).over(win).alias("s2"),
+        F.count(F.lit(1)).over(win).alias("n"),
+    )
+    f = w.select(
+        "event_type", "value", "n",
+        ((F.col("s1").cast("double") / F.lit(1e6)) / F.col("n"))
+        .alias("mean"),
+        ((F.col("s2").cast("double") / F.lit(1e6)) / F.col("n"))
+        .alias("ex2"),
+    )
+    dev2 = (F.col("value") - F.col("mean")) * (F.col("value") - F.col("mean"))
+    var = F.col("ex2") - F.col("mean") * F.col("mean")
+    flagged = (F.col("n") >= 30) & (dev2 > F.lit(9) * var)
+    return f.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum(F.when(flagged, 1).otherwise(0)).cast("long")
+        .alias("n_anomalies"),
+    )
+
+
+# ------------------------------------------------------ market basket
+
+
+@register(
+    "basket_pairs",
+    oracle="""
+    WITH items AS (
+      SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem
+    ), n AS (SELECT COUNT(DISTINCT o) AS n_baskets FROM items),
+    cnt AS (SELECT p, COUNT(*) AS c FROM items GROUP BY p),
+    pairs AS (
+      SELECT a.p AS pa, b.p AS pb, COUNT(*) AS n_ab
+      FROM items a JOIN items b ON a.o = b.o AND a.p < b.p
+      GROUP BY 1, 2
+    )
+    SELECT pa, pb, n_ab, ca.c AS n_a, cb.c AS n_b,
+           CAST(n_ab * n_baskets AS DOUBLE) / (ca.c * cb.c) AS lift
+    FROM pairs
+    JOIN cnt ca ON pa = ca.p
+    JOIN cnt cb ON pb = cb.p
+    CROSS JOIN n
+    WHERE n_ab >= 3
+    """,
+)
+def basket_pairs_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Association mining's co-occurrence pass: part pairs ordered
+    together in ≥3 orders, with lift (``operators/frequency.py:
+    basket_pairs`` — array-algebra pair generation bounded by basket
+    size; the oracle's naive self-join is exactly the plan the
+    operator exists to avoid at scale)."""
+    from pandas_rust_algos_spark.operators.frequency import basket_pairs
+
+    tune(spark)
+    li = load_table(spark, sf_dir, "lineitem")
+    return basket_pairs(li, "l_orderkey", "l_partkey", min_pairs=3)

@@ -124,6 +124,10 @@ _GATE_PRIORITY: tuple[str, ...] = (
     "events_resample_5m",
     "udtf_pii_spans",
     "pagerank_suppliers",
+    "scd2_join",
+    "events_anomaly",
+    "basket_pairs",
+    "try_functions",
     # (c) modules changing this round
     "minhash_near_dupes",
     "simhash_fingerprints",

@@ -45,6 +45,8 @@ reads, pruned rewrites) is cluster-ready as-is.
 
 from __future__ import annotations
 
+import base64
+import hashlib
 import json
 import os
 import time
@@ -71,13 +73,59 @@ class _Snapshot:
     ts_ms: int = 0
 
 
+_BLOOM_BITS = 8192
+_BLOOM_K = 5
+
+
+def _bloom_positions(value, bits: int, k: int):
+    """k bit positions for one value. Canonical form is ``str(value)``
+    (identical on writer and reader); md5 keeps the positions
+    engine/version-stable, unlike Python's salted ``hash()``."""
+    s = str(value)
+    for i in range(k):
+        h = hashlib.md5(f"{i}:{s}".encode()).digest()
+        yield int.from_bytes(h[:8], "big") % bits
+
+
+def _bloom_build(values, bits: int = _BLOOM_BITS, k: int = _BLOOM_K) -> dict:
+    ba = bytearray(bits // 8)
+    for v in values:
+        if v is None:
+            continue
+        for pos in _bloom_positions(v, bits, k):
+            ba[pos >> 3] |= 1 << (pos & 7)
+    return {"bits": bits, "k": k,
+            "b64": base64.b64encode(bytes(ba)).decode()}
+
+
+def bloom_might_contain(bloom: dict, value) -> bool:
+    """False ⇒ the value is PROVABLY absent from the file; True means
+    only "maybe" (false-positive rate ~(1-e^{-kn/m})^k)."""
+    ba = base64.b64decode(bloom["b64"])
+    return all(
+        ba[pos >> 3] & (1 << (pos & 7))
+        for pos in _bloom_positions(value, bloom["bits"], bloom["k"])
+    )
+
+
 def file_add_action(table_path: str, fpath: str,
-                    key_cols: list[str]) -> dict:
+                    key_cols: list[str],
+                    bloom_cols: list[str] | tuple[str, ...] = ()) -> dict:
     """Add-action for one parquet file: footer-derived row count and
-    key min/max stats (metadata reads only, never data)."""
+    key min/max stats (metadata reads only, never data), plus an
+    optional Bloom filter per ``bloom_cols`` column.
+
+    Blooms are the point-lookup complement to min/max: a
+    high-cardinality key's [min, max] spans almost everything (range
+    stats prune nothing for ``k = 12345``), while a 1 KiB bloom
+    answers "provably not in this file" per EXACT value. Building one
+    reads that COLUMN's data (not just footers) — opt-in per column,
+    O(column bytes) at write time, amortized over every point lookup
+    the table ever serves."""
     import pyarrow.parquet as pq
 
-    meta = pq.ParquetFile(fpath).metadata
+    pf = pq.ParquetFile(fpath)
+    meta = pf.metadata
     idx = {meta.schema.column(i).name: i for i in range(meta.num_columns)}
     stats: dict[str, dict] = {}
     for k in key_cols:
@@ -93,6 +141,12 @@ def file_add_action(table_path: str, fpath: str,
             hi = s.max if hi is None else max(hi, s.max)
         if lo is not None:
             stats[k] = {"min": lo, "max": hi}
+    for c in bloom_cols:
+        if c not in idx:
+            continue
+        col = pf.read(columns=[c]).column(c)
+        stats.setdefault(c, {})["bloom"] = _bloom_build(
+            dict.fromkeys(col.to_pylist()))
     return {
         "path": os.path.relpath(fpath, table_path),
         "rows": meta.num_rows,
@@ -111,6 +165,7 @@ class VersionedTable:
     spark: SparkSession
     path: str
     key_cols: list[str] = field(default_factory=list)
+    bloom_cols: list[str] = field(default_factory=list)
     checkpoint_interval: int = 10
     max_commit_retries: int = 10
 
@@ -203,7 +258,7 @@ class VersionedTable:
         df.write.mode("error").parquet(out_dir)
         return [
             file_add_action(self.path, os.path.join(out_dir, name),
-                            self.key_cols)
+                            self.key_cols, self.bloom_cols)
             for name in sorted(os.listdir(out_dir))
             if name.endswith(".parquet")
         ]
@@ -370,7 +425,9 @@ class VersionedTable:
             s = a.get("stats", {}).get(k0)
             if lo is None:  # empty/all-null batch: nothing can match
                 kept.append(rel)
-            elif s is None:  # no stats recorded → must assume overlap
+            elif s is None or "min" not in s:
+                # no range stats recorded (absent or bloom-only entry)
+                # → must assume overlap
                 touched.append(rel)
             elif s["max"] < lo or s["min"] > hi:
                 kept.append(rel)

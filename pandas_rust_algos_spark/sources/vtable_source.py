@@ -114,17 +114,30 @@ class VTableReader(DataSourceReader):
 
     @staticmethod
     def _excluded(stats: dict, f) -> bool:
-        """True iff the file's [min, max] for the filter column proves
-        NO row can match (missing stats → cannot exclude)."""
+        """True iff the file's stats prove NO row can match the filter
+        (missing stats → cannot exclude): [min, max] interval logic for
+        comparisons, plus a Bloom-filter probe for EqualTo on columns
+        that committed one — the point-lookup path where a
+        high-cardinality key's range stats prune nothing."""
         from pyspark.sql.datasource import (
             EqualTo, GreaterThan, GreaterThanOrEqual,
             LessThan, LessThanOrEqual,
         )
 
+        from pandas_rust_algos_spark.sources.table_format import (
+            bloom_might_contain,
+        )
+
         s = stats.get(f.attribute[0])
         if not s:
             return False
-        lo, hi, v = s["min"], s["max"], f.value
+        v = f.value
+        if isinstance(f, EqualTo) and "bloom" in s \
+                and not bloom_might_contain(s["bloom"], v):
+            return True
+        lo, hi = s.get("min"), s.get("max")
+        if lo is None or hi is None:
+            return False
         try:
             if isinstance(f, EqualTo):
                 return v < lo or v > hi
@@ -213,6 +226,8 @@ class VTableArrowWriter(DataSourceArrowWriter):
             raise ValueError("vtable writer requires a path")
         kc = options.get("keycols")
         self.key_cols = [c.strip() for c in kc.split(",")] if kc else []
+        bc = options.get("bloomcols")
+        self.bloom_cols = [c.strip() for c in bc.split(",")] if bc else []
         self.merge_schema = (
             str(options.get("mergeschema", "false")).lower() == "true"
         )
@@ -235,12 +250,14 @@ class VTableArrowWriter(DataSourceArrowWriter):
         os.makedirs(out_dir, exist_ok=True)
         fpath = os.path.join(out_dir, f"part-{uuid.uuid4().hex}.parquet")
         pq.write_table(pa.Table.from_batches(batches), fpath)
-        add = file_add_action(self.path, fpath, self.key_cols)
+        add = file_add_action(self.path, fpath, self.key_cols,
+                              self.bloom_cols)
         return _AddMessage([add], [add["path"]])
 
     def _table(self) -> VersionedTable:
         return VersionedTable(spark=None, path=self.path,
-                              key_cols=self.key_cols)
+                              key_cols=self.key_cols,
+                              bloom_cols=self.bloom_cols)
 
     def commit(self, messages) -> None:
         tbl = self._table()

@@ -266,3 +266,56 @@ def test_stream_funnel_state_spans_batches(spark, tmp_path):
     # user 8's click preceded their first view: never advances past t1
     u8 = latest[8]
     assert u8["t1"] is not None and u8["t2"] is None
+
+
+def test_late_data_dropped_beyond_watermark(spark, tmp_path):
+    """Watermark semantics pin (append mode): a straggler arriving
+    AFTER its window's state was evicted is dropped — never merged,
+    never re-emitted as a duplicate window. Eviction needs the
+    watermark to ADVANCE past the window end at a batch boundary and
+    then one further batch to apply it, so the timeline is: batch 0
+    fills [10:00, 11:00); batch 1's 14:00 event moves the max event
+    time; batch 2 runs with watermark 12:00 and evicts+emits the
+    window; batch 3's 10:45 straggler hits closed state and is
+    counted by numRowsDroppedByWatermark instead of the result."""
+    import datetime as dt
+    import time
+
+    from pandas_rust_algos_spark.streaming import events as se
+
+    def ev(eid, h, m):
+        return (eid, dt.datetime(2024, 1, 1, h, m), 1, "view", 1.0, "{}")
+
+    schema = ("event_id long, ts timestamp, user_id long, "
+              "event_type string, value double, props string")
+    src = str(tmp_path / "late_ev")
+    batches = [
+        [ev(1, 10, 0), ev(2, 10, 30)],   # the window under test
+        [ev(3, 14, 0)],                  # advances max event time
+        [ev(6, 13, 0)],                  # watermark 12:00 applies: evict+emit
+        [ev(4, 10, 45), ev(5, 13, 30)],  # straggler + in-horizon row
+    ]
+    for rows in batches:
+        spark.createDataFrame(rows, schema).coalesce(1) \
+            .write.mode("append").parquet(src)
+        time.sleep(1.1)  # file-source ordering is by modification time
+
+    stream = (spark.readStream.schema(
+        spark.read.parquet(src).schema)
+        .option("maxFilesPerTrigger", 1).parquet(src))
+    ckpt = str(tmp_path / "late_ck")
+    q = (se.tumbling_counts(stream).writeStream.format("memory")
+         .queryName("t_late_drop").outputMode("append")
+         .option("checkpointLocation", ckpt)
+         .trigger(availableNow=True).start())
+    q.awaitTermination()
+
+    out = {r["window_start"]: r["n_events"]
+           for r in spark.table("t_late_drop").collect()}
+    # the closed window holds only its pre-eviction rows, emitted once
+    assert out == {"2024-01-01 10:00:00": 2}
+    # the straggler was dropped BY THE WATERMARK, not lost elsewhere
+    dropped = sum(
+        p["stateOperators"][0].get("numRowsDroppedByWatermark", 0)
+        for p in q.recentProgress if p["stateOperators"])
+    assert dropped == 1

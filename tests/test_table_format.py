@@ -441,3 +441,68 @@ def test_vtable_datasource_write_schema_evolution(spark, tmp_path):
     tbl = VersionedTable(spark, path)
     rows = {r["id"]: r for r in tbl.read().collect()}
     assert rows[9]["score"] == 1.5 and rows[0]["score"] is None
+
+
+def test_bloom_filter_file_skipping(spark, tmp_path):
+    from pyspark.sql.datasource import EqualTo
+
+    from pandas_rust_algos_spark.sources.table_format import (
+        bloom_might_contain,
+    )
+    from pandas_rust_algos_spark.sources.vtable_source import (
+        VTableReader, register_vtable_source,
+    )
+
+    register_vtable_source(spark)
+    tbl = VersionedTable(spark, str(tmp_path / "btbl"),
+                         key_cols=["id"], bloom_cols=["id"])
+    # interleaved ids: [min,max] ranges OVERLAP, range stats prune nothing
+    tbl.create(_df(spark, range(0, 100, 2), "a").coalesce(1))   # evens
+    tbl.append(_df(spark, range(1, 100, 2), "b").coalesce(1))   # odds
+
+    snap = tbl._snapshot()
+    blooms = [a["stats"]["id"]["bloom"] for a in snap.files.values()]
+    assert all("b64" in b for b in blooms)
+
+    df = spark.read.format("vtable").load(tbl.path)
+    schema = df.schema
+
+    def n_parts(v):
+        r = VTableReader({"path": tbl.path}, schema)
+        list(r.pushFilters([EqualTo(("id",), v)]))
+        return len(r.partitions())
+
+    # value in exactly one file: min/max is inconclusive, bloom prunes
+    assert n_parts(42) == 1
+    assert n_parts(43) == 1
+    # no false negatives: every present id keeps its file
+    for v in range(100):
+        assert n_parts(v) >= 1
+        assert any(bloom_might_contain(b, v) for b in blooms)
+    # end-to-end correctness with the filter applied
+    got = df.where("id = 43").collect()
+    assert [r["id"] for r in got] == [43]
+
+
+def test_bloom_through_datasource_writer(spark, tmp_path):
+    from pyspark.sql.datasource import EqualTo
+
+    from pandas_rust_algos_spark.sources.vtable_source import (
+        VTableReader, register_vtable_source,
+    )
+
+    register_vtable_source(spark)
+    path = str(tmp_path / "bw")
+    _df(spark, range(0, 50), "a").coalesce(1).write.format("vtable") \
+        .option("keyCols", "id").option("bloomCols", "id") \
+        .mode("append").save(path)
+    _df(spark, range(1000, 1050), "b").coalesce(1).write.format("vtable") \
+        .option("keyCols", "id").option("bloomCols", "id") \
+        .mode("append").save(path)
+    df = spark.read.format("vtable").load(path)
+    r = VTableReader({"path": path}, df.schema)
+    # 500 is inside neither file: range stats exclude it from BOTH (the
+    # files are disjoint) — use a present-range absent value instead:
+    list(r.pushFilters([EqualTo(("id",), 25)]))
+    assert len(r.partitions()) == 1
+    assert df.where("id = 1025").count() == 1
