@@ -59,6 +59,9 @@ HEADLINE = [
     "scd2_join",
     "events_anomaly",
     "basket_pairs",
+    "drift_report",
+    "window_rank_suite",
+    "grouping_sets_revenue",
 ]
 
 

@@ -631,3 +631,128 @@ def basket_pairs_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     tune(spark)
     li = load_table(spark, sf_dir, "lineitem")
     return basket_pairs(li, "l_orderkey", "l_partkey", min_pairs=3)
+
+
+# ---------------------------------------------------- drift monitoring
+
+_DRIFT_SPLIT = "1998-01-01"
+
+
+@register(
+    "drift_report",
+    oracle=f"""
+    WITH b AS (
+      SELECT CAST(MIN(l_extendedprice) AS DOUBLE) AS lo,
+             CAST(MAX(l_extendedprice) AS DOUBLE) AS hi
+      FROM lineitem WHERE l_shipdate < TIMESTAMP '{_DRIFT_SPLIT}'
+    ), tagged AS (
+      SELECT GREATEST(0, LEAST(9, CAST(FLOOR(
+               (CAST(l_extendedprice AS DOUBLE) - lo)
+               / ((hi - lo) / CAST(10.0 AS DOUBLE))) AS BIGINT)))
+               AS bucket,
+             CASE WHEN l_shipdate < TIMESTAMP '{_DRIFT_SPLIT}'
+                  THEN 1 ELSE 0 END AS r,
+             CASE WHEN l_shipdate >= TIMESTAMP '{_DRIFT_SPLIT}'
+                  THEN 1 ELSE 0 END AS c
+      FROM lineitem CROSS JOIN b
+      WHERE l_extendedprice IS NOT NULL
+    ), counts AS (
+      SELECT bucket, SUM(r) AS n_ref, SUM(c) AS n_cur
+      FROM tagged GROUP BY bucket
+    ), grid AS (SELECT UNNEST(range(0, 10)) AS bucket),
+    filled AS (
+      SELECT g.bucket,
+             CAST(COALESCE(n_ref, 0) AS BIGINT) AS n_ref,
+             CAST(COALESCE(n_cur, 0) AS BIGINT) AS n_cur
+      FROM grid g LEFT JOIN counts USING (bucket)
+    ), t AS (SELECT SUM(n_ref) AS t_ref, SUM(n_cur) AS t_cur FROM filled)
+    SELECT bucket, n_ref, n_cur,
+           CASE WHEN t_ref > 0
+                THEN CAST(n_ref AS DOUBLE) / t_ref END AS rate_ref,
+           CASE WHEN t_cur > 0
+                THEN CAST(n_cur AS DOUBLE) / t_cur END AS rate_cur
+    FROM filled CROSS JOIN t
+    """,
+)
+def drift_report_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distribution drift of l_extendedprice between pre- and
+    post-1998 shipments (``operators/drift.py``): the reference side
+    defines 10 equal-width bins; both sides histogram into them (edge
+    bins absorb out-of-support mass). Two scans + 10-row shuffles —
+    the monitoring query a pipeline runs before promoting a batch."""
+    from pandas_rust_algos_spark.operators.drift import drift_report
+
+    tune(spark)
+    li = load_table(spark, sf_dir, "lineitem")
+    split = F.lit(_DRIFT_SPLIT).cast("timestamp")
+    return drift_report(
+        li.where(F.col("l_shipdate") < split),
+        li.where(F.col("l_shipdate") >= split),
+        "l_extendedprice",
+        n_buckets=10,
+    )
+
+
+# ---------------------------------------------- window-function surface
+
+
+@register(
+    "window_rank_suite",
+    oracle="""
+    SELECT l_orderkey, l_linenumber, l_returnflag,
+           ROW_NUMBER() OVER w AS rn,
+           NTILE(4) OVER w AS quartile,
+           PERCENT_RANK() OVER w AS pct_rank,
+           CUME_DIST() OVER w AS cume
+    FROM lineitem
+    WINDOW w AS (PARTITION BY l_returnflag
+                 ORDER BY l_extendedprice, l_orderkey, l_linenumber)
+    """,
+)
+def window_rank_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The remaining SQL ranking-window surface in one pass:
+    row_number / ntile / percent_rank / cume_dist over a TOTAL order
+    (price with key tiebreaks — a non-unique ordering would make
+    row_number and ntile partition-order-dependent). percent_rank and
+    cume_dist are BIGINT/BIGINT divisions — engine-identical. One
+    shuffle (the window partition)."""
+    tune(spark)
+    li = load_table(spark, sf_dir, "lineitem")
+    w = Window.partitionBy("l_returnflag").orderBy(
+        "l_extendedprice", "l_orderkey", "l_linenumber")
+    return li.select(
+        "l_orderkey", "l_linenumber", "l_returnflag",
+        F.row_number().over(w).alias("rn"),
+        F.ntile(4).over(w).alias("quartile"),
+        F.percent_rank().over(w).alias("pct_rank"),
+        F.cume_dist().over(w).alias("cume"),
+    )
+
+
+# ------------------------------------------------------- grouping sets
+
+_GSETS_SQL = """
+    SELECT l_returnflag, l_linestatus,
+           CAST(GROUPING(l_returnflag) AS INT) AS g_flag,
+           CAST(GROUPING(l_linestatus) AS INT) AS g_status,
+           COUNT(*) AS n,
+           CAST(SUM(CAST(FLOOR(l_extendedprice * 1e6) AS BIGINT))
+                AS DOUBLE) / 1e6 AS revenue
+    FROM lineitem
+    GROUP BY GROUPING SETS ((l_returnflag, l_linestatus),
+                            (l_returnflag), ())
+"""
+
+
+@register("grouping_sets_revenue", oracle=_GSETS_SQL)
+def grouping_sets_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit GROUPING SETS (the general form rollup/cube compile
+    to) with GROUPING() flags disambiguating real NULL keys from
+    subtotal rows — ONE aggregation pass produces all three
+    granularities (Spark expands sets map-side; no multi-scan union).
+    The oracle is the IDENTICAL SQL text run by DuckDB — the gate pins
+    that the engine's SQL face speaks the standard dialect."""
+    from pandas_rust_algos_spark.sources import sql as run_sql
+
+    tune(spark)
+    return run_sql(spark, sf_dir, _GSETS_SQL)

@@ -128,6 +128,9 @@ _GATE_PRIORITY: tuple[str, ...] = (
     "events_anomaly",
     "basket_pairs",
     "try_functions",
+    "drift_report",
+    "window_rank_suite",
+    "grouping_sets_revenue",
     # (c) modules changing this round
     "minhash_near_dupes",
     "simhash_fingerprints",

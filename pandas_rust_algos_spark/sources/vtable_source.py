@@ -165,6 +165,31 @@ class VTableReader(DataSourceReader):
             )
         ]
 
+    def _surviving_row_groups(self, pf) -> list[int] | None:
+        """Second pruning tier, applied executor-side per file: the
+        same interval exclusion as :meth:`partitions`, but against each
+        ROW GROUP's footer min/max — a fat file whose range spans a
+        point filter still skips all but the matching stripes. Returns
+        None when nothing was pushed (read everything, no stats walk)."""
+        if not self._pushed:
+            return None
+        meta = pf.metadata
+        idx = {meta.schema.column(i).name: i
+               for i in range(meta.num_columns)}
+        wanted = {f.attribute[0] for f in self._pushed}
+        keep = []
+        for rg in range(meta.num_row_groups):
+            stats: dict[str, dict] = {}
+            for name in wanted:
+                if name not in idx:
+                    continue
+                s = meta.row_group(rg).column(idx[name]).statistics
+                if s is not None and s.has_min_max:
+                    stats[name] = {"min": s.min, "max": s.max}
+            if not any(self._excluded(stats, f) for f in self._pushed):
+                keep.append(rg)
+        return keep
+
     def read(self, partition: _FilePartition):
         import pyarrow as pa
         import pyarrow.parquet as pq
@@ -175,7 +200,11 @@ class VTableReader(DataSourceReader):
         have = set(pf.schema_arrow.names)
         want = [f.name for f in target]
         present = [n for n in want if n in have]
-        for batch in pf.iter_batches(columns=present):
+        row_groups = self._surviving_row_groups(pf)
+        if row_groups == []:
+            return
+        for batch in pf.iter_batches(columns=present,
+                                     row_groups=row_groups):
             cols = []
             for field in target:
                 if field.name in have:

@@ -506,3 +506,42 @@ def test_bloom_through_datasource_writer(spark, tmp_path):
     list(r.pushFilters([EqualTo(("id",), 25)]))
     assert len(r.partitions()) == 1
     assert df.where("id = 1025").count() == 1
+
+
+def test_row_group_pruning_in_reader(spark, tmp_path):
+    import pyarrow.parquet as pq_mod
+    from pyspark.sql.datasource import EqualTo, GreaterThanOrEqual
+
+    from pandas_rust_algos_spark.sources.vtable_source import (
+        VTableReader, register_vtable_source,
+    )
+
+    register_vtable_source(spark)
+    tbl = _mk(spark, tmp_path)
+    tbl.create(_df(spark, range(100), "a").coalesce(1))
+    # rewrite the single data file with 10-row row groups (same rows,
+    # same committed file-level stats -> log stays valid)
+    (rel,) = tbl._snapshot().files
+    fpath = f"{tbl.path}/{rel}"
+    t = pq_mod.read_table(fpath)
+    t = t.sort_by("id")
+    pq_mod.write_table(t, fpath, row_group_size=10)
+
+    df = spark.read.format("vtable").load(tbl.path)
+    reader = VTableReader({"path": tbl.path}, df.schema)
+    (part,) = reader.partitions()
+
+    def rows_read(filters):
+        r = VTableReader({"path": tbl.path}, df.schema)
+        list(r.pushFilters(filters))
+        (p,) = r.partitions()
+        return sum(b.num_rows for b in r.read(p))
+
+    assert rows_read([]) == 100
+    # point filter: only the one 10-row stripe is read
+    assert rows_read([EqualTo(("id",), 55)]) == 10
+    # range filter: the tail stripes only
+    assert rows_read([GreaterThanOrEqual(("id",), 80)]) == 20
+    # end-to-end: results still correct (residual filter re-applied)
+    assert [r["id"] for r in df.where("id = 55").collect()] == [55]
+    assert df.where("id >= 80").count() == 20

@@ -86,3 +86,29 @@ def test_row_rules_fold_into_one_aggregate(spark):
     )
     plan = rep._jdf.queryExecution().executedPlan().toString()
     assert plan.count("Range (0, 100") <= 1
+
+
+# ---------------------------------------------------- drift edge cases
+
+
+def test_drift_degenerate_and_empty_sides(spark):
+    from pandas_rust_algos_spark.operators import drift as dr
+
+    # constant reference column (hi == lo): everything lands in bin 0
+    ref = spark.createDataFrame([(5.0,)] * 4, "x double")
+    cur = spark.createDataFrame([(5.0,), (9.0,), (None,)], "x double")
+    rows = {r["bucket"]: r for r in
+            dr.drift_report(ref, cur, "x", n_buckets=4).collect()}
+    assert len(rows) == 4
+    assert rows[0]["n_ref"] == 4 and rows[0]["n_cur"] == 2  # NULL excluded
+    assert all(rows[b]["n_ref"] == 0 for b in (1, 2, 3))
+    # empty current side: rates NULL, not a crash or div-by-zero
+    empty = spark.createDataFrame([], "x double")
+    out = dr.drift_report(ref, empty, "x", n_buckets=2).collect()
+    assert all(r["rate_cur"] is None and r["n_cur"] == 0 for r in out)
+    # out-of-support mass clamps to the edge bins
+    ref2 = spark.createDataFrame([(float(i),) for i in range(10)], "x double")
+    cur2 = spark.createDataFrame([(-100.0,), (100.0,)], "x double")
+    r2 = {r["bucket"]: r for r in
+          dr.drift_report(ref2, cur2, "x", n_buckets=5).collect()}
+    assert r2[0]["n_cur"] == 1 and r2[4]["n_cur"] == 1
