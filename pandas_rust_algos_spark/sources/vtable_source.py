@@ -33,13 +33,15 @@ from pyspark.sql.datasource import (
     DataSourceArrowWriter,
     DataSourceReader,
     InputPartition,
+    SimpleDataSourceStreamReader,
     WriterCommitMessage,
 )
 from pyspark.sql.types import StructType
 
 from pandas_rust_algos_spark.sources.table_format import VersionedTable
 
-__all__ = ["VTableDataSource", "VTableArrowWriter", "register_vtable_source"]
+__all__ = ["VTableDataSource", "VTableArrowWriter", "VTableStreamReader",
+           "register_vtable_source"]
 
 
 class _FilePartition(InputPartition):
@@ -85,6 +87,9 @@ class VTableDataSource(DataSource):
 
     def writer(self, schema: StructType, overwrite: bool):
         return VTableArrowWriter(self.options, schema, overwrite)
+
+    def simpleStreamReader(self, schema: StructType) -> "VTableStreamReader":
+        return VTableStreamReader(self.options, schema)
 
 
 class VTableReader(DataSourceReader):
@@ -313,3 +318,89 @@ class VTableArrowWriter(DataSourceArrowWriter):
                     os.unlink(os.path.join(self.path, rel))
                 except OSError:
                     pass
+
+
+# ------------------------------------------------------ stream reader
+
+
+class VTableStreamReader(SimpleDataSourceStreamReader):
+    """``spark.readStream.format("vtable")`` — the table's commit log
+    AS a streaming source (the lakehouse pattern that lets one table
+    serve batch backfills and incremental tails from the same storage).
+
+    Offsets are log versions: ``{"version": N}`` = "everything through
+    commit N is processed", so recovery replays exact version ranges —
+    deterministic offsets ⇒ exactly-once into checkpointed sinks.
+    APPEND-ONLY by contract: a merge/overwrite/delete inside the read
+    range raises (rewritten files would re-emit survivors as phantom
+    inserts); ``ignoreChanges=true`` opts into Delta-style relaxed
+    semantics (emit rewritten files' rows, caller dedups downstream).
+
+    This is the *Simple* (driver-read) protocol — rows flow through
+    the driver per micro-batch, the right trade for commit-sized
+    increments. A partition-parallel ``DataSourceStreamReader`` is the
+    drop-in upgrade path if single commits reach executor scale.
+    """
+
+    def __init__(self, options, schema: StructType) -> None:
+        self.path = options.get("path")
+        if not self.path:
+            raise ValueError("vtable stream reader requires a path")
+        self.ignore_changes = (
+            str(options.get("ignorechanges", "false")).lower() == "true"
+        )
+        self.schema = schema
+
+    def initialOffset(self) -> dict:
+        return {"version": -1}
+
+    def _tbl(self) -> VersionedTable:
+        return VersionedTable(spark=None, path=self.path)
+
+    def _rows_between(self, v_from: int, v_to: int) -> list:
+        """All rows added by commits in (v_from, v_to], conformed to
+        the reader schema (pre-evolution files yield NULL for new
+        columns), in deterministic (version, path, row) order. Returns
+        a LIST — the Simple protocol pickles the prefetched rows into
+        the micro-batch plan, so the result must be materialized (and
+        is commit-sized by construction, the premise of this tier)."""
+        import json as _json
+
+        import pyarrow.parquet as pq
+
+        tbl = self._tbl()
+        names = [f.name for f in self.schema.fields]
+        out: list = []
+        for v in range(v_from + 1, v_to + 1):
+            with open(tbl._log_path(v)) as fh:
+                commit = _json.load(fh)
+            if commit["op"] not in ("create", "append") \
+                    and not self.ignore_changes:
+                raise ValueError(
+                    f"vtable stream: commit {v} is op={commit['op']!r} "
+                    f"(not append-only); rewritten files would re-emit "
+                    f"rows. Set option ignoreChanges=true to accept "
+                    f"relaxed (at-least-once per key) semantics."
+                )
+            for add in sorted(commit["add"], key=lambda a: a["path"]):
+                t = pq.read_table(os.path.join(self.path, add["path"]))
+                cols = {
+                    n: (t.column(n).to_pylist() if n in t.column_names
+                        else [None] * t.num_rows)
+                    for n in names
+                }
+                out.extend(
+                    tuple(cols[n][i] for n in names)
+                    for i in range(t.num_rows)
+                )
+        return out
+
+    def read(self, start: dict):
+        latest = self._tbl().latest_version()
+        end = {"version": latest if latest is not None else -1}
+        if end["version"] <= start["version"]:
+            return iter(()), start
+        return iter(self._rows_between(start["version"], end["version"])), end
+
+    def readBetweenOffsets(self, start: dict, end: dict):
+        return iter(self._rows_between(start["version"], end["version"]))

@@ -545,3 +545,66 @@ def test_row_group_pruning_in_reader(spark, tmp_path):
     # end-to-end: results still correct (residual filter re-applied)
     assert [r["id"] for r in df.where("id = 55").collect()] == [55]
     assert df.where("id >= 80").count() == 20
+
+
+def test_vtable_streaming_source_incremental(spark, tmp_path):
+    import pyspark.sql.utils  # noqa: F401
+
+    from pandas_rust_algos_spark.sources.vtable_source import (
+        register_vtable_source,
+    )
+
+    register_vtable_source(spark)
+    tbl = _mk(spark, tmp_path)
+    tbl.create(_df(spark, range(5), "a"))
+    ckpt = str(tmp_path / "s_ck")
+    out_dir = str(tmp_path / "s_out")
+
+    def drain():
+        # durable sink: checkpoint recovery is the exactly-once claim
+        # under test (the memory sink cannot recover from a checkpoint)
+        q = (spark.readStream.format("vtable").load(tbl.path)
+             .writeStream.format("parquet").option("path", out_dir)
+             .outputMode("append").option("checkpointLocation", ckpt)
+             .trigger(availableNow=True).start())
+        q.awaitTermination()
+        return sorted(r["id"] for r in spark.read.parquet(out_dir).collect())
+
+    # first drain: everything committed so far
+    assert drain() == list(range(5))
+    # append two commits; same checkpoint -> ONLY the new rows arrive
+    tbl.append(_df(spark, range(10, 13), "b"))
+    tbl.append(_df(spark, range(20, 22), "c"))
+    assert drain() == list(range(5)) + [10, 11, 12, 20, 21]
+    # nothing new -> no duplicate re-emission
+    assert drain() == list(range(5)) + [10, 11, 12, 20, 21]
+
+
+def test_vtable_streaming_rejects_rewrites(spark, tmp_path):
+    from pandas_rust_algos_spark.sources.vtable_source import (
+        register_vtable_source,
+    )
+
+    register_vtable_source(spark)
+    tbl = VersionedTable(spark, str(tmp_path / "rw"), key_cols=["id"])
+    tbl.create(_df(spark, range(5), "a"))
+    tbl.merge(_df(spark, [2, 3], "B"))  # rewrite -> not append-only
+
+    def drain(opts):
+        reader = spark.readStream.format("vtable")
+        for k, v in opts.items():
+            reader = reader.option(k, v)
+        q = (reader.load(tbl.path)
+             .writeStream.format("memory").queryName("t_vt_rw")
+             .outputMode("append")
+             .option("checkpointLocation",
+                     str(tmp_path / f"ck{len(opts)}"))
+             .trigger(availableNow=True).start())
+        q.awaitTermination()
+        return spark.table("t_vt_rw").count()
+
+    import pytest as _pytest
+    with _pytest.raises(Exception, match="ignoreChanges|append-only"):
+        drain({})
+    # relaxed semantics: rewritten file's rows all emit (at-least-once)
+    assert drain({"ignoreChanges": "true"}) >= 5
