@@ -62,6 +62,8 @@ HEADLINE = [
     "drift_report",
     "window_rank_suite",
     "grouping_sets_revenue",
+    "pii_mask",
+    "events_cusum",
 ]
 
 

@@ -25,6 +25,8 @@ Scale shape
 
 from __future__ import annotations
 
+from collections.abc import Sequence
+
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
@@ -38,6 +40,8 @@ __all__ = [
     "quality_filter",
     "shard_assign",
     "sql_shard_assign",
+    "mask_columns",
+    "sql_mask_column",
 ]
 
 # Ordered: redaction applies patterns in this sequence on both engines.
@@ -225,3 +229,47 @@ def sql_shard_assign(key_expr: str, *, n_shards: int = 8, salt: str = "shard-v1"
         f"CAST(CAST('0x' || SUBSTR(md5(CAST({key_expr} AS VARCHAR) || ':{salt}'), "
         f"1, 15) AS BIGINT) % {n_shards} AS INT)"
     )
+
+
+def mask_columns(
+    df: DataFrame,
+    cols: Sequence[str],
+    *,
+    salt: str = "mask-v1",
+    keep_last: int = 0,
+) -> DataFrame:
+    """Governance masking: replace each named column with a
+    deterministic SHA-256 token of ``value:salt`` — equal values mask
+    to equal tokens (joins and GROUP BYs on the masked column still
+    work, the property that makes tokenization usable in analytics),
+    while the salt blocks rainbow-table reversal of low-entropy
+    domains. ``keep_last > 0`` appends a format-preserving tail
+    (``…last_k_chars``) for human disambiguation à la "card ending
+    1234". NULL stays NULL.
+
+    Narrow per-row expression DAG (one hash per cell) — zero shuffle,
+    scan-speed at any scale, and the token is a pure row property:
+    identical across engines, partitionings, and runs, so masked
+    datasets produced by different jobs remain joinable."""
+    out = df
+    for c in cols:
+        v = F.col(c).cast("string")
+        token = F.sha2(F.concat(v, F.lit(":" + salt)), 256)
+        if keep_last > 0:
+            token = F.concat(
+                token, F.lit("…"),
+                F.substring(v, -keep_last, keep_last),
+            )
+        out = out.withColumn(c, F.when(v.isNotNull(), token))
+    return out
+
+
+def sql_mask_column(expr: str, *, salt: str = "mask-v1",
+                    keep_last: int = 0) -> str:
+    """DuckDB twin of :func:`mask_columns` for one column."""
+    v = f"CAST({expr} AS VARCHAR)"
+    token = f"sha256({v} || ':{salt}')"
+    if keep_last > 0:
+        token = (f"{token} || '…' || "
+                 f"SUBSTR({v}, -{keep_last}, {keep_last})")
+    return f"CASE WHEN {v} IS NOT NULL THEN {token} END"

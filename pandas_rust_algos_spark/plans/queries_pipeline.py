@@ -756,3 +756,64 @@ def grouping_sets_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     tune(spark)
     return run_sql(spark, sf_dir, _GSETS_SQL)
+
+
+# ------------------------------------------------------ changepoints
+
+
+@register(
+    "events_cusum",
+    oracle="""
+    WITH d AS (
+      SELECT event_type, event_id,
+             (CAST(FLOOR(value * 1e6) AS BIGINT) - 55000000) AS delta
+      FROM events
+    ), p AS (
+      SELECT event_type, event_id,
+             SUM(delta) OVER (PARTITION BY event_type
+                              ORDER BY event_id
+                              ROWS BETWEEN UNBOUNDED PRECEDING
+                                    AND CURRENT ROW) AS prefix
+      FROM d
+    ), s AS (
+      -- CAST: DuckDB window SUM(BIGINT) yields HUGEINT, which pandas
+      -- would surface as float64 and break the bit-level hash compare
+      SELECT event_type,
+             CAST(prefix - LEAST(CAST(0 AS BIGINT),
+               MIN(prefix) OVER (PARTITION BY event_type
+                                 ORDER BY event_id
+                                 ROWS BETWEEN UNBOUNDED PRECEDING
+                                       AND CURRENT ROW)) AS BIGINT) AS cusum
+      FROM p
+    )
+    SELECT event_type, COUNT(*) AS n_events,
+           CAST(SUM(CASE WHEN cusum > 100000000 THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_alarms,
+           MAX(cusum) AS max_cusum
+    FROM s GROUP BY 1
+    """,
+)
+def events_cusum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUSUM drift detection per event type (target 50, slack 5,
+    alarm threshold 100 in value units): the sequential recursion is
+    eliminated by the prefix-minus-running-min identity
+    (``operators/changepoint.py``), so an inherently stateful control
+    chart runs as two stacked window projections — one shuffle, exact
+    BIGINT arithmetic, full value-hash oracle. Ordered by event_id
+    (total order; a ts order with ties would be partition-
+    dependent)."""
+    from pandas_rust_algos_spark.operators.changepoint import cusum
+
+    tune(spark)
+    ev = load_table(spark, sf_dir, "events")
+    out = cusum(
+        ev.select("event_type", "event_id", "value"),
+        "value",
+        group_cols=["event_type"], order_cols=["event_id"],
+        target=50.0, slack=5.0, threshold=100.0,
+    )
+    return out.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum(F.col("alarm").cast("long")).alias("n_alarms"),
+        F.max("cusum_micros").alias("max_cusum"),
+    )

@@ -640,3 +640,26 @@ def bpe_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.size(F.array_distinct(tx.bpe_tokens("text"))).cast("long")
         .alias("n_distinct_bpe"),
     )
+
+
+@register(
+    "pii_mask",
+    oracle=f"""
+    WITH aug AS (SELECT doc_id, source, {_AUG_SQL} AS t FROM documents)
+    SELECT doc_id,
+           {sc.sql_mask_column('source', salt='gate')} AS source,
+           {sc.sql_mask_column('t', salt='gate', keep_last=4)} AS t
+    FROM aug
+    """,
+)
+def pii_mask(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic governance masking (``scrub.mask_columns``):
+    SHA-256 tokenization that PRESERVES equality (masked columns stay
+    join/group-able) plus a format-preserving last-4 tail on the text
+    column. Hash-checked down to the token strings — the
+    cross-engine-determinism claim is the whole point of salted SHA
+    over random pseudonyms."""
+    d = _docs(spark, sf_dir).select("doc_id", "source", _aug_col().alias("t"))
+    out = sc.mask_columns(d, ["source"], salt="gate")
+    out = sc.mask_columns(out, ["t"], salt="gate", keep_last=4)
+    return out

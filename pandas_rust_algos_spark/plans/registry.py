@@ -131,6 +131,8 @@ _GATE_PRIORITY: tuple[str, ...] = (
     "drift_report",
     "window_rank_suite",
     "grouping_sets_revenue",
+    "pii_mask",
+    "events_cusum",
     # (c) modules changing this round
     "minhash_near_dupes",
     "simhash_fingerprints",

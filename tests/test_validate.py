@@ -112,3 +112,39 @@ def test_drift_degenerate_and_empty_sides(spark):
     r2 = {r["bucket"]: r for r in
           dr.drift_report(ref2, cur2, "x", n_buckets=5).collect()}
     assert r2[0]["n_cur"] == 1 and r2[4]["n_cur"] == 1
+
+
+# ------------------------------------------------- cusum closed form
+
+
+def test_cusum_equals_literal_recursion(spark):
+    from pandas_rust_algos_spark.operators.changepoint import cusum
+
+    vals = [50.0, 51.5, 49.2, 60.0, 61.3, 62.9, 55.0, 40.0, 58.7, 59.9]
+    rows = [(1, i, v) for i, v in enumerate(vals)] + \
+           [(2, i, v * 0.5) for i, v in enumerate(vals)]
+    df = spark.createDataFrame(rows, "g long, i long, x double")
+    out = cusum(df, "x", group_cols=["g"], order_cols=["i"],
+                target=50.0, slack=2.0, threshold=15.0)
+    got = {(r["g"], r["i"]): (r["cusum_micros"], r["alarm"])
+           for r in out.collect()}
+
+    import math
+    for g, scale in ((1, 1.0), (2, 0.5)):
+        s = 0
+        for i, v in enumerate(vals):
+            delta = math.floor(v * scale * 1e6) - int(52.0 * 1e6)
+            s = max(0, s + delta)   # the literal recursion
+            assert got[(g, i)] == (s, s > int(15.0 * 1e6)), (g, i)
+
+
+def test_cusum_partition_invariant(spark):
+    from pandas_rust_algos_spark.operators.changepoint import cusum
+
+    rows = [(i % 3, i, float((i * 37) % 100)) for i in range(300)]
+    df = spark.createDataFrame(rows, "g long, i long, x double")
+    kw = dict(group_cols=["g"], order_cols=["i"],
+              target=50.0, slack=5.0, threshold=200.0)
+    a = sorted(map(tuple, cusum(df, "x", **kw).collect()))
+    b = sorted(map(tuple, cusum(df.repartition(13), "x", **kw).collect()))
+    assert a == b
