@@ -64,6 +64,8 @@ HEADLINE = [
     "grouping_sets_revenue",
     "pii_mask",
     "events_cusum",
+    "map_functions",
+    "webdataset_export",
 ]
 
 

@@ -135,3 +135,80 @@ def try_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.try_element_at(F.array(F.lit(1), F.lit(2), F.lit(3)),
                          F.lit(4)).alias("safe_oob"),
     )
+
+
+_RCTE_SQL = """
+    WITH RECURSIVE walk(node, root, depth) AS (
+      SELECT n_nationkey, n_nationkey, 0
+      FROM nation WHERE n_nationkey < 5
+      UNION ALL
+      SELECT n.n_nationkey, w.root, w.depth + 1
+      FROM nation n
+      JOIN walk w
+        ON CAST(FLOOR((n.n_nationkey - 5) / 4.0) AS BIGINT) = w.node
+       AND n.n_nationkey >= 5
+    )
+    SELECT root, COUNT(*) AS n_nodes, MAX(depth) AS max_depth,
+           CAST(SUM(node) AS BIGINT) AS sum_nodes
+    FROM walk GROUP BY root
+"""
+
+
+@register("recursive_cte_tree", oracle=_RCTE_SQL)
+def recursive_cte_tree(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recursive CTE surface (new in Spark 4): hierarchy walk over a
+    synthetic 25-node forest on nation (node n's parent is
+    ``floor((n-5)/4)``; nodes 0-4 are roots), computing per-root
+    subtree size, depth, and an exact membership sum. The oracle is
+    the IDENTICAL SQL text on DuckDB — the gate pins that the engine's
+    ``WITH RECURSIVE`` speaks the standard dialect.
+
+    Scale note: Spark executes recursive CTEs as driver-coordinated
+    iteration; for data-sized graphs use the engine's iterative
+    DataFrame operators (``dup_clusters`` label propagation,
+    ``graph.pagerank_fixed``) whose per-round persistence and
+    checkpointing are explicit. This surface is for hierarchy/BOM
+    walks whose frontier is metadata-sized."""
+    from pandas_rust_algos_spark.sources import sql as run_sql
+
+    tune(spark)
+    return run_sql(spark, sf_dir, _RCTE_SQL)
+
+
+@register(
+    "map_functions",
+    oracle="""
+    SELECT l_orderkey, l_linenumber,
+           CASE WHEN l_quantity * 2 > 25.0 THEN 1 ELSE 0 END
+             + CASE WHEN l_extendedprice * 2 > 25.0 THEN 1 ELSE 0 END
+             + CASE WHEN l_discount * 2 > 25.0 THEN 1 ELSE 0 END
+             AS n_large,
+           l_quantity * 2 AS q2,
+           CASE WHEN l_discount * 2 > 25.0
+                THEN l_discount * 2 END AS d2_if_large
+    FROM lineitem
+    """,
+)
+def map_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MapType expression surface: build a map from arrays, rescale
+    every value with ``transform_values``, keep large entries with
+    ``map_filter``, read back with ``element_at``/``map_contains_key``.
+    The oracle states the expected SEMANTICS directly over the base
+    columns (DuckDB's map calculus differs syntactically; the values
+    must not) — doubling and comparisons are exact double ops, so the
+    hash compare is bit-level like everything else."""
+    tune(spark)
+    li = load_table(spark, sf_dir, "lineitem")
+    m = F.map_from_arrays(
+        F.array(F.lit("q"), F.lit("p"), F.lit("d")),
+        F.array("l_quantity", "l_extendedprice", "l_discount"),
+    )
+    doubled = F.transform_values(m, lambda _, v: v * 2)
+    large = F.map_filter(doubled, lambda _, v: v > 25.0)
+    return li.select(
+        "l_orderkey", "l_linenumber",
+        F.size(large).alias("n_large"),
+        F.element_at(doubled, "q").alias("q2"),
+        F.when(F.map_contains_key(large, "d"),
+               F.element_at(large, "d")).alias("d2_if_large"),
+    )

@@ -817,3 +817,38 @@ def events_cusum(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.col("alarm").cast("long")).alias("n_alarms"),
         F.max("cusum_micros").alias("max_cusum"),
     )
+
+
+# --------------------------------------------------- training export
+
+
+@register(
+    "webdataset_export",
+    oracle=f"""
+    SELECT {sc.sql_shard_assign('doc_id', n_shards=8, salt='gate')}
+             AS shard,
+           COUNT(*) AS n_samples
+    FROM documents GROUP BY shard
+    """,
+)
+def webdataset_export(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tar-shard (WebDataset-layout) export of the documents table
+    (``sources/webdataset.py``): deterministic salted-md5 shard
+    membership, byte-reproducible tars (zeroed tar metadata, key-sorted
+    members — re-runs produce identical SHA-256s, tested in
+    tests/test_webdataset.py). The gate hash-checks the manifest's
+    (shard, n_samples) against the shard-assignment oracle — proving
+    the exported membership — while byte/sha determinism is pinned
+    in-repo (no SQL twin can compute a tar hash)."""
+    import tempfile
+
+    from pandas_rust_algos_spark.sources.webdataset import write_webdataset
+
+    tune(spark)
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    out = tempfile.mkdtemp(prefix="wds_gate_")
+    mani = write_webdataset(
+        docs, out, key_col="doc_id", text_cols=["text"],
+        n_shards=8, salt="gate",
+    )
+    return mani.select("shard", "n_samples")

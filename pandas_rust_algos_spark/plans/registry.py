@@ -133,6 +133,9 @@ _GATE_PRIORITY: tuple[str, ...] = (
     "grouping_sets_revenue",
     "pii_mask",
     "events_cusum",
+    "recursive_cte_tree",
+    "map_functions",
+    "webdataset_export",
     # (c) modules changing this round
     "minhash_near_dupes",
     "simhash_fingerprints",

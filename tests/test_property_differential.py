@@ -227,3 +227,107 @@ def test_domain_mix_matches_bruteforce(spark, rows, wx, wy, wz):
         if hashlib.md5(f"{_id}:prop".encode()).hexdigest() < thr:
             want.append(_id)
     assert kept == sorted(want), (rows, weights)
+
+
+# ------------------------------------------------- round-3b operators
+
+
+@given(
+    baskets=st.lists(
+        st.tuples(st.integers(0, 8), st.integers(0, 5)),
+        min_size=1, max_size=60,
+    ),
+    min_pairs=st.integers(1, 3),
+)
+@settings(**_SETTINGS)
+def test_basket_pairs_match_bruteforce(spark, baskets, min_pairs):
+    """Array-algebra pair generation must equal the brute-force
+    all-pairs enumeration (co-counts, item counts, and lift)."""
+    from collections import Counter
+    from itertools import combinations
+
+    from pandas_rust_algos_spark.operators.frequency import basket_pairs
+
+    df = spark.createDataFrame(baskets, "b long, i long")
+    got = {
+        (r["pa"], r["pb"]): (r["n_ab"], r["n_a"], r["n_b"], r["lift"])
+        for r in basket_pairs(df, "b", "i", min_pairs=min_pairs).collect()
+    }
+
+    items = sorted(set(baskets))
+    per_basket: dict[int, set[int]] = {}
+    for b, i in items:
+        per_basket.setdefault(b, set()).add(i)
+    n_baskets = len(per_basket)
+    item_c = Counter(i for s in per_basket.values() for i in s)
+    pair_c = Counter()
+    for s in per_basket.values():
+        for a, b in combinations(sorted(s), 2):
+            pair_c[(a, b)] += 1
+    want = {
+        p: (c, item_c[p[0]], item_c[p[1]],
+            (c * n_baskets) / (item_c[p[0]] * item_c[p[1]]))
+        for p, c in pair_c.items() if c >= min_pairs
+    }
+    assert got == want
+
+
+@given(
+    ref=st.lists(st.one_of(st.none(), st.floats(-50, 50)),
+                 min_size=1, max_size=40),
+    cur=st.lists(st.one_of(st.none(), st.floats(-80, 80)),
+                 min_size=0, max_size=40),
+    nb=st.integers(1, 6),
+)
+@settings(**_SETTINGS)
+def test_drift_report_matches_bruteforce(spark, ref, cur, nb):
+    from pandas_rust_algos_spark.operators.drift import drift_report
+
+    rdf = spark.createDataFrame([(v,) for v in ref], "x double")
+    cdf = spark.createDataFrame([(v,) for v in cur], "x double") \
+        if cur else spark.createDataFrame([], "x double")
+    got = {r["bucket"]: (r["n_ref"], r["n_cur"])
+           for r in drift_report(rdf, cdf, "x", n_buckets=nb).collect()}
+
+    rv = [v for v in ref if v is not None]
+    cv = [v for v in cur if v is not None]
+    want = {b: [0, 0] for b in range(nb)}
+    if rv:
+        lo, hi = min(rv), max(rv)
+        width = (hi - lo) / float(nb)
+
+        def bucket(x):
+            if hi == lo:
+                return 0
+            return max(0, min(nb - 1, int(np.floor((x - lo) / width))))
+
+        for v in rv:
+            want[bucket(v)][0] += 1
+        for v in cv:
+            want[bucket(v)][1] += 1
+    assert got == {b: tuple(v) for b, v in want.items()}
+
+
+@given(
+    rows=st.lists(
+        st.tuples(st.integers(0, 2), st.one_of(st.none(),
+                                               st.integers(-9, 9))),
+        min_size=1, max_size=40,
+    ),
+)
+@settings(**_SETTINGS)
+def test_expectations_match_bruteforce(spark, rows):
+    from pandas_rust_algos_spark.operators import validate as V
+
+    df = spark.createDataFrame(rows, "g long, x long")
+    rep = {(r["rule"], r["target"]): r["violations"]
+           for r in V.expectations_report(
+               df,
+               rules=[V.not_null("x"), V.in_range("x", -3, 3)],
+               uniques=[V.unique("g", "x")],
+           ).collect()}
+    xs = [x for _, x in rows]
+    assert rep[("not_null", "x")] == sum(1 for x in xs if x is None)
+    assert rep[("in_range[-3,3]", "x")] == \
+        sum(1 for x in xs if x is not None and not -3 <= x <= 3)
+    assert rep[("unique", "g,x")] == len(rows) - len(set(rows))
