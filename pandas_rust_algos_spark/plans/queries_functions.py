@@ -212,3 +212,25 @@ def map_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.when(F.map_contains_key(large, "d"),
                F.element_at(large, "d")).alias("d2_if_large"),
     )
+
+
+_GBALL_SQL = """
+    SELECT l_returnflag, l_linestatus, COUNT(*) AS n,
+           CAST(SUM(CAST(FLOOR(l_extendedprice * 1e6) AS BIGINT))
+                AS DOUBLE) / 1e6 AS revenue
+    FROM lineitem
+    GROUP BY ALL
+    ORDER BY ALL
+"""
+
+
+@register("group_by_all", oracle=_GBALL_SQL)
+def group_by_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Modern-SQL ergonomics pin: ``GROUP BY ALL`` (group on every
+    non-aggregate select item) and ``ORDER BY ALL`` run as the
+    IDENTICAL text on both engines — the dialect conveniences an
+    analyst coming from DuckDB expects to just work."""
+    from pandas_rust_algos_spark.sources import sql as run_sql
+
+    tune(spark)
+    return run_sql(spark, sf_dir, _GBALL_SQL)

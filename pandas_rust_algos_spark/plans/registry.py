@@ -136,6 +136,7 @@ _GATE_PRIORITY: tuple[str, ...] = (
     "recursive_cte_tree",
     "map_functions",
     "webdataset_export",
+    "group_by_all",
     # (c) modules changing this round
     "minhash_near_dupes",
     "simhash_fingerprints",
