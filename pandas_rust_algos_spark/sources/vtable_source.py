@@ -340,6 +340,12 @@ class VTableStreamReader(SimpleDataSourceStreamReader):
     the driver per micro-batch, the right trade for commit-sized
     increments. A partition-parallel ``DataSourceStreamReader`` is the
     drop-in upgrade path if single commits reach executor scale.
+
+    Retention contract: replaying offsets past VACUUMed history FAILS
+    loudly (missing data file) rather than emitting a partial batch —
+    size ``vacuum(retain_last=...)`` to cover the longest checkpoint
+    gap any consumer can have (pinned in
+    tests/test_table_format.py::test_vacuum_breaks_stream_replay_loudly).
     """
 
     def __init__(self, options, schema: StructType) -> None:

@@ -608,3 +608,55 @@ def test_vtable_streaming_rejects_rewrites(spark, tmp_path):
         drain({})
     # relaxed semantics: rewritten file's rows all emit (at-least-once)
     assert drain({"ignoreChanges": "true"}) >= 5
+
+
+def test_compact_preserves_bloom_filters(spark, tmp_path):
+    from pyspark.sql.datasource import EqualTo
+
+    from pandas_rust_algos_spark.sources.vtable_source import (
+        VTableReader, register_vtable_source,
+    )
+
+    register_vtable_source(spark)
+    tbl = VersionedTable(spark, str(tmp_path / "cb"),
+                         key_cols=["id"], bloom_cols=["id"])
+    # interleaved ids so min/max never prunes, only blooms can
+    tbl.create(_df(spark, range(0, 60, 2), "a").repartition(3))
+    tbl.append(_df(spark, range(1, 60, 2), "b").repartition(3))
+    before = tbl.file_count()
+    v = tbl.compact(target_file_bytes=10 * 1024 * 1024)
+    assert tbl.file_count(v) < before
+    # rewritten files carry fresh blooms -> point pruning still works
+    snap = tbl._snapshot()
+    assert all("bloom" in a["stats"].get("id", {})
+               for a in snap.files.values())
+    df = spark.read.format("vtable").load(tbl.path)
+    r = VTableReader({"path": tbl.path}, df.schema)
+    list(r.pushFilters([EqualTo(("id",), 31)]))
+    assert 1 <= len(r.partitions()) <= tbl.file_count(v)
+    assert df.where("id = 31").count() == 1
+
+
+def test_vacuum_breaks_stream_replay_loudly(spark, tmp_path):
+    """Retention contract: a streaming replay that reaches past
+    VACUUMed history must FAIL (missing file), never silently emit an
+    empty/partial batch — same contract as Delta."""
+    from pandas_rust_algos_spark.sources.vtable_source import (
+        VTableStreamReader,
+    )
+
+    tbl = _mk(spark, tmp_path)
+    tbl.create(_df(spark, range(3), "a"))          # v0
+    tbl.overwrite(_df(spark, range(10, 13), "b"))  # v1 drops v0's files
+    tbl.append(_df(spark, range(20, 22), "c"))     # v2
+    removed = tbl.vacuum(retain_last=2)
+    assert removed  # v0's files are gone
+
+    reader = VTableStreamReader(
+        {"path": tbl.path, "ignorechanges": "true"}, tbl.read().schema)
+    # replay inside retention: fine
+    assert len(list(reader.readBetweenOffsets(
+        {"version": 1}, {"version": 2}))) == 2
+    # replay past retention: loud failure
+    with pytest.raises(Exception):
+        list(reader.readBetweenOffsets({"version": -1}, {"version": 0}))
