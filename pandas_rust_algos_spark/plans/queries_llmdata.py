@@ -631,3 +631,29 @@ def fuzzy_join_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", "lang", F.substring("text", 1, 16).alias("s"))
     return fuzzy_self_join(p, "doc_id", "s", max_dist=3,
                            extra_keys=["lang"])
+
+
+@register("ann_index_topk")
+def ann_index_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate NN through the PERSISTED IVF index
+    (``operators/ann_index.py``): build once to storage (centroids
+    parquet + cell-partitioned vectors), query with true storage
+    partition pruning — the scan opens only the probed ``cell=``
+    directories, pinned by a PartitionFilters plan assert in
+    tests/test_ann_index.py; recall vs brute force likewise. Rows-only
+    gate (the k-means quantizer is engine-specific by nature)."""
+    import tempfile
+
+    from pandas_rust_algos_spark.operators.ann_index import (
+        build_ivf_index, ivf_index_query,
+    )
+
+    emb = _emb(spark, sf_dir)
+    idx = tempfile.mkdtemp(prefix="ivf_gate_")
+    build_ivf_index(emb, idx, n_cells=16, seed=42)
+    queries = emb.where(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    out = ivf_index_query(spark, idx, queries, n_probe=4, k=5)
+    return out.select("query_id", F.col("id").alias("vec_id"), "sim",
+                      F.col("rank").cast("long").alias("rank"))

@@ -65,10 +65,12 @@ def register(name: str, oracle: str | None = None, description: str = ""):
 
 # The driver's correctness gate samples the FIRST ~50 registry entries per
 # round. Rounds 1+2 covered 100 of 118 gates; this list front-loads (a) the
-# 18 gates that have never received a driver CORRECTNESS row, (b)
-# events_sessionize (oracle fixed in r2, needs a driver re-check), and
-# (c) gates of modules changed this round (dedup/similarity/asof/multimodal/
-# ewm) plus the r1-only-green grouped_agg gates whose module changed in r2.
+# 18 gates that had never received a driver CORRECTNESS row, (b)
+# events_sessionize (oracle fixed in r2, needs a driver re-check), (b2) the
+# gates added in round 3 — 62 never-checked gates total, so positions 51+
+# roll into round 4's window: after reading CORRECTNESS_r03, move its green
+# rows out of the head and front-load the remainder — and (c) gates of
+# modules changed in r2/r3 (dedup/similarity/asof/multimodal/ewm/grouped_agg).
 _GATE_PRIORITY: tuple[str, ...] = (
     # (a) never driver-checked
     "asof_join_forward",
@@ -137,6 +139,7 @@ _GATE_PRIORITY: tuple[str, ...] = (
     "map_functions",
     "webdataset_export",
     "group_by_all",
+    "ann_index_topk",
     # (c) modules changing this round
     "minhash_near_dupes",
     "simhash_fingerprints",
