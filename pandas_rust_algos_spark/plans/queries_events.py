@@ -682,3 +682,54 @@ def events_variant_props(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("k").alias("sum_k"),
         F.count("m").alias("n_missing_hits"),
     )
+
+
+@register(
+    "events_stream_cusum",
+    oracle="""
+    WITH d AS (
+      SELECT event_type, event_id,
+             (CAST(FLOOR(value * 1e6) AS BIGINT) - 55000000) AS delta
+      FROM events
+    ), p AS (
+      SELECT event_type, event_id,
+             SUM(delta) OVER (PARTITION BY event_type
+                              ORDER BY event_id
+                              ROWS BETWEEN UNBOUNDED PRECEDING
+                                    AND CURRENT ROW) AS prefix
+      FROM d
+    )
+    SELECT event_type, event_id,
+           CAST(prefix - LEAST(CAST(0 AS BIGINT),
+             MIN(prefix) OVER (PARTITION BY event_type
+                               ORDER BY event_id
+                               ROWS BETWEEN UNBOUNDED PRECEDING
+                                     AND CURRENT ROW)) AS BIGINT)
+             AS cusum_micros,
+           CAST(prefix - LEAST(CAST(0 AS BIGINT),
+             MIN(prefix) OVER (PARTITION BY event_type
+                               ORDER BY event_id
+                               ROWS BETWEEN UNBOUNDED PRECEDING
+                                     AND CURRENT ROW)) AS BIGINT)
+             > 100000000 AS alarm
+    FROM p
+    """,
+)
+def events_stream_cusum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAMING CUSUM drained over the bounded events source
+    (``streaming/cusum.py``: the prefix-minus-running-min identity
+    reduces per-key state to two longs in applyInPandasWithState).
+    Under a drain the result is exactly the batch operator's, and both
+    are exact integer arithmetic — so a stateful streaming operator
+    gets a full per-row value-hash oracle, which float streaming state
+    never could. Target 50, slack 5, threshold 100 (same
+    parameterization as the batch ``events_cusum`` gate)."""
+    from pandas_rust_algos_spark.streaming import cusum as sc
+    from pandas_rust_algos_spark.streaming import events as se
+
+    tune(spark)
+    stream = se.read_events_stream(spark, sf_dir)
+    return se.run_available_now(
+        sc.cusum_state(stream, target=50.0, slack=5.0, threshold=100.0),
+        table="t_gate_stream_cusum", output_mode="append",
+    )

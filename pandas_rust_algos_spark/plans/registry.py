@@ -140,6 +140,7 @@ _GATE_PRIORITY: tuple[str, ...] = (
     "webdataset_export",
     "group_by_all",
     "ann_index_topk",
+    "events_stream_cusum",
     # (c) modules changing this round
     "minhash_near_dupes",
     "simhash_fingerprints",

@@ -355,10 +355,15 @@ class VTableStreamReader(SimpleDataSourceStreamReader):
         self.ignore_changes = (
             str(options.get("ignorechanges", "false")).lower() == "true"
         )
+        # startingVersion = first commit the stream INCLUDES. The
+        # backfill+tail pattern: batch-read the snapshot at version V,
+        # then stream with startingVersion=V+1 — batch ∪ stream covers
+        # the table exactly once for an append-only history.
+        self.starting_version = int(options.get("startingversion", 0))
         self.schema = schema
 
     def initialOffset(self) -> dict:
-        return {"version": -1}
+        return {"version": self.starting_version - 1}
 
     def _tbl(self) -> VersionedTable:
         return VersionedTable(spark=None, path=self.path)

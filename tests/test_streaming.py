@@ -319,3 +319,71 @@ def test_late_data_dropped_beyond_watermark(spark, tmp_path):
         p["stateOperators"][0].get("numRowsDroppedByWatermark", 0)
         for p in q.recentProgress if p["stateOperators"])
     assert dropped == 1
+
+
+def test_stream_cusum_matches_batch(spark, sf_dir):
+    """Drained streaming CUSUM (16 bytes of state per key) must equal
+    the batch window-identity operator row-for-row."""
+    from pandas_rust_algos_spark.operators.changepoint import cusum
+    from pandas_rust_algos_spark.sources import load_table
+    from pandas_rust_algos_spark.streaming import cusum as sc
+    from pandas_rust_algos_spark.streaming import events as se
+
+    kw = dict(target=50.0, slack=5.0, threshold=100.0)
+    stream = se.read_events_stream(spark, sf_dir)
+    streamed = se.run_available_now(
+        sc.cusum_state(stream, **kw),
+        table="t_stream_cusum", output_mode="append")
+    s = sorted(map(tuple, streamed.collect()))
+
+    ev = load_table(spark, sf_dir, "events")
+    batch = cusum(
+        ev.select("event_type", "event_id", "value"), "value",
+        group_cols=["event_type"], order_cols=["event_id"], **kw,
+    ).select("event_type", "event_id", "cusum_micros", "alarm")
+    b = sorted(map(tuple, batch.collect()))
+    assert s == b
+
+
+def test_stream_cusum_state_spans_batches(spark, tmp_path):
+    """The (prefix, min_prefix) state must carry across micro-batches:
+    splitting a key's rows over two files must give the same statistic
+    as one batch."""
+    import time
+
+    from pandas_rust_algos_spark.streaming import cusum as sc
+
+    schema = ("event_id long, ts timestamp, user_id long, "
+              "event_type string, value double, props string")
+    import datetime as dt
+
+    def ev(eid, v):
+        return (eid, dt.datetime(2024, 1, 1, 10, 0), 1, "view", v, "{}")
+
+    src = str(tmp_path / "cusum_ev")
+    vals = [60.0, 58.0, 40.0, 70.0, 71.0, 69.5]
+    spark.createDataFrame([ev(i, v) for i, v in
+                           enumerate(vals[:3])], schema) \
+        .coalesce(1).write.mode("append").parquet(src)
+    time.sleep(1.1)
+    spark.createDataFrame([ev(i + 3, v) for i, v in
+                           enumerate(vals[3:])], schema) \
+        .coalesce(1).write.mode("append").parquet(src)
+
+    stream = (spark.readStream.schema(schema)
+              .option("maxFilesPerTrigger", 1).parquet(src))
+    ckpt = str(tmp_path / "cusum_ck")
+    q = (sc.cusum_state(stream, target=50.0, slack=2.0, threshold=20.0)
+         .writeStream.format("memory").queryName("t_cusum_span")
+         .outputMode("append").option("checkpointLocation", ckpt)
+         .trigger(availableNow=True).start())
+    q.awaitTermination()
+    got = {r["event_id"]: r["cusum_micros"]
+           for r in spark.table("t_cusum_span").collect()}
+
+    import math
+    s, want = 0, {}
+    for i, v in enumerate(vals):
+        s = max(0, s + math.floor(v * 1e6) - int(52.0 * 1e6))
+        want[i] = s
+    assert got == want

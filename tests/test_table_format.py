@@ -660,3 +660,40 @@ def test_vacuum_breaks_stream_replay_loudly(spark, tmp_path):
     # replay past retention: loud failure
     with pytest.raises(Exception):
         list(reader.readBetweenOffsets({"version": -1}, {"version": 0}))
+
+
+def test_vtable_backfill_plus_tail(spark, tmp_path):
+    """The lakehouse unification pattern: batch-read the snapshot at
+    version V, stream from startingVersion=V+1 — together they cover
+    the table exactly once (append-only history)."""
+    from pandas_rust_algos_spark.sources.vtable_source import (
+        register_vtable_source,
+    )
+
+    register_vtable_source(spark)
+    tbl = _mk(spark, tmp_path)
+    tbl.create(_df(spark, range(5), "a"))          # v0
+    tbl.append(_df(spark, range(10, 13), "b"))     # v1
+    snap_v = tbl.latest_version()
+    backfill = sorted(
+        r["id"] for r in
+        spark.read.format("vtable")
+        .option("version", str(snap_v)).load(tbl.path).collect())
+
+    tbl.append(_df(spark, range(20, 22), "c"))     # v2 (after snapshot)
+    tbl.append(_df(spark, range(30, 33), "d"))     # v3
+
+    out_dir = str(tmp_path / "tail_out")
+    q = (spark.readStream.format("vtable")
+         .option("startingVersion", str(snap_v + 1)).load(tbl.path)
+         .writeStream.format("parquet").option("path", out_dir)
+         .outputMode("append")
+         .option("checkpointLocation", str(tmp_path / "tail_ck"))
+         .trigger(availableNow=True).start())
+    q.awaitTermination()
+    tail = sorted(r["id"] for r in spark.read.parquet(out_dir).collect())
+
+    assert backfill == list(range(5)) + [10, 11, 12]
+    assert tail == [20, 21, 30, 31, 32]        # ONLY post-snapshot rows
+    assert sorted(backfill + tail) == sorted(
+        r["id"] for r in tbl.read().collect())
