@@ -733,3 +733,78 @@ def events_stream_cusum(spark: SparkSession, sf_dir: str) -> DataFrame:
         sc.cusum_state(stream, target=50.0, slack=5.0, threshold=100.0),
         table="t_gate_stream_cusum", output_mode="append",
     )
+
+
+@register(
+    "ab_test_readout",
+    oracle="""
+    WITH u AS (
+      SELECT user_id,
+             md5(CAST(user_id AS VARCHAR) || ':ab-gate') < '8' AS in_a,
+             CASE WHEN COUNT(CASE WHEN event_type = 'purchase'
+                              THEN 1 END) >= 13
+                  THEN 1 ELSE 0 END AS converted
+      FROM events GROUP BY user_id
+    ), s AS (
+      SELECT CAST(SUM(CASE WHEN in_a THEN 1 ELSE 0 END) AS BIGINT) AS n_a,
+             CAST(SUM(CASE WHEN in_a THEN converted ELSE 0 END) AS BIGINT)
+               AS x_a,
+             CAST(SUM(CASE WHEN in_a THEN 0 ELSE 1 END) AS BIGINT) AS n_b,
+             CAST(SUM(CASE WHEN in_a THEN 0 ELSE converted END) AS BIGINT)
+               AS x_b
+      FROM u
+    )
+    SELECT n_a, x_a, n_b, x_b,
+           CAST(x_a AS DOUBLE) / NULLIF(n_a, 0) AS p_a,
+           CAST(x_b AS DOUBLE) / NULLIF(n_b, 0) AS p_b,
+           (CAST(x_a AS DOUBLE) / NULLIF(n_a, 0)
+            - CAST(x_b AS DOUBLE) / NULLIF(n_b, 0))
+           / NULLIF(SQRT(
+               (CAST(x_a + x_b AS DOUBLE) / (n_a + n_b))
+               * (1 - CAST(x_a + x_b AS DOUBLE) / (n_a + n_b))
+               * (CAST(1 AS DOUBLE) / NULLIF(n_a, 0)
+                  + CAST(1 AS DOUBLE) / NULLIF(n_b, 0))
+             ), 0) AS z
+    FROM s
+    """,
+)
+def ab_test_readout(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Experimentation surface: a deterministic A/B readout. Variant
+    assignment is a salted-md5 row property (hex-prefix threshold '8'
+    ≈ 50/50 — stable across runs, engines, and retries, unlike
+    ``rand()``-based bucketing), conversion is "user made ≥13 purchases" (a threshold that splits the fixture population, so variance — and therefore z — is non-degenerate),
+    and the two-proportion pooled z-score comes out UNROUNDED: every
+    term divides or multiplies engine-identical values and ``sqrt`` is
+    IEEE correctly-rounded, so even the test statistic hash-matches
+    bit-for-bit. Degenerate splits (an empty variant, zero variance)
+    yield NULL via try_divide/NULLIF on BOTH engines rather than an
+    ANSI divide-by-zero error or an engine-dependent inf. One shuffle
+    (per-user agg) + a 1-row fold."""
+    tune(spark)
+    ev = load_table(spark, sf_dir, "events")
+    in_a = F.md5(F.concat(F.col("user_id").cast("string"),
+                          F.lit(":ab-gate"))) < "8"
+    u = ev.groupBy("user_id").agg(
+        (F.count(F.when(F.col("event_type") == "purchase", 1)) >= 13)
+        .cast("int").alias("converted"),
+    ).withColumn("in_a", in_a)
+    s = u.agg(
+        F.sum(F.col("in_a").cast("long")).alias("n_a"),
+        F.sum(F.when(F.col("in_a"), F.col("converted")).otherwise(0))
+        .cast("long").alias("x_a"),
+        F.sum((~F.col("in_a")).cast("long")).alias("n_b"),
+        F.sum(F.when(~F.col("in_a"), F.col("converted")).otherwise(0))
+        .cast("long").alias("x_b"),
+    )
+    p_a = F.try_divide(F.col("x_a").cast("double"), F.col("n_a"))
+    p_b = F.try_divide(F.col("x_b").cast("double"), F.col("n_b"))
+    pool = (F.col("x_a") + F.col("x_b")).cast("double") \
+        / (F.col("n_a") + F.col("n_b"))
+    denom = F.sqrt(
+        pool * (F.lit(1) - pool)
+        * (F.try_divide(F.lit(1.0), F.col("n_a"))
+           + F.try_divide(F.lit(1.0), F.col("n_b")))
+    )
+    z = F.try_divide(p_a - p_b, F.nullif(denom, F.lit(0.0)))
+    return s.select("n_a", "x_a", "n_b", "x_b",
+                    p_a.alias("p_a"), p_b.alias("p_b"), z.alias("z"))

@@ -141,6 +141,7 @@ _GATE_PRIORITY: tuple[str, ...] = (
     "group_by_all",
     "ann_index_topk",
     "events_stream_cusum",
+    "ab_test_readout",
     # (c) modules changing this round
     "minhash_near_dupes",
     "simhash_fingerprints",
