@@ -234,3 +234,83 @@ def group_by_all(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     tune(spark)
     return run_sql(spark, sf_dir, _GBALL_SQL)
+
+
+@register(
+    "date_interval_functions",
+    oracle="""
+    SELECT o_orderkey,
+           STRFTIME(CAST(o_orderdate + INTERVAL 90 DAY AS DATE),
+                    '%Y-%m-%d') AS due_date,
+           STRFTIME(CAST(DATE_TRUNC('month', o_orderdate) AS DATE),
+                    '%Y-%m-%d') AS month_start,
+           STRFTIME(CAST(LAST_DAY(o_orderdate) AS DATE),
+                    '%Y-%m-%d') AS month_end,
+           DATEDIFF('day', DATE '1995-01-01',
+                    CAST(o_orderdate AS DATE)) AS days_since_epoch0,
+           CAST(DAYOFWEEK(o_orderdate) AS INT) AS dow,
+           CAST(QUARTER(o_orderdate) AS INT) AS q,
+           CAST(WEEKOFYEAR(o_orderdate) AS INT) AS iso_week
+    FROM orders
+    """,
+)
+def date_interval_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Date/interval arithmetic surface: interval addition, truncation,
+    month boundaries, day diffs, and the calendar parts whose
+    conventions differ across engines unless pinned — DAYOFWEEK
+    (Spark: 1=Sunday; DuckDB: 0=Sunday — the Spark side subtracts 1 to
+    meet it) and ISO week numbers. Dates emit as yyyy-MM-dd STRINGS:
+    both engines agree on the value but surface different pandas dtypes
+    (python date vs datetime64), which would break the repr-level hash
+    even with equal values."""
+    tune(spark)
+    o = load_table(spark, sf_dir, "orders")
+    return o.select(
+        "o_orderkey",
+        F.date_format(F.date_add(F.col("o_orderdate").cast("date"), 90),
+                      "yyyy-MM-dd").alias("due_date"),
+        F.date_format(F.date_trunc("month", "o_orderdate"),
+                      "yyyy-MM-dd").alias("month_start"),
+        F.date_format(F.last_day("o_orderdate"),
+                      "yyyy-MM-dd").alias("month_end"),
+        F.datediff(F.col("o_orderdate").cast("date"),
+                   F.to_date(F.lit("1995-01-01")))
+        .alias("days_since_epoch0"),
+        (F.dayofweek("o_orderdate") - 1).cast("int").alias("dow"),
+        F.quarter("o_orderdate").cast("int").alias("q"),
+        F.weekofyear("o_orderdate").cast("int").alias("iso_week"),
+    )
+
+
+@register(
+    "string_functions_ext",
+    oracle="""
+    SELECT o_orderkey,
+           SPLIT_PART(o_orderpriority, '-', 2) AS prio_word,
+           LEVENSHTEIN(o_orderpriority, '1-URGENT') AS dist_urgent,
+           TRANSLATE(o_orderpriority, '-', '_') AS underscored,
+           REVERSE(o_orderpriority) AS rev,
+           LPAD(CAST(o_orderkey AS VARCHAR), 10, '0') AS padded,
+           CAST(STRPOS(o_orderpriority, 'URGENT') AS INT) AS urgent_at,
+           REPEAT(SUBSTRING(o_orderpriority, 1, 1), 3) AS tripled
+    FROM orders
+    """,
+)
+def string_functions_ext(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Extended string surface: split_part, levenshtein (the same DP
+    distance both engines), translate, reverse, lpad, position,
+    repeat — the remainder of the everyday string calculus beyond the
+    scalar_functions gate. All exact string/int outputs."""
+    tune(spark)
+    o = load_table(spark, sf_dir, "orders")
+    p = F.col("o_orderpriority")
+    return o.select(
+        "o_orderkey",
+        F.split_part(p, F.lit("-"), F.lit(2)).alias("prio_word"),
+        F.levenshtein(p, F.lit("1-URGENT")).alias("dist_urgent"),
+        F.translate(p, "-", "_").alias("underscored"),
+        F.reverse(p).alias("rev"),
+        F.lpad(F.col("o_orderkey").cast("string"), 10, "0").alias("padded"),
+        F.instr(p, "URGENT").cast("int").alias("urgent_at"),
+        F.repeat(F.substring(p, 1, 1), 3).alias("tripled"),
+    )

@@ -142,6 +142,8 @@ _GATE_PRIORITY: tuple[str, ...] = (
     "ann_index_topk",
     "events_stream_cusum",
     "ab_test_readout",
+    "date_interval_functions",
+    "string_functions_ext",
     # (c) modules changing this round
     "minhash_near_dupes",
     "simhash_fingerprints",
