@@ -58,9 +58,14 @@ def drift_report(
         clamped = F.greatest(
             F.lit(0), F.least(F.lit(n_buckets - 1), idx)
         ).cast("long")
+        # When the reference column is all-NULL, lo/hi are NULL, the raw
+        # idx is NULL, and greatest/least SKIP nulls — which would clamp
+        # every current row into the top bin. With no reference support
+        # there is no grid to bin into: drop such rows before clamping.
         return (
             df.where(F.col(col).isNotNull())
             .crossJoin(F.broadcast(bounds))
+            .where(idx.isNotNull())
             .select(clamped.alias("bucket"),
                     F.lit(1 - tag).alias("r"), F.lit(tag).alias("c"))
         )

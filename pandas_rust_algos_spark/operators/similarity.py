@@ -58,6 +58,13 @@ def _lit_vec(values) -> Column:
     return F.lit([float(x) for x in values])
 
 
+# Above this many doubles (cells × dims), an IVF centroid matrix stops
+# riding the plan as a literal and switches to a single broadcast row —
+# plan text and codegen constants stay bounded at production dims
+# (e.g. 768-dim × 256 cells = 196k doubles ≫ this cap).
+_CENTROID_LITERAL_MAX = 16_384
+
+
 def _lit_matrix(rows) -> Column:
     """A list of double vectors as ONE array<array<double>> literal."""
     return F.lit([[float(x) for x in r] for r in rows])
@@ -268,7 +275,29 @@ def ivf_topk(
         (i, [float(x) for x in c]) for i, c in enumerate(km.clusterCenters())
     ]
 
-    cmatrix = _lit_matrix(c for _, c in centers)
+    # Centroids normally ride the plan as ONE array<array<double>>
+    # literal — zero exchange, zero shipped state. Past a size
+    # threshold (e.g. 768-dim × hundreds of cells) a plan literal that
+    # large bloats the serialized plan and codegen constant pool, so
+    # the matrix instead rides as a single broadcast ROW cross-joined
+    # onto both sides: the expression tree stays O(1) and the doubles
+    # move as broadcast data, not plan text.
+    dims = len(centers[0][1]) if centers else 0
+    matrix_vals = [c for _, c in centers]
+    as_broadcast_row = n_cells * dims > _CENTROID_LITERAL_MAX
+    if as_broadcast_row:
+        from pyspark.sql.types import (
+            ArrayType, DoubleType, StructField, StructType,
+        )
+
+        cm_df = df.sparkSession.createDataFrame(
+            [(matrix_vals,)],
+            StructType([StructField(
+                "__cmatrix", ArrayType(ArrayType(DoubleType())))]),
+        )
+        cmatrix = F.col("__cmatrix")
+    else:
+        cmatrix = _lit_matrix(matrix_vals)
 
     def nearest_cells_expr(vcol: Column, n: int) -> Column:
         """Top-n cell ids by dot score, wholly inside codegen: the whole
@@ -286,13 +315,22 @@ def ivf_topk(
             lambda s: s.getField("cell"),
         )
 
+    if as_broadcast_row:
+        cand = cand.crossJoin(F.broadcast(cm_df))
     assigned = cand.withColumn(
         "cell", nearest_cells_expr(F.col("v"), 1)[0]
     )
     probes = queries.select(
         F.col(query_id_col).alias("qid"),
         _as_double(F.col(vec_col)).alias("qv"),
-    ).withColumn("cell", F.explode(nearest_cells_expr(F.col("qv"), n_probe)))
+    )
+    if as_broadcast_row:
+        assigned = assigned.drop("__cmatrix")
+        probes = probes.crossJoin(F.broadcast(cm_df))
+    probes = probes.withColumn(
+        "cell", F.explode(nearest_cells_expr(F.col("qv"), n_probe)))
+    if as_broadcast_row:
+        probes = probes.drop("__cmatrix")
     sim = F.round(cosine(F.col("qv"), F.col("v")), round_digits)
     scored = (
         assigned.join(F.broadcast(probes), "cell")

@@ -73,9 +73,12 @@ def in_set(col: str, values: Iterable) -> RowRule:
 
 def matches(col: str, pattern: str) -> RowRule:
     """Violated when the (non-NULL) value does not fully match the
-    regex — ``rlike`` is anchored explicitly so partial hits pass only
-    if the pattern says so."""
-    return RowRule(f"matches[{pattern}]", col, ~F.col(col).rlike(pattern))
+    regex. Spark's ``rlike`` is SUBSTRING matching, so the pattern is
+    wrapped as ``^(?:pattern)$`` here to get the full-match semantics
+    an expectation implies — ``matches('id', r'\\d{4}')`` must reject
+    ``'x12345y'``, which bare rlike would accept."""
+    anchored = f"^(?:{pattern})$"
+    return RowRule(f"matches[{pattern}]", col, ~F.col(col).rlike(anchored))
 
 
 @dataclass(frozen=True)

@@ -633,15 +633,40 @@ def fuzzy_join_q(spark: SparkSession, sf_dir: str) -> DataFrame:
                            extra_keys=["lang"])
 
 
-@register("ann_index_topk")
+@register(
+    "ann_index_topk",
+    oracle="""
+    WITH q AS (
+      SELECT vec_id AS qid, embedding::DOUBLE[] AS qv
+      FROM embeddings WHERE vec_id < 10
+    ), c AS (
+      SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+    ), s AS (
+      SELECT qid, vec_id,
+             ROUND(LIST_DOT_PRODUCT(qv, v) /
+                   (SQRT(LIST_DOT_PRODUCT(qv, qv)) * SQRT(LIST_DOT_PRODUCT(v, v))),
+                   6) AS sim
+      FROM q, c WHERE qid <> vec_id
+    ), r AS (
+      SELECT qid, vec_id, sim,
+             ROW_NUMBER() OVER (PARTITION BY qid ORDER BY sim DESC, vec_id) AS rn
+      FROM s
+    )
+    SELECT qid AS query_id, vec_id, sim, CAST(rn AS BIGINT) AS rank
+    FROM r WHERE rn <= 5
+    """,
+)
 def ann_index_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Approximate NN through the PERSISTED IVF index
+    """NN search through the PERSISTED IVF index
     (``operators/ann_index.py``): build once to storage (centroids
-    parquet + cell-partitioned vectors), query with true storage
-    partition pruning — the scan opens only the probed ``cell=``
-    directories, pinned by a PartitionFilters plan assert in
-    tests/test_ann_index.py; recall vs brute force likewise. Rows-only
-    gate (the k-means quantizer is engine-specific by nature)."""
+    parquet + cell-partitioned vectors), then query through the index
+    read path. The gate probes ALL cells (``n_probe = n_cells``), so
+    the index result is provably the exact brute-force top-k — a full
+    value-hash oracle over the storage layout, cell routing, dedup,
+    and rank window. The approximate path (n_probe < n_cells, true
+    ``cell=`` partition pruning via PartitionFilters, recall vs brute
+    force) is engine-specific by nature and pinned in
+    tests/test_ann_index.py."""
     import tempfile
 
     from pandas_rust_algos_spark.operators.ann_index import (
@@ -654,6 +679,6 @@ def ann_index_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     queries = emb.where(F.col("vec_id") < 10).select(
         F.col("vec_id").alias("query_id"), "embedding"
     )
-    out = ivf_index_query(spark, idx, queries, n_probe=4, k=5)
+    out = ivf_index_query(spark, idx, queries, n_probe=16, k=5)
     return out.select("query_id", F.col("id").alias("vec_id"), "sim",
                       F.col("rank").cast("long").alias("rank"))

@@ -49,7 +49,7 @@ from pandas_rust_algos_spark.sources import load_table, spread
       SELECT 'matches[[OF]]', 'l_linestatus',
              (SELECT COUNT(*) FROM lineitem
               WHERE l_linestatus IS NOT NULL
-                AND NOT regexp_matches(l_linestatus, '[OF]')),
+                AND NOT regexp_matches(l_linestatus, '^(?:[OF])$')),
              total FROM t
       UNION ALL
       SELECT 'unique', 'l_orderkey,l_linenumber',

@@ -64,69 +64,14 @@ def register(name: str, oracle: str | None = None, description: str = ""):
 
 
 # The driver's correctness gate samples the FIRST ~50 registry entries per
-# round. Rounds 1+2 covered 100 of 118 gates; this list front-loads (a) the
-# 18 gates that had never received a driver CORRECTNESS row, (b)
-# events_sessionize (oracle fixed in r2, needs a driver re-check), (b2) the
-# gates added in round 3 — 62 never-checked gates total, so positions 51+
-# roll into round 4's window: after reading CORRECTNESS_r03, move its green
-# rows out of the head and front-load the remainder — and (c) gates of
-# modules changed in r2/r3 (dedup/similarity/asof/multimodal/ewm/grouped_agg).
+# round. r1∪r2∪r3 covered 149 of 166 gates, zero reds outstanding. Round 4
+# front-loads (a) the 17 gates that have never received a driver CORRECTNESS
+# row (positions 51+ of round 3's list), (b) gates NEW in round 4, (c)
+# re-checks for modules changed in round 4 (drift, validate, table_format,
+# similarity), and (d) r1-green gates that yielded their window slots in
+# r2/r3 and have not been driver-checked since.
 _GATE_PRIORITY: tuple[str, ...] = (
-    # (a) never driver-checked
-    "asof_join_forward",
-    "asof_join_nearest",
-    "fuzzy_join",
-    "q11_important_parts",
-    "q12_late_priority",
-    "q13_order_distribution",
-    "q16_supplier_parts",
-    "q20_excess_suppliers",
-    "q21_waiting_suppliers",
-    "snapshot_diff",
-    "train_val_split",
-    "stratified_sample",
-    "chunk_documents",
-    "embedding_near_dupes",
-    "ann_lsh_topk",
-    "ann_ivf_topk",
-    "media_features",
-    "pack_sequences",
-    # (b) driver re-check after r2 oracle fix
-    "events_sessionize",
-    # (b2) new in round 3 — never driver-checked, fresh code first
-    # (all verified this session against the in-repo driver-mimicking
-    # oracle sim, tools/driver_sim.py, before registration here)
-    "decontaminate",
-    "repetition_signals",
-    "domain_mix_sample",
-    "events_funnel",
-    "events_cohort_retention",
-    "pii_scrub",
-    "url_domains",
-    "quality_filter",
-    "shard_assign",
-    "tfidf_topterms",
-    "inverted_index",
-    "dedup_keep_canonical",
-    "events_stream_dedup",
-    "token_budget_sample",
-    "embedding_quantize",
-    "events_attribution",
-    "group_winsorize",
-    "events_session_paths",
-    "profile_lineitem",
-    "bigram_lm",
-    "matview_incremental",
-    "ann_pq_topk",
-    "events_stream_funnel",
-    "bpe_token_stats",
-    "events_variant_props",
-    "expectations_report",
-    "curate_pipeline",
-    "events_resample_5m",
-    "udtf_pii_spans",
-    "pagerank_suppliers",
-    "scd2_join",
+    # (a) never driver-checked — the round-3b tail
     "events_anomaly",
     "basket_pairs",
     "try_functions",
@@ -144,41 +89,44 @@ _GATE_PRIORITY: tuple[str, ...] = (
     "ab_test_readout",
     "date_interval_functions",
     "string_functions_ext",
-    # (c) modules changing this round
-    "minhash_near_dupes",
-    "simhash_fingerprints",
-    "dup_clusters",
-    "dedup_exact",
-    "ngram_jaccard",
+    # (b) new in round 4 — inserted as they are authored
+    # (c) modules changed in round 4 → driver re-verification
+    "matview_incremental",
+    "expectations_report",
+    "ann_ivf_topk",
+    "ann_lsh_topk",
+    "ann_pq_topk",
     "cosine_topk",
-    "group_ewm_mean",
-    "group_ewm_mean_noskip",
-    "group_ewm_mean_recursive",
-    "group_ewm_var_std",
-    "asof_join",
-    # (c) grouped_agg gates last driver-checked in r1, module changed in r2
-    "group_sum",
-    "group_sum_mincount",
-    "group_prod",
-    "group_mean",
-    "group_var_std_sem",
-    "group_skew",
-    "group_median",
-    "group_quantile_linear",
-    "group_quantile_lower",
-    "group_quantile_higher",
-    # (nearest/midpoint re-checks yield window slots to the round-3
-    # funnel/cohort gates — r1-green, shared rank-window plan with the
-    # three variants kept above, in-repo parity still covers them)
-    "group_min_max",
-    "group_first_last",
-    # (r1-green group_nth / group_first_last_string / group_ohlc yield
-    # their window slots to the round-3 gates above; the r2 module
-    # change — histogram clamp — never touched their code paths, and
-    # tests/test_oracle_parity.py keeps them green in-repo)
-    "group_any_all",
-    "group_any_all_kleene",
-    "group_histogram",
+    "embedding_near_dupes",
+    "domain_mix_sample",
+    # (d) r1-green gates that yielded window slots in r2/r3, never
+    # re-checked since (in-repo parity keeps them green meanwhile)
+    "group_quantile_nearest",
+    "group_quantile_midpoint",
+    "group_nth",
+    "group_first_last_string",
+    "group_ohlc",
+    "q2_min_cost_supplier",
+    "q4_priority_orders",
+    "q6_forecast_revenue",
+    "q7_nation_trade",
+    "q8_market_share",
+    "q9_product_profit",
+    "q10_returned_items",
+    "q14_promo_share",
+    "q15_top_supplier",
+    "q17_small_qty_revenue",
+    "q18_large_orders",
+    "q19_bracket_revenue",
+    "q22_idle_customers",
+    "range_join",
+    "semi_anti_join",
+    "set_ops",
+    "distinct_agg",
+    "rollup_revenue",
+    "cube_revenue",
+    "group_pivot",
+    "group_melt",
 )
 
 

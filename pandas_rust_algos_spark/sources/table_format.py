@@ -144,6 +144,23 @@ def file_add_action(table_path: str, fpath: str,
     for c in bloom_cols:
         if c not in idx:
             continue
+        # Bloom membership compares str() canonical forms across two
+        # independent paths (pyarrow to_pylist at write time, the
+        # Spark-pushed filter value at probe time). Those agree only
+        # for integers and strings; floats, decimals, and timestamps
+        # have repr-divergent canonical forms (Decimal('1.50') vs
+        # Decimal('1.5'), tz-aware reprs), where a mismatch is a FALSE
+        # NEGATIVE — a file wrongly pruned and rows silently missing
+        # from results. Validate at write time, loudly.
+        import pyarrow.types as pat
+
+        ftype = pf.schema_arrow.field(c).type
+        if not (pat.is_integer(ftype) or pat.is_string(ftype)
+                or pat.is_large_string(ftype)):
+            raise TypeError(
+                f"bloom_cols supports integer/string columns only; "
+                f"{c!r} is {ftype} (str() canonicalization is not "
+                f"stable across writer and probe for this type)")
         col = pf.read(columns=[c]).column(c)
         stats.setdefault(c, {})["bloom"] = _bloom_build(
             dict.fromkeys(col.to_pylist()))
@@ -315,6 +332,11 @@ class VersionedTable:
         snap = self._snapshot(version)
         cp = {"version": version, "ts_ms": snap.ts_ms,
               "files": list(snap.files.values())}
+        # Persist the effective schema so table_schema() replay stops at
+        # the checkpoint instead of walking the whole commit history.
+        schema = self.table_schema(version)
+        if schema is not None:
+            cp["schema"] = schema.json()
         tmp = os.path.join(self.path, _LOG_DIR,
                            f".tmp-cp-{uuid.uuid4().hex}.json")
         with open(tmp, "w") as f:
@@ -327,23 +349,48 @@ class VersionedTable:
         """The committed logical schema at ``version`` (latest schema-
         bearing commit at or before it) — None for pre-schema-tracking
         tables. Commit logs survive vacuum, so this never loses the
-        schema history."""
+        schema history.
+
+        Replay is BACKWARD from the target and stops at the first
+        schema-bearing commit or at a schema-carrying checkpoint, so
+        the cost is O(commits since the last schema change), bounded by
+        ``checkpoint_interval`` once a checkpoint has landed — not
+        O(history), which would defeat the checkpoint mechanism."""
         from pyspark.sql.types import StructType
 
-        commits, _ = self._list_log()
+        commits, checkpoints = self._list_log()
         if not commits:
             return None
         target = commits[-1] if version is None else version
-        latest = None
-        for v in commits:
+        base = max((c for c in checkpoints if c <= target), default=None)
+
+        def _from_json(s):
+            return None if s is None else StructType.fromJson(json.loads(s))
+
+        for v in reversed(commits):
             if v > target:
+                continue
+            if base is not None and v <= base:
                 break
             with open(self._log_path(v)) as f:
                 rec = json.load(f)
             if "schema" in rec:
-                latest = rec["schema"]
-        return None if latest is None else StructType.fromJson(
-            json.loads(latest))
+                return _from_json(rec["schema"])
+        if base is not None:
+            with open(self._log_path(base, checkpoint=True)) as f:
+                cp = json.load(f)
+            if "schema" in cp:
+                return _from_json(cp["schema"])
+            # pre-schema-checkpoint file: fall through to the commits
+            # below the checkpoint (older tables only)
+            for v in reversed(commits):
+                if v > base:
+                    continue
+                with open(self._log_path(v)) as f:
+                    rec = json.load(f)
+                if "schema" in rec:
+                    return _from_json(rec["schema"])
+        return None
 
     def _evolved_schema(self, batch_schema, merge_schema: bool) -> str:
         """Validate a batch's StructType against the current table
@@ -378,6 +425,18 @@ class VersionedTable:
 
     # ----------------------------------------------------------- mutations
 
+    def _read_pinned(self, rels, schema) -> DataFrame:
+        """Read data files with the COMMITTED schema (when one exists)
+        rather than inferring from one file: after schema evolution a
+        mixed-age file set would otherwise infer from a pre-evolution
+        file and silently drop the evolved column from any rewrite —
+        reads would then return NULL where data existed."""
+        reader = self.spark.read
+        if schema is not None:
+            reader = reader.schema(schema)
+        return reader.parquet(
+            *[os.path.join(self.path, r) for r in rels])
+
     def create(self, df: DataFrame) -> int:
         """Bootstrap version 0. Fails if the table already exists."""
         if self.latest_version() is not None:
@@ -386,14 +445,34 @@ class VersionedTable:
                             schema_json=df.schema.json())
 
     def append(self, df: DataFrame, *, merge_schema: bool = False) -> int:
-        """Blind append — add-only, conflict-free by construction (two
-        concurrent appends both succeed in either order).
-        ``merge_schema=True`` lets the batch ADD columns (schema
-        evolution): the committed schema widens, and readers see NULL
-        for the new columns in pre-evolution files."""
-        schema_json = self._evolved_schema(df.schema, merge_schema)
-        return self._commit("append", self._write_data_files(df), [], None,
-                            schema_json=schema_json)
+        """Append — add-only. When the batch schema equals the current
+        table schema the commit is BLIND (no schema record, conflict-
+        free by construction: two concurrent appends both succeed in
+        either order). ``merge_schema=True`` lets the batch ADD columns
+        (schema evolution): the committed schema widens, and readers
+        see NULL for the new columns in pre-evolution files. A schema-
+        CHANGING append commits with ``expected_version`` and re-derives
+        the evolved schema on conflict — otherwise two concurrent
+        evolving appends could interleave so the later commit carries a
+        stale schema missing the other writer's column, making that
+        column's data invisible to readers."""
+        adds = None
+        for _ in range(self.max_commit_retries):
+            cur = self.table_schema()
+            schema_json = self._evolved_schema(df.schema, merge_schema)
+            if adds is None:  # data files are written exactly once
+                adds = self._write_data_files(df)
+            if cur is not None and schema_json == cur.json():
+                # no schema change: nothing to race on — commit blind
+                return self._commit("append", adds, [], None)
+            try:
+                return self._commit("append", adds, [],
+                                    self.latest_version(),
+                                    schema_json=schema_json)
+            except CommitConflict:
+                continue  # table advanced: re-validate against new schema
+        raise CommitConflict(
+            f"schema-evolving append lost {self.max_commit_retries} races")
 
     def overwrite(self, df: DataFrame) -> int:
         """Replace the table contents atomically (readers see the old
@@ -415,6 +494,16 @@ class VersionedTable:
         if not self.key_cols:
             raise ValueError("merge requires key_cols")
         snap = self._snapshot()
+        schema = self.table_schema(snap.version)
+        if schema is not None:
+            batch_cols = set(updates.columns) - (
+                {delete_col} if delete_col is not None else set())
+            unknown = batch_cols - {f.name for f in schema.fields}
+            if unknown:
+                raise ValueError(
+                    f"merge batch has columns not in the table schema: "
+                    f"{sorted(unknown)}; evolve via append(merge_schema="
+                    f"True) first")
         k0 = self.key_cols[0]
         bounds = updates.agg(F.min(k0).alias("lo"),
                              F.max(k0).alias("hi")).first()
@@ -442,14 +531,21 @@ class VersionedTable:
             updates = updates.drop(delete_col)
 
         if touched:
-            old = self.spark.read.parquet(
-                *[os.path.join(self.path, r) for r in touched])
+            old = self._read_pinned(touched, schema)
             survivors = old.join(
                 F.broadcast(updates.select(*self.key_cols).distinct()),
                 self.key_cols, "left_anti")
-            merged = survivors.select(*upserts.columns).unionByName(upserts)
+            # Survivors keep the FULL committed schema; a batch missing
+            # evolved columns upserts NULL for them (its own rows only)
+            # instead of dropping the column from every rewritten row.
+            merged = survivors.unionByName(upserts,
+                                           allowMissingColumns=True)
         else:
             merged = upserts
+        if schema is not None:
+            order = [f.name for f in schema.fields
+                     if f.name in merged.columns]
+            merged = merged.select(*order)
         adds = self._write_data_files(merged)
         return self._commit("merge", adds, touched, snap.version)
 
@@ -466,8 +562,8 @@ class VersionedTable:
         snap = self._snapshot()
         if not snap.files:
             return self._commit("delete", [], [], snap.version)
-        current = self.spark.read.parquet(
-            *[os.path.join(self.path, r) for r in sorted(snap.files)])
+        schema = self.table_schema(snap.version)
+        current = self._read_pinned(sorted(snap.files), schema)
         from urllib.parse import unquote, urlparse
 
         # input_file_name() yields URIs; resolve to absolute paths and
@@ -483,8 +579,7 @@ class VersionedTable:
         ]
         if not matched:
             return self._commit("delete", [], [], snap.version)
-        survivors = self.spark.read.parquet(
-            *[os.path.join(self.path, m) for m in matched]).where(~cond)
+        survivors = self._read_pinned(matched, schema).where(~cond)
         adds = self._write_data_files(survivors)
         return self._commit("delete", adds, matched, snap.version)
 
@@ -506,8 +601,7 @@ class VersionedTable:
         ]
         if len(small) < 2:
             return snap.version
-        df = self.spark.read.parquet(
-            *[os.path.join(self.path, r) for r in small])
+        df = self._read_pinned(small, self.table_schema(snap.version))
         if zorder_by:
             from pandas_rust_algos_spark.sources.layout import zorder_column
 

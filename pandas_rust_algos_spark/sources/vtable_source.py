@@ -137,7 +137,14 @@ class VTableReader(DataSourceReader):
         if not s:
             return False
         v = f.value
+        # Trust a bloom miss only for int/str probe values: those are
+        # the types whose str() canonical form provably agrees between
+        # the write path (pyarrow to_pylist) and this Spark-pushed
+        # value (write side now validates too; this guards legacy
+        # tables written before that check). Other types fall through
+        # to min/max, where a wrong answer is impossible.
         if isinstance(f, EqualTo) and "bloom" in s \
+                and isinstance(v, (int, str)) \
                 and not bloom_might_contain(s["bloom"], v):
             return True
         lo, hi = s.get("min"), s.get("max")

@@ -139,3 +139,23 @@ def test_pq_rerank_recovers_recall(spark, emb, queries):
 def test_pq_validates_divisibility(spark, emb):
     with pytest.raises(ValueError, match="divisible"):
         sim.pq_train_codebooks(emb, m=7)
+
+
+def test_ivf_broadcast_centroid_fallback_matches_literal(
+        spark, emb, queries, monkeypatch):
+    """Past _CENTROID_LITERAL_MAX doubles the centroid matrix rides as
+    one broadcast row instead of a plan literal; the two plan shapes
+    must return identical results (same centers, same argmax, same
+    probe set — only the transport of the constants differs)."""
+    def run():
+        return sorted(
+            (r["query_id"], r["vec_id"], r["rank"])
+            for r in sim.ivf_topk(emb, queries, k=K,
+                                  n_cells=8, n_probe=3).collect()
+        )
+
+    lit_path = run()
+    monkeypatch.setattr(sim, "_CENTROID_LITERAL_MAX", 1)
+    broadcast_path = run()
+    assert broadcast_path == lit_path
+    assert len(lit_path) > 0

@@ -697,3 +697,113 @@ def test_vtable_backfill_plus_tail(spark, tmp_path):
     assert tail == [20, 21, 30, 31, 32]        # ONLY post-snapshot rows
     assert sorted(backfill + tail) == sorted(
         r["id"] for r in tbl.read().collect())
+
+
+# ---------------------------------------- rewrite-after-evolution (r4)
+# The ADVICE-flagged silent-data-loss shape: merge/delete/compact used
+# to re-read touched files with an INFERRED schema; over a mixed
+# pre-/post-evolution file set the inference could come from a
+# pre-evolution file, dropping the evolved column from the rewrite
+# while the committed schema still claimed it.
+
+
+def _evolved_tbl(spark, tmp_path):
+    """ids 0-4 pre-evolution (no score), ids 5-9 with score=id/2."""
+    tbl = _mk(spark, tmp_path)
+    tbl.create(_df(spark, range(5), "a"))
+    wide = spark.createDataFrame(
+        [(i, f"b-{i}", i / 2.0) for i in range(5, 10)],
+        "id long, payload string, score double")
+    tbl.append(wide, merge_schema=True)
+    return tbl
+
+
+def test_merge_after_evolution_preserves_evolved_column(spark, tmp_path):
+    tbl = _evolved_tbl(spark, tmp_path)
+    # key range 2..7 touches BOTH the pre- and post-evolution files
+    ups = spark.createDataFrame(
+        [(2, "u-2", 99.0), (7, "u-7", 77.0)],
+        "id long, payload string, score double")
+    tbl.merge(ups)
+    rows = {r["id"]: r for r in tbl.read().collect()}
+    assert rows[2]["score"] == 99.0 and rows[7]["score"] == 77.0
+    # survivors in the rewritten post-evolution file keep their score
+    assert rows[9]["score"] == 4.5 and rows[6]["score"] == 3.0
+    assert rows[0]["score"] is None  # pre-evolution survivor: still NULL
+
+
+def test_merge_narrow_batch_after_evolution(spark, tmp_path):
+    tbl = _evolved_tbl(spark, tmp_path)
+    # batch missing the evolved column: its own rows upsert NULL score,
+    # survivors keep theirs
+    tbl.merge(_df(spark, [6], "n"))
+    rows = {r["id"]: r for r in tbl.read().collect()}
+    assert rows[6]["payload"] == "n-6" and rows[6]["score"] is None
+    assert rows[7]["score"] == 3.5
+    # a batch with a column the table never committed is rejected loudly
+    alien = spark.createDataFrame([(1, "x", True)],
+                                  "id long, payload string, extra boolean")
+    with pytest.raises(ValueError, match="not in the table schema"):
+        tbl.merge(alien)
+
+
+def test_delete_after_evolution_preserves_evolved_column(spark, tmp_path):
+    tbl = _evolved_tbl(spark, tmp_path)
+    tbl.delete("id = 7 OR id = 1")  # rewrites both files
+    rows = {r["id"]: r for r in tbl.read().collect()}
+    assert sorted(rows) == [0, 2, 3, 4, 5, 6, 8, 9]
+    assert rows[8]["score"] == 4.0 and rows[5]["score"] == 2.5
+    assert rows[0]["score"] is None
+
+
+def test_compact_after_evolution_preserves_evolved_column(spark, tmp_path):
+    tbl = _evolved_tbl(spark, tmp_path)
+    v = tbl.compact()  # every file is tiny → all coalesced
+    assert v > 1
+    rows = {r["id"]: r for r in tbl.read().collect()}
+    assert sorted(rows) == list(range(10))
+    assert rows[9]["score"] == 4.5 and rows[0]["score"] is None
+
+
+def test_append_same_schema_commits_blind(spark, tmp_path):
+    import json as _json
+
+    tbl = _mk(spark, tmp_path)
+    tbl.create(_df(spark, [1], "a"))
+    v = tbl.append(_df(spark, [2], "b"))
+    with open(tbl._log_path(v)) as f:
+        rec = _json.load(f)
+    # schema unchanged → blind commit, NO schema record (conflict-free)
+    assert "schema" not in rec
+    wide = spark.createDataFrame([(3, "c", 0.5)],
+                                 "id long, payload string, score double")
+    v2 = tbl.append(wide, merge_schema=True)
+    with open(tbl._log_path(v2)) as f:
+        rec2 = _json.load(f)
+    assert "schema" in rec2  # evolving commit carries the new schema
+
+
+def test_checkpoint_carries_schema(spark, tmp_path):
+    import json as _json
+
+    tbl = _mk(spark, tmp_path, checkpoint_interval=2)
+    tbl.create(_df(spark, [0], "a"))
+    tbl.append(
+        spark.createDataFrame([(1, "b", 1.0)],
+                              "id long, payload string, score double"),
+        merge_schema=True)
+    # narrow batch, no schema CHANGE → blind commit; v2 → checkpoint
+    tbl.append(_df(spark, [2], "c"), merge_schema=True)
+    with open(tbl._log_path(2, checkpoint=True)) as f:
+        cp = _json.load(f)
+    assert "schema" in cp
+    got = tbl.table_schema()
+    assert [f.name for f in got.fields] == ["id", "payload", "score"]
+
+
+def test_bloom_cols_require_int_or_string(spark, tmp_path):
+    tbl = VersionedTable(spark, str(tmp_path / "btbl"),
+                         key_cols=["id"], bloom_cols=["score"])
+    df = spark.createDataFrame([(1, 0.5)], "id long, score double")
+    with pytest.raises(TypeError, match="integer/string"):
+        tbl.create(df)

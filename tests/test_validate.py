@@ -39,6 +39,16 @@ def test_row_rules_null_convention(spark):
     assert rep[("in_set[A,B]", "flag")]["passed"] is True
 
 
+def test_matches_is_full_match(spark):
+    """matches() must anchor: a pattern hit in the MIDDLE of the value
+    is a violation (bare rlike is substring matching in Spark)."""
+    df = spark.createDataFrame(
+        [("1234",), ("x12345y",), ("12",), (None,)], "id string")
+    rep = _report(df, rules=[V.matches("id", r"\d{4}")])
+    # only '1234' fully matches; 'x12345y' and '12' violate; NULL passes
+    assert rep[(r"matches[\d{4}]", "id")]["violations"] == 2
+
+
 def test_unique_composite_and_null_fields(spark):
     df = spark.createDataFrame(
         [(1, 1), (1, 1), (1, 2), (None, 1), (None, 1)],
@@ -112,6 +122,23 @@ def test_drift_degenerate_and_empty_sides(spark):
     r2 = {r["bucket"]: r for r in
           dr.drift_report(ref2, cur2, "x", n_buckets=5).collect()}
     assert r2[0]["n_cur"] == 1 and r2[4]["n_cur"] == 1
+
+
+def test_drift_report_all_null_reference(spark):
+    """Promoted from a hypothesis counterexample (round-3 judge): an
+    all-NULL reference column gives NULL lo/hi; greatest/least skip the
+    NULL bucket index, which used to clamp every current row into the
+    top bin. With no reference support, current rows must be dropped."""
+    from pandas_rust_algos_spark.operators import drift as dr
+
+    ref = spark.createDataFrame([(None,), (None,)], "x double")
+    cur = spark.createDataFrame([(0.0,), (7.5,)], "x double")
+    rows = {r["bucket"]: r for r in
+            dr.drift_report(ref, cur, "x", n_buckets=3).collect()}
+    assert len(rows) == 3
+    assert all(r["n_ref"] == 0 and r["n_cur"] == 0 for r in rows.values())
+    assert all(r["rate_ref"] is None and r["rate_cur"] is None
+               for r in rows.values())
 
 
 # ------------------------------------------------- cusum closed form
