@@ -40,7 +40,68 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, functions as F
 
-__all__ = ["pagerank_fixed", "sql_pagerank_fixed"]
+__all__ = ["pagerank_fixed", "shortest_hops", "sql_pagerank_fixed"]
+
+
+def shortest_hops(
+    edges: DataFrame,
+    sources: DataFrame,
+    *,
+    src: str = "src",
+    dst: str = "dst",
+    node: str = "node",
+    max_hops: int = 4,
+) -> DataFrame:
+    """Multi-source BFS: minimum hop count from any ``sources`` node to
+    every node reachable within ``max_hops``; returns ``(node, hops)``
+    (sources themselves at hops 0). The third classic iterative graph
+    op next to PageRank and connected components — reachability /
+    k-hop neighborhood expansion (crawl frontiers, fraud rings,
+    lineage blast radius).
+
+    BFS visits each node at its minimum distance by construction (the
+    frontier for hop ``h`` is anti-joined against everything already
+    visited), so the result equals the recursive-CTE ``MIN(hops)``
+    closure an SQL engine computes — which is what makes this
+    iterative operator fully value-hash-oracleable.
+
+    Scale shape: edges are deduped and hash-partitioned on ``src``
+    once; each of the ``max_hops`` iterations joins only the CURRENT
+    FRONTIER (never the full visited set) against that partitioned
+    edge list, then anti-joins the visited set to drop re-reached
+    nodes. Frontiers shrink as the reachable set saturates — and an
+    empty frontier is detected via the join becoming empty, with zero
+    driver-side data inspection (no collect; the loop is a fixed
+    ``max_hops`` unroll). ``localCheckpoint`` truncates the visited
+    set's growing lineage each wave."""
+    if max_hops < 0:
+        raise ValueError(f"max_hops must be >= 0, got {max_hops}")
+    from pyspark import StorageLevel
+
+    e = (
+        edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
+        .distinct()
+        .repartition("src")
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    visited = (
+        sources.select(F.col(node).alias("node")).distinct()
+        .withColumn("hops", F.lit(0).cast("long"))
+        .localCheckpoint(eager=True)
+    )
+    frontier = visited
+    for h in range(1, max_hops + 1):
+        nxt = (
+            frontier.join(e, frontier.node == e.src)
+            .select(F.col("dst").alias("node"))
+            .distinct()
+            .join(visited, "node", "left_anti")
+            .withColumn("hops", F.lit(h).cast("long"))
+            .localCheckpoint(eager=True)
+        )
+        visited = visited.unionByName(nxt).localCheckpoint(eager=True)
+        frontier = nxt
+    return visited
 
 
 def pagerank_fixed(

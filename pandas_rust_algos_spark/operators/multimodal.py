@@ -11,17 +11,21 @@ names the payload codec, and decode is genuinely implemented for:
 - ``image/bmp``   — uncompressed 24-bit BI_RGB Windows bitmap → HxWx3
   uint8 array (header parse + strided raster read, numpy only);
 - ``image/ppm``   — binary PPM (P6) → HxWx3 uint8 array;
+- ``image/png``   — REAL compressed decode: stdlib ``zlib`` DEFLATE
+  inflate + full scanline unfiltering (None/Sub/Up/Average/Paeth),
+  8-bit gray/RGB/RGBA/palette (encoder too — any of the five filters);
 - ``audio/pcm_s16le`` — raw 16-bit little-endian PCM → int16 samples;
 - ``video/ppm-seq``   — concatenated P6 frames → list of frames, with
   :func:`sample_frames` exploding every k-th frame to its own
   ``image/ppm`` media row (the frame-sampling step of a video
   pipeline).
 
-Only *compressed* codecs (JPEG/PNG/MP3/H.264…) raise
-``NotImplementedError`` — their entropy coders genuinely need decoder
-libraries this container does not ship; the uncompressed formats above
-are decoded for real, so the dispatch, batch transport, feature, and
-transform plumbing is exercised end-to-end by true byte-level decodes.
+Codecs whose entropy coders genuinely need decoder libraries this
+container does not ship (JPEG/MP3/H.264…) raise
+``NotImplementedError``; everything above — including the DEFLATE-
+compressed PNG path — is decoded for real, so the dispatch, batch
+transport, feature, and transform plumbing is exercised end-to-end by
+true byte-level decodes.
 :func:`resize_media` (nearest-neighbor, pure index arithmetic)
 re-encodes decoded images back to media rows — the
 decode→transform→re-encode loop a training-data image pipeline runs.
@@ -70,9 +74,11 @@ __all__ = [
     "decode_payload",
     "decode_strict",
     "encode_bmp",
+    "encode_png",
     "encode_ppm",
     "encode_pcm_s16le",
     "encode_ppm_seq",
+    "image_media_from_vecs",
     "extract_features",
     "extract_features_arrow",
     "resize_media",
@@ -180,6 +186,159 @@ def _ppm_read_frame(payload: bytes, pos: int) -> tuple[np.ndarray, int]:
     return img.reshape(h, w, 3).copy(), pos + n
 
 
+_PNG_SIG = b"\x89PNG\r\n\x1a\n"
+#: channels per pixel for the supported color types
+_PNG_CHANNELS = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}
+
+
+def _png_chunk(tag: bytes, body: bytes) -> bytes:
+    import struct
+    import zlib
+
+    return (struct.pack(">I", len(body)) + tag + body
+            + struct.pack(">I", zlib.crc32(tag + body) & 0xFFFFFFFF))
+
+
+def encode_png(arr: np.ndarray, *, filter_type: int = 0,
+               compress_level: int = 6) -> bytes:
+    """8-bit image → PNG (a REAL compressed codec, stdlib ``zlib``
+    DEFLATE — no external decoder libraries needed). Accepts ``(H, W)``
+    grayscale, ``(H, W, 3)`` RGB, or ``(H, W, 4)`` RGBA uint8 arrays.
+
+    ``filter_type`` applies one PNG scanline filter (0=None, 1=Sub,
+    2=Up, 3=Average, 4=Paeth) to every row — spec-conformant output for
+    any of the five, which lets tests drive the decoder's unfiltering
+    paths individually. Adaptive per-row selection is an encoder-size
+    optimization, deliberately out of scope."""
+    import struct
+    import zlib
+
+    a = np.ascontiguousarray(arr, dtype=np.uint8)
+    if a.ndim == 2:
+        a = a[:, :, None]
+    if a.ndim != 3 or a.shape[2] not in (1, 3, 4):
+        raise ValueError(f"expected HxW[x{{1,3,4}}] uint8, got {arr.shape}")
+    h, w, c = a.shape
+    color_type = {1: 0, 3: 2, 4: 6}[c]
+    if not 0 <= filter_type <= 4:
+        raise ValueError(f"filter_type must be 0..4, got {filter_type}")
+    raw = a.reshape(h, w * c).astype(np.int64)
+    prev = np.zeros(w * c, dtype=np.int64)
+    lines = []
+    for y in range(h):
+        cur = raw[y]
+        left = np.zeros(w * c, dtype=np.int64)
+        left[c:] = cur[:-c]
+        ul = np.zeros(w * c, dtype=np.int64)
+        ul[c:] = prev[:-c]
+        if filter_type == 0:
+            flt = cur
+        elif filter_type == 1:
+            flt = cur - left
+        elif filter_type == 2:
+            flt = cur - prev
+        elif filter_type == 3:
+            flt = cur - (left + prev) // 2
+        else:
+            flt = cur - _paeth(left, prev, ul)
+        lines.append(bytes([filter_type]) + (flt % 256).astype(np.uint8)
+                     .tobytes())
+        prev = cur
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, color_type, 0, 0, 0)
+    idat = zlib.compress(b"".join(lines), compress_level)
+    return (_PNG_SIG + _png_chunk(b"IHDR", ihdr)
+            + _png_chunk(b"IDAT", idat) + _png_chunk(b"IEND", b""))
+
+
+def _paeth(left: np.ndarray, up: np.ndarray, ul: np.ndarray) -> np.ndarray:
+    """Vectorized Paeth predictor (PNG spec §9.4)."""
+    p = left + up - ul
+    pa, pb, pc = np.abs(p - left), np.abs(p - up), np.abs(p - ul)
+    return np.where((pa <= pb) & (pa <= pc), left,
+                    np.where(pb <= pc, up, ul))
+
+
+def _decode_png(payload: bytes) -> np.ndarray:
+    """PNG → uint8 array: ``(H, W)`` for grayscale, ``(H, W, C)``
+    otherwise (palette expands via PLTE to RGB). Full scanline
+    unfiltering (None/Sub/Up/Average/Paeth); 8-bit depth,
+    non-interlaced. The sequential filters (Sub/Average/Paeth) carry a
+    true along-row data dependency, so they unfilter pixel-stepwise on
+    ``C``-wide lanes — O(W) python steps per row on vector operands,
+    which is the honest cost of DEFLATE-era formats without a native
+    codec; production hot paths would swap in one via the same
+    modality dispatch."""
+    import struct
+    import zlib
+
+    if payload[:8] != _PNG_SIG:
+        raise ValueError("not a PNG payload")
+    pos, ihdr, plte, idat = 8, None, None, []
+    while pos + 8 <= len(payload):
+        (length,) = struct.unpack_from(">I", payload, pos)
+        tag = payload[pos + 4:pos + 8]
+        body = payload[pos + 8:pos + 8 + length]
+        pos += 12 + length  # length + tag + body + crc
+        if tag == b"IHDR":
+            ihdr = struct.unpack(">IIBBBBB", body)
+        elif tag == b"PLTE":
+            plte = np.frombuffer(body, dtype=np.uint8).reshape(-1, 3)
+        elif tag == b"IDAT":
+            idat.append(body)
+        elif tag == b"IEND":
+            break
+    if ihdr is None or not idat:
+        raise ValueError("PNG missing IHDR or IDAT")
+    w, h, depth, color_type, comp, flt_method, interlace = ihdr
+    if depth != 8 or comp != 0 or flt_method != 0:
+        raise NotImplementedError(
+            f"PNG depth={depth}/compression={comp} unsupported "
+            "(8-bit, method-0 only)")
+    if interlace != 0:
+        raise NotImplementedError("Adam7 interlaced PNG not supported")
+    if color_type not in _PNG_CHANNELS:
+        raise ValueError(f"unknown PNG color type {color_type}")
+    c = _PNG_CHANNELS[color_type]
+    stride = w * c
+    raw = zlib.decompress(b"".join(idat))
+    if len(raw) != h * (stride + 1):
+        raise ValueError(
+            f"PNG raster size {len(raw)} != expected {h * (stride + 1)}")
+    out = np.zeros((h, stride), dtype=np.int64)
+    prev = np.zeros(stride, dtype=np.int64)
+    for y in range(h):
+        ft = raw[y * (stride + 1)]
+        cur = np.frombuffer(raw, dtype=np.uint8, count=stride,
+                            offset=y * (stride + 1) + 1).astype(np.int64)
+        if ft == 0:
+            rec = cur
+        elif ft == 2:
+            rec = (cur + prev) % 256
+        elif ft in (1, 3, 4):
+            rec = cur.copy()
+            for x in range(0, stride, c):
+                left = rec[x - c:x] if x else np.zeros(c, dtype=np.int64)
+                up = prev[x:x + c]
+                ul = prev[x - c:x] if x else np.zeros(c, dtype=np.int64)
+                if ft == 1:
+                    rec[x:x + c] = (rec[x:x + c] + left) % 256
+                elif ft == 3:
+                    rec[x:x + c] = (rec[x:x + c] + (left + up) // 2) % 256
+                else:
+                    rec[x:x + c] = (rec[x:x + c]
+                                    + _paeth(left, up, ul)) % 256
+        else:
+            raise ValueError(f"bad PNG filter byte {ft} on row {y}")
+        out[y] = rec
+        prev = rec
+    img = out.astype(np.uint8).reshape(h, w, c)
+    if color_type == 3:
+        if plte is None:
+            raise ValueError("palette PNG without PLTE chunk")
+        return plte[img[:, :, 0]]
+    return img[:, :, 0] if c == 1 else img
+
+
 def encode_pcm_s16le(samples: np.ndarray) -> bytes:
     """int16 samples → raw little-endian PCM bytes."""
     return np.asarray(samples, dtype="<i2").tobytes()
@@ -211,6 +370,8 @@ def decode_payload(payload: bytes, modality: str):
         return np.frombuffer(payload, dtype="<f4")
     if modality == "image/bmp":
         return _decode_bmp(payload)
+    if modality == "image/png":
+        return _decode_png(payload)
     if modality == "image/ppm":
         img, _end = _ppm_read_frame(payload, 0)
         return img
@@ -227,8 +388,8 @@ def decode_payload(payload: bytes, modality: str):
         return frames
     raise NotImplementedError(
         f"media decode for modality={modality!r} requires decoder libraries "
-        "not present in this environment (uncompressed codecs — bmp/ppm/"
-        "pcm_s16le/ppm-seq — are decoded natively)"
+        "not present in this environment (bmp/ppm/png/pcm_s16le/ppm-seq "
+        "are decoded natively)"
     )
 
 
@@ -254,12 +415,18 @@ def _featurize(payload: bytes, modality: str):
             float(len(set(toks))),
             hashlib.md5(bytes(payload)).hexdigest(),
         )
-    if modality in ("image/bmp", "image/ppm"):
-        h, w, c = content.shape
-        # exact: integer pixel sum / count (both exact in float64)
+    if modality in ("image/bmp", "image/ppm", "image/png"):
+        h, w = content.shape[:2]
+        c = content.shape[2] if content.ndim == 3 else 1
+        # exact: integer pixel sum / count (both exact in float64); the
+        # md5 over the canonical pixel CSV proves the decode (incl. the
+        # PNG inflate + unfilter) value-exactly, oracle-recomputable
+        digest = hashlib.md5(
+            ",".join(str(int(v)) for v in content.reshape(-1)).encode()
+        ).hexdigest()
         return (float(h), float(w),
                 float(int(content.sum(dtype=np.int64)) / (h * w * c)),
-                float(c), None)
+                float(c), digest)
     if modality == "audio/pcm_s16le":
         n = len(content)
         if n == 0:
@@ -321,6 +488,53 @@ def vec_media(df: DataFrame, id_col: str, vec_col: str) -> DataFrame:
     return packed.select(
         "media_id",
         F.lit("vec/f32le").alias("modality"),
+        "payload",
+        F.length("payload").cast("long").alias("n_bytes"),
+        F.md5("payload").alias("content_md5"),
+    )
+
+
+def image_media_from_vecs(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    *,
+    height: int,
+    width: int,
+    channels: int = 3,
+) -> DataFrame:
+    """Deterministically quantize a float-vector column into an
+    ``height×width×channels`` uint8 image and encode it as a REAL
+    compressed PNG payload (``image/png`` media rows) — the synthetic
+    ingestion path that lets fixtures without raw image bytes exercise
+    the compressed-codec decode end-to-end.
+
+    Quantization is ``floor(clip(x, -1, 1) * 127) + 128`` per element
+    (pure double arithmetic — bit-reproducible in any engine, which is
+    what makes the downstream decode oracle-checkable)."""
+    n = height * width * channels
+
+    @F.pandas_udf("binary")
+    def _enc(vs: pd.Series) -> pd.Series:
+        def one(v):
+            a = np.asarray(v[:n], dtype=np.float64)
+            if len(a) < n:
+                raise ValueError(
+                    f"vector has {len(a)} dims, need {n} for "
+                    f"{height}x{width}x{channels}")
+            px = (np.floor(np.clip(a, -1.0, 1.0) * 127.0)
+                  .astype(np.int64) + 128).astype(np.uint8)
+            img = px.reshape(height, width, channels)
+            return encode_png(img if channels != 1 else img[:, :, 0])
+        return vs.map(one)
+
+    packed = df.select(
+        F.col(id_col).cast("long").alias("media_id"),
+        _enc(F.col(vec_col)).alias("payload"),
+    )
+    return packed.select(
+        "media_id",
+        F.lit("image/png").alias("modality"),
         "payload",
         F.length("payload").cast("long").alias("n_bytes"),
         F.md5("payload").alias("content_md5"),
@@ -436,8 +650,14 @@ def resize_media(media: DataFrame, height: int, width: int) -> DataFrame:
             rows = []
             for mid, modality, payload in zip(
                     pdf["media_id"], pdf["modality"], pdf["payload"]):
-                if modality in ("image/bmp", "image/ppm"):
+                if modality in ("image/bmp", "image/ppm", "image/png"):
                     img = decode_payload(payload, modality)
+                    if img.ndim == 2:           # grayscale → RGB
+                        img = np.stack([img] * 3, axis=-1)
+                    elif img.shape[2] == 4:     # drop alpha
+                        img = img[:, :, :3]
+                    elif img.shape[2] == 2:     # gray+alpha → RGB
+                        img = np.stack([img[:, :, 0]] * 3, axis=-1)
                     out = encode_ppm(_resize_nearest(img, height, width))
                     rows.append(_media_row(mid, "image/ppm", out))
                 else:

@@ -443,6 +443,53 @@ def events_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "events_stream_join",
+    oracle="""
+    WITH c AS (
+      SELECT user_id, event_id AS click_id, epoch_us(ts) AS click_us
+      FROM events WHERE event_type = 'click'
+    ), p AS (
+      SELECT user_id, event_id AS purchase_id, value AS amount,
+             epoch_us(ts) AS purchase_us
+      FROM events WHERE event_type = 'purchase'
+    )
+    SELECT c.user_id, click_id, purchase_id, amount, click_us, purchase_us
+    FROM c JOIN p ON c.user_id = p.user_id
+      AND purchase_us BETWEEN click_us AND click_us + 3600000000
+    """,
+)
+def events_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Watermarked stream-STREAM self join, oracle-checked end-to-end:
+    clicks and purchases of the events stream joined on user within a
+    1-hour attribution horizon (``streaming/joins.click_to_purchase``),
+    drained with availableNow. The batch interval join over the same
+    table must produce the identical pair set — proving the streaming
+    join's key+time-range condition loses no pairs and fabricates none.
+    Timestamps compare in the microsecond domain on both engines.
+
+    State-bound note (the 100 TB contract): both sides carry a 2-hour
+    watermark and the two-sided range predicate, so Spark can expire
+    click state at ``watermark - horizon`` and purchase state at the
+    watermark — state is bounded by event rate × horizon, regardless
+    of stream length. The single-file fixture drains as one microbatch
+    (initial watermark covers every row), so no pair is late-dropped
+    here."""
+    tune(spark)
+    from pandas_rust_algos_spark.streaming import events as se
+    from pandas_rust_algos_spark.streaming.joins import click_to_purchase
+
+    stream = se.read_events_stream(spark, sf_dir)
+    joined = click_to_purchase(stream)
+    out = se.run_available_now(
+        joined, table="events_stream_join_out", output_mode="append")
+    return out.select(
+        "user_id", "click_id", "purchase_id", "amount",
+        F.unix_micros("click_ts").alias("click_us"),
+        F.unix_micros("purchase_ts").alias("purchase_us"),
+    )
+
+
+@register(
     "events_attribution",
     oracle="""
     SELECT event_id, user_id, value,

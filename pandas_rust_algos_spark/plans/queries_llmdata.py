@@ -411,6 +411,43 @@ def media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "png_media_features",
+    oracle="""
+    WITH px AS (
+      SELECT vec_id,
+             list_transform(embedding[1:48],
+               x -> CAST(FLOOR(LEAST(GREATEST(CAST(x AS DOUBLE), -1.0),
+                                     1.0) * 127.0) AS BIGINT) + 128) AS p
+      FROM embeddings
+    )
+    SELECT vec_id AS media_id, 'image/png' AS modality,
+           CAST(4 AS DOUBLE) AS f0, CAST(4 AS DOUBLE) AS f1,
+           CAST(list_aggregate(p, 'sum') AS DOUBLE) / 48 AS f2,
+           CAST(3 AS DOUBLE) AS f3,
+           md5(array_to_string(p, ',')) AS check_md5
+    FROM px
+    """,
+)
+def png_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """COMPRESSED-codec decode, hash-checked end-to-end: embeddings are
+    quantized to 4x4 RGB pixels, DEFLATE-compressed into real PNG
+    payloads (``operators/multimodal.encode_png``), then decoded back
+    through the Arrow-batched feature path — zlib inflate + scanline
+    unfilter inside the executor. The oracle recomputes the
+    quantization directly from the source table, so f2 (exact pixel
+    mean) and check_md5 (md5 over the canonical pixel CSV) prove the
+    entire compress→decompress round-trip value-exactly. n_bytes is
+    deliberately not returned: compressed size is codec-level-specific,
+    not semantic."""
+    tune(spark)
+    e = spread(load_table(spark, sf_dir, "embeddings"), cap=8)
+    media = mm.image_media_from_vecs(
+        e, "vec_id", "embedding", height=4, width=4)
+    return mm.extract_features(media).select(
+        "media_id", "modality", "f0", "f1", "f2", "f3", "check_md5")
+
+
 # ------------------------------------------------- split / chunk (datasplit)
 
 

@@ -445,6 +445,47 @@ def pagerank_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "graph_shortest_hops",
+    oracle="""
+    WITH RECURSIVE e AS (
+      SELECT DISTINCT src, dst FROM (
+        SELECT l_partkey * 2 AS src, l_suppkey * 2 + 1 AS dst
+        FROM lineitem
+        UNION ALL
+        SELECT l_suppkey * 2 + 1, l_partkey * 2 FROM lineitem)
+    ), bfs(node, hops) AS (
+      SELECT CAST(3 AS BIGINT) AS node, CAST(0 AS BIGINT) AS hops
+      UNION
+      SELECT e.dst, bfs.hops + 1
+      FROM bfs, e WHERE e.src = bfs.node AND bfs.hops < 4
+    )
+    SELECT node, CAST(MIN(hops) AS BIGINT) AS hops
+    FROM bfs GROUP BY node
+    """,
+)
+def graph_shortest_hops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-source BFS (``operators/graph.shortest_hops``) over the
+    part↔supplier bipartite graph from supplier 1 (node 3): min hops
+    to every node within 4 waves. BFS's first-visit distance equals
+    the recursive-CTE MIN(hops) closure, so an iterative distributed
+    frontier algorithm gets a full value-hash oracle. Frontier joins
+    reuse one edge partitioning; the visited set is anti-joined per
+    wave — never re-expanded."""
+    from pandas_rust_algos_spark.operators.graph import shortest_hops
+
+    tune(spark)
+    li = load_table(spark, sf_dir, "lineitem")
+    fwd = li.select(
+        (F.col("l_partkey") * 2).alias("src"),
+        (F.col("l_suppkey") * 2 + 1).alias("dst"),
+    )
+    edges = fwd.union(fwd.select(F.col("dst").alias("src"),
+                                 F.col("src").alias("dst")))
+    seeds = spark.range(1).select((F.lit(3)).cast("long").alias("node"))
+    return shortest_hops(edges, seeds, max_hops=4)
+
+
 # -------------------------------------------------- SCD2 temporal join
 
 _SCD2_DIM_SQL = """
@@ -726,6 +767,74 @@ def window_rank_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.ntile(4).over(w).alias("quartile"),
         F.percent_rank().over(w).alias("pct_rank"),
         F.cume_dist().over(w).alias("cume"),
+    )
+
+
+@register(
+    "window_frames",
+    oracle="""
+    WITH b AS (
+      SELECT l_orderkey, l_linenumber, l_returnflag,
+             CAST(FLOOR(l_extendedprice * 100) AS BIGINT) AS cents,
+             CASE WHEN l_linenumber % 3 = 0 THEN NULL
+                  ELSE CAST(FLOOR(l_extendedprice * 100) AS BIGINT)
+             END AS maybe
+      FROM lineitem
+    )
+    SELECT l_orderkey, l_linenumber, l_returnflag,
+           FIRST_VALUE(cents) OVER (PARTITION BY l_returnflag
+             ORDER BY cents, l_orderkey, l_linenumber
+             ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS fv2,
+           NTH_VALUE(cents, 2) OVER (PARTITION BY l_returnflag
+             ORDER BY cents, l_orderkey, l_linenumber
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS nth2,
+           LAG(cents, 2, -1) OVER (PARTITION BY l_returnflag
+             ORDER BY cents, l_orderkey, l_linenumber) AS lag2,
+           LAST_VALUE(maybe IGNORE NULLS) OVER (PARTITION BY l_returnflag
+             ORDER BY cents, l_orderkey, l_linenumber
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS last_nn,
+           CAST(SUM(cents) OVER (PARTITION BY l_returnflag ORDER BY cents
+             RANGE BETWEEN 10000 PRECEDING AND CURRENT ROW)
+             AS BIGINT) AS range_sum,
+           CAST(COUNT(*) OVER (PARTITION BY l_returnflag ORDER BY cents
+             RANGE BETWEEN 10000 PRECEDING AND CURRENT ROW)
+             AS BIGINT) AS range_n
+    FROM b
+    """,
+)
+def window_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The FRAME surface of window functions, one pass each per
+    partitioning: bounded ROWS frames (first_value over 2-preceding),
+    nth_value over the growing frame, lag with an explicit default,
+    last_value IGNORE NULLS (the gap-tolerant forward-fill primitive),
+    and numeric RANGE frames (sum/count over a 100.00-wide sliding
+    value band — peers enter together, so the frame is tie-safe).
+    Everything computes on integer cents (fixed-point), so sums and
+    frames are engine-exact; the ROWS windows share one sort-exchange
+    and the RANGE windows a second (ORDER BY must be bare numeric for
+    a value range)."""
+    tune(spark)
+    li = load_table(spark, sf_dir, "lineitem")
+    cents = F.floor(F.col("l_extendedprice") * 100).cast("long")
+    b = li.select(
+        "l_orderkey", "l_linenumber", "l_returnflag",
+        cents.alias("cents"),
+        F.when(F.col("l_linenumber") % 3 == 0, F.lit(None))
+        .otherwise(cents).alias("maybe"),
+    )
+    wrows = Window.partitionBy("l_returnflag").orderBy(
+        "cents", "l_orderkey", "l_linenumber")
+    grow = wrows.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    wrange = Window.partitionBy("l_returnflag").orderBy("cents") \
+        .rangeBetween(-10000, 0)
+    return b.select(
+        "l_orderkey", "l_linenumber", "l_returnflag",
+        F.first("cents").over(wrows.rowsBetween(-2, 0)).alias("fv2"),
+        F.nth_value("cents", 2).over(grow).alias("nth2"),
+        F.lag("cents", 2, -1).over(wrows).alias("lag2"),
+        F.last("maybe", ignorenulls=True).over(grow).alias("last_nn"),
+        F.sum("cents").over(wrange).alias("range_sum"),
+        F.count(F.lit(1)).over(wrange).alias("range_n"),
     )
 
 

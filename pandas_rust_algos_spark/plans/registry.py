@@ -90,6 +90,10 @@ _GATE_PRIORITY: tuple[str, ...] = (
     "date_interval_functions",
     "string_functions_ext",
     # (b) new in round 4 — inserted as they are authored
+    "png_media_features",
+    "events_stream_join",
+    "window_frames",
+    "graph_shortest_hops",
     # (c) modules changed in round 4 → driver re-verification
     "matview_incremental",
     "expectations_report",

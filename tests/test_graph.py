@@ -89,3 +89,36 @@ def test_broadcast_hint_bit_identical(spark):
          for r in pagerank_fixed(df, n_iter=4,
                                  broadcast_ranks=True).collect()}
     assert a == b == _ref(edges, n_iter=4)
+
+
+# ------------------------------------------------------- BFS (round 4)
+
+
+def test_shortest_hops_line_graph(spark):
+    from pandas_rust_algos_spark.operators.graph import shortest_hops
+
+    # 1→2→3→4→5 directed line; from node 1 dist = index-1
+    edges = spark.createDataFrame(
+        [(i, i + 1) for i in range(1, 5)], "src long, dst long")
+    seeds = spark.createDataFrame([(1,)], "node long")
+    got = {r["node"]: r["hops"]
+           for r in shortest_hops(edges, seeds, max_hops=10).collect()}
+    assert got == {1: 0, 2: 1, 3: 2, 4: 3, 5: 4}
+    # max_hops truncates reachability
+    got3 = {r["node"]: r["hops"]
+            for r in shortest_hops(edges, seeds, max_hops=2).collect()}
+    assert got3 == {1: 0, 2: 1, 3: 2}
+
+
+def test_shortest_hops_min_distance_and_multisource(spark):
+    from pandas_rust_algos_spark.operators.graph import shortest_hops
+
+    # diamond with a shortcut: 1→2→4, 1→3→4, 1→4 — node 4 is at hop 1,
+    # NOT 2 (first visit wins); 9→9 self loop isolated component
+    edges = spark.createDataFrame(
+        [(1, 2), (1, 3), (2, 4), (3, 4), (1, 4), (9, 9)],
+        "src long, dst long")
+    seeds = spark.createDataFrame([(1,), (9,)], "node long")
+    got = {r["node"]: r["hops"]
+           for r in shortest_hops(edges, seeds, max_hops=5).collect()}
+    assert got == {1: 0, 9: 0, 2: 1, 3: 1, 4: 1}

@@ -213,3 +213,133 @@ def test_resize_nearest_identity_and_downscale():
     np.testing.assert_array_equal(mm._resize_nearest(img, 2, 2), img)
     one = mm._resize_nearest(img, 1, 1)
     assert one.shape == (1, 1, 3)  # picks the pixel-center source
+
+
+# --------------------------------------- PNG: real compressed codec (r4)
+
+
+def test_png_roundtrip_all_filters_and_shapes():
+    """Encode with each of the five scanline filters and round-trip:
+    this drives every unfilter path (None/Sub/Up/Average/Paeth) over
+    the inflate output."""
+    rng = np.random.default_rng(11)
+    for h, w in [(1, 1), (4, 6), (7, 3), (16, 16)]:
+        img = _rand_img(rng, h, w)
+        for ft in range(5):
+            out = mm.decode_payload(
+                mm.encode_png(img, filter_type=ft), "image/png")
+            np.testing.assert_array_equal(out, img, err_msg=f"filter {ft}")
+
+
+def test_png_gray_and_rgba_roundtrip():
+    rng = np.random.default_rng(12)
+    gray = rng.integers(0, 256, size=(5, 9), dtype=np.uint8)
+    for ft in range(5):
+        out = mm.decode_payload(
+            mm.encode_png(gray, filter_type=ft), "image/png")
+        assert out.shape == (5, 9)
+        np.testing.assert_array_equal(out, gray)
+    rgba = rng.integers(0, 256, size=(3, 4, 4), dtype=np.uint8)
+    for ft in range(5):
+        out = mm.decode_payload(
+            mm.encode_png(rgba, filter_type=ft), "image/png")
+        assert out.shape == (3, 4, 4)
+        np.testing.assert_array_equal(out, rgba)
+
+
+def test_png_palette_decode():
+    """Hand-crafted color-type-3 PNG: indices expand through PLTE."""
+    import struct
+    import zlib
+
+    from pandas_rust_algos_spark.operators.multimodal import (
+        _PNG_SIG, _png_chunk,
+    )
+
+    plte = bytes([255, 0, 0, 0, 255, 0, 0, 0, 255])  # red green blue
+    idx = np.array([[0, 1, 2], [2, 1, 0]], dtype=np.uint8)
+    raw = b"".join(b"\x00" + row.tobytes() for row in idx)
+    payload = (
+        _PNG_SIG
+        + _png_chunk(b"IHDR", struct.pack(">IIBBBBB", 3, 2, 8, 3, 0, 0, 0))
+        + _png_chunk(b"PLTE", plte)
+        + _png_chunk(b"IDAT", zlib.compress(raw))
+        + _png_chunk(b"IEND", b"")
+    )
+    out = mm.decode_payload(payload, "image/png")
+    expect = np.array(
+        [[[255, 0, 0], [0, 255, 0], [0, 0, 255]],
+         [[0, 0, 255], [0, 255, 0], [255, 0, 0]]], dtype=np.uint8)
+    np.testing.assert_array_equal(out, expect)
+
+
+def test_png_unsupported_variants_raise():
+    import struct
+    import zlib
+
+    from pandas_rust_algos_spark.operators.multimodal import (
+        _PNG_SIG, _png_chunk,
+    )
+
+    with pytest.raises(ValueError, match="not a PNG"):
+        mm.decode_payload(b"nope", "image/png")
+    deep = (_PNG_SIG
+            + _png_chunk(b"IHDR", struct.pack(">IIBBBBB", 1, 1, 16, 0, 0, 0, 0))
+            + _png_chunk(b"IDAT", zlib.compress(b"\x00\x00\x00"))
+            + _png_chunk(b"IEND", b""))
+    with pytest.raises(NotImplementedError, match="depth"):
+        mm.decode_payload(deep, "image/png")
+
+
+def test_png_features_match_bmp(spark):
+    """The SAME pixels through the compressed (PNG) and uncompressed
+    (BMP) codecs must featurize identically — including the pixel-CSV
+    digest, which proves the inflate+unfilter is value-exact through
+    the executor path."""
+    rng = np.random.default_rng(13)
+    img = _rand_img(rng, 6, 5)
+    rows = [(1, "image/bmp", bytearray(mm.encode_bmp(img))),
+            (2, "image/png", bytearray(mm.encode_png(img, filter_type=4)))]
+    media = spark.createDataFrame(
+        [(i, m, p, len(p), hashlib.md5(bytes(p)).hexdigest())
+         for i, m, p in rows],
+        schema=mm.MEDIA_SCHEMA)
+    feats = {r["media_id"]: r for r in mm.extract_features(media).collect()}
+    a, b = feats[1], feats[2]
+    assert (a["f0"], a["f1"], a["f2"], a["f3"]) == \
+        (b["f0"], b["f1"], b["f2"], b["f3"])
+    assert a["check_md5"] == b["check_md5"] is not None
+    # PNG payload is genuinely compressed vs the raw BMP raster
+    assert feats[2]["n_bytes"] != feats[1]["n_bytes"]
+
+
+def test_png_resize_media(spark):
+    img = np.arange(8 * 4 * 3, dtype=np.uint8).reshape(8, 4, 3)
+    p = mm.encode_png(img, filter_type=2)
+    media = spark.createDataFrame(
+        [(9, "image/png", bytearray(p), len(p),
+          hashlib.md5(p).hexdigest())], schema=mm.MEDIA_SCHEMA)
+    out = mm.resize_media(media, 4, 2).collect()
+    assert out[0]["modality"] == "image/ppm"
+    resized = mm.decode_payload(out[0]["payload"], "image/ppm")
+    assert resized.shape == (4, 2, 3)
+
+
+def test_image_media_from_vecs_quantization(spark, sf_dir):
+    """PNG ingestion from the embeddings fixture: decode through the
+    feature path and verify the exact quantization contract the DuckDB
+    oracle recomputes."""
+    emb = load_table(spark, sf_dir, "embeddings").limit(20)
+    media = mm.image_media_from_vecs(
+        emb, "vec_id", "embedding", height=4, width=4)
+    feats = {r["media_id"]: r for r in mm.extract_features(media).collect()}
+    src = {r["vec_id"]: r["embedding"] for r in emb.collect()}
+    assert len(feats) == len(src)
+    for vid, v in src.items():
+        px = [int(np.floor(min(max(float(x), -1.0), 1.0) * 127.0)) + 128
+              for x in v[:48]]
+        r = feats[vid]
+        assert (r["f0"], r["f1"], r["f3"]) == (4.0, 4.0, 3.0)
+        assert r["f2"] == sum(px) / 48
+        assert r["check_md5"] == hashlib.md5(
+            ",".join(str(p) for p in px).encode()).hexdigest()
