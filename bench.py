@@ -66,6 +66,11 @@ HEADLINE = [
     "events_cusum",
     "map_functions",
     "webdataset_export",
+    # round 4: compressed-codec decode, frame windows, stream join, BFS
+    "png_media_features",
+    "window_frames",
+    "events_stream_join",
+    "graph_shortest_hops",
 ]
 
 

@@ -36,42 +36,90 @@ def pack_sequences(
     order_col: str | None = None,
     pack_col: str = "pack_id",
     pos_col: str = "pack_pos",
+    shard_col: str | None = None,
 ) -> DataFrame:
     """Assign each row to a pack such that per-pack ``sum(count_col)``
     ≤ ``budget`` (a single row larger than the budget gets a pack of
     its own — flag or truncate upstream). Greedy next-fit in
     ``order_col`` order within each shard; emits ``pack_col``
     (``"<shard>-<seq>"``) and ``pos_col`` (0-based position in pack).
+
+    Two shard modes:
+
+    - ``shard_col=None`` (default): shards are the engine's range
+      partitions — zero requirements on the data, but pack membership
+      then depends on Spark's sampled partition boundaries (fine when
+      any valid packing is acceptable).
+    - ``shard_col='...'``: shards are the VALUES of that column
+      (hash-co-located; packed independently in ``order_col`` order;
+      pack ids are ``"<shard value>-<seq>"``). Membership becomes a
+      pure function of the data — stable under retries, cluster
+      resizes, and engines, and exactly replayable by a sequential
+      oracle (the driver gate proves it row-for-row against a
+      recursive-CTE replay of the same greedy fold).
     """
     if budget <= 0:
         raise ValueError(f"budget must be positive, got {budget}")
     order = order_col or df.columns[0]
-    shaped = df.repartitionByRange(F.col(order)).sortWithinPartitions(order)
     schema = StructType(
         list(df.schema.fields)
         + [StructField(pack_col, StringType(), False),
            StructField(pos_col, IntegerType(), False)]
     )
 
-    def gen(batches):
-        ctx = TaskContext.get()
-        shard = ctx.partitionId() if ctx is not None else 0
-        pack_idx, fill, pos = 0, 0, 0
-        started = False
+    if shard_col is None:
+        shaped = df.repartitionByRange(F.col(order)) \
+            .sortWithinPartitions(order)
+
+        def gen(batches):
+            ctx = TaskContext.get()
+            shard = ctx.partitionId() if ctx is not None else 0
+            pack_idx, fill, pos = 0, 0, 0
+            started = False
+            for pdf in batches:
+                packs, positions = [], []
+                for cnt in pdf[count_col].fillna(0).astype(int):
+                    if started and fill + cnt > budget:
+                        pack_idx += 1
+                        fill, pos = 0, 0
+                    started = True
+                    fill += cnt
+                    packs.append(f"{shard}-{pack_idx}")
+                    positions.append(pos)
+                    pos += 1
+                pdf = pdf.copy()
+                pdf[pack_col] = packs
+                pdf[pos_col] = positions
+                yield pdf
+
+        return shaped.mapInPandas(gen, schema)
+
+    # value-sharded: one hash shuffle on the shard key, per-shard runs
+    # made contiguous by the sort; state is a dict so a partition that
+    # hashes several shard values together still packs each
+    # independently (and a shard split across Arrow batches continues
+    # where it left off)
+    shaped = df.repartition(F.col(shard_col)) \
+        .sortWithinPartitions(shard_col, order)
+
+    def gen_sharded(batches):
+        state: dict = {}  # shard value -> [pack_idx, fill, pos, started]
         for pdf in batches:
             packs, positions = [], []
-            for cnt in pdf[count_col].fillna(0).astype(int):
+            for shard, cnt in zip(pdf[shard_col],
+                                  pdf[count_col].fillna(0).astype(int)):
+                st = state.setdefault(shard, [0, 0, 0, False])
+                pack_idx, fill, pos, started = st
                 if started and fill + cnt > budget:
                     pack_idx += 1
                     fill, pos = 0, 0
-                started = True
-                fill += cnt
+                fill += int(cnt)
                 packs.append(f"{shard}-{pack_idx}")
                 positions.append(pos)
-                pos += 1
+                state[shard] = [pack_idx, fill, pos + 1, True]
             pdf = pdf.copy()
             pdf[pack_col] = packs
             pdf[pos_col] = positions
             yield pdf
 
-    return shaped.mapInPandas(gen, schema)
+    return shaped.mapInPandas(gen_sharded, schema)

@@ -87,12 +87,24 @@ def events_sliding_2h_1h(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("events_stream_tumbling")
+@register(
+    "events_stream_tumbling",
+    oracle=f"""
+    SELECT STRFTIME(DATE_TRUNC('hour', ts), '{_FMT_DUCK}') AS window_start,
+           event_type,
+           COUNT(*) AS n_events,
+           {dsum('value')} AS sum_value
+    FROM events GROUP BY 1, 2
+    """,
+)
 def events_stream_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Structured Streaming twin of ``events_tumbling_1h``: readStream →
-    watermarked tumbling window → availableNow drain into a memory
-    sink. Rows-only check here; equality with the batch query is
-    asserted in tests/test_streaming.py."""
+    """Structured Streaming twin of ``events_tumbling_1h``, ORACLE-
+    checked end-to-end: readStream → watermarked tumbling window →
+    availableNow drain into a memory sink (complete mode, so every
+    window is emitted) must equal the batch hourly aggregation over
+    the same table — fixed-point value sums on both engines. Equality
+    with the batch Spark query is additionally asserted in
+    tests/test_streaming.py."""
     tune(spark)
     from pandas_rust_algos_spark.streaming import events as se
 
@@ -162,12 +174,44 @@ def events_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("events_stream_sessions")
+@register(
+    "events_stream_sessions",
+    oracle=f"""
+    WITH e AS (
+      SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, event_id FROM events
+    ), g AS (
+      SELECT user_id, ts,
+             -- Spark session_window extends [ts, ts+gap): an event at
+             -- EXACTLY last+gap does not overlap, so the boundary is
+             -- diff >= gap (the batch events_sessionize gate pins the
+             -- pandas-ish '>' convention instead; both are correct,
+             -- each vs its own engine's contract)
+             CASE WHEN LAG(ts) OVER w IS NULL
+                  OR ts - LAG(ts) OVER w >= INTERVAL 30 MINUTE
+                  THEN 1 ELSE 0 END AS is_new
+      FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ), s AS (
+      SELECT user_id, ts,
+             CAST(SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS BIGINT) AS sess
+      FROM g
+    )
+    SELECT user_id,
+           STRFTIME(MIN(ts), '{_FMT_DUCK}') AS session_start,
+           COUNT(*) AS n_events
+    FROM s GROUP BY user_id, sess
+    """,
+)
 def events_stream_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Structured Streaming native session windows (30-min gap) drained
     with availableNow — the streaming twin of the batch gaps-and-islands
-    `events_sessionize`. Rows-only gate; per-(user, session) count
-    equality with the batch query is asserted in tests/test_streaming.py."""
+    `events_sessionize`, now ORACLE-checked: the DuckDB twin rebuilds
+    the same sessions with a gaps-and-islands window using Spark's
+    half-open ``diff >= gap`` boundary rule, and (session_start,
+    n_events) per user must hash-match. Per-(user, session) equality
+    with the batch Spark query is additionally asserted in
+    tests/test_streaming.py."""
     tune(spark)
     from pandas_rust_algos_spark.streaming import events as se
 

@@ -300,10 +300,67 @@ def cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
                       F.col("rank").cast("long").alias("rank"))
 
 
-@register("ann_lsh_topk")
+def _lsh_oracle(planes: int = 24, dims: int = 64,
+                band_bits: int = 4, k: int = 5) -> str:
+    """DuckDB twin of the full LSH pipeline. The ±1 hyperplane weights
+    come from the same deterministic integer hash the engine bakes
+    into its plan (``similarity._plane_weight``), so signatures,
+    band buckets, candidate pairs, and the final ranked top-k are all
+    replayable — an APPROXIMATE index with an EXACT oracle. Projection
+    sign uses the same left-to-right double summation on both engines."""
+    from pandas_rust_algos_spark.operators.similarity import _plane_weight
+
+    rows = ", ".join(
+        "({}, [{}]::DOUBLE[])".format(
+            p, ",".join(str(_plane_weight(p, d)) for d in range(dims)))
+        for p in range(planes)
+    )
+    nbands = planes // band_bits
+    mask = (1 << band_bits) - 1
+    return f"""
+    WITH planes(p, w) AS (VALUES {rows}),
+    v AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    sig AS (
+      SELECT vec_id,
+             CAST(BIT_OR(CASE WHEN list_dot_product(v.v, planes.w) > 0
+                  THEN CAST(1 AS BIGINT) << p
+                  ELSE CAST(0 AS BIGINT) END) AS BIGINT) AS sig
+      FROM v, planes GROUP BY vec_id),
+    bands AS (SELECT UNNEST(range({nbands})) AS band),
+    cb AS (SELECT vec_id, band,
+                  (sig >> (band * {band_bits})) & {mask} AS bucket
+           FROM sig, bands),
+    qb AS (SELECT vec_id AS qid, band, bucket FROM cb WHERE vec_id < 10),
+    cand AS (
+      SELECT DISTINCT qb.qid, cb.vec_id
+      FROM qb JOIN cb USING (band, bucket)
+      WHERE qb.qid <> cb.vec_id),
+    s AS (
+      SELECT c.qid, c.vec_id,
+             ROUND(LIST_DOT_PRODUCT(a.v, b.v) /
+                   (SQRT(LIST_DOT_PRODUCT(a.v, a.v)) *
+                    SQRT(LIST_DOT_PRODUCT(b.v, b.v))), 6) AS sim
+      FROM cand c
+      JOIN v a ON a.vec_id = c.qid
+      JOIN v b ON b.vec_id = c.vec_id),
+    r AS (SELECT qid, vec_id, sim,
+                 ROW_NUMBER() OVER (PARTITION BY qid
+                   ORDER BY sim DESC, vec_id) AS rn
+          FROM s)
+    SELECT qid AS query_id, vec_id, sim, CAST(rn AS BIGINT) AS rank
+    FROM r WHERE rn <= {k}
+    """
+
+
+@register("ann_lsh_topk", oracle=_lsh_oracle())
 def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Approximate NN via random-hyperplane LSH bucketing (rows-only;
-    recall vs brute force asserted in tests/test_similarity.py)."""
+    """Approximate NN via random-hyperplane LSH bucketing, FULLY
+    oracle-checked: the DuckDB twin replays signature bits, band
+    buckets, the bucket-join candidate set, and the ranked exact-cosine
+    top-k from the same plan-literal hyperplanes (``_lsh_oracle``) —
+    the approximation itself is deterministic, so it is provable, not
+    just recall-tested (recall vs brute force additionally asserted in
+    tests/test_similarity.py)."""
     emb = _emb(spark, sf_dir)
     queries = emb.where(F.col("vec_id") < 10).select(
         F.col("vec_id").alias("query_id"), "embedding"
@@ -641,6 +698,59 @@ def pack_sequences_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("n_docs"),
              F.sum("n_tokens").alias("pack_tokens"))
     )
+
+
+def _pack_sharded_oracle(budget: int = 512, n_shards: int = 4) -> str:
+    """Recursive-CTE replay of the greedy next-fit fold, per shard: the
+    pack boundary is a data-dependent recurrence (running fill that
+    RESETS), so the oracle steps row-by-row in the same
+    (shard, doc_id) order the engine packs in."""
+    cnt = tx.sql_token_count("text")
+    return f"""
+    WITH RECURSIVE rows_in AS (
+      SELECT doc_id, doc_id % {n_shards} AS shard,
+             COALESCE({cnt}, 0) AS cnt,
+             ROW_NUMBER() OVER (PARTITION BY doc_id % {n_shards}
+                                ORDER BY doc_id) AS rn
+      FROM documents
+    ), r AS (
+      SELECT shard, rn, doc_id, cnt, 0 AS pack_idx, cnt AS fill, 0 AS pos
+      FROM rows_in WHERE rn = 1
+      UNION ALL
+      SELECT i.shard, i.rn, i.doc_id, i.cnt,
+             CASE WHEN r.fill + i.cnt > {budget}
+                  THEN r.pack_idx + 1 ELSE r.pack_idx END,
+             CASE WHEN r.fill + i.cnt > {budget}
+                  THEN i.cnt ELSE r.fill + i.cnt END,
+             CASE WHEN r.fill + i.cnt > {budget}
+                  THEN 0 ELSE r.pos + 1 END
+      FROM r JOIN rows_in i ON i.shard = r.shard AND i.rn = r.rn + 1
+    )
+    SELECT doc_id, cnt AS n_tokens,
+           shard || '-' || pack_idx AS pack_id,
+           CAST(pos AS INTEGER) AS pack_pos
+    FROM r
+    """
+
+
+@register("pack_sequences_sharded", oracle=_pack_sharded_oracle())
+def pack_sequences_sharded(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Value-sharded greedy packing, proven ROW-FOR-ROW: shards are
+    ``doc_id % 4`` (a data property, not a partition id), so pack
+    membership is a pure function of the corpus — retry- and
+    cluster-size-stable — and the DuckDB oracle replays the exact
+    greedy fold with a recursive CTE. The partition-id variant stays
+    as the zero-requirements fast path (``pack_sequences`` gate,
+    rows-only by design)."""
+    from pandas_rust_algos_spark.operators.packing import pack_sequences
+
+    tune(spark)
+    docs = _docs(spark, sf_dir).select(
+        "doc_id", (F.col("doc_id") % 4).alias("shard"),
+        tx.token_count("text").alias("n_tokens"))
+    packed = pack_sequences(docs, "n_tokens", budget=512,
+                            order_col="doc_id", shard_col="shard")
+    return packed.select("doc_id", "n_tokens", "pack_id", "pack_pos")
 
 
 @register(

@@ -94,11 +94,14 @@ _GATE_PRIORITY: tuple[str, ...] = (
     "events_stream_join",
     "window_frames",
     "graph_shortest_hops",
+    "pack_sequences_sharded",
+    "ann_lsh_topk",  # oracle promoted this round (full LSH replay)
+    "events_stream_tumbling",  # oracle promoted (== batch hourly agg)
+    "events_stream_sessions",  # oracle promoted (>=gap islands twin)
     # (c) modules changed in round 4 → driver re-verification
     "matview_incremental",
     "expectations_report",
     "ann_ivf_topk",
-    "ann_lsh_topk",
     "ann_pq_topk",
     "cosine_topk",
     "embedding_near_dupes",

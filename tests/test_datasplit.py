@@ -122,3 +122,35 @@ def test_packing_is_reasonably_tight(spark):
     agg = packed.groupBy("pack_id").agg(F.sum("n").alias("t")).collect()
     fill = sum(r["t"] for r in agg) / (256.0 * len(agg))
     assert fill > 0.5, fill
+
+
+def test_packing_sharded_matches_sequential_replay(spark):
+    """shard_col mode: pack assignment must equal a single-threaded
+    replay of the greedy fold per shard value — the determinism
+    contract the recursive-CTE driver oracle relies on."""
+    from pandas_rust_algos_spark.operators.packing import pack_sequences
+
+    rows = [(i, i % 3, 30 + (i * 53) % 90) for i in range(200)]
+    df = spark.createDataFrame(rows, ["id", "shard", "n"]).repartition(7)
+    got = {
+        r["id"]: (r["pack_id"], r["pack_pos"])
+        for r in pack_sequences(df, "n", budget=128, order_col="id",
+                                shard_col="shard").collect()
+    }
+
+    want = {}
+    state = {}
+    for i, shard, n in sorted(rows, key=lambda t: (t[1], t[0])):
+        pack_idx, fill, pos, started = state.get(shard, (0, 0, 0, False))
+        if started and fill + n > 128:
+            pack_idx, fill, pos = pack_idx + 1, 0, 0
+        want[i] = (f"{shard}-{pack_idx}", pos)
+        state[shard] = (pack_idx, fill + n, pos + 1, True)
+    assert got == want
+    # re-run on a different partitioning: identical assignment
+    again = {
+        r["id"]: (r["pack_id"], r["pack_pos"])
+        for r in pack_sequences(df.repartition(2), "n", budget=128,
+                                order_col="id", shard_col="shard").collect()
+    }
+    assert again == want
