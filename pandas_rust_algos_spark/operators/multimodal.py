@@ -15,6 +15,8 @@ names the payload codec, and decode is genuinely implemented for:
   inflate + full scanline unfiltering (None/Sub/Up/Average/Paeth),
   8-bit gray/RGB/RGBA/palette (encoder too — any of the five filters);
 - ``audio/pcm_s16le`` — raw 16-bit little-endian PCM → int16 samples;
+- ``audio/wav``   — RIFF/WAVE container walk (chunk list, padding) →
+  the PCM-16 samples inside; compressed WAV variants raise;
 - ``video/ppm-seq``   — concatenated P6 frames → list of frames, with
   :func:`sample_frames` exploding every k-th frame to its own
   ``image/ppm`` media row (the frame-sampling step of a video
@@ -78,6 +80,7 @@ __all__ = [
     "encode_ppm",
     "encode_pcm_s16le",
     "encode_ppm_seq",
+    "encode_wav",
     "image_media_from_vecs",
     "extract_features",
     "extract_features_arrow",
@@ -344,6 +347,54 @@ def encode_pcm_s16le(samples: np.ndarray) -> bytes:
     return np.asarray(samples, dtype="<i2").tobytes()
 
 
+def encode_wav(samples: np.ndarray, *, sample_rate: int = 16_000,
+               channels: int = 1) -> bytes:
+    """int16 samples → RIFF/WAVE container (PCM format 1, 16-bit LE) —
+    the standard on-disk framing around the raw PCM codec."""
+    import struct
+
+    data = np.asarray(samples, dtype="<i2").tobytes()
+    byte_rate = sample_rate * channels * 2
+    fmt = struct.pack("<HHIIHH", 1, channels, sample_rate, byte_rate,
+                      channels * 2, 16)
+    body = (b"WAVE"
+            + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+            + b"data" + struct.pack("<I", len(data)) + data)
+    return b"RIFF" + struct.pack("<I", len(body)) + body
+
+
+def _decode_wav(payload: bytes) -> np.ndarray:
+    """RIFF/WAVE → int16 samples. Walks the chunk list (tolerating
+    extra chunks like LIST/fact with proper even-byte padding), takes
+    the ``fmt `` and ``data`` chunks; PCM (format 1) 16-bit only —
+    compressed WAV variants (ADPCM/MP3-in-WAV) raise like any other
+    entropy-coded codec."""
+    import struct
+
+    if payload[:4] != b"RIFF" or payload[8:12] != b"WAVE":
+        raise ValueError("not a RIFF/WAVE payload")
+    pos, fmt, data = 12, None, None
+    while pos + 8 <= len(payload):
+        tag = payload[pos:pos + 4]
+        (length,) = struct.unpack_from("<I", payload, pos + 4)
+        body = payload[pos + 8:pos + 8 + length]
+        pos += 8 + length + (length & 1)  # chunks are 2-byte aligned
+        if tag == b"fmt ":
+            fmt = struct.unpack_from("<HHIIHH", body, 0)
+        elif tag == b"data":
+            data = body
+    if fmt is None or data is None:
+        raise ValueError("WAVE missing fmt or data chunk")
+    audio_format, _channels, _rate, _brate, _align, bits = fmt
+    if audio_format != 1 or bits != 16:
+        raise NotImplementedError(
+            f"WAV format={audio_format} bits={bits} unsupported "
+            "(PCM-16 only; compressed WAV needs codec libraries)")
+    if len(data) % 2:
+        data = data[:-1]
+    return np.frombuffer(data, dtype="<i2")
+
+
 def encode_ppm_seq(frames: list[np.ndarray]) -> bytes:
     """Frame list → concatenated P6 stream (the ``video/ppm-seq``
     codec: video-as-frames with zero temporal compression)."""
@@ -380,6 +431,8 @@ def decode_payload(payload: bytes, modality: str):
             raise ValueError(
                 f"pcm_s16le payload length {len(payload)} not a multiple of 2")
         return np.frombuffer(payload, dtype="<i2")
+    if modality == "audio/wav":
+        return _decode_wav(payload)
     if modality == "video/ppm-seq":
         frames, pos = [], 0
         while pos < len(payload):
@@ -427,7 +480,7 @@ def _featurize(payload: bytes, modality: str):
         return (float(h), float(w),
                 float(int(content.sum(dtype=np.int64)) / (h * w * c)),
                 float(c), digest)
-    if modality == "audio/pcm_s16le":
+    if modality in ("audio/pcm_s16le", "audio/wav"):
         n = len(content)
         if n == 0:
             return (0.0, None, None, None, None)

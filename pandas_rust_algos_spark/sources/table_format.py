@@ -613,6 +613,41 @@ class VersionedTable:
         adds = self._write_data_files(df)
         return self._commit("compact", adds, small, snap.version)
 
+    def restore(self, version: int) -> int:
+        """ROLLBACK: make the table's contents (and schema) equal those
+        at ``version`` again, as a NEW commit — history is append-only,
+        so the bad-write era stays auditable and time travel into it
+        keeps working (Delta's ``RESTORE TABLE ... TO VERSION``).
+
+        Data files are carried by reference: the commit re-adds the
+        target snapshot's files and removes the current ones — zero
+        data movement, metadata-only. Files vacuumed since the target
+        version make the restore impossible; that is detected and
+        raised loudly BEFORE committing (the retention window is the
+        restore window — same contract as Delta)."""
+        target = self._snapshot(version)
+        cur = self._snapshot()
+        missing = [
+            rel for rel in target.files
+            if not os.path.exists(os.path.join(self.path, rel))
+        ]
+        if missing:
+            raise FileNotFoundError(
+                f"cannot restore to v{version}: {len(missing)} data "
+                f"file(s) were vacuumed (e.g. {missing[0]!r}); restores "
+                f"reach only as far back as vacuum retention")
+        adds = [a for rel, a in target.files.items()
+                if rel not in cur.files]
+        removes = [rel for rel in cur.files if rel not in target.files]
+        schema = self.table_schema(version)
+        cur_schema = self.table_schema(cur.version)
+        schema_json = None
+        if schema is not None and (
+                cur_schema is None or schema.json() != cur_schema.json()):
+            schema_json = schema.json()
+        return self._commit("restore", adds, removes, cur.version,
+                            schema_json=schema_json)
+
     def changes(self, v_from: int, v_to: int | None = None) -> DataFrame:
         """Change data feed between two versions: the row-level diff of
         the two pinned snapshots keyed by ``key_cols`` — ``status`` ∈

@@ -343,3 +343,34 @@ def test_image_media_from_vecs_quantization(spark, sf_dir):
         assert r["f2"] == sum(px) / 48
         assert r["check_md5"] == hashlib.md5(
             ",".join(str(p) for p in px).encode()).hexdigest()
+
+
+def test_wav_container_roundtrip_and_features(spark):
+    """RIFF/WAVE framing around PCM-16: round-trip exact, tolerant of
+    extra chunks, and features equal the raw-PCM path's."""
+    import struct
+
+    samples = np.array([0, -32768, 32767, 123, -456], dtype="<i2")
+    wav = mm.encode_wav(samples, sample_rate=8000)
+    np.testing.assert_array_equal(
+        mm.decode_payload(wav, "audio/wav"), samples)
+    # an extra odd-length chunk before data still parses (2-byte align)
+    extra = b"LIST" + struct.pack("<I", 3) + b"abc\x00"
+    patched = wav[:12] + extra + wav[12:]
+    patched = b"RIFF" + struct.pack("<I", len(patched) - 8) + patched[8:]
+    np.testing.assert_array_equal(
+        mm.decode_payload(patched, "audio/wav"), samples)
+    # non-PCM format code raises
+    bad = bytearray(wav)
+    bad[20] = 2  # fmt.audio_format = 2 (ADPCM)
+    with pytest.raises(NotImplementedError, match="PCM-16 only"):
+        mm.decode_payload(bytes(bad), "audio/wav")
+    # executor featurize path: same features as raw PCM
+    rows = [(1, "audio/pcm_s16le", bytearray(mm.encode_pcm_s16le(samples))),
+            (2, "audio/wav", bytearray(wav))]
+    media = spark.createDataFrame(
+        [(i, m, p, len(p), hashlib.md5(bytes(p)).hexdigest())
+         for i, m, p in rows], schema=mm.MEDIA_SCHEMA)
+    feats = {r["media_id"]: r for r in mm.extract_features(media).collect()}
+    for f in ("f0", "f1", "f2", "f3"):
+        assert feats[1][f] == feats[2][f]

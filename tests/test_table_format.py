@@ -807,3 +807,38 @@ def test_bloom_cols_require_int_or_string(spark, tmp_path):
     df = spark.createDataFrame([(1, 0.5)], "id long, score double")
     with pytest.raises(TypeError, match="integer/string"):
         tbl.create(df)
+
+
+# ------------------------------------------------------ RESTORE (r4)
+
+
+def test_restore_rolls_back_contents_and_schema(spark, tmp_path):
+    tbl = _mk(spark, tmp_path)
+    tbl.create(_df(spark, range(5), "a"))                      # v0
+    tbl.append(_df(spark, range(5, 8), "b"))                   # v1
+    tbl.append(
+        spark.createDataFrame([(9, "c-9", 1.0)],
+                              "id long, payload string, score double"),
+        merge_schema=True)                                     # v2 (evolved)
+    v3 = tbl.restore(1)
+    assert v3 == 3
+    assert _ids(tbl) == list(range(8))
+    # schema rolled back too: the evolved column is gone
+    assert [f.name for f in tbl.read().schema.fields] == ["id", "payload"]
+    # history is append-only: the bad era is still time-travelable
+    assert tbl.history()[-1]["op"] == "restore"
+    assert _ids(tbl, version=2) == list(range(8)) + [9]
+    # restore is metadata-only: v1 and v3 list the same files
+    assert tbl._snapshot(1).files.keys() == tbl._snapshot(3).files.keys()
+
+
+def test_restore_refuses_vacuumed_target(spark, tmp_path):
+    tbl = _mk(spark, tmp_path)
+    tbl.create(_df(spark, range(3), "a"))                      # v0
+    tbl.overwrite(_df(spark, range(10, 13), "b"))              # v1
+    tbl.overwrite(_df(spark, range(20, 23), "c"))              # v2
+    tbl.vacuum(retain_last=1)                                  # v0/v1 files die
+    with pytest.raises(FileNotFoundError, match="vacuum"):
+        tbl.restore(0)
+    # current contents untouched by the failed restore
+    assert _ids(tbl) == [20, 21, 22]
