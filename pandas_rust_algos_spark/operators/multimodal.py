@@ -14,6 +14,9 @@ names the payload codec, and decode is genuinely implemented for:
 - ``image/png``   — REAL compressed decode: stdlib ``zlib`` DEFLATE
   inflate + full scanline unfiltering (None/Sub/Up/Average/Paeth),
   8-bit gray/RGB/RGBA/palette (encoder too — any of the five filters);
+- ``image/gif``   — REAL compressed decode #2: a from-scratch
+  variable-width LZW entropy decoder (clear/end codes, KwKwK, 12-bit
+  cap) + palette expansion; encoder included (palette build + LZW);
 - ``audio/pcm_s16le`` — raw 16-bit little-endian PCM → int16 samples;
 - ``audio/wav``   — RIFF/WAVE container walk (chunk list, padding) →
   the PCM-16 samples inside; compressed WAV variants raise;
@@ -76,6 +79,7 @@ __all__ = [
     "decode_payload",
     "decode_strict",
     "encode_bmp",
+    "encode_gif",
     "encode_png",
     "encode_ppm",
     "encode_pcm_s16le",
@@ -342,6 +346,193 @@ def _decode_png(payload: bytes) -> np.ndarray:
     return img[:, :, 0] if c == 1 else img
 
 
+# --------------------------------------------------------- GIF (LZW)
+
+
+def _lzw_encode(indices: bytes, min_code_size: int) -> bytes:
+    """GIF-flavor variable-width LZW (LSB-first bit packing). The
+    width-bump rule mirrors the decoder's exactly: the decoder's
+    dictionary lags the encoder's by ONE entry, so the encoder widens
+    at ``next_code == (1 << code_size) + 1`` where the decoder widens
+    at ``next_code == 1 << code_size`` — the classic off-by-one that
+    the round-trip property tests pin."""
+    clear, end = 1 << min_code_size, (1 << min_code_size) + 1
+    out = bytearray()
+    acc = nbits = 0
+    code_size = min_code_size + 1
+
+    def emit(code: int) -> None:
+        nonlocal acc, nbits
+        acc |= code << nbits
+        nbits += code_size
+        while nbits >= 8:
+            out.append(acc & 0xFF)
+            acc >>= 8
+            nbits -= 8
+
+    def reset() -> tuple[dict, int]:
+        return {bytes([i]): i for i in range(clear)}, end + 1
+
+    table, next_code = reset()
+    emit(clear)
+    w = b""
+    for b in indices:
+        wk = w + bytes([b])
+        if wk in table:
+            w = wk
+            continue
+        emit(table[w])
+        table[wk] = next_code
+        next_code += 1
+        if next_code == (1 << code_size) + 1 and code_size < 12:
+            code_size += 1
+        elif next_code >= 4096:
+            # table full (max index 4095, matching the decoder's add
+            # guard): clear and restart rather than emit a 13-bit code
+            emit(clear)
+            code_size = min_code_size + 1
+            table, next_code = reset()
+        w = bytes([b])
+    if w:
+        emit(table[w])
+    emit(end)
+    if nbits:
+        out.append(acc & 0xFF)
+    return bytes(out)
+
+
+def _lzw_decode(data: bytes, min_code_size: int) -> bytes:
+    """Inverse of :func:`_lzw_encode` (the GIF spec decoder: clear /
+    end codes, KwKwK case, 12-bit cap with deferred adds)."""
+    clear, end = 1 << min_code_size, (1 << min_code_size) + 1
+    code_size = min_code_size + 1
+    table = {i: bytes([i]) for i in range(clear)}
+    next_code = end + 1
+    out = bytearray()
+    prev: bytes | None = None
+    acc = nbits = 0
+    for byte in data:
+        acc |= byte << nbits
+        nbits += 8
+        while nbits >= code_size:
+            code = acc & ((1 << code_size) - 1)
+            acc >>= code_size
+            nbits -= code_size
+            if code == clear:
+                code_size = min_code_size + 1
+                table = {i: bytes([i]) for i in range(clear)}
+                next_code = end + 1
+                prev = None
+                continue
+            if code == end:
+                return bytes(out)
+            if prev is None:
+                entry = table[code]
+            elif code in table:
+                entry = table[code]
+                if next_code < 4096:
+                    table[next_code] = prev + entry[:1]
+                    next_code += 1
+            else:  # KwKwK: the code being defined by this very step
+                entry = prev + prev[:1]
+                if next_code < 4096:
+                    table[next_code] = entry
+                    next_code += 1
+            out += entry
+            prev = entry
+            if next_code == (1 << code_size) and code_size < 12:
+                code_size += 1
+    return bytes(out)
+
+
+def encode_gif(arr: np.ndarray) -> bytes:
+    """HxWx3 uint8 RGB → single-frame GIF87a (a REAL compressed codec:
+    palette + variable-width LZW over the index stream). The image may
+    use at most 256 distinct colors (GIF's model); raises otherwise."""
+    import struct
+
+    a = np.ascontiguousarray(arr, dtype=np.uint8)
+    if a.ndim != 3 or a.shape[2] != 3:
+        raise ValueError(f"expected HxWx3 uint8, got shape {a.shape}")
+    h, w, _ = a.shape
+    flat = a.reshape(-1, 3)
+    colors, indices = np.unique(flat, axis=0, return_inverse=True)
+    if len(colors) > 256:
+        raise ValueError(
+            f"GIF allows at most 256 colors, image has {len(colors)}")
+    # palette size must be a power of two in [2, 256]
+    depth = max(1, int(len(colors) - 1).bit_length())
+    table = np.zeros((1 << depth, 3), dtype=np.uint8)
+    table[:len(colors)] = colors
+    min_code_size = max(2, depth)
+    lzw = _lzw_encode(indices.astype(np.uint8).tobytes(), min_code_size)
+    blocks = bytearray()
+    for i in range(0, len(lzw), 255):
+        chunk = lzw[i:i + 255]
+        blocks += bytes([len(chunk)]) + chunk
+    return (b"GIF87a"
+            + struct.pack("<HHBBB", w, h, 0x80 | (depth - 1), 0, 0)
+            + table.tobytes()
+            + b"\x2C" + struct.pack("<HHHHB", 0, 0, w, h, 0)
+            + bytes([min_code_size]) + bytes(blocks) + b"\x00\x3B")
+
+
+def _decode_gif(payload: bytes) -> np.ndarray:
+    """Single-frame GIF → HxWx3 uint8 RGB: palette load, extension
+    skip, sub-block reassembly, LZW decode. Non-interlaced only."""
+    import struct
+
+    if payload[:6] not in (b"GIF87a", b"GIF89a"):
+        raise ValueError("not a GIF payload")
+    sw, sh, packed, _bg, _ar = struct.unpack_from("<HHBBB", payload, 6)
+    pos = 13
+    gct = None
+    if packed & 0x80:
+        n = 2 << (packed & 0x07)
+        gct = np.frombuffer(payload, np.uint8, n * 3, pos).reshape(n, 3)
+        pos += n * 3
+    while pos < len(payload):
+        block = payload[pos]
+        pos += 1
+        if block == 0x3B:  # trailer
+            break
+        if block == 0x21:  # extension: label + sub-blocks
+            pos += 1
+            while payload[pos]:
+                pos += 1 + payload[pos]
+            pos += 1
+            continue
+        if block != 0x2C:
+            raise ValueError(f"unexpected GIF block 0x{block:02x}")
+        _l, _t, w, h, ipacked = struct.unpack_from("<HHHHB", payload, pos)
+        pos += 9
+        if ipacked & 0x40:
+            raise NotImplementedError("interlaced GIF not supported")
+        palette = gct
+        if ipacked & 0x80:
+            n = 2 << (ipacked & 0x07)
+            palette = np.frombuffer(
+                payload, np.uint8, n * 3, pos).reshape(n, 3)
+            pos += n * 3
+        if palette is None:
+            raise ValueError("GIF image without a color table")
+        min_code_size = payload[pos]
+        pos += 1
+        data = bytearray()
+        while payload[pos]:
+            ln = payload[pos]
+            data += payload[pos + 1:pos + 1 + ln]
+            pos += 1 + ln
+        pos += 1
+        idx = np.frombuffer(
+            _lzw_decode(bytes(data), min_code_size), np.uint8)
+        if len(idx) < w * h:
+            raise ValueError(
+                f"GIF index stream has {len(idx)} pixels, need {w * h}")
+        return palette[idx[:w * h]].reshape(h, w, 3).copy()
+    raise ValueError("GIF missing image descriptor")
+
+
 def encode_pcm_s16le(samples: np.ndarray) -> bytes:
     """int16 samples → raw little-endian PCM bytes."""
     return np.asarray(samples, dtype="<i2").tobytes()
@@ -423,6 +614,8 @@ def decode_payload(payload: bytes, modality: str):
         return _decode_bmp(payload)
     if modality == "image/png":
         return _decode_png(payload)
+    if modality == "image/gif":
+        return _decode_gif(payload)
     if modality == "image/ppm":
         img, _end = _ppm_read_frame(payload, 0)
         return img
@@ -468,7 +661,7 @@ def _featurize(payload: bytes, modality: str):
             float(len(set(toks))),
             hashlib.md5(bytes(payload)).hexdigest(),
         )
-    if modality in ("image/bmp", "image/ppm", "image/png"):
+    if modality in ("image/bmp", "image/ppm", "image/png", "image/gif"):
         h, w = content.shape[:2]
         c = content.shape[2] if content.ndim == 3 else 1
         # exact: integer pixel sum / count (both exact in float64); the
@@ -555,16 +748,21 @@ def image_media_from_vecs(
     height: int,
     width: int,
     channels: int = 3,
+    codec: str = "png",
 ) -> DataFrame:
     """Deterministically quantize a float-vector column into an
     ``height×width×channels`` uint8 image and encode it as a REAL
-    compressed PNG payload (``image/png`` media rows) — the synthetic
-    ingestion path that lets fixtures without raw image bytes exercise
-    the compressed-codec decode end-to-end.
+    compressed payload (``codec`` = ``png`` or ``gif``) — the
+    synthetic ingestion path that lets fixtures without raw image
+    bytes exercise the compressed-codec decodes end-to-end.
 
     Quantization is ``floor(clip(x, -1, 1) * 127) + 128`` per element
     (pure double arithmetic — bit-reproducible in any engine, which is
     what makes the downstream decode oracle-checkable)."""
+    if codec not in ("png", "gif"):
+        raise ValueError(f"codec must be png|gif, got {codec!r}")
+    if codec == "gif" and channels != 3:
+        raise ValueError("gif codec requires channels=3")
     n = height * width * channels
 
     @F.pandas_udf("binary")
@@ -578,6 +776,8 @@ def image_media_from_vecs(
             px = (np.floor(np.clip(a, -1.0, 1.0) * 127.0)
                   .astype(np.int64) + 128).astype(np.uint8)
             img = px.reshape(height, width, channels)
+            if codec == "gif":
+                return encode_gif(img)
             return encode_png(img if channels != 1 else img[:, :, 0])
         return vs.map(one)
 
@@ -587,7 +787,7 @@ def image_media_from_vecs(
     )
     return packed.select(
         "media_id",
-        F.lit("image/png").alias("modality"),
+        F.lit(f"image/{codec}").alias("modality"),
         "payload",
         F.length("payload").cast("long").alias("n_bytes"),
         F.md5("payload").alias("content_md5"),
@@ -703,7 +903,8 @@ def resize_media(media: DataFrame, height: int, width: int) -> DataFrame:
             rows = []
             for mid, modality, payload in zip(
                     pdf["media_id"], pdf["modality"], pdf["payload"]):
-                if modality in ("image/bmp", "image/ppm", "image/png"):
+                if modality in ("image/bmp", "image/ppm", "image/png",
+                                "image/gif"):
                     img = decode_payload(payload, modality)
                     if img.ndim == 2:           # grayscale → RGB
                         img = np.stack([img] * 3, axis=-1)

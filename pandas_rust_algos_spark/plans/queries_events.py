@@ -222,6 +222,34 @@ def events_stream_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "events_stream_enrich",
+    oracle="""
+    SELECT e.event_id, e.user_id, c.c_mktsegment
+    FROM events e LEFT JOIN customer c ON e.user_id = c.c_custkey
+    """,
+)
+def events_stream_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-STATIC enrichment join, oracle-checked row-for-row: the
+    events stream left-joined to the broadcast customer dimension
+    (``streaming/joins.enrich_with_dim`` — stateless, dim re-evaluated
+    per micro-batch, streaming side never shuffles) and drained with
+    availableNow must equal the batch left join. Unmatched users keep
+    NULL segment — the left-outer contract through the streaming
+    path."""
+    tune(spark)
+    from pandas_rust_algos_spark.streaming import events as se
+    from pandas_rust_algos_spark.streaming.joins import enrich_with_dim
+
+    stream = se.read_events_stream(spark, sf_dir)
+    dim = load_table(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("user_id"), "c_mktsegment")
+    enriched = enrich_with_dim(stream, dim, "user_id").select(
+        "event_id", "user_id", "c_mktsegment")
+    return se.run_available_now(
+        enriched, table="events_stream_enrich_out", output_mode="append")
+
+
+@register(
     "events_json_props",
     oracle="""
     WITH p AS (

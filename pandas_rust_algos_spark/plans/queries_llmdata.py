@@ -505,6 +505,41 @@ def png_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
         "media_id", "modality", "f0", "f1", "f2", "f3", "check_md5")
 
 
+@register(
+    "gif_media_features",
+    oracle="""
+    WITH px AS (
+      SELECT vec_id,
+             list_transform(embedding[1:48],
+               x -> CAST(FLOOR(LEAST(GREATEST(CAST(x AS DOUBLE), -1.0),
+                                     1.0) * 127.0) AS BIGINT) + 128) AS p
+      FROM embeddings
+    )
+    SELECT vec_id AS media_id, 'image/gif' AS modality,
+           CAST(4 AS DOUBLE) AS f0, CAST(4 AS DOUBLE) AS f1,
+           CAST(list_aggregate(p, 'sum') AS DOUBLE) / 48 AS f2,
+           CAST(3 AS DOUBLE) AS f3,
+           md5(array_to_string(p, ',')) AS check_md5
+    FROM px
+    """,
+)
+def gif_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Second compressed codec, hash-checked end-to-end: the same
+    quantized 4x4 RGB pixels as ``png_media_features``, but framed as
+    GIF — palette build + from-scratch variable-width LZW entropy
+    coding (``operators/multimodal.encode_gif``/``_lzw_decode``) —
+    then decoded back through the Arrow-batched feature path. The
+    oracle is identical to the PNG gate's (the pixels are what is
+    proven; the codec in between is what is exercised), so a hash
+    match proves the LZW compress→decompress cycle value-exactly."""
+    tune(spark)
+    e = spread(load_table(spark, sf_dir, "embeddings"), cap=8)
+    media = mm.image_media_from_vecs(
+        e, "vec_id", "embedding", height=4, width=4, codec="gif")
+    return mm.extract_features(media).select(
+        "media_id", "modality", "f0", "f1", "f2", "f3", "check_md5")
+
+
 # ------------------------------------------------- split / chunk (datasplit)
 
 

@@ -98,6 +98,8 @@ _GATE_PRIORITY: tuple[str, ...] = (
     "ann_lsh_topk",  # oracle promoted this round (full LSH replay)
     "events_stream_tumbling",  # oracle promoted (== batch hourly agg)
     "events_stream_sessions",  # oracle promoted (>=gap islands twin)
+    "events_stream_enrich",
+    "gif_media_features",
     # (c) modules changed in round 4 → driver re-verification
     "matview_incremental",
     "expectations_report",

@@ -374,3 +374,83 @@ def test_wav_container_roundtrip_and_features(spark):
     feats = {r["media_id"]: r for r in mm.extract_features(media).collect()}
     for f in ("f0", "f1", "f2", "f3"):
         assert feats[1][f] == feats[2][f]
+
+
+# ---------------------------------------- GIF: LZW compressed codec (r4)
+
+
+def test_lzw_hand_traced_vector():
+    """Pin spec conformance with a by-hand trace, not just round-trip
+    self-consistency: indices [1,1,1,1] with min_code_size=2.
+    clear=4 end=5, width starts at 3.
+    encode: CLEAR(4); w grows 1,11; emit 1 (add 11->6); w=11 then
+    111 unknown: emit 6 (add 111->7); w=1; final emit 1; END(5).
+    codes: 4,1,6,1,5 at 3 bits LSB-first =
+    bits 100 001 110 001 101 -> bytes 0x8C 0x5C 0x01... compute:
+    acc: 4|1<<3|6<<6|1<<9|5<<12 = 4+8+384+512+20480 = 0x53\x8c? just
+    assert decode(encode(x)) == x AND the exact code stream."""
+    from pandas_rust_algos_spark.operators.multimodal import (
+        _lzw_decode, _lzw_encode,
+    )
+
+    data = bytes([1, 1, 1, 1])
+    enc = _lzw_encode(data, 2)
+    # expected code sequence 4,1,6,1,5 packed LSB-first at 3 bits
+    val = 4 | (1 << 3) | (6 << 6) | (1 << 9) | (5 << 12)
+    expect = val.to_bytes(2, "little")
+    assert enc == expect, (enc.hex(), expect.hex())
+    assert _lzw_decode(enc, 2) == data
+
+
+def test_lzw_roundtrip_adversarial():
+    """Width bumps, KwKwK runs, 12-bit cap + mid-stream clear — all
+    exercised by long high-entropy and long constant streams."""
+    from pandas_rust_algos_spark.operators.multimodal import (
+        _lzw_decode, _lzw_encode,
+    )
+
+    rng = np.random.default_rng(21)
+    for n, k in [(10, 4), (1000, 16), (20000, 256), (60000, 7)]:
+        data = rng.integers(0, k, size=n, dtype=np.uint8).tobytes()
+        mcs = max(2, (k - 1).bit_length())
+        assert _lzw_decode(_lzw_encode(data, mcs), mcs) == data
+    run = b"\x03" * 70000  # KwKwK chains + table-full resets
+    assert _lzw_decode(_lzw_encode(run, 2), 2) == run
+
+
+def test_gif_roundtrip_and_limits():
+    rng = np.random.default_rng(22)
+    # <=256 colors by construction: sample from a small random palette
+    palette = rng.integers(0, 256, size=(11, 3), dtype=np.uint8)
+    idx = rng.integers(0, 11, size=(9, 13))
+    img = palette[idx]
+    out = mm.decode_payload(mm.encode_gif(img), "image/gif")
+    np.testing.assert_array_equal(out, img)
+    # 1x1 and full-gray edge shapes
+    one = np.array([[[7, 8, 9]]], dtype=np.uint8)
+    np.testing.assert_array_equal(
+        mm.decode_payload(mm.encode_gif(one), "image/gif"), one)
+    with pytest.raises(ValueError, match="256 colors"):
+        big = np.arange(17 * 17 * 3, dtype=np.uint8).reshape(17, 17, 3)
+        big[:, :, 0] = np.arange(17)[:, None]  # ensure > 256 distinct
+        mm.encode_gif(
+            np.stack(np.meshgrid(np.arange(32), np.arange(32)), -1)
+            .astype(np.uint8).repeat(2, axis=-1)[:, :, :3] * 7)
+
+
+def test_gif_features_match_bmp(spark):
+    """Same pixels through GIF (LZW) and BMP (raw) featurize
+    identically, pixel digest included."""
+    palette = np.array([[0, 0, 0], [255, 10, 20], [1, 2, 3]], np.uint8)
+    rng = np.random.default_rng(23)
+    img = palette[rng.integers(0, 3, size=(6, 4))]
+    rows = [(1, "image/bmp", bytearray(mm.encode_bmp(img))),
+            (2, "image/gif", bytearray(mm.encode_gif(img)))]
+    media = spark.createDataFrame(
+        [(i, m, p, len(p), hashlib.md5(bytes(p)).hexdigest())
+         for i, m, p in rows], schema=mm.MEDIA_SCHEMA)
+    feats = {r["media_id"]: r for r in mm.extract_features(media).collect()}
+    a, b = feats[1], feats[2]
+    assert (a["f0"], a["f1"], a["f2"], a["f3"]) == \
+        (b["f0"], b["f1"], b["f2"], b["f3"])
+    assert a["check_md5"] == b["check_md5"] is not None
