@@ -489,8 +489,10 @@ class VersionedTable:
         optional boolean ``delete_col`` tombstones), rewriting ONLY the
         data files whose footer key-range intersects the batch — the
         untouched tail of a 100 TB table is carried by reference, never
-        read. Single-column key pruning uses min/max interval overlap;
-        composite keys prune on the leading column."""
+        read. Pruning checks EVERY key column's min/max interval: for
+        a composite key, one provably-disjoint column rules a file
+        out, since equality on the full tuple requires overlap on
+        each."""
         if not self.key_cols:
             raise ValueError("merge requires key_cols")
         snap = self._snapshot()
@@ -504,21 +506,36 @@ class VersionedTable:
                     f"merge batch has columns not in the table schema: "
                     f"{sorted(unknown)}; evolve via append(merge_schema="
                     f"True) first")
-        k0 = self.key_cols[0]
-        bounds = updates.agg(F.min(k0).alias("lo"),
-                             F.max(k0).alias("hi")).first()
-        lo, hi = bounds["lo"], bounds["hi"]
+        # Batch bounds for EVERY key column in one 1-row agg; a file is
+        # provably clean if ANY key column's [min,max] is disjoint from
+        # the batch's (composite equality needs every column to match,
+        # so one disjoint column rules the whole file out) — tighter
+        # than leading-column-only pruning for multi-column keys whose
+        # later columns carry the selectivity.
+        bounds = updates.agg(*[
+            f for k in self.key_cols
+            for f in (F.min(k).alias(f"lo_{k}"), F.max(k).alias(f"hi_{k}"))
+        ]).first()
+        empty_batch = bounds[f"lo_{self.key_cols[0]}"] is None
+
+        def overlaps(stats: dict) -> bool:
+            for k in self.key_cols:
+                s = stats.get(k)
+                if s is None or "min" not in s:
+                    continue  # no range recorded for this column
+                lo, hi = bounds[f"lo_{k}"], bounds[f"hi_{k}"]
+                if lo is None:
+                    continue
+                try:
+                    if s["max"] < lo or s["min"] > hi:
+                        return False  # provably disjoint on this column
+                except TypeError:  # incomparable types: assume overlap
+                    continue
+            return True
 
         touched, kept = [], []
         for rel, a in snap.files.items():
-            s = a.get("stats", {}).get(k0)
-            if lo is None:  # empty/all-null batch: nothing can match
-                kept.append(rel)
-            elif s is None or "min" not in s:
-                # no range stats recorded (absent or bloom-only entry)
-                # → must assume overlap
-                touched.append(rel)
-            elif s["max"] < lo or s["min"] > hi:
+            if empty_batch or not overlaps(a.get("stats", {})):
                 kept.append(rel)
             else:
                 touched.append(rel)

@@ -842,3 +842,28 @@ def test_restore_refuses_vacuumed_target(spark, tmp_path):
         tbl.restore(0)
     # current contents untouched by the failed restore
     assert _ids(tbl) == [20, 21, 22]
+
+
+def test_merge_prunes_on_any_composite_key_column(spark, tmp_path):
+    """Composite-key pruning: a file disjoint on the SECOND key column
+    is skipped even when the leading column fully overlaps."""
+    tbl = VersionedTable(spark, str(tmp_path / "ctbl"),
+                         key_cols=["region", "id"])
+    a = spark.createDataFrame(
+        [(1, i, f"a-{i}") for i in range(100)],
+        "region long, id long, payload string").repartition(1)
+    b = spark.createDataFrame(
+        [(1, i, f"b-{i}") for i in range(1000, 1100)],
+        "region long, id long, payload string").repartition(1)
+    tbl.create(a)
+    tbl.append(b)
+    # batch: same region as both files, ids only in file b's range
+    ups = spark.createDataFrame([(1, 1050, "upd")],
+                                "region long, id long, payload string")
+    tbl.merge(ups)
+    commit = json.load(open(tbl._log_path(tbl.latest_version())))
+    assert len(commit["remove"]) == 1, (
+        "leading key overlaps both files; the id column must prune "
+        "file a")
+    got = {r["id"]: r["payload"] for r in tbl.read().collect()}
+    assert got[1050] == "upd" and got[0] == "a-0" and len(got) == 200
