@@ -486,6 +486,66 @@ def graph_shortest_hops(spark: SparkSession, sf_dir: str) -> DataFrame:
     return shortest_hops(edges, seeds, max_hops=4)
 
 
+@register(
+    "interval_merge",
+    oracle="""
+    WITH iv AS (
+      SELECT o_custkey,
+             CAST(o_orderdate AS DATE) AS s,
+             CAST(o_orderdate AS DATE)
+               + CAST(o_orderkey % 30 + 1 AS INT) AS e
+      FROM orders
+    ), g AS (
+      SELECT o_custkey, s, e,
+             CASE WHEN MAX(e) OVER (PARTITION BY o_custkey ORDER BY s, e
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+                    IS NULL
+                  OR s > MAX(e) OVER (PARTITION BY o_custkey ORDER BY s, e
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+                  THEN 1 ELSE 0 END AS is_new
+      FROM iv
+    ), isl AS (
+      SELECT o_custkey, s, e,
+             CAST(SUM(is_new) OVER (PARTITION BY o_custkey ORDER BY s, e
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS BIGINT) AS island
+      FROM g
+    )
+    SELECT o_custkey,
+           STRFTIME(MIN(s), '%Y-%m-%d') AS span_start,
+           STRFTIME(MAX(e), '%Y-%m-%d') AS span_end,
+           COUNT(*) AS n_intervals
+    FROM isl GROUP BY o_custkey, island
+    """,
+)
+def interval_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interval union (``operators/intervals.merge_intervals``): each
+    order becomes a validity range ``[orderdate, orderdate + 1..30
+    days]`` (deterministic synthetic length) and overlapping/touching
+    ranges per customer consolidate into disjoint spans — the
+    running-max islands trick, one key shuffle, no self-join. The
+    oracle replays the identical window algebra; dates emit as strings
+    (equal DATE values surface different pandas dtypes across
+    engines)."""
+    from pandas_rust_algos_spark.operators.intervals import merge_intervals
+
+    tune(spark)
+    od = load_table(spark, sf_dir, "orders")
+    iv = od.select(
+        "o_custkey",
+        F.col("o_orderdate").cast("date").alias("s"),
+        F.date_add(F.col("o_orderdate").cast("date"),
+                   (F.col("o_orderkey") % 30 + 1).cast("int")).alias("e"),
+    )
+    out = merge_intervals(iv, ["o_custkey"], "s", "e")
+    return out.select(
+        "o_custkey",
+        F.date_format("span_start", "yyyy-MM-dd").alias("span_start"),
+        F.date_format("span_end", "yyyy-MM-dd").alias("span_end"),
+        "n_intervals",
+    )
+
+
 # -------------------------------------------------- SCD2 temporal join
 
 _SCD2_DIM_SQL = """

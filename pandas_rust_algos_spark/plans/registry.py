@@ -100,6 +100,7 @@ _GATE_PRIORITY: tuple[str, ...] = (
     "events_stream_sessions",  # oracle promoted (>=gap islands twin)
     "events_stream_enrich",
     "gif_media_features",
+    "interval_merge",
     # (c) modules changed in round 4 → driver re-verification
     "matview_incremental",
     "expectations_report",

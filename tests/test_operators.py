@@ -991,3 +991,30 @@ def test_group_interpolate_matches_pandas(spark):
         ev = exp.loc[idx]
         assert (gv is None and pd.isna(ev)) or abs(gv - ev) < 1e-12, (
             k, o, gv, ev)
+
+
+# ---------------------------------------------- interval union (round 4)
+
+
+def test_merge_intervals_islands_and_edges(spark):
+    from pandas_rust_algos_spark.operators.intervals import merge_intervals
+
+    rows = [
+        # key 1: overlap chain + touching + gap
+        (1, 0, 10), (1, 5, 12), (1, 12, 20), (1, 25, 30),
+        # key 2: containment and duplicates
+        (2, 0, 100), (2, 10, 20), (2, 10, 20),
+        # key 3: NULLs and inverted ranges dropped
+        (3, None, 5), (3, 1, None), (3, 9, 3), (3, 7, 8),
+    ]
+    df = spark.createDataFrame(rows, "k long, s long, e long").repartition(5)
+    got = {
+        (r["k"], r["span_start"], r["span_end"]): r["n_intervals"]
+        for r in merge_intervals(df, ["k"], "s", "e").collect()
+    }
+    assert got == {
+        (1, 0, 20): 3,   # touching at 12 merges
+        (1, 25, 30): 1,  # gap starts a new span
+        (2, 0, 100): 3,  # contained + duplicate intervals absorbed
+        (3, 7, 8): 1,    # only the one valid row survives
+    }
