@@ -520,6 +520,107 @@ def bigram_lm(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "doc_lm_score",
+    oracle=f"""
+    WITH tg AS (
+      SELECT UNNEST({tx.sql_token_ngrams('text', 2)}) AS gram
+      FROM documents WHERE doc_id % 2 = 0
+    ), tb AS (
+      SELECT STRING_SPLIT(gram, ' ')[1] AS w1,
+             STRING_SPLIT(gram, ' ')[2] AS w2
+      FROM tg
+    ), c AS (
+      SELECT w1, w2, COUNT(*) AS c FROM tb GROUP BY w1, w2
+    ), m AS (
+      SELECT w1, COUNT(*) AS total_w1 FROM tb GROUP BY w1
+    ), v AS (SELECT COUNT(DISTINCT w2) AS vocab FROM tb),
+    dg AS (
+      SELECT doc_id, UNNEST({tx.sql_token_ngrams('text', 2)}) AS gram
+      FROM documents
+    ), db AS (
+      SELECT doc_id,
+             STRING_SPLIT(gram, ' ')[1] AS w1,
+             STRING_SPLIT(gram, ' ')[2] AS w2
+      FROM dg
+    ), k AS (
+      SELECT doc_id, w1, w2, COUNT(*) AS k FROM db GROUP BY doc_id, w1, w2
+    ), s AS (
+      SELECT k.doc_id, k.k,
+             -- scale-then-ROUND leaves an integral double, which casts
+             -- to BIGINT identically on both engines (DuckDB rounds
+             -- fractional doubles on cast where Spark truncates)
+             CAST(ROUND(LN((COALESCE(c.c, 0) + CAST(1.0 AS DOUBLE))
+                           / (COALESCE(m.total_w1, 0) + v.vocab))
+                  * 1e6, 0) AS BIGINT) AS micro
+      FROM k
+      LEFT JOIN c ON k.w1 = c.w1 AND k.w2 = c.w2
+      LEFT JOIN m ON k.w1 = m.w1
+      CROSS JOIN v
+    )
+    SELECT doc_id,
+           CAST(SUM(k) AS BIGINT) AS n_bigrams,
+           CAST(SUM(k * micro) AS BIGINT) AS score_micro,
+           CAST(SUM(k * micro) AS DOUBLE) / 1e6 / SUM(k) AS avg_logp
+    FROM s GROUP BY doc_id
+    """,
+)
+def doc_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet-style perplexity filtering: every document scored by its
+    mean bigram log-probability under an add-1-smoothed LM trained on
+    HALF the corpus (``doc_id % 2 = 0``) — so held-out docs genuinely
+    hit all three smoothing branches (seen bigram / unseen bigram
+    under a seen history / unseen history word), which one COALESCE
+    formula covers: ``ln((c+1)/(total_w1+V))`` with absent counts as
+    zero.
+
+    Plan: train-side bigram counts and w1 marginals aggregate map-side
+    then shuffle once each; doc bigrams pre-aggregate per (doc, w1,
+    w2) before the LM join, so the join input is bounded by distinct
+    bigrams per doc, not token count; vocabulary joins as a broadcast
+    1-row agg. Per-bigram log-probs quantize to integer
+    micro-units (scale, ROUND to an integral double, THEN cast — a
+    bare double-to-long cast is engine-ambiguous: DuckDB rounds
+    fractional doubles where Spark truncates) and accumulate exactly,
+    so the per-doc score is partitioning- and engine-invariant — a full value-hash oracle over the whole
+    filter, the quality signal CCNet/Gopher pipelines gate corpora
+    on."""
+    d = _docs(spark, sf_dir)
+
+    def bigrams(frame, *cols):
+        return frame.select(
+            *cols, F.explode(tx.token_ngrams("text", 2)).alias("gram")
+        ).select(
+            *cols,
+            F.split_part(F.col("gram"), F.lit(" "), F.lit(1)).alias("w1"),
+            F.split_part(F.col("gram"), F.lit(" "), F.lit(2)).alias("w2"),
+        )
+
+    tb = bigrams(d.where(F.col("doc_id") % 2 == 0))
+    c = tb.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c"))
+    marg = tb.groupBy("w1").agg(F.count(F.lit(1)).alias("total_w1"))
+    v = tb.agg(F.count_distinct(F.col("w2")).alias("vocab"))
+
+    k = bigrams(d, "doc_id").groupBy("doc_id", "w1", "w2").agg(
+        F.count(F.lit(1)).alias("k"))
+    logp = F.ln(
+        (F.coalesce(F.col("c"), F.lit(0)) + F.lit(1.0))
+        / (F.coalesce(F.col("total_w1"), F.lit(0)) + F.col("vocab")))
+    scored = (
+        k.join(c, ["w1", "w2"], "left")
+        .join(marg, ["w1"], "left")
+        .crossJoin(F.broadcast(v))
+        .select("doc_id", "k",
+                F.round(logp * F.lit(1e6), 0).cast("long").alias("micro"))
+    )
+    return scored.groupBy("doc_id").agg(
+        F.sum("k").alias("n_bigrams"),
+        F.sum(F.col("k") * F.col("micro")).alias("score_micro"),
+        (F.sum(F.col("k") * F.col("micro")).cast("double") / F.lit(1e6)
+         / F.sum("k")).alias("avg_logp"),
+    )
+
+
 # ------------------------------------------- incremental view maintenance
 
 

@@ -101,6 +101,7 @@ _GATE_PRIORITY: tuple[str, ...] = (
     "events_stream_enrich",
     "gif_media_features",
     "interval_merge",
+    "doc_lm_score",
     # (c) modules changed in round 4 → driver re-verification
     "matview_incremental",
     "expectations_report",
