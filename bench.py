@@ -71,6 +71,8 @@ HEADLINE = [
     "window_frames",
     "events_stream_join",
     "graph_shortest_hops",
+    "interval_merge",
+    "doc_lm_score",
 ]
 
 

@@ -83,6 +83,23 @@ def shingles(col: Column | str, k: int = 5) -> Column:
     )
 
 
+def _mh_hash(i: int, col, hash_mode: str):
+    """Per-permutation shingle hash. ``fast`` = xxhash64 (the 100 TB
+    default — cheapest JVM hash). ``portable`` = md5-prefix→60-bit int,
+    byte-identical in any engine with md5 (the shard_assign recipe) —
+    slower, but it makes the WHOLE minhash pipeline replayable by a
+    SQL oracle."""
+    if hash_mode == "fast":
+        return F.xxhash64(F.lit(i), col)
+    if hash_mode == "portable":
+        return F.conv(
+            F.substring(
+                F.md5(F.concat_ws(":", F.lit(str(i)), col)), 1, 15),
+            16, 10,
+        ).cast("long")
+    raise ValueError(f"hash_mode must be fast|portable, got {hash_mode!r}")
+
+
 def minhash_signatures(
     df: DataFrame,
     id_col: str = "doc_id",
@@ -90,15 +107,16 @@ def minhash_signatures(
     *,
     k: int = 5,
     num_hashes: int = 32,
+    hash_mode: str = "fast",
 ) -> DataFrame:
     """Per-doc minhash signature: sig[i] = min over shingles of
-    xxhash64(i, shingle). One explode + one groupBy with num_hashes
+    hash_i(shingle). One explode + one groupBy with num_hashes
     aggregate mins — a single pass, map-side combined."""
     sh = df.select(
         F.col(id_col), F.explode(shingles(text_col, k)).alias("shingle")
     )
     mins = [
-        F.min(F.xxhash64(F.lit(i), F.col("shingle"))).alias(f"h{i}")
+        F.min(_mh_hash(i, F.col("shingle"), hash_mode)).alias(f"h{i}")
         for i in range(num_hashes)
     ]
     agged = sh.groupBy(id_col).agg(*mins)
@@ -152,10 +170,13 @@ def minhash_near_dupes(
     num_hashes: int = 32,
     bands: int = 8,
     threshold: float = 0.5,
+    hash_mode: str = "fast",
 ) -> DataFrame:
     """End-to-end MinHash near-dup detection: signatures → LSH band
     buckets → estimated jaccard (fraction of agreeing minhashes)
-    filtered at ``threshold``.
+    filtered at ``threshold``. ``hash_mode="portable"`` swaps xxhash64
+    for the md5-prefix hash, making every stage SQL-replayable (see
+    :func:`_mh_hash`) at some per-shingle hashing cost.
 
     Fused plan: the signature array (num_hashes longs, ~256 B/doc)
     rides THROUGH the band explode into the bucket self-join, so the
@@ -173,21 +194,30 @@ def minhash_near_dupes(
     bucket ever meet."""
     rows_per_band = num_hashes // bands
     sigs = minhash_signatures(
-        df, id_col, text_col, k=k, num_hashes=num_hashes
+        df, id_col, text_col, k=k, num_hashes=num_hashes,
+        hash_mode=hash_mode,
     ).persist()
+
+    def bucket_expr(i: int):
+        cols = [F.col("sig")[i * rows_per_band + r]
+                for r in range(rows_per_band)]
+        if hash_mode == "portable":
+            return F.conv(
+                F.substring(
+                    F.md5(F.concat_ws(
+                        ":", F.lit(str(i)),
+                        *[c.cast("string") for c in cols])), 1, 15),
+                16, 10,
+            ).cast("long")
+        return F.xxhash64(F.lit(i), *cols)
+
     b = sigs.select(
         F.col(id_col),
         F.col("sig"),
         F.explode(
             F.array(*[
-                F.struct(
-                    F.lit(i).alias("band"),
-                    F.xxhash64(
-                        F.lit(i),
-                        *[F.col("sig")[i * rows_per_band + r]
-                          for r in range(rows_per_band)],
-                    ).alias("bucket"),
-                )
+                F.struct(F.lit(i).alias("band"),
+                         bucket_expr(i).alias("bucket"))
                 for i in range(bands)
             ])
         ).alias("bb"),

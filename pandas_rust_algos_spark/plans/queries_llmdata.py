@@ -164,6 +164,70 @@ def doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     return d.select("doc_id", tx.fingerprint("text").alias("fp"))
 
 
+def _minhash_portable_oracle(num_hashes: int = 16, bands: int = 4,
+                             threshold: float = 0.5) -> str:
+    """DuckDB twin of the ENTIRE portable-hash minhash pipeline:
+    shingles → md5-prefix minhashes → band buckets → candidate join →
+    agreement-fraction estimate. Same md5 strings on both engines ⇒
+    the approximate dedup index is provable, not just recall-tested
+    (the xxhash64 default stays the scale path)."""
+    rpb = num_hashes // bands
+
+    def h60(sexpr: str) -> str:
+        return f"CAST('0x' || SUBSTR(md5({sexpr}), 1, 15) AS BIGINT)"
+
+    mins = ",\n             ".join(
+        f"MIN({h60(chr(39) + str(i) + ':' + chr(39) + ' || sh')}) AS h{i}"
+        for i in range(num_hashes))
+    band_selects = []
+    for b in range(bands):
+        cols = [f"h{b * rpb + r}" for r in range(rpb)]
+        concat = f"'{b}:' || " + " || ':' || ".join(
+            f"CAST({c} AS VARCHAR)" for c in cols)
+        band_selects.append(
+            f"SELECT doc_id, {b} AS band, {h60(concat)} AS bucket FROM h")
+    matches = " + ".join(
+        f"CAST(a.h{i} = b2.h{i} AS INT)" for i in range(num_hashes))
+    shingle_sql = (
+        "LIST_TRANSFORM(RANGE(1, GREATEST(LENGTH(text) - 4, 1) + 1), "
+        "i -> SUBSTR(text, CAST(i AS INT), 5))")
+    return f"""
+    WITH g AS (
+      SELECT DISTINCT doc_id, UNNEST({shingle_sql}) AS sh FROM documents
+    ), h AS (
+      SELECT doc_id, {mins}
+      FROM g GROUP BY doc_id
+    ), bk AS ({' UNION ALL '.join(band_selects)}),
+    cand AS (
+      SELECT DISTINCT x.doc_id AS id_a, y.doc_id AS id_b
+      FROM bk x JOIN bk y
+        ON x.band = y.band AND x.bucket = y.bucket
+       AND x.doc_id < y.doc_id
+    )
+    SELECT c.id_a, c.id_b,
+           CAST(({matches}) AS DOUBLE) / {num_hashes} AS est_jaccard
+    FROM cand c
+    JOIN h a ON a.doc_id = c.id_a
+    JOIN h b2 ON b2.doc_id = c.id_b
+    WHERE CAST(({matches}) AS DOUBLE) / {num_hashes} >= {threshold}
+    """
+
+
+@register("minhash_near_dupes_portable",
+          oracle=_minhash_portable_oracle())
+def minhash_near_dupes_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash+LSH near-dup detection in PORTABLE hash mode: every
+    stage (shingle minhashes, band buckets, candidate pairs, the
+    jaccard estimate) replays in the DuckDB oracle from the same
+    md5-prefix hashes — a full value-hash proof of the banding logic
+    the xxhash64 production path shares (that path stays the 100 TB
+    default and keeps its planted-dupe recall gate,
+    ``minhash_near_dupes``)."""
+    return dd.minhash_near_dupes(
+        _docs(spark, sf_dir), num_hashes=16, bands=4,
+        threshold=0.5, hash_mode="portable")
+
+
 # --------------------------------------------------------- n-gram jaccard
 
 

@@ -102,6 +102,7 @@ _GATE_PRIORITY: tuple[str, ...] = (
     "gif_media_features",
     "interval_merge",
     "doc_lm_score",
+    "minhash_near_dupes_portable",
     # (c) modules changed in round 4 → driver re-verification
     "matview_incremental",
     "expectations_report",
