@@ -250,6 +250,7 @@ def simhash(
     text_col: str = "text",
     *,
     bits: int = 64,
+    hash_mode: str = "fast",
 ) -> DataFrame:
     """64-bit SimHash over whitespace tokens: bit j of the fingerprint
     is the sign of Σ_tokens (±1 depending on bit j of xxhash64(token)).
@@ -261,7 +262,16 @@ def simhash(
     from pandas_rust_algos_spark.operators.text import tokens
 
     tok = df.select(F.col(id_col), F.explode(tokens(text_col)).alias("tok"))
-    h = F.xxhash64("tok")
+    if hash_mode == "fast":
+        h = F.xxhash64("tok")
+    elif hash_mode == "portable":
+        # md5-prefix 60-bit int: byte-identical in any md5-capable
+        # engine, so the fingerprint is SQL-replayable; use bits <= 60
+        h = F.conv(
+            F.substring(F.md5(F.col("tok")), 1, 15), 16, 10
+        ).cast("long")
+    else:
+        raise ValueError(f"hash_mode must be fast|portable, got {hash_mode!r}")
     sums = [
         F.sum(
             F.when(F.shiftright(h, j).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)

@@ -164,6 +164,48 @@ def doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     return d.select("doc_id", tx.fingerprint("text").alias("fp"))
 
 
+def _simhash_portable_oracle(bits: int = 32) -> str:
+    """DuckDB twin of the portable-hash SimHash fingerprint: same
+    md5-prefix token hash, same per-bit ±1 sums, same sign fold (bit
+    set iff sum > 0 — ties fold to 0 on both engines). Disjoint bits
+    let the fold be a SUM of CASE terms instead of a bitwise-or
+    chain."""
+    tok_list = ("LIST_FILTER(STRING_SPLIT_REGEX(TRIM(text), '\\s+'), "
+                "x -> x <> '')")
+    sums = ",\n             ".join(
+        f"SUM(CASE WHEN (h >> {j}) & 1 = 1 THEN 1 ELSE -1 END) AS b{j}"
+        for j in range(bits))
+    fold = " + ".join(
+        f"CASE WHEN b{j} > 0 THEN CAST({1 << j} AS BIGINT) "
+        f"ELSE CAST(0 AS BIGINT) END"
+        for j in range(bits))
+    return f"""
+    WITH t AS (
+      SELECT doc_id, UNNEST({tok_list}) AS tok FROM documents
+    ), h AS (
+      SELECT doc_id,
+             CAST('0x' || SUBSTR(md5(tok), 1, 15) AS BIGINT) AS h
+      FROM t
+    ), b AS (
+      SELECT doc_id, {sums}
+      FROM h GROUP BY doc_id
+    )
+    SELECT doc_id, CAST({fold} AS BIGINT) AS simhash
+    FROM b
+    """
+
+
+@register("simhash_fingerprints_portable",
+          oracle=_simhash_portable_oracle())
+def simhash_fingerprints_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash fingerprints in PORTABLE hash mode (32 bits of the
+    md5-prefix token hash): the oracle replays the per-bit ±1 sums and
+    the sign fold exactly, proving the fingerprint construction the
+    xxhash64 production path shares (``simhash_fingerprints`` stays
+    the scale default with its planted-dupe tests)."""
+    return dd.simhash(_docs(spark, sf_dir), bits=32, hash_mode="portable")
+
+
 def _minhash_portable_oracle(num_hashes: int = 16, bands: int = 4,
                              threshold: float = 0.5) -> str:
     """DuckDB twin of the ENTIRE portable-hash minhash pipeline:

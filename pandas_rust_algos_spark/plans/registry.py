@@ -103,6 +103,7 @@ _GATE_PRIORITY: tuple[str, ...] = (
     "interval_merge",
     "doc_lm_score",
     "minhash_near_dupes_portable",
+    "simhash_fingerprints_portable",
     # (c) modules changed in round 4 → driver re-verification
     "matview_incremental",
     "expectations_report",
