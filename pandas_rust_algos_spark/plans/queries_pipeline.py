@@ -22,7 +22,7 @@ from pandas_rust_algos_spark.operators import scrub as sc
 from pandas_rust_algos_spark.operators import text as tx
 from pandas_rust_algos_spark.operators import validate as V
 from pandas_rust_algos_spark.operators.datasplit import split_threshold_hex
-from pandas_rust_algos_spark.plans.registry import register
+from pandas_rust_algos_spark.plans.registry import dsum, register
 from pandas_rust_algos_spark.session import tune
 from pandas_rust_algos_spark.sources import load_table, spread
 
@@ -484,6 +484,47 @@ def graph_shortest_hops(spark: SparkSession, sf_dir: str) -> DataFrame:
                                  F.col("src").alias("dst")))
     seeds = spark.range(1).select((F.lit(3)).cast("long").alias("node"))
     return shortest_hops(edges, seeds, max_hops=4)
+
+
+@register(
+    "bloom_join_revenue",
+    oracle=f"""
+    SELECT s.s_suppkey,
+           COUNT(*) AS n_items,
+           {dsum("l.l_extendedprice * (1 - l.l_discount)")} AS revenue
+    FROM lineitem l JOIN supplier s ON l.l_suppkey = s.s_suppkey
+    WHERE s.s_acctbal > 9000
+    GROUP BY s.s_suppkey
+    """,
+)
+def bloom_join_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-join reduction, result-proven: lineitem joined to the
+    high-balance supplier sliver through a Bloom prefilter
+    (``operators/bloomjoin.py`` — the fact side drops provably-
+    unmatchable rows BEFORE the shuffle; the exact join then removes
+    false positives), aggregated to per-supplier revenue. The oracle
+    is the PLAIN join: matching hashes prove the bloom moved work
+    without changing one row — the defining property of a semi-join
+    reducer."""
+    from pandas_rust_algos_spark.functions import fixed_sum
+    from pandas_rust_algos_spark.operators.bloomjoin import (
+        bloom_prefilter_join,
+    )
+
+    tune(spark)
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_suppkey", "l_extendedprice", "l_discount")
+    sup = load_table(spark, sf_dir, "supplier").where(
+        F.col("s_acctbal") > 9000
+    ).select(F.col("s_suppkey").alias("l_suppkey"))
+    joined = bloom_prefilter_join(li, sup, "l_suppkey")
+    return joined.groupBy(
+        F.col("l_suppkey").alias("s_suppkey")
+    ).agg(
+        F.count(F.lit(1)).alias("n_items"),
+        fixed_sum(F.col("l_extendedprice")
+                  * (1 - F.col("l_discount"))).alias("revenue"),
+    )
 
 
 @register(

@@ -104,6 +104,7 @@ _GATE_PRIORITY: tuple[str, ...] = (
     "doc_lm_score",
     "minhash_near_dupes_portable",
     "simhash_fingerprints_portable",
+    "bloom_join_revenue",
     # (c) modules changed in round 4 → driver re-verification
     "matview_incremental",
     "expectations_report",

