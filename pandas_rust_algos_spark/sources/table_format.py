@@ -71,6 +71,9 @@ class _Snapshot:
     version: int
     files: dict[str, dict]  # relpath -> {rows, stats:{col:{min,max}}}
     ts_ms: int = 0
+    #: merge-on-read deletion vectors: relpath -> sorted row positions
+    #: deleted from that file (absent ⇒ no deletions)
+    dvs: dict[str, list[int]] = field(default_factory=dict)
 
 
 _BLOOM_BITS = 8192
@@ -244,11 +247,13 @@ class VersionedTable:
                              f"(have {commits[0]}..{commits[-1]})")
         base = max((c for c in checkpoints if c <= target), default=None)
         files: dict[str, dict] = {}
+        dvs: dict[str, list[int]] = {}
         ts_ms = 0
         if base is not None:
             with open(self._log_path(base, checkpoint=True)) as f:
                 cp = json.load(f)
             files = {a["path"]: a for a in cp["files"]}
+            dvs = {k: v for k, v in cp.get("dvs", {}).items() if v}
             ts_ms = cp["ts_ms"]
         for v in commits:
             if v <= (base or -1) or v > target:
@@ -257,10 +262,20 @@ class VersionedTable:
                 c = json.load(f)
             for rel in c["remove"]:
                 files.pop(rel, None)
+                dvs.pop(rel, None)
             for a in c["add"]:
                 files[a["path"]] = a
+                dvs.pop(a["path"], None)  # (re)written file: fresh, no DV
+            # deletion-vector REPLACEMENTS: each entry is the file's
+            # full cumulative DV at this commit; [] clears it
+            for rel, positions in c.get("dv", {}).items():
+                if rel in files:
+                    if positions:
+                        dvs[rel] = positions
+                    else:
+                        dvs.pop(rel, None)
             ts_ms = c["ts_ms"]
-        return _Snapshot(target, files, ts_ms)
+        return _Snapshot(target, files, ts_ms, dvs)
 
     # --------------------------------------------------------- data files
 
@@ -284,7 +299,8 @@ class VersionedTable:
 
     def _commit(self, op: str, add: list[dict], remove: list[str],
                 expected_version: int | None,
-                schema_json: str | None = None) -> int:
+                schema_json: str | None = None,
+                dv: dict[str, list[int]] | None = None) -> int:
         """Atomically claim the next version. ``expected_version`` is
         the snapshot the writer based its work on; if another commit
         landed since, operations that are not blind appends raise
@@ -309,6 +325,8 @@ class VersionedTable:
             }
             if schema_json is not None:
                 record["schema"] = schema_json
+            if dv:
+                record["dv"] = dv
             tmp = os.path.join(log_dir, f".tmp-{uuid.uuid4().hex}.json")
             with open(tmp, "w") as f:
                 json.dump(record, f)
@@ -332,6 +350,8 @@ class VersionedTable:
         snap = self._snapshot(version)
         cp = {"version": version, "ts_ms": snap.ts_ms,
               "files": list(snap.files.values())}
+        if snap.dvs:
+            cp["dvs"] = snap.dvs
         # Persist the effective schema so table_schema() replay stops at
         # the checkpoint instead of walking the whole commit history.
         schema = self.table_schema(version)
@@ -425,17 +445,45 @@ class VersionedTable:
 
     # ----------------------------------------------------------- mutations
 
-    def _read_pinned(self, rels, schema) -> DataFrame:
+    def _rel_expr(self):
+        """Relpath of the scanned file, from the hidden ``_metadata``
+        column (``\Q..\E`` quoting keeps the root literal)."""
+        root = os.path.abspath(self.path)
+        return F.regexp_extract(
+            F.col("_metadata.file_path"), "\\Q" + root + "/\\E(.*)$", 1)
+
+    def _read_pinned(self, rels, schema, dvs=None, *,
+                     keep_positions: bool = False) -> DataFrame:
         """Read data files with the COMMITTED schema (when one exists)
         rather than inferring from one file: after schema evolution a
         mixed-age file set would otherwise infer from a pre-evolution
         file and silently drop the evolved column from any rewrite —
-        reads would then return NULL where data existed."""
+        reads would then return NULL where data existed.
+
+        ``dvs`` applies merge-on-read deletion vectors: rows whose
+        (file, row position) is tombstoned anti-join out against a
+        broadcast of the (metadata-sized) position list — the files
+        themselves stay immutable. ``keep_positions=True`` retains the
+        ``__rel``/``__pos`` columns for callers that need row
+        addresses (``delete_mor``)."""
         reader = self.spark.read
         if schema is not None:
             reader = reader.schema(schema)
-        return reader.parquet(
+        df = reader.parquet(
             *[os.path.join(self.path, r) for r in rels])
+        live = {r: dvs[r] for r in rels if r in dvs} if dvs else {}
+        if not live and not keep_positions:
+            return df
+        df = df.withColumn("__rel", self._rel_expr()).withColumn(
+            "__pos", F.col("_metadata.row_index"))
+        if live:
+            dv_rows = [(rel, int(p)) for rel, ps in live.items()
+                       for p in ps]
+            dv_df = self.spark.createDataFrame(
+                dv_rows, "__rel string, __pos long")
+            df = df.join(F.broadcast(dv_df), ["__rel", "__pos"],
+                         "left_anti")
+        return df if keep_positions else df.drop("__rel", "__pos")
 
     def create(self, df: DataFrame) -> int:
         """Bootstrap version 0. Fails if the table already exists."""
@@ -548,7 +596,7 @@ class VersionedTable:
             updates = updates.drop(delete_col)
 
         if touched:
-            old = self._read_pinned(touched, schema)
+            old = self._read_pinned(touched, schema, snap.dvs)
             survivors = old.join(
                 F.broadcast(updates.select(*self.key_cols).distinct()),
                 self.key_cols, "left_anti")
@@ -580,7 +628,7 @@ class VersionedTable:
         if not snap.files:
             return self._commit("delete", [], [], snap.version)
         schema = self.table_schema(snap.version)
-        current = self._read_pinned(sorted(snap.files), schema)
+        current = self._read_pinned(sorted(snap.files), schema, snap.dvs)
         from urllib.parse import unquote, urlparse
 
         # input_file_name() yields URIs; resolve to absolute paths and
@@ -596,7 +644,8 @@ class VersionedTable:
         ]
         if not matched:
             return self._commit("delete", [], [], snap.version)
-        survivors = self._read_pinned(matched, schema).where(~cond)
+        survivors = self._read_pinned(matched, schema, snap.dvs) \
+            .where(~cond)
         adds = self._write_data_files(survivors)
         return self._commit("delete", adds, matched, snap.version)
 
@@ -618,7 +667,8 @@ class VersionedTable:
         ]
         if len(small) < 2:
             return snap.version
-        df = self._read_pinned(small, self.table_schema(snap.version))
+        df = self._read_pinned(small, self.table_schema(snap.version),
+                               snap.dvs)
         if zorder_by:
             from pandas_rust_algos_spark.sources.layout import zorder_column
 
@@ -629,6 +679,48 @@ class VersionedTable:
         df = df.coalesce(max(1, n_bytes // target_file_bytes + 1))
         adds = self._write_data_files(df)
         return self._commit("compact", adds, small, snap.version)
+
+    def delete_mor(self, condition, *,
+                   max_delete_rows: int = 1_000_000) -> int:
+        """Merge-on-read DELETE: tombstone matching rows in a deletion
+        vector instead of rewriting their files (Delta's deletion
+        vectors / Iceberg's position deletes). The right tool for
+        POINT deletes (GDPR erasure, bad-record tombstones) on a
+        100 TB table: the commit is metadata-only — zero data files
+        written — and every read/rewrite path applies the vector via a
+        broadcast anti-join on (file, row position) from the hidden
+        ``_metadata.row_index`` column.
+
+        The position list lives in the commit log and transits the
+        driver, so it is capped at ``max_delete_rows`` (raise for
+        bigger sweeps, or use :meth:`delete` — copy-on-write — which
+        rewrites files and clears their vectors). Trade-off vs
+        copy-on-write: O(matches) commit cost now, a small per-read
+        anti-join tax until :meth:`compact` or any rewrite
+        materializes the vector away."""
+        cond = F.expr(condition) if isinstance(condition, str) else condition
+        snap = self._snapshot()
+        if not snap.files:
+            return self._commit("delete_mor", [], [], snap.version)
+        schema = self.table_schema(snap.version)
+        df = self._read_pinned(sorted(snap.files), schema, snap.dvs,
+                               keep_positions=True)
+        hits = df.where(cond).select("__rel", "__pos").collect()
+        if len(hits) > max_delete_rows:
+            raise ValueError(
+                f"delete_mor matched {len(hits)} rows > max_delete_rows="
+                f"{max_delete_rows}; use delete() (copy-on-write) for "
+                f"bulk deletes")
+        if not hits:
+            return self._commit("delete_mor", [], [], snap.version)
+        fresh: dict[str, set[int]] = {}
+        for r in hits:
+            fresh.setdefault(r["__rel"], set()).add(int(r["__pos"]))
+        dv = {
+            rel: sorted(set(snap.dvs.get(rel, [])) | ps)
+            for rel, ps in fresh.items()
+        }
+        return self._commit("delete_mor", [], [], snap.version, dv=dv)
 
     def restore(self, version: int) -> int:
         """ROLLBACK: make the table's contents (and schema) equal those
@@ -656,6 +748,18 @@ class VersionedTable:
         adds = [a for rel, a in target.files.items()
                 if rel not in cur.files]
         removes = [rel for rel in cur.files if rel not in target.files]
+        # deletion vectors roll back too: replacement entries for every
+        # target file whose vector differs from the current one (an
+        # empty list clears; re-added files get theirs re-attached
+        # after the add resets them — replay applies dv AFTER add)
+        dv_restore: dict[str, list[int]] = {}
+        for rel in target.files:
+            tgt = target.dvs.get(rel)
+            if rel in cur.files:
+                if tgt != cur.dvs.get(rel):
+                    dv_restore[rel] = tgt or []
+            elif tgt:
+                dv_restore[rel] = tgt
         schema = self.table_schema(version)
         cur_schema = self.table_schema(cur.version)
         schema_json = None
@@ -663,7 +767,7 @@ class VersionedTable:
                 cur_schema is None or schema.json() != cur_schema.json()):
             schema_json = schema.json()
         return self._commit("restore", adds, removes, cur.version,
-                            schema_json=schema_json)
+                            schema_json=schema_json, dv=dv_restore)
 
     def changes(self, v_from: int, v_to: int | None = None) -> DataFrame:
         """Change data feed between two versions: the row-level diff of
@@ -699,14 +803,10 @@ class VersionedTable:
                 os.path.join(self.path, _DATA_DIR)).limit(0)
             return first if schema is None else first.sparkSession \
                 .createDataFrame([], schema)
-        reader = self.spark.read
-        if schema is not None:
-            # explicit (possibly evolved) schema: files written before
-            # a column existed scan it as NULL — no mergeSchema footer
-            # sweep over every file
-            reader = reader.schema(schema)
-        return reader.parquet(
-            *[os.path.join(self.path, r) for r in sorted(snap.files)])
+        # explicit (possibly evolved) schema: files written before a
+        # column existed scan it as NULL — no mergeSchema footer sweep
+        # over every file; deletion vectors (if any) anti-join out here
+        return self._read_pinned(sorted(snap.files), schema, snap.dvs)
 
     def file_count(self, version: int | None = None) -> int:
         return len(self._snapshot(version).files)

@@ -45,8 +45,11 @@ __all__ = ["VTableDataSource", "VTableArrowWriter", "VTableStreamReader",
 
 
 class _FilePartition(InputPartition):
-    def __init__(self, path: str) -> None:
+    def __init__(self, path: str, dv: list[int] | None = None) -> None:
         self.path = path
+        #: merge-on-read deletion vector: absolute row positions within
+        #: this file (over ALL row groups) that are tombstoned
+        self.dv = dv
 
 
 def _resolve(options) -> tuple[VersionedTable, int | None, int | None]:
@@ -169,7 +172,8 @@ class VTableReader(DataSourceReader):
         tbl, version, as_of = _resolve(self.options)
         snap = tbl._snapshot(version, as_of)
         return [
-            _FilePartition(os.path.join(tbl.path, rel))
+            _FilePartition(os.path.join(tbl.path, rel),
+                           snap.dvs.get(rel))
             for rel, action in sorted(snap.files.items())
             if not any(
                 self._excluded(action.get("stats", {}), f)
@@ -207,6 +211,8 @@ class VTableReader(DataSourceReader):
         import pyarrow.parquet as pq
         from pyspark.sql.pandas.types import to_arrow_schema
 
+        import numpy as np
+
         target = to_arrow_schema(self.schema)
         pf = pq.ParquetFile(partition.path)
         have = set(pf.schema_arrow.names)
@@ -215,19 +221,42 @@ class VTableReader(DataSourceReader):
         row_groups = self._surviving_row_groups(pf)
         if row_groups == []:
             return
-        for batch in pf.iter_batches(columns=present,
-                                     row_groups=row_groups):
-            cols = []
-            for field in target:
-                if field.name in have:
-                    col = batch.column(batch.schema.get_field_index(field.name))
-                    if col.type != field.type:
-                        col = col.cast(field.type)
-                else:
-                    cols.append(pa.nulls(batch.num_rows, type=field.type))
+        meta = pf.metadata
+        if row_groups is None:
+            row_groups = list(range(meta.num_row_groups))
+        # absolute start offset of each row group within the FILE —
+        # deletion-vector positions are file-absolute (they come from
+        # Spark's _metadata.row_index), so with row-group pruning the
+        # skipped groups' rows must still count toward offsets
+        starts = [0] * meta.num_row_groups
+        for i in range(1, meta.num_row_groups):
+            starts[i] = starts[i - 1] + meta.row_group(i - 1).num_rows
+        dv = np.asarray(sorted(partition.dv), dtype=np.int64) \
+            if partition.dv else None
+        for rg in row_groups:
+            offset = starts[rg]
+            for batch in pf.iter_batches(columns=present, row_groups=[rg]):
+                if dv is not None:
+                    pos = np.arange(offset, offset + batch.num_rows)
+                    keep = ~np.isin(pos, dv)
+                    if not keep.all():
+                        batch = batch.filter(pa.array(keep))
+                offset += len(pos) if dv is not None else batch.num_rows
+                if batch.num_rows == 0:
                     continue
-                cols.append(col)
-            yield pa.RecordBatch.from_arrays(cols, schema=target)
+                cols = []
+                for field in target:
+                    if field.name in have:
+                        col = batch.column(
+                            batch.schema.get_field_index(field.name))
+                        if col.type != field.type:
+                            col = col.cast(field.type)
+                    else:
+                        cols.append(
+                            pa.nulls(batch.num_rows, type=field.type))
+                        continue
+                    cols.append(col)
+                yield pa.RecordBatch.from_arrays(cols, schema=target)
 
 
 def register_vtable_source(spark) -> None:

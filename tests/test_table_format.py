@@ -867,3 +867,79 @@ def test_merge_prunes_on_any_composite_key_column(spark, tmp_path):
         "file a")
     got = {r["id"]: r["payload"] for r in tbl.read().collect()}
     assert got[1050] == "upd" and got[0] == "a-0" and len(got) == 200
+
+
+# ------------------------------------------- deletion vectors (r4 MoR)
+
+
+def test_delete_mor_tombstones_without_rewrite(spark, tmp_path):
+    tbl = _mk(spark, tmp_path)
+    tbl.create(_df(spark, range(10), "a").repartition(1))
+    files_before = set(tbl._snapshot().files)
+    v1 = tbl.delete_mor("id IN (3, 7)")
+    # metadata-only commit: same files, no adds/removes, dv recorded
+    commit = json.load(open(tbl._log_path(v1)))
+    assert commit["add"] == [] and commit["remove"] == []
+    assert set(tbl._snapshot().files) == files_before
+    assert sum(len(v) for v in tbl._snapshot().dvs.values()) == 2
+    assert _ids(tbl) == [0, 1, 2, 4, 5, 6, 8, 9]
+    # time travel BEFORE the delete still sees every row
+    assert _ids(tbl, version=0) == list(range(10))
+    # vectors accumulate across commits
+    tbl.delete_mor("id = 5")
+    assert _ids(tbl) == [0, 1, 2, 4, 6, 8, 9]
+    # deleting already-deleted rows is a no-op commit
+    v3 = tbl.delete_mor("id = 3")
+    commit3 = json.load(open(tbl._log_path(v3)))
+    assert "dv" not in commit3
+
+
+def test_delete_mor_matches_vtable_reader(spark, tmp_path):
+    from pandas_rust_algos_spark.sources.vtable_source import (
+        register_vtable_source,
+    )
+
+    tbl = _mk(spark, tmp_path)
+    tbl.create(_df(spark, range(20), "a").repartition(2))
+    tbl.delete_mor("id % 4 = 1")
+    register_vtable_source(spark)
+    via_fmt = sorted(
+        r["id"] for r in
+        spark.read.format("vtable").load(tbl.path).collect())
+    assert via_fmt == _ids(tbl)
+    assert 1 not in via_fmt and 5 not in via_fmt and len(via_fmt) == 15
+
+
+def test_delete_mor_rewrites_materialize_vectors(spark, tmp_path):
+    tbl = _mk(spark, tmp_path)
+    tbl.create(_df(spark, range(10), "a").repartition(1))
+    tbl.delete_mor("id = 2")
+    # merge touches the file: the rewrite must NOT resurrect id=2
+    tbl.merge(spark.createDataFrame([(4, "upd")],
+                                    "id long, payload string"))
+    assert _ids(tbl) == [0, 1, 3, 4, 5, 6, 7, 8, 9]
+    assert tbl._snapshot().dvs == {}  # vector materialized away
+    # compact likewise
+    tbl2 = VersionedTable(spark, str(tmp_path / "t2"), key_cols=["id"])
+    tbl2.create(_df(spark, range(5), "a"))
+    tbl2.append(_df(spark, range(5, 10), "b"))
+    tbl2.delete_mor("id IN (0, 9)")
+    tbl2.compact()
+    assert _ids(tbl2) == list(range(1, 9))
+    assert tbl2._snapshot().dvs == {}
+
+
+def test_delete_mor_restore_and_checkpoint(spark, tmp_path):
+    tbl = _mk(spark, tmp_path, checkpoint_interval=2)
+    tbl.create(_df(spark, range(8), "a").repartition(1))   # v0
+    tbl.delete_mor("id = 1")                               # v1
+    tbl.append(_df(spark, [100], "b"))                     # v2 -> checkpoint
+    cp = json.load(open(tbl._log_path(2, checkpoint=True)))
+    assert cp.get("dvs"), "checkpoint must persist deletion vectors"
+    assert _ids(tbl) == [0, 2, 3, 4, 5, 6, 7, 100]
+    # restore to v0: the vector rolls back, the row returns
+    tbl.restore(0)
+    assert _ids(tbl) == list(range(8))
+    # guard: oversized MoR deletes are refused loudly
+    with pytest.raises(ValueError, match="max_delete_rows"):
+        tbl.delete_mor("id >= 0", max_delete_rows=2)
