@@ -73,6 +73,7 @@ HEADLINE = [
     "graph_shortest_hops",
     "interval_merge",
     "doc_lm_score",
+    "bloom_join_revenue",
 ]
 
 
