@@ -426,8 +426,11 @@ class VTableStreamReader(SimpleDataSourceStreamReader):
                 raise ValueError(
                     f"vtable stream: commit {v} is op={commit['op']!r} "
                     f"(not append-only); rewritten files would re-emit "
-                    f"rows. Set option ignoreChanges=true to accept "
-                    f"relaxed (at-least-once per key) semantics."
+                    f"rows, and deletion-vector commits (delete_mor) "
+                    f"remove rows an append-only tail cannot retract. "
+                    f"Set option ignoreChanges=true to accept relaxed "
+                    f"(at-least-once per key, deletions invisible) "
+                    f"semantics."
                 )
             for add in sorted(commit["add"], key=lambda a: a["path"]):
                 t = pq.read_table(os.path.join(self.path, add["path"]))
