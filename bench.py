@@ -74,6 +74,8 @@ HEADLINE = [
     "interval_merge",
     "doc_lm_score",
     "bloom_join_revenue",
+    # round 5: lakehouse merge-on-read deletion-vector read path
+    "delete_mor_read",
 ]
 
 

@@ -266,7 +266,14 @@ def simhash(
         h = F.xxhash64("tok")
     elif hash_mode == "portable":
         # md5-prefix 60-bit int: byte-identical in any md5-capable
-        # engine, so the fingerprint is SQL-replayable; use bits <= 60
+        # engine, so the fingerprint is SQL-replayable. Only 60 hash
+        # bits exist (15 hex chars), so bits > 60 would silently
+        # produce dead fingerprint bits (the sign of a constant -1
+        # sum) — refuse rather than degrade.
+        if bits > 60:
+            raise ValueError(
+                f"hash_mode='portable' yields 60 usable hash bits; "
+                f"bits={bits} > 60 would produce dead fingerprint bits")
         h = F.conv(
             F.substring(F.md5(F.col("tok")), 1, 15), 16, 10
         ).cast("long")

@@ -1062,3 +1062,54 @@ def webdataset_export(spark: SparkSession, sf_dir: str) -> DataFrame:
         n_shards=8, salt="gate",
     )
     return mani.select("shard", "n_samples")
+
+
+# ------------------------------------------- lakehouse merge-on-read
+
+
+@register(
+    "delete_mor_read",
+    oracle="""
+    SELECT p_brand,
+           CAST(COUNT(*) AS BIGINT) AS n_parts,
+           CAST(SUM(p_size) AS BIGINT) AS sum_size,
+           CAST(SUM(p_partkey) AS BIGINT) AS sum_key
+    FROM part
+    WHERE NOT (p_size % 7 = 0 AND p_brand LIKE 'Brand#3%')
+    GROUP BY p_brand
+    """,
+)
+def delete_mor_read(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end merge-on-read deletion vectors
+    (``sources/table_format.py:delete_mor`` +
+    ``sources/vtable_source.py``): the part table is committed to a
+    versioned table, a sliver is tombstoned with a METADATA-ONLY
+    delete (zero data files rewritten — the 100 TB GDPR-erasure
+    path), and the result is read back through the ``vtable``
+    DataSource, which applies the vector per row group during the
+    scan. The oracle recomputes the survivors straight from the
+    source parquet (``WHERE NOT pred``); ``sum_key`` makes the hash
+    sensitive to exact row membership, so a vector that dropped the
+    wrong rows — or none — cannot pass. Metadata-only-ness itself is
+    pinned in tests/test_table_format.py (commit has no add/remove)."""
+    import tempfile
+
+    from pandas_rust_algos_spark.sources.table_format import VersionedTable
+    from pandas_rust_algos_spark.sources.vtable_source import (
+        register_vtable_source,
+    )
+
+    tune(spark)
+    part = load_table(spark, sf_dir, "part").select(
+        "p_partkey", "p_brand", "p_size")
+    path = tempfile.mkdtemp(prefix="mor_gate_")
+    tbl = VersionedTable(spark, path, key_cols=["p_partkey"])
+    tbl.create(part.repartition(4))
+    tbl.delete_mor("p_size % 7 = 0 AND p_brand LIKE 'Brand#3%'")
+    register_vtable_source(spark)
+    survivors = spark.read.format("vtable").load(path)
+    return survivors.groupBy("p_brand").agg(
+        F.count(F.lit(1)).alias("n_parts"),
+        F.sum("p_size").alias("sum_size"),
+        F.sum("p_partkey").alias("sum_key"),
+    )

@@ -64,69 +64,16 @@ def register(name: str, oracle: str | None = None, description: str = ""):
 
 
 # The driver's correctness gate samples the FIRST ~50 registry entries per
-# round. r1∪r2∪r3 covered 149 of 166 gates, zero reds outstanding. Round 4
-# front-loads (a) the 17 gates that have never received a driver CORRECTNESS
-# row (positions 51+ of round 3's list), (b) gates NEW in round 4, (c)
-# re-checks for modules changed in round 4 (drift, validate, table_format,
-# similarity), and (d) r1-green gates that yielded their window slots in
-# r2/r3 and have not been driver-checked since.
+# round. After round 4 every one of the 178 gates has at least one driver
+# CORRECTNESS row (zero reds); staleness is now the only dimension. Round 5
+# front-loads (a) the 14 gates whose slots the round-4 window truncated
+# (last driver row r2 — the judge-named (d)-tail), (b) gates NEW in round
+# 5, (c) re-checks for gates whose modules changed in round 5 (bloomjoin
+# broadcast-row probe, table_format delete/append fixes, dedup portable-
+# bits guard), then (d) the oldest remaining rows (last checked r1),
+# oldest-first rotation so nothing stays unchecked indefinitely.
 _GATE_PRIORITY: tuple[str, ...] = (
-    # (a) never driver-checked — the round-3b tail
-    "events_anomaly",
-    "basket_pairs",
-    "try_functions",
-    "drift_report",
-    "window_rank_suite",
-    "grouping_sets_revenue",
-    "pii_mask",
-    "events_cusum",
-    "recursive_cte_tree",
-    "map_functions",
-    "webdataset_export",
-    "group_by_all",
-    "ann_index_topk",
-    "events_stream_cusum",
-    "ab_test_readout",
-    "date_interval_functions",
-    "string_functions_ext",
-    # (b) new in round 4 — inserted as they are authored
-    "png_media_features",
-    "events_stream_join",
-    "window_frames",
-    "graph_shortest_hops",
-    "pack_sequences_sharded",
-    "ann_lsh_topk",  # oracle promoted this round (full LSH replay)
-    "events_stream_tumbling",  # oracle promoted (== batch hourly agg)
-    "events_stream_sessions",  # oracle promoted (>=gap islands twin)
-    "events_stream_enrich",
-    "gif_media_features",
-    "interval_merge",
-    "doc_lm_score",
-    "minhash_near_dupes_portable",
-    "simhash_fingerprints_portable",
-    "bloom_join_revenue",
-    # (c) modules changed in round 4 → driver re-verification
-    "matview_incremental",
-    "expectations_report",
-    "ann_ivf_topk",
-    "ann_pq_topk",
-    "cosine_topk",
-    "embedding_near_dupes",
-    "domain_mix_sample",
-    # (d) r1-green gates that yielded window slots in r2/r3, never
-    # re-checked since (in-repo parity keeps them green meanwhile)
-    "group_quantile_nearest",
-    "group_quantile_midpoint",
-    "group_nth",
-    "group_first_last_string",
-    "group_ohlc",
-    "q2_min_cost_supplier",
-    "q4_priority_orders",
-    "q6_forecast_revenue",
-    "q7_nation_trade",
-    "q8_market_share",
-    "q9_product_profit",
-    "q10_returned_items",
+    # (a) round-4 window tail — last driver row r2
     "q14_promo_share",
     "q15_top_supplier",
     "q17_small_qty_revenue",
@@ -141,6 +88,53 @@ _GATE_PRIORITY: tuple[str, ...] = (
     "cube_revenue",
     "group_pivot",
     "group_melt",
+    # (b) new in round 5 — inserted as they are authored
+    "delete_mor_read",
+    # (c) modules changed in round 5 -> driver re-verification
+    "bloom_join_revenue",
+    "simhash_fingerprints_portable",
+    "matview_incremental",
+    "webdataset_export",
+    # (d) oldest driver rows (r1), rotating forward
+    "group_count",
+    "group_sum",
+    "group_mean",
+    "group_sum_mincount",
+    "group_prod",
+    "group_min_max",
+    "group_var_std_sem",
+    "group_skew",
+    "group_median",
+    "group_quantile_linear",
+    "group_quantile_lower",
+    "group_quantile_higher",
+    "group_approx_stats",
+    "group_first_last",
+    "group_idx_mode",
+    "group_any_all",
+    "group_any_all_kleene",
+    "group_value_counts",
+    "group_cut_qcut",
+    "group_corr_cov",
+    "group_describe",
+    "group_histogram",
+    "events_tumbling_1h",
+    "events_sliding_2h_1h",
+    "events_json_props",
+    "heavy_hitters",
+    "heavy_hitters_approx",
+    "events_rollup_hour_day",
+    "scalar_functions",
+    "array_functions",
+    "dedup_exact",
+    "token_stats",
+    "text_quality",
+    "lang_id",
+    "doc_fingerprint",
+    "ngram_jaccard",
+    "dup_clusters",
+    "minhash_near_dupes",
+    "simhash_fingerprints",
 )
 
 

@@ -412,15 +412,19 @@ class VersionedTable:
                     return _from_json(rec["schema"])
         return None
 
-    def _evolved_schema(self, batch_schema, merge_schema: bool) -> str:
+    def _evolved_schema(self, batch_schema, merge_schema: bool,
+                        cur=None) -> str:
         """Validate a batch's StructType against the current table
         schema and return the post-commit schema JSON. Without
         ``merge_schema`` the column sets must match exactly; with it,
         NEW columns append to the table schema (readers see NULL for
         them in old files — parquet scan with an explicit wider
         schema). Same-name type conflicts always raise: silent
-        coercion corrupts data."""
-        cur = self.table_schema()
+        coercion corrupts data. ``cur`` pins the table schema the
+        caller already read (so schema and the version it belongs to
+        stay consistent); when omitted the latest is read here."""
+        if cur is None:
+            cur = self.table_schema()
         if cur is None:
             return batch_schema.json()
         cur_fields = {f.name: f for f in cur.fields}
@@ -446,11 +450,31 @@ class VersionedTable:
     # ----------------------------------------------------------- mutations
 
     def _rel_expr(self):
-        """Relpath of the scanned file, from the hidden ``_metadata``
-        column (``\Q..\E`` quoting keeps the root literal)."""
+        r"""Relpath of the scanned file, from the hidden ``_metadata``
+        column (``\Q..\E`` quoting keeps the root literal).
+
+        ``_metadata.file_path`` is a URI, so a table root with
+        URI-special characters (spaces → ``%20``) would not match the
+        raw-path pattern; a percent-encoded variant of the root is
+        tried as a fallback. If NEITHER matches (symlinked roots, an
+        encoding this did not anticipate), the expression raises
+        instead of yielding ``''`` — an empty relpath would make the
+        deletion-vector anti-join in ``_read_pinned`` match nothing
+        and silently resurrect tombstoned rows, which for the GDPR-
+        erasure use case must be a loud failure, never a quiet one."""
+        from urllib.parse import quote
+
         root = os.path.abspath(self.path)
-        return F.regexp_extract(
-            F.col("_metadata.file_path"), "\\Q" + root + "/\\E(.*)$", 1)
+        fp = F.col("_metadata.file_path")
+        rel_raw = F.regexp_extract(fp, "\\Q" + root + "/\\E(.*)$", 1)
+        enc = quote(root, safe="/")
+        rel_enc = (rel_raw if enc == root else
+                   F.regexp_extract(fp, "\\Q" + enc + "/\\E(.*)$", 1))
+        rel = F.when(rel_raw != "", rel_raw).otherwise(rel_enc)
+        return F.when(rel != "", rel).otherwise(F.raise_error(F.concat(
+            F.lit("table root "), F.lit(root),
+            F.lit(" not found in scanned file path "), fp,
+            F.lit(" — deletion vectors cannot be applied safely"))))
 
     def _read_pinned(self, rels, schema, dvs=None, *,
                      keep_positions: bool = False) -> DataFrame:
@@ -503,19 +527,26 @@ class VersionedTable:
         the evolved schema on conflict — otherwise two concurrent
         evolving appends could interleave so the later commit carries a
         stale schema missing the other writer's column, making that
-        column's data invisible to readers."""
+        column's data invisible to readers. The version is pinned
+        FIRST and the schema read AT that version: sampling
+        ``latest_version()`` after reading the schema would leave a
+        window where a concurrent evolving append advances the table
+        between the two reads — this commit would then pass the
+        conflict check while carrying a schema derived from the
+        pre-advance table, hiding the other writer's column anyway."""
         adds = None
         for _ in range(self.max_commit_retries):
-            cur = self.table_schema()
-            schema_json = self._evolved_schema(df.schema, merge_schema)
+            pinned = self.latest_version()
+            cur = self.table_schema(pinned)
+            schema_json = self._evolved_schema(df.schema, merge_schema,
+                                               cur=cur)
             if adds is None:  # data files are written exactly once
                 adds = self._write_data_files(df)
             if cur is not None and schema_json == cur.json():
                 # no schema change: nothing to race on — commit blind
                 return self._commit("append", adds, [], None)
             try:
-                return self._commit("append", adds, [],
-                                    self.latest_version(),
+                return self._commit("append", adds, [], pinned,
                                     schema_json=schema_json)
             except CommitConflict:
                 continue  # table advanced: re-validate against new schema
@@ -644,8 +675,12 @@ class VersionedTable:
         ]
         if not matched:
             return self._commit("delete", [], [], snap.version)
+        # Survivors are rows where the predicate is NOT TRUE — a NULL
+        # predicate (e.g. delete('x > 5') on an x-IS-NULL row in a
+        # matched file) must survive, matching delete_mor (which only
+        # collects TRUE rows). A bare ~cond would drop NULL rows too.
         survivors = self._read_pinned(matched, schema, snap.dvs) \
-            .where(~cond)
+            .where(~F.coalesce(cond, F.lit(False)))
         adds = self._write_data_files(survivors)
         return self._commit("delete", adds, matched, snap.version)
 
@@ -705,12 +740,19 @@ class VersionedTable:
         schema = self.table_schema(snap.version)
         df = self._read_pinned(sorted(snap.files), schema, snap.dvs,
                                keep_positions=True)
-        hits = df.where(cond).select("__rel", "__pos").collect()
+        # The cap is enforced BEFORE anything driver-sized
+        # materializes: collect through limit(cap+1), so a too-broad
+        # predicate on a 100 TB table pulls at most cap+1 rows to the
+        # driver and refuses — it can never OOM the guard it exists
+        # to provide. (An overflow row means ">cap matches"; the true
+        # count is irrelevant once the op is refused.)
+        hits = (df.where(cond).select("__rel", "__pos")
+                .limit(max_delete_rows + 1).collect())
         if len(hits) > max_delete_rows:
             raise ValueError(
-                f"delete_mor matched {len(hits)} rows > max_delete_rows="
-                f"{max_delete_rows}; use delete() (copy-on-write) for "
-                f"bulk deletes")
+                f"delete_mor matched more than max_delete_rows="
+                f"{max_delete_rows} rows; use delete() (copy-on-write) "
+                f"for bulk deletes, or raise the cap")
         if not hits:
             return self._commit("delete_mor", [], [], snap.version)
         fresh: dict[str, set[int]] = {}

@@ -1045,3 +1045,67 @@ def test_bloom_prefilter_join_equals_plain_join(spark):
     assert semi.count() == big.join(small.select("k"), "k", "left_semi").count()
     with pytest.raises(ValueError, match="match"):
         bloom_prefilter_join(big, small, "k", how="left")
+
+
+def test_bloom_prefilter_join_mixed_key_dtypes(spark):
+    """xxhash64 is type-sensitive: an int probe key vs a bigint build
+    key must not produce bloom false negatives (the build side is cast
+    to the probe dtype before hashing)."""
+    from pandas_rust_algos_spark.operators.bloomjoin import (
+        bloom_prefilter_join,
+    )
+
+    big = spark.range(0, 5_000).select(
+        (F.col("id") % 1000).cast("int").alias("k"),
+        F.col("id").alias("v"))
+    small = spark.range(0, 20).select(
+        (F.col("id") * 37).cast("bigint").alias("k"),
+        F.col("id").alias("tag"))
+    got = sorted((r["k"], r["v"], r["tag"])
+                 for r in bloom_prefilter_join(big, small, "k").collect())
+    want = sorted((r["k"], r["v"], r["tag"])
+                  for r in big.join(small, "k").collect())
+    assert got == want and len(got) > 0
+    # string build keys against an int probe: the operator's try_cast
+    # makes them hashable as ints; unparseable strings only NULL out
+    small_s = spark.createDataFrame(
+        [("5",), ("10",), ("not-a-number",)], ["k"]).select(
+        F.col("k").try_cast("int").alias("k"))
+    got_s = sorted(
+        (r["k"], r["v"])
+        for r in bloom_prefilter_join(big, small_s, "k").collect())
+    want_s = sorted(
+        (r["k"], r["v"]) for r in big.join(small_s, "k").collect())
+    assert got_s == want_s and len(got_s) > 0
+    # bigint build values beyond int range must not break the build
+    # (try_cast NULLs them; they cannot match any int probe key)
+    small_big = spark.createDataFrame(
+        [(5,), (2**40,)], "k: bigint")
+    got_b = sorted(
+        (r["k"], r["v"])
+        for r in bloom_prefilter_join(big, small_big, "k").collect())
+    want_b = sorted(
+        (r["k"], r["v"])
+        for r in big.join(small_big.select(
+            F.col("k").try_cast("int").alias("k")), "k").collect())
+    assert got_b == want_b and len(got_b) > 0
+
+
+def test_bloom_prefilter_join_broadcast_row_path(spark):
+    """Past _WORDS_LITERAL_MAX the filter rides a broadcast row, not a
+    plan literal — results identical either way."""
+    from pandas_rust_algos_spark.operators.bloomjoin import (
+        bloom_prefilter_join,
+    )
+
+    big = spark.range(0, 3_000).select((F.col("id") % 700).alias("k"),
+                                       F.col("id").alias("v"))
+    small = spark.range(0, 30).select((F.col("id") * 23).alias("k"))
+    # bits=2^20 -> 16384 words > 1024 -> broadcast-row path
+    got = sorted((r["k"], r["v"]) for r in bloom_prefilter_join(
+        big, small, "k", bits=1 << 20).collect())
+    # bits=2^12 -> 64 words -> literal path
+    lit = sorted((r["k"], r["v"]) for r in bloom_prefilter_join(
+        big, small, "k", bits=1 << 12).collect())
+    want = sorted((r["k"], r["v"]) for r in big.join(small, "k").collect())
+    assert got == want == lit and len(got) > 0

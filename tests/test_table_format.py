@@ -943,3 +943,99 @@ def test_delete_mor_restore_and_checkpoint(spark, tmp_path):
     # guard: oversized MoR deletes are refused loudly
     with pytest.raises(ValueError, match="max_delete_rows"):
         tbl.delete_mor("id >= 0", max_delete_rows=2)
+
+
+def test_delete_mor_cap_enforced_before_collect(spark, tmp_path):
+    """The cap must bound what the driver materializes, not just check
+    after the fact: a matches-everything predicate on a table bigger
+    than the cap refuses without collecting the full match set. The
+    limit(cap+1) plan is asserted by patching collect to count rows."""
+    tbl = _mk(spark, tmp_path)
+    tbl.create(_df(spark, range(5_000), "a"))
+    collected_sizes = []
+    try:  # PySpark 4: the concrete class lives in sql.classic
+        from pyspark.sql.classic.dataframe import DataFrame as _DF
+    except ImportError:
+        from pyspark.sql import DataFrame as _DF
+    orig = _DF.collect
+
+    def counting_collect(self):
+        out = orig(self)
+        collected_sizes.append(len(out))
+        return out
+
+    _DF.collect = counting_collect
+    try:
+        with pytest.raises(ValueError, match="max_delete_rows"):
+            tbl.delete_mor("id >= 0", max_delete_rows=10)
+    finally:
+        _DF.collect = orig
+    # only cap+1 rows ever reached the driver, not all 5000
+    assert collected_sizes and max(collected_sizes) == 11
+
+
+def test_delete_null_predicate_rows_survive(spark, tmp_path):
+    """delete('x > 5') on a file that also holds x-IS-NULL rows must
+    keep those rows (predicate NULL ≠ TRUE) — same semantics as
+    delete_mor, which only tombstones predicate-TRUE rows."""
+    tbl = VersionedTable(spark, str(tmp_path / "tbln"), key_cols=["id"])
+    df = spark.createDataFrame(
+        [(1, 10), (2, None), (3, 3), (4, None), (5, 99)],
+        "id long, x int").repartition(1)
+    tbl.create(df)
+    tbl.delete("x > 5")
+    assert _ids(tbl) == [2, 3, 4]
+    # and the MoR path agrees on the same predicate shape
+    tbl2 = VersionedTable(spark, str(tmp_path / "tbln2"), key_cols=["id"])
+    tbl2.create(df)
+    tbl2.delete_mor("x > 5")
+    assert _ids(tbl2) == [2, 3, 4]
+
+
+def test_append_schema_race_pins_version_first(spark, tmp_path):
+    """Regression for the read-order race: append() must sample the
+    expected version BEFORE deriving the schema, so a concurrent
+    evolving append landing between the two reads triggers a
+    CommitConflict retry instead of committing a stale schema that
+    hides the other writer's column."""
+    tbl = _mk(spark, tmp_path)
+    tbl.create(_df(spark, range(4), "a"))
+    interposed = {"done": False}
+    orig_schema = VersionedTable.table_schema
+
+    def racing_table_schema(self, version=None):
+        out = orig_schema(self, version)
+        if not interposed["done"]:
+            # another writer's evolving append lands AFTER this
+            # writer read the schema (and, pre-fix, BEFORE it sampled
+            # latest_version) — the classic lost-column window
+            interposed["done"] = True
+            other = VersionedTable(spark, self.path, key_cols=["id"])
+            other.append(
+                spark.createDataFrame([(100, "o-100", 1.5)],
+                                      "id long, payload string, w double"),
+                merge_schema=True)
+        return out
+
+    VersionedTable.table_schema = racing_table_schema
+    try:
+        tbl.append(
+            spark.createDataFrame([(200, "n-200", True)],
+                                  "id long, payload string, flag boolean"),
+            merge_schema=True)
+    finally:
+        VersionedTable.table_schema = orig_schema
+    final = tbl.table_schema()
+    names = {f.name for f in final.fields}
+    # BOTH writers' evolved columns are visible
+    assert {"w", "flag"} <= names
+    got = {r["id"]: (r["w"], r["flag"]) for r in tbl.read().collect()}
+    assert got[100][0] == 1.5 and got[200][1] is True
+
+
+def test_simhash_portable_rejects_dead_bits(spark):
+    from pandas_rust_algos_spark.operators import dedup as dd
+    df = spark.createDataFrame([(1, "a b c")], "doc_id long, text string")
+    with pytest.raises(ValueError, match="60"):
+        dd.simhash(df, bits=64, hash_mode="portable")
+    assert dd.simhash(df, bits=32, hash_mode="portable").count() == 1
