@@ -74,8 +74,14 @@ HEADLINE = [
     "interval_merge",
     "doc_lm_score",
     "bloom_join_revenue",
-    # round 5: lakehouse merge-on-read deletion-vector read path
+    # round 5: lakehouse merge-on-read deletion-vector read path,
+    # BM25 retrieval, salted skew join, exact regression aggregates,
+    # from-scratch lossless-JPEG codec path
     "delete_mor_read",
+    "bm25_topk",
+    "skew_join_salted",
+    "regr_aggregates",
+    "jpeg_media_features",
 ]
 
 

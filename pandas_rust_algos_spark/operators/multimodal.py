@@ -17,6 +17,11 @@ names the payload codec, and decode is genuinely implemented for:
 - ``image/gif``   — REAL compressed decode #2: a from-scratch
   variable-width LZW entropy decoder (clear/end codes, KwKwK, 12-bit
   cap) + palette expansion; encoder included (palette build + LZW);
+- ``image/jpeg``  — REAL compressed decode #3: a from-scratch ITU-T
+  T.81 implementation (``operators/jpeg.py``) — baseline sequential
+  DCT (SOF0: Huffman MCU decode, dequantize, IDCT, 4:4:4/4:2:0/4:2:2
+  upsampling, YCbCr→RGB, restart markers) AND lossless predictive
+  (SOF3, bit-exact round trip); encoders for both flavors included;
 - ``audio/pcm_s16le`` — raw 16-bit little-endian PCM → int16 samples;
 - ``audio/wav``   — RIFF/WAVE container walk (chunk list, padding) →
   the PCM-16 samples inside; compressed WAV variants raise;
@@ -26,11 +31,11 @@ names the payload codec, and decode is genuinely implemented for:
   pipeline).
 
 Codecs whose entropy coders genuinely need decoder libraries this
-container does not ship (JPEG/MP3/H.264…) raise
-``NotImplementedError``; everything above — including the DEFLATE-
-compressed PNG path — is decoded for real, so the dispatch, batch
-transport, feature, and transform plumbing is exercised end-to-end by
-true byte-level decodes.
+container does not ship (MP3/H.264…) raise ``NotImplementedError``;
+everything above — including the DEFLATE-compressed PNG path and both
+JPEG flavors — is decoded for real, so the dispatch, batch transport,
+feature, and transform plumbing is exercised end-to-end by true
+byte-level decodes.
 :func:`resize_media` (nearest-neighbor, pure index arithmetic)
 re-encodes decoded images back to media rows — the
 decode→transform→re-encode loop a training-data image pipeline runs.
@@ -616,6 +621,10 @@ def decode_payload(payload: bytes, modality: str):
         return _decode_png(payload)
     if modality == "image/gif":
         return _decode_gif(payload)
+    if modality == "image/jpeg":
+        from pandas_rust_algos_spark.operators.jpeg import decode_jpeg
+
+        return decode_jpeg(payload)
     if modality == "image/ppm":
         img, _end = _ppm_read_frame(payload, 0)
         return img
@@ -634,8 +643,8 @@ def decode_payload(payload: bytes, modality: str):
         return frames
     raise NotImplementedError(
         f"media decode for modality={modality!r} requires decoder libraries "
-        "not present in this environment (bmp/ppm/png/pcm_s16le/ppm-seq "
-        "are decoded natively)"
+        "not present in this environment (bmp/ppm/png/gif/jpeg/pcm_s16le/"
+        "wav/ppm-seq are decoded natively)"
     )
 
 
@@ -661,7 +670,8 @@ def _featurize(payload: bytes, modality: str):
             float(len(set(toks))),
             hashlib.md5(bytes(payload)).hexdigest(),
         )
-    if modality in ("image/bmp", "image/ppm", "image/png", "image/gif"):
+    if modality in ("image/bmp", "image/ppm", "image/png", "image/gif",
+                    "image/jpeg"):
         h, w = content.shape[:2]
         c = content.shape[2] if content.ndim == 3 else 1
         # exact: integer pixel sum / count (both exact in float64); the
@@ -758,9 +768,12 @@ def image_media_from_vecs(
 
     Quantization is ``floor(clip(x, -1, 1) * 127) + 128`` per element
     (pure double arithmetic — bit-reproducible in any engine, which is
-    what makes the downstream decode oracle-checkable)."""
-    if codec not in ("png", "gif"):
-        raise ValueError(f"codec must be png|gif, got {codec!r}")
+    what makes the downstream decode oracle-checkable). ``jpeg`` means
+    LOSSLESS JPEG (T.81 SOF3) — exact round trip, so it stays
+    oracle-checkable like png/gif; the lossy baseline-DCT flavor is for
+    real image payloads, not synthetic exactness gates."""
+    if codec not in ("png", "gif", "jpeg"):
+        raise ValueError(f"codec must be png|gif|jpeg, got {codec!r}")
     if codec == "gif" and channels != 3:
         raise ValueError("gif codec requires channels=3")
     n = height * width * channels
@@ -778,6 +791,13 @@ def image_media_from_vecs(
             img = px.reshape(height, width, channels)
             if codec == "gif":
                 return encode_gif(img)
+            if codec == "jpeg":
+                from pandas_rust_algos_spark.operators.jpeg import (
+                    encode_jpeg_lossless,
+                )
+
+                return encode_jpeg_lossless(
+                    img if channels != 1 else img[:, :, 0])
             return encode_png(img if channels != 1 else img[:, :, 0])
         return vs.map(one)
 

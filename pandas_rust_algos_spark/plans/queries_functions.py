@@ -314,3 +314,83 @@ def string_functions_ext(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.instr(p, "URGENT").cast("int").alias("urgent_at"),
         F.repeat(F.substring(p, 1, 1), 3).alias("tripled"),
     )
+
+
+@register(
+    "regr_aggregates",
+    oracle="""
+    WITH b AS (
+      SELECT l_returnflag,
+             CAST(l_quantity AS BIGINT) AS x,
+             CAST(ROUND(l_extendedprice * 100) AS BIGINT) AS y
+      FROM lineitem
+    ), a AS (
+      SELECT l_returnflag, COUNT(*) AS n,
+             SUM(x) AS sx, SUM(y) AS sy, SUM(x*y) AS sxy,
+             SUM(x*x) AS sxx, SUM(y*y) AS syy
+      FROM b GROUP BY 1
+    )
+    SELECT l_returnflag, CAST(n AS BIGINT) AS n,
+           ROUND(CAST(n*sxy - sx*sy AS DOUBLE)
+                 / CAST(n*sxx - sx*sx AS DOUBLE) / 100, 6) AS slope,
+           ROUND(CAST(sy AS DOUBLE) / n / 100
+                 - (CAST(n*sxy - sx*sy AS DOUBLE)
+                    / CAST(n*sxx - sx*sx AS DOUBLE) / 100)
+                   * (CAST(sx AS DOUBLE) / n), 6) AS intercept,
+           ROUND(CAST(n*sxy - sx*sy AS DOUBLE)
+                 * CAST(n*sxy - sx*sy AS DOUBLE)
+                 / (CAST(n*sxx - sx*sx AS DOUBLE)
+                    * CAST(n*syy - sy*sy AS DOUBLE)), 6) AS r2
+    FROM a
+    """,
+)
+def regr_aggregates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Linear-regression aggregates (slope / intercept / R²) of
+    extendedprice on quantity per returnflag, computed from EXACT
+    integer moment sums: x as whole units, y as cents, and the five
+    moments (Σx, Σy, Σxy, Σx², Σy²) accumulated in decimal(38,0) —
+    exact and associative, so a 32-way Spark run and single-threaded
+    DuckDB (HUGEINT sums) agree bit-for-bit, unlike the native
+    ``regr_slope``/``regr_r2`` whose float accumulation is
+    partitioning-dependent (a unit test pins this algebra ≈ the native
+    aggregates). The slope/intercept/R² doubles then derive from the
+    same expression tree on both engines.
+
+    Scale: one shuffle (partial moments map-side combined); decimal(38)
+    headroom carries Σy² past the long range at ~9e23 rows/group.
+    Reference: no regression surface (SURVEY §2.3) — driver-brief
+    analytics extension."""
+    tune(spark)
+    li = load_table(spark, sf_dir, "lineitem")
+    x = F.col("l_quantity").cast("long")
+    y = F.round(F.col("l_extendedprice") * 100).cast("long")
+
+    def dec(c):
+        return c.cast("decimal(38,0)")
+
+    a = li.select(
+        "l_returnflag", x.alias("x"), y.alias("y")
+    ).groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(dec(F.col("x"))).alias("sx"),
+        F.sum(dec(F.col("y"))).alias("sy"),
+        F.sum(dec(F.col("x") * F.col("y"))).alias("sxy"),
+        F.sum(dec(F.col("x") * F.col("x"))).alias("sxx"),
+        F.sum(dec(F.col("y") * F.col("y"))).alias("syy"),
+    )
+    n_dec = F.col("n").cast("decimal(38,0)")
+    num = (n_dec * F.col("sxy") - F.col("sx") * F.col("sy")).cast("double")
+    den = (n_dec * F.col("sxx") - F.col("sx") * F.col("sx")).cast("double")
+    deny = (n_dec * F.col("syy") - F.col("sy") * F.col("sy")).cast("double")
+    slope_raw = num / den / 100
+    return a.select(
+        "l_returnflag",
+        F.col("n").cast("long").alias("n"),
+        F.round(slope_raw, 6).alias("slope"),
+        F.round(
+            F.col("sy").cast("double") / F.col("n") / 100
+            - slope_raw * (F.col("sx").cast("double") / F.col("n")),
+            6,
+        ).alias("intercept"),
+        F.round(num * num / (den * deny), 6).alias("r2"),
+    )

@@ -646,6 +646,46 @@ def gif_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
         "media_id", "modality", "f0", "f1", "f2", "f3", "check_md5")
 
 
+@register(
+    "jpeg_media_features",
+    oracle="""
+    WITH px AS (
+      SELECT vec_id,
+             list_transform(embedding[1:48],
+               x -> CAST(FLOOR(LEAST(GREATEST(CAST(x AS DOUBLE), -1.0),
+                                     1.0) * 127.0) AS BIGINT) + 128) AS p
+      FROM embeddings
+    )
+    SELECT vec_id AS media_id, 'image/jpeg' AS modality,
+           CAST(4 AS DOUBLE) AS f0, CAST(4 AS DOUBLE) AS f1,
+           CAST(list_aggregate(p, 'sum') AS DOUBLE) / 48 AS f2,
+           CAST(3 AS DOUBLE) AS f3,
+           md5(array_to_string(p, ',')) AS check_md5
+    FROM px
+    """,
+)
+def jpeg_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Third compressed codec, hash-checked end-to-end: the same
+    quantized 4x4 RGB pixels as ``png_media_features``, framed as
+    LOSSLESS JPEG (ITU-T T.81 process 14, SOF3 — per-sample predictive
+    coding + canonical-Huffman difference categories + byte stuffing,
+    ``operators/jpeg.py`` written from scratch), then decoded back
+    through the Arrow-batched feature path. Lossless JPEG round-trips
+    bit-exactly, so the oracle is identical to the PNG/GIF gates' (the
+    pixels are what is proven; the codec in between is what is
+    exercised). The lossy baseline-DCT flavor (SOF0: Huffman MCU
+    decode, dequantize, IDCT, chroma upsampling, YCbCr→RGB) ships in
+    the same module and is conformance-tested in
+    ``tests/test_multimodal.py`` — quantized DCT cannot be
+    hash-oracled by construction."""
+    tune(spark)
+    e = spread(load_table(spark, sf_dir, "embeddings"), cap=8)
+    media = mm.image_media_from_vecs(
+        e, "vec_id", "embedding", height=4, width=4, codec="jpeg")
+    return mm.extract_features(media).select(
+        "media_id", "modality", "f0", "f1", "f2", "f3", "check_md5")
+
+
 # ------------------------------------------------- split / chunk (datasplit)
 
 

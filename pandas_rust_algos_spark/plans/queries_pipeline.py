@@ -1113,3 +1113,40 @@ def delete_mor_read(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("p_size").alias("sum_size"),
         F.sum("p_partkey").alias("sum_key"),
     )
+
+
+@register(
+    "skew_join_salted",
+    oracle=f"""
+    SELECT o.o_orderpriority,
+           COUNT(*) AS n_items,
+           {dsum("l.l_extendedprice * (1 - l.l_discount)")} AS revenue
+    FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+    GROUP BY o.o_orderpriority
+    """,
+)
+def skew_join_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew-spread equi-join, result-proven: lineitem ⋈ orders runs
+    through ``operators/skew_handling.salted_join`` (probe side salted
+    deterministically, build side replicated 8×, join keyed on
+    key+salt so a whale orderkey spreads over 8 reducers), then
+    aggregates revenue per order priority. The oracle is the PLAIN
+    join: a hash match proves salting moved work without changing one
+    row — the defining property of a skew mitigation. Reference: no
+    join surface exists (SURVEY §2.3); this pins the 100 TB skew
+    playbook's third leg (broadcast < AQE skew-split < explicit salt)
+    as an operator."""
+    from pandas_rust_algos_spark.functions import fixed_sum
+    from pandas_rust_algos_spark.operators.skew_handling import salted_join
+
+    tune(spark)
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_extendedprice", "l_discount")
+    orders = load_table(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").alias("l_orderkey"), "o_orderpriority")
+    joined = salted_join(li, orders, "l_orderkey", num_salts=8)
+    return joined.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n_items"),
+        fixed_sum(F.col("l_extendedprice")
+                  * (1 - F.col("l_discount"))).alias("revenue"),
+    )

@@ -764,3 +764,32 @@ def pii_mask(spark: SparkSession, sf_dir: str) -> DataFrame:
     out = sc.mask_columns(d, ["source"], salt="gate")
     out = sc.mask_columns(out, ["t"], salt="gate", keep_last=4)
     return out
+
+
+_BM25_TERMS = ["spark", "join", "window"]
+
+
+@register(
+    "bm25_topk",
+    oracle=f"""
+    WITH sc AS ({ti.sql_bm25_score(_BM25_TERMS)}),
+    top AS (
+      SELECT doc_id, score FROM sc ORDER BY score DESC, doc_id LIMIT 10
+    )
+    SELECT doc_id, score,
+           CAST(ROW_NUMBER() OVER (ORDER BY score DESC, doc_id) AS BIGINT)
+             AS rank
+    FROM top
+    """,
+)
+def bm25_topk_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Okapi BM25 retrieval (top-10 docs for a 3-term query) — the
+    ranked-retrieval twin of ``tfidf_topterms``. Per-term scores sum in
+    exact fixed point so cross-term addition order can't flip ranks,
+    corpus stats ride one broadcast row, df one broadcast join, and
+    the top-k is a TakeOrdered (never a total sort); the DuckDB oracle
+    replays the identical expression tree
+    (``operators/tfidf.sql_bm25_score``). Reference: no retrieval
+    surface exists (SURVEY §2.3) — driver-brief text-analysis
+    extension."""
+    return ti.bm25_topk(_docs(spark, sf_dir), _BM25_TERMS, k=10)

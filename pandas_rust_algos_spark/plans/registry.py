@@ -90,6 +90,10 @@ _GATE_PRIORITY: tuple[str, ...] = (
     "group_melt",
     # (b) new in round 5 — inserted as they are authored
     "delete_mor_read",
+    "bm25_topk",
+    "skew_join_salted",
+    "regr_aggregates",
+    "jpeg_media_features",
     # (c) modules changed in round 5 -> driver re-verification
     "bloom_join_revenue",
     "simhash_fingerprints_portable",

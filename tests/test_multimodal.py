@@ -454,3 +454,140 @@ def test_gif_features_match_bmp(spark):
     assert (a["f0"], a["f1"], a["f2"], a["f3"]) == \
         (b["f0"], b["f1"], b["f2"], b["f3"])
     assert a["check_md5"] == b["check_md5"] is not None
+
+
+# ------------------------------------------------------------------ JPEG
+
+
+def test_jpeg_lossless_roundtrip_exact():
+    """SOF3 lossless: bit-exact round trip across shapes, channel
+    counts, and all 7 predictors (ITU-T T.81 Annex H)."""
+    from pandas_rust_algos_spark.operators import jpeg as J
+
+    rng = np.random.default_rng(7)
+    for shape in [(1, 1), (1, 9), (6, 1), (4, 4, 3), (11, 5), (8, 8, 4)]:
+        img = rng.integers(0, 256, size=shape, dtype=np.uint8)
+        for pred in range(1, 8):
+            out = J.decode_jpeg(J.encode_jpeg_lossless(img, predictor=pred))
+            assert out.shape == img.shape
+            np.testing.assert_array_equal(out, img)
+    with pytest.raises(ValueError):
+        J.encode_jpeg_lossless(np.zeros((2, 2), np.uint8), predictor=0)
+
+
+def test_jpeg_lossless_byte_stuffing():
+    """An all-255 image forces long runs of 1-bits in the entropy
+    stream → stuffed 0xFF00 sequences the reader must consume."""
+    from pandas_rust_algos_spark.operators import jpeg as J
+
+    img = np.full((16, 16), 255, dtype=np.uint8)
+    payload = J.encode_jpeg_lossless(img)
+    np.testing.assert_array_equal(J.decode_jpeg(payload), img)
+
+
+def test_jpeg_idct_matches_naive_definition():
+    """The decoder's matrix IDCT equals the textbook quadruple-loop
+    DCT-III definition (independent implementations, T.81 A.3.3)."""
+    from pandas_rust_algos_spark.operators import jpeg as J
+
+    rng = np.random.default_rng(11)
+    coefs = rng.integers(-200, 200, size=(8, 8)).astype(np.float64)
+
+    naive = np.zeros((8, 8))
+    for y in range(8):
+        for x in range(8):
+            s = 0.0
+            for u in range(8):
+                for v in range(8):
+                    cu = 1 / np.sqrt(2) if u == 0 else 1.0
+                    cv = 1 / np.sqrt(2) if v == 0 else 1.0
+                    s += (cu * cv * coefs[u, v]
+                          * np.cos((2 * x + 1) * v * np.pi / 16)
+                          * np.cos((2 * y + 1) * u * np.pi / 16))
+            naive[y, x] = s / 4.0
+    fast = J._idct_blocks(coefs[None, :, :])[0]
+    np.testing.assert_allclose(fast, naive, atol=1e-9)
+    # and FDCT inverts it
+    np.testing.assert_allclose(
+        J._fdct_blocks(fast[None, :, :])[0], coefs, atol=1e-9)
+
+
+def test_jpeg_baseline_conformance_constant_block():
+    """Hand-traced SOF0 vector: a constant-140 8x8 grayscale block at
+    DC quant step 16 (quality=50 → Annex K base table, whose [0,0] is
+    16) gives DCT DC = 8*(140-128) = 96, quantized 96/16 = 6 exactly,
+    every AC 0 — decode must reproduce 16*6/8 + 128 = 140 everywhere:
+    an exact round trip, every step integer-checkable by hand."""
+    from pandas_rust_algos_spark.operators import jpeg as J
+
+    img = np.full((8, 8), 140, dtype=np.uint8)
+    payload = J.encode_jpeg_baseline(img, quality=50)
+    out = J.decode_jpeg(payload)
+    np.testing.assert_array_equal(out, img)
+    # and the stream really carries a 6: decode the coefficients via an
+    # independent minimal parse — DC category 3, magnitude bits 110
+    # (the first Huffman code after SOS per K.3: cat 3 = '100')
+    sos = payload.find(b"\xFF\xDA")
+    # SOS for 1 comp: FFDA + len(=8) + body(6) → entropy at sos+10
+    first_entropy_byte = payload[sos + 10]
+    assert first_entropy_byte >> 2 == 0b100110  # huff(3)='100' + '110'=6
+
+
+def test_jpeg_baseline_roundtrip_tolerance():
+    """SOF0 is lossy by construction: smooth content must survive
+    within small tolerance at 444 and 420, odd sizes included."""
+    from pandas_rust_algos_spark.operators import jpeg as J
+
+    y, x = np.mgrid[0:21, 0:35]
+    img = np.stack([(x * 6) % 250, (y * 4) % 250, ((x + y) * 3) % 250],
+                   axis=2).astype(np.uint8)
+    img = img // 16 * 16
+    for ss in ("444", "420"):
+        out = J.decode_jpeg(J.encode_jpeg_baseline(
+            img, quality=95, subsampling=ss))
+        assert out.shape == img.shape
+        err = np.abs(out.astype(int) - img.astype(int))
+        assert err.mean() < 6.0, (ss, err.mean())
+        assert err.max() <= 40, (ss, err.max())
+    g = (np.mgrid[0:9, 0:13][0] * 20).astype(np.uint8)
+    outg = J.decode_jpeg(J.encode_jpeg_baseline(g, quality=95))
+    assert outg.shape == g.shape
+    assert np.abs(outg.astype(int) - g.astype(int)).mean() < 4.0
+
+
+def test_jpeg_decode_guards():
+    from pandas_rust_algos_spark.operators import jpeg as J
+
+    with pytest.raises(ValueError, match="SOI"):
+        J.decode_jpeg(b"\x89PNG")
+    # progressive (SOF2) must raise, not mis-decode
+    payload = bytearray(J.encode_jpeg_baseline(
+        np.zeros((8, 8), np.uint8)))
+    idx = payload.find(b"\xFF\xC0")
+    payload[idx + 1] = 0xC2
+    with pytest.raises(NotImplementedError, match="progressive"):
+        J.decode_jpeg(bytes(payload))
+    with pytest.raises(ValueError):
+        J.encode_jpeg_baseline(np.zeros((4, 4, 2), np.uint8))
+    with pytest.raises(ValueError):
+        J.encode_jpeg_baseline(np.zeros((4, 4), np.uint8),
+                               subsampling="422")
+
+
+def test_jpeg_features_match_bmp(spark):
+    """Same pixels through lossless JPEG and BMP featurize identically
+    through the Arrow-batched decode path, pixel digest included."""
+    rng = np.random.default_rng(31)
+    img = rng.integers(0, 256, size=(5, 7, 3), dtype=np.uint8)
+    from pandas_rust_algos_spark.operators.jpeg import encode_jpeg_lossless
+
+    rows = [(1, "image/bmp", bytearray(mm.encode_bmp(img))),
+            (2, "image/jpeg", bytearray(encode_jpeg_lossless(img)))]
+    media = spark.createDataFrame(
+        [(i, m, p, len(p), hashlib.md5(bytes(p)).hexdigest())
+         for i, m, p in rows], schema=mm.MEDIA_SCHEMA)
+    feats = {r["media_id"]: r for r in mm.extract_features(media).collect()}
+    a, b = feats[1], feats[2]
+    assert (a["f0"], a["f1"], a["f2"], a["f3"]) == \
+        (b["f0"], b["f1"], b["f2"], b["f3"])
+    assert a["check_md5"] == b["check_md5"] is not None

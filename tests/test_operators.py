@@ -1109,3 +1109,120 @@ def test_bloom_prefilter_join_broadcast_row_path(spark):
         big, small, "k", bits=1 << 12).collect())
     want = sorted((r["k"], r["v"]) for r in big.join(small, "k").collect())
     assert got == want == lit and len(got) > 0
+
+
+# ---------------------------------------------------------- salted join
+
+
+def test_salted_join_matches_plain_inner_and_left(spark):
+    from pandas_rust_algos_spark.operators.skew_handling import salted_join
+
+    # whale key 0: 5k fact rows; dim has keys 0..9 (7+ unmatched on fact
+    # side), fact also has key 99 unmatched on the dim side
+    big = spark.range(5_000).select(
+        F.lit(0).cast("long").alias("k"), F.col("id").alias("v")
+    ).unionByName(
+        spark.range(30).select((F.col("id") % 3 + 1).alias("k"),
+                               F.col("id").alias("v"))
+    ).unionByName(
+        spark.range(2).select(F.lit(99).cast("long").alias("k"),
+                              F.col("id").alias("v"))
+    )
+    small = spark.range(10).select(
+        F.col("id").alias("k"), (F.col("id") * 100).alias("w")
+    )
+    for how in ("inner", "left"):
+        got = salted_join(big, small, "k", num_salts=8, how=how)
+        want = big.join(small, "k", how)
+        assert got.schema == want.schema
+        assert got.exceptAll(want).count() == 0
+        assert want.exceptAll(got).count() == 0
+
+
+def test_salted_join_semi_anti_and_guards(spark):
+    from pandas_rust_algos_spark.operators.skew_handling import salted_join
+
+    big = spark.range(100).select((F.col("id") % 5).alias("k"), F.col("id").alias("v"))
+    small = spark.range(2).select(F.col("id").alias("k"))
+    semi = salted_join(big, small, "k", num_salts=4, how="left_semi")
+    assert semi.count() == big.where(F.col("k") < 2).count()
+    # semi must not duplicate probe rows across salt replicas
+    assert semi.select("v").distinct().count() == semi.count()
+    anti = salted_join(big, small, "k", num_salts=4, how="left_anti")
+    assert anti.count() == big.where(F.col("k") >= 2).count()
+    with pytest.raises(ValueError):
+        salted_join(big, small, "k", how="full")
+    with pytest.raises(ValueError):
+        salted_join(big, small, "nope")
+
+
+# ----------------------------------------------------------------- bm25
+
+
+def test_bm25_matches_reference_formula(spark):
+    import math
+
+    from pandas_rust_algos_spark.operators.tfidf import bm25_topk
+
+    rows = [
+        (1, "apple banana apple"),
+        (2, "banana cherry"),
+        (3, "cherry cherry cherry durian"),
+        (4, "apple"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r["doc_id"]: r["score"]
+           for r in bm25_topk(docs, ["apple", "cherry"], k=4).collect()}
+
+    # independent plain-python BM25 (k1=1.2, b=0.75)
+    texts = {i: t.split() for i, t in rows}
+    n = len(texts)
+    avgdl = sum(len(t) for t in texts.values()) / n
+    dfreq = {
+        q: sum(1 for t in texts.values() if q in t) for q in ("apple", "cherry")
+    }
+    for doc_id, toks in texts.items():
+        parts = 0
+        for q in ("apple", "cherry"):
+            tf = toks.count(q)
+            if not tf:
+                continue
+            idf = math.log(1 + (n - dfreq[q] + 0.5) / (dfreq[q] + 0.5))
+            s = idf * (tf * 2.2) / (tf + 1.2 * (0.25 + 0.75 * len(toks) / avgdl))
+            parts += math.floor(s * 1e6)
+        if parts:
+            assert got[doc_id] == pytest.approx(parts / 1e6, abs=0)
+        else:
+            assert doc_id not in got
+    # ranks: dense 1..k in score order
+    out = bm25_topk(docs, ["apple", "cherry"], k=4).collect()
+    ranked = sorted(out, key=lambda r: r["rank"])
+    assert [r["rank"] for r in ranked] == list(range(1, len(ranked) + 1))
+    assert all(a["score"] >= b["score"] for a, b in zip(ranked, ranked[1:]))
+    with pytest.raises(ValueError):
+        bm25_topk(docs, [])
+
+
+# ------------------------------------------------- exact regr aggregates
+
+
+def test_regr_exact_algebra_matches_native(spark, sf_dir):
+    """The gate's exact-moment slope/intercept/r2 ≈ Spark's native
+    regr_* aggregates (float path) — same statistic, different
+    accumulation; cents quantization bounds the gap."""
+    from pandas_rust_algos_spark.plans.registry import get
+
+    got = {r["l_returnflag"]: r
+           for r in get("regr_aggregates").fn(spark, sf_dir).collect()}
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    native = li.groupBy("l_returnflag").agg(
+        F.expr("regr_slope(l_extendedprice, l_quantity)").alias("slope"),
+        F.expr("regr_intercept(l_extendedprice, l_quantity)").alias("b0"),
+        F.expr("regr_r2(l_extendedprice, l_quantity)").alias("r2"),
+    ).collect()
+    assert len(native) == len(got) > 0
+    for r in native:
+        g = got[r["l_returnflag"]]
+        assert g["slope"] == pytest.approx(r["slope"], rel=1e-4, abs=1e-4)
+        assert g["intercept"] == pytest.approx(r["b0"], rel=1e-4, abs=1e-2)
+        assert g["r2"] == pytest.approx(r["r2"], rel=1e-4, abs=1e-6)
