@@ -1150,3 +1150,70 @@ def skew_join_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
         fixed_sum(F.col("l_extendedprice")
                   * (1 - F.col("l_discount"))).alias("revenue"),
     )
+
+
+@register(
+    "bucketed_join_revenue",
+    oracle="""
+    SELECT o.o_orderstatus,
+           COUNT(*) AS n_orders,
+           CAST(SUM(l.rev_micro) AS DOUBLE) / 1e6 AS revenue
+    FROM (
+      SELECT l_orderkey,
+             SUM(CAST(FLOOR(l_extendedprice * (1 - l_discount) * 1e6)
+                 AS BIGINT)) AS rev_micro
+      FROM lineitem GROUP BY l_orderkey
+    ) l JOIN orders o ON l.l_orderkey = o.o_orderkey
+    GROUP BY o.o_orderstatus
+    """,
+)
+def bucketed_join_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bucketed co-located fact-fact join + on-key aggregation
+    (``sources/bucketing.py``), result-proven: lineitem and orders are
+    written bucketed+sorted on the order key, the per-order revenue
+    pre-aggregation runs WITHOUT an exchange (bucket layout already
+    hash-partitions by the grouping key), the fact-fact SortMergeJoin
+    runs WITHOUT an exchange on either side (matching output
+    partitionings), and the only shuffle left is the aggregate-sized
+    rollup to order status — the layout, not the optimizer, paid for
+    the join. Shuffle-freedom itself is plan-asserted in
+    tests/test_bucketing.py; the oracle here proves the co-located
+    plan changes no row. Broadcast is disabled for the query so the
+    co-located SMJ path (the one that matters when BOTH sides are
+    fact-sized at 100 TB) is the path actually exercised."""
+    from pandas_rust_algos_spark.sources.bucketing import (
+        read_bucketed,
+        write_bucketed,
+    )
+
+    tune(spark)
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_extendedprice", "l_discount")
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderstatus")
+    write_bucketed(li, "gate_bkt_lineitem", "l_orderkey", num_buckets=8)
+    write_bucketed(orders, "gate_bkt_orders", "o_orderkey", num_buckets=8)
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        bl = read_bucketed(spark, "gate_bkt_lineitem")
+        bo = read_bucketed(spark, "gate_bkt_orders")
+        per_order = bl.groupBy("l_orderkey").agg(
+            F.sum(
+                F.floor(F.col("l_extendedprice")
+                        * (1 - F.col("l_discount")) * 1e6).cast("long")
+            ).alias("rev_micro")
+        )
+        joined = per_order.join(
+            bo, per_order["l_orderkey"] == bo["o_orderkey"])
+        out = joined.groupBy("o_orderstatus").agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            (F.sum("rev_micro").cast("double") / 1e6).alias("revenue"),
+        )
+        # materialize within the no-broadcast window: the plan is
+        # finalized lazily, so restore the conf only after the driver
+        # would have consumed it — return a cached-shape DataFrame
+        out = out.localCheckpoint(eager=True)
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+    return out

@@ -94,6 +94,7 @@ _GATE_PRIORITY: tuple[str, ...] = (
     "skew_join_salted",
     "regr_aggregates",
     "jpeg_media_features",
+    "bucketed_join_revenue",
     # (c) modules changed in round 5 -> driver re-verification
     "bloom_join_revenue",
     "simhash_fingerprints_portable",
