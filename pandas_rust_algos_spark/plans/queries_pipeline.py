@@ -1217,3 +1217,55 @@ def bucketed_join_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     finally:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
     return out
+
+
+@register(
+    "update_mor_read",
+    oracle="""
+    SELECT p_brand,
+           CAST(COUNT(*) AS BIGINT) AS n_parts,
+           CAST(SUM(CASE WHEN p_size % 5 = 0 AND p_brand LIKE 'Brand#1%'
+                         THEN p_size + 100 ELSE p_size END) AS BIGINT)
+             AS sum_size,
+           CAST(SUM(p_partkey) AS BIGINT) AS sum_key
+    FROM part
+    GROUP BY p_brand
+    """,
+)
+def update_mor_read(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end merge-on-read UPDATE
+    (``sources/table_format.py:update_mor`` +
+    ``sources/vtable_source.py``): the part table is committed to a
+    versioned table, a sliver is updated by tombstoning the OLD row
+    versions in a deletion vector and appending the updated copies in
+    ONE atomic commit — no existing data file rewritten (the Delta
+    deletion-vector UPDATE path; commit cost O(matches), the 100 TB
+    point-update tool) — and the result is read back through the
+    ``vtable`` DataSource, which applies the vector per row group
+    during the scan. The oracle recomputes the post-update state
+    straight from the source parquet via CASE; ``sum_key`` keeps the
+    hash sensitive to exact row membership, so a vector that dropped
+    the wrong rows, duplicated an update, or missed one cannot
+    pass."""
+    import tempfile
+
+    from pandas_rust_algos_spark.sources.table_format import VersionedTable
+    from pandas_rust_algos_spark.sources.vtable_source import (
+        register_vtable_source,
+    )
+
+    tune(spark)
+    part = load_table(spark, sf_dir, "part").select(
+        "p_partkey", "p_brand", "p_size")
+    path = tempfile.mkdtemp(prefix="morupd_gate_")
+    tbl = VersionedTable(spark, path, key_cols=["p_partkey"])
+    tbl.create(part.repartition(4))
+    tbl.update_mor("p_size % 5 = 0 AND p_brand LIKE 'Brand#1%'",
+                   {"p_size": "p_size + 100"})
+    register_vtable_source(spark)
+    rows = spark.read.format("vtable").load(path)
+    return rows.groupBy("p_brand").agg(
+        F.count(F.lit(1)).alias("n_parts"),
+        F.sum("p_size").alias("sum_size"),
+        F.sum("p_partkey").alias("sum_key"),
+    )

@@ -764,6 +764,70 @@ class VersionedTable:
         }
         return self._commit("delete_mor", [], [], snap.version, dv=dv)
 
+    def update_mor(self, condition, set_exprs: dict, *,
+                   max_update_rows: int = 1_000_000) -> int:
+        """Merge-on-read UPDATE: tombstone the old versions of matching
+        rows in a deletion vector AND append their updated copies, in
+        ONE atomic commit — no existing data file is rewritten (Delta's
+        deletion-vector UPDATE path). The right tool for POINT updates
+        on a 100 TB table: commit cost is O(matches), not O(files
+        containing matches); rewrites/compaction later materialize the
+        vector away exactly as for :meth:`delete_mor`.
+
+        ``set_exprs``: column → Column/SQL-string expression evaluated
+        against the OLD row (standard UPDATE semantics); values are
+        cast to the column's committed type, and assignments to columns
+        outside the committed schema are rejected (an UPDATE never
+        evolves schema). The position list transits the driver, so the
+        op is capped at ``max_update_rows`` — enforced through
+        ``limit(cap+1)`` BEFORE anything driver-sized materializes,
+        like :meth:`delete_mor`; use :meth:`merge` (copy-on-write) for
+        bulk updates."""
+        cond = F.expr(condition) if isinstance(condition, str) else condition
+        snap = self._snapshot()
+        if not snap.files:
+            return self._commit("update_mor", [], [], snap.version)
+        schema = self.table_schema(snap.version)
+        fields = {f.name: f.dataType for f in schema.fields} \
+            if schema is not None else None
+        if fields is not None:
+            unknown = [c for c in set_exprs if c not in fields]
+            if unknown:
+                raise ValueError(
+                    f"update_mor cannot assign to columns outside the "
+                    f"committed schema: {unknown} (UPDATE never evolves "
+                    "schema; use append(merge_schema=True) for that)")
+        df = self._read_pinned(sorted(snap.files), schema, snap.dvs,
+                               keep_positions=True)
+        matched = df.where(cond)
+        hits = (matched.select("__rel", "__pos")
+                .limit(max_update_rows + 1).collect())
+        if len(hits) > max_update_rows:
+            raise ValueError(
+                f"update_mor matched more than max_update_rows="
+                f"{max_update_rows} rows; use merge() (copy-on-write) "
+                f"for bulk updates, or raise the cap")
+        if not hits:
+            return self._commit("update_mor", [], [], snap.version)
+        updated = matched
+        for col, expr in set_exprs.items():
+            val = F.expr(expr) if isinstance(expr, str) else expr
+            if fields is not None:
+                val = val.cast(fields[col])
+            updated = updated.withColumn(col, val)
+        updated = updated.drop("__rel", "__pos")
+        if schema is not None:
+            updated = updated.select(*[f.name for f in schema.fields])
+        adds = self._write_data_files(updated)
+        fresh: dict[str, set[int]] = {}
+        for r in hits:
+            fresh.setdefault(r["__rel"], set()).add(int(r["__pos"]))
+        dv = {
+            rel: sorted(set(snap.dvs.get(rel, [])) | ps)
+            for rel, ps in fresh.items()
+        }
+        return self._commit("update_mor", adds, [], snap.version, dv=dv)
+
     def restore(self, version: int) -> int:
         """ROLLBACK: make the table's contents (and schema) equal those
         at ``version`` again, as a NEW commit — history is append-only,

@@ -1039,3 +1039,77 @@ def test_simhash_portable_rejects_dead_bits(spark):
     with pytest.raises(ValueError, match="60"):
         dd.simhash(df, bits=64, hash_mode="portable")
     assert dd.simhash(df, bits=32, hash_mode="portable").count() == 1
+
+
+# ------------------------------------------- MoR UPDATE (r5)
+
+
+def test_update_mor_one_commit_no_rewrite(spark, tmp_path):
+    tbl = _mk(spark, tmp_path)
+    tbl.create(_df(spark, range(10), "a").repartition(1))
+    files_before = set(tbl._snapshot().files)
+    v1 = tbl.update_mor("id IN (3, 7)", {"payload": "payload || '-upd'"})
+    commit = json.load(open(tbl._log_path(v1)))
+    # ONE commit: old rows tombstoned (dv), updated copies appended,
+    # nothing removed/rewritten
+    assert commit["remove"] == [] and len(commit["add"]) >= 1
+    assert sum(len(v) for v in commit["dv"].values()) == 2
+    assert files_before <= set(tbl._snapshot().files)
+    got = _payloads(tbl)
+    assert got[3] == "a-3-upd" and got[7] == "a-7-upd"
+    assert got[0] == "a-0" and len(got) == 10
+    # time travel BEFORE the update sees the old values
+    assert _payloads(tbl, version=0)[3] == "a-3"
+    # vtable reader agrees
+    from pandas_rust_algos_spark.sources.vtable_source import (
+        register_vtable_source,
+    )
+
+    register_vtable_source(spark)
+    via_fmt = {r["id"]: r["payload"] for r in
+               spark.read.format("vtable").load(tbl.path).collect()}
+    assert via_fmt == got
+
+
+def test_update_mor_set_semantics_and_guards(spark, tmp_path):
+    tbl = _mk(spark, tmp_path)
+    tbl.create(spark.createDataFrame(
+        [(i, i * 10) for i in range(8)], "id long, v long"))
+    # SET evaluates against the OLD row and casts to the committed type
+    tbl.update_mor("id < 3", {"v": "v + id"})
+    got = {r["id"]: r["v"] for r in tbl.read().collect()}
+    assert got == {i: (i * 10 + i if i < 3 else i * 10) for i in range(8)}
+    # no-op predicate → clean no-op commit
+    v = tbl.update_mor("id = 999", {"v": "0"})
+    assert "dv" not in json.load(open(tbl._log_path(v)))
+    assert {r["id"]: r["v"] for r in tbl.read().collect()} == got
+    # schema is never evolved by UPDATE
+    with pytest.raises(ValueError, match="outside the committed schema"):
+        tbl.update_mor("id = 1", {"brand_new": "1"})
+    # repeated updates stack (dv accumulates, latest copy wins)
+    tbl.update_mor("id = 0", {"v": "v + 1"})
+    tbl.update_mor("id = 0", {"v": "v + 1"})
+    assert {r["id"]: r["v"] for r in tbl.read().collect()}[0] == 2
+    # row count never drifts
+    assert tbl.read().count() == 8
+
+
+def test_update_mor_cap_enforced_before_collect(spark, tmp_path):
+    tbl = _mk(spark, tmp_path)
+    tbl.create(_df(spark, range(50), "a"))
+    with pytest.raises(ValueError, match="max_update_rows"):
+        tbl.update_mor("id >= 0", {"payload": "'x'"}, max_update_rows=10)
+    # nothing committed by the refused op
+    assert _payloads(tbl)[0] == "a-0" and tbl.read().count() == 50
+
+
+def test_update_mor_compaction_materializes(spark, tmp_path):
+    tbl = _mk(spark, tmp_path)
+    tbl.create(_df(spark, range(12), "a").repartition(3))
+    tbl.update_mor("id % 3 = 0", {"payload": "'u-' || CAST(id AS STRING)"})
+    assert len(tbl._snapshot().dvs) > 0
+    tbl.compact(target_file_bytes=1 << 30)
+    # rewrite cleared the vectors; values survive
+    assert tbl._snapshot().dvs == {}
+    got = _payloads(tbl)
+    assert got[3] == "u-3" and got[4] == "a-4" and len(got) == 12
