@@ -1269,3 +1269,51 @@ def update_mor_read(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("p_size").alias("sum_size"),
         F.sum("p_partkey").alias("sum_key"),
     )
+
+
+@register(
+    "table_cdf_read",
+    oracle="""
+    SELECT p_partkey, 'changed' AS status,
+           CAST(p_size AS BIGINT) AS old_p_size,
+           CAST(p_size + 100 AS BIGINT) AS new_p_size
+    FROM part WHERE p_size % 5 = 0 AND p_brand LIKE 'Brand#2%'
+    UNION ALL
+    SELECT p_partkey, 'removed',
+           CAST(p_size AS BIGINT), CAST(NULL AS BIGINT)
+    FROM part WHERE p_size % 7 = 0 AND p_brand LIKE 'Brand#4%'
+    """,
+)
+def table_cdf_read(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Change data feed across a mixed MoR history
+    (``sources/table_format.py:changes``): the part table is
+    committed (v0), a sliver is UPDATEd merge-on-read (v1 — deletion
+    vector + appended copies, no file rewritten), a disjoint sliver is
+    DELETEd merge-on-read (v2 — metadata-only), and ``changes(0, 2)``
+    must report exactly the changed rows with old/new values and the
+    removed rows with NULL new values — one full-outer hash join of
+    the two pinned snapshots, unchanged rows filtered executor-side.
+    The oracle recomputes the expected feed straight from the source
+    parquet (the two predicates target disjoint brands, so the
+    expected CDF is a closed-form CASE-free union). Downstream this
+    feed is what drives the incremental materialized views
+    (`matview_incremental`) — here the feed itself is value-proven."""
+    import tempfile
+
+    from pandas_rust_algos_spark.sources.table_format import VersionedTable
+
+    tune(spark)
+    part = load_table(spark, sf_dir, "part").select(
+        "p_partkey", "p_brand", "p_size")
+    path = tempfile.mkdtemp(prefix="cdf_gate_")
+    tbl = VersionedTable(spark, path, key_cols=["p_partkey"])
+    tbl.create(part.repartition(4))
+    tbl.update_mor("p_size % 5 = 0 AND p_brand LIKE 'Brand#2%'",
+                   {"p_size": "p_size + 100"})
+    tbl.delete_mor("p_size % 7 = 0 AND p_brand LIKE 'Brand#4%'")
+    feed = tbl.changes(0, 2)
+    return feed.select(
+        "p_partkey", "status",
+        F.col("old_p_size").cast("long").alias("old_p_size"),
+        F.col("new_p_size").cast("long").alias("new_p_size"),
+    )

@@ -96,6 +96,7 @@ _GATE_PRIORITY: tuple[str, ...] = (
     "jpeg_media_features",
     "bucketed_join_revenue",
     "update_mor_read",
+    "table_cdf_read",
     # (c) modules changed in round 5 -> driver re-verification
     "bloom_join_revenue",
     "simhash_fingerprints_portable",
