@@ -23,6 +23,9 @@ names the payload codec, and decode is genuinely implemented for:
   upsampling, YCbCr→RGB, restart markers) AND lossless predictive
   (SOF3, bit-exact round trip); encoders for both flavors included;
 - ``audio/pcm_s16le`` — raw 16-bit little-endian PCM → int16 samples;
+- ``audio/mulaw``  — G.711 μ-law companding codec (telephony): 8-bit
+  codes expanded by the standard's closed-form segment/mantissa
+  integer formula → int16 samples; encoder included;
 - ``audio/wav``   — RIFF/WAVE container walk (chunk list, padding) →
   the PCM-16 samples inside; compressed WAV variants raise;
 - ``video/ppm-seq``   — concatenated P6 frames → list of frames, with
@@ -87,9 +90,11 @@ __all__ = [
     "encode_gif",
     "encode_png",
     "encode_ppm",
+    "encode_mulaw",
     "encode_pcm_s16le",
     "encode_ppm_seq",
     "encode_wav",
+    "audio_media_from_vecs",
     "image_media_from_vecs",
     "extract_features",
     "extract_features_arrow",
@@ -543,6 +548,34 @@ def encode_pcm_s16le(samples: np.ndarray) -> bytes:
     return np.asarray(samples, dtype="<i2").tobytes()
 
 
+def encode_mulaw(samples: np.ndarray) -> bytes:
+    """int16 PCM → G.711 μ-law codes (ITU-T G.711, the telephony
+    companding codec): clip to ±32635, bias by 132, segment exponent =
+    position of the leading bit, 4-bit mantissa, one's-complemented on
+    the wire. 2:1 compression with ~SNR-flat quantization. Carries the
+    standard's two-zeros quirk: −0 (code 0x7F) and +0 (0xFF) decode
+    identically; every other code round-trips encode(decode(c)) == c."""
+    x = np.clip(np.asarray(samples, dtype=np.int64), -32635, 32635)
+    sign = np.where(x < 0, 0x80, 0)
+    mag = np.abs(x) + 132
+    exp = (np.floor(np.log2(mag)) - 7).clip(0, 7).astype(np.int64)
+    mant = (mag >> (exp + 3)) & 0x0F
+    return ((~(sign | (exp << 4) | mant)) & 0xFF).astype(np.uint8).tobytes()
+
+
+def _decode_mulaw(payload: bytes) -> np.ndarray:
+    """G.711 μ-law codes → int16 PCM: complement, split segment
+    exponent / mantissa, expand ``((mant·8+132) << exp) − 132``, apply
+    sign. Pure integer arithmetic — the same closed form a SQL oracle
+    can evaluate per element (which is what makes the gate
+    hash-checkable)."""
+    u = (~np.frombuffer(payload, dtype=np.uint8).astype(np.int64)) & 0xFF
+    exp = (u >> 4) & 0x07
+    mant = u & 0x0F
+    mag = (((mant << 3) + 132) << exp) - 132
+    return np.where(u & 0x80, -mag, mag).astype(np.int16)
+
+
 def encode_wav(samples: np.ndarray, *, sample_rate: int = 16_000,
                channels: int = 1) -> bytes:
     """int16 samples → RIFF/WAVE container (PCM format 1, 16-bit LE) —
@@ -635,6 +668,8 @@ def decode_payload(payload: bytes, modality: str):
         return np.frombuffer(payload, dtype="<i2")
     if modality == "audio/wav":
         return _decode_wav(payload)
+    if modality == "audio/mulaw":
+        return _decode_mulaw(payload)
     if modality == "video/ppm-seq":
         frames, pos = [], 0
         while pos < len(payload):
@@ -683,7 +718,7 @@ def _featurize(payload: bytes, modality: str):
         return (float(h), float(w),
                 float(int(content.sum(dtype=np.int64)) / (h * w * c)),
                 float(c), digest)
-    if modality in ("audio/pcm_s16le", "audio/wav"):
+    if modality in ("audio/pcm_s16le", "audio/wav", "audio/mulaw"):
         n = len(content)
         if n == 0:
             return (0.0, None, None, None, None)
@@ -808,6 +843,46 @@ def image_media_from_vecs(
     return packed.select(
         "media_id",
         F.lit(f"image/{codec}").alias("modality"),
+        "payload",
+        F.length("payload").cast("long").alias("n_bytes"),
+        F.md5("payload").alias("content_md5"),
+    )
+
+
+def audio_media_from_vecs(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    *,
+    n_samples: int = 48,
+) -> DataFrame:
+    """Deterministically quantize a float-vector column into G.711
+    μ-law CODE bytes (``floor(clip(x,-1,1)*127)+128`` per element, the
+    same quantization as :func:`image_media_from_vecs`) — the
+    synthetic ingestion path that lets the embeddings fixture exercise
+    the companding decode end-to-end. The decode expansion is a pure
+    integer closed form, so the downstream features are exactly
+    recomputable by a SQL oracle straight from the source vectors."""
+    n = n_samples
+
+    @F.pandas_udf("binary")
+    def _enc(vs: pd.Series) -> pd.Series:
+        def one(v):
+            a = np.asarray(v[:n], dtype=np.float64)
+            if len(a) < n:
+                raise ValueError(
+                    f"vector has {len(a)} dims, need {n}")
+            return (np.floor(np.clip(a, -1.0, 1.0) * 127.0)
+                    .astype(np.int64) + 128).astype(np.uint8).tobytes()
+        return vs.map(one)
+
+    packed = df.select(
+        F.col(id_col).cast("long").alias("media_id"),
+        _enc(F.col(vec_col)).alias("payload"),
+    )
+    return packed.select(
+        "media_id",
+        F.lit("audio/mulaw").alias("modality"),
         "payload",
         F.length("payload").cast("long").alias("n_bytes"),
         F.md5("payload").alias("content_md5"),

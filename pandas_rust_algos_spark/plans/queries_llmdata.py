@@ -686,6 +686,53 @@ def jpeg_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
         "media_id", "modality", "f0", "f1", "f2", "f3", "check_md5")
 
 
+@register(
+    "mulaw_media_features",
+    oracle="""
+    WITH s AS (
+      SELECT vec_id,
+             list_transform(embedding[1:48],
+               x -> CAST(FLOOR(LEAST(GREATEST(CAST(x AS DOUBLE), -1.0),
+                                     1.0) * 127.0) AS BIGINT) + 128) AS p
+      FROM embeddings
+    ), d AS (
+      SELECT vec_id,
+             list_transform(p, c -> CASE WHEN (255 - c) >= 128
+               THEN -(((((255 - c) % 16) * 8 + 132)
+                       * (1 << (((255 - c) // 16) & 7))) - 132)
+               ELSE (((((255 - c) % 16) * 8 + 132)
+                      * (1 << (((255 - c) // 16) & 7))) - 132)
+               END) AS smp
+      FROM s
+    )
+    SELECT vec_id AS media_id, 'audio/mulaw' AS modality,
+           CAST(48 AS DOUBLE) AS f0,
+           CAST(list_aggregate(list_transform(smp, v -> ABS(v)), 'sum')
+                AS DOUBLE) / 48 AS f1,
+           CAST(list_aggregate(smp, 'min') AS DOUBLE) AS f2,
+           CAST(list_aggregate(smp, 'max') AS DOUBLE) AS f3,
+           CAST(NULL AS VARCHAR) AS check_md5
+    FROM d
+    """,
+)
+def mulaw_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audio companding codec, hash-checked end-to-end: embeddings are
+    quantized to G.711 μ-law CODE bytes
+    (``multimodal.audio_media_from_vecs``), decoded back to int16 PCM
+    through the Arrow-batched feature path (``_decode_mulaw`` — the
+    telephony standard's segment/mantissa integer expansion), and
+    featurized (n, mean |sample|, min, max). The decode is a pure
+    integer closed form, so the oracle evaluates the SAME expansion
+    per element straight from the source vectors — a hash match proves
+    the companding decode value-exactly, the same proof shape as the
+    PNG/GIF/JPEG pixel gates."""
+    tune(spark)
+    e = spread(load_table(spark, sf_dir, "embeddings"), cap=8)
+    media = mm.audio_media_from_vecs(e, "vec_id", "embedding", n_samples=48)
+    return mm.extract_features(media).select(
+        "media_id", "modality", "f0", "f1", "f2", "f3", "check_md5")
+
+
 # ------------------------------------------------- split / chunk (datasplit)
 
 

@@ -97,6 +97,7 @@ _GATE_PRIORITY: tuple[str, ...] = (
     "bucketed_join_revenue",
     "update_mor_read",
     "table_cdf_read",
+    "mulaw_media_features",
     # (c) modules changed in round 5 -> driver re-verification
     "bloom_join_revenue",
     "simhash_fingerprints_portable",

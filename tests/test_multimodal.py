@@ -92,9 +92,14 @@ def test_strict_decoder_raises(spark, sf_dir):
     """Compressed media codecs raise until decoder libs exist — the
     failure travels through the executor path."""
     d = load_table(spark, sf_dir, "documents").limit(5)
-    media = mm.as_media(d, "doc_id", "text", "image/jpeg")
+    media = mm.as_media(d, "doc_id", "text", "audio/mp3")
     with pytest.raises(Exception, match="NotImplementedError|decoder libraries"):
         mm.extract_features(media).collect()
+    # image/jpeg is now REALLY decoded — garbage bytes must fail the
+    # parse loudly, not fall through to the not-implemented branch
+    jm = mm.as_media(d, "doc_id", "text", "image/jpeg")
+    with pytest.raises(Exception, match="not a JPEG payload"):
+        mm.extract_features(jm).collect()
 
 
 # --------------------------------------- uncompressed codecs (round 3)
@@ -591,3 +596,47 @@ def test_jpeg_features_match_bmp(spark):
     assert (a["f0"], a["f1"], a["f2"], a["f3"]) == \
         (b["f0"], b["f1"], b["f2"], b["f3"])
     assert a["check_md5"] == b["check_md5"] is not None
+
+
+# ---------------------------------------------------------------- μ-law
+
+
+def test_mulaw_code_space_roundtrip():
+    """encode(decode(c)) == c for every code except the standard's
+    −0 (0x7F), which re-encodes as +0 (0xFF) — both decode to 0."""
+    codes = np.arange(256, dtype=np.uint8).tobytes()
+    dec = mm.decode_payload(codes, "audio/mulaw")
+    re = np.frombuffer(mm.encode_mulaw(dec), dtype=np.uint8)
+    orig = np.frombuffer(codes, dtype=np.uint8)
+    (diff,) = np.where(re != orig)
+    assert list(diff) == [0x7F] and re[0x7F] == 0xFF
+    assert dec[0x7F] == 0 and dec[0xFF] == 0
+    assert dec.min() == -32124 and dec.max() == 32124
+
+
+def test_mulaw_quantization_error_bounded():
+    """Companding is log-quantized: relative error ≤ 1/16 for large
+    samples, absolute error ≤ 4 near zero."""
+    rng = np.random.default_rng(3)
+    x = rng.integers(-32000, 32000, 5000).astype(np.int16)
+    back = mm.decode_payload(mm.encode_mulaw(x), "audio/mulaw")
+    err = np.abs(back.astype(np.int64) - x.astype(np.int64))
+    rel = err / np.maximum(np.abs(x.astype(np.int64)), 132)
+    assert rel.max() <= 1 / 16 + 1e-9
+    small = np.arange(-30, 31, dtype=np.int16)
+    backs = mm.decode_payload(mm.encode_mulaw(small), "audio/mulaw")
+    assert np.abs(backs.astype(int) - small.astype(int)).max() <= 4
+
+
+def test_mulaw_features_through_arrow_path(spark):
+    codes = np.array([0, 63, 127, 128, 200, 255], dtype=np.uint8)
+    payload = bytearray(codes.tobytes())
+    media = spark.createDataFrame(
+        [(1, "audio/mulaw", payload, len(payload),
+          hashlib.md5(bytes(payload)).hexdigest())],
+        schema=mm.MEDIA_SCHEMA)
+    feat = mm.extract_features(media).collect()[0]
+    dec = mm.decode_payload(bytes(payload), "audio/mulaw").astype(np.int64)
+    assert feat["f0"] == 6.0
+    assert feat["f1"] == pytest.approx(np.abs(dec).sum() / 6, abs=0)
+    assert (feat["f2"], feat["f3"]) == (float(dec.min()), float(dec.max()))
