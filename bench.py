@@ -82,6 +82,12 @@ HEADLINE = [
     "skew_join_salted",
     "regr_aggregates",
     "jpeg_media_features",
+    # round 5b: lakehouse MoR update + CDF, bucketed co-located join,
+    # G.711 mu-law codec path
+    "mulaw_media_features",
+    "bucketed_join_revenue",
+    "update_mor_read",
+    "table_cdf_read",
 ]
 
 

@@ -16,6 +16,8 @@ else relies on AQE.
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import DataFrame, SparkSession
 
 __all__ = ["write_bucketed", "read_bucketed"]
@@ -31,7 +33,29 @@ def write_bucketed(
 ) -> None:
     """Persist ``df`` as a bucketed (and optionally sort-within-bucket)
     managed table. Sorting by the bucket key additionally removes the
-    per-task Sort from later SortMergeJoins."""
+    per-task Sort from later SortMergeJoins.
+
+    Idempotent across SESSIONS, not just catalogs: with an in-memory
+    metastore, a managed table's files can outlive the catalog entry,
+    and ``mode("overwrite")`` then fails with LOCATION_ALREADY_EXISTS
+    because there is no table to drop. Orphaned locations under the
+    session's warehouse dir are removed first."""
+    spark = df.sparkSession
+    spark.sql(f"DROP TABLE IF EXISTS {table}")
+    try:
+        warehouse = spark.conf.get("spark.sql.warehouse.dir")
+    except Exception:
+        warehouse = None
+    if warehouse:
+        import shutil
+        from urllib.parse import unquote, urlparse
+
+        loc = urlparse(warehouse)
+        root = unquote(loc.path) if loc.scheme in ("", "file") else None
+        if root:
+            orphan = os.path.join(root, table.lower())
+            if os.path.exists(orphan):
+                shutil.rmtree(orphan, ignore_errors=True)
     w = df.write.mode("overwrite").bucketBy(num_buckets, bucket_col)
     if sort:
         w = w.sortBy(bucket_col)
