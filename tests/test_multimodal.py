@@ -640,3 +640,32 @@ def test_mulaw_features_through_arrow_path(spark):
     assert feat["f0"] == 6.0
     assert feat["f1"] == pytest.approx(np.abs(dec).sum() / 6, abs=0)
     assert (feat["f2"], feat["f3"]) == (float(dec.min()), float(dec.max()))
+
+
+def test_jpeg_lossless_property_roundtrip():
+    """Property: ANY uint8 image round-trips SOF3 bit-exactly, any
+    shape, channels, predictor (derandomized like the other hypothesis
+    suites; HYPOTHESIS_EXPLORE=1 searches fresh inputs)."""
+    import os as _os
+
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from pandas_rust_algos_spark.operators import jpeg as J
+
+    @settings(max_examples=12, deadline=None,
+              derandomize=_os.environ.get("HYPOTHESIS_EXPLORE", "") != "1")
+    @given(
+        h=st.integers(1, 12), w=st.integers(1, 12),
+        nc=st.sampled_from([1, 3, 4]),
+        predictor=st.integers(1, 7),
+        seed=st.integers(0, 2**31 - 1),
+    )
+    def check(h, w, nc, predictor, seed):
+        rng = np.random.default_rng(seed)
+        shape = (h, w) if nc == 1 else (h, w, nc)
+        img = rng.integers(0, 256, size=shape, dtype=np.uint8)
+        out = J.decode_jpeg(J.encode_jpeg_lossless(img, predictor=predictor))
+        np.testing.assert_array_equal(out, img)
+
+    check()
