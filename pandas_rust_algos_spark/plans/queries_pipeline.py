@@ -1317,3 +1317,147 @@ def table_cdf_read(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("old_p_size").cast("long").alias("old_p_size"),
         F.col("new_p_size").cast("long").alias("new_p_size"),
     )
+
+
+@register(
+    "merge_upsert_read",
+    oracle=f"""
+    WITH base AS (
+      SELECT o_orderkey, MONTH(o_orderdate) AS m, o_totalprice FROM orders
+    ),
+    tgt AS (SELECT * FROM base WHERE o_orderkey % 3 <> 0),
+    ins AS (SELECT * FROM base
+            WHERE o_orderkey % 3 = 0 AND o_orderkey % 2 = 0),
+    upd AS (SELECT o_orderkey, m, o_totalprice + 1000 AS o_totalprice
+            FROM base WHERE o_orderkey % 3 = 1 AND o_orderkey % 5 = 0),
+    del AS (SELECT o_orderkey FROM base
+            WHERE o_orderkey % 3 = 2 AND o_orderkey % 5 = 0),
+    bkeys AS (
+      SELECT o_orderkey FROM ins
+      UNION ALL SELECT o_orderkey FROM upd
+      UNION ALL SELECT o_orderkey FROM del
+    ),
+    final AS (
+      SELECT * FROM tgt
+      WHERE o_orderkey NOT IN (SELECT o_orderkey FROM bkeys)
+      UNION ALL SELECT * FROM ins
+      UNION ALL SELECT * FROM upd
+    )
+    SELECT CAST(m AS BIGINT) AS m,
+           COUNT(*) AS n_rows,
+           {dsum("o_totalprice")} AS sum_price,
+           CAST(SUM(o_orderkey) AS BIGINT) AS sum_key
+    FROM final GROUP BY m
+    """,
+)
+def merge_upsert_read(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Partition-pruned MERGE INTO over plain parquet
+    (``sources/merge.py:merge_into_partitioned``), result-proven: a
+    month-partitioned orders table is bootstrapped from a key subset,
+    then ONE batch inserts new keys, updates existing prices, and
+    tombstone-deletes others (boolean delete_col); only the partitions
+    present in the batch are read or rewritten (mtime-pruning of
+    untouched partitions is pinned in tests/test_sinks.py — here the
+    RESULT is pinned). The oracle computes the declarative final state
+    (target − batch keys ∪ inserts ∪ updates) straight from the source
+    parquet; sum_key makes the hash sensitive to exact row membership,
+    so a lost delete, doubled upsert, or dropped untouched partition
+    cannot pass."""
+    import tempfile
+
+    from pandas_rust_algos_spark.sources.merge import merge_into_partitioned
+
+    tune(spark)
+    base = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        F.month("o_orderdate").alias("m"),
+        "o_totalprice",
+    )
+    path = tempfile.mkdtemp(prefix="merge_gate_") + "/tbl"
+    k = F.col("o_orderkey")
+    merge_into_partitioned(
+        spark, path, base.where(k % 3 != 0),
+        key_cols=["o_orderkey"], partition_col="m")
+    batch = (
+        base.where((k % 3 == 0) & (k % 2 == 0))
+        .withColumn("__del", F.lit(False))
+        .unionByName(
+            base.where((k % 3 == 1) & (k % 5 == 0))
+            .withColumn("o_totalprice", F.col("o_totalprice") + 1000)
+            .withColumn("__del", F.lit(False)))
+        .unionByName(
+            base.where((k % 3 == 2) & (k % 5 == 0))
+            .withColumn("__del", F.lit(True)))
+    )
+    merge_into_partitioned(
+        spark, path, batch,
+        key_cols=["o_orderkey"], partition_col="m", delete_col="__del")
+    from pandas_rust_algos_spark.functions import fixed_sum
+
+    final = spark.read.parquet(path)
+    return final.groupBy(F.col("m").cast("long").alias("m")).agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        fixed_sum(F.col("o_totalprice")).alias("sum_price"),
+        F.sum("o_orderkey").alias("sum_key"),
+    )
+
+
+@register(
+    "formats_roundtrip",
+    oracle=f"""
+    WITH agg AS (
+      SELECT l_returnflag,
+             COUNT(*) AS n_items,
+             {dsum("l_extendedprice")} AS sum_price,
+             CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty
+      FROM lineitem GROUP BY l_returnflag
+    )
+    SELECT 'csv' AS fmt, * FROM agg
+    UNION ALL SELECT 'json', * FROM agg
+    UNION ALL SELECT 'orc', * FROM agg
+    """,
+)
+def formats_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Generic source/sink formats, result-proven end-to-end
+    (``sources/formats.py``): a lineitem projection is written to CSV,
+    JSON, and ORC sinks and read back through ``read_source`` with the
+    explicit-schema contract (no inference scan), then aggregated per
+    format. Every format's aggregate must hash-match the same numbers
+    computed from the original parquet — proving the text round trips
+    preserve doubles exactly (Java shortest-repr) and the columnar ORC
+    path preserves types. The land-and-convert recipe itself
+    (``convert_to_parquet``) and pushdown assertions live in
+    tests/test_formats.py; this gate pins the driver-visible face."""
+    import tempfile
+
+    from pandas_rust_algos_spark.sources.formats import (
+        read_source,
+        write_sink,
+    )
+
+    tune(spark)
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_returnflag", "l_quantity", "l_extendedprice")
+    schema = ("l_orderkey bigint, l_returnflag string, "
+              "l_quantity double, l_extendedprice double")
+    root = tempfile.mkdtemp(prefix="formats_gate_")
+    from pandas_rust_algos_spark.functions import fixed_sum
+
+    outs = []
+    for fmt in ("csv", "json", "orc"):
+        path = f"{root}/{fmt}"
+        write_sink(li, path, fmt, mode="overwrite")
+        back = read_source(
+            spark, path, fmt,
+            schema=None if fmt == "orc" else schema)
+        outs.append(
+            back.groupBy("l_returnflag").agg(
+                F.count(F.lit(1)).alias("n_items"),
+                fixed_sum(F.col("l_extendedprice")).alias("sum_price"),
+                F.sum(F.col("l_quantity").cast("long")).alias("sum_qty"),
+            ).select(F.lit(fmt).alias("fmt"), "*")
+        )
+    out = outs[0]
+    for o in outs[1:]:
+        out = out.unionByName(o)
+    return out

@@ -98,6 +98,8 @@ _GATE_PRIORITY: tuple[str, ...] = (
     "update_mor_read",
     "table_cdf_read",
     "mulaw_media_features",
+    "merge_upsert_read",
+    "formats_roundtrip",
     # (c) modules changed in round 5 -> driver re-verification
     "bloom_join_revenue",
     "simhash_fingerprints_portable",
