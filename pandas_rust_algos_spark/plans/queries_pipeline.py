@@ -1461,3 +1461,51 @@ def formats_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     for o in outs[1:]:
         out = out.unionByName(o)
     return out
+
+
+def _zorder_oracle() -> str:
+    """DuckDB twin of ``layout.zorder_column`` over (l_quantity,
+    l_extendedprice), bits=8, fixed ranges — the same bucket expression
+    tree, then the same column-major bit interleave, generated
+    term-by-term so both engines compute identical longs."""
+    def bucket(col, mn, span):
+        return (f"COALESCE(LEAST(GREATEST(CAST(FLOOR((CAST({col} AS DOUBLE)"
+                f" - CAST({mn} AS DOUBLE)) * CAST(255.0 AS DOUBLE)"
+                f" / CAST({span} AS DOUBLE)) AS BIGINT), 0), 255), 0)")
+    b0 = bucket("l_quantity", "1.0", "49.0")
+    b1 = bucket("l_extendedprice", "900.0", "104100.0")
+    terms = []
+    for ci, b in ((0, b0), (1, b1)):
+        for k in range(8):
+            terms.append(f"((({b} >> {k}) & 1) << {k * 2 + ci})")
+    z = " + ".join(terms)
+    return f"""
+    SELECT l_orderkey, l_linenumber, CAST({z} AS BIGINT) AS z
+    FROM lineitem
+    """
+
+
+@register("zorder_codes", oracle=_zorder_oracle())
+def zorder_codes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z-order (Morton) codes value-proven per row: the interleaved
+    long that ``sources/layout.py:zorder_column`` computes over
+    (quantity, price) with pinned domain ranges must hash-match a
+    DuckDB replay of the same bucket + bit-interleave algebra — pure
+    shift/mask/add codegen arithmetic on both engines, no UDF. The
+    file-skipping EFFECT of writing sorted by this code (footer-stat
+    pruning on BOTH dimensions) is proven separately in
+    tests/test_layout.py; this gate pins the code itself, which is
+    what OPTIMIZE ZORDER correctness rests on."""
+    from pandas_rust_algos_spark.sources.layout import zorder_column
+
+    tune(spark)
+    li = load_table(spark, sf_dir, "lineitem")
+    z = zorder_column(
+        li, ["l_quantity", "l_extendedprice"], bits=8,
+        ranges={"l_quantity": (1.0, 50.0),
+                "l_extendedprice": (900.0, 105000.0)})
+    return li.select(
+        "l_orderkey",
+        F.col("l_linenumber").cast("long").alias("l_linenumber"),
+        z.alias("z"),
+    )

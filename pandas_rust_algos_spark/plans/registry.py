@@ -100,6 +100,7 @@ _GATE_PRIORITY: tuple[str, ...] = (
     "mulaw_media_features",
     "merge_upsert_read",
     "formats_roundtrip",
+    "zorder_codes",
     # (c) modules changed in round 5 -> driver re-verification
     "bloom_join_revenue",
     "simhash_fingerprints_portable",
