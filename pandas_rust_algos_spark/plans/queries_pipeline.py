@@ -1509,3 +1509,68 @@ def zorder_codes(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("l_linenumber").cast("long").alias("l_linenumber"),
         z.alias("z"),
     )
+
+
+@register(
+    "schema_evolution_read",
+    oracle="""
+    WITH a AS (SELECT c_custkey FROM customer WHERE c_custkey % 4 < 2),
+    b AS (SELECT c_custkey, c_custkey % 2 AS c_flag
+          FROM customer WHERE c_custkey % 4 >= 2)
+    SELECT 'v0' AS snap,
+           (SELECT COUNT(*) FROM a) AS n_rows,
+           CAST((SELECT SUM(c_custkey) FROM a) AS BIGINT) AS sum_key,
+           CAST(NULL AS BIGINT) AS sum_flag,
+           CAST(NULL AS BIGINT) AS n_null_flag
+    UNION ALL
+    SELECT 'latest',
+           (SELECT COUNT(*) FROM a) + (SELECT COUNT(*) FROM b),
+           CAST((SELECT SUM(c_custkey) FROM a)
+                + (SELECT SUM(c_custkey) FROM b) AS BIGINT),
+           CAST((SELECT SUM(c_flag) FROM b) AS BIGINT),
+           (SELECT COUNT(*) FROM a)
+    """,
+)
+def schema_evolution_read(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Schema evolution + time travel, result-proven
+    (``sources/table_format.py:append(merge_schema=True)``): half the
+    customers are committed (v0, two columns), the other half appended
+    WITH a new column (v1 — the committed schema widens; old files are
+    never rewritten), and both eras are read back: the v0 time-travel
+    read must see the era-correct two-column schema, while the latest
+    read sees three columns with NULL flags for pre-evolution rows
+    (explicit-schema scan over mixed file generations). The oracle
+    computes both snapshots' aggregates closed-form from the source
+    parquet; n_null_flag pins exactly which rows lack the evolved
+    column, so a rewrite that dropped it — or backfilled it — cannot
+    pass."""
+    import tempfile
+
+    from pandas_rust_algos_spark.sources.table_format import VersionedTable
+
+    tune(spark)
+    cust = load_table(spark, sf_dir, "customer").select("c_custkey")
+    k = F.col("c_custkey")
+    path = tempfile.mkdtemp(prefix="evo_gate_")
+    tbl = VersionedTable(spark, path, key_cols=["c_custkey"])
+    tbl.create(cust.where(k % 4 < 2))
+    tbl.append(
+        cust.where(k % 4 >= 2).withColumn("c_flag", (k % 2)),
+        merge_schema=True)
+    v0 = tbl.read(version=0)
+    assert v0.columns == ["c_custkey"], v0.columns
+    latest = tbl.read()
+    null_long = F.lit(None).cast("long")
+    out_v0 = v0.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum("c_custkey").alias("sum_key"),
+    ).select(F.lit("v0").alias("snap"), "n_rows", "sum_key",
+             null_long.alias("sum_flag"), null_long.alias("n_null_flag"))
+    out_latest = latest.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum("c_custkey").alias("sum_key"),
+        F.sum("c_flag").alias("sum_flag"),
+        F.count_if(F.col("c_flag").isNull()).alias("n_null_flag"),
+    ).select(F.lit("latest").alias("snap"), "n_rows", "sum_key",
+             "sum_flag", "n_null_flag")
+    return out_v0.unionByName(out_latest)

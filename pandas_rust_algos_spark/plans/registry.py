@@ -101,6 +101,7 @@ _GATE_PRIORITY: tuple[str, ...] = (
     "merge_upsert_read",
     "formats_roundtrip",
     "zorder_codes",
+    "schema_evolution_read",
     # (c) modules changed in round 5 -> driver re-verification
     "bloom_join_revenue",
     "simhash_fingerprints_portable",
