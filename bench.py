@@ -88,6 +88,11 @@ HEADLINE = [
     "bucketed_join_revenue",
     "update_mor_read",
     "table_cdf_read",
+    # round 5c: MERGE INTO, format sinks, Z-order codes, schema evolution
+    "merge_upsert_read",
+    "formats_roundtrip",
+    "zorder_codes",
+    "schema_evolution_read",
 ]
 
 
