@@ -793,3 +793,24 @@ def bm25_topk_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     surface exists (SURVEY §2.3) — driver-brief text-analysis
     extension."""
     return ti.bm25_topk(_docs(spark, sf_dir), _BM25_TERMS, k=10)
+
+
+@register(
+    "bpe_learn_merges",
+    oracle=__import__(
+        "pandas_rust_algos_spark.operators.bpe", fromlist=["sql_bpe_merges"]
+    ).sql_bpe_merges(4),
+)
+def bpe_learn_merges_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE tokenizer TRAINING, value-proven end-to-end
+    (``operators/bpe.py``): the first 4 merge rules learned over the
+    corpus — weighted pair counts over the vocabulary, deterministic
+    tie-break, leftmost-non-overlapping merges via wrapped-symbol
+    string replace — must hash-match a DuckDB replay of the identical
+    algorithm (chained CTEs, same encoding, same replace semantics).
+    The corpus is scanned ONCE (word counts); every merge step is
+    vocabulary-sized with a broadcast 1-row winning pair and zero
+    driver collects."""
+    from pandas_rust_algos_spark.operators.bpe import bpe_learn_merges
+
+    return bpe_learn_merges(_docs(spark, sf_dir), n_merges=4)

@@ -102,6 +102,7 @@ _GATE_PRIORITY: tuple[str, ...] = (
     "formats_roundtrip",
     "zorder_codes",
     "schema_evolution_read",
+    "bpe_learn_merges",
     # (c) modules changed in round 5 -> driver re-verification
     "bloom_join_revenue",
     "simhash_fingerprints_portable",

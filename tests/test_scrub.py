@@ -197,3 +197,50 @@ def test_keep_canonical_one_rep_per_cluster(spark):
         r["doc_id"] for r in dd.keep_canonical(docs, clusters).collect()
     )
     assert kept == [1, 4]
+
+
+# ----------------------------------------------------------------- BPE
+
+
+def test_bpe_merges_match_reference_trainer(spark):
+    """The distributed BPE trainer learns the same merge sequence as
+    an independent plain-Python reference implementation (Sennrich et
+    al.'s algorithm: weighted pair counts over the vocab, most
+    frequent pair wins, leftmost-non-overlapping merge)."""
+    from collections import Counter
+
+    from pandas_rust_algos_spark.operators.bpe import bpe_learn_merges
+
+    corpus = ["low low low lower lower newest newest newest",
+              "newest newest newest wider wider wider new new"]
+    docs = spark.createDataFrame([(t,) for t in corpus], "text string")
+
+    # independent reference
+    vocab = Counter(" ".join(corpus).split())
+    symbols = {w: list(w) for w in vocab}
+    expected = []
+    for _ in range(5):
+        pairs = Counter()
+        for w, n in vocab.items():
+            seq = symbols[w]
+            for i in range(len(seq) - 1):
+                pairs[(seq[i], seq[i + 1])] += n
+        (a, b), cnt = min(pairs.items(), key=lambda kv: (-kv[1], kv[0]))
+        expected.append((a, b, cnt))
+        for w in symbols:
+            seq, out, i = symbols[w], [], 0
+            while i < len(seq):
+                if i + 1 < len(seq) and seq[i] == a and seq[i + 1] == b:
+                    out.append(a + b)
+                    i += 2
+                else:
+                    out.append(seq[i])
+                    i += 1
+            symbols[w] = out
+
+    got = sorted(bpe_learn_merges(docs, n_merges=5).collect(),
+                 key=lambda r: r["step"])
+    assert [(r["merge_left"], r["merge_right"], r["pair_count"])
+            for r in got] == expected
+    with pytest.raises(ValueError):
+        bpe_learn_merges(docs, n_merges=0)
