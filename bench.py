@@ -93,6 +93,7 @@ HEADLINE = [
     "formats_roundtrip",
     "zorder_codes",
     "schema_evolution_read",
+    "bpe_learn_merges",
 ]
 
 
