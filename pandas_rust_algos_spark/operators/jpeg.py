@@ -176,6 +176,12 @@ class _BitWriter:
             self.write((1 << pad) - 1, pad)
         return bytes(self.out)
 
+    def restart(self, n: int) -> None:
+        """Byte-align and emit the RSTn marker (T.81 F.1.2.3: restart
+        markers stand between byte-aligned entropy segments)."""
+        self.flush()
+        self.out += bytes([0xFF, 0xD0 + (n & 7)])
+
 
 class _BitReader:
     """MSB-first bit reader over entropy-coded data: un-stuffs 0xFF00,
@@ -418,7 +424,8 @@ def _ycbcr_to_rgb(y, cb, cr) -> np.ndarray:
 
 
 def encode_jpeg_baseline(arr: np.ndarray, *, quality: int = 90,
-                         subsampling: str = "444") -> bytes:
+                         subsampling: str = "444",
+                         restart_interval: int = 0) -> bytes:
     """8-bit grayscale (HxW) or RGB (HxWx3) → baseline sequential JPEG
     (T.81 process 0, SOF0): JFIF color transform, 4:4:4 or 4:2:0
     chroma sampling, quality-scaled Annex K quantization, standard
@@ -478,6 +485,9 @@ def encode_jpeg_baseline(arr: np.ndarray, *, quality: int = 90,
     wtr = _BitWriter()
     pred = [0] * len(planes)
     for m in range(mcux * mcuy):
+        if restart_interval and m and m % restart_interval == 0:
+            wtr.restart((m // restart_interval - 1) & 7)
+            pred = [0] * len(planes)
         my, mx = divmod(m, mcux)
         for ci, zz in enumerate(comp_zz):
             sh, sv = samp[ci]
@@ -528,9 +538,12 @@ def encode_jpeg_baseline(arr: np.ndarray, *, quality: int = 90,
     huff = _dht(0, 0, HUFF_DC_LUM) + _dht(1, 0, HUFF_AC_LUM)
     if nc == 3:
         huff += _dht(0, 1, HUFF_DC_CHROM) + _dht(1, 1, HUFF_AC_CHROM)
+    dri = (_marker(0xDD, struct.pack(">H", restart_interval))
+           if restart_interval else b"")
     return (
         b"\xFF\xD8"
         + _marker(0xE0, b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00")
+        + dri
         + dqt
         + _marker(0xC0, struct.pack(">BHHB", 8, h, w, nc) + comp_spec)
         + huff
@@ -644,15 +657,17 @@ def _decode_lossless_scan(buf, pos, frame, sel, huff_dc, predictor,
     if any(c["h"] != 1 or c["v"] != 1 for c in comps):
         raise NotImplementedError(
             "lossless JPEG with subsampling not supported")
+    if restart_interval:
+        # a restart resets the PREDICTION state as at start-of-scan
+        # (T.81 H.2.3), not just the bit alignment; our encoder never
+        # emits DRI for lossless, so refuse rather than mis-predict
+        raise NotImplementedError(
+            "lossless JPEG with restart intervals not supported")
     tables = [huff_dc[sel[c["id"]][0]] for c in comps]
     rdr = _BitReader(buf, pos)
     planes = np.zeros((h, w, nc), dtype=np.int64)
-    count = 0
     for y in range(h):
         for x in range(w):
-            if restart_interval and count and count % restart_interval == 0:
-                rdr.restart()
-            count += 1
             for c in range(nc):
                 ssss = _decode_huff(rdr, tables[c])
                 if ssss == 16:

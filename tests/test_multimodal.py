@@ -669,3 +669,35 @@ def test_jpeg_lossless_property_roundtrip():
         np.testing.assert_array_equal(out, img)
 
     check()
+
+
+def test_jpeg_restart_markers_roundtrip():
+    """DRI/RSTn: a restart interval byte-aligns the entropy stream and
+    resets DC prediction every N MCUs — decoded pixels must be
+    IDENTICAL to the no-restart encoding of the same quantized
+    coefficients, for gray and 4:2:0 color, across intervals."""
+    from pandas_rust_algos_spark.operators import jpeg as J
+
+    y, x = np.mgrid[0:24, 0:40]
+    img = ((x * 5 + y * 3) % 256 // 16 * 16).astype(np.uint8)
+    rgb = np.stack([img, 255 - img, img // 2], axis=2)
+    for arr, ss in ((img, "444"), (rgb, "444"), (rgb, "420")):
+        plain = J.decode_jpeg(
+            J.encode_jpeg_baseline(arr, quality=85, subsampling=ss))
+        for ri in (1, 2, 5):
+            payload = J.encode_jpeg_baseline(
+                arr, quality=85, subsampling=ss, restart_interval=ri)
+            np.testing.assert_array_equal(J.decode_jpeg(payload), plain)
+    # the stream really carries RSTn markers (not just a DRI header)
+    import re
+
+    payload = J.encode_jpeg_baseline(rgb, quality=85, restart_interval=2)
+    assert b"\xFF\xDD" in payload
+    assert len(re.findall(rb"\xFF[\xD0-\xD7]", payload)) >= 1
+    # lossless + DRI is refused loudly (prediction reset unimplemented)
+    lossless = bytearray(J.encode_jpeg_lossless(img))
+    soi_end = 2
+    dri = b"\xFF\xDD\x00\x04\x00\x02"
+    spliced = bytes(lossless[:soi_end]) + dri + bytes(lossless[soi_end:])
+    with pytest.raises(NotImplementedError, match="restart"):
+        J.decode_jpeg(spliced)
