@@ -1574,3 +1574,47 @@ def schema_evolution_read(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select(F.lit("latest").alias("snap"), "n_rows", "sum_key",
              "sum_flag", "n_null_flag")
     return out_v0.unionByName(out_latest)
+
+
+@register(
+    "restore_read",
+    oracle="""
+    SELECT s_nationkey,
+           COUNT(*) AS n_supp,
+           CAST(SUM(s_suppkey) AS BIGINT) AS sum_key
+    FROM supplier
+    GROUP BY s_nationkey
+    """,
+)
+def restore_read(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RESTORE (version rollback), result-proven
+    (``sources/table_format.py:restore``): the supplier table is
+    committed (v0), WRECKED by an overwrite that drops half the rows
+    and a merge-on-read delete that tombstones more (v1-v2), then
+    restored to v0 — an append-only metadata commit that re-adds the
+    original files by reference (zero data movement) and rolls the
+    deletion vectors back with it. The read after restore must equal
+    the ORIGINAL table exactly — the oracle aggregates the source
+    parquet untouched; sum_key pins membership, so a restore that
+    leaked the overwrite, kept a tombstone, or resurrected nothing
+    cannot pass. History stays auditable: the wrecked era remains
+    time-travelable (asserted in-gate)."""
+    import tempfile
+
+    from pandas_rust_algos_spark.sources.table_format import VersionedTable
+
+    tune(spark)
+    sup = load_table(spark, sf_dir, "supplier").select(
+        "s_suppkey", "s_nationkey")
+    path = tempfile.mkdtemp(prefix="restore_gate_")
+    tbl = VersionedTable(spark, path, key_cols=["s_suppkey"])
+    tbl.create(sup.repartition(2))
+    tbl.overwrite(sup.where(F.col("s_suppkey") % 2 == 0))
+    tbl.delete_mor("s_suppkey % 4 = 0")
+    wrecked = tbl.read().count()
+    tbl.restore(0)
+    assert tbl.read(version=2).count() == wrecked  # era stays auditable
+    return tbl.read().groupBy("s_nationkey").agg(
+        F.count(F.lit(1)).alias("n_supp"),
+        F.sum("s_suppkey").alias("sum_key"),
+    )

@@ -103,6 +103,7 @@ _GATE_PRIORITY: tuple[str, ...] = (
     "zorder_codes",
     "schema_evolution_read",
     "bpe_learn_merges",
+    "restore_read",
     # (c) modules changed in round 5 -> driver re-verification
     "bloom_join_revenue",
     "simhash_fingerprints_portable",
