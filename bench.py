@@ -94,6 +94,7 @@ HEADLINE = [
     "zorder_codes",
     "schema_evolution_read",
     "bpe_learn_merges",
+    "restore_read",
 ]
 
 
