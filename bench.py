@@ -95,6 +95,9 @@ HEADLINE = [
     "schema_evolution_read",
     "bpe_learn_merges",
     "restore_read",
+    "bpe_encode_tokens",
+    "triangle_count",
+    "listagg_top_customers",
 ]
 
 

@@ -28,7 +28,7 @@ on the pair count break (count DESC, left, right) on both engines.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from pandas_rust_algos_spark.operators.text import tokens
@@ -115,15 +115,21 @@ def bpe_learn_merges(
     return out
 
 
-def sql_bpe_merges(
-    n_merges: int = 3,
+def _sql_chain(
+    n_merges: int,
+    text_expr: str,
+    table: str,
     *,
-    text_expr: str = "text",
-    table: str = "documents",
+    n_states: int | None = None,
 ) -> str:
-    """DuckDB twin of :func:`bpe_learn_merges`: the same word counts,
-    wrapped-symbol encoding, weighted pair counts, tie-break, and
-    plain-replace merges, unrolled as chained CTEs."""
+    """Shared CTE prefix for the SQL twins: word counts ``w``, the
+    wrapped-symbol encodings ``s0``, and per merge step ``k`` the pair
+    counts ``p{k}``, the winning rule ``best{k}``, and (for
+    ``k <= n_states``) the post-merge vocabulary state ``s{k}``.
+    Learning needs ``n_states = n_merges - 1`` (the last winner is
+    never applied); encoding needs all ``n_merges`` states."""
+    if n_states is None:
+        n_states = n_merges - 1
     ab = "chr(2)"
     eb = "chr(3)"
     parts = [f"""
@@ -135,7 +141,7 @@ def sql_bpe_merges(
       ) GROUP BY 1
     ),
     s0 AS (
-      SELECT n, {ab} || array_to_string(
+      SELECT w, n, {ab} || array_to_string(
         list_transform(range(1, length(w)+1),
                        i -> substr(w, CAST(i AS INTEGER), 1)),
         {eb}||{ab}) || {eb} AS s
@@ -159,19 +165,207 @@ def sql_bpe_merges(
       SELECT * FROM p{k}
       ORDER BY pair_count DESC, merge_left, merge_right LIMIT 1
     )""")
-        if k < n_merges:
+        if k <= n_states:
             parts.append(f""",
     s{k} AS (
-      SELECT n, replace(s,
+      SELECT w, n, replace(s,
         {ab}||(SELECT merge_left FROM best{k})||{eb}
           ||{ab}||(SELECT merge_right FROM best{k})||{eb},
         {ab}||(SELECT merge_left FROM best{k})
           ||(SELECT merge_right FROM best{k})||{eb}) AS s
       FROM {prev}
     )""")
+    return "".join(parts)
+
+
+def sql_bpe_merges(
+    n_merges: int = 3,
+    *,
+    text_expr: str = "text",
+    table: str = "documents",
+) -> str:
+    """DuckDB twin of :func:`bpe_learn_merges`: the same word counts,
+    wrapped-symbol encoding, weighted pair counts, tie-break, and
+    plain-replace merges, unrolled as chained CTEs."""
     selects = [
         f"SELECT CAST({k} AS BIGINT) AS step, merge_left, merge_right, "
         f"pair_count FROM best{k}"
         for k in range(1, n_merges + 1)
     ]
-    return "".join(parts) + "\n" + "\nUNION ALL\n".join(selects)
+    return (_sql_chain(n_merges, text_expr, table)
+            + "\n" + "\nUNION ALL\n".join(selects))
+
+
+def _encoded_vocab(docs: DataFrame, text_col: str, n_merges: int):
+    """(per-doc word instances, vocabulary with fully-merged symbol
+    state) — the shared core of the two encode surfaces.
+
+    Scale shape: the corpus is word-exploded ONCE; the merge fold runs
+    over the DISTINCT vocabulary (orders of magnitude smaller), with
+    the learned rule list riding as one broadcast row and applied via
+    a single ``F.aggregate`` lambda — plan size stays O(1) in
+    ``n_merges`` (no per-rule expression unrolling), and the fold
+    itself is a narrow projection with zero extra shuffles. Encoded
+    widths then join back to word instances on the word key (AQE picks
+    broadcast when the vocab is small enough)."""
+    rules = bpe_learn_merges(docs, text_col, n_merges=n_merges).agg(
+        F.sort_array(
+            F.collect_list(F.struct("step", "merge_left", "merge_right"))
+        ).alias("__rules")
+    )
+    words = docs.select("doc_id", F.explode(tokens(text_col)).alias("w"))
+    vocab = words.select("w").distinct()
+    enc = (
+        vocab.crossJoin(F.broadcast(rules))
+        .select(
+            "w",
+            F.aggregate(
+                "__rules",
+                _encode(F.col("w")),
+                lambda acc, r: F.replace(
+                    acc,
+                    F.concat(F.lit(_A), r["merge_left"], F.lit(_B),
+                             F.lit(_A), r["merge_right"], F.lit(_B)),
+                    F.concat(F.lit(_A), r["merge_left"],
+                             r["merge_right"], F.lit(_B)),
+                ),
+            ).alias("s"),
+        )
+    )
+    return words, enc
+
+
+def bpe_encode_counts(
+    docs: DataFrame,
+    text_col: str = "text",
+    *,
+    n_merges: int = 4,
+) -> DataFrame:
+    """BPE tokenizer ENCODING: learn ``n_merges`` rules over the
+    corpus, apply them to every word (leftmost-non-overlapping, in
+    rank order — sequential application in merge order is equivalent
+    to the min-rank priority loop because a rule's output token can
+    only appear in later-learned rules), and return per-document
+    ``(doc_id, n_words, n_chars, n_tokens)``. ``n_chars`` is the
+    pre-merge token count (one symbol per character), so
+    ``n_chars - n_tokens`` is exactly the number of merge applications
+    the document absorbed."""
+    words, enc = _encoded_vocab(docs, text_col, n_merges)
+    widths = enc.select(
+        "w",
+        F.size(_symbols("s")).cast("long").alias("n_tok"),
+    )
+    return (
+        words.join(widths, "w")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_words"),
+            F.sum(F.length("w")).cast("long").alias("n_chars"),
+            F.sum("n_tok").alias("n_tokens"),
+        )
+    )
+
+
+def bpe_token_freqs(
+    docs: DataFrame,
+    text_col: str = "text",
+    *,
+    n_merges: int = 4,
+    k: int = 20,
+) -> DataFrame:
+    """Corpus token-frequency table AFTER BPE encoding: the top ``k``
+    tokens by total occurrence count (ties break on the token text),
+    ranked. Proves the IDENTITY of the formed tokens, not just their
+    widths — the sharpest oracle for merge application. The symbol
+    explode runs over the vocabulary weighted by word frequency, never
+    over raw word instances; the top-k is a TakeOrdered."""
+    words, enc = _encoded_vocab(docs, text_col, n_merges)
+    uses = words.groupBy("w").agg(F.count(F.lit(1)).alias("n_uses"))
+    toks = (
+        enc.join(uses, "w")
+        .select(F.explode(_symbols("s")).alias("token"), "n_uses")
+        .groupBy("token")
+        .agg(F.sum("n_uses").alias("n_occurrences"))
+    )
+    ranked = toks.orderBy(
+        F.col("n_occurrences").desc(), "token"
+    ).limit(k)
+    return ranked.select(
+        F.row_number().over(
+            Window.orderBy(F.col("n_occurrences").desc(), "token")
+        ).cast("long").alias("rank"),
+        "token",
+        "n_occurrences",
+    )
+
+
+def _sql_encoded_vocab(n_merges: int, text_expr: str, table: str) -> str:
+    """CTE prefix ending in ``venc(w, n_tok)`` (fully-merged token
+    width per word) and ``dw(doc_id, word)`` (per-doc instances)."""
+    eb_ab = "chr(3)||chr(2)"
+    return _sql_chain(n_merges, text_expr, table, n_states=n_merges) + f""",
+    venc AS (
+      SELECT w,
+             CAST(len(string_split(substr(s, 2, length(s)-2), {eb_ab}))
+                  AS BIGINT) AS n_tok,
+             substr(s, 2, length(s)-2) AS body
+      FROM s{n_merges}
+    ),
+    dw AS (
+      SELECT doc_id, word FROM (
+        SELECT doc_id,
+               UNNEST(LIST_FILTER(STRING_SPLIT_REGEX(TRIM({text_expr}),
+                      '\\s+'), x -> x <> '')) AS word
+        FROM {table}
+      )
+    )"""
+
+
+def sql_bpe_encode_counts(
+    n_merges: int = 4,
+    *,
+    text_expr: str = "text",
+    table: str = "documents",
+) -> str:
+    """DuckDB twin of :func:`bpe_encode_counts`: the same learned
+    rules (chained CTEs), the same ordered plain-replace fold over the
+    vocabulary, joined back to per-doc word instances."""
+    return _sql_encoded_vocab(n_merges, text_expr, table) + """
+    SELECT dw.doc_id,
+           COUNT(*) AS n_words,
+           CAST(SUM(length(dw.word)) AS BIGINT) AS n_chars,
+           CAST(SUM(venc.n_tok) AS BIGINT) AS n_tokens
+    FROM dw JOIN venc ON dw.word = venc.w
+    GROUP BY dw.doc_id
+    """
+
+
+def sql_bpe_token_freqs(
+    n_merges: int = 4,
+    *,
+    k: int = 20,
+    text_expr: str = "text",
+    table: str = "documents",
+) -> str:
+    """DuckDB twin of :func:`bpe_token_freqs`."""
+    eb_ab = "chr(3)||chr(2)"
+    return _sql_encoded_vocab(n_merges, text_expr, table) + f""",
+    uses AS (
+      SELECT word AS w, COUNT(*) AS n_uses FROM dw GROUP BY 1
+    ),
+    tok AS (
+      SELECT t.token, CAST(SUM(uses.n_uses) AS BIGINT) AS n_occurrences
+      FROM venc
+      JOIN uses ON venc.w = uses.w,
+      UNNEST(string_split(venc.body, {eb_ab})) AS t(token)
+      GROUP BY 1
+    ),
+    top AS (
+      SELECT * FROM tok
+      ORDER BY n_occurrences DESC, token LIMIT {k}
+    )
+    SELECT CAST(ROW_NUMBER() OVER (ORDER BY n_occurrences DESC, token)
+                AS BIGINT) AS rank,
+           token, n_occurrences
+    FROM top
+    """

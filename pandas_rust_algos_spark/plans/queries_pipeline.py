@@ -486,6 +486,48 @@ def graph_shortest_hops(spark: SparkSession, sf_dir: str) -> DataFrame:
     return shortest_hops(edges, seeds, max_hops=4)
 
 
+_COORDER_EDGES_SQL = """
+    SELECT x.l_partkey AS src, y.l_partkey AS dst
+    FROM (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem) x
+    JOIN (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem) y
+      ON x.l_orderkey = y.l_orderkey AND x.l_partkey < y.l_partkey
+"""
+
+
+@register(
+    "triangle_count",
+    oracle=__import__(
+        "pandas_rust_algos_spark.operators.graph",
+        fromlist=["sql_triangle_counts"],
+    ).sql_triangle_counts(_COORDER_EDGES_SQL),
+)
+def triangle_count_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-part triangle counts (``operators/graph.triangle_counts``)
+    over the part co-order (basket) graph — local clustering density,
+    the product-affinity analogue of link-farm detection. The Spark
+    side runs degree-ordered wedge enumeration (oriented DAG,
+    O(sqrt(m)) out-degree bound, one wedge self-join + one closing
+    semi-join, no iteration, no collect); the DuckDB oracle counts the
+    SAME triangle set with a plain 3-way join over the canonical
+    ``a < b`` edge list — orientation is provably an execution
+    strategy, not a semantics change."""
+    from pandas_rust_algos_spark.operators.graph import triangle_counts
+
+    tune(spark)
+    po = (load_table(spark, sf_dir, "lineitem")
+          .select("l_orderkey", "l_partkey").distinct())
+    x, y = po.alias("x"), po.alias("y")
+    edges = x.join(
+        y,
+        (F.col("x.l_orderkey") == F.col("y.l_orderkey"))
+        & (F.col("x.l_partkey") < F.col("y.l_partkey")),
+    ).select(
+        F.col("x.l_partkey").alias("src"),
+        F.col("y.l_partkey").alias("dst"),
+    )
+    return triangle_counts(edges)
+
+
 @register(
     "bloom_join_revenue",
     oracle=f"""

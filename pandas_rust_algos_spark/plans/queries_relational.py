@@ -1472,3 +1472,48 @@ def snapshot_diff_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(F.col("o_totalprice")).alias("o_totalprice"),
     )
     return snapshot_diff(old, new, "o_orderkey", ["o_totalprice"])
+
+
+@register(
+    "listagg_top_customers",
+    oracle="""
+    WITH ranked AS (
+      SELECT c_mktsegment, c_name, c_acctbal,
+             ROW_NUMBER() OVER (PARTITION BY c_mktsegment
+                                ORDER BY c_acctbal DESC, c_name) AS rn
+      FROM customer
+    )
+    SELECT c_mktsegment,
+           string_agg(c_name, ',' ORDER BY rn) AS top_names,
+           CAST(COUNT(*) AS BIGINT) AS n_top,
+           CAST(SUM(CAST(FLOOR(c_acctbal * 1e6) AS BIGINT)) AS BIGINT)
+             AS balance_micros
+    FROM ranked WHERE rn <= 8
+    GROUP BY c_mktsegment
+    """,
+)
+def listagg_top_customers_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered string aggregation — Spark 4's ``listagg … WITHIN GROUP``
+    (ANSI SQL:2023) building the ranked top-8 customer roster per
+    market segment as one delimited string. Determinism is the whole
+    game for an ordered aggregate: the WITHIN GROUP key is the
+    row_number from a totally-ordered window (balance DESC, name), so
+    the concatenation order is unique and the string hashes
+    identically on both engines (DuckDB: ``string_agg(… ORDER BY rn)``).
+    One window sort-exchange per segment partition + one segment-keyed
+    aggregation; balances sum in integer micro-units."""
+    tune(spark)
+    cust = load_table(spark, sf_dir, "customer")
+    w = Window.partitionBy("c_mktsegment").orderBy(
+        F.col("c_acctbal").desc(), "c_name")
+    ranked = cust.select(
+        "c_mktsegment", "c_name", "c_acctbal",
+        F.row_number().over(w).alias("rn"),
+    ).where(F.col("rn") <= 8)
+    return ranked.groupBy("c_mktsegment").agg(
+        F.expr("listagg(c_name, ',') WITHIN GROUP (ORDER BY rn)")
+        .alias("top_names"),
+        F.count(F.lit(1)).alias("n_top"),
+        F.sum(F.floor(F.col("c_acctbal") * F.lit(1e6)).cast("long"))
+        .alias("balance_micros"),
+    )

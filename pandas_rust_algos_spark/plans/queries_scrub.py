@@ -814,3 +814,47 @@ def bpe_learn_merges_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pandas_rust_algos_spark.operators.bpe import bpe_learn_merges
 
     return bpe_learn_merges(_docs(spark, sf_dir), n_merges=4)
+
+
+@register(
+    "bpe_encode_tokens",
+    oracle=__import__(
+        "pandas_rust_algos_spark.operators.bpe",
+        fromlist=["sql_bpe_encode_counts"],
+    ).sql_bpe_encode_counts(4),
+)
+def bpe_encode_tokens_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE tokenizer ENCODING, value-proven end-to-end
+    (``operators/bpe.bpe_encode_counts``): learn 4 merge rules, apply
+    them to every word in rank order (sequential application equals
+    the min-rank priority loop because a rule's output token only
+    appears in later rules), and report per-document
+    ``(n_words, n_chars, n_tokens)``. The merge fold runs over the
+    DISTINCT vocabulary with the rule list as ONE broadcast row inside
+    a single ``F.aggregate`` lambda — plan size is O(1) in the rule
+    count, corpus exploded once, one join back to word instances. The
+    DuckDB oracle replays learning AND encoding with the identical
+    wrapped-symbol replace semantics."""
+    from pandas_rust_algos_spark.operators.bpe import bpe_encode_counts
+
+    return bpe_encode_counts(_docs(spark, sf_dir), n_merges=4)
+
+
+@register(
+    "bpe_token_freqs",
+    oracle=__import__(
+        "pandas_rust_algos_spark.operators.bpe",
+        fromlist=["sql_bpe_token_freqs"],
+    ).sql_bpe_token_freqs(4, k=20),
+)
+def bpe_token_freqs_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Post-BPE corpus token-frequency top-20
+    (``operators/bpe.bpe_token_freqs``) — proves the IDENTITY of the
+    formed tokens (which subwords exist and how often), the sharpest
+    check on merge application. Symbol explode is weighted
+    vocabulary-sized (never per word instance); the top-k is a
+    TakeOrdered with a total (count DESC, token) tie-break so the
+    ranking hashes identically on both engines."""
+    from pandas_rust_algos_spark.operators.bpe import bpe_token_freqs
+
+    return bpe_token_freqs(_docs(spark, sf_dir), n_merges=4, k=20)

@@ -122,3 +122,64 @@ def test_shortest_hops_min_distance_and_multisource(spark):
     got = {r["node"]: r["hops"]
            for r in shortest_hops(edges, seeds, max_hops=5).collect()}
     assert got == {1: 0, 9: 0, 2: 1, 3: 1, 4: 1}
+
+
+# ----------------------------------------- triangle counts (round 5)
+
+
+def _tri_ref(edges):
+    """Brute-force per-node triangle counts over undirected edges."""
+    from itertools import combinations
+
+    adj = defaultdict(set)
+    for s, d in edges:
+        if s != d:
+            adj[s].add(d)
+            adj[d].add(s)
+    counts = Counter()
+    for x, y, z in combinations(sorted(adj), 3):
+        if y in adj[x] and z in adj[x] and z in adj[y]:
+            counts[x] += 1
+            counts[y] += 1
+            counts[z] += 1
+    return dict(counts)
+
+
+def _tri_run(spark, edges):
+    from pandas_rust_algos_spark.operators.graph import triangle_counts
+
+    df = spark.createDataFrame(edges, "src long, dst long")
+    return {r["node"]: r["n_triangles"]
+            for r in triangle_counts(df).collect()}
+
+
+def test_triangle_single(spark):
+    assert _tri_run(spark, [(1, 2), (2, 3), (3, 1)]) == {1: 1, 2: 1, 3: 1}
+
+
+def test_triangle_none_in_bipartite_or_tree(spark):
+    # a star (tree) and a 4-cycle (bipartite) are triangle-free
+    assert _tri_run(spark, [(0, 1), (0, 2), (0, 3)]) == {}
+    assert _tri_run(spark, [(1, 2), (2, 3), (3, 4), (4, 1)]) == {}
+
+
+def test_triangle_dedup_reverse_and_self_edges(spark):
+    # duplicate, reversed, and self edges collapse to one triangle
+    edges = [(1, 2), (2, 1), (2, 3), (3, 1), (1, 3), (1, 1), (3, 3)]
+    assert _tri_run(spark, edges) == {1: 1, 2: 1, 3: 1}
+
+
+def test_triangle_k4_and_pendant(spark):
+    # K4: every vertex is in C(3,2)=3 triangles; a pendant joins none
+    k4 = [(a, b) for a in range(4) for b in range(a + 1, 4)]
+    got = _tri_run(spark, k4 + [(3, 9)])
+    assert got == {0: 3, 1: 3, 2: 3, 3: 3}
+
+
+def test_triangle_matches_bruteforce_random(spark):
+    import random
+
+    rng = random.Random(7)
+    edges = list({(rng.randrange(12), rng.randrange(12))
+                  for _ in range(40)})
+    assert _tri_run(spark, edges) == _tri_ref(edges)

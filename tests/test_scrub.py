@@ -244,3 +244,62 @@ def test_bpe_merges_match_reference_trainer(spark):
             for r in got] == expected
     with pytest.raises(ValueError):
         bpe_learn_merges(docs, n_merges=0)
+
+
+def test_bpe_encode_counts_match_reference_encoder(spark):
+    """The distributed encoder reproduces a plain-Python greedy BPE
+    encode (merges applied in rank order, leftmost-non-overlapping)
+    for every document, and n_chars - n_tokens equals the number of
+    merge applications absorbed."""
+    from collections import Counter
+
+    from pandas_rust_algos_spark.operators.bpe import (
+        bpe_encode_counts,
+        bpe_token_freqs,
+    )
+
+    corpus = ["low low low lower lower newest newest newest",
+              "newest newest newest wider wider wider new new"]
+    docs = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(corpus)], "doc_id long, text string")
+
+    # reference: learn 5 merges, then encode each word
+    vocab = Counter(" ".join(corpus).split())
+    symbols = {w: list(w) for w in vocab}
+    merges = []
+    for _ in range(5):
+        pairs = Counter()
+        for w, n in vocab.items():
+            seq = symbols[w]
+            for i in range(len(seq) - 1):
+                pairs[(seq[i], seq[i + 1])] += n
+        (a, b), _cnt = min(pairs.items(), key=lambda kv: (-kv[1], kv[0]))
+        merges.append((a, b))
+        for w in symbols:
+            seq, out, i = symbols[w], [], 0
+            while i < len(seq):
+                if i + 1 < len(seq) and seq[i] == a and seq[i + 1] == b:
+                    out.append(a + b)
+                    i += 2
+                else:
+                    out.append(seq[i])
+                    i += 1
+            symbols[w] = out
+
+    got = {r["doc_id"]: r for r in
+           bpe_encode_counts(docs, n_merges=5).collect()}
+    freqs = Counter()
+    for i, t in enumerate(corpus):
+        words = t.split()
+        n_tok = sum(len(symbols[w]) for w in words)
+        assert got[i]["n_words"] == len(words)
+        assert got[i]["n_chars"] == sum(len(w) for w in words)
+        assert got[i]["n_tokens"] == n_tok
+        for w in words:
+            for s in symbols[w]:
+                freqs[s] += 1
+
+    top = bpe_token_freqs(docs, n_merges=5, k=4).collect()
+    expected_top = sorted(freqs.items(), key=lambda kv: (-kv[1], kv[0]))[:4]
+    assert [(r["token"], r["n_occurrences"]) for r in top] == expected_top
+    assert [r["rank"] for r in top] == [1, 2, 3, 4]
