@@ -39,7 +39,7 @@ from pandas_rust_algos_spark.operators.similarity import (
     norm,
 )
 
-__all__ = ["build_ivf_index", "ivf_index_query"]
+__all__ = ["append_ivf_index", "build_ivf_index", "ivf_index_query"]
 
 
 def _nearest_cells(cmatrix, vcol, n: int):
@@ -115,6 +115,45 @@ def build_ivf_index(
             "vec_col": vec_col, "dims": len(centers[0])}
     with open(os.path.join(path, "meta.json"), "w") as fh:
         json.dump(meta, fh)
+    return meta
+
+
+def append_ivf_index(df: DataFrame, path: str) -> dict:
+    """Incrementally index new vectors: assign them to the EXISTING
+    coarse quantizer (nearest persisted centroid — no retrain) and
+    append into the ``cell=`` partition layout. This is standard IVF
+    maintenance (FAISS ``add`` after ``train``): queries through the
+    index see old and new vectors uniformly, and the partition-pruning
+    contract is untouched because appends can only land in existing
+    cells. The trade-off is the usual one — centroids are frozen, so
+    if the embedding distribution drifts the new vectors crowd a few
+    cells and partial-probe recall decays; rebuild on a schedule (the
+    build is one k-means + one partitioned write) to re-balance.
+
+    Scale shape: the centroid matrix rides the assignment projection
+    as a plan literal / broadcast row (``_lit_matrix`` switches at the
+    same size threshold as ``similarity``), so the append is a single
+    narrow pass over the new vectors plus the ``partitionBy(cell)``
+    write — no shuffle of the existing corpus, no driver data."""
+    with open(os.path.join(path, "meta.json")) as fh:
+        meta = json.load(fh)
+    spark = df.sparkSession
+    centers = (
+        spark.read.parquet(os.path.join(path, "centroids.parquet"))
+        .orderBy("cell").collect()
+    )
+    cmatrix = _lit_matrix([r["centroid"] for r in centers])
+    cand = df.select(
+        F.col(meta["id_col"]),
+        _as_double(F.col(meta["vec_col"])).alias("v"),
+    )
+    assigned = cand.select(
+        F.col(meta["id_col"]).alias("id"),
+        F.col("v"),
+        _nearest_cells(cmatrix, F.col("v"), 1)[0].alias("cell"),
+    )
+    assigned.write.mode("append").partitionBy("cell") \
+        .parquet(os.path.join(path, "cells"))
     return meta
 
 

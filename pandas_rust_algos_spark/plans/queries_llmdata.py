@@ -1057,3 +1057,56 @@ def ann_index_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     out = ivf_index_query(spark, idx, queries, n_probe=16, k=5)
     return out.select("query_id", F.col("id").alias("vec_id"), "sim",
                       F.col("rank").cast("long").alias("rank"))
+
+
+@register(
+    "ann_index_append_topk",
+    oracle="""
+    WITH q AS (
+      SELECT vec_id AS qid, embedding::DOUBLE[] AS qv
+      FROM embeddings WHERE vec_id < 10
+    ), c AS (
+      SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+    ), s AS (
+      SELECT qid, vec_id,
+             ROUND(LIST_DOT_PRODUCT(qv, v) /
+                   (SQRT(LIST_DOT_PRODUCT(qv, qv)) * SQRT(LIST_DOT_PRODUCT(v, v))),
+                   6) AS sim
+      FROM q, c WHERE qid <> vec_id
+    ), r AS (
+      SELECT qid, vec_id, sim,
+             ROW_NUMBER() OVER (PARTITION BY qid ORDER BY sim DESC, vec_id) AS rn
+      FROM s
+    )
+    SELECT qid AS query_id, vec_id, sim, CAST(rn AS BIGINT) AS rank
+    FROM r WHERE rn <= 5
+    """,
+)
+def ann_index_append_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF index MAINTENANCE, value-proven end-to-end
+    (``operators/ann_index.append_ivf_index``): build the index on the
+    even-id half of the corpus only, then incrementally append the odd
+    half — assigned to the FROZEN coarse quantizer, no retrain, no
+    shuffle of the existing cells. Probing all cells must then
+    reproduce the exact brute-force top-5 over the FULL corpus: the
+    oracle is blind to the build/append split, so a dropped, doubled,
+    or mis-routed appended vector breaks the hash. The partial-probe
+    pruning contract after append is pinned in
+    tests/test_ann_index.py."""
+    import tempfile
+
+    from pandas_rust_algos_spark.operators.ann_index import (
+        append_ivf_index, build_ivf_index, ivf_index_query,
+    )
+
+    emb = _emb(spark, sf_dir)
+    idx = tempfile.mkdtemp(prefix="ivf_append_gate_")
+    build_ivf_index(emb.where(F.col("vec_id") % 2 == 0), idx,
+                    n_cells=16, seed=42)
+    append_ivf_index(emb.where(F.col("vec_id") % 2 == 1), idx)
+    queries = emb.where(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    out = ivf_index_query(spark, idx, queries, n_probe=16, k=5)
+    return out.select("query_id", F.col("id").alias("vec_id"), "sim",
+                      F.col("rank").cast("long").alias("rank"))

@@ -104,6 +104,11 @@ _GATE_PRIORITY: tuple[str, ...] = (
     "schema_evolution_read",
     "bpe_learn_merges",
     "restore_read",
+    "bpe_encode_tokens",
+    "bpe_token_freqs",
+    "triangle_count",
+    "listagg_top_customers",
+    "ann_index_append_topk",
     # (c) modules changed in round 5 -> driver re-verification
     "bloom_join_revenue",
     "simhash_fingerprints_portable",

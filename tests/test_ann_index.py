@@ -99,3 +99,59 @@ def test_bad_probe_count(spark, index):
         F.col("vec_id").alias("query_id"), "embedding")
     with pytest.raises(ValueError):
         ivf_index_query(spark, path, q, n_probe=99)
+
+
+def test_append_assigns_to_frozen_cells(spark, tmp_path):
+    from pandas_rust_algos_spark.operators.ann_index import append_ivf_index
+
+    path = str(tmp_path / "idx")
+    full = _corpus(spark, n=300)
+    build_ivf_index(full.where(F.col("vec_id") % 2 == 0), path,
+                    n_cells=8, seed=7)
+    cells_before = {d for d in os.listdir(os.path.join(path, "cells"))
+                    if d.startswith("cell=")}
+    append_ivf_index(full.where(F.col("vec_id") % 2 == 1), path)
+    cells_after = {d for d in os.listdir(os.path.join(path, "cells"))
+                   if d.startswith("cell=")}
+    # the frozen quantizer can only route into existing cells
+    assert cells_after == cells_before
+    data = spark.read.parquet(os.path.join(path, "cells"))
+    assert data.count() == 300
+    assert data.select("id").distinct().count() == 300
+
+
+def test_append_query_equals_bruteforce_at_full_probe(spark, tmp_path):
+    from pandas_rust_algos_spark.operators.ann_index import append_ivf_index
+
+    path = str(tmp_path / "idx")
+    full = _corpus(spark, n=200)
+    build_ivf_index(full.where(F.col("vec_id") % 2 == 0), path,
+                    n_cells=4, seed=7)
+    append_ivf_index(full.where(F.col("vec_id") % 2 == 1), path)
+    queries = full.where(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), "embedding")
+    got = ivf_index_query(spark, path, queries, n_probe=4, k=3)
+    want = cosine_topk(full, queries, k=3,
+                       id_col="vec_id", query_id_col="query_id")
+    g = {(r["query_id"], r["rank"]): r["id"] for r in got.collect()}
+    w = {(r["query_id"], r["rank"]): r["vec_id"] for r in want.collect()}
+    assert g == w
+
+
+def test_append_keeps_partition_pruning(spark, tmp_path):
+    from pandas_rust_algos_spark.operators.ann_index import append_ivf_index
+
+    path = str(tmp_path / "idx")
+    full = _corpus(spark, n=300)
+    build_ivf_index(full.where(F.col("vec_id") % 2 == 0), path,
+                    n_cells=8, seed=7)
+    append_ivf_index(full.where(F.col("vec_id") % 2 == 1), path)
+    queries = full.where(F.col("vec_id") == 0).select(
+        F.col("vec_id").alias("query_id"), "embedding")
+    out = ivf_index_query(spark, path, queries, n_probe=2, k=3)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    import re
+    m = re.search(r"PartitionFilters: \[([^\]]*)\]", plan)
+    assert m and "cell" in m.group(1), plan[:2000]
+    in_vals = re.search(r"cell#\d+L? IN \(([^)]*)\)", m.group(1))
+    assert in_vals and len(in_vals.group(1).split(",")) <= 2, m.group(1)
