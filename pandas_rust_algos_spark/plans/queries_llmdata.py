@@ -304,6 +304,42 @@ def ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dd.ngram_jaccard_pairs(_docs(spark, sf_dir), threshold=0.2)
 
 
+@register(
+    "jaccard_prefix_join",
+    oracle="""
+    WITH g AS (
+      SELECT DISTINCT doc_id, lang,
+             UNNEST(LIST_TRANSFORM(
+               RANGE(1, GREATEST(LENGTH(text) - 4, 1) + 1),
+               i -> SUBSTR(text, CAST(i AS INT), 5))) AS g
+      FROM documents
+    ), sizes AS (
+      SELECT doc_id, COUNT(*) AS n FROM g GROUP BY doc_id
+    ), inter AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS inter
+      FROM g a JOIN g b ON a.lang = b.lang AND a.g = b.g AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    )
+    SELECT id_a, id_b,
+           CAST(inter AS DOUBLE) / (sa.n + sb.n - inter) AS jaccard
+    FROM inter
+    JOIN sizes sa ON sa.doc_id = id_a
+    JOIN sizes sb ON sb.doc_id = id_b
+    WHERE CAST(inter AS DOUBLE) / (sa.n + sb.n - inter) >= 0.8
+    """,
+)
+def jaccard_prefix_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PPJoin-style prefix-filtered exact Jaccard join
+    (``operators/dedup.jaccard_prefix_pairs``) at the high-threshold
+    near-dup setting (t=0.8) — each doc joins only on its
+    ``n - ceil(t*n) + 1`` globally-RAREST grams, so corpus-common
+    shingles never generate candidates, then survivors verify exactly
+    via sorted-gram-array intersection. The oracle is the BRUTE-FORCE
+    pair set: prefix filtering is provably lossless (the prefix
+    lemma), so result equality — not recall — is the contract."""
+    return dd.jaccard_prefix_pairs(_docs(spark, sf_dir), threshold=0.8)
+
+
 # --------------------------------------------------- duplicate clusters
 
 

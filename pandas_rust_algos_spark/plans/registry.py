@@ -109,6 +109,7 @@ _GATE_PRIORITY: tuple[str, ...] = (
     "triangle_count",
     "listagg_top_customers",
     "ann_index_append_topk",
+    "jaccard_prefix_join",
     # (c) modules changed in round 5 -> driver re-verification
     "bloom_join_revenue",
     "simhash_fingerprints_portable",

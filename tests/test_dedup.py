@@ -139,3 +139,42 @@ def test_dup_clusters_long_chain_converges(spark):
     out = {r["doc_id"]: r["cluster_id"]
            for r in dd.dup_clusters(pairs, ids).collect()}
     assert set(out.values()) == {0}
+
+
+def test_jaccard_prefix_join_equals_gram_join(spark, docs):
+    """Prefix filtering is lossless: at every threshold the PPJoin
+    path returns exactly the gram-join pair set with identical
+    jaccard values."""
+    for t in (0.3, 0.6, 0.9):
+        want = {
+            (r["id_a"], r["id_b"]): r["jaccard"]
+            for r in dd.ngram_jaccard_pairs(docs, threshold=t).collect()
+        }
+        got = {
+            (r["id_a"], r["id_b"]): r["jaccard"]
+            for r in dd.jaccard_prefix_pairs(docs, threshold=t).collect()
+        }
+        assert got == want, f"threshold {t}"
+
+
+def test_jaccard_prefix_join_common_gram_not_in_prefix(spark):
+    """A shingle shared by EVERY doc must not mate unrelated docs: the
+    common gram sorts last in the global (df, gram) order, so at a
+    high threshold the unrelated pair never even becomes a candidate,
+    while the true near-dup pair survives with its exact score."""
+    common = " zzzzz "  # one shared 5-gram island in every doc
+    data = [
+        (1, "alpha beta gamma delta epsilon" + common, "en"),
+        (2, "alpha beta gamma delta epsilo_" + common, "en"),
+        (3, "totally different words here instead" + common, "en"),
+    ]
+    docs = spark.createDataFrame(data, "doc_id long, text string, lang string")
+    got = {(r["id_a"], r["id_b"]) for r in
+           dd.jaccard_prefix_pairs(docs, threshold=0.7).collect()}
+    assert (1, 2) in got
+    assert all(3 not in p for p in got)
+
+
+def test_jaccard_prefix_join_bad_threshold(spark, docs):
+    with pytest.raises(ValueError):
+        dd.jaccard_prefix_pairs(docs, threshold=0.0)
