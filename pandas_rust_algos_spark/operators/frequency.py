@@ -28,7 +28,112 @@ from collections.abc import Sequence
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["heavy_hitters", "heavy_hitters_approx", "count_by_key"]
+__all__ = [
+    "cms_estimate",
+    "cms_sketch",
+    "count_by_key",
+    "heavy_hitters",
+    "heavy_hitters_approx",
+    "sql_cms_hash",
+]
+
+
+def _cms_hash(d: int, col, hash_mode: str):
+    """Row hash for sketch depth ``d``. ``fast`` = xxhash64 (100 TB
+    default). ``portable`` = the engine's md5-prefix→60-bit recipe
+    (shared with minhash/simhash portable modes) — byte-identical in
+    any engine with md5, which is what lets a SQL oracle replay the
+    ENTIRE sketch."""
+    if hash_mode == "fast":
+        return F.xxhash64(F.lit(d), col)
+    if hash_mode == "portable":
+        return F.conv(
+            F.substring(
+                F.md5(F.concat_ws(":", F.lit(str(d)), col)), 1, 15),
+            16, 10,
+        ).cast("long")
+    raise ValueError(f"hash_mode must be fast|portable, got {hash_mode!r}")
+
+
+def sql_cms_hash(d: int, expr: str) -> str:
+    """DuckDB twin of the portable ``_cms_hash``."""
+    return (f"CAST('0x' || SUBSTR(md5('{d}' || ':' || {expr}), 1, 15) "
+            "AS BIGINT)")
+
+
+def cms_sketch(
+    df: DataFrame,
+    key: str,
+    *,
+    width: int = 256,
+    depth: int = 4,
+    hash_mode: str = "portable",
+) -> DataFrame:
+    """Count-min sketch (Cormode & Muthukrishnan 2005, public) over
+    ``df[key]``: returns ``(d, slot, cnt)`` — at most ``depth*width``
+    rows REGARDLESS of data size, the classic bounded-memory frequency
+    summary. The sketch is mergeable by construction (cell-wise sum),
+    so shards/days/streams combine with one more groupBy — the
+    100 TB shape: raw keys shuffle only as ``(d, slot)`` pairs that
+    map-side-combine into ≤ depth×width rows per task.
+
+    Estimates (``cms_estimate``) never undercount; overcounts are
+    collision noise bounded by ~2N/width with probability
+    1 - 2^-depth. Unlike Misra-Gries (``heavy_hitters_approx``), the
+    sketch is insertion-order-INDEPENDENT — with ``portable`` hashing
+    it is bit-deterministic across engines, partitionings, and
+    retries, which is what makes it fully SQL-oracle-able."""
+    if width < 1 or depth < 1:
+        raise ValueError(f"width/depth must be >= 1, got {width}/{depth}")
+    kstr = F.col(key).cast("string")
+    cells = F.array(*[
+        F.struct(
+            F.lit(d).alias("d"),
+            F.pmod(_cms_hash(d, kstr, hash_mode), F.lit(width))
+            .cast("int").alias("slot"),
+        )
+        for d in range(depth)
+    ])
+    return (
+        df.where(F.col(key).isNotNull())
+        .select(F.explode(cells).alias("c"))
+        .groupBy(F.col("c.d").alias("d"), F.col("c.slot").alias("slot"))
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+
+
+def cms_estimate(
+    sketch: DataFrame,
+    keys: DataFrame,
+    key: str,
+    *,
+    width: int = 256,
+    depth: int = 4,
+    hash_mode: str = "portable",
+) -> DataFrame:
+    """Point-query the sketch for every row of ``keys[key]``: returns
+    ``(key, est)`` with ``est = min over d of sketch[d, slot_d(key)]``
+    — the count-min estimator. The sketch side is ≤ depth×width rows
+    (broadcast-sized by construction); each key probes ``depth``
+    cells, so the join traffic is O(|keys|·depth), never O(data)."""
+    kstr = F.col(key).cast("string")
+    probes = keys.select(
+        F.col(key),
+        F.explode(F.array(*[
+            F.struct(
+                F.lit(d).alias("d"),
+                F.pmod(_cms_hash(d, kstr, hash_mode), F.lit(width))
+                .cast("int").alias("slot"),
+            )
+            for d in range(depth)
+        ])).alias("c"),
+    ).select(key, F.col("c.d").alias("d"), F.col("c.slot").alias("slot"))
+    return (
+        probes.join(F.broadcast(sketch), ["d", "slot"], "left")
+        .groupBy(key)
+        .agg(F.min(F.coalesce(F.col("cnt"), F.lit(0).cast("long")))
+             .alias("est"))
+    )
 
 
 def count_by_key(df: DataFrame, keys: Sequence[str] | str) -> DataFrame:

@@ -319,6 +319,69 @@ def heavy_hitters_approx_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return heavy_hitters_approx(ev, "user_id", support=0.01)
 
 
+def _cms_oracle(width: int = 256, depth: int = 4) -> str:
+    from pandas_rust_algos_spark.operators.frequency import sql_cms_hash
+
+    cells = "\n      UNION ALL ".join(
+        f"SELECT {d} AS d, CAST({sql_cms_hash(d, 'k')} % {width} AS INT) "
+        "AS slot FROM base"
+        for d in range(depth)
+    )
+    probes = "\n      UNION ALL ".join(
+        f"SELECT user_id, exact_cnt, {d} AS d, "
+        f"CAST({sql_cms_hash(d, 'CAST(user_id AS VARCHAR)')} % {width} "
+        "AS INT) AS slot FROM top"
+        for d in range(depth)
+    )
+    return f"""
+    WITH base AS (
+      SELECT CAST(user_id AS VARCHAR) AS k FROM events
+      WHERE user_id IS NOT NULL
+    ), cells AS (
+      {cells}
+    ), sk AS (
+      SELECT d, slot, COUNT(*) AS cnt FROM cells GROUP BY 1, 2
+    ), top AS (
+      SELECT user_id, COUNT(*) AS exact_cnt FROM events
+      WHERE user_id IS NOT NULL
+      GROUP BY user_id ORDER BY exact_cnt DESC, user_id LIMIT 20
+    ), probes AS (
+      {probes}
+    )
+    SELECT p.user_id, p.exact_cnt,
+           CAST(MIN(COALESCE(sk.cnt, 0)) AS BIGINT) AS cms_est
+    FROM probes p LEFT JOIN sk ON p.d = sk.d AND p.slot = sk.slot
+    GROUP BY p.user_id, p.exact_cnt
+    """
+
+
+@register("cms_heavy_hitters", oracle=_cms_oracle())
+def cms_heavy_hitters_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-min sketch, value-proven end-to-end
+    (``operators/frequency.cms_sketch``/``cms_estimate``): the sketch
+    is ≤ depth×width rows regardless of data size, mergeable cell-wise,
+    and — unlike Misra-Gries — insertion-order-INDEPENDENT, so with
+    the portable md5 hash the DuckDB oracle replays sketch build AND
+    point queries bit-exactly. The gate estimates the exact top-20
+    users through the sketch: every (user, exact, estimate) triple is
+    hash-proven, pinning the never-undercount property on real data
+    (the xxhash64 ``fast`` mode stays the 100 TB default)."""
+    tune(spark)
+    from pandas_rust_algos_spark.operators.frequency import (
+        cms_estimate, cms_sketch, heavy_hitters,
+    )
+
+    ev = load_table(spark, sf_dir, "events")
+    sketch = cms_sketch(ev, "user_id", width=256, depth=4)
+    top = heavy_hitters(ev, "user_id", k=20).select(
+        "user_id", F.col("cnt").alias("exact_cnt"))
+    est = cms_estimate(sketch, top, "user_id", width=256, depth=4)
+    return (
+        top.join(est, "user_id")
+        .select("user_id", "exact_cnt", F.col("est").alias("cms_est"))
+    )
+
+
 @register(
     "events_rollup_hour_day",
     oracle=f"""

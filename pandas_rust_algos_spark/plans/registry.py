@@ -110,6 +110,7 @@ _GATE_PRIORITY: tuple[str, ...] = (
     "listagg_top_customers",
     "ann_index_append_topk",
     "jaccard_prefix_join",
+    "cms_heavy_hitters",
     # (c) modules changed in round 5 -> driver re-verification
     "bloom_join_revenue",
     "simhash_fingerprints_portable",

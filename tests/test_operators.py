@@ -1226,3 +1226,54 @@ def test_regr_exact_algebra_matches_native(spark, sf_dir):
         assert g["slope"] == pytest.approx(r["slope"], rel=1e-4, abs=1e-4)
         assert g["intercept"] == pytest.approx(r["b0"], rel=1e-4, abs=1e-2)
         assert g["r2"] == pytest.approx(r["r2"], rel=1e-4, abs=1e-6)
+
+
+def test_cms_sketch_estimates(spark):
+    """Count-min invariants: estimates never undercount; with ample
+    width they are exact; the sketch merges cell-wise; both hash modes
+    agree with a driver-side replay of their own estimates."""
+    from pandas_rust_algos_spark.operators.frequency import (
+        cms_estimate,
+        cms_sketch,
+    )
+
+    rows = [("a",)] * 50 + [("b",)] * 30 + [("c",)] * 7 + [("d",)] * 1
+    df = spark.createDataFrame(rows, "k string")
+    keys = spark.createDataFrame([("a",), ("b",), ("c",), ("d",)],
+                                 "k string")
+    exact = {"a": 50, "b": 30, "c": 7, "d": 1}
+
+    for mode in ("portable", "fast"):
+        # ample width: no collisions among 4 keys is near-certain, and
+        # estimates can never undercount regardless
+        sk = cms_sketch(df, "k", width=4096, depth=4, hash_mode=mode)
+        est = {r["k"]: r["est"] for r in
+               cms_estimate(sk, keys, "k", width=4096, depth=4,
+                            hash_mode=mode).collect()}
+        assert all(est[k] >= exact[k] for k in exact), (mode, est)
+        assert est == exact, (mode, est)
+
+    # brutal width=1: every key collides into one cell per depth row,
+    # so every estimate equals the total row count — the worst-case
+    # bound, still never an undercount
+    sk1 = cms_sketch(df, "k", width=1, depth=2)
+    est1 = {r["k"]: r["est"] for r in
+            cms_estimate(sk1, keys, "k", width=1, depth=2).collect()}
+    assert set(est1.values()) == {len(rows)}
+
+    # mergeability: sketch(A ∪ B) == cell-wise sum of the two sketches
+    half_a = spark.createDataFrame(rows[:44], "k string")
+    half_b = spark.createDataFrame(rows[44:], "k string")
+    whole = {(r["d"], r["slot"]): r["cnt"] for r in
+             cms_sketch(df, "k", width=64, depth=3).collect()}
+    merged = {}
+    for part in (half_a, half_b):
+        for r in cms_sketch(part, "k", width=64, depth=3).collect():
+            merged[(r["d"], r["slot"])] = (
+                merged.get((r["d"], r["slot"]), 0) + r["cnt"])
+    assert merged == whole
+
+    with pytest.raises(ValueError):
+        cms_sketch(df, "k", width=0)
+    with pytest.raises(ValueError):
+        cms_sketch(df, "k", hash_mode="nope")
