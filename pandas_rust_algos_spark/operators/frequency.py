@@ -34,7 +34,9 @@ __all__ = [
     "count_by_key",
     "heavy_hitters",
     "heavy_hitters_approx",
+    "hll_nunique",
     "sql_cms_hash",
+    "sql_hll_nunique",
 ]
 
 
@@ -134,6 +136,127 @@ def cms_estimate(
         .agg(F.min(F.coalesce(F.col("cnt"), F.lit(0).cast("long")))
              .alias("est"))
     )
+
+
+_HLL_ALPHA = {16: 0.673, 32: 0.697, 64: 0.709}
+
+
+def _hll_alpha(m: int) -> float:
+    return _HLL_ALPHA.get(m, 0.7213 / (1 + 1.079 / m))
+
+
+def hll_nunique(
+    df: DataFrame,
+    group: str,
+    col: str,
+    *,
+    m: int = 64,
+    hash_mode: str = "portable",
+) -> DataFrame:
+    """Per-group approximate COUNT DISTINCT via a from-scratch
+    HyperLogLog (Flajolet et al. 2007, public): returns
+    ``(group, est)`` with the estimate rounded to a BIGINT. The
+    portable twin of Spark's built-in HLL++
+    (``approx_count_distinct``, used by ``group_nunique_approx``) —
+    same sketch family, but every step is engine-replayable:
+
+    - 60-bit md5-prefix hash (the engine's shared portable recipe);
+      ``bucket = h % m``, suffix ``h // m`` (w = 60 - log2(m) bits);
+    - rho = leading zeros in the suffix + 1, computed INTEGER-exactly
+      as ``w - length(bin(suffix)) + 1`` — ``bin()`` strips leading
+      zeros identically in Spark and DuckDB, so no float log2;
+    - registers ``M_j = max(rho)`` per (group, bucket): one map-side-
+      combined aggregate, sketch state ≤ m rows per group, mergeable
+      by max — the 100 TB shape;
+    - the power sum folds as exact integers (``1L << (62 - M_j)``,
+      empty buckets contribute ``2^62``) into a DECIMAL, so the only
+      float ops are the final constant-multiply/divide — one fixed
+      sequence, bit-identical across engines — plus the standard
+      small-range linear-counting branch (``E <= 2.5m`` with empty
+      buckets → ``m * ln(m/V)``; the one ``ln`` is last-ulp-sensitive,
+      which the round-to-integer output absorbs).
+
+    Relative error ≈ 1.04/sqrt(m) (13% at m=64); raise ``m`` for
+    tighter estimates. ``sql_hll_nunique`` is the DuckDB twin."""
+    if m < 16 or (m & (m - 1)) != 0:
+        raise ValueError(f"m must be a power of two >= 16, got {m}")
+    w = 60 - m.bit_length() + 1  # suffix bits: h < 2^60, bucket eats log2(m)
+    kstr = F.col(col).cast("string")
+    h = _cms_hash(0, kstr, hash_mode)
+    # m is a power of two: >> keeps the division integer-exact (h has
+    # 60 bits — a double division would round past 2^53)
+    suffix = F.shiftright(h, m.bit_length() - 1)
+    rho = F.when(
+        suffix > 0,
+        F.lit(w) - F.length(F.bin(suffix)) + 1,
+    ).otherwise(F.lit(w + 1))
+    regs = (
+        df.where(F.col(col).isNotNull())
+        .select(F.col(group), F.pmod(h, F.lit(m)).alias("bucket"),
+                rho.alias("rho"))
+        .groupBy(group, "bucket")
+        .agg(F.max("rho").alias("mj"))
+    )
+    alpha_num = (F.lit(_hll_alpha(m)) * F.lit(m) * F.lit(m)
+                 * F.lit(1 << 62).cast("double"))
+    per_group = regs.groupBy(group).agg(
+        (F.sum(F.expr("shiftleft(1L, 62 - mj)").cast("decimal(20,0)"))
+         + (F.lit(m) - F.count(F.lit(1))).cast("decimal(20,0)")
+         * F.lit(1 << 62).cast("decimal(20,0)")).alias("s"),
+        (F.lit(m) - F.count(F.lit(1))).alias("v"),
+    )
+    e_raw = alpha_num / F.col("s").cast("double")
+    est = F.when(
+        (e_raw <= F.lit(2.5 * m)) & (F.col("v") > 0),
+        F.lit(float(m)) * F.log(F.lit(float(m)) / F.col("v").cast("double")),
+    ).otherwise(e_raw)
+    return per_group.select(
+        group, F.round(est).cast("long").alias("est"))
+
+
+def sql_hll_nunique(
+    group_expr: str,
+    col_expr: str,
+    table: str,
+    *,
+    m: int = 64,
+) -> str:
+    """DuckDB twin of :func:`hll_nunique` (portable mode): identical
+    hash, bucketing, integer rho, exact power sum, constants, and
+    branch."""
+    w = 60 - m.bit_length() + 1
+    h = sql_cms_hash(0, f"CAST({col_expr} AS VARCHAR)")
+    alpha = _hll_alpha(m)
+    return f"""
+    WITH hashed AS (
+      SELECT {group_expr} AS grp, {h} AS h
+      FROM {table} WHERE {col_expr} IS NOT NULL
+    ), rows_ AS (
+      SELECT grp, h % {m} AS bucket, h // {m} AS suffix FROM hashed
+    ), regs AS (
+      SELECT grp, bucket,
+             MAX(CASE WHEN suffix > 0
+                      THEN {w} - LENGTH(BIN(suffix)) + 1
+                      ELSE {w + 1} END) AS mj
+      FROM rows_ GROUP BY 1, 2
+    ), per_group AS (
+      SELECT grp,
+             SUM(CAST(1::BIGINT << (62 - mj) AS HUGEINT))
+               + CAST({m} - COUNT(*) AS HUGEINT)
+                 * CAST(1::BIGINT << 62 AS HUGEINT) AS s,
+             {m} - COUNT(*) AS v
+      FROM regs GROUP BY 1
+    )
+    SELECT grp,
+           CAST(ROUND(CASE
+             WHEN ({alpha} * {m} * {m} * CAST(1::BIGINT << 62 AS DOUBLE))
+                    / CAST(s AS DOUBLE) <= {2.5 * m} AND v > 0
+               THEN {float(m)} * LN({float(m)} / CAST(v AS DOUBLE))
+             ELSE ({alpha} * {m} * {m} * CAST(1::BIGINT << 62 AS DOUBLE))
+                    / CAST(s AS DOUBLE)
+           END) AS BIGINT) AS est
+    FROM per_group
+    """
 
 
 def count_by_key(df: DataFrame, keys: Sequence[str] | str) -> DataFrame:

@@ -355,6 +355,49 @@ def _cms_oracle(width: int = 256, depth: int = 4) -> str:
     """
 
 
+def _hll_oracle() -> str:
+    from pandas_rust_algos_spark.operators.frequency import sql_hll_nunique
+
+    inner = sql_hll_nunique("o_orderpriority", "o_custkey", "orders", m=64)
+    return f"""
+    WITH est AS ({inner}),
+    exact AS (
+      SELECT o_orderpriority AS grp,
+             CAST(COUNT(DISTINCT o_custkey) AS BIGINT) AS exact_nunique
+      FROM orders WHERE o_custkey IS NOT NULL GROUP BY 1
+    )
+    SELECT est.grp AS o_orderpriority, exact.exact_nunique,
+           est.est AS hll_est
+    FROM est JOIN exact ON est.grp = exact.grp
+    """
+
+
+@register("hll_nunique_orders", oracle=_hll_oracle())
+def hll_nunique_orders_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """From-scratch HyperLogLog, value-proven end-to-end
+    (``operators/frequency.hll_nunique``): per order priority, the
+    approximate distinct-customer count next to its exact twin. The
+    portable md5 hash + integer-exact rho (``length(bin())``, no float
+    log2) + exact integer power sums make the whole sketch replayable
+    in DuckDB — the same proof pattern as the minhash/simhash/CMS
+    portable twins, here for the one sketch family
+    (``approx_count_distinct``'s HLL++) that was previously rows-only.
+    Register state is ≤ m rows per group and max-mergeable — the
+    100 TB shape for distinct counting."""
+    tune(spark)
+    from pandas_rust_algos_spark.operators.frequency import hll_nunique
+
+    od = load_table(spark, sf_dir, "orders")
+    est = hll_nunique(od, "o_orderpriority", "o_custkey", m=64)
+    exact = (
+        od.where(F.col("o_custkey").isNotNull())
+        .groupBy("o_orderpriority")
+        .agg(F.count_distinct("o_custkey").alias("exact_nunique"))
+    )
+    return exact.join(est, "o_orderpriority").select(
+        "o_orderpriority", "exact_nunique", F.col("est").alias("hll_est"))
+
+
 @register("cms_heavy_hitters", oracle=_cms_oracle())
 def cms_heavy_hitters_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Count-min sketch, value-proven end-to-end

@@ -111,6 +111,7 @@ _GATE_PRIORITY: tuple[str, ...] = (
     "ann_index_append_topk",
     "jaccard_prefix_join",
     "cms_heavy_hitters",
+    "hll_nunique_orders",
     # (c) modules changed in round 5 -> driver re-verification
     "bloom_join_revenue",
     "simhash_fingerprints_portable",

@@ -1277,3 +1277,46 @@ def test_cms_sketch_estimates(spark):
         cms_sketch(df, "k", width=0)
     with pytest.raises(ValueError):
         cms_sketch(df, "k", hash_mode="nope")
+
+
+def test_hll_nunique_replay_and_accuracy(spark):
+    """The from-scratch HLL matches a pure-Python replay of the same
+    algorithm BIT-exactly (both branches: raw estimator and
+    small-range linear counting), and lands within the theoretical
+    error band of the truth."""
+    import hashlib
+    import math
+
+    from pandas_rust_algos_spark.operators.frequency import hll_nunique
+
+    def replay(values, m=64):
+        w = 60 - int(math.log2(m))
+        regs = {}
+        for vv in values:
+            h = int(hashlib.md5(f"0:{vv}".encode()).hexdigest()[:15], 16)
+            b, sfx = h % m, h >> int(math.log2(m))
+            rho = (w - sfx.bit_length() + 1) if sfx > 0 else w + 1
+            regs[b] = max(regs.get(b, 0), rho)
+        s = sum(1 << (62 - mj) for mj in regs.values()) \
+            + (m - len(regs)) * (1 << 62)
+        v = m - len(regs)
+        alpha = 0.709  # m=64
+        e = alpha * m * m * float(1 << 62) / float(s)
+        if e <= 2.5 * m and v > 0:
+            e = float(m) * math.log(float(m) / v)
+        return round(e)
+
+    # big group -> raw branch; small group -> linear counting branch
+    rows = [("big", i % 700) for i in range(5000)] + \
+           [("small", i % 12) for i in range(200)]
+    df = spark.createDataFrame(rows, "g string, x long")
+    got = {r["g"]: r["est"]
+           for r in hll_nunique(df, "g", "x", m=64).collect()}
+    assert got["big"] == replay([i % 700 for i in range(5000)])
+    assert got["small"] == replay([i % 12 for i in range(200)])
+    # accuracy: ~1.04/sqrt(64) = 13% std error; allow 3 sigma
+    assert abs(got["big"] - 700) <= 700 * 0.39
+    assert abs(got["small"] - 12) <= max(3, 12 * 0.39)
+
+    with pytest.raises(ValueError):
+        hll_nunique(df, "g", "x", m=48)
