@@ -29,6 +29,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 __all__ = [
+    "cms_cells",
     "cms_estimate",
     "cms_sketch",
     "count_by_key",
@@ -87,8 +88,21 @@ def cms_sketch(
     retries, which is what makes it fully SQL-oracle-able."""
     if width < 1 or depth < 1:
         raise ValueError(f"width/depth must be >= 1, got {width}/{depth}")
+    return (
+        df.where(F.col(key).isNotNull())
+        .select(F.explode(cms_cells(key, width, depth, hash_mode)).alias("c"))
+        .groupBy(F.col("c.d").alias("d"), F.col("c.slot").alias("slot"))
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+
+
+def cms_cells(key: str, width: int, depth: int,
+              hash_mode: str = "portable"):
+    """The ``depth`` (d, slot) sketch cells of one key as an array
+    expression — shared by the batch sketch, the point-query probes,
+    and the streaming windowed sketch."""
     kstr = F.col(key).cast("string")
-    cells = F.array(*[
+    return F.array(*[
         F.struct(
             F.lit(d).alias("d"),
             F.pmod(_cms_hash(d, kstr, hash_mode), F.lit(width))
@@ -96,12 +110,6 @@ def cms_sketch(
         )
         for d in range(depth)
     ])
-    return (
-        df.where(F.col(key).isNotNull())
-        .select(F.explode(cells).alias("c"))
-        .groupBy(F.col("c.d").alias("d"), F.col("c.slot").alias("slot"))
-        .agg(F.count(F.lit(1)).alias("cnt"))
-    )
 
 
 def cms_estimate(

@@ -355,6 +355,48 @@ def _cms_oracle(width: int = 256, depth: int = 4) -> str:
     """
 
 
+def _cms_stream_oracle(width: int = 256, depth: int = 4) -> str:
+    from pandas_rust_algos_spark.operators.frequency import sql_cms_hash
+
+    cells = "\n      UNION ALL ".join(
+        f"SELECT window_start, {d} AS d, "
+        f"CAST({sql_cms_hash(d, 'k')} % {width} AS INT) AS slot FROM base"
+        for d in range(depth)
+    )
+    return f"""
+    WITH base AS (
+      SELECT STRFTIME(DATE_TRUNC('hour', ts), '{_FMT_DUCK}')
+               AS window_start,
+             CAST(user_id AS VARCHAR) AS k
+      FROM events WHERE user_id IS NOT NULL
+    ), cells AS (
+      {cells}
+    )
+    SELECT window_start, d, slot, COUNT(*) AS cnt
+    FROM cells GROUP BY 1, 2, 3
+    """
+
+
+@register("events_stream_cms", oracle=_cms_stream_oracle())
+def events_stream_cms_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming count-min sketch (``streaming/events.cms_windowed``):
+    per-hour sketches built over the event stream with watermarked
+    state bounded at depth×width cells PER WINDOW regardless of key
+    cardinality — the canonical way to track frequencies on an
+    unbounded stream. The sketch is insertion-order-independent, so
+    the availableNow-drained result must hash-equal a batch DuckDB
+    replay of the identical cells — stream==batch, value-proven, the
+    same contract as the other streaming gates."""
+    tune(spark)
+    from pandas_rust_algos_spark.streaming import events as se
+
+    stream = se.read_events_stream(spark, sf_dir)
+    return se.run_available_now(
+        se.cms_windowed(stream), table="events_stream_cms_out",
+        state_partitions=8,
+    )
+
+
 def _hll_oracle() -> str:
     from pandas_rust_algos_spark.operators.frequency import sql_hll_nunique
 

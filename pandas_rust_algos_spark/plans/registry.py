@@ -112,6 +112,7 @@ _GATE_PRIORITY: tuple[str, ...] = (
     "jaccard_prefix_join",
     "cms_heavy_hitters",
     "hll_nunique_orders",
+    "events_stream_cms",
     # (c) modules changed in round 5 -> driver re-verification
     "bloom_join_revenue",
     "simhash_fingerprints_portable",

@@ -71,6 +71,45 @@ def tumbling_counts(stream: DataFrame, *, watermark: str = "2 hours") -> DataFra
     )
 
 
+def cms_windowed(
+    stream: DataFrame,
+    key: str = "user_id",
+    *,
+    width: int = 256,
+    depth: int = 4,
+    window: str = "1 hour",
+    watermark: str = "2 hours",
+    hash_mode: str = "portable",
+) -> DataFrame:
+    """Per-window count-min sketch over a stream: ``(window_start, d,
+    slot, cnt)`` — the streaming form of
+    ``operators/frequency.cms_sketch``. State per window is bounded by
+    depth×width cells no matter how many distinct keys arrive (the
+    whole point of sketching a stream), the watermark evicts closed
+    windows, and because the sketch is insertion-order-independent the
+    drained stream result must EQUAL the batch sketch over the same
+    rows — which is what the gate's oracle checks."""
+    from pandas_rust_algos_spark.operators.frequency import cms_cells
+
+    return (
+        stream.where(F.col(key).isNotNull())
+        .withWatermark("ts", watermark)
+        .select("ts", F.explode(
+            cms_cells(key, width, depth, hash_mode)).alias("c"))
+        .groupBy(
+            F.window("ts", window).alias("w"),
+            F.col("c.d").alias("d"),
+            F.col("c.slot").alias("slot"),
+        )
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .select(
+            F.date_format("w.start", "yyyy-MM-dd HH:mm:ss")
+            .alias("window_start"),
+            "d", "slot", "cnt",
+        )
+    )
+
+
 def session_counts(
     stream: DataFrame,
     *,

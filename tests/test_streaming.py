@@ -387,3 +387,30 @@ def test_stream_cusum_state_spans_batches(spark, tmp_path):
         s = max(0, s + math.floor(v * 1e6) - int(52.0 * 1e6))
         want[i] = s
     assert got == want
+
+
+def test_stream_cms_matches_batch_sketch(spark, sf_dir):
+    """The windowed streaming CMS must equal the batch sketch built
+    per hour over the same rows: the sketch is insertion-order-
+    independent, so micro-batch boundaries cannot change any cell."""
+    from pandas_rust_algos_spark.operators.frequency import cms_cells
+    from pandas_rust_algos_spark.sources import load_table
+
+    stream = se.read_events_stream(spark, sf_dir)
+    streamed = se.run_available_now(
+        se.cms_windowed(stream), table="t_stream_cms")
+
+    ev = load_table(spark, sf_dir, "events")
+    batch = (
+        ev.where(F.col("user_id").isNotNull())
+        .select("ts", F.explode(cms_cells("user_id", 256, 4)).alias("c"))
+        .groupBy(
+            F.window("ts", "1 hour").alias("w"),
+            F.col("c.d").alias("d"), F.col("c.slot").alias("slot"))
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .select(F.date_format("w.start", "yyyy-MM-dd HH:mm:ss")
+                .alias("window_start"), "d", "slot", "cnt")
+    )
+    s_rows = sorted(map(tuple, streamed.collect()))
+    b_rows = sorted(map(tuple, batch.collect()))
+    assert s_rows == b_rows and len(s_rows) > 0
