@@ -98,6 +98,9 @@ HEADLINE = [
     "bpe_encode_tokens",
     "triangle_count",
     "listagg_top_customers",
+    "cms_heavy_hitters",
+    "hll_nunique_orders",
+    "events_stream_cms",
 ]
 
 

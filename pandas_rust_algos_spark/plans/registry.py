@@ -118,6 +118,11 @@ _GATE_PRIORITY: tuple[str, ...] = (
     "simhash_fingerprints_portable",
     "matview_incremental",
     "webdataset_export",
+    "bpe_learn_merges",       # bpe.py SQL-chain refactor (r5d)
+    "ngram_jaccard",          # dedup.py prefix-join addition (r5d)
+    "ann_index_topk",         # ann_index.py append addition (r5d)
+    "events_stream_tumbling",  # streaming/events.py cms addition (r5d)
+    "heavy_hitters",          # frequency.py sketch additions (r5d)
     # (d) oldest driver rows (r1), rotating forward
     "group_count",
     "group_sum",
