@@ -101,6 +101,8 @@ HEADLINE = [
     "cms_heavy_hitters",
     "hll_nunique_orders",
     "events_stream_cms",
+    "cms_incremental_merge",
+    "hll_incremental_merge",
 ]
 
 

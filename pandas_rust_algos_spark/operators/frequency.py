@@ -31,11 +31,15 @@ from pyspark.sql import functions as F
 __all__ = [
     "cms_cells",
     "cms_estimate",
+    "cms_merge",
     "cms_sketch",
     "count_by_key",
     "heavy_hitters",
     "heavy_hitters_approx",
+    "hll_estimate",
+    "hll_merge",
     "hll_nunique",
+    "hll_registers",
     "sql_cms_hash",
     "sql_hll_nunique",
 ]
@@ -112,6 +116,23 @@ def cms_cells(key: str, width: int, depth: int,
     ])
 
 
+def cms_merge(*sketches: DataFrame) -> DataFrame:
+    """Merge count-min sketches cell-wise (sum per ``(d, slot)``) —
+    EXACT by construction: counting is distributive, so the merge of
+    per-shard/per-day sketches is byte-identical to the sketch of the
+    concatenated data. This is the 100 TB maintenance shape: sketch
+    each new partition as it lands (one scan of the delta only) and
+    fold it into the running sketch — ≤ depth×width rows of state,
+    never a rescan of history. All inputs must share width/depth/
+    hash_mode (cells only line up within one geometry)."""
+    if not sketches:
+        raise ValueError("cms_merge needs at least one sketch")
+    merged = sketches[0]
+    for s in sketches[1:]:
+        merged = merged.unionByName(s)
+    return merged.groupBy("d", "slot").agg(F.sum("cnt").alias("cnt"))
+
+
 def cms_estimate(
     sketch: DataFrame,
     keys: DataFrame,
@@ -185,7 +206,30 @@ def hll_nunique(
       which the round-to-integer output absorbs).
 
     Relative error ≈ 1.04/sqrt(m) (13% at m=64); raise ``m`` for
-    tighter estimates. ``sql_hll_nunique`` is the DuckDB twin."""
+    tighter estimates. ``sql_hll_nunique`` is the DuckDB twin.
+
+    Composition of :func:`hll_registers` → :func:`hll_estimate`; the
+    split (plus :func:`hll_merge`) is the incremental-maintenance
+    surface — registers are max-mergeable, so per-partition register
+    tables fold into a running sketch without rescanning history."""
+    return hll_estimate(
+        hll_registers(df, group, col, m=m, hash_mode=hash_mode),
+        group, m=m)
+
+
+def hll_registers(
+    df: DataFrame,
+    group: str,
+    col: str,
+    *,
+    m: int = 64,
+    hash_mode: str = "portable",
+) -> DataFrame:
+    """The HLL register table ``(group, bucket, mj)`` — ≤ m rows per
+    group, the sketch's entire state. ``mj = max(rho)`` per bucket is
+    max-mergeable: registers built over disjoint data slices combine
+    with :func:`hll_merge` into EXACTLY the registers of the full
+    scan (max is associative/commutative/idempotent)."""
     if m < 16 or (m & (m - 1)) != 0:
         raise ValueError(f"m must be a power of two >= 16, got {m}")
     w = 60 - m.bit_length() + 1  # suffix bits: h < 2^60, bucket eats log2(m)
@@ -198,13 +242,34 @@ def hll_nunique(
         suffix > 0,
         F.lit(w) - F.length(F.bin(suffix)) + 1,
     ).otherwise(F.lit(w + 1))
-    regs = (
+    return (
         df.where(F.col(col).isNotNull())
         .select(F.col(group), F.pmod(h, F.lit(m)).alias("bucket"),
                 rho.alias("rho"))
         .groupBy(group, "bucket")
         .agg(F.max("rho").alias("mj"))
     )
+
+
+def hll_merge(*registers: DataFrame) -> DataFrame:
+    """Merge HLL register tables bucket-wise (max per ``(group,
+    bucket)``) — exact: the merged registers equal the registers of
+    the concatenated data, so estimates through the merge are
+    bit-identical to a full rescan. Same 100 TB maintenance shape as
+    :func:`cms_merge`, with ≤ m rows of state per group."""
+    if not registers:
+        raise ValueError("hll_merge needs at least one register table")
+    group = registers[0].columns[0]
+    merged = registers[0]
+    for r in registers[1:]:
+        merged = merged.unionByName(r)
+    return merged.groupBy(group, "bucket").agg(F.max("mj").alias("mj"))
+
+
+def hll_estimate(regs: DataFrame, group: str, *, m: int = 64) -> DataFrame:
+    """Fold a register table into per-group estimates ``(group, est)``
+    — the exact-integer power sum + linear-counting branch documented
+    at :func:`hll_nunique`."""
     alpha_num = (F.lit(_hll_alpha(m)) * F.lit(m) * F.lit(m)
                  * F.lit(1 << 62).cast("double"))
     per_group = regs.groupBy(group).agg(
@@ -257,10 +322,12 @@ def sql_hll_nunique(
     )
     SELECT grp,
            CAST(ROUND(CASE
-             WHEN ({alpha} * {m} * {m} * CAST(1::BIGINT << 62 AS DOUBLE))
+             WHEN (CAST({alpha} AS DOUBLE) * {m} * {m}
+                     * CAST(1::BIGINT << 62 AS DOUBLE))
                     / CAST(s AS DOUBLE) <= {2.5 * m} AND v > 0
                THEN {float(m)} * LN({float(m)} / CAST(v AS DOUBLE))
-             ELSE ({alpha} * {m} * {m} * CAST(1::BIGINT << 62 AS DOUBLE))
+             ELSE (CAST({alpha} AS DOUBLE) * {m} * {m}
+                     * CAST(1::BIGINT << 62 AS DOUBLE))
                     / CAST(s AS DOUBLE)
            END) AS BIGINT) AS est
     FROM per_group

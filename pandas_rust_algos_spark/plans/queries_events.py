@@ -467,6 +467,131 @@ def cms_heavy_hitters_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _cms_merge_oracle(width: int = 128, depth: int = 4, k: int = 12) -> str:
+    from pandas_rust_algos_spark.operators.frequency import sql_cms_hash
+
+    cells = "\n      UNION ALL ".join(
+        f"SELECT {d} AS d, CAST({sql_cms_hash(d, 'k')} % {width} AS INT) "
+        "AS slot FROM base"
+        for d in range(depth)
+    )
+    probes = "\n      UNION ALL ".join(
+        f"SELECT user_id, exact_cnt, {d} AS d, "
+        f"CAST({sql_cms_hash(d, 'CAST(user_id AS VARCHAR)')} % {width} "
+        "AS INT) AS slot FROM top"
+        for d in range(depth)
+    )
+    return f"""
+    WITH base AS (
+      SELECT CAST(user_id AS VARCHAR) AS k FROM events
+      WHERE user_id IS NOT NULL
+    ), cells AS (
+      {cells}
+    ), sk AS (
+      SELECT d, slot, COUNT(*) AS cnt FROM cells GROUP BY 1, 2
+    ), top AS (
+      SELECT user_id, COUNT(*) AS exact_cnt FROM events
+      WHERE user_id IS NOT NULL
+      GROUP BY user_id ORDER BY exact_cnt DESC, user_id LIMIT {k}
+    ), probes AS (
+      {probes}
+    )
+    SELECT p.user_id, p.exact_cnt,
+           CAST(MIN(COALESCE(sk.cnt, 0)) AS BIGINT) AS cms_est
+    FROM probes p LEFT JOIN sk ON p.d = sk.d AND p.slot = sk.slot
+    GROUP BY p.user_id, p.exact_cnt
+    """
+
+
+@register("cms_incremental_merge", oracle=_cms_merge_oracle())
+def cms_incremental_merge_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental sketch maintenance, value-proven: the event history
+    is split at a time cutoff into a "base" and a "delta" slice, each
+    sketched INDEPENDENTLY (one scan of its own slice only), then
+    folded with ``cms_merge`` — and the DuckDB oracle replays the
+    sketch of the FULL concatenated data, so the hash gate proves
+    merge(sketch(base), sketch(delta)) == sketch(base ∪ delta)
+    bit-exactly on real data. This is how a 100 TB append-only table
+    keeps a live frequency sketch: sketch each arriving partition,
+    cell-wise-sum it into ≤ depth×width rows of running state, never
+    rescan history. Probes report the exact top-12 users through the
+    merged sketch (never-undercount visible per row)."""
+    tune(spark)
+    from pandas_rust_algos_spark.operators.frequency import (
+        cms_estimate, cms_merge, cms_sketch, heavy_hitters,
+    )
+
+    ev = load_table(spark, sf_dir, "events")
+    cut = F.lit("2024-01-16").cast("timestamp")
+    base = ev.where(F.col("ts") < cut)
+    delta = ev.where(~(F.col("ts") < cut) | F.col("ts").isNull())
+    merged = cms_merge(
+        cms_sketch(base, "user_id", width=128, depth=4),
+        cms_sketch(delta, "user_id", width=128, depth=4),
+    )
+    top = heavy_hitters(ev, "user_id", k=12).select(
+        "user_id", F.col("cnt").alias("exact_cnt"))
+    est = cms_estimate(merged, top, "user_id", width=128, depth=4)
+    return (
+        top.join(est, "user_id")
+        .select("user_id", "exact_cnt", F.col("est").alias("cms_est"))
+    )
+
+
+def _hll_merge_oracle() -> str:
+    from pandas_rust_algos_spark.operators.frequency import sql_hll_nunique
+
+    inner = sql_hll_nunique("o_orderpriority", "o_custkey", "orders", m=128)
+    return f"""
+    WITH est AS ({inner}),
+    exact AS (
+      SELECT o_orderpriority AS grp,
+             CAST(COUNT(DISTINCT o_custkey) AS BIGINT) AS exact_nunique
+      FROM orders WHERE o_custkey IS NOT NULL GROUP BY 1
+    )
+    SELECT est.grp AS o_orderpriority, exact.exact_nunique,
+           est.est AS hll_est
+    FROM est JOIN exact ON est.grp = exact.grp
+    """
+
+
+@register("hll_incremental_merge", oracle=_hll_merge_oracle())
+def hll_incremental_merge_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HLL register merge, value-proven: orders are split at a date
+    cutoff into base/delta, each slice builds its own register table
+    (``hll_registers``, ≤ m rows per group), ``hll_merge`` folds them
+    bucket-wise by max, and the estimate runs over the MERGED
+    registers — while the DuckDB oracle replays the sketch over the
+    full table in one scan. Hash equality proves
+    merge(regs(base), regs(delta)) == regs(base ∪ delta) exactly
+    (max is associative/idempotent), i.e. distinct-count sketches on
+    an append-only 100 TB table update per-partition without rescans.
+    m=128 here (vs 64 in ``hll_nunique_orders``) also exercises the
+    non-tabulated alpha branch."""
+    tune(spark)
+    from pandas_rust_algos_spark.operators.frequency import (
+        hll_estimate, hll_merge, hll_registers,
+    )
+
+    od = load_table(spark, sf_dir, "orders")
+    cut = F.lit("1996-01-01").cast("date")
+    base = od.where(F.col("o_orderdate") < cut)
+    delta = od.where(~(F.col("o_orderdate") < cut)
+                     | F.col("o_orderdate").isNull())
+    merged = hll_merge(
+        hll_registers(base, "o_orderpriority", "o_custkey", m=128),
+        hll_registers(delta, "o_orderpriority", "o_custkey", m=128),
+    )
+    est = hll_estimate(merged, "o_orderpriority", m=128)
+    exact = (
+        od.where(F.col("o_custkey").isNotNull())
+        .groupBy("o_orderpriority")
+        .agg(F.count_distinct("o_custkey").alias("exact_nunique"))
+    )
+    return exact.join(est, "o_orderpriority").select(
+        "o_orderpriority", "exact_nunique", F.col("est").alias("hll_est"))
+
+
 @register(
     "events_rollup_hour_day",
     oracle=f"""

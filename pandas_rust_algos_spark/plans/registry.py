@@ -118,6 +118,8 @@ _GATE_PRIORITY: tuple[str, ...] = (
     "simhash_fingerprints_portable",
     "matview_incremental",
     "webdataset_export",
+    "cms_incremental_merge",  # merged-sketch == full-sketch proof (r5d)
+    "hll_incremental_merge",  # merged-register == full-register proof (r5d)
     "bpe_learn_merges",       # bpe.py SQL-chain refactor (r5d)
     "ngram_jaccard",          # dedup.py prefix-join addition (r5d)
     "ann_index_topk",         # ann_index.py append addition (r5d)

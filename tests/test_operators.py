@@ -1320,3 +1320,52 @@ def test_hll_nunique_replay_and_accuracy(spark):
 
     with pytest.raises(ValueError):
         hll_nunique(df, "g", "x", m=48)
+
+
+def test_sketch_merges_equal_full_scan(spark):
+    """Incremental maintenance contract: cms_merge / hll_merge over
+    disjoint slices reproduce the full-scan sketch EXACTLY — the merge
+    operators (sum / max) are the distributive halves of the builders,
+    so estimates through merged state are bit-identical."""
+    from pandas_rust_algos_spark.operators.frequency import (
+        cms_merge,
+        cms_sketch,
+        hll_estimate,
+        hll_merge,
+        hll_nunique,
+        hll_registers,
+    )
+
+    rows = [("g1", i % 37) for i in range(400)] + \
+           [("g2", i % 211) for i in range(900)]
+    df = spark.createDataFrame(rows, "g string, x long")
+    a, b = df.where("x % 3 = 0"), df.where("x % 3 != 0")
+
+    # CMS: merged cell table == full-scan cell table
+    full = {(r["d"], r["slot"]): r["cnt"] for r in
+            cms_sketch(df, "x", width=64, depth=3).collect()}
+    merged = {(r["d"], r["slot"]): r["cnt"] for r in
+              cms_merge(cms_sketch(a, "x", width=64, depth=3),
+                        cms_sketch(b, "x", width=64, depth=3)).collect()}
+    assert merged == full
+
+    # HLL: merged registers == full-scan registers, and the estimate
+    # through them == the one-shot estimate (both alpha branches: m=128
+    # exercises the non-tabulated constant)
+    for m in (64, 128):
+        full_regs = {(r["g"], r["bucket"]): r["mj"] for r in
+                     hll_registers(df, "g", "x", m=m).collect()}
+        mregs = hll_merge(hll_registers(a, "g", "x", m=m),
+                          hll_registers(b, "g", "x", m=m))
+        assert {(r["g"], r["bucket"]): r["mj"]
+                for r in mregs.collect()} == full_regs
+        one_shot = {r["g"]: r["est"]
+                    for r in hll_nunique(df, "g", "x", m=m).collect()}
+        through_merge = {r["g"]: r["est"]
+                         for r in hll_estimate(mregs, "g", m=m).collect()}
+        assert through_merge == one_shot
+
+    with pytest.raises(ValueError):
+        cms_merge()
+    with pytest.raises(ValueError):
+        hll_merge()
