@@ -120,7 +120,6 @@ _GATE_PRIORITY: tuple[str, ...] = (
     "webdataset_export",
     "cms_incremental_merge",  # merged-sketch == full-sketch proof (r5d)
     "hll_incremental_merge",  # merged-register == full-register proof (r5d)
-    "bpe_learn_merges",       # bpe.py SQL-chain refactor (r5d)
     "ngram_jaccard",          # dedup.py prefix-join addition (r5d)
     "ann_index_topk",         # ann_index.py append addition (r5d)
     "events_stream_tumbling",  # streaming/events.py cms addition (r5d)
@@ -151,7 +150,6 @@ _GATE_PRIORITY: tuple[str, ...] = (
     "events_tumbling_1h",
     "events_sliding_2h_1h",
     "events_json_props",
-    "heavy_hitters",
     "heavy_hitters_approx",
     "events_rollup_hour_day",
     "scalar_functions",
@@ -161,7 +159,6 @@ _GATE_PRIORITY: tuple[str, ...] = (
     "text_quality",
     "lang_id",
     "doc_fingerprint",
-    "ngram_jaccard",
     "dup_clusters",
     "minhash_near_dupes",
     "simhash_fingerprints",
