@@ -103,6 +103,11 @@ HEADLINE = [
     "events_stream_cms",
     "cms_incremental_merge",
     "hll_incremental_merge",
+    # round 6: substring-level exact dedup (Lee et al. duplicated spans),
+    # KMV/theta sketches (distinct counting + set algebra)
+    "dup_spans",
+    "kmv_nunique_orders",
+    "kmv_set_ops_customers",
 ]
 
 
@@ -113,6 +118,19 @@ def _force(df) -> None:
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+    # Subset override for attribution experiments (e.g. "do the r1-era
+    # queries regress because of plans, or because of suite position /
+    # JVM pressure at 71 queries?"): run an isolated slice in a fresh
+    # session and compare against the full-suite numbers.
+    headline = HEADLINE
+    only = os.environ.get("SPARK_GRAFT_ONLY")
+    if only:
+        names = [n.strip() for n in only.split(",") if n.strip()]
+        unknown = [n for n in names if n not in HEADLINE]
+        if unknown:
+            raise SystemExit(f"SPARK_GRAFT_ONLY names not in HEADLINE: "
+                             f"{unknown}")
+        headline = names
     spark = get_spark("pra-spark-bench")
     spark.sparkContext.setLogLevel("ERROR")
 
@@ -133,7 +151,7 @@ def main() -> None:
     # round-over-round regression attributable (noise vs real)
     times: dict[str, float] = {}
     runs: dict[str, list[float]] = {}
-    for name in HEADLINE:
+    for name in headline:
         fn = registry.get(name).fn
         rs = []
         for _ in range(3):
@@ -148,12 +166,14 @@ def main() -> None:
     # driver tail-captures stdout and parses the final JSON line, and
     # round 3's 41-query line with embedded runs outgrew that window
     # (BENCH_r03.json parsed:null). Keep the last stdout line compact.
-    try:
-        with open(os.path.join(os.path.dirname(os.path.abspath(__file__)),
-                               "BENCH_RUNS.json"), "w") as f:
-            json.dump({"sf": sf, "runs": runs}, f)
-    except OSError:
-        pass
+    if not only:  # subset runs must not clobber the full-suite record
+        try:
+            with open(os.path.join(
+                    os.path.dirname(os.path.abspath(__file__)),
+                    "BENCH_RUNS.json"), "w") as f:
+                json.dump({"sf": sf, "runs": runs}, f)
+        except OSError:
+            pass
     print(json.dumps({
         "metric": "headline_suite_total",
         "value": total,

@@ -38,6 +38,8 @@ __all__ = [
     "embedding_near_dupes",
     "dup_clusters",
     "keep_canonical",
+    "duplicated_spans",
+    "sql_duplicated_spans",
 ]
 
 
@@ -596,3 +598,145 @@ def keep_canonical(
     the id column on the build side."""
     reps = clusters.where(F.col(cluster_col) == F.col(id_col)).select(id_col)
     return docs.join(reps, id_col, "leftsemi")
+
+
+def duplicated_spans(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    *,
+    k: int = 8,
+    min_run: int = 2,
+) -> DataFrame:
+    """Substring-level exact dedup (Lee et al. 2022, "Deduplicating
+    Training Data Makes Language Models Better", public): detect
+    VERBATIM token spans shared across documents — boilerplate,
+    licenses, templated headers — that document-level near-dup misses
+    because the surrounding text differs.
+
+    Shingled-window fingerprints, the standard distributed
+    approximation of the paper's suffix-array pass: every k-token
+    window of every document is hashed (md5-prefix 60-bit — the
+    engine's portable recipe, so a SQL oracle replays it exactly); a
+    window is *duplicated* iff its hash occurs in >= 2 DISTINCT
+    documents; and a run of r CONSECUTIVE duplicated window positions
+    within a document witnesses a shared span of ``k + r - 1`` tokens.
+    Returns one row per document::
+
+        (id, n_windows, n_dup_windows, max_run, dup_span_tokens,
+         flagged)
+
+    where ``dup_span_tokens = max_run + k - 1`` (0 when clean) and
+    ``flagged = max_run >= min_run`` — i.e. a shared span of at least
+    ``k + min_run - 1`` tokens.
+
+    Scale shape: two shuffles, both ∝ corpus token count — (1) windows
+    shuffle on their hash for the distinct-document count, with the
+    duplicated-hash set reused in place by a left-semi join on the
+    same key (one exchange feeds both), and (2) the surviving
+    (document, position) rows shuffle on the document id for the
+    gaps-and-islands run analysis. Documents shorter than k tokens
+    have zero windows and report clean. No Python, no all-pairs, no
+    driver state; at 100 TB the window rows are the same volume the
+    inverted-index/TF-IDF paths already shuffle.
+
+    Reference scope: no text surface exists in the reference
+    (SURVEY §2.3) — driver-brief training-pipeline extension.
+    """
+    from pandas_rust_algos_spark.operators.text import token_ngrams
+
+    if k < 1 or min_run < 1:
+        raise ValueError(f"k/min_run must be >= 1, got {k}/{min_run}")
+    base = df.select(
+        F.col(id_col), token_ngrams(text_col, k).alias("__grams"))
+    totals = base.select(
+        id_col, F.size("__grams").cast("long").alias("n_windows"))
+    wins = base.select(
+        F.col(id_col), F.posexplode("__grams").alias("pos", "gram")
+    ).select(
+        id_col, "pos",
+        F.conv(F.substring(F.md5("gram"), 1, 15), 16, 10)
+        .cast("long").alias("h"),
+    )
+    dup = (
+        wins.groupBy("h")
+        .agg(F.count_distinct(id_col).alias("nd"))
+        .where(F.col("nd") >= 2)
+        .select("h")
+    )
+    flagged = wins.join(dup, "h", "left_semi")
+    w = Window.partitionBy(id_col).orderBy("pos")
+    runs = (
+        flagged.withColumn("__isl", F.col("pos") - F.row_number().over(w))
+        .groupBy(id_col, "__isl")
+        .agg(F.count(F.lit(1)).alias("run"))
+        .groupBy(id_col)
+        .agg(
+            F.sum("run").alias("nd"),
+            F.max("run").alias("mr"),
+        )
+    )
+    mr = F.coalesce(F.col("mr"), F.lit(0)).cast("long")
+    return (
+        totals.join(runs, id_col, "left")
+        .select(
+            id_col,
+            "n_windows",
+            F.coalesce(F.col("nd"), F.lit(0)).cast("long")
+            .alias("n_dup_windows"),
+            mr.alias("max_run"),
+            F.when(mr > 0, mr + (k - 1)).otherwise(F.lit(0))
+            .cast("long").alias("dup_span_tokens"),
+            (mr >= min_run).alias("flagged"),
+        )
+    )
+
+
+def sql_duplicated_spans(
+    table: str = "documents",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    *,
+    k: int = 8,
+    min_run: int = 2,
+) -> str:
+    """DuckDB twin of :func:`duplicated_spans`: same tokenizer spec,
+    same md5-prefix window hash, same distinct-document duplication
+    rule, same gaps-and-islands run algebra."""
+    from pandas_rust_algos_spark.operators.text import sql_token_ngrams
+
+    grams = sql_token_ngrams(text_col, k)
+    return f"""
+    WITH base AS (
+      SELECT {id_col}, {grams} AS g FROM {table}
+    ), tot AS (
+      SELECT {id_col}, CAST(LEN(g) AS BIGINT) AS n_windows FROM base
+    ), wins AS (
+      SELECT {id_col}, i - 1 AS pos,
+             CAST('0x' || SUBSTR(md5(g[i]), 1, 15) AS BIGINT) AS h
+      FROM base, UNNEST(RANGE(1, LEN(g) + 1)) AS t(i)
+    ), dup AS (
+      SELECT h FROM wins GROUP BY h
+      HAVING COUNT(DISTINCT {id_col}) >= 2
+    ), fl AS (
+      SELECT w.{id_col}, w.pos FROM wins w JOIN dup d USING (h)
+    ), il AS (
+      SELECT {id_col},
+             pos - ROW_NUMBER() OVER (PARTITION BY {id_col}
+                                      ORDER BY pos) AS isl
+      FROM fl
+    ), rl AS (
+      SELECT {id_col}, isl, COUNT(*) AS run FROM il GROUP BY 1, 2
+    ), agg AS (
+      SELECT {id_col}, SUM(run) AS nd, MAX(run) AS mr
+      FROM rl GROUP BY 1
+    )
+    SELECT t.{id_col}, t.n_windows,
+           CAST(COALESCE(a.nd, 0) AS BIGINT) AS n_dup_windows,
+           CAST(COALESCE(a.mr, 0) AS BIGINT) AS max_run,
+           CAST(CASE WHEN COALESCE(a.mr, 0) > 0
+                     THEN a.mr + {k - 1} ELSE 0 END AS BIGINT)
+             AS dup_span_tokens,
+           COALESCE(a.mr, 0) >= {min_run} AS flagged
+    FROM tot t LEFT JOIN agg a USING ({id_col})
+    """

@@ -235,6 +235,12 @@ def hll_registers(
     w = 60 - m.bit_length() + 1  # suffix bits: h < 2^60, bucket eats log2(m)
     kstr = F.col(col).cast("string")
     h = _cms_hash(0, kstr, hash_mode)
+    if hash_mode == "fast":
+        # xxhash64 is SIGNED 64-bit; the register math below needs a
+        # non-negative h < 2^60 (negative h would peg rho at w+1 and a
+        # >60-bit suffix would make rho <= 0, overflowing hll_estimate's
+        # shiftleft). Keep the low 60 bits — still uniform.
+        h = h.bitwiseAND(F.lit((1 << 60) - 1))
     # m is a power of two: >> keeps the division integer-exact (h has
     # 60 bits — a double division would round past 2^53)
     suffix = F.shiftright(h, m.bit_length() - 1)

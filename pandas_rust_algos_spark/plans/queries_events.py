@@ -440,6 +440,173 @@ def hll_nunique_orders_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         "o_orderpriority", "exact_nunique", F.col("est").alias("hll_est"))
 
 
+def _kmv_oracle(k: int = 64) -> str:
+    from pandas_rust_algos_spark.operators.kmv import (
+        sql_kmv_estimate,
+        sql_kmv_sketch,
+    )
+
+    sk = sql_kmv_sketch("o_orderpriority", "o_custkey", "orders", k=k)
+    est = sql_kmv_estimate("hs", k=k)
+    return f"""
+    WITH sk AS ({sk}),
+    est AS (
+      SELECT grp, CAST(ROUND({est}) AS BIGINT) AS est FROM sk
+    ), exact AS (
+      SELECT o_orderpriority AS grp,
+             CAST(COUNT(DISTINCT o_custkey) AS BIGINT) AS exact_nunique
+      FROM orders WHERE o_custkey IS NOT NULL GROUP BY 1
+    )
+    SELECT est.grp AS o_orderpriority, exact.exact_nunique,
+           est.est AS kmv_est
+    FROM est JOIN exact ON est.grp = exact.grp
+    """
+
+
+@register("kmv_nunique_orders", oracle=_kmv_oracle())
+def kmv_nunique_orders_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KMV (k-minimum-values / theta) sketch, value-proven end-to-end
+    (``operators/kmv.py``): per order priority, the bottom-k distinct-
+    customer estimate next to its exact twin. The portable md5-prefix
+    hash, the rank filter, and the ``(k-1)·2^60 / h_k`` estimator all
+    replay in DuckDB — completing the mergeable-summary tier (CMS =
+    frequency, HLL = cardinality, KMV = cardinality + set algebra;
+    ``kmv_set_ops_customers`` proves the set-algebra half)."""
+    tune(spark)
+    from pandas_rust_algos_spark.operators.kmv import (
+        kmv_estimate, kmv_sketch,
+    )
+
+    od = load_table(spark, sf_dir, "orders")
+    est = kmv_estimate(
+        kmv_sketch(od, "o_orderpriority", "o_custkey", k=64),
+        "o_orderpriority", k=64)
+    exact = (
+        od.where(F.col("o_custkey").isNotNull())
+        .groupBy("o_orderpriority")
+        .agg(F.count_distinct("o_custkey").alias("exact_nunique"))
+    )
+    return exact.join(est, "o_orderpriority").select(
+        "o_orderpriority", "exact_nunique", F.col("est").alias("kmv_est"))
+
+
+def _kmv_merge_oracle(k: int = 64) -> str:
+    from pandas_rust_algos_spark.operators.kmv import (
+        sql_kmv_estimate,
+        sql_kmv_sketch,
+    )
+
+    sk = sql_kmv_sketch("o_orderpriority", "o_custkey", "orders", k=k)
+    est = sql_kmv_estimate("hs", k=k)
+    return f"""
+    WITH sk AS ({sk})
+    SELECT grp AS o_orderpriority,
+           CAST(LEN(hs) AS BIGINT) AS n_hs,
+           CAST(hs[LEN(hs)] AS BIGINT) AS h_max,
+           CAST(ROUND({est}) AS BIGINT) AS kmv_est
+    FROM sk
+    """
+
+
+@register("kmv_incremental_merge", oracle=_kmv_merge_oracle())
+def kmv_incremental_merge_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KMV sketch merge, value-proven: orders split at a date cutoff
+    into base/delta, each slice sketched independently (one scan of
+    its own slice), folded with ``kmv_merge`` — while the DuckDB
+    oracle sketches the FULL table in one scan. The output pins the
+    merged STATE, not just the estimate: per group, the array length,
+    the largest retained hash, and the estimate must all match, so a
+    merge that kept a wrong hash cannot pass even if the rounded
+    estimate happened to agree. Proves min-k(A ∪ B) is computable
+    from min-k(A) ∪ min-k(B) on real data — the append-only
+    maintenance contract of the whole sketch tier."""
+    tune(spark)
+    from pandas_rust_algos_spark.operators.kmv import (
+        _estimate_expr, kmv_merge, kmv_sketch,
+    )
+
+    od = load_table(spark, sf_dir, "orders")
+    cut = F.lit("1996-01-01").cast("date")
+    base = od.where(F.col("o_orderdate") < cut)
+    delta = od.where(~(F.col("o_orderdate") < cut)
+                     | F.col("o_orderdate").isNull())
+    merged = kmv_merge(
+        kmv_sketch(base, "o_orderpriority", "o_custkey", k=64),
+        kmv_sketch(delta, "o_orderpriority", "o_custkey", k=64),
+        k=64,
+    )
+    return merged.select(
+        "o_orderpriority",
+        F.size("hs").cast("long").alias("n_hs"),
+        F.element_at("hs", F.size("hs")).alias("h_max"),
+        F.round(_estimate_expr(F.col("hs"), 64)).cast("long")
+        .alias("kmv_est"),
+    )
+
+
+def _kmv_setops_oracle(k: int = 64) -> str:
+    from pandas_rust_algos_spark.operators.kmv import (
+        sql_kmv_estimate,
+        sql_kmv_sketch,
+    )
+
+    a = sql_kmv_sketch(
+        "o_orderpriority", "o_custkey",
+        "(SELECT * FROM orders WHERE o_orderdate < DATE '1995-01-01')",
+        k=k)
+    b = sql_kmv_sketch(
+        "o_orderpriority", "o_custkey",
+        "(SELECT * FROM orders WHERE o_orderdate >= DATE '1995-01-01')",
+        k=k)
+    union_est = sql_kmv_estimate("ku", k=k)
+    return f"""
+    WITH a AS ({a}), b AS ({b}),
+    j AS (
+      SELECT a.grp,
+             (LIST_SORT(LIST_DISTINCT(a.hs || b.hs)))[1:{k}] AS ku,
+             LIST_INTERSECT(a.hs, b.hs) AS hs_both
+      FROM a JOIN b USING (grp)
+    ), m AS (
+      SELECT grp, ku,
+             LEN(LIST_INTERSECT(ku, hs_both)) AS n_both
+      FROM j
+    )
+    SELECT grp AS o_orderpriority,
+           CAST(ROUND({union_est}) AS BIGINT) AS union_est,
+           CAST(ROUND((CAST(n_both AS DOUBLE) / CAST(LEN(ku) AS DOUBLE))
+                      * ({union_est})) AS BIGINT) AS inter_est,
+           ROUND(CAST(n_both AS DOUBLE) / CAST(LEN(ku) AS DOUBLE), 6)
+             AS jaccard_est
+    FROM m
+    """
+
+
+@register("kmv_set_ops_customers", oracle=_kmv_setops_oracle())
+def kmv_set_ops_customers_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Theta-sketch set algebra, value-proven (``operators/kmv.
+    kmv_set_ops``): per order priority, the customer sets "ordered
+    before 1995" and "ordered 1995 or later" are sketched
+    independently, and the two sketches alone answer |A ∪ B|,
+    |A ∩ B|, and Jaccard — the overlap questions HLL registers cannot
+    compose into. The DuckDB oracle replays sketch build, the min-k
+    union composition, the sample-overlap count, and both estimator
+    divisions bit-exactly. At 100 TB this is the audience-overlap /
+    cross-table-containment primitive: KiB of state per side answers
+    a question whose exact form is a fact-fact distinct join."""
+    tune(spark)
+    from pandas_rust_algos_spark.operators.kmv import (
+        kmv_set_ops, kmv_sketch,
+    )
+
+    od = load_table(spark, sf_dir, "orders")
+    cut = F.lit("1995-01-01").cast("date")
+    a = kmv_sketch(od.where(F.col("o_orderdate") < cut),
+                   "o_orderpriority", "o_custkey", k=64)
+    b = kmv_sketch(od.where(F.col("o_orderdate") >= cut),
+                   "o_orderpriority", "o_custkey", k=64)
+    return kmv_set_ops(a, b, k=64)
+
+
 @register("cms_heavy_hitters", oracle=_cms_oracle())
 def cms_heavy_hitters_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Count-min sketch, value-proven end-to-end

@@ -270,6 +270,19 @@ def minhash_near_dupes_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
         threshold=0.5, hash_mode="portable")
 
 
+@register("dup_spans", oracle=dd.sql_duplicated_spans(k=8, min_run=2))
+def dup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Substring-level exact dedup (Lee et al. 2022): per-document
+    duplicated-span statistics from shingled k-token window
+    fingerprints — the verbatim-boilerplate detector that document-
+    level near-dup misses. The oracle replays the ENTIRE pipeline
+    (tokenizer, md5-prefix window hashes, distinct-document
+    duplication rule, gaps-and-islands consecutive-run algebra) from
+    the same expressions, so the value hash proves window alignment,
+    run lengths, and the flag threshold, not just row counts."""
+    return dd.duplicated_spans(_docs(spark, sf_dir), k=8, min_run=2)
+
+
 # --------------------------------------------------------- n-gram jaccard
 
 

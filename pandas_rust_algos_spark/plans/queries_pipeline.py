@@ -505,26 +505,37 @@ def triangle_count_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-part triangle counts (``operators/graph.triangle_counts``)
     over the part co-order (basket) graph — local clustering density,
     the product-affinity analogue of link-farm detection. The Spark
-    side runs degree-ordered wedge enumeration (oriented DAG,
-    O(sqrt(m)) out-degree bound, one wedge self-join + one closing
-    semi-join, no iteration, no collect); the DuckDB oracle counts the
+    side enumerates triangles by degree-ordered adjacency-array
+    INTERSECTION (orient each edge low→high under the (degree, node)
+    total order — a DAG with O(sqrt(m)) out-degrees — then per edge
+    ``u→v`` count ``|N+(u) ∩ N+(v)|`` via ``array_intersect`` over
+    collected out-lists; no wedge materialization, no iteration, no
+    collect). The co-order edge list itself is built the
+    ``basket_pairs`` way — per-order sorted item array, ordered pairs
+    by nested ``transform``/``slice`` (ONE shuffle, cost ∝ Σ basket²)
+    — not a DISTINCT×DISTINCT self-join. The DuckDB oracle counts the
     SAME triangle set with a plain 3-way join over the canonical
-    ``a < b`` edge list — orientation is provably an execution
-    strategy, not a semantics change."""
+    ``a < b`` edge list — orientation and array algebra are provably
+    execution strategy, not a semantics change."""
     from pandas_rust_algos_spark.operators.graph import triangle_counts
 
     tune(spark)
-    po = (load_table(spark, sf_dir, "lineitem")
-          .select("l_orderkey", "l_partkey").distinct())
-    x, y = po.alias("x"), po.alias("y")
-    edges = x.join(
-        y,
-        (F.col("x.l_orderkey") == F.col("y.l_orderkey"))
-        & (F.col("x.l_partkey") < F.col("y.l_partkey")),
-    ).select(
-        F.col("x.l_partkey").alias("src"),
-        F.col("y.l_partkey").alias("dst"),
+    arr = (
+        load_table(spark, sf_dir, "lineitem")
+        .groupBy("l_orderkey")
+        .agg(F.array_sort(F.collect_set("l_partkey")).alias("a"))
     )
+    edges = arr.select(
+        F.explode(
+            F.flatten(F.transform(
+                "a",
+                lambda x, i: F.transform(
+                    F.slice(F.col("a"), i + 2, F.size("a")),
+                    lambda y: F.struct(x.alias("src"), y.alias("dst")),
+                ),
+            ))
+        ).alias("p")
+    ).select("p.*")
     return triangle_counts(edges)
 
 
@@ -1255,7 +1266,15 @@ def bucketed_join_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         # materialize within the no-broadcast window: the plan is
         # finalized lazily, so restore the conf only after the driver
         # would have consumed it — return a cached-shape DataFrame
-        out = out.localCheckpoint(eager=True)
+        checkpointed = out.localCheckpoint(eager=True)
+        # the checkpoint hides the zero-exchange SMJ behind a `Scan
+        # ExistingRDD`; record the executed pre-checkpoint plan so the
+        # snapshot tool can show the structure this gate exists to prove
+        from pandas_rust_algos_spark.plans.registry import (
+            record_plan_probe,
+        )
+        record_plan_probe("bucketed_join_revenue", out)
+        out = checkpointed
     finally:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
     return out

@@ -50,6 +50,22 @@ class QuerySpec:
 
 _REGISTRY: dict[str, QuerySpec] = {}
 
+# Plan-snapshot probes: a gate that must return a localCheckpoint'd
+# DataFrame (e.g. to pin a conf-scoped plan before restoring the conf)
+# records its PRE-checkpoint DataFrame here so tools/snapshot_plans.py
+# can show the real join/exchange structure instead of the degenerate
+# `Scan ExistingRDD` the checkpoint leaves behind. Keyed by gate name;
+# consumed (popped) by the snapshot tool right after running the gate.
+PLAN_PROBES: dict[str, DataFrame] = {}
+
+
+def record_plan_probe(name: str, df: DataFrame) -> None:
+    """Stash the pre-checkpoint DataFrame for plan snapshotting. The
+    caller must have EXECUTED it already (eager localCheckpoint does)
+    so its QueryExecution holds the finalized AQE plan under the confs
+    that were live at execution time."""
+    PLAN_PROBES[name] = df
+
 
 def register(name: str, oracle: str | None = None, description: str = ""):
     """Decorator: register a named query with optional DuckDB oracle SQL."""
@@ -64,104 +80,142 @@ def register(name: str, oracle: str | None = None, description: str = ""):
 
 
 # The driver's correctness gate samples the FIRST ~50 registry entries per
-# round. After round 4 every one of the 178 gates has at least one driver
-# CORRECTNESS row (zero reds); staleness is now the only dimension. Round 5
-# front-loads (a) the 14 gates whose slots the round-4 window truncated
-# (last driver row r2 — the judge-named (d)-tail), (b) gates NEW in round
-# 5, (c) re-checks for gates whose modules changed in round 5 (bloomjoin
-# broadcast-row probe, table_format delete/append fixes, dedup portable-
-# bits guard), then (d) the oldest remaining rows (last checked r1),
-# oldest-first rotation so nothing stays unchecked indefinitely.
+# round. Every gate has at least one driver CORRECTNESS row (zero reds ever);
+# staleness is the only dimension. Round 6 front-loads (a) gates NEW in
+# round 6, (b) re-checks for gates whose modules changed in round 6
+# (frequency.py HLL fast-mode hash fix + triangle_count edge generation,
+# table_format update_mor multi-column SET semantics, bucketing orphan-
+# cleanup scoping), then (c)-(e) every gate whose most recent driver row is
+# r3 or older, oldest-first — the window truncates at ~50, and the next
+# round's rotation resumes from whatever this round left unverified.
 _GATE_PRIORITY: tuple[str, ...] = (
-    # (a) round-4 window tail — last driver row r2
-    "q14_promo_share",
-    "q15_top_supplier",
-    "q17_small_qty_revenue",
-    "q18_large_orders",
-    "q19_bracket_revenue",
-    "q22_idle_customers",
-    "range_join",
-    "semi_anti_join",
-    "set_ops",
-    "distinct_agg",
-    "rollup_revenue",
-    "cube_revenue",
-    "group_pivot",
-    "group_melt",
-    # (b) new in round 5 — inserted as they are authored
-    "delete_mor_read",
-    "bm25_topk",
-    "skew_join_salted",
-    "regr_aggregates",
-    "jpeg_media_features",
-    "bucketed_join_revenue",
-    "update_mor_read",
-    "table_cdf_read",
-    "mulaw_media_features",
-    "merge_upsert_read",
-    "formats_roundtrip",
-    "zorder_codes",
-    "schema_evolution_read",
-    "bpe_learn_merges",
-    "restore_read",
-    "bpe_encode_tokens",
-    "bpe_token_freqs",
+    # (a) new in round 6 — inserted as they are authored
+    "dup_spans",
+    "kmv_nunique_orders",
+    "kmv_incremental_merge",
+    "kmv_set_ops_customers",
+    # (b) modules changed in round 6 -> driver re-verification
     "triangle_count",
-    "listagg_top_customers",
-    "ann_index_append_topk",
-    "jaccard_prefix_join",
-    "cms_heavy_hitters",
+    "update_mor_read",
+    "bucketed_join_revenue",
     "hll_nunique_orders",
+    "hll_incremental_merge",
+    "cms_heavy_hitters",
+    "cms_incremental_merge",
     "events_stream_cms",
-    # (c) modules changed in round 5 -> driver re-verification
-    "bloom_join_revenue",
-    "simhash_fingerprints_portable",
-    "matview_incremental",
-    "webdataset_export",
-    "cms_incremental_merge",  # merged-sketch == full-sketch proof (r5d)
-    "hll_incremental_merge",  # merged-register == full-register proof (r5d)
-    "ngram_jaccard",          # dedup.py prefix-join addition (r5d)
-    "ann_index_topk",         # ann_index.py append addition (r5d)
-    "events_stream_tumbling",  # streaming/events.py cms addition (r5d)
-    "heavy_hitters",          # frequency.py sketch additions (r5d)
-    # (d) oldest driver rows (r1), rotating forward
-    "group_count",
-    "group_sum",
-    "group_mean",
-    "group_sum_mincount",
-    "group_prod",
-    "group_min_max",
-    "group_var_std_sem",
-    "group_skew",
-    "group_median",
-    "group_quantile_linear",
-    "group_quantile_lower",
-    "group_quantile_higher",
-    "group_approx_stats",
-    "group_first_last",
-    "group_idx_mode",
-    "group_any_all",
-    "group_any_all_kleene",
-    "group_value_counts",
-    "group_cut_qcut",
-    "group_corr_cov",
-    "group_describe",
-    "group_histogram",
-    "events_tumbling_1h",
-    "events_sliding_2h_1h",
-    "events_json_props",
-    "heavy_hitters_approx",
-    "events_rollup_hour_day",
-    "scalar_functions",
+    # (c) oldest driver rows (r1), oldest-first rotation
     "array_functions",
     "dedup_exact",
-    "token_stats",
-    "text_quality",
-    "lang_id",
     "doc_fingerprint",
     "dup_clusters",
+    "events_json_props",
+    "events_rollup_hour_day",
+    "events_sliding_2h_1h",
+    "events_tumbling_1h",
+    "group_any_all",
+    "group_any_all_kleene",
+    "group_approx_stats",
+    "group_corr_cov",
+    "group_cut_qcut",
+    "group_describe",
+    "group_first_last",
+    "group_histogram",
+    "group_idx_mode",
+    "group_mean",
+    "group_median",
+    "group_min_max",
+    "group_prod",
+    "group_quantile_higher",
+    "group_quantile_linear",
+    "group_quantile_lower",
+    "group_skew",
+    "group_sum_mincount",
+    "group_value_counts",
+    "group_var_std_sem",
+    "heavy_hitters_approx",
+    "lang_id",
     "minhash_near_dupes",
+    "scalar_functions",
     "simhash_fingerprints",
+    "text_quality",
+    "token_stats",
+    # (d) oldest driver rows (r2), oldest-first rotation
+    "asof_join",
+    "group_cumcount",
+    "group_cummin_cummax",
+    "group_cumprod",
+    "group_cumsum",
+    "group_cumsum_skipna",
+    "group_diff_pct",
+    "group_ewm_mean",
+    "group_ewm_mean_noskip",
+    "group_ewm_mean_recursive",
+    "group_ewm_var_std",
+    "group_expanding",
+    "group_fillna",
+    "group_head_tail",
+    "group_interpolate",
+    "group_rank",
+    "group_sample",
+    "group_shift",
+    "group_sum_salted",
+    "group_zscore",
+    "q10_returned_items",
+    "q1_pricing_summary",
+    "q3_top_orders",
+    "q5_region_revenue",
+    "rolling_corr_cov",
+    "rolling_quantile",
+    "rolling_stats",
+    "rolling_time_1h",
+    "rolling_time_1h_closed_right",
+    "take_1d",
+    "take_2d",
+    "topk_per_group",
+    # (e) oldest driver rows (r3), oldest-first rotation
+    "asof_join_forward",
+    "asof_join_nearest",
+    "bigram_lm",
+    "bpe_token_stats",
+    "chunk_documents",
+    "curate_pipeline",
+    "decontaminate",
+    "dedup_keep_canonical",
+    "embedding_quantize",
+    "events_attribution",
+    "events_cohort_retention",
+    "events_funnel",
+    "events_resample_5m",
+    "events_session_paths",
+    "events_sessionize",
+    "events_stream_dedup",
+    "events_stream_funnel",
+    "events_variant_props",
+    "fuzzy_join",
+    "group_winsorize",
+    "inverted_index",
+    "media_features",
+    "pack_sequences",
+    "pagerank_suppliers",
+    "pii_scrub",
+    "profile_lineitem",
+    "q11_important_parts",
+    "q12_late_priority",
+    "q13_order_distribution",
+    "q16_supplier_parts",
+    "q20_excess_suppliers",
+    "q21_waiting_suppliers",
+    "quality_filter",
+    "repetition_signals",
+    "scd2_join",
+    "shard_assign",
+    "snapshot_diff",
+    "stratified_sample",
+    "tfidf_topterms",
+    "token_budget_sample",
+    "train_val_split",
+    "udtf_pii_spans",
+    "url_domains",
 )
 
 

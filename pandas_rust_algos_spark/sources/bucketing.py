@@ -38,24 +38,32 @@ def write_bucketed(
     Idempotent across SESSIONS, not just catalogs: with an in-memory
     metastore, a managed table's files can outlive the catalog entry,
     and ``mode("overwrite")`` then fails with LOCATION_ALREADY_EXISTS
-    because there is no table to drop. Orphaned locations under the
-    session's warehouse dir are removed first."""
+    because there is no table to drop. When the table EXISTS the drop
+    removes its (catalog-resolved) location; the path-guess fallback
+    for orphaned locations is scoped to unqualified names in the
+    default database — the only case where ``<warehouse>/<tbl>`` is
+    the actual managed location (qualified names live under
+    ``<db>.db/<tbl>``, where a blind rmtree could hit an unrelated
+    same-named directory)."""
     spark = df.sparkSession
+    existed = spark.catalog.tableExists(table)
     spark.sql(f"DROP TABLE IF EXISTS {table}")
-    try:
-        warehouse = spark.conf.get("spark.sql.warehouse.dir")
-    except Exception:
-        warehouse = None
-    if warehouse:
-        import shutil
-        from urllib.parse import unquote, urlparse
+    if not existed and "." not in table \
+            and spark.catalog.currentDatabase() == "default":
+        try:
+            warehouse = spark.conf.get("spark.sql.warehouse.dir")
+        except Exception:
+            warehouse = None
+        if warehouse:
+            import shutil
+            from urllib.parse import unquote, urlparse
 
-        loc = urlparse(warehouse)
-        root = unquote(loc.path) if loc.scheme in ("", "file") else None
-        if root:
-            orphan = os.path.join(root, table.lower())
-            if os.path.exists(orphan):
-                shutil.rmtree(orphan, ignore_errors=True)
+            loc = urlparse(warehouse)
+            root = unquote(loc.path) if loc.scheme in ("", "file") else None
+            if root:
+                orphan = os.path.join(root, table.lower())
+                if os.path.exists(orphan):
+                    shutil.rmtree(orphan, ignore_errors=True)
     w = df.write.mode("overwrite").bucketBy(num_buckets, bucket_col)
     if sort:
         w = w.sortBy(bucket_col)

@@ -809,15 +809,24 @@ class VersionedTable:
                 f"for bulk updates, or raise the cap")
         if not hits:
             return self._commit("update_mor", [], [], snap.version)
-        updated = matched
-        for col, expr in set_exprs.items():
+        # Every SET expression must see only PRE-update values (standard
+        # UPDATE semantics, e.g. swap {'a':'b','b':'a'}): one select
+        # evaluates all of them against the old row simultaneously —
+        # sequential withColumn would let a later expression read an
+        # earlier assignment's NEW value.
+        def _val(col):
+            expr = set_exprs[col]
             val = F.expr(expr) if isinstance(expr, str) else expr
             if fields is not None:
                 val = val.cast(fields[col])
-            updated = updated.withColumn(col, val)
-        updated = updated.drop("__rel", "__pos")
-        if schema is not None:
-            updated = updated.select(*[f.name for f in schema.fields])
+            return val.alias(col)
+
+        out_cols = ([f.name for f in schema.fields] if schema is not None
+                    else [c for c in matched.columns
+                          if c not in ("__rel", "__pos")])
+        updated = matched.select(*[
+            _val(c) if c in set_exprs else F.col(c) for c in out_cols
+        ])
         adds = self._write_data_files(updated)
         fresh: dict[str, set[int]] = {}
         for r in hits:

@@ -178,3 +178,65 @@ def test_jaccard_prefix_join_common_gram_not_in_prefix(spark):
 def test_jaccard_prefix_join_bad_threshold(spark, docs):
     with pytest.raises(ValueError):
         dd.jaccard_prefix_pairs(docs, threshold=0.0)
+
+
+def test_duplicated_spans_planted(spark):
+    """Planted verbatim spans: run lengths, span sizes, the flag
+    threshold, and the shorter-than-k / clean-document edges."""
+    boiler = ("all rights reserved redistribution permitted "
+              "under license terms only")  # 9 tokens
+    data = [
+        # docs 1+2 share the 9-token boilerplate verbatim (k=4 ->
+        # 6 windows, all consecutive: max_run=6, span=9 tokens)
+        (1, boiler + " alpha beta gamma delta epsilon zeta eta theta"),
+        (2, "iota kappa lambda mu " + boiler),
+        # doc 3 shares only a 4-token span with doc 4 (one window)
+        (3, "unique opening words here red green blue yellow trailing text"),
+        (4, "totally different frame red green blue yellow another ending"),
+        # doc 5: clean, no cross-doc window
+        (5, "quantum chromodynamics binds quarks inside hadrons firmly"),
+        # doc 6: shorter than k tokens -> zero windows, clean
+        (6, "tiny doc"),
+    ]
+    df = spark.createDataFrame(data, "doc_id long, text string")
+    got = {r["doc_id"]: r for r in
+           dd.duplicated_spans(df, k=4, min_run=2).collect()}
+    assert len(got) == 6
+    # the 9-token boilerplate: 6 consecutive duplicated windows
+    for d in (1, 2):
+        assert got[d]["max_run"] == 6
+        assert got[d]["dup_span_tokens"] == 9
+        assert got[d]["flagged"] is True
+    # single shared window: run of 1, span of k=4, below min_run=2
+    for d in (3, 4):
+        assert got[d]["n_dup_windows"] == 1
+        assert got[d]["max_run"] == 1
+        assert got[d]["dup_span_tokens"] == 4
+        assert got[d]["flagged"] is False
+    assert got[5]["n_dup_windows"] == 0 and got[5]["flagged"] is False
+    assert got[6]["n_windows"] == 0 and got[6]["dup_span_tokens"] == 0
+
+    with pytest.raises(ValueError):
+        dd.duplicated_spans(df, k=0)
+
+
+def test_duplicated_spans_intra_doc_repeat_not_cross(spark):
+    """A window repeated WITHIN one document only is not 'duplicated'
+    (the rule is >= 2 DISTINCT documents), and two separate shared
+    runs report the max, with n_dup_windows counting both."""
+    rep = "spam spam spam spam spam spam"
+    a = "one two three four END gap1x gap2x five six seven eight nine"
+    b = "one two three four STOP filler five six seven eight nine tail"
+    df = spark.createDataFrame(
+        [(1, rep), (2, a), (3, b)], "doc_id long, text string")
+    got = {r["doc_id"]: r for r in
+           dd.duplicated_spans(df, k=4, min_run=2).collect()}
+    # doc 1: all windows identical but only one doc holds them
+    assert got[1]["n_dup_windows"] == 0 and got[1]["flagged"] is False
+    # docs 2+3 share 'one two three four' (1 window) and
+    # 'five six seven eight nine' (2 consecutive windows)
+    for d in (2, 3):
+        assert got[d]["n_dup_windows"] == 3
+        assert got[d]["max_run"] == 2
+        assert got[d]["dup_span_tokens"] == 5
+        assert got[d]["flagged"] is True

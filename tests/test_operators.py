@@ -1322,6 +1322,25 @@ def test_hll_nunique_replay_and_accuracy(spark):
         hll_nunique(df, "g", "x", m=48)
 
 
+def test_hll_fast_mode_sane(spark):
+    """hash_mode='fast' (xxhash64) must produce estimates in the same
+    error band as portable mode — regression for the signed-hash bug
+    where negative xxhash64 values pegged rho at w+1 and >60-bit
+    suffixes drove rho <= 0, overflowing hll_estimate's shiftleft."""
+    from pandas_rust_algos_spark.operators.frequency import hll_nunique
+
+    rows = [("big", i % 700) for i in range(5000)] + \
+           [("small", i % 12) for i in range(200)]
+    df = spark.createDataFrame(rows, "g string, x long")
+    got = {r["g"]: r["est"]
+           for r in hll_nunique(df, "g", "x", m=64,
+                                hash_mode="fast").collect()}
+    # 3 sigma of the 1.04/sqrt(64) relative error — garbage estimates
+    # from the sign bug were orders of magnitude off (or negative)
+    assert abs(got["big"] - 700) <= 700 * 0.39, got
+    assert 0 < got["small"] <= 12 * 3, got
+
+
 def test_sketch_merges_equal_full_scan(spark):
     """Incremental maintenance contract: cms_merge / hll_merge over
     disjoint slices reproduce the full-scan sketch EXACTLY — the merge
@@ -1369,3 +1388,58 @@ def test_sketch_merges_equal_full_scan(spark):
         cms_merge()
     with pytest.raises(ValueError):
         hll_merge()
+
+
+def test_kmv_sketch_merge_and_estimates(spark):
+    """KMV contract: merged sketches equal the full-scan sketch
+    VALUE-exactly (state, not just estimates); estimates are exact
+    below k and within the error band above it; set-ops recover
+    union/intersection/Jaccard; fast mode stays in-band (regression
+    for signed/overwide xxhash64, as in HLL)."""
+    from pandas_rust_algos_spark.operators.kmv import (
+        kmv_estimate,
+        kmv_merge,
+        kmv_set_ops,
+        kmv_sketch,
+    )
+
+    rows = [("big", i % 900) for i in range(4000)] + \
+           [("small", i % 10) for i in range(100)]
+    df = spark.createDataFrame(rows, "g string, x long")
+
+    for mode in ("portable", "fast"):
+        sk = kmv_sketch(df, "g", "x", k=64, hash_mode=mode)
+        est = {r["g"]: r["est"]
+               for r in kmv_estimate(sk, "g", k=64).collect()}
+        # below k: exact; above k: ~1/sqrt(62) rel error, allow 3 sigma
+        assert est["small"] == 10, (mode, est)
+        assert abs(est["big"] - 900) <= 900 * 0.39, (mode, est)
+
+    # merge == full scan, state-exact
+    half_a = spark.createDataFrame(rows[:2000], "g string, x long")
+    half_b = spark.createDataFrame(rows[2000:], "g string, x long")
+    whole = {r["g"]: r["hs"]
+             for r in kmv_sketch(df, "g", "x", k=64).collect()}
+    merged = kmv_merge(
+        kmv_sketch(half_a, "g", "x", k=64),
+        kmv_sketch(half_b, "g", "x", k=64),
+        k=64,
+    )
+    assert {r["g"]: r["hs"] for r in merged.collect()} == whole
+
+    # set ops: A = {0..599}, B = {400..999} per one group
+    a_rows = [("g", i) for i in range(600)]
+    b_rows = [("g", i) for i in range(400, 1000)]
+    sa = kmv_sketch(spark.createDataFrame(a_rows, "g string, x long"),
+                    "g", "x", k=128)
+    sb = kmv_sketch(spark.createDataFrame(b_rows, "g string, x long"),
+                    "g", "x", k=128)
+    got = kmv_set_ops(sa, sb, k=128).collect()[0]
+    assert abs(got["union_est"] - 1000) <= 1000 * 0.30
+    assert abs(got["inter_est"] - 200) <= 200 * 0.75  # ratio-of-ratios
+    assert 0.0 < got["jaccard_est"] < 0.5
+
+    with pytest.raises(ValueError):
+        kmv_sketch(df, "g", "x", k=1)
+    with pytest.raises(ValueError):
+        kmv_merge()

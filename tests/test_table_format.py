@@ -1094,6 +1094,21 @@ def test_update_mor_set_semantics_and_guards(spark, tmp_path):
     assert tbl.read().count() == 8
 
 
+def test_update_mor_multi_column_sees_old_row(spark, tmp_path):
+    """Every SET expression evaluates against the PRE-update row —
+    the classic swap {'a':'b','b':'a'} must actually swap, not
+    duplicate (regression for the sequential-withColumn bug where a
+    later expression saw an earlier assignment's new value)."""
+    tbl = _mk(spark, tmp_path)
+    tbl.create(spark.createDataFrame(
+        [(i, i * 10, i * 100) for i in range(4)],
+        "id long, a long, b long"))
+    tbl.update_mor("id >= 2", {"a": "b", "b": "a"})
+    got = {r["id"]: (r["a"], r["b"]) for r in tbl.read().collect()}
+    assert got == {0: (0, 0), 1: (10, 100),
+                   2: (200, 20), 3: (300, 30)}
+
+
 def test_update_mor_cap_enforced_before_collect(spark, tmp_path):
     tbl = _mk(spark, tmp_path)
     tbl.create(_df(spark, range(50), "a"))
