@@ -108,6 +108,7 @@ HEADLINE = [
     "dup_spans",
     "kmv_nunique_orders",
     "kmv_set_ops_customers",
+    "events_stream_hll",
 ]
 
 

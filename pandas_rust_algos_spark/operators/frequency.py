@@ -36,6 +36,7 @@ __all__ = [
     "count_by_key",
     "heavy_hitters",
     "heavy_hitters_approx",
+    "hll_bucket_rho",
     "hll_estimate",
     "hll_merge",
     "hll_nunique",
@@ -230,11 +231,24 @@ def hll_registers(
     max-mergeable: registers built over disjoint data slices combine
     with :func:`hll_merge` into EXACTLY the registers of the full
     scan (max is associative/commutative/idempotent)."""
+    bucket, rho = hll_bucket_rho(F.col(col), m, hash_mode)
+    return (
+        df.where(F.col(col).isNotNull())
+        .select(F.col(group), bucket.alias("bucket"), rho.alias("rho"))
+        .groupBy(group, "bucket")
+        .agg(F.max("rho").alias("mj"))
+    )
+
+
+def hll_bucket_rho(col, m: int, hash_mode: str):
+    """The per-row HLL ``(bucket, rho)`` expressions — shared by the
+    batch register build and the streaming windowed form
+    (``streaming/events.hll_windowed``); the state contract is the
+    same either way: ``max(rho)`` per bucket."""
     if m < 16 or (m & (m - 1)) != 0:
         raise ValueError(f"m must be a power of two >= 16, got {m}")
     w = 60 - m.bit_length() + 1  # suffix bits: h < 2^60, bucket eats log2(m)
-    kstr = F.col(col).cast("string")
-    h = _cms_hash(0, kstr, hash_mode)
+    h = _cms_hash(0, col.cast("string"), hash_mode)
     if hash_mode == "fast":
         # xxhash64 is SIGNED 64-bit; the register math below needs a
         # non-negative h < 2^60 (negative h would peg rho at w+1 and a
@@ -248,13 +262,7 @@ def hll_registers(
         suffix > 0,
         F.lit(w) - F.length(F.bin(suffix)) + 1,
     ).otherwise(F.lit(w + 1))
-    return (
-        df.where(F.col(col).isNotNull())
-        .select(F.col(group), F.pmod(h, F.lit(m)).alias("bucket"),
-                rho.alias("rho"))
-        .groupBy(group, "bucket")
-        .agg(F.max("rho").alias("mj"))
-    )
+    return F.pmod(h, F.lit(m)), rho
 
 
 def hll_merge(*registers: DataFrame) -> DataFrame:

@@ -377,6 +377,42 @@ def _cms_stream_oracle(width: int = 256, depth: int = 4) -> str:
     """
 
 
+def _hll_stream_oracle(m: int = 64) -> str:
+    from pandas_rust_algos_spark.operators.frequency import sql_hll_nunique
+
+    inner = sql_hll_nunique(
+        f"STRFTIME(DATE_TRUNC('hour', ts), '{_FMT_DUCK}')",
+        "user_id", "events", m=m)
+    return f"""
+    WITH est AS ({inner})
+    SELECT grp AS window_start, est FROM est
+    """
+
+
+@register("events_stream_hll", oracle=_hll_stream_oracle())
+def events_stream_hll_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming HyperLogLog (``streaming/events.hll_windowed``):
+    per-hour distinct-user estimates on the event stream with state
+    bounded at ≤ m register rows PER WINDOW regardless of key
+    cardinality — live cardinality tracking, the distinct-count
+    sibling of ``events_stream_cms``. Registers fold by max (order-
+    independent), so the availableNow-drained registers equal the
+    batch build over the same rows; the drained state then runs
+    through the batch ``hll_estimate`` fold, and the per-window
+    estimates must hash-equal the full DuckDB sketch replay —
+    stream == batch, value-proven through the estimator."""
+    tune(spark)
+    from pandas_rust_algos_spark.operators.frequency import hll_estimate
+    from pandas_rust_algos_spark.streaming import events as se
+
+    stream = se.read_events_stream(spark, sf_dir)
+    regs = se.run_available_now(
+        se.hll_windowed(stream), table="events_stream_hll_out",
+        state_partitions=8,
+    )
+    return hll_estimate(regs, "window_start", m=64)
+
+
 @register("events_stream_cms", oracle=_cms_stream_oracle())
 def events_stream_cms_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Streaming count-min sketch (``streaming/events.cms_windowed``):

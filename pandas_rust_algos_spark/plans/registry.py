@@ -94,6 +94,7 @@ _GATE_PRIORITY: tuple[str, ...] = (
     "kmv_nunique_orders",
     "kmv_incremental_merge",
     "kmv_set_ops_customers",
+    "events_stream_hll",
     # (b) modules changed in round 6 -> driver re-verification
     "triangle_count",
     "update_mor_read",

@@ -110,6 +110,43 @@ def cms_windowed(
     )
 
 
+def hll_windowed(
+    stream: DataFrame,
+    key: str = "user_id",
+    *,
+    m: int = 64,
+    window: str = "1 hour",
+    watermark: str = "2 hours",
+    hash_mode: str = "portable",
+) -> DataFrame:
+    """Per-window HyperLogLog registers over a stream:
+    ``(window_start, bucket, mj)`` — the streaming form of
+    ``operators/frequency.hll_registers``, for live distinct counts
+    (users/hour, keys/day) on an unbounded stream. State per window
+    is ≤ m register rows no matter how many distinct keys arrive
+    (``max(rho)`` folds incrementally — max is what makes the sketch
+    a valid streaming aggregate), the watermark evicts closed
+    windows, and because registers are insertion-order-independent
+    the drained result must EQUAL the batch register build over the
+    same rows — the gate feeds them through ``hll_estimate`` and
+    checks the per-window estimates against a full DuckDB replay."""
+    from pandas_rust_algos_spark.operators.frequency import hll_bucket_rho
+
+    bucket, rho = hll_bucket_rho(F.col(key), m, hash_mode)
+    return (
+        stream.where(F.col(key).isNotNull())
+        .withWatermark("ts", watermark)
+        .select("ts", bucket.alias("bucket"), rho.alias("rho"))
+        .groupBy(F.window("ts", window).alias("w"), "bucket")
+        .agg(F.max("rho").alias("mj"))
+        .select(
+            F.date_format("w.start", "yyyy-MM-dd HH:mm:ss")
+            .alias("window_start"),
+            "bucket", "mj",
+        )
+    )
+
+
 def session_counts(
     stream: DataFrame,
     *,

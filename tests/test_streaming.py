@@ -414,3 +414,30 @@ def test_stream_cms_matches_batch_sketch(spark, sf_dir):
     s_rows = sorted(map(tuple, streamed.collect()))
     b_rows = sorted(map(tuple, batch.collect()))
     assert s_rows == b_rows and len(s_rows) > 0
+
+
+def test_stream_hll_matches_batch_registers(spark, sf_dir):
+    """The windowed streaming HLL registers must equal the batch
+    register build per hour over the same rows: max(rho) is
+    order-independent, so micro-batch boundaries cannot change any
+    register — and therefore no estimate."""
+    from pandas_rust_algos_spark.operators.frequency import hll_bucket_rho
+    from pandas_rust_algos_spark.sources import load_table
+
+    stream = se.read_events_stream(spark, sf_dir)
+    streamed = se.run_available_now(
+        se.hll_windowed(stream), table="t_stream_hll")
+
+    ev = load_table(spark, sf_dir, "events")
+    bucket, rho = hll_bucket_rho(F.col("user_id"), 64, "portable")
+    batch = (
+        ev.where(F.col("user_id").isNotNull())
+        .select("ts", bucket.alias("bucket"), rho.alias("rho"))
+        .groupBy(F.window("ts", "1 hour").alias("w"), "bucket")
+        .agg(F.max("rho").alias("mj"))
+        .select(F.date_format("w.start", "yyyy-MM-dd HH:mm:ss")
+                .alias("window_start"), "bucket", "mj")
+    )
+    s_rows = sorted(map(tuple, streamed.collect()))
+    b_rows = sorted(map(tuple, batch.collect()))
+    assert s_rows == b_rows and len(s_rows) > 0
