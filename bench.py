@@ -109,6 +109,7 @@ HEADLINE = [
     "kmv_nunique_orders",
     "kmv_set_ops_customers",
     "events_stream_hll",
+    "hist_quantiles_prices",
 ]
 
 

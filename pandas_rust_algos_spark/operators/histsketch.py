@@ -1,0 +1,230 @@
+"""Equi-width histogram sketches: the QUANTILE member of the
+engine's mergeable-summary tier.
+
+Tier map (all append-only-maintainable, all bounded-state, all
+portable-hash/integer enough for a SQL oracle to replay bit-exactly):
+
+- CMS  (``operators/frequency``): per-key frequency.
+- HLL  (``operators/frequency``): cardinality.
+- KMV  (``operators/kmv``):       cardinality + set algebra.
+- histogram (here):               value distribution / quantiles.
+
+The sketch is the classic fixed-grid histogram (public folklore;
+equi-width variant of Ioannidis' histogram survey): the value domain
+``[lo, hi)`` is cut into ``bins`` equal cells, the sketch is ``(group,
+bin, cnt)`` — at most ``bins`` rows per group regardless of data size
+— and sketches merge by cell-wise SUM, exactly (counting is
+distributive), the same contract as ``cms_merge``. Quantile queries
+walk the cumulative counts to the straddling cell and interpolate
+within it, so the error is bounded by ONE CELL WIDTH in the value
+domain: ``(hi-lo)/bins``, independent of row count and skew across
+cells.
+
+Trade vs the alternatives, stated honestly: Spark's
+``percentile_approx`` (KLL/GK family, the engine's ``group_quantile_
+approx``) gives RANK-error bounds without a domain and remains the
+production default for unknown domains; the exact path
+(``grouped_agg.group_quantile``) is the parity tool. What neither
+gives is a *mergeable, engine-replayable* summary an append-only
+pipeline can maintain per partition and fold without rescans — this
+does, at the cost of fixing ``[lo, hi)`` up front (the "frozen
+quantizer" contract, same as the IVF index: pick the domain once,
+from the first slice or domain knowledge; out-of-range values clamp
+into the edge cells and the clamp count is queryable).
+
+Determinism: bin assignment is one fixed double expression evaluated
+identically in Spark and DuckDB (same IEEE tree); counts are BIGINT;
+the quantile interpolation is integer rank algebra plus one final
+multiply-divide, rounded to 6 decimals on both engines (registry
+rule 4).
+
+Reference scope: the reference's quantile kernel is per-group exact
+interpolation (``groupby.rs`` group_quantile — covered by
+``group_quantile_*``); no sketch surface exists (SURVEY §2.3). This
+is the driver-brief 100 TB extension.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+__all__ = [
+    "hist_sketch",
+    "hist_merge",
+    "hist_quantiles",
+    "sql_hist_sketch",
+    "sql_hist_quantiles",
+]
+
+
+def _check(lo: float, hi: float, bins: int) -> None:
+    if not (hi > lo):
+        raise ValueError(f"need hi > lo, got [{lo}, {hi})")
+    if bins < 1:
+        raise ValueError(f"bins must be >= 1, got {bins}")
+
+
+def _bin_expr(col, lo: float, hi: float, bins: int):
+    """Cell index in [0, bins-1]; out-of-range values clamp into the
+    edge cells (the clamp keeps totals right so ranks stay exact —
+    only the VALUE of an out-of-range quantile saturates at lo/hi)."""
+    raw = F.floor(
+        (col.cast("double") - F.lit(float(lo)))
+        * F.lit(float(bins)) / F.lit(float(hi - lo))
+    ).cast("long")
+    return F.greatest(F.lit(0), F.least(F.lit(bins - 1), raw))
+
+
+def hist_sketch(
+    df: DataFrame,
+    group: str,
+    col: str,
+    *,
+    lo: float,
+    hi: float,
+    bins: int = 256,
+) -> DataFrame:
+    """Build per-group histogram sketches ``(group, bin, cnt)`` — one
+    map-side-combined aggregate: raw values shuffle only as cell ids
+    that combine into ≤ bins rows per group per task, the same traffic
+    shape as the CMS build."""
+    _check(lo, hi, bins)
+    return (
+        df.where(F.col(col).isNotNull())
+        .select(F.col(group),
+                _bin_expr(F.col(col), lo, hi, bins).alias("bin"))
+        .groupBy(group, "bin")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+
+
+def hist_merge(*sketches: DataFrame) -> DataFrame:
+    """Merge histogram sketches cell-wise (sum per ``(group, bin)``) —
+    EXACT by distributivity, like ``cms_merge``: the merge of
+    per-partition/per-day sketches is byte-identical to the sketch of
+    the concatenated data. All inputs must share (lo, hi, bins)."""
+    if not sketches:
+        raise ValueError("hist_merge needs at least one sketch")
+    group = sketches[0].columns[0]
+    merged = sketches[0]
+    for s in sketches[1:]:
+        merged = merged.unionByName(s)
+    return merged.groupBy(group, "bin").agg(F.sum("cnt").alias("cnt"))
+
+
+def hist_quantiles(
+    sketch: DataFrame,
+    group: str,
+    qs: Sequence[float],
+    *,
+    lo: float,
+    hi: float,
+    bins: int = 256,
+) -> DataFrame:
+    """Quantile estimates from sketches alone: ``(group, q, est)`` for
+    every q in ``qs``. Rank algebra: target rank ``r = ceil(q·n)``
+    (clamped to ≥ 1); the answering cell is the first whose cumulative
+    count reaches r; the estimate interpolates linearly inside that
+    cell — ``edge_lo + width · (r - cum_before) / cell_cnt`` — so the
+    error is ≤ one cell width. Integer ranks end-to-end; the one
+    double interpolation is a fixed expression rounded to 6 decimals
+    (engine-identical). Cost: the sketch is ≤ bins rows per group, so
+    this is a window scan over KiB of state, never over data."""
+    _check(lo, hi, bins)
+    for q in qs:
+        if not (0.0 < q <= 1.0):
+            raise ValueError(f"quantiles must be in (0, 1], got {q}")
+    width = (hi - lo) / bins
+    w = Window.partitionBy(group).orderBy("bin")
+    cum = (
+        sketch
+        .withColumn("cum", F.sum("cnt").over(w))
+        .withColumn("n", F.sum("cnt").over(Window.partitionBy(group)))
+    )
+    out = None
+    for q in qs:
+        r = F.greatest(
+            F.lit(1).cast("long"),
+            F.ceil(F.lit(float(q)) * F.col("n").cast("double"))
+            .cast("long"),
+        )
+        hit = (
+            cum.where((F.col("cum") >= r)
+                      & (F.col("cum") - F.col("cnt") < r))
+            .select(
+                F.col(group),
+                F.lit(float(q)).alias("q"),
+                F.round(
+                    F.lit(float(lo))
+                    + F.col("bin").cast("double") * F.lit(width)
+                    + F.lit(width)
+                    * (r - (F.col("cum") - F.col("cnt"))).cast("double")
+                    / F.col("cnt").cast("double"),
+                    6,
+                ).alias("est"),
+            )
+        )
+        out = hit if out is None else out.unionByName(hit)
+    return out
+
+
+def sql_hist_sketch(
+    group_expr: str,
+    col_expr: str,
+    table: str,
+    *,
+    lo: float,
+    hi: float,
+    bins: int = 256,
+) -> str:
+    """DuckDB twin of :func:`hist_sketch`: same double bin expression,
+    same clamp."""
+    raw = (f"CAST(FLOOR((CAST({col_expr} AS DOUBLE) - {float(lo)}) "
+           f"* {float(bins)} / {float(hi - lo)}) AS BIGINT)")
+    return f"""
+    SELECT {group_expr} AS grp,
+           GREATEST(0, LEAST({bins - 1}, {raw})) AS bin,
+           COUNT(*) AS cnt
+    FROM {table} WHERE {col_expr} IS NOT NULL
+    GROUP BY 1, 2
+    """
+
+
+def sql_hist_quantiles(
+    sketch_cte: str,
+    qs: Sequence[float],
+    *,
+    lo: float,
+    hi: float,
+    bins: int = 256,
+) -> str:
+    """DuckDB twin of :func:`hist_quantiles` over a sketch CTE named
+    in ``sketch_cte`` with columns ``(grp, bin, cnt)``."""
+    width = (hi - lo) / bins
+    arms = []
+    for q in qs:
+        arms.append(f"""
+      SELECT grp, CAST({float(q)} AS DOUBLE) AS q,
+             ROUND({float(lo)} + CAST(bin AS DOUBLE) * {width}
+                   + {width} * CAST(r - cum_before AS DOUBLE)
+                     / CAST(cnt AS DOUBLE), 6) AS est
+      FROM (
+        SELECT grp, bin, cnt, cum, cum - cnt AS cum_before,
+               GREATEST(CAST(1 AS BIGINT),
+                 CAST(CEIL({float(q)} * CAST(n AS DOUBLE)) AS BIGINT)) AS r
+        FROM cumulated
+      ) WHERE cum >= r AND cum_before < r""")
+    return f"""
+    WITH sk AS ({sketch_cte}),
+    cumulated AS (
+      SELECT grp, bin, cnt,
+             SUM(cnt) OVER (PARTITION BY grp ORDER BY bin
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+             SUM(cnt) OVER (PARTITION BY grp) AS n
+      FROM sk
+    )
+    {" UNION ALL ".join(arms)}
+    """

@@ -476,6 +476,78 @@ def hll_nunique_orders_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         "o_orderpriority", "exact_nunique", F.col("est").alias("hll_est"))
 
 
+_HIST_ARGS = dict(lo=0.0, hi=110_000.0, bins=512)
+_HIST_QS = (0.25, 0.5, 0.75, 0.95)
+
+
+def _hist_quantiles_oracle() -> str:
+    from pandas_rust_algos_spark.operators.histsketch import (
+        sql_hist_quantiles,
+        sql_hist_sketch,
+    )
+
+    sk = sql_hist_sketch("l_returnflag", "l_extendedprice", "lineitem",
+                         **_HIST_ARGS)
+    inner = sql_hist_quantiles(sk, _HIST_QS, **_HIST_ARGS)
+    return f"SELECT grp AS l_returnflag, q, est FROM ({inner})"
+
+
+@register("hist_quantiles_prices", oracle=_hist_quantiles_oracle())
+def hist_quantiles_prices_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Histogram-sketch quantiles, value-proven end-to-end
+    (``operators/histsketch.py``): per return flag, four price
+    quantiles computed from a ≤ 512-row-per-group equi-width sketch —
+    the QUANTILE member of the mergeable-summary tier (CMS/HLL/KMV/
+    histogram). The DuckDB oracle replays bin assignment, cumulative
+    rank walk, and in-cell interpolation from the same expressions;
+    error is bounded by one cell width ((hi-lo)/bins ≈ 215 here),
+    which the accuracy unit tests pin against exact quantiles."""
+    tune(spark)
+    from pandas_rust_algos_spark.operators.histsketch import (
+        hist_quantiles, hist_sketch,
+    )
+
+    li = load_table(spark, sf_dir, "lineitem")
+    sk = hist_sketch(li, "l_returnflag", "l_extendedprice", **_HIST_ARGS)
+    return hist_quantiles(sk, "l_returnflag", _HIST_QS, **_HIST_ARGS)
+
+
+def _hist_merge_oracle() -> str:
+    from pandas_rust_algos_spark.operators.histsketch import (
+        sql_hist_sketch,
+    )
+
+    sk = sql_hist_sketch("l_returnflag", "l_extendedprice", "lineitem",
+                         **_HIST_ARGS)
+    return (f"SELECT grp AS l_returnflag, bin, cnt FROM ({sk})")
+
+
+@register("hist_incremental_merge", oracle=_hist_merge_oracle())
+def hist_incremental_merge_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Histogram-sketch merge, STATE-exact: lineitem split at a
+    shipdate cutoff into base/delta, each slice sketched independently
+    (one scan of its own slice), folded with ``hist_merge`` — while
+    the oracle sketches the full table in one scan. Every merged
+    (group, bin, cnt) cell must match, so the gate proves cell-wise
+    sum-merge ≡ full rescan on real data — the same append-only
+    maintenance contract as cms/hll/kmv_incremental_merge, completing
+    the tier's quantile member."""
+    tune(spark)
+    from pandas_rust_algos_spark.operators.histsketch import (
+        hist_merge, hist_sketch,
+    )
+
+    li = load_table(spark, sf_dir, "lineitem")
+    cut = F.lit("1995-06-01").cast("date")
+    base = li.where(F.col("l_shipdate") < cut)
+    delta = li.where(~(F.col("l_shipdate") < cut)
+                     | F.col("l_shipdate").isNull())
+    return hist_merge(
+        hist_sketch(base, "l_returnflag", "l_extendedprice", **_HIST_ARGS),
+        hist_sketch(delta, "l_returnflag", "l_extendedprice", **_HIST_ARGS),
+    )
+
+
 def _kmv_oracle(k: int = 64) -> str:
     from pandas_rust_algos_spark.operators.kmv import (
         sql_kmv_estimate,

@@ -95,6 +95,8 @@ _GATE_PRIORITY: tuple[str, ...] = (
     "kmv_incremental_merge",
     "kmv_set_ops_customers",
     "events_stream_hll",
+    "hist_quantiles_prices",
+    "hist_incremental_merge",
     # (b) modules changed in round 6 -> driver re-verification
     "triangle_count",
     "update_mor_read",

@@ -1443,3 +1443,59 @@ def test_kmv_sketch_merge_and_estimates(spark):
         kmv_sketch(df, "g", "x", k=1)
     with pytest.raises(ValueError):
         kmv_merge()
+
+
+def test_hist_sketch_merge_quantiles_and_clamp(spark):
+    """Histogram-sketch contract: merged sketches equal the full-scan
+    sketch state-exactly; quantile estimates land within one cell
+    width of the exact quantile; out-of-range values clamp into edge
+    cells (totals preserved); guards reject bad geometry."""
+    import numpy as np
+
+    from pandas_rust_algos_spark.operators.histsketch import (
+        hist_merge,
+        hist_quantiles,
+        hist_sketch,
+    )
+
+    rng = np.random.RandomState(7)
+    vals = np.concatenate([
+        rng.uniform(0, 1000, 3000),          # uniform body
+        rng.uniform(900, 1000, 2000),        # heavy right cluster
+    ])
+    rows = [("g", float(v)) for v in vals]
+    df = spark.createDataFrame(rows, "g string, x double")
+    geom = dict(lo=0.0, hi=1000.0, bins=200)  # cell width 5.0
+
+    sk = hist_sketch(df, "g", "x", **geom)
+    qs = (0.1, 0.5, 0.9)
+    est = {r["q"]: r["est"]
+           for r in hist_quantiles(sk, "g", qs, **geom).collect()}
+    for q in qs:
+        exact = float(np.quantile(vals, q))
+        assert abs(est[q] - exact) <= 5.0 + 1e-9, (q, est[q], exact)
+
+    # merge == full scan, state-exact
+    half = len(rows) // 2
+    a = spark.createDataFrame(rows[:half], "g string, x double")
+    b = spark.createDataFrame(rows[half:], "g string, x double")
+    whole = {(r["g"], r["bin"]): r["cnt"]
+             for r in sk.collect()}
+    merged = hist_merge(hist_sketch(a, "g", "x", **geom),
+                        hist_sketch(b, "g", "x", **geom))
+    assert {(r["g"], r["bin"]): r["cnt"]
+            for r in merged.collect()} == whole
+
+    # clamp: out-of-range values land in edge cells, count preserved
+    oob = spark.createDataFrame(
+        [("g", -50.0), ("g", 500.0), ("g", 2000.0)], "g string, x double")
+    sk_oob = {r["bin"]: r["cnt"]
+              for r in hist_sketch(oob, "g", "x", **geom).collect()}
+    assert sk_oob == {0: 1, 100: 1, 199: 1}
+
+    with pytest.raises(ValueError):
+        hist_sketch(df, "g", "x", lo=1.0, hi=1.0, bins=10)
+    with pytest.raises(ValueError):
+        hist_quantiles(sk, "g", [0.0], **geom)
+    with pytest.raises(ValueError):
+        hist_merge()
