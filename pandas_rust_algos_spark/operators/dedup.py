@@ -39,7 +39,9 @@ __all__ = [
     "dup_clusters",
     "keep_canonical",
     "duplicated_spans",
+    "strip_duplicated_spans",
     "sql_duplicated_spans",
+    "sql_strip_duplicated_spans",
 ]
 
 
@@ -643,28 +645,12 @@ def duplicated_spans(
     Reference scope: no text surface exists in the reference
     (SURVEY §2.3) — driver-brief training-pipeline extension.
     """
-    from pandas_rust_algos_spark.operators.text import token_ngrams
-
     if k < 1 or min_run < 1:
         raise ValueError(f"k/min_run must be >= 1, got {k}/{min_run}")
-    base = df.select(
-        F.col(id_col), token_ngrams(text_col, k).alias("__grams"))
+    base = _window_grams(df, id_col, text_col, k)
     totals = base.select(
         id_col, F.size("__grams").cast("long").alias("n_windows"))
-    wins = base.select(
-        F.col(id_col), F.posexplode("__grams").alias("pos", "gram")
-    ).select(
-        id_col, "pos",
-        F.conv(F.substring(F.md5("gram"), 1, 15), 16, 10)
-        .cast("long").alias("h"),
-    )
-    dup = (
-        wins.groupBy("h")
-        .agg(F.count_distinct(id_col).alias("nd"))
-        .where(F.col("nd") >= 2)
-        .select("h")
-    )
-    flagged = wins.join(dup, "h", "left_semi")
+    flagged = _flagged_windows(base, id_col)
     w = Window.partitionBy(id_col).orderBy("pos")
     runs = (
         flagged.withColumn("__isl", F.col("pos") - F.row_number().over(w))
@@ -688,6 +674,109 @@ def duplicated_spans(
             F.when(mr > 0, mr + (k - 1)).otherwise(F.lit(0))
             .cast("long").alias("dup_span_tokens"),
             (mr >= min_run).alias("flagged"),
+        )
+    )
+
+
+def _window_grams(df: DataFrame, id_col: str, text_col: str,
+                  k: int) -> DataFrame:
+    """``(id, __grams)`` — the ordered k-token window array per doc,
+    shared by span detection and span stripping (identical windows ⇒
+    identical coverage)."""
+    from pandas_rust_algos_spark.operators.text import token_ngrams
+
+    return df.select(F.col(id_col), token_ngrams(text_col, k)
+                     .alias("__grams"))
+
+
+def _flagged_windows(base: DataFrame, id_col: str) -> DataFrame:
+    """``(id, pos)`` of every window whose md5-prefix hash occurs in
+    >= 2 distinct documents — one hash shuffle feeding both the
+    distinct-document count and the left-semi probe."""
+    wins = base.select(
+        F.col(id_col), F.posexplode("__grams").alias("pos", "gram")
+    ).select(
+        id_col, "pos",
+        F.conv(F.substring(F.md5("gram"), 1, 15), 16, 10)
+        .cast("long").alias("h"),
+    )
+    dup = (
+        wins.groupBy("h")
+        .agg(F.count_distinct(id_col).alias("nd"))
+        .where(F.col("nd") >= 2)
+        .select("h")
+    )
+    return wins.join(dup, "h", "left_semi").select(id_col, "pos")
+
+
+def strip_duplicated_spans(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    *,
+    k: int = 8,
+    min_run: int = 2,
+) -> DataFrame:
+    """The REMOVAL action of substring-level dedup (Lee et al. 2022's
+    ExactSubstr deduplication): delete, from every document, the
+    token spans that :func:`duplicated_spans` flags — runs of at
+    least ``min_run`` consecutive cross-document duplicated k-token
+    windows, i.e. verbatim shared spans of ≥ ``k + min_run - 1``
+    tokens (boilerplate, licenses, templated headers). Returns::
+
+        (id, clean_text, n_tokens, n_removed)
+
+    with ``clean_text`` the surviving tokens re-joined by single
+    spaces in original order (the engine's whitespace-token spec —
+    inter-token whitespace is not preserved, matching every other
+    token-level op here). Like the paper's tool, spans are removed
+    from ALL documents containing them, not all-but-one; combine with
+    document-level dedup when a canonical copy should survive.
+
+    Scale shape: the detection shuffles are :func:`duplicated_spans`'
+    (hash, then doc); the removal adds only a broadcast-sized join of
+    per-doc interval lists (a qualifying-run interval is ≥ k + 1
+    tokens, so there are at most n_tokens/(k+1) intervals per doc)
+    and a higher-order array filter over the token array — no
+    Python, no explode of the corpus tokens."""
+    from pandas_rust_algos_spark.operators.text import tokens
+
+    if k < 1 or min_run < 1:
+        raise ValueError(f"k/min_run must be >= 1, got {k}/{min_run}")
+    base = _window_grams(df, id_col, text_col, k)
+    flagged = _flagged_windows(base, id_col)
+    w = Window.partitionBy(id_col).orderBy("pos")
+    # qualifying runs -> covered token intervals [s, e] (0-based,
+    # inclusive): a run of r windows starting at window position s
+    # covers tokens s .. s + r + k - 2
+    cov = (
+        flagged.withColumn("__isl", F.col("pos") - F.row_number().over(w))
+        .groupBy(id_col, "__isl")
+        .agg(F.count(F.lit(1)).alias("run"), F.min("pos").alias("s"))
+        .where(F.col("run") >= min_run)
+        .groupBy(id_col)
+        .agg(F.collect_list(
+            F.struct(F.col("s"),
+                     (F.col("s") + F.col("run") + (k - 2)).alias("e"))
+        ).alias("__ivs"))
+    )
+    toks = tokens(text_col)
+    ivs = F.coalesce(
+        F.col("__ivs"),
+        F.array().cast("array<struct<s:int,e:long>>"),
+    )
+    kept = F.filter(
+        toks,
+        lambda x, i: ~F.exists(
+            ivs, lambda iv: (iv["s"] <= i) & (i <= iv["e"])),
+    )
+    return (
+        df.join(cov, id_col, "left")
+        .select(
+            id_col,
+            F.concat_ws(" ", kept).alias("clean_text"),
+            F.size(toks).cast("long").alias("n_tokens"),
+            (F.size(toks) - F.size(kept)).cast("long").alias("n_removed"),
         )
     )
 
@@ -739,4 +828,65 @@ def sql_duplicated_spans(
              AS dup_span_tokens,
            COALESCE(a.mr, 0) >= {min_run} AS flagged
     FROM tot t LEFT JOIN agg a USING ({id_col})
+    """
+
+
+def sql_strip_duplicated_spans(
+    table: str = "documents",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    *,
+    k: int = 8,
+    min_run: int = 2,
+) -> str:
+    """DuckDB twin of :func:`strip_duplicated_spans`: same windows,
+    same hash, same qualifying-run intervals, same token-coverage
+    filter, same single-space re-join."""
+    from pandas_rust_algos_spark.operators.text import sql_token_ngrams
+
+    grams = sql_token_ngrams(text_col, k)
+    toks = (f"LIST_FILTER(STRING_SPLIT_REGEX(TRIM({text_col}), '\\s+'), "
+            "x -> x <> '')")
+    return f"""
+    WITH base AS (
+      SELECT {id_col}, {grams} AS g, {toks} AS tk FROM {table}
+    ), wins AS (
+      SELECT {id_col}, i - 1 AS pos,
+             CAST('0x' || SUBSTR(md5(g[i]), 1, 15) AS BIGINT) AS h
+      FROM base, UNNEST(RANGE(1, LEN(g) + 1)) AS t(i)
+    ), dup AS (
+      SELECT h FROM wins GROUP BY h
+      HAVING COUNT(DISTINCT {id_col}) >= 2
+    ), fl AS (
+      SELECT w.{id_col}, w.pos FROM wins w JOIN dup d USING (h)
+    ), il AS (
+      SELECT {id_col}, pos,
+             pos - ROW_NUMBER() OVER (PARTITION BY {id_col}
+                                      ORDER BY pos) AS isl
+      FROM fl
+    ), cov AS (
+      SELECT {id_col}, MIN(pos) AS s,
+             MIN(pos) + COUNT(*) + {k - 2} AS e
+      FROM il GROUP BY {id_col}, isl
+      HAVING COUNT(*) >= {min_run}
+    ), tok AS (
+      SELECT {id_col}, i - 1 AS ti, tk[i] AS t
+      FROM base, UNNEST(RANGE(1, LEN(tk) + 1)) AS u(i)
+    ), kept AS (
+      SELECT tok.{id_col},
+             STRING_AGG(tok.t, ' ' ORDER BY tok.ti) AS clean_text,
+             COUNT(*) AS n_kept
+      FROM tok
+      WHERE NOT EXISTS (
+        SELECT 1 FROM cov c
+        WHERE c.{id_col} = tok.{id_col}
+          AND tok.ti BETWEEN c.s AND c.e)
+      GROUP BY 1
+    )
+    SELECT b.{id_col},
+           COALESCE(kept.clean_text, '') AS clean_text,
+           CAST(LEN(b.tk) AS BIGINT) AS n_tokens,
+           CAST(LEN(b.tk) - COALESCE(kept.n_kept, 0) AS BIGINT)
+             AS n_removed
+    FROM base b LEFT JOIN kept USING ({id_col})
     """

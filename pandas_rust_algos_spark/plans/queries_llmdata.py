@@ -283,6 +283,19 @@ def dup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dd.duplicated_spans(_docs(spark, sf_dir), k=8, min_run=2)
 
 
+@register("dup_spans_strip",
+          oracle=dd.sql_strip_duplicated_spans(k=8, min_run=2))
+def dup_spans_strip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The REMOVAL action of substring-level dedup (Lee et al. 2022
+    ExactSubstr): every flagged verbatim span (>= k + min_run - 1
+    shared tokens) is deleted from every document and the text
+    re-joined. The oracle replays windows, hashes, qualifying-run
+    intervals, the per-token coverage filter, and the re-join — the
+    value hash therefore proves the exact SET OF TOKENS REMOVED, the
+    strongest possible check of a destructive text op."""
+    return dd.strip_duplicated_spans(_docs(spark, sf_dir), k=8, min_run=2)
+
+
 # --------------------------------------------------------- n-gram jaccard
 
 

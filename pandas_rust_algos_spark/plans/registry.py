@@ -91,6 +91,7 @@ def register(name: str, oracle: str | None = None, description: str = ""):
 _GATE_PRIORITY: tuple[str, ...] = (
     # (a) new in round 6 — inserted as they are authored
     "dup_spans",
+    "dup_spans_strip",
     "kmv_nunique_orders",
     "kmv_incremental_merge",
     "kmv_set_ops_customers",

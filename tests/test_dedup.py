@@ -240,3 +240,40 @@ def test_duplicated_spans_intra_doc_repeat_not_cross(spark):
         assert got[d]["max_run"] == 2
         assert got[d]["dup_span_tokens"] == 5
         assert got[d]["flagged"] is True
+
+
+def test_strip_duplicated_spans_planted(spark):
+    """Stripping removes exactly the flagged spans, everywhere, and
+    leaves clean docs byte-identical (modulo the single-space token
+    re-join); sub-min_run shared windows survive."""
+    boiler = ("all rights reserved redistribution permitted "
+              "under license terms only")  # 9 tokens -> 6 windows at k=4
+    data = [
+        (1, boiler + " alpha beta gamma delta"),
+        (2, "iota kappa lambda mu " + boiler),
+        # single shared 4-token window (run of 1 < min_run=2): kept
+        (3, "unique opening words here red green blue yellow trailing"),
+        (4, "totally different frame red green blue yellow another end"),
+        (5, "quantum chromodynamics binds quarks inside hadrons"),
+    ]
+    df = spark.createDataFrame(data, "doc_id long, text string")
+    got = {r["doc_id"]: r for r in
+           dd.strip_duplicated_spans(df, k=4, min_run=2).collect()}
+    assert got[1]["clean_text"] == "alpha beta gamma delta"
+    assert got[1]["n_removed"] == 9 and got[1]["n_tokens"] == 13
+    assert got[2]["clean_text"] == "iota kappa lambda mu"
+    assert got[2]["n_removed"] == 9
+    # below min_run: untouched
+    assert got[3]["clean_text"] == data[2][1]
+    assert got[4]["n_removed"] == 0
+    assert got[5]["clean_text"] == data[4][1]
+
+    # a doc that is PURE boilerplate strips to empty, not a lost row
+    df2 = spark.createDataFrame(
+        [(1, boiler), (2, boiler), (3, "fresh unrelated words")],
+        "doc_id long, text string")
+    got2 = {r["doc_id"]: r for r in
+            dd.strip_duplicated_spans(df2, k=4, min_run=2).collect()}
+    assert len(got2) == 3
+    assert got2[1]["clean_text"] == "" and got2[1]["n_removed"] == 9
+    assert got2[3]["n_removed"] == 0
