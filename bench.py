@@ -110,6 +110,8 @@ HEADLINE = [
     "kmv_set_ops_customers",
     "events_stream_hll",
     "hist_quantiles_prices",
+    "dup_spans_strip",
+    "hashing_features",
 ]
 
 

@@ -34,7 +34,8 @@ from pyspark.sql import functions as F
 
 from pandas_rust_algos_spark.operators.text import token_count, tokens
 
-__all__ = ["tfidf_topk", "bm25_topk", "inverted_index"]
+__all__ = ["tfidf_topk", "bm25_topk", "inverted_index",
+           "hashing_vectorize", "sql_hashing_vectorize"]
 
 
 def tfidf_topk(
@@ -220,4 +221,114 @@ def sql_bm25_score(
             JOIN dl ON tf.doc_id = dl.doc_id
             CROSS JOIN st
     GROUP BY tf.doc_id
+    """
+
+
+def hashing_vectorize(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    *,
+    dim: int = 64,
+    signed: bool = True,
+    hash_mode: str = "portable",
+) -> DataFrame:
+    """Feature hashing (the "hashing trick", Weinberger et al.
+    ICML'09, public): fixed-``dim`` term-count vectors with NO
+    vocabulary pass — each term maps to ``hash(term) % dim``, and the
+    signed variant flips the contribution by a second hash bit so
+    collision noise is zero-mean (the property that lets linear models
+    train on hashed features). The standard cheap featurizer for
+    dedup-adjacent clustering, quality classifiers, and domain taggers
+    over a 100 TB corpus where a vocabulary build is a whole extra
+    job. Returns ``(id, vec)`` with ``vec`` an ``array<long>`` of
+    length ``dim``.
+
+    Scale shape: explode to tokens, partial-count into (id, bucket)
+    cells — map-side combine bounds the wire at ``dim`` rows per doc
+    per task — then one doc-keyed assembly into a map and a
+    higher-order densification (no dim-sized grid join, no Python).
+    ``portable`` hash mode (md5-prefix) is SQL-replayable; ``fast``
+    (xxhash64) is the scale default."""
+    from pandas_rust_algos_spark.operators.frequency import _cms_hash
+
+    if dim < 1:
+        raise ValueError(f"dim must be >= 1, got {dim}")
+    toks = df.select(
+        F.col(id_col), F.explode(tokens(text_col)).alias("tok"))
+    bucket = F.pmod(_cms_hash(0, F.col("tok"), hash_mode), F.lit(dim))
+    sgn = (
+        F.when(F.pmod(_cms_hash(1, F.col("tok"), hash_mode),
+                      F.lit(2)) == 0, F.lit(1)).otherwise(F.lit(-1))
+        if signed else F.lit(1)
+    )
+    cells = (
+        toks.select(F.col(id_col), bucket.cast("int").alias("b"),
+                    sgn.cast("long").alias("s"))
+        .groupBy(id_col, "b")
+        .agg(F.sum("s").alias("v"))
+    )
+    m = F.map_from_entries(
+        F.collect_list(F.struct(F.col("b"), F.col("v"))))
+    assembled = cells.groupBy(id_col).agg(m.alias("__m"))
+    vec = F.transform(
+        F.sequence(F.lit(0), F.lit(dim - 1)),
+        lambda i: F.coalesce(
+            F.element_at(F.col("__m"), i.cast("int")),
+            F.lit(0).cast("long")),
+    )
+    # left join keeps empty/whitespace-only docs as all-zero vectors
+    zero = F.array_repeat(F.lit(0).cast("long"), dim)
+    return (
+        df.select(id_col).join(assembled, id_col, "left")
+        .select(
+            id_col,
+            F.when(F.col("__m").isNull(), zero).otherwise(vec)
+            .alias("vec"),
+        )
+    )
+
+
+def sql_hashing_vectorize(
+    table: str = "documents",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    *,
+    dim: int = 64,
+    signed: bool = True,
+) -> str:
+    """DuckDB twin of :func:`hashing_vectorize` (portable mode): same
+    tokenizer, same md5-prefix bucket/sign hashes, same signed sums,
+    vector serialized as a comma-joined string (list columns do not
+    hash-compare across engines; the string pins every element and
+    its order)."""
+    from pandas_rust_algos_spark.operators.frequency import sql_cms_hash
+
+    toks = (f"LIST_FILTER(STRING_SPLIT_REGEX(TRIM({text_col}), '\\s+'), "
+            "x -> x <> '')")
+    h0 = sql_cms_hash(0, "tok")
+    h1 = sql_cms_hash(1, "tok")
+    sgn = (f"CASE WHEN ({h1}) % 2 = 0 THEN 1 ELSE -1 END"
+           if signed else "1")
+    return f"""
+    WITH tok AS (
+      SELECT {id_col}, UNNEST({toks}) AS tok FROM {table}
+    ), cells AS (
+      SELECT {id_col}, ({h0}) % {dim} AS b,
+             SUM({sgn}) AS v
+      FROM tok GROUP BY 1, 2
+    ), grid AS (
+      SELECT t.{id_col}, g.i AS b
+      FROM (SELECT DISTINCT {id_col} FROM {table}) t,
+           UNNEST(RANGE(0, {dim})) AS g(i)
+    ), dense AS (
+      SELECT grid.{id_col}, grid.b,
+             COALESCE(cells.v, 0) AS v
+      FROM grid LEFT JOIN cells
+        ON grid.{id_col} = cells.{id_col} AND grid.b = cells.b
+    )
+    SELECT {id_col},
+           ARRAY_TO_STRING(LIST(CAST(v AS VARCHAR) ORDER BY b), ',')
+             AS vec_csv
+    FROM dense GROUP BY 1
     """

@@ -283,6 +283,33 @@ def dup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dd.duplicated_spans(_docs(spark, sf_dir), k=8, min_run=2)
 
 
+@register(
+    "hashing_features",
+    oracle=__import__(
+        "pandas_rust_algos_spark.operators.tfidf",
+        fromlist=["sql_hashing_vectorize"],
+    ).sql_hashing_vectorize(dim=64),
+)
+def hashing_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Feature hashing (the hashing trick, Weinberger et al. ICML'09;
+    ``operators/tfidf.hashing_vectorize``): fixed-64-dim signed
+    term-count vectors with no vocabulary pass — the cheap featurizer
+    for classifiers/clustering over a corpus too large for a
+    vocabulary build. The vector is serialized to a comma-joined
+    string so the DuckDB replay (same tokenizer, same md5-prefix
+    bucket and sign hashes, same signed sums) pins every element and
+    its order."""
+    from pandas_rust_algos_spark.operators.tfidf import hashing_vectorize
+
+    tune(spark)
+    v = hashing_vectorize(_docs(spark, sf_dir), dim=64)
+    return v.select(
+        "doc_id",
+        F.concat_ws(",", F.transform(
+            "vec", lambda x: x.cast("string"))).alias("vec_csv"),
+    )
+
+
 @register("dup_spans_strip",
           oracle=dd.sql_strip_duplicated_spans(k=8, min_run=2))
 def dup_spans_strip(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -98,6 +98,7 @@ _GATE_PRIORITY: tuple[str, ...] = (
     "events_stream_hll",
     "hist_quantiles_prices",
     "hist_incremental_merge",
+    "hashing_features",
     # (b) modules changed in round 6 -> driver re-verification
     "triangle_count",
     "update_mor_read",

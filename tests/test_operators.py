@@ -1499,3 +1499,36 @@ def test_hist_sketch_merge_quantiles_and_clamp(spark):
         hist_quantiles(sk, "g", [0.0], **geom)
     with pytest.raises(ValueError):
         hist_merge()
+
+
+def test_hashing_vectorize_semantics(spark):
+    """Feature-hashing invariants: fixed dim; identical docs get
+    identical vectors; the unsigned variant's vector sums to the doc's
+    token count (every token lands in exactly one bucket); empty docs
+    vectorize to all-zeros rather than vanishing; both hash modes
+    produce dim-length vectors."""
+    from pandas_rust_algos_spark.operators.tfidf import hashing_vectorize
+
+    data = [
+        (1, "alpha beta gamma alpha"),
+        (2, "alpha beta gamma alpha"),   # identical -> identical vec
+        (3, "completely different words entirely here"),
+        (4, "   "),                      # whitespace-only -> zeros
+    ]
+    df = spark.createDataFrame(data, "doc_id long, text string")
+    got = {r["doc_id"]: r["vec"]
+           for r in hashing_vectorize(df, dim=16, signed=False).collect()}
+    assert all(len(v) == 16 for v in got.values())
+    assert got[1] == got[2]
+    assert sum(got[1]) == 4 and sum(got[3]) == 5
+    assert got[4] == [0] * 16
+
+    signed = {r["doc_id"]: r["vec"]
+              for r in hashing_vectorize(df, dim=16, signed=True,
+                                         hash_mode="fast").collect()}
+    assert all(len(v) == 16 for v in signed.values())
+    # signed sums are bounded by token count in absolute value
+    assert abs(sum(signed[1])) <= 4
+
+    with pytest.raises(ValueError):
+        hashing_vectorize(df, dim=0)
