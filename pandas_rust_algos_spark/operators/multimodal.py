@@ -658,6 +658,10 @@ def decode_payload(payload: bytes, modality: str):
         from pandas_rust_algos_spark.operators.jpeg import decode_jpeg
 
         return decode_jpeg(payload)
+    if modality == "image/tiff":
+        from pandas_rust_algos_spark.operators.tiff import decode_tiff
+
+        return decode_tiff(payload)
     if modality == "image/ppm":
         img, _end = _ppm_read_frame(payload, 0)
         return img
@@ -706,7 +710,7 @@ def _featurize(payload: bytes, modality: str):
             hashlib.md5(bytes(payload)).hexdigest(),
         )
     if modality in ("image/bmp", "image/ppm", "image/png", "image/gif",
-                    "image/jpeg"):
+                    "image/jpeg", "image/tiff"):
         h, w = content.shape[:2]
         c = content.shape[2] if content.ndim == 3 else 1
         # exact: integer pixel sum / count (both exact in float64); the
@@ -805,25 +809,30 @@ def image_media_from_vecs(
     (pure double arithmetic — bit-reproducible in any engine, which is
     what makes the downstream decode oracle-checkable). ``jpeg`` means
     LOSSLESS JPEG (T.81 SOF3) — exact round trip, so it stays
-    oracle-checkable like png/gif; the lossy baseline-DCT flavor is for
-    real image payloads, not synthetic exactness gates."""
-    if codec not in ("png", "gif", "jpeg"):
-        raise ValueError(f"codec must be png|gif|jpeg, got {codec!r}")
+    oracle-checkable like png/gif. ``tiff`` is the baseline
+    uncompressed profile (`operators/tiff.py`), written little-endian
+    for even ids and BIG-endian for odd ids so a decode gate covers
+    both byte orders from one column."""
+    if codec not in ("png", "gif", "jpeg", "tiff"):
+        raise ValueError(f"codec must be png|gif|jpeg|tiff, got {codec!r}")
     if codec == "gif" and channels != 3:
         raise ValueError("gif codec requires channels=3")
     n = height * width * channels
 
+    def _quantize(v) -> np.ndarray:
+        a = np.asarray(v[:n], dtype=np.float64)
+        if len(a) < n:
+            raise ValueError(
+                f"vector has {len(a)} dims, need {n} for "
+                f"{height}x{width}x{channels}")
+        px = (np.floor(np.clip(a, -1.0, 1.0) * 127.0)
+              .astype(np.int64) + 128).astype(np.uint8)
+        return px.reshape(height, width, channels)
+
     @F.pandas_udf("binary")
     def _enc(vs: pd.Series) -> pd.Series:
         def one(v):
-            a = np.asarray(v[:n], dtype=np.float64)
-            if len(a) < n:
-                raise ValueError(
-                    f"vector has {len(a)} dims, need {n} for "
-                    f"{height}x{width}x{channels}")
-            px = (np.floor(np.clip(a, -1.0, 1.0) * 127.0)
-                  .astype(np.int64) + 128).astype(np.uint8)
-            img = px.reshape(height, width, channels)
+            img = _quantize(v)
             if codec == "gif":
                 return encode_gif(img)
             if codec == "jpeg":
@@ -836,9 +845,24 @@ def image_media_from_vecs(
             return encode_png(img if channels != 1 else img[:, :, 0])
         return vs.map(one)
 
+    @F.pandas_udf("binary")
+    def _enc_tiff(ids: pd.Series, vs: pd.Series) -> pd.Series:
+        from pandas_rust_algos_spark.operators.tiff import encode_tiff
+
+        return pd.Series([
+            encode_tiff(
+                (_quantize(v) if channels != 1
+                 else _quantize(v)[:, :, 0]),
+                rows_per_strip=2,  # small: tiny images still multi-strip
+                big_endian=bool(int(i) % 2),
+            )
+            for i, v in zip(ids, vs)
+        ])
+
     packed = df.select(
         F.col(id_col).cast("long").alias("media_id"),
-        _enc(F.col(vec_col)).alias("payload"),
+        (_enc_tiff(F.col(id_col).cast("long"), F.col(vec_col))
+         if codec == "tiff" else _enc(F.col(vec_col))).alias("payload"),
     )
     return packed.select(
         "media_id",

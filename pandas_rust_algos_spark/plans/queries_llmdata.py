@@ -284,6 +284,42 @@ def dup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "tiff_media_features",
+    oracle="""
+    WITH px AS (
+      SELECT vec_id,
+             list_transform(embedding[1:48],
+               x -> CAST(FLOOR(LEAST(GREATEST(CAST(x AS DOUBLE), -1.0),
+                                     1.0) * 127.0) AS BIGINT) + 128) AS p
+      FROM embeddings
+    )
+    SELECT vec_id AS media_id, 'image/tiff' AS modality,
+           CAST(4 AS DOUBLE) AS f0, CAST(4 AS DOUBLE) AS f1,
+           CAST(list_aggregate(p, 'sum') AS DOUBLE) / 48 AS f2,
+           CAST(3 AS DOUBLE) AS f3,
+           md5(array_to_string(p, ',')) AS check_md5
+    FROM px
+    """,
+)
+def tiff_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Baseline TIFF decode, hash-checked end-to-end
+    (``operators/tiff.py``): embeddings quantize to 4x4 RGB pixels and
+    encode as real multi-strip TIFF payloads — little-endian ``II``
+    for even ids, BIG-endian ``MM`` for odd ids, so ONE gate covers
+    both byte orders and strip reassembly — then decode back through
+    the Arrow-batched feature path. The oracle recomputes the
+    quantization straight from the source table; check_md5 over the
+    canonical pixel CSV proves every strip read, offset walk, and
+    byte-order swap value-exactly."""
+    tune(spark)
+    e = spread(load_table(spark, sf_dir, "embeddings"), cap=8)
+    media = mm.image_media_from_vecs(
+        e, "vec_id", "embedding", height=4, width=4, codec="tiff")
+    return mm.extract_features(media).select(
+        "media_id", "modality", "f0", "f1", "f2", "f3", "check_md5")
+
+
+@register(
     "hashing_features",
     oracle=__import__(
         "pandas_rust_algos_spark.operators.tfidf",

@@ -701,3 +701,72 @@ def test_jpeg_restart_markers_roundtrip():
     spliced = bytes(lossless[:soi_end]) + dri + bytes(lossless[soi_end:])
     with pytest.raises(NotImplementedError, match="restart"):
         J.decode_jpeg(spliced)
+
+
+def test_tiff_roundtrip_both_endians_and_guards():
+    """Baseline TIFF codec: exact round trip for gray/RGB, single and
+    multi strip, both byte orders; loud failures for non-TIFF bytes,
+    unsupported compression, and truncated strips."""
+    import numpy as np
+    import pytest as _pytest
+
+    from pandas_rust_algos_spark.operators.tiff import (
+        decode_tiff,
+        encode_tiff,
+    )
+
+    rng = np.random.RandomState(3)
+    for shape in [(5, 7), (5, 7, 3), (1, 1), (9, 2, 3)]:
+        a = rng.randint(0, 256, shape).astype(np.uint8)
+        for be in (False, True):
+            for rps in (1, 3, 100):
+                payload = encode_tiff(a, rows_per_strip=rps,
+                                      big_endian=be)
+                assert payload[:2] == (b"MM" if be else b"II")
+                out = decode_tiff(payload)
+                assert out.shape == a.shape and (out == a).all()
+
+    with _pytest.raises(ValueError, match="byte-order"):
+        decode_tiff(b"XX" + b"\x00" * 10)
+    with _pytest.raises(ValueError, match="magic"):
+        decode_tiff(b"II\x2b\x00" + b"\x00" * 8)
+    ok = bytearray(encode_tiff(np.zeros((4, 4), np.uint8)))
+    # flip Compression (tag 259) value to 5 (LZW): must refuse loudly
+    import struct as _struct
+    ifd = _struct.unpack("<L", ok[4:8])[0]
+    n = _struct.unpack("<H", ok[ifd:ifd + 2])[0]
+    for i in range(n):
+        base = ifd + 2 + 12 * i
+        if _struct.unpack("<H", ok[base:base + 2])[0] == 259:
+            ok[base + 8:base + 10] = _struct.pack("<H", 5)
+    with _pytest.raises(NotImplementedError, match="compression 5"):
+        decode_tiff(bytes(ok))
+    # truncate the pixel strips: must refuse, not return garbage
+    full = encode_tiff(np.arange(48, dtype=np.uint8).reshape(4, 12),
+                       rows_per_strip=100)
+    # strip data sits between header(8) and the IFD at the end
+    cut = bytearray(full)
+    cut[8:8 + 48] = cut[8:8 + 40]  # shorten payload region
+    with _pytest.raises(Exception):
+        decode_tiff(bytes(cut[:len(full) - 8]))
+
+
+def test_tiff_features_match_bmp(spark):
+    """image/tiff through the Spark feature path must agree with the
+    uncompressed BMP twin on every feature AND the pixel md5 (same
+    pixels, different container)."""
+    from pandas_rust_algos_spark.operators import multimodal as mm
+    from pandas_rust_algos_spark.sources import load_table
+    import os
+
+    sf_dir = os.environ.get("PRA_TEST_SF_DIR", "/root/testdata/sf0.001")
+    e = load_table(spark, sf_dir, "embeddings").limit(12)
+    tiff = mm.extract_features(mm.image_media_from_vecs(
+        e, "vec_id", "embedding", height=4, width=4, codec="tiff"))
+    png = mm.extract_features(mm.image_media_from_vecs(
+        e, "vec_id", "embedding", height=4, width=4, codec="png"))
+    t = {r["media_id"]: (r["f0"], r["f1"], r["f2"], r["f3"],
+                         r["check_md5"]) for r in tiff.collect()}
+    p = {r["media_id"]: (r["f0"], r["f1"], r["f2"], r["f3"],
+                         r["check_md5"]) for r in png.collect()}
+    assert t == p and len(t) == 12
