@@ -112,6 +112,8 @@ HEADLINE = [
     "hist_quantiles_prices",
     "dup_spans_strip",
     "hashing_features",
+    "decontam_spans",
+    "tiff_media_features",
 ]
 
 

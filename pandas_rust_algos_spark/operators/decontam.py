@@ -34,7 +34,7 @@ not just row counts.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from pandas_rust_algos_spark.operators.text import (
@@ -42,7 +42,8 @@ from pandas_rust_algos_spark.operators.text import (
     token_ngrams as _grams,
 )
 
-__all__ = ["token_ngrams", "decontaminate", "sql_token_ngrams"]
+__all__ = ["token_ngrams", "decontaminate", "sql_token_ngrams",
+           "decontaminate_spans", "sql_decontaminate_spans"]
 
 
 def token_ngrams(col: Column | str, n: int) -> Column:
@@ -110,3 +111,125 @@ def decontaminate(
         "n_hits",
         (F.col("n_hits") >= min_hits).alias("contaminated"),
     )
+
+
+def decontaminate_spans(
+    corpus: DataFrame,
+    benchmark: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 8,
+    min_run: int = 1,
+) -> DataFrame:
+    """SUBSTRING-level decontamination (the Lee et al. window machinery
+    pointed across two corpora): flag corpus documents sharing
+    VERBATIM k-token spans with the benchmark — the check actually run
+    before training on eval sets, stricter in kind than the distinct-
+    gram overlap count of :func:`decontaminate` (grams count set
+    overlap anywhere in the doc; spans demand consecutive-window runs,
+    and report WHERE the leakage sits via run lengths). Returns one
+    row per corpus document::
+
+        (id, n_windows, n_contaminated, max_run, contaminated)
+
+    with ``n_contaminated`` the count of window positions whose k-token
+    text occurs anywhere in the benchmark, ``max_run`` the longest
+    consecutive such run (a run of r = a shared span of k + r - 1
+    tokens), and ``contaminated = max_run >= min_run`` (default 1:
+    any shared k-token window flags — the aggressive posture
+    decontamination defaults to).
+
+    Scale shape: benchmark windows reduce to a DISTINCT hash set
+    (benchmarks are metadata-sized next to a 100 TB corpus, so the
+    semi-join build side broadcasts); corpus windows shuffle once on
+    the hash for the probe and once on the doc id for the run
+    analysis — the same two shuffles as ``duplicated_spans``."""
+    from pandas_rust_algos_spark.operators.dedup import (
+        _flagged_windows_against,
+        _window_grams,
+    )
+
+    if k < 1 or min_run < 1:
+        raise ValueError(f"k/min_run must be >= 1, got {k}/{min_run}")
+    base = _window_grams(corpus, id_col, text_col, k)
+    totals = base.select(
+        id_col, F.size("__grams").cast("long").alias("n_windows"))
+    bench_h = (
+        _window_grams(benchmark, id_col, text_col, k)
+        .select(F.explode("__grams").alias("gram"))
+        .select(F.conv(F.substring(F.md5("gram"), 1, 15), 16, 10)
+                .cast("long").alias("h"))
+        .distinct()
+    )
+    flagged = _flagged_windows_against(base, id_col, bench_h)
+    w = Window.partitionBy(id_col).orderBy("pos")
+    runs = (
+        flagged.withColumn("__isl", F.col("pos") - F.row_number().over(w))
+        .groupBy(id_col, "__isl")
+        .agg(F.count(F.lit(1)).alias("run"))
+        .groupBy(id_col)
+        .agg(F.sum("run").alias("nc"), F.max("run").alias("mr"))
+    )
+    mr = F.coalesce(F.col("mr"), F.lit(0)).cast("long")
+    return (
+        totals.join(runs, id_col, "left")
+        .select(
+            id_col,
+            "n_windows",
+            F.coalesce(F.col("nc"), F.lit(0)).cast("long")
+            .alias("n_contaminated"),
+            mr.alias("max_run"),
+            (mr >= min_run).alias("contaminated"),
+        )
+    )
+
+
+def sql_decontaminate_spans(
+    corpus_sql: str,
+    benchmark_sql: str,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 8,
+    min_run: int = 1,
+) -> str:
+    """DuckDB twin of :func:`decontaminate_spans` over two table
+    expressions (same windows, hash, run algebra)."""
+    from pandas_rust_algos_spark.operators.text import sql_token_ngrams
+
+    grams = sql_token_ngrams(text_col, k)
+    return f"""
+    WITH cbase AS (
+      SELECT {id_col}, {grams} AS g FROM {corpus_sql}
+    ), tot AS (
+      SELECT {id_col}, CAST(LEN(g) AS BIGINT) AS n_windows FROM cbase
+    ), cwins AS (
+      SELECT {id_col}, i - 1 AS pos,
+             CAST('0x' || SUBSTR(md5(g[i]), 1, 15) AS BIGINT) AS h
+      FROM cbase, UNNEST(RANGE(1, LEN(g) + 1)) AS t(i)
+    ), bbase AS (
+      SELECT {grams} AS g FROM {benchmark_sql}
+    ), bh AS (
+      SELECT DISTINCT
+             CAST('0x' || SUBSTR(md5(g[i]), 1, 15) AS BIGINT) AS h
+      FROM bbase, UNNEST(RANGE(1, LEN(g) + 1)) AS t(i)
+    ), fl AS (
+      SELECT w.{id_col}, w.pos FROM cwins w JOIN bh USING (h)
+    ), il AS (
+      SELECT {id_col}, pos,
+             pos - ROW_NUMBER() OVER (PARTITION BY {id_col}
+                                      ORDER BY pos) AS isl
+      FROM fl
+    ), rl AS (
+      SELECT {id_col}, isl, COUNT(*) AS run FROM il GROUP BY 1, 2
+    ), agg AS (
+      SELECT {id_col}, SUM(run) AS nc, MAX(run) AS mr
+      FROM rl GROUP BY 1
+    )
+    SELECT t.{id_col}, t.n_windows,
+           CAST(COALESCE(a.nc, 0) AS BIGINT) AS n_contaminated,
+           CAST(COALESCE(a.mr, 0) AS BIGINT) AS max_run,
+           COALESCE(a.mr, 0) >= {min_run} AS contaminated
+    FROM tot t LEFT JOIN agg a USING ({id_col})
+    """

@@ -709,6 +709,24 @@ def _flagged_windows(base: DataFrame, id_col: str) -> DataFrame:
     return wins.join(dup, "h", "left_semi").select(id_col, "pos")
 
 
+def _flagged_windows_against(base: DataFrame, id_col: str,
+                             hash_set: DataFrame) -> DataFrame:
+    """``(id, pos)`` of every window whose hash appears in an EXTERNAL
+    single-column hash set ``(h)`` — the cross-corpus variant of
+    :func:`_flagged_windows` (used by substring decontamination: the
+    set is the benchmark's windows, metadata-sized, so the semi-join
+    build side broadcasts)."""
+    wins = base.select(
+        F.col(id_col), F.posexplode("__grams").alias("pos", "gram")
+    ).select(
+        id_col, "pos",
+        F.conv(F.substring(F.md5("gram"), 1, 15), 16, 10)
+        .cast("long").alias("h"),
+    )
+    return wins.join(F.broadcast(hash_set), "h", "left_semi") \
+        .select(id_col, "pos")
+
+
 def strip_duplicated_spans(
     df: DataFrame,
     id_col: str = "doc_id",

@@ -284,6 +284,30 @@ def dup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "decontam_spans",
+    oracle=dc.sql_decontaminate_spans(
+        "(SELECT * FROM documents WHERE source <> 'src0')",
+        "(SELECT * FROM documents WHERE source = 'src0')",
+        k=8, min_run=1),
+)
+def decontam_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SUBSTRING-level decontamination
+    (``operators/decontam.decontaminate_spans``): corpus documents
+    (source != src0) are flagged when they share a VERBATIM 8-token
+    span with the held-out benchmark slice (src0) — the consecutive-
+    window check labs actually run before training on eval sets,
+    stricter in kind than the distinct-gram overlap of
+    ``decontaminate``. The oracle replays windows, hashes, the
+    benchmark probe, and the run algebra, so the hash proves per-doc
+    contamination counts AND run lengths for every corpus document."""
+    d = _docs(spark, sf_dir)
+    return dc.decontaminate_spans(
+        d.where(F.col("source") != "src0"),
+        d.where(F.col("source") == "src0"),
+        k=8, min_run=1)
+
+
+@register(
     "tiff_media_features",
     oracle="""
     WITH px AS (

@@ -100,6 +100,7 @@ _GATE_PRIORITY: tuple[str, ...] = (
     "hist_incremental_merge",
     "hashing_features",
     "tiff_media_features",
+    "decontam_spans",
     # (b) modules changed in round 6 -> driver re-verification
     "triangle_count",
     "update_mor_read",

@@ -303,3 +303,41 @@ def test_bpe_encode_counts_match_reference_encoder(spark):
     expected_top = sorted(freqs.items(), key=lambda kv: (-kv[1], kv[0]))[:4]
     assert [(r["token"], r["n_occurrences"]) for r in top] == expected_top
     assert [r["rank"] for r in top] == [1, 2, 3, 4]
+
+
+def test_decontaminate_spans_planted(spark):
+    """Substring decontamination: corpus docs embedding a verbatim
+    benchmark span are flagged with the right run length; gram-level
+    overlap below k consecutive tokens does not flag; benchmark-only
+    and clean docs report zero."""
+    from pandas_rust_algos_spark.operators.decontam import (
+        decontaminate_spans,
+    )
+
+    bench_span = "what is the capital of france paris obviously"  # 8 toks
+    bench = spark.createDataFrame(
+        [(100, "quiz question " + bench_span + " end of item")],
+        "doc_id long, text string")
+    corpus = spark.createDataFrame([
+        # embeds the full 8-token span -> 5 consecutive k=4 windows
+        (1, "intro words here " + bench_span + " trailing text"),
+        # shares only scattered tokens, no 4-token window
+        (2, "paris is a capital and france is a country obviously"),
+        (3, "completely unrelated document about gardening tips"),
+    ], "doc_id long, text string")
+    got = {r["doc_id"]: r for r in
+           decontaminate_spans(corpus, bench, k=4, min_run=1).collect()}
+    assert got[1]["contaminated"] is True
+    assert got[1]["max_run"] == 5           # 8-token span, k=4
+    assert got[1]["n_contaminated"] == 5
+    assert got[2]["contaminated"] is False
+    assert got[3]["n_contaminated"] == 0
+    # min_run raises the bar: a single shared window no longer flags
+    strict = {r["doc_id"]: r for r in
+              decontaminate_spans(corpus, bench, k=4,
+                                  min_run=6).collect()}
+    assert strict[1]["contaminated"] is False
+
+    import pytest as _pytest
+    with _pytest.raises(ValueError):
+        decontaminate_spans(corpus, bench, k=0)
