@@ -114,6 +114,7 @@ HEADLINE = [
     "hashing_features",
     "decontam_spans",
     "tiff_media_features",
+    "token_drift_kl",
 ]
 
 

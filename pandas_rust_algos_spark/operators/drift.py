@@ -27,7 +27,8 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, functions as F
 
-__all__ = ["drift_report"]
+__all__ = ["drift_report", "token_kl_divergence",
+           "sql_token_kl_divergence"]
 
 
 def drift_report(
@@ -95,3 +96,132 @@ def drift_report(
                F.col("n_cur").cast("double") / F.col("t_cur"))
         .alias("rate_cur"),
     )
+
+
+def token_kl_divergence(
+    df: DataFrame,
+    ref: DataFrame,
+    *,
+    group: str,
+    text_col: str = "text",
+) -> DataFrame:
+    """TEXT-domain drift: add-1-smoothed token-distribution KL
+    divergence ``KL(P_g || Q)`` of every ``group`` slice of ``df``
+    against the reference corpus ``ref`` — the standard corpus-shift
+    score for "did this ingest batch's language move away from what we
+    train on" (numeric columns use :func:`drift_report`; this is its
+    token-distribution sibling). Returns ``(group, n_tokens, n_vocab,
+    kl_divergence)`` with the divergence in nats, rounded to 6.
+
+    Per slice g and union vocabulary V_g (tokens of g ∪ tokens of the
+    reference): ``p_w = (c_gw + 1) / (N_g + |V_g|)``, ``q_w`` likewise
+    from the reference, ``KL = Σ_w p_w · ln(p_w / q_w)`` — ≥ 0, 0 iff
+    identical distributions. Determinism follows the ``doc_lm_score``
+    recipe: each term is floored to integer PICO-units (1e-12) and
+    summed exactly, so the result is partitioning- AND engine-
+    independent; the final divide + round-6 absorbs the flooring.
+
+    Scale shape: two explode→map-side-combined count aggregations
+    (traffic ∝ distinct tokens, not token occurrences), one hash join
+    of vocabulary-sized count tables, 1-row broadcast totals. The
+    reference counts are computed once and joined to every group —
+    at 100 TB both sides are vocabulary-sized, orders smaller than
+    the corpora."""
+    from pandas_rust_algos_spark.operators.text import tokens
+
+    p = (
+        df.select(F.col(group), F.explode(tokens(text_col)).alias("tok"))
+        .groupBy(group, "tok")
+        .agg(F.count(F.lit(1)).alias("c_p"))
+    )
+    q = (
+        ref.select(F.explode(tokens(text_col)).alias("tok"))
+        .groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("c_q"))
+    )
+    # union vocabulary per group: group tokens FULL OUTER the reference
+    # vocabulary replicated per group (vocab-sized on both sides)
+    groups = df.select(group).distinct()
+    q_rep = groups.crossJoin(q)
+    v = p.join(q_rep, [group, "tok"], "full_outer").select(
+        group, "tok",
+        F.coalesce("c_p", F.lit(0)).alias("c_p"),
+        F.coalesce("c_q", F.lit(0)).alias("c_q"),
+    )
+    totals = v.groupBy(group).agg(
+        F.sum("c_p").alias("n_p"),
+        F.count(F.lit(1)).alias("n_vocab"),
+    )
+    n_q = q.agg(F.sum("c_q").alias("n_q"))
+    joined = v.join(totals, group).crossJoin(F.broadcast(n_q))
+    pw = (F.col("c_p") + 1).cast("double") \
+        / (F.col("n_p") + F.col("n_vocab")).cast("double")
+    qw = (F.col("c_q") + 1).cast("double") \
+        / (F.col("n_q") + F.col("n_vocab")).cast("double")
+    term_pico = F.floor(pw * F.log(pw / qw) * F.lit(1e12)).cast("long")
+    return (
+        joined.groupBy(group)
+        .agg(
+            F.max("n_p").alias("n_tokens"),
+            F.max("n_vocab").alias("n_vocab"),
+            F.round(F.sum(term_pico).cast("double") / F.lit(1e12), 6)
+            .alias("kl_divergence"),
+        )
+    )
+
+
+def sql_token_kl_divergence(
+    df_sql: str,
+    ref_sql: str,
+    *,
+    group: str,
+    text_col: str = "text",
+) -> str:
+    """DuckDB twin of :func:`token_kl_divergence` — same tokenizer,
+    smoothing, pico-unit term flooring, and final round."""
+    toks = (f"LIST_FILTER(STRING_SPLIT_REGEX(TRIM({text_col}), '\\s+'), "
+            "x -> x <> '')")
+    return f"""
+    WITH p AS (
+      SELECT {group}, tok, COUNT(*) AS c_p
+      FROM (SELECT {group}, UNNEST({toks}) AS tok FROM {df_sql})
+      GROUP BY 1, 2
+    ), q AS (
+      SELECT tok, COUNT(*) AS c_q
+      FROM (SELECT UNNEST({toks}) AS tok FROM {ref_sql})
+      GROUP BY 1
+    ), grps AS (
+      SELECT DISTINCT {group} FROM {df_sql}
+    ), qrep AS (
+      SELECT grps.{group}, q.tok, q.c_q FROM grps CROSS JOIN q
+    ), v AS (
+      SELECT COALESCE(p.{group}, qrep.{group}) AS {group},
+             COALESCE(p.tok, qrep.tok) AS tok,
+             COALESCE(p.c_p, 0) AS c_p,
+             COALESCE(qrep.c_q, 0) AS c_q
+      FROM p FULL OUTER JOIN qrep
+        ON p.{group} = qrep.{group} AND p.tok = qrep.tok
+    ), tot AS (
+      SELECT {group}, SUM(c_p) AS n_p, COUNT(*) AS n_vocab
+      FROM v GROUP BY 1
+    ), nq AS (
+      SELECT SUM(c_q) AS n_q FROM q
+    ), terms AS (
+      SELECT v.{group},
+             CAST(FLOOR(
+               (CAST(c_p + 1 AS DOUBLE) / CAST(n_p + n_vocab AS DOUBLE))
+               * LN((CAST(c_p + 1 AS DOUBLE)
+                     / CAST(n_p + n_vocab AS DOUBLE))
+                    / (CAST(c_q + 1 AS DOUBLE)
+                       / CAST(n_q + n_vocab AS DOUBLE)))
+               * 1e12) AS BIGINT) AS term_pico,
+             n_p, n_vocab
+      FROM v JOIN tot ON v.{group} = tot.{group} CROSS JOIN nq
+    )
+    SELECT {group},
+           CAST(MAX(n_p) AS BIGINT) AS n_tokens,
+           CAST(MAX(n_vocab) AS BIGINT) AS n_vocab,
+           ROUND(CAST(SUM(term_pico) AS DOUBLE) / 1e12, 6)
+             AS kl_divergence
+    FROM terms GROUP BY 1
+    """

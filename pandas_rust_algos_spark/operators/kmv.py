@@ -159,7 +159,7 @@ def kmv_set_ops(
 ) -> DataFrame:
     """Set-operation estimates from two per-group sketch tables (inner
     join on the group column): ``(group, union_est, inter_est,
-    jaccard_est)``.
+    jaccard_est, a_only_est, b_only_est)``.
 
     The theta-sketch composition, array algebra end to end: the min-k
     of the combined hash arrays is a valid KMV sketch of A ∪ B (union
@@ -167,8 +167,11 @@ def kmv_set_ops(
     distinct values, so the fraction of it present in BOTH inputs
     estimates Jaccard, and ``jaccard * union`` estimates the
     intersection — the overlap question HLL registers cannot answer.
-    All counts are integers and the only float ops are two divisions
-    and one multiply, in a fixed order — engine-replayable."""
+    Differences come free by inclusion-exclusion on the same sketches:
+    ``|A \\ B| = |A ∪ B| − |B|`` (clamped at 0 — the estimators are
+    independent, so tiny negatives are possible and meaningless). All
+    counts are integers and the only float ops are a fixed sequence of
+    divisions/multiplies — engine-replayable."""
     group = sketch_a.columns[0]
     a = sketch_a.select(F.col(group), F.col("hs").alias("hs_a"))
     b = sketch_b.select(F.col(group), F.col("hs").alias("hs_b"))
@@ -181,15 +184,23 @@ def kmv_set_ops(
             F.col(group),
             ku.alias("ku"),
             F.size(F.array_intersect(ku, both)).alias("n_both"),
+            "hs_a", "hs_b",
         )
     )
     union_est = _estimate_expr(F.col("ku"), k)
+    a_est = _estimate_expr(F.col("hs_a"), k)
+    b_est = _estimate_expr(F.col("hs_b"), k)
     jac = F.col("n_both").cast("double") / F.size("ku").cast("double")
+    zero = F.lit(0.0)
     return j.select(
         group,
         F.round(union_est).cast("long").alias("union_est"),
         F.round(jac * union_est).cast("long").alias("inter_est"),
         F.round(jac, 6).alias("jaccard_est"),
+        F.round(F.greatest(zero, union_est - b_est)).cast("long")
+        .alias("a_only_est"),
+        F.round(F.greatest(zero, union_est - a_est)).cast("long")
+        .alias("b_only_est"),
     )
 
 

@@ -667,15 +667,18 @@ def _kmv_setops_oracle(k: int = 64) -> str:
         "(SELECT * FROM orders WHERE o_orderdate >= DATE '1995-01-01')",
         k=k)
     union_est = sql_kmv_estimate("ku", k=k)
+    a_est = sql_kmv_estimate("hs_a", k=k)
+    b_est = sql_kmv_estimate("hs_b", k=k)
     return f"""
     WITH a AS ({a}), b AS ({b}),
     j AS (
       SELECT a.grp,
              (LIST_SORT(LIST_DISTINCT(a.hs || b.hs)))[1:{k}] AS ku,
-             LIST_INTERSECT(a.hs, b.hs) AS hs_both
+             LIST_INTERSECT(a.hs, b.hs) AS hs_both,
+             a.hs AS hs_a, b.hs AS hs_b
       FROM a JOIN b USING (grp)
     ), m AS (
-      SELECT grp, ku,
+      SELECT grp, ku, hs_a, hs_b,
              LEN(LIST_INTERSECT(ku, hs_both)) AS n_both
       FROM j
     )
@@ -684,7 +687,11 @@ def _kmv_setops_oracle(k: int = 64) -> str:
            CAST(ROUND((CAST(n_both AS DOUBLE) / CAST(LEN(ku) AS DOUBLE))
                       * ({union_est})) AS BIGINT) AS inter_est,
            ROUND(CAST(n_both AS DOUBLE) / CAST(LEN(ku) AS DOUBLE), 6)
-             AS jaccard_est
+             AS jaccard_est,
+           CAST(ROUND(GREATEST(CAST(0 AS DOUBLE),
+                ({union_est}) - ({b_est}))) AS BIGINT) AS a_only_est,
+           CAST(ROUND(GREATEST(CAST(0 AS DOUBLE),
+                ({union_est}) - ({a_est}))) AS BIGINT) AS b_only_est
     FROM m
     """
 

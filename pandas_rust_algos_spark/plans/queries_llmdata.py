@@ -284,6 +284,37 @@ def dup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "token_drift_kl",
+    oracle=__import__(
+        "pandas_rust_algos_spark.operators.drift",
+        fromlist=["sql_token_kl_divergence"],
+    ).sql_token_kl_divergence(
+        "(SELECT * FROM documents WHERE lang <> 'en')",
+        "(SELECT * FROM documents WHERE lang = 'en')",
+        group="lang"),
+)
+def token_drift_kl(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Text-domain drift (``operators/drift.token_kl_divergence``):
+    per-language add-1-smoothed token-distribution KL divergence
+    against the English slice — the corpus-shift score for "did this
+    ingest batch move away from the training distribution" (numeric
+    columns use ``drift_report``; this is the token sibling). Terms
+    floor to integer pico-units before summing (the ``doc_lm_score``
+    recipe), so the divergence itself — not a bucketing of it —
+    hash-matches the DuckDB replay exactly."""
+    from pandas_rust_algos_spark.operators.drift import (
+        token_kl_divergence,
+    )
+
+    tune(spark)
+    d = _docs(spark, sf_dir)
+    return token_kl_divergence(
+        d.where(F.col("lang") != "en"),
+        d.where(F.col("lang") == "en"),
+        group="lang")
+
+
+@register(
     "decontam_spans",
     oracle=dc.sql_decontaminate_spans(
         "(SELECT * FROM documents WHERE source <> 'src0')",

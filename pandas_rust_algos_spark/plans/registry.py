@@ -101,6 +101,7 @@ _GATE_PRIORITY: tuple[str, ...] = (
     "hashing_features",
     "tiff_media_features",
     "decontam_spans",
+    "token_drift_kl",
     # (b) modules changed in round 6 -> driver re-verification
     "triangle_count",
     "update_mor_read",

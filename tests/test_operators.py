@@ -1438,6 +1438,13 @@ def test_kmv_sketch_merge_and_estimates(spark):
     assert abs(got["union_est"] - 1000) <= 1000 * 0.30
     assert abs(got["inter_est"] - 200) <= 200 * 0.75  # ratio-of-ratios
     assert 0.0 < got["jaccard_est"] < 0.5
+    # inclusion-exclusion differences: |A\B| = |B\A| = 400
+    assert abs(got["a_only_est"] - 400) <= 400 * 0.60
+    assert abs(got["b_only_est"] - 400) <= 400 * 0.60
+    # identical sketches -> zero difference exactly (union == each side)
+    same = kmv_set_ops(sa, sa, k=128).collect()[0]
+    assert same["a_only_est"] == 0 and same["b_only_est"] == 0
+    assert same["jaccard_est"] == 1.0
 
     with pytest.raises(ValueError):
         kmv_sketch(df, "g", "x", k=1)
@@ -1532,3 +1539,31 @@ def test_hashing_vectorize_semantics(spark):
 
     with pytest.raises(ValueError):
         hashing_vectorize(df, dim=0)
+
+
+def test_token_kl_divergence_properties(spark):
+    """KL properties through the pico-unit accumulation: a slice
+    identical to the reference scores ~0; a disjoint-vocabulary slice
+    scores much higher; divergences are never negative beyond flooring
+    dust; vocab/token counts are exact."""
+    from pandas_rust_algos_spark.operators.drift import (
+        token_kl_divergence,
+    )
+
+    ref_text = "the cat sat on the mat and the dog slept"
+    rows = (
+        [("same", ref_text)] * 3
+        + [("shifted", "quantum flux meson lattice boson decay"), 
+           ("shifted", "hadron collider beam quark gluon plasma")]
+    )
+    df = spark.createDataFrame(rows, "grp string, text string")
+    ref = spark.createDataFrame([(0, ref_text)] * 3,
+                                "i long, text string")
+    got = {r["grp"]: r for r in
+           token_kl_divergence(df, ref, group="grp").collect()}
+    # identical distribution: KL ~ 0 (flooring dust only)
+    assert abs(got["same"]["kl_divergence"]) < 1e-6
+    assert got["shifted"]["kl_divergence"] > 0.5
+    assert got["same"]["n_tokens"] == 30
+    # union vocab of 'same' slice == ref vocab (8 distinct tokens)
+    assert got["same"]["n_vocab"] == 8
