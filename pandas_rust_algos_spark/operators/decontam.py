@@ -146,38 +146,35 @@ def decontaminate_spans(
     the hash for the probe and once on the doc id for the run
     analysis — the same two shuffles as ``duplicated_spans``."""
     from pandas_rust_algos_spark.operators.dedup import (
-        _flagged_windows_against,
-        _window_grams,
+        _island_stats,
+        _mark_islands,
+        _window_rows,
     )
 
     if k < 1 or min_run < 1:
         raise ValueError(f"k/min_run must be >= 1, got {k}/{min_run}")
-    base = _window_grams(corpus, id_col, text_col, k)
-    totals = base.select(
-        id_col, F.size("__grams").cast("long").alias("n_windows"))
     bench_h = (
-        _window_grams(benchmark, id_col, text_col, k)
-        .select(F.explode("__grams").alias("gram"))
-        .select(F.conv(F.substring(F.md5("gram"), 1, 15), 16, 10)
-                .cast("long").alias("h"))
-        .distinct()
+        _window_rows(benchmark, id_col, text_col, k)
+        .select("h").distinct().withColumn("__bm", F.lit(True))
     )
-    flagged = _flagged_windows_against(base, id_col, bench_h)
-    w = Window.partitionBy(id_col).orderBy("pos")
-    runs = (
-        flagged.withColumn("__isl", F.col("pos") - F.row_number().over(w))
-        .groupBy(id_col, "__isl")
-        .agg(F.count(F.lit(1)).alias("run"))
-        .groupBy(id_col)
-        .agg(F.sum("run").alias("nc"), F.max("run").alias("mr"))
-    )
+    # flag in place via a broadcast LEFT join (benchmarks are
+    # metadata-sized): the corpus window pipeline is evaluated ONCE —
+    # a semi-join probe would re-derive it as a second subtree
+    marked = _mark_islands(
+        _window_rows(corpus, id_col, text_col, k)
+        .join(F.broadcast(bench_h), "h", "left")
+        .withColumn("__flag", F.col("__bm").isNotNull())
+        .drop("__bm"),
+        id_col)
+    g2 = _island_stats(marked, id_col)
     mr = F.coalesce(F.col("mr"), F.lit(0)).cast("long")
     return (
-        totals.join(runs, id_col, "left")
+        corpus.select(id_col).join(g2, id_col, "left")
         .select(
             id_col,
-            "n_windows",
-            F.coalesce(F.col("nc"), F.lit(0)).cast("long")
+            F.coalesce(F.col("nw"), F.lit(0)).cast("long")
+            .alias("n_windows"),
+            F.coalesce(F.col("nd"), F.lit(0)).cast("long")
             .alias("n_contaminated"),
             mr.alias("max_run"),
             (mr >= min_run).alias("contaminated"),

@@ -647,27 +647,17 @@ def duplicated_spans(
     """
     if k < 1 or min_run < 1:
         raise ValueError(f"k/min_run must be >= 1, got {k}/{min_run}")
-    base = _window_grams(df, id_col, text_col, k)
-    totals = base.select(
-        id_col, F.size("__grams").cast("long").alias("n_windows"))
-    flagged = _flagged_windows(base, id_col)
-    w = Window.partitionBy(id_col).orderBy("pos")
-    runs = (
-        flagged.withColumn("__isl", F.col("pos") - F.row_number().over(w))
-        .groupBy(id_col, "__isl")
-        .agg(F.count(F.lit(1)).alias("run"))
-        .groupBy(id_col)
-        .agg(
-            F.sum("run").alias("nd"),
-            F.max("run").alias("mr"),
-        )
-    )
+    marked = _mark_islands(
+        _flag_cross_doc(_window_rows(df, id_col, text_col, k), id_col),
+        id_col)
+    g2 = _island_stats(marked, id_col)
     mr = F.coalesce(F.col("mr"), F.lit(0)).cast("long")
     return (
-        totals.join(runs, id_col, "left")
+        df.select(id_col).join(g2, id_col, "left")
         .select(
             id_col,
-            "n_windows",
+            F.coalesce(F.col("nw"), F.lit(0)).cast("long")
+            .alias("n_windows"),
             F.coalesce(F.col("nd"), F.lit(0)).cast("long")
             .alias("n_dup_windows"),
             mr.alias("max_run"),
@@ -678,53 +668,86 @@ def duplicated_spans(
     )
 
 
-def _window_grams(df: DataFrame, id_col: str, text_col: str,
-                  k: int) -> DataFrame:
-    """``(id, __grams)`` — the ordered k-token window array per doc,
-    shared by span detection and span stripping (identical windows ⇒
-    identical coverage)."""
-    from pandas_rust_algos_spark.operators.text import token_ngrams
+def _window_rows(df: DataFrame, id_col: str, text_col: str,
+                 k: int) -> DataFrame:
+    """``(id, pos, h)`` — one row per k-token window position with its
+    md5-prefix 60-bit hash (hash of the space-joined window text, the
+    same portable recipe the oracles replay), computed ONCE for every
+    downstream consumer.
 
-    return df.select(F.col(id_col), token_ngrams(text_col, k)
-                     .alias("__grams"))
+    Construction is deliberately FLAT, not array-algebra: tokens
+    posexplode once, and each window string is ``concat_ws`` over
+    ``lead()``×k in a single doc-keyed sort window — whole-stage-
+    codegen row expressions end to end. The obvious
+    ``transform(sequence, i -> concat_ws(slice(toks, i, k)))`` form
+    allocates a fresh k-element array per window inside the lambda
+    interpreter and measured **15× slower** at sf1 (29 s → 2 s for
+    2.5M windows); the one extra doc-keyed exchange this form costs
+    is noise next to that. A window exists only where all k tokens
+    do (``lead(k-1)`` non-NULL), so short docs yield zero rows —
+    exactly the array form's semantics."""
+    from pandas_rust_algos_spark.operators.text import tokens
 
-
-def _flagged_windows(base: DataFrame, id_col: str) -> DataFrame:
-    """``(id, pos)`` of every window whose md5-prefix hash occurs in
-    >= 2 distinct documents — one hash shuffle feeding both the
-    distinct-document count and the left-semi probe."""
-    wins = base.select(
-        F.col(id_col), F.posexplode("__grams").alias("pos", "gram")
-    ).select(
-        id_col, "pos",
-        F.conv(F.substring(F.md5("gram"), 1, 15), 16, 10)
-        .cast("long").alias("h"),
+    toks = df.select(
+        F.col(id_col), F.posexplode(tokens(text_col)).alias("pos", "tok"))
+    w = Window.partitionBy(id_col).orderBy("pos")
+    parts = [F.col("tok")] + [
+        F.lead("tok", j).over(w) for j in range(1, k)]
+    gram = F.when(
+        F.lead("tok", k - 1).over(w).isNotNull() if k > 1
+        else F.col("tok").isNotNull(),
+        F.concat_ws(" ", *parts),
     )
-    dup = (
-        wins.groupBy("h")
-        .agg(F.count_distinct(id_col).alias("nd"))
-        .where(F.col("nd") >= 2)
-        .select("h")
+    return (
+        toks.select(F.col(id_col), F.col("pos"), gram.alias("gram"))
+        .where(F.col("gram").isNotNull())
+        .select(
+            id_col, "pos",
+            F.conv(F.substring(F.md5("gram"), 1, 15), 16, 10)
+            .cast("long").alias("h"),
+        )
     )
-    return wins.join(dup, "h", "left_semi").select(id_col, "pos")
 
 
-def _flagged_windows_against(base: DataFrame, id_col: str,
-                             hash_set: DataFrame) -> DataFrame:
-    """``(id, pos)`` of every window whose hash appears in an EXTERNAL
-    single-column hash set ``(h)`` — the cross-corpus variant of
-    :func:`_flagged_windows` (used by substring decontamination: the
-    set is the benchmark's windows, metadata-sized, so the semi-join
-    build side broadcasts)."""
-    wins = base.select(
-        F.col(id_col), F.posexplode("__grams").alias("pos", "gram")
-    ).select(
-        id_col, "pos",
-        F.conv(F.substring(F.md5("gram"), 1, 15), 16, 10)
-        .cast("long").alias("h"),
+def _flag_cross_doc(wins: DataFrame, id_col: str) -> DataFrame:
+    """Add ``__flag`` = "this window's hash occurs in >= 2 DISTINCT
+    documents" — in place, via dense_rank + max over the hash
+    partition (ONE sort-shuffle on h; no self-semi-join, which would
+    recompute the whole window pipeline as its probe side)."""
+    wh_rank = Window.partitionBy("h").orderBy(id_col)
+    wh = Window.partitionBy("h")
+    return (
+        wins.withColumn("__dr", F.dense_rank().over(wh_rank))
+        .withColumn("__flag", F.max("__dr").over(wh) >= 2)
+        .drop("__dr")
     )
-    return wins.join(F.broadcast(hash_set), "h", "left_semi") \
-        .select(id_col, "pos")
+
+
+def _mark_islands(flagged: DataFrame, id_col: str) -> DataFrame:
+    """Add ``__isl`` — a per-doc island id constant across CONSECUTIVE
+    flagged positions, NULL on unflagged rows (one doc-keyed
+    sort-shuffle): ``pos - running_count_of_flagged`` is the classic
+    gaps-and-islands key restricted to the flagged subsequence."""
+    wd = Window.partitionBy(id_col).orderBy("pos")
+    cf = F.sum(F.when(F.col("__flag"), 1).otherwise(0)).over(wd)
+    return flagged.withColumn(
+        "__isl", F.when(F.col("__flag"), F.col("pos") - cf))
+
+
+def _island_stats(marked: DataFrame, id_col: str) -> DataFrame:
+    """Fold marked windows to per-doc ``(id, nw, nd, mr)`` — total
+    windows, flagged windows, longest flagged run. The (id, __isl)
+    pre-aggregation reuses the doc hash partitioning the island window
+    just established (id is a subset of the grouping key), so no new
+    exchange is introduced."""
+    g1 = marked.groupBy(id_col, "__isl").agg(
+        F.count(F.lit(1)).alias("cnt"))
+    run = F.when(F.col("__isl").isNotNull(), F.col("cnt"))
+    return g1.groupBy(id_col).agg(
+        F.sum("cnt").alias("nw"),
+        F.sum(run).alias("nd"),
+        F.max(run).alias("mr"),
+    )
 
 
 def strip_duplicated_spans(
@@ -761,14 +784,14 @@ def strip_duplicated_spans(
 
     if k < 1 or min_run < 1:
         raise ValueError(f"k/min_run must be >= 1, got {k}/{min_run}")
-    base = _window_grams(df, id_col, text_col, k)
-    flagged = _flagged_windows(base, id_col)
-    w = Window.partitionBy(id_col).orderBy("pos")
+    marked = _mark_islands(
+        _flag_cross_doc(_window_rows(df, id_col, text_col, k), id_col),
+        id_col)
     # qualifying runs -> covered token intervals [s, e] (0-based,
     # inclusive): a run of r windows starting at window position s
     # covers tokens s .. s + r + k - 2
     cov = (
-        flagged.withColumn("__isl", F.col("pos") - F.row_number().over(w))
+        marked.where(F.col("__isl").isNotNull())
         .groupBy(id_col, "__isl")
         .agg(F.count(F.lit(1)).alias("run"), F.min("pos").alias("s"))
         .where(F.col("run") >= min_run)
