@@ -34,7 +34,7 @@ not just row counts.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 from pandas_rust_algos_spark.operators.text import (

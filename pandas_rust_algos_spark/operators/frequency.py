@@ -36,6 +36,7 @@ __all__ = [
     "count_by_key",
     "heavy_hitters",
     "heavy_hitters_approx",
+    "hash60",
     "hll_bucket_rho",
     "hll_estimate",
     "hll_merge",
@@ -61,6 +62,19 @@ def _cms_hash(d: int, col, hash_mode: str):
             16, 10,
         ).cast("long")
     raise ValueError(f"hash_mode must be fast|portable, got {hash_mode!r}")
+
+
+def hash60(col, hash_mode: str, *, d: int = 0):
+    """The engine's shared NON-NEGATIVE 60-bit row hash: the portable
+    md5-prefix recipe verbatim (already < 2^60), or xxhash64 masked
+    into the same domain — signed 64-bit would break both ordering
+    (KMV's min-k) and the [0, 2^60) width the HLL register math and
+    the KMV estimator normalization assume. The single home for that
+    invariant; KMV and HLL both call this."""
+    h = _cms_hash(d, col, hash_mode)
+    if hash_mode == "fast":
+        h = h.bitwiseAND(F.lit((1 << 60) - 1))
+    return h
 
 
 def sql_cms_hash(d: int, expr: str) -> str:
@@ -248,13 +262,7 @@ def hll_bucket_rho(col, m: int, hash_mode: str):
     if m < 16 or (m & (m - 1)) != 0:
         raise ValueError(f"m must be a power of two >= 16, got {m}")
     w = 60 - m.bit_length() + 1  # suffix bits: h < 2^60, bucket eats log2(m)
-    h = _cms_hash(0, col.cast("string"), hash_mode)
-    if hash_mode == "fast":
-        # xxhash64 is SIGNED 64-bit; the register math below needs a
-        # non-negative h < 2^60 (negative h would peg rho at w+1 and a
-        # >60-bit suffix would make rho <= 0, overflowing hll_estimate's
-        # shiftleft). Keep the low 60 bits — still uniform.
-        h = h.bitwiseAND(F.lit((1 << 60) - 1))
+    h = hash60(col.cast("string"), hash_mode)
     # m is a power of two: >> keeps the division integer-exact (h has
     # 60 bits — a double division would round past 2^53)
     suffix = F.shiftright(h, m.bit_length() - 1)

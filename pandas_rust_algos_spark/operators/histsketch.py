@@ -92,8 +92,11 @@ def hist_sketch(
     that combine into ≤ bins rows per group per task, the same traffic
     shape as the CMS build."""
     _check(lo, hi, bins)
+    # NaN is dropped like NULL (it has no place on the value axis) —
+    # and the two engines disagree on floor(NaN)->int, so leaving it
+    # in would diverge from the oracle
     return (
-        df.where(F.col(col).isNotNull())
+        df.where(F.col(col).isNotNull() & ~F.isnan(F.col(col).cast("double")))
         .select(F.col(group),
                 _bin_expr(F.col(col), lo, hi, bins).alias("bin"))
         .groupBy(group, "bin")
@@ -134,6 +137,8 @@ def hist_quantiles(
     (engine-identical). Cost: the sketch is ≤ bins rows per group, so
     this is a window scan over KiB of state, never over data."""
     _check(lo, hi, bins)
+    if not qs:
+        raise ValueError("qs must be non-empty")
     for q in qs:
         if not (0.0 < q <= 1.0):
             raise ValueError(f"quantiles must be in (0, 1], got {q}")
@@ -188,7 +193,9 @@ def sql_hist_sketch(
     SELECT {group_expr} AS grp,
            GREATEST(0, LEAST({bins - 1}, {raw})) AS bin,
            COUNT(*) AS cnt
-    FROM {table} WHERE {col_expr} IS NOT NULL
+    FROM {table}
+    WHERE {col_expr} IS NOT NULL
+      AND NOT ISNAN(CAST({col_expr} AS DOUBLE))
     GROUP BY 1, 2
     """
 
@@ -203,6 +210,8 @@ def sql_hist_quantiles(
 ) -> str:
     """DuckDB twin of :func:`hist_quantiles` over a sketch CTE named
     in ``sketch_cte`` with columns ``(grp, bin, cnt)``."""
+    if not qs:
+        raise ValueError("qs must be non-empty")
     width = (hi - lo) / bins
     arms = []
     for q in qs:

@@ -48,7 +48,7 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from pandas_rust_algos_spark.operators.frequency import (
-    _cms_hash,
+    hash60,
     sql_cms_hash,
 )
 
@@ -62,17 +62,6 @@ __all__ = [
 ]
 
 _DOMAIN = float(1 << 60)  # hashes live in [0, 2^60)
-
-
-def _h60(col, hash_mode: str):
-    """Shared 60-bit non-negative hash: the portable md5-prefix recipe
-    verbatim, or xxhash64 masked into the SAME domain (signed 64-bit
-    would break both the ordering and the [0, 2^60) normalization the
-    estimator divides by)."""
-    h = _cms_hash(0, col, hash_mode)
-    if hash_mode == "fast":
-        h = h.bitwiseAND(F.lit((1 << 60) - 1))
-    return h
 
 
 def kmv_sketch(
@@ -96,7 +85,7 @@ def kmv_sketch(
     kstr = F.col(col).cast("string")
     hd = (
         df.where(F.col(col).isNotNull())
-        .select(F.col(group), _h60(kstr, hash_mode).alias("h"))
+        .select(F.col(group), hash60(kstr, hash_mode).alias("h"))
         .distinct()
     )
     w = Window.partitionBy(group).orderBy("h")

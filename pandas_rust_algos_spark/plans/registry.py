@@ -63,8 +63,16 @@ def record_plan_probe(name: str, df: DataFrame) -> None:
     """Stash the pre-checkpoint DataFrame for plan snapshotting. The
     caller must have EXECUTED it already (eager localCheckpoint does)
     so its QueryExecution holds the finalized AQE plan under the confs
-    that were live at execution time."""
-    PLAN_PROBES[name] = df
+    that were live at execution time.
+
+    No-op unless the snapshot tool opted in via the
+    ``PRA_PLAN_PROBES`` env var: bench/driver runs invoke the probed
+    gates repeatedly, and an unconsumed probe would pin each run's
+    JVM QueryExecution (plan + stats) for process lifetime."""
+    import os
+
+    if os.environ.get("PRA_PLAN_PROBES"):
+        PLAN_PROBES[name] = df
 
 
 def register(name: str, oracle: str | None = None, description: str = ""):

@@ -824,6 +824,16 @@ class VersionedTable:
         out_cols = ([f.name for f in schema.fields] if schema is not None
                     else [c for c in matched.columns
                           if c not in ("__rel", "__pos")])
+        if fields is None:
+            # no committed schema to check against: still refuse SET
+            # keys outside the row columns — otherwise the assignment
+            # silently vanishes from the select below and the "update"
+            # rewrites rows byte-identical
+            unknown = [c for c in set_exprs if c not in out_cols]
+            if unknown:
+                raise ValueError(
+                    f"update_mor cannot assign to columns outside the "
+                    f"table: {unknown}")
         updated = matched.select(*[
             _val(c) if c in set_exprs else F.col(c) for c in out_cols
         ])

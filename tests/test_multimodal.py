@@ -751,10 +751,10 @@ def test_tiff_roundtrip_both_endians_and_guards():
         decode_tiff(bytes(cut[:len(full) - 8]))
 
 
-def test_tiff_features_match_bmp(spark):
+def test_tiff_features_match_png(spark):
     """image/tiff through the Spark feature path must agree with the
-    uncompressed BMP twin on every feature AND the pixel md5 (same
-    pixels, different container)."""
+    PNG twin on every feature AND the pixel md5 (same pixels,
+    different container + entropy coding)."""
     from pandas_rust_algos_spark.operators import multimodal as mm
     from pandas_rust_algos_spark.sources import load_table
     import os
