@@ -115,6 +115,7 @@ HEADLINE = [
     "decontam_spans",
     "tiff_media_features",
     "token_drift_kl",
+    "kmeans_clusters",
 ]
 
 

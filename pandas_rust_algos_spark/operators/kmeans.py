@@ -1,0 +1,204 @@
+"""Portable fixed-point k-means (Lloyd's algorithm, public): the
+engine-replayable clustering variant that turns "k-means is
+engine-specific" from a documented oracle floor into a provable op.
+
+Why k-means normally can't be oracled: float centroid updates are
+accumulation-order-dependent, so two engines (or two partitionings of
+one engine) legitimately disagree in the last ulp, and one flipped
+assignment cascades. This variant removes every source of
+nondeterminism instead of tolerating it:
+
+- Vectors quantize once to INTEGER micro-units
+  (``floor(x·1e6) as long`` — rule-2 exact in both engines).
+- Distances are exact BIGINT sums of squared integer differences —
+  comparisons can never disagree; assignment ties break on the lowest
+  centroid id.
+- Seeds are the k rows with the smallest md5-prefix hash of the id
+  (the engine's shared portable recipe) — a property of the DATA, not
+  of a partitioning or an RNG.
+- Centroid updates are ``floor(sum/count)`` back onto the integer
+  grid: the sum is an exact BIGINT, the one division is exact in
+  double below 2^53 (a 100 TB corpus of micro-unit coordinates stays
+  under it), and the floor re-quantizes — so every iteration's state
+  is integers, bit-identical across engines and partitionings.
+- Empty clusters keep their previous centroid (deterministic, no
+  re-seeding roulette).
+
+The price is fidelity to the float algorithm — centroids live on the
+1e-6 grid (immaterial next to k-means' own local-optimum variance) —
+and that is exactly the trade the oracle needs. The engine-native
+float k-means inside ``similarity.py``/``ann_index.py`` stays the
+scale default for ANN indexing; this op exists for reproducible
+corpus bucketing (curriculum bins, dedup blocking, stratification)
+where "same clusters on every engine, every retry, every cluster
+size" is the requirement.
+
+Scale shape (per iteration): one broadcast of the k×dim centroid
+table into a crossJoin + row_number argmin (traffic ∝ rows·k, the
+Lloyd cost), one map-side-combined (cluster, dim) sum shuffle
+(≤ k·dim rows out), centroids localCheckpoint'd so the plan does not
+grow with iterations. No driver collect anywhere.
+
+Reference scope: no clustering surface exists in the reference
+(SURVEY §2.3) — driver-brief extension.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+__all__ = ["kmeans_fixed", "sql_kmeans_fixed"]
+
+_SCALE = 1_000_000.0
+
+
+def _quantize(vec_col):
+    return F.transform(
+        vec_col,
+        lambda x: F.floor(x.cast("double") * F.lit(_SCALE)).cast("long"),
+    )
+
+
+def _assign(pts: DataFrame, cents: DataFrame, id_col: str) -> DataFrame:
+    """Exact-integer argmin assignment: ``(id, v, cid, dist_sq)``."""
+    d = F.aggregate(
+        F.zip_with("v", "c", lambda a, b: (a - b) * (a - b)),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+    wa = Window.partitionBy(id_col).orderBy("d", "cid")
+    return (
+        pts.crossJoin(F.broadcast(cents))
+        .withColumn("d", d)
+        .withColumn("__rn", F.row_number().over(wa))
+        .where(F.col("__rn") == 1)
+        .select(id_col, "v", "cid", F.col("d").alias("dist_sq"))
+    )
+
+
+def kmeans_fixed(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    *,
+    k: int = 4,
+    iters: int = 2,
+) -> DataFrame:
+    """Run ``iters`` Lloyd cycles (assign, update) from the md5-seeded
+    start, then return the final assignment ``(id, cluster, dist_sq)``
+    — ``dist_sq`` is the exact integer squared distance in micro-unit²,
+    which pins the final centroids through the hash, not just the
+    labels."""
+    if k < 1 or iters < 0:
+        raise ValueError(f"need k >= 1 and iters >= 0, got {k}/{iters}")
+    pts = df.where(F.col(vec_col).isNotNull()).select(
+        F.col(id_col), _quantize(F.col(vec_col)).alias("v"))
+    h = F.conv(
+        F.substring(F.md5(F.col(id_col).cast("string")), 1, 15), 16, 10,
+    ).cast("long")
+    seeds = (
+        pts.withColumn("__h", h)
+        .orderBy("__h", id_col)
+        .limit(k)
+    )
+    wseed = Window.orderBy("__h", id_col)
+    cents = seeds.select(
+        (F.row_number().over(wseed) - 1).alias("cid"),
+        F.col("v").alias("c"),
+    ).localCheckpoint(eager=True)
+    for _ in range(iters):
+        asg = _assign(pts, cents, id_col)
+        sums = (
+            asg.select("cid", F.posexplode("v").alias("i", "x"))
+            .groupBy("cid", "i")
+            .agg(F.sum("x").alias("s"), F.count(F.lit(1)).alias("n"))
+        )
+        # floor(sum/count): sum is an exact BIGINT; the division is
+        # exact in double while |sum| < 2^53 (micro-unit coordinates
+        # keep it there at any realistic scale), and floor re-lands on
+        # the integer grid — state stays engine-exact
+        upd = sums.groupBy("cid").agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("i", "s", "n"))),
+                lambda t: F.floor(
+                    t["s"].cast("double") / t["n"].cast("double")
+                ).cast("long"),
+            ).alias("c_new")
+        )
+        cents = (
+            cents.join(upd, "cid", "left")
+            .select("cid", F.coalesce("c_new", "c").alias("c"))
+            .localCheckpoint(eager=True)
+        )
+    return _assign(pts, cents, id_col).select(
+        id_col, F.col("cid").alias("cluster"), "dist_sq")
+
+
+def sql_kmeans_fixed(
+    table: str,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    *,
+    k: int = 4,
+    iters: int = 2,
+) -> str:
+    """DuckDB twin of :func:`kmeans_fixed`: the same quantization,
+    seeding, exact-integer distances, tie rule, floor-division
+    updates, and empty-cluster carry — unrolled as chained CTEs, one
+    (assignment, update) pair per iteration."""
+    h60 = (f"CAST('0x' || SUBSTR(md5(CAST({id_col} AS VARCHAR)), 1, 15) "
+           "AS BIGINT)")
+    dist = ("LIST_SUM(LIST_TRANSFORM(RANGE(1, LEN(p.v) + 1), "
+            "ii -> (p.v[ii] - c.c[ii]) * (p.v[ii] - c.c[ii])))")
+    ctes = [f"""pts AS (
+      SELECT {id_col},
+             LIST_TRANSFORM({vec_col},
+               x -> CAST(FLOOR(CAST(x AS DOUBLE) * {_SCALE}) AS BIGINT))
+               AS v
+      FROM {table} WHERE {vec_col} IS NOT NULL
+    )""", f"""c0 AS (
+      SELECT rn - 1 AS cid, v AS c FROM (
+        SELECT v, ROW_NUMBER() OVER (ORDER BY {h60}, {id_col}) AS rn
+        FROM pts
+      ) WHERE rn <= {k}
+    )"""]
+    prev = "c0"
+    for it in range(1, iters + 1):
+        ctes.append(f"""a{it} AS (
+      SELECT {id_col}, v, cid FROM (
+        SELECT p.{id_col}, p.v, c.cid,
+               ROW_NUMBER() OVER (PARTITION BY p.{id_col}
+                 ORDER BY {dist}, c.cid) AS rn
+        FROM pts p CROSS JOIN {prev} c
+      ) WHERE rn = 1
+    )""")
+        ctes.append(f"""s{it} AS (
+      SELECT cid, i, SUM(v[i]) AS s, COUNT(*) AS n
+      FROM a{it}, UNNEST(RANGE(1, LEN(v) + 1)) t(i)
+      GROUP BY 1, 2
+    )""")
+        ctes.append(f"""u{it} AS (
+      SELECT cid,
+             LIST(CAST(FLOOR(CAST(s AS DOUBLE) / CAST(n AS DOUBLE))
+                       AS BIGINT) ORDER BY i) AS c
+      FROM s{it} GROUP BY cid
+    )""")
+        ctes.append(f"""c{it} AS (
+      SELECT {prev}.cid, COALESCE(u{it}.c, {prev}.c) AS c
+      FROM {prev} LEFT JOIN u{it} USING (cid)
+    )""")
+        prev = f"c{it}"
+    ctes.append(f"""fin AS (
+      SELECT {id_col}, cid, d FROM (
+        SELECT p.{id_col}, c.cid, {dist} AS d,
+               ROW_NUMBER() OVER (PARTITION BY p.{id_col}
+                 ORDER BY {dist}, c.cid) AS rn
+        FROM pts p CROSS JOIN {prev} c
+      ) WHERE rn = 1
+    )""")
+    return f"""
+    WITH {', '.join(ctes)}
+    SELECT {id_col}, cid AS cluster, CAST(d AS BIGINT) AS dist_sq
+    FROM fin
+    """

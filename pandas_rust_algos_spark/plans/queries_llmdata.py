@@ -284,6 +284,30 @@ def dup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "kmeans_clusters",
+    oracle=__import__(
+        "pandas_rust_algos_spark.operators.kmeans",
+        fromlist=["sql_kmeans_fixed"],
+    ).sql_kmeans_fixed("embeddings", k=4, iters=2),
+)
+def kmeans_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Portable fixed-point k-means (``operators/kmeans.py``), the
+    engine-replayable clustering variant: md5-seeded starts, exact
+    BIGINT micro-unit distances, floor-division centroid updates —
+    every iteration's state is integers, so the DuckDB oracle unrolls
+    the SAME two Lloyd cycles as chained CTEs and the final
+    (cluster, dist_sq) assignment hash-matches bit-exactly. Turns the
+    "k-means is engine-specific" oracle floor (the reason
+    ann_ivf_topk is rows-only) into a provable op for reproducible
+    corpus bucketing; the float k-means stays the ANN-index default."""
+    from pandas_rust_algos_spark.operators.kmeans import kmeans_fixed
+
+    tune(spark)
+    e = spread(load_table(spark, sf_dir, "embeddings"), cap=8)
+    return kmeans_fixed(e, "vec_id", "embedding", k=4, iters=2)
+
+
+@register(
     "token_drift_kl",
     oracle=__import__(
         "pandas_rust_algos_spark.operators.drift",

@@ -110,6 +110,7 @@ _GATE_PRIORITY: tuple[str, ...] = (
     "tiff_media_features",
     "decontam_spans",
     "token_drift_kl",
+    "kmeans_clusters",
     # (b) modules changed in round 6 -> driver re-verification
     "triangle_count",
     "update_mor_read",

@@ -1567,3 +1567,40 @@ def test_token_kl_divergence_properties(spark):
     assert got["same"]["n_tokens"] == 30
     # union vocab of 'same' slice == ref vocab (8 distinct tokens)
     assert got["same"]["n_vocab"] == 8
+
+
+def test_kmeans_fixed_semantics(spark):
+    """Portable k-means invariants: two well-separated planted blobs
+    separate perfectly; the result is partitioning-invariant (the
+    whole point of the fixed-point design); iters=0 still assigns
+    against the seeds; guards reject bad geometry."""
+    import numpy as np
+
+    from pandas_rust_algos_spark.operators.kmeans import kmeans_fixed
+
+    rng = np.random.RandomState(11)
+    rows = []
+    for i in range(40):                       # blob A around +1
+        rows.append((i, [float(x) for x in 1.0 + 0.05 * rng.randn(8)]))
+    for i in range(40, 80):                   # blob B around -1
+        rows.append((i, [float(x) for x in -1.0 + 0.05 * rng.randn(8)]))
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+
+    got = kmeans_fixed(df, k=2, iters=3).collect()
+    by_blob = {}
+    for r in got:
+        by_blob.setdefault(r["vec_id"] < 40, set()).add(r["cluster"])
+    # each blob maps to exactly one cluster, and they differ
+    assert all(len(c) == 1 for c in by_blob.values())
+    assert by_blob[True] != by_blob[False]
+
+    # partitioning invariance: bit-identical on a repartitioned input
+    again = kmeans_fixed(df.repartition(13), k=2, iters=3).collect()
+    assert sorted(map(tuple, got)) == sorted(map(tuple, again))
+
+    # iters=0: assignment against the md5 seeds only, still total
+    seeds_only = kmeans_fixed(df, k=2, iters=0).collect()
+    assert len(seeds_only) == 80
+
+    with pytest.raises(ValueError):
+        kmeans_fixed(df, k=0)
