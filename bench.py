@@ -116,6 +116,7 @@ HEADLINE = [
     "tiff_media_features",
     "token_drift_kl",
     "kmeans_clusters",
+    "stratified_top_n",
 ]
 
 

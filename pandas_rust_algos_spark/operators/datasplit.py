@@ -345,3 +345,64 @@ def sql_token_budget_sample(
     FROM t
     QUALIFY cum_tokens - ({token_expr}) < {budget}
     """
+
+
+def stratified_top_n(
+    df: DataFrame,
+    strata_col: str,
+    key_col: str,
+    n: int,
+    *,
+    salt: str = "sample-v1",
+) -> DataFrame:
+    """Deterministic EXACT-size per-stratum sampling: keep the ``n``
+    rows with the smallest salted-md5 hash in every stratum — the
+    fixed-budget companion to :func:`stratified_sample`'s
+    fraction-based form (eval-set carving, per-domain quota caps,
+    "exactly 10k docs per language" requests, where a fraction
+    over/undershoots on small strata).
+
+    The hash order is a pure row property, so the selection is stable
+    across runs, engines, partitionings, and retries, and samples are
+    NESTED under a growing budget (top 1k ⊂ top 10k per stratum with
+    the same salt) — the property that lets a pipeline enlarge a
+    sample without resampling what it already processed. Strata with
+    ≤ n rows keep everything.
+
+    Scale shape: one rank window per stratum key (sort-shuffle —
+    rows stream through the rank, nothing buffers); never a global
+    sort, never a driver collect."""
+    if n < 1:
+        raise ValueError(f"n must be >= 1, got {n}")
+    h = F.md5(
+        F.concat_ws(":", F.col(key_col).cast("string"), F.lit(salt))
+        .cast("binary")
+    )
+    w = Window.partitionBy(strata_col).orderBy("__h", key_col)
+    return (
+        df.withColumn("__h", h)
+        .withColumn("__rn", F.row_number().over(w))
+        .where(F.col("__rn") <= n)
+        .drop("__h", "__rn")
+    )
+
+
+def sql_stratified_top_n(
+    table: str,
+    strata_col: str,
+    key_col: str,
+    n: int,
+    *,
+    salt: str = "sample-v1",
+    cols: str = "*",
+) -> str:
+    """DuckDB twin of :func:`stratified_top_n` (same hash, same rank,
+    same tie key)."""
+    h = f"md5(CAST({key_col} AS VARCHAR) || ':' || '{salt}')"
+    return f"""
+    SELECT {cols} FROM (
+      SELECT *, ROW_NUMBER() OVER (
+        PARTITION BY {strata_col} ORDER BY {h}, {key_col}) AS __rn
+      FROM {table}
+    ) WHERE __rn <= {n}
+    """

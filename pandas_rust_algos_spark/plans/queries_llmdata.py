@@ -284,6 +284,26 @@ def dup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "stratified_top_n",
+    oracle=ds.sql_stratified_top_n(
+        "documents", "lang", "doc_id", 5,
+        cols="lang, doc_id, n_chars"),
+)
+def stratified_top_n_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic EXACT-size per-stratum sampling
+    (``operators/datasplit.stratified_top_n``): exactly 5 documents
+    per language by salted-md5 rank — the fixed-budget companion to
+    the fraction-based ``stratified_sample`` (small strata get the
+    exact quota a fraction would over/undershoot). Membership is a
+    pure row property (stable under retries/partitionings, nested
+    under growing budgets); the oracle replays hash, rank, and tie
+    key, so the value hash pins the EXACT selected set."""
+    return ds.stratified_top_n(
+        _docs(spark, sf_dir), "lang", "doc_id", 5
+    ).select("lang", "doc_id", "n_chars")
+
+
+@register(
     "kmeans_clusters",
     oracle=__import__(
         "pandas_rust_algos_spark.operators.kmeans",

@@ -111,6 +111,7 @@ _GATE_PRIORITY: tuple[str, ...] = (
     "decontam_spans",
     "token_drift_kl",
     "kmeans_clusters",
+    "stratified_top_n",
     # (b) modules changed in round 6 -> driver re-verification
     "triangle_count",
     "update_mor_read",

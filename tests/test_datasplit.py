@@ -154,3 +154,39 @@ def test_packing_sharded_matches_sequential_replay(spark):
                                 order_col="id", shard_col="shard").collect()
     }
     assert again == want
+
+
+def test_stratified_top_n_exact_and_nested(spark):
+    """Fixed-budget sampling: exactly n per stratum (everything when
+    the stratum is smaller), nested under growing budgets, stable
+    under repartitioning."""
+    from pandas_rust_algos_spark.operators.datasplit import (
+        stratified_top_n,
+    )
+
+    rows = [(i, "big") for i in range(50)] + \
+           [(i + 100, "small") for i in range(3)]
+    df = spark.createDataFrame(rows, "doc_id long, lang string")
+
+    got = stratified_top_n(df, "lang", "doc_id", 10).collect()
+    by = {}
+    for r in got:
+        by.setdefault(r["lang"], set()).add(r["doc_id"])
+    assert len(by["big"]) == 10
+    assert len(by["small"]) == 3  # smaller than the budget: keep all
+
+    # nested: top-5 is a subset of top-10 per stratum
+    small = stratified_top_n(df, "lang", "doc_id", 5).collect()
+    sel5 = {r["doc_id"] for r in small}
+    sel10 = by["big"] | by["small"]
+    assert sel5 <= sel10 and len(sel5) == 8  # 5 big + 3 small
+
+    # partitioning-invariant
+    again = {r["doc_id"] for r in
+             stratified_top_n(df.repartition(7), "lang",
+                              "doc_id", 10).collect()}
+    assert again == sel10
+
+    import pytest as _pytest
+    with _pytest.raises(ValueError):
+        stratified_top_n(df, "lang", "doc_id", 0)
