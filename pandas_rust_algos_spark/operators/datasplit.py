@@ -369,16 +369,28 @@ def stratified_top_n(
     sample without resampling what it already processed. Strata with
     ≤ n rows keep everything.
 
+    Precondition: ``key_col`` must be UNIQUE within each stratum —
+    duplicate keys produce identical ``(hash, key)`` sort tuples, so
+    ``row_number`` breaks the tie arbitrarily and membership is no
+    longer partitioning-independent. NULL keys are hashed as the empty
+    string and ordered NULLS FIRST on both engines, so they select
+    deterministically too (a NULL key and an ``''`` key collide —
+    covered by the same uniqueness precondition).
+
     Scale shape: one rank window per stratum key (sort-shuffle —
     rows stream through the rank, nothing buffers); never a global
     sort, never a driver collect."""
     if n < 1:
         raise ValueError(f"n must be >= 1, got {n}")
     h = F.md5(
-        F.concat_ws(":", F.col(key_col).cast("string"), F.lit(salt))
-        .cast("binary")
+        F.concat_ws(
+            ":",
+            F.coalesce(F.col(key_col).cast("string"), F.lit("")),
+            F.lit(salt),
+        ).cast("binary")
     )
-    w = Window.partitionBy(strata_col).orderBy("__h", key_col)
+    w = Window.partitionBy(strata_col).orderBy(
+        F.col("__h").asc(), F.col(key_col).asc_nulls_first())
     return (
         df.withColumn("__h", h)
         .withColumn("__rn", F.row_number().over(w))
@@ -396,13 +408,18 @@ def sql_stratified_top_n(
     salt: str = "sample-v1",
     cols: str = "*",
 ) -> str:
-    """DuckDB twin of :func:`stratified_top_n` (same hash, same rank,
-    same tie key)."""
-    h = f"md5(CAST({key_col} AS VARCHAR) || ':' || '{salt}')"
+    """DuckDB twin of :func:`stratified_top_n` (same hash — NULL keys
+    coalesce to '' — same rank, same NULLS FIRST tie key). The default
+    ``cols='*'`` excludes the helper ``__rn`` so the projection matches
+    the Spark twin, which drops its helper columns."""
+    h = (f"md5(COALESCE(CAST({key_col} AS VARCHAR), '') "
+         f"|| ':' || '{salt}')")
+    proj = "* EXCLUDE (__rn)" if cols.strip() == "*" else cols
     return f"""
-    SELECT {cols} FROM (
+    SELECT {proj} FROM (
       SELECT *, ROW_NUMBER() OVER (
-        PARTITION BY {strata_col} ORDER BY {h}, {key_col}) AS __rn
+        PARTITION BY {strata_col}
+        ORDER BY {h}, {key_col} NULLS FIRST) AS __rn
       FROM {table}
     ) WHERE __rn <= {n}
     """

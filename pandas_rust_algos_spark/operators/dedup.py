@@ -801,7 +801,10 @@ def strip_duplicated_spans(
                      (F.col("s") + F.col("run") + (k - 2)).alias("e"))
         ).alias("__ivs"))
     )
-    toks = tokens(text_col)
+    # NULL text -> empty token array, so n_tokens reports 0 (F.size of
+    # a NULL array would report -1 under Spark's default sizeOfNull),
+    # matching the SQL twin's COALESCE(tk, []).
+    toks = F.coalesce(tokens(text_col), F.array().cast("array<string>"))
     ivs = F.coalesce(
         F.col("__ivs"),
         F.array().cast("array<struct<s:int,e:long>>"),
@@ -836,9 +839,12 @@ def sql_duplicated_spans(
     from pandas_rust_algos_spark.operators.text import sql_token_ngrams
 
     grams = sql_token_ngrams(text_col, k)
+    # COALESCE to an empty list so a NULL text reports n_windows = 0
+    # exactly like the Spark side (posexplode of a NULL array yields no
+    # rows, and the left-join coalesces the counts to 0).
     return f"""
     WITH base AS (
-      SELECT {id_col}, {grams} AS g FROM {table}
+      SELECT {id_col}, COALESCE({grams}, []) AS g FROM {table}
     ), tot AS (
       SELECT {id_col}, CAST(LEN(g) AS BIGINT) AS n_windows FROM base
     ), wins AS (
@@ -888,9 +894,12 @@ def sql_strip_duplicated_spans(
     grams = sql_token_ngrams(text_col, k)
     toks = (f"LIST_FILTER(STRING_SPLIT_REGEX(TRIM({text_col}), '\\s+'), "
             "x -> x <> '')")
+    # COALESCE both arrays to empty lists so a NULL text reports
+    # n_tokens = 0 / n_removed = 0 exactly like the Spark side.
     return f"""
     WITH base AS (
-      SELECT {id_col}, {grams} AS g, {toks} AS tk FROM {table}
+      SELECT {id_col}, COALESCE({grams}, []) AS g,
+             COALESCE({toks}, []) AS tk FROM {table}
     ), wins AS (
       SELECT {id_col}, i - 1 AS pos,
              CAST('0x' || SUBSTR(md5(g[i]), 1, 15) AS BIGINT) AS h

@@ -72,17 +72,28 @@ def encode_tiff(arr: np.ndarray, *, rows_per_strip: int = 4,
     ifd_offset_pos = len(out)
     out += b"\x00\x00\x00\x00"  # patched below
 
+    def pad_even() -> None:
+        # TIFF 6.0 requires all values (and the IFD) to begin on a
+        # word boundary; odd-sized strips would otherwise leave the
+        # following value areas at odd offsets. StripByteCounts never
+        # includes pad bytes, so decoders are unaffected.
+        if len(out) % 2:
+            out.append(0)
+
     strip_offsets = []
     for s in strips:
+        pad_even()
         strip_offsets.append(len(out))
         out += s
 
     # out-of-line value areas (entries whose payload exceeds 4 bytes)
     extra: dict[int, int] = {}
     if spp == 3:
+        pad_even()
         extra[_BITS] = len(out)
         out += struct.pack(bo + "3H", 8, 8, 8)
     if len(strips) > 1:  # two LONGs already exceed the 4 inline bytes
+        pad_even()
         extra[_STRIP_OFFSETS] = len(out)
         out += struct.pack(bo + f"{len(strips)}L", *strip_offsets)
         extra[_STRIP_COUNTS] = len(out)
@@ -120,6 +131,7 @@ def encode_tiff(arr: np.ndarray, *, rows_per_strip: int = 4,
     ]
     entries.sort(key=lambda e: struct.unpack(bo + "H", e[:2])[0])
 
+    pad_even()
     ifd_offset = len(out)
     out += struct.pack(bo + "H", len(entries))
     for e in entries:

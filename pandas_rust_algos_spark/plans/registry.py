@@ -89,67 +89,19 @@ def register(name: str, oracle: str | None = None, description: str = ""):
 
 # The driver's correctness gate samples the FIRST ~50 registry entries per
 # round. Every gate has at least one driver CORRECTNESS row (zero reds ever);
-# staleness is the only dimension. Round 6 front-loads (a) gates NEW in
-# round 6, (b) re-checks for gates whose modules changed in round 6
-# (frequency.py HLL fast-mode hash fix + triangle_count edge generation,
-# table_format update_mor multi-column SET semantics, bucketing orphan-
-# cleanup scoping), then (c)-(e) every gate whose most recent driver row is
-# r3 or older, oldest-first — the window truncates at ~50, and the next
-# round's rotation resumes from whatever this round left unverified.
+# staleness is the only dimension. Round 7 front-loads (a) gates NEW in
+# round 7 plus gates whose modules changed in round 7 (ADVICE fixes:
+# dedup.py NULL-text coalesce, datasplit stratified_top_n, tiff.py padding),
+# then (b) the 7 gates whose newest driver row is still r1, then (c) the 32
+# r2-era gates, then (d) the r3-era gates oldest-first — the driver window
+# truncates at ~50; next round resumes from whatever is left.
 _GATE_PRIORITY: tuple[str, ...] = (
-    # (a) new in round 6 — inserted as they are authored
-    "dup_spans",
-    "dup_spans_strip",
-    "kmv_nunique_orders",
-    "kmv_incremental_merge",
-    "kmv_set_ops_customers",
-    "events_stream_hll",
-    "hist_quantiles_prices",
-    "hist_incremental_merge",
-    "hashing_features",
-    "tiff_media_features",
-    "decontam_spans",
-    "token_drift_kl",
-    "kmeans_clusters",
-    "stratified_top_n",
-    # (b) modules changed in round 6 -> driver re-verification
-    "triangle_count",
-    "update_mor_read",
-    "bucketed_join_revenue",
-    "hll_nunique_orders",
-    "hll_incremental_merge",
-    "cms_heavy_hitters",
-    "cms_incremental_merge",
-    "events_stream_cms",
-    # (c) oldest driver rows (r1), oldest-first rotation
-    "array_functions",
-    "dedup_exact",
-    "doc_fingerprint",
-    "dup_clusters",
-    "events_json_props",
-    "events_rollup_hour_day",
-    "events_sliding_2h_1h",
-    "events_tumbling_1h",
-    "group_any_all",
-    "group_any_all_kleene",
-    "group_approx_stats",
-    "group_corr_cov",
-    "group_cut_qcut",
-    "group_describe",
-    "group_first_last",
-    "group_histogram",
-    "group_idx_mode",
-    "group_mean",
-    "group_median",
-    "group_min_max",
-    "group_prod",
-    "group_quantile_higher",
-    "group_quantile_linear",
-    "group_quantile_lower",
-    "group_skew",
-    "group_sum_mincount",
-    "group_value_counts",
-    "group_var_std_sem",
+    # (a) new in round 7 / modules changed in round 7 — inserted as authored
+    "dup_spans",          # dedup.py NULL-text coalesce (ADVICE r6)
+    "dup_spans_strip",    # dedup.py NULL-text coalesce (ADVICE r6)
+    "stratified_top_n",   # datasplit.py NULL/dup-key + __rn fixes (ADVICE r6)
+    "tiff_media_features",  # tiff.py word-alignment padding (ADVICE r6)
+    # (b) newest driver row is r1-era
     "heavy_hitters_approx",
     "lang_id",
     "minhash_near_dupes",
@@ -157,7 +109,7 @@ _GATE_PRIORITY: tuple[str, ...] = (
     "simhash_fingerprints",
     "text_quality",
     "token_stats",
-    # (d) oldest driver rows (r2), oldest-first rotation
+    # (c) newest driver row is r2-era
     "asof_join",
     "group_cumcount",
     "group_cummin_cummax",
@@ -190,7 +142,7 @@ _GATE_PRIORITY: tuple[str, ...] = (
     "take_1d",
     "take_2d",
     "topk_per_group",
-    # (e) oldest driver rows (r3), oldest-first rotation
+    # (d) newest driver row is r3-era, oldest-first
     "asof_join_forward",
     "asof_join_nearest",
     "bigram_lm",

@@ -190,3 +190,42 @@ def test_stratified_top_n_exact_and_nested(spark):
     import pytest as _pytest
     with _pytest.raises(ValueError):
         stratified_top_n(df, "lang", "doc_id", 0)
+
+
+def test_stratified_top_n_null_keys_and_rn_exclusion(spark):
+    """NULL keys hash as '' and order NULLS FIRST on both engines
+    (ADVICE r6), and the SQL twin's default projection excludes the
+    helper __rn column."""
+    import duckdb
+    import pandas as pd
+
+    from pandas_rust_algos_spark.operators.datasplit import (
+        sql_stratified_top_n,
+        stratified_top_n,
+    )
+
+    rows = [(f"k{i}", "a") for i in range(20)] + [(None, "a"),
+                                                  ("k100", "b"),
+                                                  (None, "b")]
+    df = spark.createDataFrame(rows, "doc_id string, lang string")
+    got = stratified_top_n(df, "lang", "doc_id", 5)
+    assert set(got.columns) == {"doc_id", "lang"}  # helpers dropped
+    sel = {(r["doc_id"], r["lang"]) for r in got.collect()}
+    assert len([x for x in sel if x[1] == "a"]) == 5
+    assert len([x for x in sel if x[1] == "b"]) == 2  # keeps all
+
+    con = duckdb.connect()
+    con.register("t", pd.DataFrame(rows, columns=["doc_id", "lang"]))
+    sql = sql_stratified_top_n("t", "lang", "doc_id", 5)
+    ora = con.execute(sql).fetchdf()
+    assert set(ora.columns) == {"doc_id", "lang"}  # no __rn leak
+    osel = {(None if pd.isna(r.doc_id) else r.doc_id, r.lang)
+            for r in ora.itertuples()}
+    assert sel == osel
+    con.close()
+
+    # partitioning-invariant with NULL keys present
+    again = {(r["doc_id"], r["lang"]) for r in
+             stratified_top_n(df.repartition(5), "lang",
+                              "doc_id", 5).collect()}
+    assert again == sel

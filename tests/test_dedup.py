@@ -277,3 +277,49 @@ def test_strip_duplicated_spans_planted(spark):
     assert len(got2) == 3
     assert got2[1]["clean_text"] == "" and got2[1]["n_removed"] == 9
     assert got2[3]["n_removed"] == 0
+
+
+def test_duplicated_spans_null_text_matches_oracle(spark):
+    """A NULL text deterministically reports zero windows/tokens on
+    BOTH engines (ADVICE r6: the SQL twins used to emit NULL counts
+    for NULL text while Spark reported 0)."""
+    import duckdb
+
+    data = [(1, "shared boiler plate words here exactly now yes"),
+            (2, "prefix shared boiler plate words here exactly now yes"),
+            (3, None)]
+    df = spark.createDataFrame(data, "doc_id long, text string")
+
+    got = {r["doc_id"]: r for r in
+           dd.duplicated_spans(df, k=4, min_run=2).collect()}
+    assert got[3]["n_windows"] == 0
+    assert got[3]["n_dup_windows"] == 0
+    assert got[3]["flagged"] is False
+
+    stripped = {r["doc_id"]: r for r in
+                dd.strip_duplicated_spans(df, k=4, min_run=2).collect()}
+    assert stripped[3]["n_tokens"] == 0
+    assert stripped[3]["n_removed"] == 0
+    assert stripped[3]["clean_text"] == ""
+
+    con = duckdb.connect()
+    import pandas as pd
+    con.register("documents", pd.DataFrame(data,
+                                           columns=["doc_id", "text"]))
+    ora = con.execute(
+        dd.sql_duplicated_spans(k=4, min_run=2)).fetchdf()
+    orow = ora.set_index("doc_id").loc[3]
+    assert orow["n_windows"] == 0 and orow["n_dup_windows"] == 0
+    ora2 = con.execute(
+        dd.sql_strip_duplicated_spans(k=4, min_run=2)).fetchdf()
+    orow2 = ora2.set_index("doc_id").loc[3]
+    assert orow2["n_tokens"] == 0 and orow2["n_removed"] == 0
+    assert orow2["clean_text"] == ""
+    # full-frame parity (spark rows == oracle rows, all columns)
+    sp = {r["doc_id"]: (r["n_windows"], r["n_dup_windows"], r["max_run"])
+          for r in got.values()}
+    od = {int(r.doc_id): (int(r.n_windows), int(r.n_dup_windows),
+                          int(r.max_run))
+          for r in ora.itertuples()}
+    assert sp == od
+    con.close()

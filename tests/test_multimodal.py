@@ -770,3 +770,36 @@ def test_tiff_features_match_png(spark):
     p = {r["media_id"]: (r["f0"], r["f1"], r["f2"], r["f3"],
                          r["check_md5"]) for r in png.collect()}
     assert t == p and len(t) == 12
+
+
+def test_tiff_word_alignment():
+    """TIFF 6.0 requires values and the IFD on 2-byte boundaries; an
+    odd-sized strip (5x7 grayscale = 35 bytes) must not push the
+    out-of-line value areas or the IFD to odd offsets (ADVICE r6)."""
+    import struct
+
+    from pandas_rust_algos_spark.operators.tiff import (
+        decode_tiff,
+        encode_tiff,
+    )
+
+    for shape, rps in [((7, 5), 7), ((7, 5), 3), ((5, 3, 3), 1)]:
+        a = (np.arange(int(np.prod(shape))) % 251).astype(
+            np.uint8).reshape(shape)
+        for be in (False, True):
+            payload = encode_tiff(a, rows_per_strip=rps, big_endian=be)
+            bo = ">" if be else "<"
+            (ifd,) = struct.unpack(bo + "L", payload[4:8])
+            assert ifd % 2 == 0, "IFD at odd offset"
+            (n,) = struct.unpack(bo + "H", payload[ifd:ifd + 2])
+            for i in range(n):
+                base = ifd + 2 + 12 * i
+                tag, typ, count = struct.unpack(
+                    bo + "HHL", payload[base:base + 8])
+                size = {1: 1, 2: 1, 3: 2, 4: 4}[typ] * count
+                if size > 4:  # out-of-line value: offset must be even
+                    (off,) = struct.unpack(
+                        bo + "L", payload[base + 8:base + 12])
+                    assert off % 2 == 0, f"tag {tag} value at odd offset"
+            out = decode_tiff(payload)
+            assert np.array_equal(out, a)
