@@ -117,6 +117,9 @@ HEADLINE = [
     "token_drift_kl",
     "kmeans_clusters",
     "stratified_top_n",
+    # round 7: oracle-able fixed-point ANN (IVF cells, PQ/ADC codes)
+    "ann_ivf_topk_portable",
+    "ann_pq_topk_portable",
 ]
 
 

@@ -1,0 +1,391 @@
+"""PORTABLE (engine-replayable) IVF and PQ approximate-nearest-
+neighbor search — the oracle-able twins of ``similarity.ivf_topk`` /
+``similarity.pq_topk``.
+
+Why these exist: the production ANN paths train their quantizers with
+MLlib float k-means, whose centroids are accumulation-order-dependent
+— legitimate engine-specific results, hence their gates were rows-only
+(recall-tested, not value-hashed). This module swaps exactly one
+ingredient — the quantizer — for :func:`kmeans.kmeans_fixed`'s
+fixed-point Lloyd iterations, and keeps EVERY quantity on the integer
+micro-unit grid:
+
+- vectors quantize once to ``floor(x·1e6)`` longs;
+- coarse-cell assignment, probe selection, PQ sub-codebook training,
+  corpus encoding, and ADC scoring are all exact BIGINT squared-
+  distance comparisons with (distance, id) tie rules;
+- so a DuckDB oracle unrolls the SAME pipeline (Lloyd CTE chains from
+  :func:`kmeans.sql_kmeans_fixed_ctes`, then assignment / probing /
+  scoring CTEs) and the final top-k hash-matches bit-exactly.
+
+The price is the same as ``kmeans_fixed``'s: centroids live on the
+1e-6 grid and ranking is by euclidean distance of the quantized
+vectors rather than float cosine — immaterial next to ANN's own
+approximation error (recall vs float brute force is asserted in
+tests/test_similarity.py for the production paths; these twins prove
+the BUCKETING/ENCODING algebra itself). The float paths remain the
+100 TB defaults; the portable mode exists for reproducible retrieval
+(eval-set neighbor lists, dedup candidate generation) where "same
+neighbors on every engine and every retry" is a requirement — the
+same split as ``minhash_near_dupes`` (xxhash64 default) vs
+``minhash_near_dupes_portable`` (md5, oracled), SURVEY §8.
+
+Scale shape (both ops):
+
+- Quantizer training is Lloyd over the corpus (or a bounded sample a
+  caller can pre-apply) — per iteration one broadcast of k×dim
+  centroids and one map-side-combined (cluster, dim) sum shuffle.
+- The trained centroids are METADATA (n_cells×dim / m×k_codes×sub
+  longs): they collect to the driver once and ride the search plans
+  as array literals, so corpus-side cell assignment and PQ encoding
+  are pure zero-exchange codegen maps (same design as
+  ``similarity.ivf_topk``'s literal-matrix fast path; callers with
+  768-dim × thousands of cells should mirror its broadcast-row
+  variant — at the gate sizes a literal is strictly better).
+- Search is one broadcast join of the exploded query probes onto the
+  corpus cells (IVF: touches ~n_probe/n_cells of the corpus) or one
+  broadcast of the query score context onto the m-byte code table
+  (PQ), then the standard per-query rank window.
+
+Reference scope: no ANN surface exists in the reference (SURVEY
+§2.3) — driver-brief training-pipeline extension (VERDICT r6 next-#3
+prescribed exactly this construction).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+from pandas_rust_algos_spark.operators.kmeans import (
+    _fixed_centroids,
+    _quantize,
+    sql_kmeans_fixed_ctes,
+    sql_quantize,
+)
+
+__all__ = [
+    "ivf_topk_fixed",
+    "pq_topk_fixed",
+    "sql_ivf_topk_fixed",
+    "sql_pq_topk_fixed",
+]
+
+
+def _lit_lvec(vals) -> Column:
+    return F.array(*[F.lit(int(v)).cast("long") for v in vals])
+
+
+def _lit_lmatrix(rows) -> Column:
+    return F.array(*[_lit_lvec(r) for r in rows])
+
+
+def _dist_sq(a: Column, b: Column) -> Column:
+    """Exact BIGINT squared euclidean distance on the micro-unit grid."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: (x - y) * (x - y)),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+
+
+def _cells_scored(vcol: Column, cmatrix: Column) -> Column:
+    """array<struct<d,cell>> of exact distances to every centroid —
+    struct order (d asc, cell asc) IS the deterministic tie rule."""
+    return F.transform(
+        cmatrix,
+        lambda c, i: F.struct(
+            _dist_sq(vcol, c).alias("d"), i.alias("cell")),
+    )
+
+
+def _argmin_cell(vcol: Column, cmatrix: Column) -> Column:
+    return F.array_min(_cells_scored(vcol, cmatrix)).getField("cell")
+
+
+def _top_cells(vcol: Column, cmatrix: Column, n: int) -> Column:
+    return F.transform(
+        F.slice(F.array_sort(_cells_scored(vcol, cmatrix)), 1, n),
+        lambda s: s.getField("cell"),
+    )
+
+
+def _collect_centroids(cents: DataFrame) -> list[list[int]]:
+    """Metadata-sized driver collect (k rows of dim longs), cid-ordered."""
+    rows = sorted((r["cid"], list(r["c"])) for r in cents.collect())
+    return [c for _, c in rows]
+
+
+def ivf_topk_fixed(
+    df: DataFrame,
+    queries: DataFrame,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+    k: int = 5,
+    n_cells: int = 8,
+    n_probe: int = 3,
+    iters: int = 2,
+) -> DataFrame:
+    """Portable IVF top-k: fixed-point-k-means coarse cells, exact
+    integer cell assignment and probe selection, exact integer
+    distances within the probed cells. Returns
+    ``(query_id, vec_id, dist_sq, rank)`` — bit-identical across
+    engines, partitionings, and retries. Self-matches are excluded.
+
+    Every corpus vector lands in exactly ONE cell, so the probe join
+    yields each (query, candidate) pair at most once — no distinct
+    pass needed (unlike LSH bands)."""
+    if n_probe < 1 or n_probe > n_cells:
+        raise ValueError(f"need 1 <= n_probe <= n_cells, got "
+                         f"{n_probe}/{n_cells}")
+    pts = df.where(F.col(vec_col).isNotNull()).select(
+        F.col(id_col), _quantize(F.col(vec_col)).alias("v"))
+    # checkpoint=False: 2-iteration chain collected immediately — one
+    # job instead of 2·iters+1 eagerly-materialized ones
+    cents = _fixed_centroids(
+        pts, id_col, k=n_cells, iters=iters, checkpoint=False)
+    cmatrix = _lit_lmatrix(_collect_centroids(cents))
+
+    corpus = pts.withColumn("cell", _argmin_cell(F.col("v"), cmatrix))
+    probes = (
+        queries.where(F.col(vec_col).isNotNull())
+        .select(
+            F.col(query_id_col).alias("__qid"),
+            _quantize(F.col(vec_col)).alias("qv"),
+        )
+        .withColumn(
+            "cell", F.explode(_top_cells(F.col("qv"), cmatrix, n_probe)))
+    )
+    scored = (
+        corpus.join(F.broadcast(probes), "cell")
+        .where(F.col("__qid") != F.col(id_col))
+        .select(
+            F.col("__qid").alias(query_id_col),
+            id_col,
+            _dist_sq(F.col("qv"), F.col("v")).alias("dist_sq"),
+        )
+    )
+    w = Window.partitionBy(query_id_col).orderBy("dist_sq", id_col)
+    return (
+        scored.withColumn(
+            "rank", F.row_number().over(w).cast("long"))
+        .where(F.col("rank") <= k)
+    )
+
+
+def pq_topk_fixed(
+    df: DataFrame,
+    queries: DataFrame,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+    k: int = 5,
+    m: int = 4,
+    k_codes: int = 8,
+    iters: int = 2,
+) -> DataFrame:
+    """Portable PQ top-k by ADC (asymmetric distance): fixed-point
+    sub-codebooks per contiguous subspace (seed-decorrelated via a
+    per-subspace salt), exact integer encoding, and an exact-integer
+    approximate distance ``Σ_j d²(q_sub_j, centroid[j][code_j])``.
+    Returns ``(query_id, vec_id, approx_dist_sq, rank)``."""
+    first = df.select(vec_col).first()
+    dims = len(first[0]) if first and first[0] is not None else 0
+    if dims == 0 or dims % m != 0:
+        raise ValueError(f"dims {dims} not divisible by m={m}")
+    sub = dims // m
+    pts = df.where(F.col(vec_col).isNotNull()).select(
+        F.col(id_col), _quantize(F.col(vec_col)).alias("v"))
+
+    # the m sub-codebook trainings are independent — submit their
+    # collect jobs concurrently (Spark schedules parallel jobs fine;
+    # each chain is checkpoint-free so it is exactly one job)
+    def _train(j: int) -> list[list[int]]:
+        sub_pts = pts.select(
+            id_col, F.slice("v", j * sub + 1, sub).alias("v"))
+        cents = _fixed_centroids(
+            sub_pts, id_col, k=k_codes, iters=iters, salt=f":{j}",
+            checkpoint=False)
+        return _collect_centroids(cents)
+
+    from concurrent.futures import ThreadPoolExecutor
+
+    with ThreadPoolExecutor(max_workers=m) as ex:
+        books = [_lit_lmatrix(b) for b in ex.map(_train, range(m))]
+
+    coded = pts.select(
+        id_col,
+        F.array(*[
+            _argmin_cell(F.slice("v", j * sub + 1, sub), books[j])
+            for j in range(m)
+        ]).alias("codes"),
+    )
+    # the query side precomputes nothing float: approx distance is a
+    # direct exact-integer sum over the chosen sub-centroids
+    qs = queries.where(F.col(vec_col).isNotNull()).select(
+        F.col(query_id_col).alias("__qid"),
+        _quantize(F.col(vec_col)).alias("qv"),
+    )
+    approx = None
+    for j in range(m):
+        dj = _dist_sq(
+            F.slice("qv", j * sub + 1, sub),
+            F.element_at(books[j], F.element_at("codes", j + 1) + 1),
+        )
+        approx = dj if approx is None else approx + dj
+    scored = (
+        coded.crossJoin(F.broadcast(qs))
+        .where(F.col("__qid") != F.col(id_col))
+        .select(
+            F.col("__qid").alias(query_id_col),
+            id_col,
+            approx.alias("approx_dist_sq"),
+        )
+    )
+    w = Window.partitionBy(query_id_col).orderBy(
+        "approx_dist_sq", id_col)
+    return (
+        scored.withColumn(
+            "rank", F.row_number().over(w).cast("long"))
+        .where(F.col("rank") <= k)
+    )
+
+
+_SQL_QDIST = ("LIST_SUM(LIST_TRANSFORM(RANGE(1, LEN(q.qv) + 1), "
+              "ii -> (q.qv[ii] - c.c[ii]) * (q.qv[ii] - c.c[ii])))")
+
+
+def sql_ivf_topk_fixed(
+    table: str = "embeddings",
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    *,
+    query_pred: str = "vec_id < 10",
+    query_id_col: str = "query_id",
+    k: int = 5,
+    n_cells: int = 8,
+    n_probe: int = 3,
+    iters: int = 2,
+) -> str:
+    """DuckDB twin of :func:`ivf_topk_fixed` with queries drawn from
+    the same table by ``query_pred`` (mirroring the gate): the same
+    quantization, Lloyd chain, argmin cell assignment, top-n_probe
+    probe selection, exact in-cell distances, and (dist, id) rank."""
+    ctes = [f"""pts AS (
+      SELECT {id_col}, {sql_quantize(vec_col)} AS v
+      FROM {table} WHERE {vec_col} IS NOT NULL
+    )"""]
+    chain, cent = sql_kmeans_fixed_ctes(
+        "pts", id_col, k=n_cells, iters=iters)
+    ctes.extend(chain)
+    dist_pc = ("LIST_SUM(LIST_TRANSFORM(RANGE(1, LEN(p.v) + 1), "
+               "ii -> (p.v[ii] - c.c[ii]) * (p.v[ii] - c.c[ii])))")
+    ctes.append(f"""asg AS (
+      SELECT {id_col}, v, cid AS cell FROM (
+        SELECT p.{id_col}, p.v, c.cid,
+               ROW_NUMBER() OVER (PARTITION BY p.{id_col}
+                 ORDER BY {dist_pc}, c.cid) AS rn
+        FROM pts p CROSS JOIN {cent} c
+      ) WHERE rn = 1
+    )""")
+    ctes.append(f"""q AS (
+      SELECT {id_col} AS qid, v AS qv FROM pts WHERE {query_pred}
+    )""")
+    ctes.append(f"""probe AS (
+      SELECT qid, qv, cid AS cell FROM (
+        SELECT q.qid, q.qv, c.cid,
+               ROW_NUMBER() OVER (PARTITION BY q.qid
+                 ORDER BY {_SQL_QDIST}, c.cid) AS rn
+        FROM q CROSS JOIN {cent} c
+      ) WHERE rn <= {n_probe}
+    )""")
+    pair_d = ("LIST_SUM(LIST_TRANSFORM(RANGE(1, LEN(p.qv) + 1), "
+              "ii -> (p.qv[ii] - a.v[ii]) * (p.qv[ii] - a.v[ii])))")
+    ctes.append(f"""pairs AS (
+      SELECT p.qid, a.{id_col}, {pair_d} AS d
+      FROM probe p JOIN asg a USING (cell)
+      WHERE p.qid <> a.{id_col}
+    )""")
+    return f"""
+    WITH {', '.join(ctes)}
+    SELECT qid AS {query_id_col}, {id_col},
+           CAST(d AS BIGINT) AS dist_sq, rnk AS rank
+    FROM (
+      SELECT *, CAST(ROW_NUMBER() OVER (
+        PARTITION BY qid ORDER BY d, {id_col}) AS BIGINT) AS rnk
+      FROM pairs
+    ) WHERE rnk <= {k}
+    """
+
+
+def sql_pq_topk_fixed(
+    table: str = "embeddings",
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    *,
+    query_pred: str = "vec_id < 10",
+    query_id_col: str = "query_id",
+    k: int = 5,
+    m: int = 4,
+    k_codes: int = 8,
+    iters: int = 2,
+    dims: int = 64,
+) -> str:
+    """DuckDB twin of :func:`pq_topk_fixed`: per-subspace Lloyd chains
+    (namespaced CTEs, per-subspace seed salt), exact integer encoding,
+    and the same ADC sum — ``dims`` must be supplied (the SQL cannot
+    probe the schema) and divisible by ``m``."""
+    if dims % m != 0:
+        raise ValueError(f"dims {dims} not divisible by m={m}")
+    sub = dims // m
+    ctes = [f"""pts AS (
+      SELECT {id_col}, {sql_quantize(vec_col)} AS v
+      FROM {table} WHERE {vec_col} IS NOT NULL
+    )"""]
+    dist_pc = ("LIST_SUM(LIST_TRANSFORM(RANGE(1, LEN(p.v) + 1), "
+               "ii -> (p.v[ii] - c.c[ii]) * (p.v[ii] - c.c[ii])))")
+    part_selects = []
+    for j in range(m):
+        lo = j * sub + 1
+        hi = (j + 1) * sub
+        ctes.append(f"""p{j} AS (
+      SELECT {id_col}, LIST_SLICE(v, {lo}, {hi}) AS v FROM pts
+    )""")
+        chain, cent = sql_kmeans_fixed_ctes(
+            f"p{j}", id_col, k=k_codes, iters=iters,
+            salt=f":{j}", prefix=f"b{j}_")
+        ctes.extend(chain)
+        ctes.append(f"""e{j} AS (
+      SELECT {id_col}, cid AS code FROM (
+        SELECT p.{id_col}, c.cid,
+               ROW_NUMBER() OVER (PARTITION BY p.{id_col}
+                 ORDER BY {dist_pc}, c.cid) AS rn
+        FROM p{j} p CROSS JOIN {cent} c
+      ) WHERE rn = 1
+    )""")
+        qd = (f"LIST_SUM(LIST_TRANSFORM(RANGE(1, {sub} + 1), "
+              f"ii -> (q.v[ii] - c.c[ii]) * (q.v[ii] - c.c[ii])))")
+        part_selects.append(f"""
+      SELECT q.{id_col} AS qid, e.{id_col} AS {id_col}, {qd} AS dj
+      FROM (SELECT {id_col}, v FROM p{j} WHERE {query_pred}) q
+      CROSS JOIN e{j} e
+      JOIN {cent} c ON c.cid = e.code""")
+    ctes.append(f"""parts AS ({' UNION ALL '.join(part_selects)})""")
+    ctes.append(f"""tot AS (
+      SELECT qid, {id_col}, SUM(dj) AS d
+      FROM parts WHERE qid <> {id_col}
+      GROUP BY 1, 2
+    )""")
+    return f"""
+    WITH {', '.join(ctes)}
+    SELECT qid AS {query_id_col}, {id_col},
+           CAST(d AS BIGINT) AS approx_dist_sq, rnk AS rank
+    FROM (
+      SELECT *, CAST(ROW_NUMBER() OVER (
+        PARTITION BY qid ORDER BY d, {id_col}) AS BIGINT) AS rnk
+      FROM tot
+    ) WHERE rnk <= {k}
+    """

@@ -48,7 +48,12 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-__all__ = ["kmeans_fixed", "sql_kmeans_fixed"]
+__all__ = [
+    "kmeans_fixed",
+    "kmeans_fixed_centroids",
+    "sql_kmeans_fixed",
+    "sql_kmeans_fixed_ctes",
+]
 
 _SCALE = 1_000_000.0
 
@@ -94,8 +99,57 @@ def kmeans_fixed(
         raise ValueError(f"need k >= 1 and iters >= 0, got {k}/{iters}")
     pts = df.where(F.col(vec_col).isNotNull()).select(
         F.col(id_col), _quantize(F.col(vec_col)).alias("v"))
+    cents = _fixed_centroids(pts, id_col, k=k, iters=iters)
+    return _assign(pts, cents, id_col).select(
+        id_col, F.col("cid").alias("cluster"), "dist_sq")
+
+
+def kmeans_fixed_centroids(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    *,
+    k: int = 4,
+    iters: int = 2,
+    salt: str = "",
+) -> DataFrame:
+    """The CENTROIDS of :func:`kmeans_fixed` — ``(cid, c)`` with ``c``
+    an ``array<long>`` on the micro-unit grid. This is the reusable
+    quantizer-training half: the portable IVF/PQ ANN twins
+    (``operators/ann_portable.py``) derive their coarse centroids and
+    sub-codebooks from it, with ``salt`` decorrelating the md5 seed
+    rows across independent trainings (PQ subspaces)."""
+    if k < 1 or iters < 0:
+        raise ValueError(f"need k >= 1 and iters >= 0, got {k}/{iters}")
+    pts = df.where(F.col(vec_col).isNotNull()).select(
+        F.col(id_col), _quantize(F.col(vec_col)).alias("v"))
+    return _fixed_centroids(pts, id_col, k=k, iters=iters, salt=salt)
+
+
+def _fixed_centroids(
+    pts: DataFrame,
+    id_col: str,
+    *,
+    k: int,
+    iters: int,
+    salt: str = "",
+    checkpoint: bool = True,
+) -> DataFrame:
+    """Lloyd iterations over pre-quantized ``(id, v)`` points; returns
+    the final integer centroids ``(cid, c)``.
+
+    ``checkpoint=True`` (the default) truncates lineage per iteration
+    so the plan stays O(1) in ``iters`` — right for many iterations or
+    downstream reuse. Callers that immediately collect a SHORT chain
+    (the portable ANN quantizers: 2 iterations, metadata-sized result)
+    pass ``checkpoint=False`` to fold the whole chain into ONE job
+    instead of 2·iters+1 eagerly-materialized ones — the per-job fixed
+    cost dominates at that shape."""
     h = F.conv(
-        F.substring(F.md5(F.col(id_col).cast("string")), 1, 15), 16, 10,
+        F.substring(
+            F.md5(F.concat(F.col(id_col).cast("string"), F.lit(salt))),
+            1, 15),
+        16, 10,
     ).cast("long")
     seeds = (
         pts.withColumn("__h", h)
@@ -106,7 +160,9 @@ def kmeans_fixed(
     cents = seeds.select(
         (F.row_number().over(wseed) - 1).alias("cid"),
         F.col("v").alias("c"),
-    ).localCheckpoint(eager=True)
+    )
+    if checkpoint:
+        cents = cents.localCheckpoint(eager=True)
     for _ in range(iters):
         asg = _assign(pts, cents, id_col)
         sums = (
@@ -129,10 +185,73 @@ def kmeans_fixed(
         cents = (
             cents.join(upd, "cid", "left")
             .select("cid", F.coalesce("c_new", "c").alias("c"))
-            .localCheckpoint(eager=True)
         )
-    return _assign(pts, cents, id_col).select(
-        id_col, F.col("cid").alias("cluster"), "dist_sq")
+        if checkpoint:
+            cents = cents.localCheckpoint(eager=True)
+    return cents
+
+
+SQL_DIST = ("LIST_SUM(LIST_TRANSFORM(RANGE(1, LEN(p.v) + 1), "
+            "ii -> (p.v[ii] - c.c[ii]) * (p.v[ii] - c.c[ii])))")
+
+
+def sql_quantize(vec_expr: str) -> str:
+    """DuckDB twin of :func:`_quantize` — micro-unit grid."""
+    return (f"LIST_TRANSFORM({vec_expr}, "
+            f"x -> CAST(FLOOR(CAST(x AS DOUBLE) * {_SCALE}) AS BIGINT))")
+
+
+def sql_kmeans_fixed_ctes(
+    pts_cte: str,
+    id_col: str,
+    *,
+    k: int,
+    iters: int,
+    salt: str = "",
+    prefix: str = "",
+) -> tuple[list[str], str]:
+    """The reusable half of :func:`sql_kmeans_fixed`: CTE fragments
+    that run ``iters`` Lloyd cycles over an EXISTING points CTE named
+    ``pts_cte`` (columns ``(id_col, v)`` with ``v`` already on the
+    micro-unit grid) and return ``(cte_list, final_centroid_cte)``.
+    ``prefix`` namespaces the CTE names so several independent chains
+    (PQ subspaces) compose in one statement; ``salt`` matches the
+    Spark side's seed decorrelation."""
+    h60 = (f"CAST('0x' || SUBSTR(md5(CAST({id_col} AS VARCHAR) "
+           f"|| '{salt}'), 1, 15) AS BIGINT)")
+    ctes = [f"""{prefix}c0 AS (
+      SELECT rn - 1 AS cid, v AS c FROM (
+        SELECT v, ROW_NUMBER() OVER (ORDER BY {h60}, {id_col}) AS rn
+        FROM {pts_cte}
+      ) WHERE rn <= {k}
+    )"""]
+    prev = f"{prefix}c0"
+    for it in range(1, iters + 1):
+        ctes.append(f"""{prefix}a{it} AS (
+      SELECT {id_col}, v, cid FROM (
+        SELECT p.{id_col}, p.v, c.cid,
+               ROW_NUMBER() OVER (PARTITION BY p.{id_col}
+                 ORDER BY {SQL_DIST}, c.cid) AS rn
+        FROM {pts_cte} p CROSS JOIN {prev} c
+      ) WHERE rn = 1
+    )""")
+        ctes.append(f"""{prefix}s{it} AS (
+      SELECT cid, i, SUM(v[i]) AS s, COUNT(*) AS n
+      FROM {prefix}a{it}, UNNEST(RANGE(1, LEN(v) + 1)) t(i)
+      GROUP BY 1, 2
+    )""")
+        ctes.append(f"""{prefix}u{it} AS (
+      SELECT cid,
+             LIST(CAST(FLOOR(CAST(s AS DOUBLE) / CAST(n AS DOUBLE))
+                       AS BIGINT) ORDER BY i) AS c
+      FROM {prefix}s{it} GROUP BY cid
+    )""")
+        ctes.append(f"""{prefix}c{it} AS (
+      SELECT {prev}.cid, COALESCE({prefix}u{it}.c, {prev}.c) AS c
+      FROM {prev} LEFT JOIN {prefix}u{it} USING (cid)
+    )""")
+        prev = f"{prefix}c{it}"
+    return ctes, prev
 
 
 def sql_kmeans_fixed(
@@ -147,53 +266,18 @@ def sql_kmeans_fixed(
     seeding, exact-integer distances, tie rule, floor-division
     updates, and empty-cluster carry — unrolled as chained CTEs, one
     (assignment, update) pair per iteration."""
-    h60 = (f"CAST('0x' || SUBSTR(md5(CAST({id_col} AS VARCHAR)), 1, 15) "
-           "AS BIGINT)")
-    dist = ("LIST_SUM(LIST_TRANSFORM(RANGE(1, LEN(p.v) + 1), "
-            "ii -> (p.v[ii] - c.c[ii]) * (p.v[ii] - c.c[ii])))")
     ctes = [f"""pts AS (
-      SELECT {id_col},
-             LIST_TRANSFORM({vec_col},
-               x -> CAST(FLOOR(CAST(x AS DOUBLE) * {_SCALE}) AS BIGINT))
-               AS v
+      SELECT {id_col}, {sql_quantize(vec_col)} AS v
       FROM {table} WHERE {vec_col} IS NOT NULL
-    )""", f"""c0 AS (
-      SELECT rn - 1 AS cid, v AS c FROM (
-        SELECT v, ROW_NUMBER() OVER (ORDER BY {h60}, {id_col}) AS rn
-        FROM pts
-      ) WHERE rn <= {k}
     )"""]
-    prev = "c0"
-    for it in range(1, iters + 1):
-        ctes.append(f"""a{it} AS (
-      SELECT {id_col}, v, cid FROM (
-        SELECT p.{id_col}, p.v, c.cid,
-               ROW_NUMBER() OVER (PARTITION BY p.{id_col}
-                 ORDER BY {dist}, c.cid) AS rn
-        FROM pts p CROSS JOIN {prev} c
-      ) WHERE rn = 1
-    )""")
-        ctes.append(f"""s{it} AS (
-      SELECT cid, i, SUM(v[i]) AS s, COUNT(*) AS n
-      FROM a{it}, UNNEST(RANGE(1, LEN(v) + 1)) t(i)
-      GROUP BY 1, 2
-    )""")
-        ctes.append(f"""u{it} AS (
-      SELECT cid,
-             LIST(CAST(FLOOR(CAST(s AS DOUBLE) / CAST(n AS DOUBLE))
-                       AS BIGINT) ORDER BY i) AS c
-      FROM s{it} GROUP BY cid
-    )""")
-        ctes.append(f"""c{it} AS (
-      SELECT {prev}.cid, COALESCE(u{it}.c, {prev}.c) AS c
-      FROM {prev} LEFT JOIN u{it} USING (cid)
-    )""")
-        prev = f"c{it}"
+    chain, prev = sql_kmeans_fixed_ctes(
+        "pts", id_col, k=k, iters=iters)
+    ctes.extend(chain)
     ctes.append(f"""fin AS (
       SELECT {id_col}, cid, d FROM (
-        SELECT p.{id_col}, c.cid, {dist} AS d,
+        SELECT p.{id_col}, c.cid, {SQL_DIST} AS d,
                ROW_NUMBER() OVER (PARTITION BY p.{id_col}
-                 ORDER BY {dist}, c.cid) AS rn
+                 ORDER BY {SQL_DIST}, c.cid) AS rn
         FROM pts p CROSS JOIN {prev} c
       ) WHERE rn = 1
     )""")

@@ -731,6 +731,62 @@ def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "ann_ivf_topk_portable",
+    oracle=__import__(
+        "pandas_rust_algos_spark.operators.ann_portable",
+        fromlist=["sql_ivf_topk_fixed"],
+    ).sql_ivf_topk_fixed(k=5, n_cells=8, n_probe=3, iters=2),
+)
+def ann_ivf_topk_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF ANN in PORTABLE fixed-point mode
+    (``operators/ann_portable.py``): the coarse quantizer is
+    ``kmeans_fixed`` (md5 seeds, exact BIGINT micro-unit distances,
+    floor-division updates), cell assignment / probe selection /
+    in-cell scoring are all exact-integer with (distance, id) tie
+    rules — so the DuckDB oracle replays the ENTIRE index-and-search
+    pipeline (Lloyd CTE chains, argmin assignment, top-3-of-8 probes,
+    in-cell top-5) and the neighbor lists hash-match bit-exactly.
+    Converts the rows-only ``ann_ivf_topk`` check into a provable op;
+    the float MLlib path stays the 100 TB default (same split as
+    minhash_near_dupes vs _portable, SURVEY §8)."""
+    from pandas_rust_algos_spark.operators.ann_portable import (
+        ivf_topk_fixed,
+    )
+
+    emb = _emb(spark, sf_dir)
+    queries = emb.where(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    return ivf_topk_fixed(emb, queries, k=5, n_cells=8, n_probe=3,
+                          iters=2)
+
+
+@register(
+    "ann_pq_topk_portable",
+    oracle=__import__(
+        "pandas_rust_algos_spark.operators.ann_portable",
+        fromlist=["sql_pq_topk_fixed"],
+    ).sql_pq_topk_fixed(k=5, m=4, k_codes=8, iters=2, dims=64),
+)
+def ann_pq_topk_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PQ ANN in PORTABLE fixed-point mode: per-subspace sub-codebooks
+    from seed-salted ``kmeans_fixed``, exact-integer corpus encoding,
+    and an exact-integer ADC score ``Σ_j d²(q_j, codebook[j][code_j])``
+    — the oracle unrolls all four Lloyd chains plus encoding and
+    scoring, proving the quantize→encode→ADC algebra end to end
+    (the float path keeps its recall gate in tests)."""
+    from pandas_rust_algos_spark.operators.ann_portable import (
+        pq_topk_fixed,
+    )
+
+    emb = _emb(spark, sf_dir)
+    queries = emb.where(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    return pq_topk_fixed(emb, queries, k=5, m=4, k_codes=8, iters=2)
+
+
+@register(
     "embedding_near_dupes",
     oracle="""
     WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings)

@@ -97,6 +97,8 @@ def register(name: str, oracle: str | None = None, description: str = ""):
 # truncates at ~50; next round resumes from whatever is left.
 _GATE_PRIORITY: tuple[str, ...] = (
     # (a) new in round 7 / modules changed in round 7 — inserted as authored
+    "ann_ivf_topk_portable",   # new: oracle-able IVF (VERDICT r6 #3)
+    "ann_pq_topk_portable",    # new: oracle-able PQ (VERDICT r6 #3)
     "dup_spans",          # dedup.py NULL-text coalesce (ADVICE r6)
     "dup_spans_strip",    # dedup.py NULL-text coalesce (ADVICE r6)
     "stratified_top_n",   # datasplit.py NULL/dup-key + __rn fixes (ADVICE r6)

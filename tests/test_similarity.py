@@ -159,3 +159,112 @@ def test_ivf_broadcast_centroid_fallback_matches_literal(
     broadcast_path = run()
     assert broadcast_path == lit_path
     assert len(lit_path) > 0
+
+
+# ------------------------------------------------- portable (fixed-point) ANN
+
+
+def numpy_l2_topk(emb_pdf, k=K):
+    """Truth set for the PORTABLE paths: exact euclidean ranking of
+    the micro-unit-quantized vectors (the grid the ops live on)."""
+    ids = emb_pdf["vec_id"].to_numpy()
+    M = np.floor(
+        np.stack(emb_pdf["embedding"].to_numpy()).astype("float64")
+        * 1_000_000.0
+    )
+    out = {}
+    for qi in range(N_QUERIES):
+        qrow = np.where(ids == qi)[0][0]
+        d = ((M - M[qrow]) ** 2).sum(axis=1)
+        order = sorted(
+            (i for i in range(len(ids)) if ids[i] != qi),
+            key=lambda i: (d[i], ids[i]),
+        )
+        out[qi] = [int(ids[i]) for i in order[:k]]
+    return out
+
+
+def test_ivf_fixed_recall_and_invariance(spark, emb, queries):
+    from pandas_rust_algos_spark.operators import ann_portable as ap
+
+    brute = numpy_l2_topk(emb.toPandas())
+    got = {}
+    rows = ap.ivf_topk_fixed(
+        emb, queries, k=K, n_cells=8, n_probe=3, iters=2).collect()
+    for r in rows:
+        got.setdefault(r["query_id"], set()).add(r["vec_id"])
+    recalls = [len(got.get(q, set()) & set(brute[q])) / K for q in brute]
+    mean_recall = sum(recalls) / len(recalls)
+    assert mean_recall >= 0.4, f"mean recall {mean_recall:.2f}"
+
+    # partitioning-invariant: the whole point of the portable mode
+    again = {(r["query_id"], r["vec_id"], r["dist_sq"], r["rank"])
+             for r in ap.ivf_topk_fixed(
+                 emb.repartition(7), queries.repartition(3),
+                 k=K, n_cells=8, n_probe=3, iters=2).collect()}
+    assert again == {(r["query_id"], r["vec_id"], r["dist_sq"],
+                      r["rank"]) for r in rows}
+
+    with pytest.raises(ValueError):
+        ap.ivf_topk_fixed(emb, queries, n_cells=4, n_probe=5)
+
+
+def test_pq_fixed_matches_duckdb_and_invariance(spark, emb, queries,
+                                                 sf_dir):
+    """The portable PQ contract is BIT-EXACT cross-engine replay (the
+    52-point test corpus is far too small for a meaningful recall
+    floor — ADC recall is exercised at gate scale by the driver and
+    for the float path by test_pq_recall_vs_bruteforce)."""
+    import duckdb
+
+    from pandas_rust_algos_spark.operators import ann_portable as ap
+
+    rows = ap.pq_topk_fixed(
+        emb, queries, k=K, m=4, k_codes=8, iters=2).collect()
+    got = {(r["query_id"], r["vec_id"], r["approx_dist_sq"], r["rank"])
+           for r in rows}
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW embeddings AS SELECT * FROM "
+        f"read_parquet('{sf_dir}/embeddings.parquet')")
+    ora = con.execute(ap.sql_pq_topk_fixed(
+        query_pred=f"vec_id < {N_QUERIES}", k=K, m=4, k_codes=8,
+        iters=2, dims=64)).fetchall()
+    con.close()
+    assert got == {(int(a), int(b), int(c), int(d))
+                   for a, b, c, d in ora}
+
+    # partitioning-invariant
+    again = {(r["query_id"], r["vec_id"], r["approx_dist_sq"],
+              r["rank"])
+             for r in ap.pq_topk_fixed(
+                 emb.repartition(7), queries, k=K, m=4, k_codes=8,
+                 iters=2).collect()}
+    assert again == got
+
+    with pytest.raises(ValueError):
+        ap.pq_topk_fixed(emb, queries, m=7)  # 64 % 7 != 0
+
+
+def test_ivf_fixed_matches_duckdb(spark, emb, sf_dir):
+    """Cross-engine bit-match at test scale — the property the gate
+    proves at sf0.01 every round."""
+    import duckdb
+
+    from pandas_rust_algos_spark.operators import ann_portable as ap
+
+    q = emb.where(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), "embedding")
+    got = {(r["query_id"], r["vec_id"], r["dist_sq"], r["rank"])
+           for r in ap.ivf_topk_fixed(
+               emb, q, k=3, n_cells=4, n_probe=2, iters=1).collect()}
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW embeddings AS SELECT * FROM "
+        f"read_parquet('{sf_dir}/embeddings.parquet')")
+    ora = con.execute(ap.sql_ivf_topk_fixed(
+        query_pred="vec_id < 5", k=3, n_cells=4, n_probe=2,
+        iters=1)).fetchall()
+    con.close()
+    assert got == {(int(a), int(b), int(c), int(d))
+                   for a, b, c, d in ora}
