@@ -120,6 +120,7 @@ HEADLINE = [
     # round 7: oracle-able fixed-point ANN (IVF cells, PQ/ADC codes)
     "ann_ivf_topk_portable",
     "ann_pq_topk_portable",
+    "semantic_dedup",
 ]
 
 

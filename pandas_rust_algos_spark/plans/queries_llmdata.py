@@ -787,6 +787,30 @@ def ann_pq_topk_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "semantic_dedup",
+    oracle=__import__(
+        "pandas_rust_algos_spark.operators.semdedup",
+        fromlist=["sql_semantic_dedup"],
+    ).sql_semantic_dedup(k=4, iters=2, threshold=0.35),
+)
+def semantic_dedup_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup-style semantic dedup (``operators/semdedup.py``):
+    fixed-point-k-means clusters over the embeddings, within-cluster
+    cosine pairs, greedy keep-lowest-id representatives — composed
+    from the two already-oracled ingredients (``kmeans_clusters``,
+    ``embedding_near_dupes``), so the DuckDB oracle unrolls the SAME
+    Lloyd chains then replays pairing and the drop rule. Returns every
+    row with its cluster and kept flag; the value hash is an exact-
+    membership proof. Threshold 0.35 is fixture-tuned so the drop path
+    is actually exercised (the synthetic embeddings have no 0.95-level
+    near-dupes; real corpora run 0.95+, see module docstring)."""
+    from pandas_rust_algos_spark.operators.semdedup import semantic_dedup
+
+    return semantic_dedup(
+        _emb(spark, sf_dir), k=4, iters=2, threshold=0.35)
+
+
+@register(
     "embedding_near_dupes",
     oracle="""
     WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings)

@@ -323,3 +323,53 @@ def test_duplicated_spans_null_text_matches_oracle(spark):
           for r in ora.itertuples()}
     assert sp == od
     con.close()
+
+
+def test_semantic_dedup_planted(spark):
+    """Planted semantic dupes: a near-identical pair is reduced to its
+    lowest id; the greedy chain rule drops every row with a smaller-id
+    neighbor (documented non-closure semantics); singletons survive."""
+    import duckdb
+    import numpy as np
+    import pandas as pd
+
+    from pandas_rust_algos_spark.operators import semdedup as sd
+
+    rng = np.random.default_rng(7)
+    base_a = rng.normal(size=8)
+    base_b = rng.normal(size=8) * 3  # far from a
+    rows = [
+        # 1 and 2: near-identical (cosine ~1) -> 2 dropped
+        (1, list(base_a)),
+        (2, list(base_a + 0.001)),
+        # 3: a chain neighbor of 2 but not of 1 (tilted) — with the
+        # greedy rule it is dropped too if cos(2,3) >= thr
+        (3, list(base_a + 0.15 * rng.normal(size=8))),
+        # 10: isolated
+        (10, list(base_b)),
+    ]
+    df = spark.createDataFrame(
+        [(i, [float(x) for x in v]) for i, v in rows],
+        "vec_id long, embedding array<float>")
+    got = {r["vec_id"]: r for r in
+           sd.semantic_dedup(df, k=2, iters=2,
+                             threshold=0.99).collect()}
+    assert len(got) == 4
+    assert got[1]["kept"] is True
+    assert got[2]["kept"] is False  # has smaller-id neighbor 1
+    assert got[10]["kept"] is True  # isolated
+
+    # oracle parity on the same ad-hoc frame
+    con = duckdb.connect()
+    con.register("embeddings", pd.DataFrame(
+        [(i, [float(x) for x in v]) for i, v in rows],
+        columns=["vec_id", "embedding"]))
+    ora = {int(r.vec_id): (int(r.cluster), bool(r.kept))
+           for r in con.execute(sd.sql_semantic_dedup(
+               k=2, iters=2, threshold=0.99)).fetchdf().itertuples()}
+    con.close()
+    assert ora == {i: (r["cluster"], r["kept"]) for i, r in got.items()}
+
+    import pytest as _pytest
+    with _pytest.raises(ValueError):
+        sd.semantic_dedup(df, threshold=0.0)
