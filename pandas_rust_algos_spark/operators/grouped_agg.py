@@ -716,6 +716,78 @@ def group_nunique_approx(
                           dropna_keys=dropna_keys)
 
 
+def group_approx_bounds_report(
+    df: DataFrame,
+    key: str,
+    nd_col: str,
+    q_col: str,
+    *,
+    rsd: float = 0.05,
+    accuracy: int = 100,
+    qs: Sequence[float] = (0.5, 0.95),
+    nd_sigmas: float = 4.0,
+    rank_slack: float = 0.005,
+    dropna_keys: bool = True,
+) -> DataFrame:
+    """The CHECKABLE CONTRACT for the approximate scale path
+    (``group_nunique_approx`` / ``group_quantile_approx``): one plan
+    that computes approx AND exact per group and emits per-group
+    booleans asserting the published accuracy bounds hold —
+
+    - ``nd_ok``: ``|HLL++ − exact| ≤ nd_sigmas·rsd·exact`` (the sketch
+      guarantees standard error ``rsd``; a 4σ envelope essentially
+      never trips, and both sketches are DETERMINISTIC functions of
+      the data, so the verdict is stable across runs);
+    - ``p*_ok``: the approx_percentile value lies between the exact
+      percentiles at ``q ∓ (1/accuracy + rank_slack)`` — the sketch's
+      rank-error guarantee is ``1/accuracy``; ``rank_slack`` absorbs
+      the ≤1-rank discreteness of comparing an interpolated exact
+      percentile against a rank-space bound.
+
+    Output ``(key, n_rows, exact_nd, nd_ok, p<q>_ok...)`` contains NO
+    approximate values — so a DuckDB oracle can replay the exact
+    counts and assert the booleans as constants, turning the
+    permanently-rows-only ``group_approx_stats`` check into an
+    informative gate: if an engine's sketch ever violates its bound,
+    the value hash flips.
+
+    Scale shape: everything rides ONE map-side-combined groupBy; the
+    exact sides (countDistinct, exact percentile) are the expensive
+    legs — this op is the accuracy AUDIT you run on a sampled slice,
+    not the production path (the approx ops alone are that)."""
+    if not (0 < rsd < 1) or accuracy < 2:
+        raise ValueError(f"bad rsd/accuracy: {rsd}/{accuracy}")
+    eps = 1.0 / accuracy + rank_slack
+    kdf = _prep(df, [key], dropna_keys)
+    c_nd, c_q = _nn(kdf, nd_col), F.col(q_col)
+    aggs = [
+        F.count(F.lit(1)).alias("n_rows"),
+        F.countDistinct(c_nd).alias("exact_nd"),
+        F.approx_count_distinct(c_nd, rsd).alias("__apx_nd"),
+        F.percentile_approx(
+            c_q, list(map(float, qs)), accuracy).alias("__apx_q"),
+    ]
+    for i, q in enumerate(qs):
+        aggs.append(F.percentile(
+            c_q, max(float(q) - eps, 0.0)).alias(f"__lo{i}"))
+        aggs.append(F.percentile(
+            c_q, min(float(q) + eps, 1.0)).alias(f"__hi{i}"))
+    g = kdf.groupBy(key).agg(*aggs)
+    nd_ok = (
+        F.abs(F.col("__apx_nd") - F.col("exact_nd"))
+        <= F.lit(nd_sigmas * rsd) * F.col("exact_nd")
+    )
+    out = [F.col(key), F.col("n_rows"), F.col("exact_nd"),
+           nd_ok.alias("nd_ok")]
+    for i, q in enumerate(qs):
+        ok = (
+            (F.col("__apx_q")[i] >= F.col(f"__lo{i}"))
+            & (F.col("__apx_q")[i] <= F.col(f"__hi{i}"))
+        )
+        out.append(ok.alias(f"p{int(round(float(q) * 100)):02d}_ok"))
+    return g.select(*out)
+
+
 def group_idxmax(
     df: DataFrame,
     keys: Sequence[str] | str,

@@ -397,6 +397,33 @@ def group_approx_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "group_approx_stats_bounds",
+    oracle="""
+    SELECT l_returnflag,
+           COUNT(*) AS n_rows,
+           COUNT(DISTINCT l_partkey) AS exact_nd,
+           TRUE AS nd_ok, TRUE AS p50_ok, TRUE AS p95_ok
+    FROM lineitem WHERE l_returnflag IS NOT NULL
+    GROUP BY l_returnflag
+    """,
+)
+def group_approx_stats_bounds(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The checkable companion to ``group_approx_stats`` (whose HLL++/
+    approx_percentile values are engine-specific, hence rows-only):
+    ``group_approx_bounds_report`` computes approx AND exact in one
+    plan and emits only exact counts plus per-group booleans asserting
+    the sketches' published error bounds (4σ HLL envelope, rank-error
+    window for the percentile sketch). The oracle replays the exact
+    counts and pins the booleans TRUE — both sketches are
+    deterministic functions of the data, so the verdict is stable,
+    and a bound violation flips the value hash."""
+    li = _li(spark, sf_dir)
+    return ga.group_approx_bounds_report(
+        li, "l_returnflag", "l_partkey", "l_extendedprice",
+        rsd=0.05, accuracy=100, qs=(0.5, 0.95))
+
+
 # --------------------------------------------------------- first/last/nth
 
 

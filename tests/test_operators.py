@@ -1604,3 +1604,37 @@ def test_kmeans_fixed_semantics(spark):
 
     with pytest.raises(ValueError):
         kmeans_fixed(df, k=0)
+
+
+def test_group_approx_bounds_report(spark, sf_dir):
+    """The sketch-accuracy contract: all bounds hold at defaults on
+    the fixtures (both sketches are deterministic, so this is stable),
+    and a zero-width envelope DOES trip — proving the booleans are
+    computed, not constant."""
+    import pytest as _pytest
+
+    from pandas_rust_algos_spark.operators.grouped_agg import (
+        group_approx_bounds_report,
+    )
+    from pandas_rust_algos_spark.sources import load_table
+
+    li = load_table(spark, sf_dir, "lineitem")
+    rows = group_approx_bounds_report(
+        li, "l_returnflag", "l_partkey", "l_extendedprice",
+        rsd=0.05, accuracy=100, qs=(0.5, 0.95)).collect()
+    assert len(rows) == 3
+    for r in rows:
+        assert r["nd_ok"] is True and r["p50_ok"] is True \
+            and r["p95_ok"] is True
+        assert r["exact_nd"] > 0 and r["n_rows"] > 0
+
+    # zero-sigma envelope: HLL at rsd=0.05 is off by ~2.5% on this
+    # fixture (deterministically), so nd_ok must flip to False
+    strict = group_approx_bounds_report(
+        li, "l_returnflag", "l_partkey", "l_extendedprice",
+        rsd=0.05, nd_sigmas=0.0).collect()
+    assert any(r["nd_ok"] is False for r in strict)
+
+    with _pytest.raises(ValueError):
+        group_approx_bounds_report(
+            li, "l_returnflag", "l_partkey", "l_extendedprice", rsd=2.0)
