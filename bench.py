@@ -121,6 +121,8 @@ HEADLINE = [
     "ann_ivf_topk_portable",
     "ann_pq_topk_portable",
     "semantic_dedup",
+    "group_approx_stats_bounds",
+    "wordpiece_learn",
 ]
 
 

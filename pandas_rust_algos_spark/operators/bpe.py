@@ -33,7 +33,8 @@ from pyspark.sql import functions as F
 
 from pandas_rust_algos_spark.operators.text import tokens
 
-__all__ = ["bpe_learn_merges", "sql_bpe_merges"]
+__all__ = ["bpe_learn_merges", "sql_bpe_merges",
+           "wordpiece_learn_merges", "sql_wordpiece_merges"]
 
 _A = "\x02"
 _B = "\x03"
@@ -115,19 +116,113 @@ def bpe_learn_merges(
     return out
 
 
+def wordpiece_learn_merges(
+    docs: DataFrame,
+    text_col: str = "text",
+    *,
+    n_merges: int = 3,
+) -> DataFrame:
+    """WordPiece-style merge training (Schuster & Nakajima 2012; the
+    BERT tokenizer's trainer, public): identical mechanics to
+    :func:`bpe_learn_merges` except the WINNER of each step maximizes
+    the likelihood-gain score ``count(ab) / (count(a)·count(b))``
+    instead of the raw pair count — merging high-score pairs first
+    prefers pairs that co-occur far more than their unigram
+    frequencies predict.
+
+    Returns ``(step, merge_left, merge_right, pair_count, score)``
+    with the score rounded to 6 (registry rule 4); the RANKING uses
+    the unrounded double, which is deterministic cross-engine because
+    both engines evaluate the identical expression tree over exact
+    integer counts (registry rule 2; the unigram product is computed
+    in double so petabyte-scale counts cannot overflow BIGINT).
+    Ties break (score DESC, left, right).
+
+    Scale shape: exactly BPE's — the corpus is touched once for word
+    counts; per step one vocab-sized pair aggregation PLUS one
+    vocab-sized unigram-symbol aggregation (the score's denominator),
+    two broadcast-sized joins of the pair table to the unigram
+    counts, a 1-row TakeOrdered winner, zero driver collects."""
+    if n_merges < 1:
+        raise ValueError("n_merges must be >= 1")
+    words = (
+        docs.select(F.explode(tokens(text_col)).alias("w"))
+        .groupBy("w").agg(F.count(F.lit(1)).alias("n"))
+    )
+    cur = words.select("n", _encode(F.col("w")).alias("s"))
+    rules = []
+    for step in range(1, n_merges + 1):
+        syms = _symbols("s")
+        exploded = cur.select("n", syms.alias("syms"))
+        unigrams = (
+            exploded.select("n", F.explode("syms").alias("sym"))
+            .groupBy("sym").agg(F.sum("n").alias("c_sym"))
+        )
+        pairs = (
+            exploded.select(
+                "n",
+                F.explode(
+                    F.arrays_zip(
+                        F.slice("syms", 1, F.size("syms") - 1).alias("a"),
+                        F.slice("syms", 2, F.size("syms") - 1).alias("b"),
+                    )
+                ).alias("p"),
+            )
+            .groupBy(F.col("p.a").alias("merge_left"),
+                     F.col("p.b").alias("merge_right"))
+            .agg(F.sum("n").alias("pair_count"))
+        )
+        ua = unigrams.select(F.col("sym").alias("merge_left"),
+                             F.col("c_sym").alias("c_a"))
+        ub = unigrams.select(F.col("sym").alias("merge_right"),
+                             F.col("c_sym").alias("c_b"))
+        score = F.col("pair_count").cast("double") / (
+            F.col("c_a").cast("double") * F.col("c_b").cast("double"))
+        scored = (
+            pairs.join(ua, "merge_left").join(ub, "merge_right")
+            .select("merge_left", "merge_right", "pair_count",
+                    score.alias("__score"))
+        )
+        best = scored.orderBy(
+            F.col("__score").desc(), "merge_left", "merge_right"
+        ).limit(1)
+        rules.append(best.select(
+            F.lit(step).cast("long").alias("step"),
+            "merge_left", "merge_right", "pair_count",
+            F.round("__score", 6).alias("score")))
+        if step < n_merges:
+            pat = F.concat(F.lit(_A), F.col("merge_left"), F.lit(_B),
+                           F.lit(_A), F.col("merge_right"), F.lit(_B))
+            rep = F.concat(F.lit(_A), F.col("merge_left"),
+                           F.col("merge_right"), F.lit(_B))
+            cur = (
+                cur.crossJoin(F.broadcast(best))
+                .select("n", F.replace(F.col("s"), pat, rep).alias("s"))
+                .localCheckpoint(eager=True)
+            )
+    out = rules[0]
+    for r in rules[1:]:
+        out = out.unionByName(r)
+    return out
+
+
 def _sql_chain(
     n_merges: int,
     text_expr: str,
     table: str,
     *,
     n_states: int | None = None,
+    ranking: str = "count",
 ) -> str:
     """Shared CTE prefix for the SQL twins: word counts ``w``, the
     wrapped-symbol encodings ``s0``, and per merge step ``k`` the pair
     counts ``p{k}``, the winning rule ``best{k}``, and (for
     ``k <= n_states``) the post-merge vocabulary state ``s{k}``.
     Learning needs ``n_states = n_merges - 1`` (the last winner is
-    never applied); encoding needs all ``n_merges`` states."""
+    never applied); encoding needs all ``n_merges`` states.
+    ``ranking='wordpiece'`` inserts per-step unigram-count and score
+    CTEs and picks the likelihood-gain winner instead of the raw-count
+    one (the :func:`wordpiece_learn_merges` twin)."""
     if n_states is None:
         n_states = n_merges - 1
     ab = "chr(2)"
@@ -160,7 +255,29 @@ def _sql_chain(
              CAST(SUM(n) AS BIGINT) AS pair_count
       FROM u{k}, UNNEST(range(1, len(syms))) AS z(i)
       GROUP BY 1, 2
+    )""")
+        if ranking == "wordpiece":
+            parts.append(f""",
+    o{k} AS (
+      SELECT sym, CAST(SUM(n) AS BIGINT) AS c_sym
+      FROM (SELECT n, UNNEST(syms) AS sym FROM u{k})
+      GROUP BY 1
     ),
+    sc{k} AS (
+      SELECT p.merge_left, p.merge_right, p.pair_count,
+             CAST(p.pair_count AS DOUBLE) /
+               (CAST(a.c_sym AS DOUBLE) * CAST(b.c_sym AS DOUBLE))
+               AS score
+      FROM p{k} p
+      JOIN o{k} a ON a.sym = p.merge_left
+      JOIN o{k} b ON b.sym = p.merge_right
+    ),
+    best{k} AS (
+      SELECT * FROM sc{k}
+      ORDER BY score DESC, merge_left, merge_right LIMIT 1
+    )""")
+        else:
+            parts.append(f""",
     best{k} AS (
       SELECT * FROM p{k}
       ORDER BY pair_count DESC, merge_left, merge_right LIMIT 1
@@ -193,6 +310,24 @@ def sql_bpe_merges(
         for k in range(1, n_merges + 1)
     ]
     return (_sql_chain(n_merges, text_expr, table)
+            + "\n" + "\nUNION ALL\n".join(selects))
+
+
+def sql_wordpiece_merges(
+    n_merges: int = 3,
+    *,
+    text_expr: str = "text",
+    table: str = "documents",
+) -> str:
+    """DuckDB twin of :func:`wordpiece_learn_merges`: the same word
+    counts, encodings, pair AND unigram counts, likelihood-gain score
+    (the identical double expression tree), tie-break, and merges."""
+    selects = [
+        f"SELECT CAST({k} AS BIGINT) AS step, merge_left, merge_right, "
+        f"pair_count, ROUND(score, 6) AS score FROM best{k}"
+        for k in range(1, n_merges + 1)
+    ]
+    return (_sql_chain(n_merges, text_expr, table, ranking="wordpiece")
             + "\n" + "\nUNION ALL\n".join(selects))
 
 

@@ -817,6 +817,30 @@ def bpe_learn_merges_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "wordpiece_learn",
+    oracle=__import__(
+        "pandas_rust_algos_spark.operators.bpe",
+        fromlist=["sql_wordpiece_merges"],
+    ).sql_wordpiece_merges(3),
+)
+def wordpiece_learn_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WordPiece-style tokenizer training (``operators/bpe.py:
+    wordpiece_learn_merges``) — the likelihood-gain companion to
+    ``bpe_learn_merges``: each step's winner maximizes
+    ``count(ab)/(count(a)·count(b))`` over the weighted vocabulary
+    instead of the raw pair count (the BERT trainer's greedy rule).
+    The DuckDB oracle unrolls the same chained CTEs plus per-step
+    unigram counts and the identical double score tree, so the learned
+    rules AND scores hash-match bit-exactly. Same scale shape as BPE:
+    one corpus scan, vocabulary-sized steps, zero collects."""
+    from pandas_rust_algos_spark.operators.bpe import (
+        wordpiece_learn_merges,
+    )
+
+    return wordpiece_learn_merges(_docs(spark, sf_dir), n_merges=3)
+
+
+@register(
     "bpe_encode_tokens",
     oracle=__import__(
         "pandas_rust_algos_spark.operators.bpe",

@@ -101,6 +101,8 @@ _GATE_PRIORITY: tuple[str, ...] = (
     "ann_pq_topk_portable",    # new: oracle-able PQ (VERDICT r6 #3)
     "semantic_dedup",          # new: SemDeDup tier (VERDICT r6 #4)
     "group_approx_stats_bounds",  # new: sketch-accuracy contract (r6 #6)
+    "wordpiece_learn",         # new: likelihood-gain trainer (r6 #8)
+    "token_drift_kl",          # drift.py exchange fusion re-check (r6 #7)
     "dup_spans",          # dedup.py NULL-text coalesce (ADVICE r6)
     "dup_spans_strip",    # dedup.py NULL-text coalesce (ADVICE r6)
     "stratified_top_n",   # datasplit.py NULL/dup-key + __rn fixes (ADVICE r6)

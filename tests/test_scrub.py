@@ -341,3 +341,60 @@ def test_decontaminate_spans_planted(spark):
     import pytest as _pytest
     with _pytest.raises(ValueError):
         decontaminate_spans(corpus, bench, k=0)
+
+
+def test_wordpiece_merges_match_reference_trainer(spark):
+    """The WordPiece trainer learns the same merge sequence as an
+    independent plain-Python implementation of the likelihood-gain
+    rule count(ab)/(count(a)*count(b)) with (score desc, pair) ties."""
+    from collections import Counter
+
+    from pandas_rust_algos_spark.operators.bpe import (
+        wordpiece_learn_merges,
+    )
+
+    corpus = ["low low low lower lower newest newest newest",
+              "newest newest newest wider wider wider new new"]
+    docs = spark.createDataFrame([(t,) for t in corpus], "text string")
+
+    vocab = Counter(" ".join(corpus).split())
+    symbols = {w: list(w) for w in vocab}
+    expected = []
+    for _ in range(4):
+        pairs, unis = Counter(), Counter()
+        for w, n in vocab.items():
+            seq = symbols[w]
+            for s in seq:
+                unis[s] += n
+            for i in range(len(seq) - 1):
+                pairs[(seq[i], seq[i + 1])] += n
+        (a, b), cnt = min(
+            pairs.items(),
+            key=lambda kv: (-(kv[1] / (unis[kv[0][0]] * unis[kv[0][1]])),
+                            kv[0]))
+        expected.append((a, b, cnt,
+                         round(cnt / (unis[a] * unis[b]), 6)))
+        for w in symbols:
+            seq, out, i = symbols[w], [], 0
+            while i < len(seq):
+                if i + 1 < len(seq) and seq[i] == a and seq[i + 1] == b:
+                    out.append(a + b)
+                    i += 2
+                else:
+                    out.append(seq[i])
+                    i += 1
+            symbols[w] = out
+
+    got = sorted(wordpiece_learn_merges(docs, n_merges=4).collect(),
+                 key=lambda r: r["step"])
+    assert [(r["merge_left"], r["merge_right"], r["pair_count"],
+             r["score"]) for r in got] == expected
+    # WordPiece must diverge from BPE's raw-count winner on this
+    # corpus at some step — otherwise the test proves nothing
+    from pandas_rust_algos_spark.operators.bpe import bpe_learn_merges
+    bpe = [(r["merge_left"], r["merge_right"]) for r in sorted(
+        bpe_learn_merges(docs, n_merges=4).collect(),
+        key=lambda r: r["step"])]
+    assert bpe != [(a, b) for a, b, _, _ in expected]
+    with pytest.raises(ValueError):
+        wordpiece_learn_merges(docs, n_merges=0)
