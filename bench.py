@@ -123,6 +123,7 @@ HEADLINE = [
     "semantic_dedup",
     "group_approx_stats_bounds",
     "wordpiece_learn",
+    "heavy_hitters_approx_bounds",
 ]
 
 

@@ -36,6 +36,7 @@ __all__ = [
     "count_by_key",
     "heavy_hitters",
     "heavy_hitters_approx",
+    "heavy_hitters_approx_bounds_report",
     "hash60",
     "hll_bucket_rho",
     "hll_estimate",
@@ -405,6 +406,47 @@ def heavy_hitters_approx(
     if col is None:
         raise ValueError("heavy_hitters_approx supports a single key column")
     return freq.select(F.explode(col).alias(keys[0]))
+
+
+def heavy_hitters_approx_bounds_report(
+    df: DataFrame,
+    key: str,
+    *,
+    support: float = 0.01,
+) -> DataFrame:
+    """The CHECKABLE CONTRACT for :func:`heavy_hitters_approx`
+    (freqItems / Misra-Gries family — the approx set itself is
+    stream-order-dependent, hence its gate is rows-only): one summary
+    row ``(n_true_hitters, n_missed, approx_size_ok)`` asserting the
+    two guarantees that hold for EVERY stream order —
+
+    - **no false negatives**: every key with exact count >
+      ``support·N`` appears in the approx set (``n_missed`` = 0);
+    - **bounded output**: the approx set has at most ``⌊1/support⌋``
+      candidates (the Misra-Gries counter budget).
+
+    ``n_true_hitters`` is exact, so the oracle recomputes it and pins
+    the other two — a guarantee violation flips the value hash. Scale
+    shape: one exact count aggregation (the audit's cost — the approx
+    op alone is the production path), one freqItems pass, and a
+    broadcast anti-join of the tiny true-hitter set."""
+    if not 0.0 < support < 1.0:
+        raise ValueError(f"support must be in (0, 1), got {support}")
+    appr = heavy_hitters_approx(df, key, support=support)
+    exact = df.groupBy(key).agg(F.count(F.lit(1)).alias("cnt"))
+    n = exact.agg(F.sum("cnt").alias("n_total"))
+    true_h = (
+        exact.crossJoin(F.broadcast(n))
+        .where(F.col("cnt").cast("double")
+               > F.lit(support) * F.col("n_total").cast("double"))
+    )
+    t = true_h.agg(F.count(F.lit(1)).alias("n_true_hitters"))
+    m = true_h.join(F.broadcast(appr), key, "left_anti").agg(
+        F.count(F.lit(1)).alias("n_missed"))
+    sz = appr.agg(
+        (F.count(F.lit(1)) <= F.lit(int(1.0 / support)))
+        .alias("approx_size_ok"))
+    return t.crossJoin(F.broadcast(m)).crossJoin(F.broadcast(sz))
 
 
 def basket_pairs(

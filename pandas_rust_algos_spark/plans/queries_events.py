@@ -319,6 +319,41 @@ def heavy_hitters_approx_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return heavy_hitters_approx(ev, "user_id", support=0.01)
 
 
+@register(
+    "heavy_hitters_approx_bounds",
+    oracle="""
+    WITH c AS (
+      SELECT user_id, COUNT(*) AS cnt FROM events
+      WHERE user_id IS NOT NULL GROUP BY 1
+    ), n AS (SELECT SUM(cnt) AS n_total FROM c)
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_true_hitters,
+           CAST(0 AS BIGINT) AS n_missed,
+           TRUE AS approx_size_ok
+    FROM c CROSS JOIN n
+    WHERE CAST(cnt AS DOUBLE) > 0.01 * CAST(n_total AS DOUBLE)
+    """,
+)
+def heavy_hitters_approx_bounds_q(spark: SparkSession,
+                                  sf_dir: str) -> DataFrame:
+    """The checkable companion to ``heavy_hitters_approx`` (whose
+    Misra-Gries candidate set is stream-order-dependent, hence
+    rows-only): asserts the two order-INDEPENDENT guarantees in-plan —
+    no false negatives (every key above support·N is in the candidate
+    set) and the 1/support counter budget — alongside the exact
+    true-hitter count the oracle recomputes. A guarantee violation
+    flips the value hash (``operators/frequency.py:
+    heavy_hitters_approx_bounds_report``)."""
+    tune(spark)
+    from pandas_rust_algos_spark.operators.frequency import (
+        heavy_hitters_approx_bounds_report,
+    )
+
+    ev = load_table(spark, sf_dir, "events").where(
+        F.col("user_id").isNotNull())
+    return heavy_hitters_approx_bounds_report(
+        ev, "user_id", support=0.01)
+
+
 def _cms_oracle(width: int = 256, depth: int = 4) -> str:
     from pandas_rust_algos_spark.operators.frequency import sql_cms_hash
 

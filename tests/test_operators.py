@@ -1638,3 +1638,33 @@ def test_group_approx_bounds_report(spark, sf_dir):
     with _pytest.raises(ValueError):
         group_approx_bounds_report(
             li, "l_returnflag", "l_partkey", "l_extendedprice", rsd=2.0)
+
+
+def test_heavy_hitters_approx_bounds_report(spark, sf_dir):
+    """Misra-Gries contract: no false negatives and bounded output on
+    the fixture; a planted single-dominant-key frame reports exactly
+    one true hitter, zero missed."""
+    import pytest as _pytest
+
+    from pandas_rust_algos_spark.operators.frequency import (
+        heavy_hitters_approx_bounds_report,
+    )
+    from pandas_rust_algos_spark.sources import load_table
+
+    ev = load_table(spark, sf_dir, "events").where(
+        F.col("user_id").isNotNull())
+    row = heavy_hitters_approx_bounds_report(
+        ev, "user_id", support=0.01).collect()[0]
+    assert row["n_missed"] == 0
+    assert row["approx_size_ok"] is True
+
+    planted = spark.createDataFrame(
+        [(1,)] * 60 + [(i,) for i in range(2, 42)], "user_id long")
+    row = heavy_hitters_approx_bounds_report(
+        planted, "user_id", support=0.5).collect()[0]
+    assert row["n_true_hitters"] == 1 and row["n_missed"] == 0
+    assert row["approx_size_ok"] is True
+
+    with _pytest.raises(ValueError):
+        heavy_hitters_approx_bounds_report(planted, "user_id",
+                                           support=1.5)
