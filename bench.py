@@ -124,6 +124,7 @@ HEADLINE = [
     "group_approx_stats_bounds",
     "wordpiece_learn",
     "heavy_hitters_approx_bounds",
+    "dsir_weights",
 ]
 
 

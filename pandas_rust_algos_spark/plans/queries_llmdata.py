@@ -328,6 +328,34 @@ def kmeans_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "dsir_weights",
+    oracle=__import__(
+        "pandas_rust_algos_spark.operators.dsir",
+        fromlist=["sql_dsir_log_weights"],
+    ).sql_dsir_log_weights(
+        "(SELECT * FROM documents WHERE lang <> 'en')",
+        "(SELECT * FROM documents WHERE lang = 'en')",
+        n=2, buckets=1024),
+)
+def dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR-style importance weights (``operators/dsir.py``, Xie et
+    al. 2023): every non-English document scored by the log likelihood
+    ratio of its hashed-bigram profile under the English target model
+    vs the raw model — the data-selection score a pretraining pipeline
+    ranks on. Hashed models are ≤ buckets rows per side (broadcast);
+    per-(doc, bucket) terms floor to pico-units so the weight is
+    partitioning- and engine-exact; the oracle replays tokenizer,
+    hash, bucketing, smoothing, and flooring end to end."""
+    from pandas_rust_algos_spark.operators.dsir import dsir_log_weights
+
+    d = _docs(spark, sf_dir)
+    return dsir_log_weights(
+        d.where(F.col("lang") != "en"),
+        d.where(F.col("lang") == "en"),
+        n=2, buckets=1024)
+
+
+@register(
     "token_drift_kl",
     oracle=__import__(
         "pandas_rust_algos_spark.operators.drift",

@@ -103,6 +103,7 @@ _GATE_PRIORITY: tuple[str, ...] = (
     "group_approx_stats_bounds",  # new: sketch-accuracy contract (r6 #6)
     "wordpiece_learn",         # new: likelihood-gain trainer (r6 #8)
     "heavy_hitters_approx_bounds",  # new: Misra-Gries contract gate
+    "dsir_weights",            # new: DSIR importance-resampling scores
     "token_drift_kl",          # drift.py exchange fusion re-check (r6 #7)
     "dup_spans",          # dedup.py NULL-text coalesce (ADVICE r6)
     "dup_spans_strip",    # dedup.py NULL-text coalesce (ADVICE r6)

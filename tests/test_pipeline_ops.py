@@ -164,3 +164,30 @@ def test_domain_mix_plan_has_no_collect_and_broadcasts(spark, mixed):
     assert len(after) == len(before), "plan construction ran a Spark job"
     plan = kept._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastHashJoin" in plan
+
+
+def test_dsir_weights_prefer_target_like_docs(spark):
+    """A raw doc written in the target's vocabulary outscores one
+    written in raw-only vocabulary; gram-less docs score exactly 0."""
+    import pytest as _pytest
+
+    from pandas_rust_algos_spark.operators.dsir import dsir_log_weights
+
+    target = spark.createDataFrame(
+        [(100 + i, "the quick brown fox jumps over the lazy dog")
+         for i in range(5)],
+        "doc_id long, text string")
+    raw = spark.createDataFrame(
+        [(1, "the quick brown fox jumps again and again today"),
+         (2, "zzz qqq www eee rrr ttt yyy uuu iii ooo"),
+         (3, "solo")],  # 1 token -> no bigrams
+        "doc_id long, text string")
+    got = {r["doc_id"]: r for r in
+           dsir_log_weights(raw, target, n=2, buckets=256).collect()}
+    assert len(got) == 3
+    assert got[1]["log_weight"] > got[2]["log_weight"]
+    assert got[1]["log_weight"] > 0  # target-like: likelier under p
+    assert got[3]["log_weight"] == 0.0 and got[3]["n_grams"] == 0
+
+    with _pytest.raises(ValueError):
+        dsir_log_weights(raw, target, buckets=1)
