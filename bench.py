@@ -125,6 +125,7 @@ HEADLINE = [
     "wordpiece_learn",
     "heavy_hitters_approx_bounds",
     "dsir_weights",
+    "wav_media_features",
 ]
 
 

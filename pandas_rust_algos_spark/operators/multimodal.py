@@ -879,15 +879,24 @@ def audio_media_from_vecs(
     vec_col: str,
     *,
     n_samples: int = 48,
+    codec: str = "mulaw",
 ) -> DataFrame:
-    """Deterministically quantize a float-vector column into G.711
-    μ-law CODE bytes (``floor(clip(x,-1,1)*127)+128`` per element, the
-    same quantization as :func:`image_media_from_vecs`) — the
-    synthetic ingestion path that lets the embeddings fixture exercise
-    the companding decode end-to-end. The decode expansion is a pure
-    integer closed form, so the downstream features are exactly
-    recomputable by a SQL oracle straight from the source vectors."""
+    """Deterministically quantize a float-vector column into audio
+    payloads — the synthetic ingestion path that lets the embeddings
+    fixture exercise the audio decoders end-to-end:
+
+    - ``mulaw``: G.711 μ-law CODE bytes
+      (``floor(clip(x,-1,1)*127)+128`` per element — the companding
+      decode expansion is a pure integer closed form);
+    - ``wav``: int16 samples ``floor(clip(x,-1,1)*32767)`` framed in a
+      RIFF/WAVE container (:func:`encode_wav`) — PCM is lossless, so
+      the decoded samples ARE the quantization.
+
+    Either way the downstream features are exactly recomputable by a
+    SQL oracle straight from the source vectors."""
     n = n_samples
+    if codec not in ("mulaw", "wav"):
+        raise ValueError(f"codec must be mulaw|wav, got {codec!r}")
 
     @F.pandas_udf("binary")
     def _enc(vs: pd.Series) -> pd.Series:
@@ -896,6 +905,10 @@ def audio_media_from_vecs(
             if len(a) < n:
                 raise ValueError(
                     f"vector has {len(a)} dims, need {n}")
+            if codec == "wav":
+                s = np.floor(np.clip(a, -1.0, 1.0) * 32767.0) \
+                    .astype(np.int64)
+                return encode_wav(s.astype(np.int16))
             return (np.floor(np.clip(a, -1.0, 1.0) * 127.0)
                     .astype(np.int64) + 128).astype(np.uint8).tobytes()
         return vs.map(one)
@@ -906,7 +919,8 @@ def audio_media_from_vecs(
     )
     return packed.select(
         "media_id",
-        F.lit("audio/mulaw").alias("modality"),
+        F.lit("audio/wav" if codec == "wav" else "audio/mulaw")
+        .alias("modality"),
         "payload",
         F.length("payload").cast("long").alias("n_bytes"),
         F.md5("payload").alias("content_md5"),

@@ -1019,6 +1019,44 @@ def jpeg_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "wav_media_features",
+    oracle="""
+    WITH s AS (
+      SELECT vec_id,
+             list_transform(embedding[1:48],
+               x -> CAST(FLOOR(LEAST(GREATEST(CAST(x AS DOUBLE), -1.0),
+                                     1.0) * 32767.0) AS BIGINT)) AS smp
+      FROM embeddings
+    )
+    SELECT vec_id AS media_id, 'audio/wav' AS modality,
+           CAST(48 AS DOUBLE) AS f0,
+           CAST(list_aggregate(list_transform(smp, v -> ABS(v)), 'sum')
+                AS DOUBLE) / 48 AS f1,
+           CAST(list_aggregate(smp, 'min') AS DOUBLE) AS f2,
+           CAST(list_aggregate(smp, 'max') AS DOUBLE) AS f3,
+           CAST(NULL AS VARCHAR) AS check_md5
+    FROM s
+    """,
+)
+def wav_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RIFF/WAVE container path, hash-checked end-to-end: embeddings
+    quantize to int16 PCM framed in a from-scratch WAV container
+    (``multimodal.encode_wav``), decoded back through the chunk-list
+    walker (``_decode_wav`` — fmt/data chunks, even-byte padding) and
+    featurized. PCM is LOSSLESS, so the oracle recomputes the features
+    straight from the int16 quantization of the source vectors — a
+    hash match proves the container framing and the chunk walk
+    byte-exactly (the μ-law gate proves the companding math; this one
+    proves the framing)."""
+    tune(spark)
+    e = spread(load_table(spark, sf_dir, "embeddings"), cap=8)
+    media = mm.audio_media_from_vecs(
+        e, "vec_id", "embedding", n_samples=48, codec="wav")
+    return mm.extract_features(media).select(
+        "media_id", "modality", "f0", "f1", "f2", "f3", "check_md5")
+
+
+@register(
     "mulaw_media_features",
     oracle="""
     WITH s AS (
