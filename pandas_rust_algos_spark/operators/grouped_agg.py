@@ -760,19 +760,29 @@ def group_approx_bounds_report(
     eps = 1.0 / accuracy + rank_slack
     kdf = _prep(df, [key], dropna_keys)
     c_nd, c_q = _nn(kdf, nd_col), F.col(q_col)
+    # ONE exact-percentile aggregate with an array argument: all 2·|qs|
+    # rank-window bounds come from a single per-group sort instead of
+    # one sort per bound
+    bound_qs = []
+    for q in qs:
+        bound_qs.append(max(float(q) - eps, 0.0))
+        bound_qs.append(min(float(q) + eps, 1.0))
     aggs = [
         F.count(F.lit(1)).alias("n_rows"),
         F.countDistinct(c_nd).alias("exact_nd"),
         F.approx_count_distinct(c_nd, rsd).alias("__apx_nd"),
         F.percentile_approx(
             c_q, list(map(float, qs)), accuracy).alias("__apx_q"),
+        F.percentile(
+            c_q, F.array(*[F.lit(b) for b in bound_qs])).alias("__b"),
     ]
-    for i, q in enumerate(qs):
-        aggs.append(F.percentile(
-            c_q, max(float(q) - eps, 0.0)).alias(f"__lo{i}"))
-        aggs.append(F.percentile(
-            c_q, min(float(q) + eps, 1.0)).alias(f"__hi{i}"))
     g = kdf.groupBy(key).agg(*aggs)
+    g = g.select(
+        "*",
+        *[F.col("__b")[2 * i].alias(f"__lo{i}") for i in range(len(qs))],
+        *[F.col("__b")[2 * i + 1].alias(f"__hi{i}")
+          for i in range(len(qs))],
+    )
     nd_ok = (
         F.abs(F.col("__apx_nd") - F.col("exact_nd"))
         <= F.lit(nd_sigmas * rsd) * F.col("exact_nd")
