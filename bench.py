@@ -126,6 +126,7 @@ HEADLINE = [
     "heavy_hitters_approx_bounds",
     "dsir_weights",
     "wav_media_features",
+    "hard_negatives",
 ]
 
 

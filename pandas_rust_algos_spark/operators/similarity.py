@@ -24,8 +24,8 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
-__all__ = ["cosine", "dot", "cosine_topk", "lsh_signature", "lsh_topk",
-           "ivf_topk"]
+__all__ = ["cosine", "dot", "cosine_topk", "hard_negative_topk",
+           "lsh_signature", "lsh_topk", "ivf_topk"]
 
 
 def dot(a: Column, b: Column) -> Column:
@@ -96,6 +96,57 @@ def cosine_topk(
         cand.crossJoin(F.broadcast(qs))
         .where(F.col("qid") != F.col(id_col))
         .select(F.col("qid").alias(query_id_col), F.col(id_col), sim.alias("sim"))
+    )
+    w = Window.partitionBy(query_id_col).orderBy(
+        F.col("sim").desc(), F.col(id_col)
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+    )
+
+
+def hard_negative_topk(
+    df: DataFrame,
+    queries: DataFrame,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    label_col: str = "label",
+    query_id_col: str = "query_id",
+    k: int = 5,
+    round_digits: int = 6,
+) -> DataFrame:
+    """HARD-NEGATIVE MINING for contrastive training (the standard
+    retrieval-training data op: for every anchor, the most similar
+    items of a DIFFERENT label are the negatives worth training on —
+    random negatives are too easy to carry gradient). Exactly
+    :func:`cosine_topk` restricted to cross-label pairs: per query
+    the top-k by cosine among rows whose ``label_col`` differs from
+    the query's.
+
+    Scale shape: identical to ``cosine_topk`` (broadcast query side,
+    fact scan never shuffles, per-query TakeOrdered-sized rank window)
+    — this is the exact baseline; at corpus scale mine within the ANN
+    candidate set instead (``ivf_topk`` / ``lsh_topk`` output joined
+    against labels) for the same semantics over a bucketed pair space.
+    Determinism: the round-6 + id tie-break recipe the cosine gates
+    share."""
+    cand = df.select(
+        F.col(id_col), F.col(label_col).alias("__lbl"),
+        _as_double(F.col(vec_col)).alias("v"))
+    qs = queries.select(
+        F.col(query_id_col).alias("qid"),
+        F.col(label_col).alias("__qlbl"),
+        _as_double(F.col(vec_col)).alias("qv"),
+    )
+    sim = F.round(cosine(F.col("qv"), F.col("v")), round_digits)
+    scored = (
+        cand.crossJoin(F.broadcast(qs))
+        .where(F.col("qid") != F.col(id_col))
+        .where(~F.col("__lbl").eqNullSafe(F.col("__qlbl")))
+        .select(F.col("qid").alias(query_id_col), F.col(id_col),
+                F.col("__lbl").alias(label_col), sim.alias("sim"))
     )
     w = Window.partitionBy(query_id_col).orderBy(
         F.col("sim").desc(), F.col(id_col)

@@ -658,6 +658,46 @@ def cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
                       F.col("rank").cast("long").alias("rank"))
 
 
+@register(
+    "hard_negatives",
+    oracle="""
+    WITH q AS (
+      SELECT vec_id AS qid, label AS qlbl, embedding::DOUBLE[] AS qv
+      FROM embeddings WHERE vec_id < 10
+    ), c AS (
+      SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings
+    ), s AS (
+      SELECT qid, vec_id, label,
+             ROUND(LIST_DOT_PRODUCT(qv, v) /
+                   (SQRT(LIST_DOT_PRODUCT(qv, qv)) * SQRT(LIST_DOT_PRODUCT(v, v))),
+                   6) AS sim
+      FROM q, c WHERE qid <> vec_id AND label IS DISTINCT FROM qlbl
+    ), r AS (
+      SELECT qid, vec_id, label, sim,
+             ROW_NUMBER() OVER (PARTITION BY qid ORDER BY sim DESC, vec_id) AS rn
+      FROM s
+    )
+    SELECT qid AS query_id, vec_id, label, sim, CAST(rn AS BIGINT) AS rank
+    FROM r WHERE rn <= 5
+    """,
+)
+def hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hard-negative mining for contrastive training
+    (``similarity.hard_negative_topk``): per anchor, the top-5 most
+    similar vectors of a DIFFERENT label — the negatives that carry
+    gradient. Same broadcast/rank shape and round-6 + id-tie-break
+    determinism recipe as ``cosine_topk``; the cross-label restriction
+    is the only delta, and the oracle replays it with
+    IS DISTINCT FROM null semantics."""
+    emb = _emb(spark, sf_dir)
+    queries = emb.where(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("query_id"), "label", "embedding"
+    )
+    out = sim.hard_negative_topk(emb, queries, k=5)
+    return out.select("query_id", "vec_id", "label", "sim",
+                      F.col("rank").cast("long").alias("rank"))
+
+
 def _lsh_oracle(planes: int = 24, dims: int = 64,
                 band_bits: int = 4, k: int = 5) -> str:
     """DuckDB twin of the full LSH pipeline. The ±1 hyperplane weights

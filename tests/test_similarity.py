@@ -268,3 +268,33 @@ def test_ivf_fixed_matches_duckdb(spark, emb, sf_dir):
     con.close()
     assert got == {(int(a), int(b), int(c), int(d))
                    for a, b, c, d in ora}
+
+
+def test_hard_negative_topk(spark, emb, queries_with_label=None):
+    """Every mined negative has a label different from its anchor's,
+    ranks are dense from 1, and the top negative matches a numpy
+    replay of the cross-label cosine ranking."""
+    qs = emb.where(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"), "label", "embedding")
+    rows = sim.hard_negative_topk(emb, qs, k=K).collect()
+    pdf = emb.toPandas()
+    lbl = dict(zip(pdf["vec_id"], pdf["label"]))
+    by_q = {}
+    for r in rows:
+        assert r["label"] != lbl[r["query_id"]]
+        by_q.setdefault(r["query_id"], []).append((r["rank"], r["vec_id"]))
+    ids = pdf["vec_id"].to_numpy()
+    M = np.stack(pdf["embedding"].to_numpy()).astype("float64")
+    Mn = M / np.linalg.norm(M, axis=1, keepdims=True)
+    for qi, pairs in by_q.items():
+        ranks = sorted(r for r, _ in pairs)
+        assert ranks == list(range(1, len(pairs) + 1))
+        qrow = np.where(ids == qi)[0][0]
+        sims = np.round(Mn @ Mn[qrow], 6)
+        cand = sorted(
+            (i for i in range(len(ids))
+             if ids[i] != qi and lbl[ids[i]] != lbl[qi]),
+            key=lambda i: (-sims[i], ids[i]))
+        want = [int(ids[i]) for i in cand[:K]]
+        got = [v for _, v in sorted(pairs)]
+        assert got == want, f"query {qi}"
