@@ -42,7 +42,8 @@ from pandas_rust_algos_spark.operators.text import (
     token_ngrams as _grams,
 )
 
-__all__ = ["token_ngrams", "decontaminate", "sql_token_ngrams",
+__all__ = ["token_ngrams", "decontaminate", "decontaminate_semantic",
+           "sql_decontaminate_semantic", "sql_token_ngrams",
            "decontaminate_spans", "sql_decontaminate_spans"]
 
 
@@ -111,6 +112,134 @@ def decontaminate(
         "n_hits",
         (F.col("n_hits") >= min_hits).alias("contaminated"),
     )
+
+
+def decontaminate_semantic(
+    corpus: DataFrame,
+    bench: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    vec_col: str = "embedding",
+    bench_id_col: str = "vec_id",
+    threshold: float = 0.95,
+) -> DataFrame:
+    """SEMANTIC decontamination — the embedding tier of the decontam
+    family (gram-level ``decontaminate``, span-level
+    ``decontaminate_spans``, and now paraphrase-level): flag corpus
+    rows whose embedding is close (cosine ≥ ``threshold``) to ANY
+    benchmark embedding — the published recipe for catching
+    reworded/translated benchmark leakage that exact n-gram overlap
+    misses (e.g. the Llama-3 / GPT-4 data-card "fuzzy" decontamination
+    passes).
+
+    Returns one row per corpus row:
+    ``(id, max_cosine, nearest_bench_id, contaminated)``.
+
+    Determinism: cosine over MICRO-UNIT QUANTIZED vectors (the
+    ``semantic_dedup`` recipe) — the dot is an exact integer below
+    2^53, so the raw cosine and the argmax tie-break
+    (cosine DESC, bench id ASC) are bit-identical cross-engine with
+    no rounding bucket. Zero-norm vectors never match.
+
+    Scale shape: the benchmark side is eval sets — it BROADCASTS
+    (same asymmetry as gram decontam); the corpus side is one narrow
+    map over a broadcast nested-loop scoring ``|bench|`` dots per row
+    inside a single max_by aggregate — the corpus never shuffles, and
+    the output is one row per corpus row. At extreme |bench|, bucket
+    the broadcast by an IVF cell first (``ann_portable``)."""
+    from pandas_rust_algos_spark.operators.kmeans import _quantize
+
+    if not (0.0 < threshold <= 1.0):
+        raise ValueError(f"threshold must be in (0, 1], got {threshold}")
+    def _sqnorm(col_name: str):
+        return F.sqrt(F.aggregate(
+            F.zip_with(col_name, col_name, lambda x, y: x * y),
+            F.lit(0).cast("long"), lambda acc, x: acc + x
+        ).cast("double"))
+
+    # norms precomputed PER SIDE, not per pair (the semantic_dedup
+    # lesson: the pair space is the hot loop) — sqrt of the same exact
+    # integer is bit-identical wherever computed
+    c = corpus.where(F.col(vec_col).isNotNull()).select(
+        F.col(id_col), _quantize(F.col(vec_col)).alias("v")
+    ).withColumn("__nv", _sqnorm("v"))
+    b = bench.where(F.col(vec_col).isNotNull()).select(
+        F.col(bench_id_col).alias("__bid"),
+        _quantize(F.col(vec_col)).alias("bv"),
+    ).withColumn("__nb", _sqnorm("bv"))
+    d = F.aggregate(
+        F.zip_with("v", "bv", lambda x, y: x * y),
+        F.lit(0).cast("long"), lambda acc, x: acc + x)
+    cos = F.when(
+        (F.col("__nv") > 0) & (F.col("__nb") > 0),
+        d.cast("double") / (F.col("__nv") * F.col("__nb")),
+    ).otherwise(F.lit(-2.0))
+    scored = (
+        c.crossJoin(F.broadcast(b))
+        .select(
+            id_col,
+            cos.alias("__cos"),
+            F.col("__bid"),
+        )
+        .groupBy(id_col)
+        .agg(
+            F.max("__cos").alias("max_cosine"),
+            # deterministic argmax: (cos DESC, bench id ASC)
+            F.min_by(
+                "__bid",
+                F.struct((-F.col("__cos")).alias("nc"),
+                         F.col("__bid").alias("b")),
+            ).alias("nearest_bench_id"),
+        )
+    )
+    return scored.select(
+        id_col, "max_cosine", "nearest_bench_id",
+        (F.col("max_cosine") >= threshold).alias("contaminated"),
+    )
+
+
+def sql_decontaminate_semantic(
+    corpus_sql: str,
+    bench_sql: str,
+    *,
+    id_col: str = "doc_id",
+    vec_col: str = "embedding",
+    bench_id_col: str = "vec_id",
+    threshold: float = 0.95,
+) -> str:
+    """DuckDB twin of :func:`decontaminate_semantic` — same quantized
+    exact-integer cosine, same (cos DESC, bench id ASC) argmax."""
+    from pandas_rust_algos_spark.operators.kmeans import sql_quantize
+
+    cq = sql_quantize(vec_col)
+    return f"""
+    WITH c AS (
+      SELECT {id_col}, v, SQRT(LIST_DOT_PRODUCT(v, v)) AS nv
+      FROM (SELECT {id_col}, {cq}::DOUBLE[] AS v FROM {corpus_sql}
+            WHERE {vec_col} IS NOT NULL)
+    ), b AS (
+      SELECT bid, bv, SQRT(LIST_DOT_PRODUCT(bv, bv)) AS nb
+      FROM (SELECT {bench_id_col} AS bid, {cq}::DOUBLE[] AS bv
+            FROM {bench_sql} WHERE {vec_col} IS NOT NULL)
+    ), s AS (
+      SELECT c.{id_col}, b.bid,
+             CASE WHEN c.nv > 0 AND b.nb > 0
+                  THEN LIST_DOT_PRODUCT(c.v, b.bv) / (c.nv * b.nb)
+                  ELSE -2.0 END AS cos
+      FROM c CROSS JOIN b
+    ), agg AS (
+      SELECT {id_col}, cos AS max_cosine, bid AS nearest_bench_id
+      FROM (
+        SELECT {id_col}, cos, bid,
+               ROW_NUMBER() OVER (PARTITION BY {id_col}
+                                  ORDER BY cos DESC, bid) AS rn
+        FROM s
+      ) WHERE rn = 1
+    )
+    SELECT {id_col}, max_cosine, nearest_bench_id,
+           max_cosine >= {threshold} AS contaminated
+    FROM agg
+    """
 
 
 def decontaminate_spans(

@@ -328,6 +328,37 @@ def kmeans_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "decontam_semantic",
+    oracle=__import__(
+        "pandas_rust_algos_spark.operators.decontam",
+        fromlist=["sql_decontaminate_semantic"],
+    ).sql_decontaminate_semantic(
+        "(SELECT * FROM embeddings WHERE label <> 0)",
+        "(SELECT * FROM embeddings WHERE label = 0)",
+        id_col="vec_id", threshold=0.4),
+)
+def decontam_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SEMANTIC decontamination (``operators/decontam.py:
+    decontaminate_semantic``) — the paraphrase tier of the decontam
+    family: flag corpus embeddings whose cosine to ANY benchmark
+    embedding clears the threshold (reworded benchmark leakage that
+    gram/span overlap misses). Benchmark side broadcasts; cosine is
+    the quantized exact-integer recipe, so max_cosine AND the
+    (cos DESC, id ASC) nearest-benchmark argmax hash-match with no
+    rounding bucket. Threshold 0.4 is fixture-tuned so the
+    contaminated path is exercised (the synthetic embeddings have no
+    0.95-level neighbors; real corpora run 0.9+)."""
+    from pandas_rust_algos_spark.operators.decontam import (
+        decontaminate_semantic,
+    )
+
+    e = _emb(spark, sf_dir)
+    return decontaminate_semantic(
+        e.where(F.col("label") != 0), e.where(F.col("label") == 0),
+        id_col="vec_id", threshold=0.4)
+
+
+@register(
     "dsir_weights",
     oracle=__import__(
         "pandas_rust_algos_spark.operators.dsir",

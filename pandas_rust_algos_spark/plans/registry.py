@@ -106,6 +106,7 @@ _GATE_PRIORITY: tuple[str, ...] = (
     "dsir_weights",            # new: DSIR importance-resampling scores
     "wav_media_features",      # new: RIFF/WAVE container-path gate
     "hard_negatives",          # new: contrastive hard-negative mining
+    "decontam_semantic",       # new: paraphrase-tier decontamination
     "mulaw_media_features",    # multimodal.py audio_media_from_vecs changed
     "token_drift_kl",          # drift.py exchange fusion re-check (r6 #7)
     "dup_spans",          # dedup.py NULL-text coalesce (ADVICE r6)

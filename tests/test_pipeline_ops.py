@@ -191,3 +191,38 @@ def test_dsir_weights_prefer_target_like_docs(spark):
 
     with _pytest.raises(ValueError):
         dsir_log_weights(raw, target, buckets=1)
+
+
+def test_decontaminate_semantic_planted(spark):
+    """A corpus row that is a near-copy of a benchmark row is flagged
+    with that row as nearest; an orthogonal row is not; NULL vectors
+    drop; threshold validation raises."""
+    import numpy as np
+    import pytest as _pytest
+
+    from pandas_rust_algos_spark.operators.decontam import (
+        decontaminate_semantic,
+    )
+
+    rng = np.random.default_rng(11)
+    a = rng.normal(size=8)
+    ortho = np.zeros(8); ortho[0] = 0.0; ortho[1] = 1.0
+    base = a / np.linalg.norm(a)
+    bench = spark.createDataFrame(
+        [(100, [float(x) for x in base]),
+         (101, [float(x) for x in rng.normal(size=8)])],
+        "vec_id long, embedding array<float>")
+    corpus = spark.createDataFrame(
+        [(1, [float(x) for x in base + 0.001]),
+         (2, [float(x) for x in ortho]),
+         (3, None)],
+        "vec_id long, embedding array<float>")
+    got = {r["vec_id"]: r for r in decontaminate_semantic(
+        corpus, bench, id_col="vec_id", threshold=0.95).collect()}
+    assert set(got) == {1, 2}  # NULL vector dropped
+    assert got[1]["contaminated"] is True
+    assert got[1]["nearest_bench_id"] == 100
+    assert got[2]["contaminated"] is False
+
+    with _pytest.raises(ValueError):
+        decontaminate_semantic(corpus, bench, threshold=1.5)
