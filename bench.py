@@ -127,6 +127,7 @@ HEADLINE = [
     "dsir_weights",
     "wav_media_features",
     "hard_negatives",
+    "decontam_semantic",
 ]
 
 
