@@ -116,6 +116,106 @@ def _collect_centroids(cents: DataFrame) -> list[list[int]]:
     return [c for _, c in rows]
 
 
+def _train_centroids_fast(
+    pts: DataFrame,
+    id_col: str,
+    *,
+    k: int,
+    iters: int,
+    salt: str = "",
+) -> list[list[int]]:
+    """Driver-coordinated twin of ``kmeans._fixed_centroids`` —
+    BIT-IDENTICAL output (same md5 seed ranking, same exact integer
+    distances with lowest-cid ties, same ``floor(sum/count)`` updates,
+    same empty-cluster carry; pinned by a unit test), but each Lloyd
+    iteration is ONE exact-BLAS ``mapInPandas`` pass emitting integer
+    partial sums instead of a rows×k crossJoin + per-id window sort:
+
+    - distances come from ``||v||² − 2·(M @ C.T) + ||c||²`` in float64
+      — every term is an exact integer below 2^53 on the micro-unit
+      grid, so the matrix form IS the exact distance and ``argmin``
+      (first minimum = lowest cid) reproduces the (d, cid) tie rule;
+    - per-batch sums accumulate in int64 (exact), merge through a
+      k×dim-row shuffle, and the centroid state (k×dim longs —
+      metadata) lives on the driver between iterations, exactly the
+      state this module's callers collect at the end anyway (the
+      pure-DataFrame zero-collect implementation remains
+      ``kmeans_fixed``, which the ``kmeans_clusters`` gate exercises).
+
+    At gate scale (5k–20k vectors) this measures FLAT against the
+    DataFrame chain — both are per-job-overhead-bound. The win is the
+    SHAPE: the DataFrame chain's per-iteration argmin is a
+    ``crossJoin`` expanded to rows×k and SHUFFLE-SORTED by id for the
+    rank window, while this pass never shuffles a row — per iteration
+    it moves exactly k×dim partial-sum rows. At 10⁹ corpus rows ×16
+    cells that is the difference between re-shuffling 16B expanded
+    rows per iteration and a narrow scan."""
+    import numpy as np
+    import pandas as pd
+
+    h = F.conv(
+        F.substring(
+            F.md5(F.concat(F.col(id_col).cast("string"), F.lit(salt))),
+            1, 15),
+        16, 10,
+    ).cast("long")
+    seeds = (
+        pts.withColumn("__h", h).orderBy("__h", id_col).limit(k)
+        .select("v").collect()
+    )
+    cents = [list(r["v"]) for r in seeds]
+    if not cents:
+        return cents
+    dim = len(cents[0])
+
+    for _ in range(iters):
+        C = np.array(cents, dtype=np.float64)
+        cn = (C * C).sum(axis=1)
+
+        def _partials(batches):
+            sums = np.zeros((k, dim), dtype=np.int64)
+            cnts = np.zeros(k, dtype=np.int64)
+            for pdf in batches:
+                Mi = np.stack(pdf["v"].to_numpy()).astype(np.int64)
+                M = Mi.astype(np.float64)
+                d = ((M * M).sum(axis=1)[:, None]
+                     - 2.0 * (M @ C.T) + cn[None, :])
+                a = np.argmin(d, axis=1)
+                np.add.at(sums, a, Mi)
+                np.add.at(cnts, a, 1)
+            rows = []
+            for cid in range(k):
+                if cnts[cid]:
+                    for i in range(dim):
+                        rows.append((cid, i, int(sums[cid, i]),
+                                     int(cnts[cid])))
+            yield pd.DataFrame(rows,
+                               columns=["cid", "i", "s", "n"])
+
+        merged = (
+            pts.mapInPandas(_partials, "cid int, i int, s long, n long")
+            .groupBy("cid", "i")
+            .agg(F.sum("s").alias("s"), F.sum("n").alias("n"))
+            .collect()
+        )
+        acc: dict[int, list] = {}
+        for r in merged:
+            acc.setdefault(r["cid"], [None] * dim)[r["i"]] = (
+                r["s"], r["n"])
+        new_cents = []
+        for cid in range(k):
+            if cid in acc:
+                # floor(sum/count) in double — the engines' exact rule
+                new_cents.append([
+                    int(np.floor(float(s) / float(n)))
+                    for s, n in acc[cid]
+                ])
+            else:
+                new_cents.append(cents[cid])  # empty-cluster carry
+        cents = new_cents
+    return cents
+
+
 def ivf_topk_fixed(
     df: DataFrame,
     queries: DataFrame,
@@ -142,11 +242,8 @@ def ivf_topk_fixed(
                          f"{n_probe}/{n_cells}")
     pts = df.where(F.col(vec_col).isNotNull()).select(
         F.col(id_col), _quantize(F.col(vec_col)).alias("v"))
-    # checkpoint=False: 2-iteration chain collected immediately — one
-    # job instead of 2·iters+1 eagerly-materialized ones
-    cents = _fixed_centroids(
-        pts, id_col, k=n_cells, iters=iters, checkpoint=False)
-    cmatrix = _lit_lmatrix(_collect_centroids(cents))
+    cmatrix = _lit_lmatrix(_train_centroids_fast(
+        pts, id_col, k=n_cells, iters=iters))
 
     corpus = pts.withColumn("cell", _argmin_cell(F.col("v"), cmatrix))
     probes = (
@@ -201,15 +298,12 @@ def pq_topk_fixed(
         F.col(id_col), _quantize(F.col(vec_col)).alias("v"))
 
     # the m sub-codebook trainings are independent — submit their
-    # collect jobs concurrently (Spark schedules parallel jobs fine;
-    # each chain is checkpoint-free so it is exactly one job)
+    # jobs concurrently (Spark schedules parallel jobs fine)
     def _train(j: int) -> list[list[int]]:
         sub_pts = pts.select(
             id_col, F.slice("v", j * sub + 1, sub).alias("v"))
-        cents = _fixed_centroids(
-            sub_pts, id_col, k=k_codes, iters=iters, salt=f":{j}",
-            checkpoint=False)
-        return _collect_centroids(cents)
+        return _train_centroids_fast(
+            sub_pts, id_col, k=k_codes, iters=iters, salt=f":{j}")
 
     from concurrent.futures import ThreadPoolExecutor
 

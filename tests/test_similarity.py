@@ -298,3 +298,30 @@ def test_hard_negative_topk(spark, emb, queries_with_label=None):
         want = [int(ids[i]) for i in cand[:K]]
         got = [v for _, v in sorted(pairs)]
         assert got == want, f"query {qi}"
+
+
+def test_train_centroids_fast_matches_dataframe_lloyd(spark, emb):
+    """The driver-coordinated exact-BLAS Lloyd twin produces BIT-
+    IDENTICAL centroids to the pure-DataFrame kmeans._fixed_centroids
+    for several (k, iters, salt) shapes — the property that keeps the
+    IVF/PQ portable gates on the same oracle."""
+    from pyspark.sql import functions as SF
+
+    from pandas_rust_algos_spark.operators.ann_portable import (
+        _collect_centroids,
+        _train_centroids_fast,
+    )
+    from pandas_rust_algos_spark.operators.kmeans import (
+        _fixed_centroids,
+        _quantize,
+    )
+
+    pts = emb.select(
+        SF.col("vec_id"), _quantize(SF.col("embedding")).alias("v"))
+    for k, iters, salt in [(4, 2, ""), (8, 1, ""), (3, 3, ":1")]:
+        want = _collect_centroids(_fixed_centroids(
+            pts, "vec_id", k=k, iters=iters, salt=salt,
+            checkpoint=False))
+        got = _train_centroids_fast(
+            pts, "vec_id", k=k, iters=iters, salt=salt)
+        assert got == want, (k, iters, salt)
