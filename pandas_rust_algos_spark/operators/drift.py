@@ -156,13 +156,15 @@ def token_kl_divergence(
         .groupBy(group, "tok")
         .agg(F.sum("c_p").alias("c_p"), F.sum("c_q").alias("c_q"))
     )
+    # n_q (the reference-corpus token total) = sum(c_q) within ANY
+    # group's replica of v — so it rides the SAME totals aggregation
+    # instead of a separate 1-row aggregation + broadcast
     totals = v.groupBy(group).agg(
         F.sum("c_p").alias("n_p"),
         F.count(F.lit(1)).alias("n_vocab"),
+        F.sum("c_q").alias("n_q"),
     )
-    n_q = q.agg(F.sum("c_q").alias("n_q"))
-    joined = v.join(F.broadcast(totals), group).crossJoin(
-        F.broadcast(n_q))
+    joined = v.join(F.broadcast(totals), group)
     pw = (F.col("c_p") + 1).cast("double") \
         / (F.col("n_p") + F.col("n_vocab")).cast("double")
     qw = (F.col("c_q") + 1).cast("double") \
