@@ -60,6 +60,7 @@ from pyspark.sql import functions as F
 from pandas_rust_algos_spark.operators.kmeans import (
     _fixed_centroids,
     _quantize,
+    check_exact_blas,
     sql_kmeans_fixed_ctes,
     sql_quantize,
 )
@@ -166,10 +167,17 @@ def _train_centroids_fast(
     cents = [list(r["v"]) for r in seeds]
     if not cents:
         return cents
+    # fewer non-null vectors than k: clamp, mirroring
+    # kmeans._fixed_centroids (which simply has fewer seed rows) —
+    # previously the update loop indexed past the seed list (r7 ADVICE)
+    k = min(k, len(cents))
     dim = len(cents[0])
 
     for _ in range(iters):
         C = np.array(cents, dtype=np.float64)
+        check_exact_blas(
+            float(np.abs(C).max(initial=0.0)), dim,
+            "ann_portable._train_centroids_fast centroids", factor=4)
         cn = (C * C).sum(axis=1)
 
         def _partials(batches):
@@ -177,6 +185,9 @@ def _train_centroids_fast(
             cnts = np.zeros(k, dtype=np.int64)
             for pdf in batches:
                 Mi = np.stack(pdf["v"].to_numpy()).astype(np.int64)
+                check_exact_blas(
+                    float(np.abs(Mi).max(initial=0)), dim,
+                    "ann_portable._train_centroids_fast batch", factor=4)
                 M = Mi.astype(np.float64)
                 d = ((M * M).sum(axis=1)[:, None]
                      - 2.0 * (M @ C.T) + cn[None, :])
@@ -289,8 +300,10 @@ def pq_topk_fixed(
     per-subspace salt), exact integer encoding, and an exact-integer
     approximate distance ``Σ_j d²(q_sub_j, centroid[j][code_j])``.
     Returns ``(query_id, vec_id, approx_dist_sq, rank)``."""
-    first = df.select(vec_col).first()
-    dims = len(first[0]) if first and first[0] is not None else 0
+    # probe dims from the first NON-NULL vector (a leading NULL row
+    # must not masquerade as dims=0 — r7 ADVICE item)
+    first = df.where(F.col(vec_col).isNotNull()).select(vec_col).first()
+    dims = len(first[0]) if first is not None else 0
     if dims == 0 or dims % m != 0:
         raise ValueError(f"dims {dims} not divisible by m={m}")
     sub = dims // m

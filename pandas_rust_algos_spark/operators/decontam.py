@@ -155,7 +155,10 @@ def decontaminate_semantic(
     import numpy as np
     import pandas as pd
 
-    from pandas_rust_algos_spark.operators.kmeans import _quantize
+    from pandas_rust_algos_spark.operators.kmeans import (
+        _quantize,
+        check_exact_blas,
+    )
 
     if not (0.0 < threshold <= 1.0):
         raise ValueError(f"threshold must be in (0, 1], got {threshold}")
@@ -175,12 +178,18 @@ def decontaminate_semantic(
         )
     bids = np.array([bid for bid, _ in brows], dtype=np.int64)
     B = np.array([bv for _, bv in brows], dtype=np.float64)
+    bdim = B.shape[1]
+    bmax = float(np.abs(B).max(initial=0.0))
+    check_exact_blas(bmax, bdim, "decontaminate_semantic benchmark")
     nb = np.sqrt((B * B).sum(axis=1))
     bench_ok = nb > 0
 
     def _score(batches):
         for pdf in batches:
             M = np.stack(pdf["v"].to_numpy()).astype(np.float64)
+            check_exact_blas(
+                max(float(np.abs(M).max(initial=0.0)), bmax), bdim,
+                "decontaminate_semantic corpus batch")
             nv = np.sqrt((M * M).sum(axis=1))
             with np.errstate(divide="ignore", invalid="ignore"):
                 cos = (M @ B.T) / np.outer(nv, nb)
@@ -216,7 +225,11 @@ def sql_decontaminate_semantic(
     threshold: float = 0.95,
 ) -> str:
     """DuckDB twin of :func:`decontaminate_semantic` — same quantized
-    exact-integer cosine, same (cos DESC, bench id ASC) argmax."""
+    exact-integer cosine, same (cos DESC, bench id ASC) argmax. The
+    final select LEFT JOINs from the corpus so an EMPTY benchmark
+    yields every corpus row with ``max_cosine=-2.0 / contaminated=
+    false`` exactly like the Spark branch (a bare CROSS JOIN would
+    return zero rows on that edge — r7 ADVICE item)."""
     from pandas_rust_algos_spark.operators.kmeans import sql_quantize
 
     cq = sql_quantize(vec_col)
@@ -244,9 +257,11 @@ def sql_decontaminate_semantic(
         FROM s
       ) WHERE rn = 1
     )
-    SELECT {id_col}, max_cosine, nearest_bench_id,
-           max_cosine >= {threshold} AS contaminated
-    FROM agg
+    SELECT c.{id_col},
+           COALESCE(a.max_cosine, -2.0) AS max_cosine,
+           a.nearest_bench_id,
+           COALESCE(a.max_cosine, -2.0) >= {threshold} AS contaminated
+    FROM c LEFT JOIN agg a ON c.{id_col} = a.{id_col}
     """
 
 

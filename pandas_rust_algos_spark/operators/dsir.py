@@ -23,8 +23,16 @@ Determinism (the gate contract): each per-(doc, bucket) term is
 floored to integer PICO-units (1e-12) and summed exactly — the
 ``token_kl_divergence`` recipe — so the weight is partitioning- AND
 engine-independent; the final divide + round-6 absorbs the flooring.
-``ln`` operands are built from identical expression trees both
-engines (registry rule 2).
+The per-bucket log-ratio ``ln p_b − ln q_b`` is computed ONCE on the
+DRIVER in CPython (the models are ≤ ``buckets`` rows — they collect
+anyway) and injected as a broadcast column, so the Spark side
+evaluates NO ``Math.log`` at all: JVM ``log`` is only specified to
+1 ulp (semi-monotonic), while CPython and DuckDB both call the host
+libm's correctly-behaving ``log`` on identical double arguments —
+removing the cross-engine ulp class the r7 ADVICE flagged (a 1-ulp
+log difference amplified by the pico floor could flip the hash when
+a term landed on a grid boundary). Divide/multiply/floor on both
+sides are exactly-rounded IEEE ops over identical bits.
 
 Selection itself is deliberately NOT in this op: the weight column
 composes with the engine's existing deterministic samplers
@@ -82,32 +90,41 @@ def dsir_log_weights(
     ``log_weight > 0`` means the document looks more target-like than
     raw-average; rank on it with the engine's deterministic
     samplers."""
+    import math
+
     if n < 1 or buckets < 2:
         raise ValueError(f"need n >= 1 and buckets >= 2, got {n}/{buckets}")
-    p = _model(target, text_col, n, buckets)
-    q = _model(raw, text_col, n, buckets)
-    np_ = p.agg(F.sum("c").alias("n_p"))
-    nq_ = q.agg(F.sum("c").alias("n_q"))
+    # both models are <= buckets rows — metadata-sized driver collects
+    # (they would ride as broadcasts regardless); the log-ratio per
+    # bucket is then CPython libm, not JVM Math.log (see module doc)
+    p_cnt = {r["b"]: r["c"] for r in
+             _model(target, text_col, n, buckets).collect()}
+    q_cnt = {r["b"]: r["c"] for r in
+             _model(raw, text_col, n, buckets).collect()}
+    n_p = sum(p_cnt.values())
+    n_q = sum(q_cnt.values())
+    # every docfeat bucket appears in q (it was counted from raw), so
+    # q's support is the full domain; p falls back to the +1 smoother
+    dlr_rows = [
+        (int(b),
+         math.log((p_cnt.get(b, 0) + 1) / (n_p + buckets))
+         - math.log((c_q + 1) / (n_q + buckets)))
+        for b, c_q in q_cnt.items()
+    ]
     docfeat = (
         raw.select(F.col(id_col),
                    F.explode(token_ngrams(text_col, n)).alias("g"))
         .select(id_col, _bucket(F.col("g"), buckets).alias("b"))
         .groupBy(id_col, "b").agg(F.count(F.lit(1)).alias("c_db"))
     )
-    joined = (
-        docfeat
-        .join(F.broadcast(p.withColumnRenamed("c", "c_p")), "b", "left")
-        .join(F.broadcast(q.withColumnRenamed("c", "c_q")), "b", "left")
-        .crossJoin(F.broadcast(np_)).crossJoin(F.broadcast(nq_))
-    )
-    lnp = F.log(
-        (F.coalesce("c_p", F.lit(0)) + 1).cast("double")
-        / (F.col("n_p") + buckets).cast("double"))
-    lnq = F.log(
-        (F.coalesce("c_q", F.lit(0)) + 1).cast("double")
-        / (F.col("n_q") + buckets).cast("double"))
+    if dlr_rows:
+        dlr = raw.sparkSession.createDataFrame(
+            dlr_rows, schema="b long, dlr double")
+        joined = docfeat.join(F.broadcast(dlr), "b")
+    else:
+        joined = docfeat.withColumn("dlr", F.lit(0.0))
     term_pico = F.floor(
-        F.col("c_db").cast("double") * (lnp - lnq) * F.lit(1e12)
+        F.col("c_db").cast("double") * F.col("dlr") * F.lit(1e12)
     ).cast("long")
     scored = joined.groupBy(id_col).agg(
         F.sum("c_db").alias("n_grams"),

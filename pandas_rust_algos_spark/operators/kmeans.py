@@ -49,6 +49,7 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 __all__ = [
+    "check_exact_blas",
     "kmeans_fixed",
     "kmeans_fixed_centroids",
     "sql_kmeans_fixed",
@@ -63,6 +64,32 @@ def _quantize(vec_col):
         vec_col,
         lambda x: F.floor(x.cast("double") * F.lit(_SCALE)).cast("long"),
     )
+
+
+def check_exact_blas(max_abs: float, dim: int, where: str,
+                     factor: int = 1) -> None:
+    """Guard the exact-BLAS precondition: a float64 matmul of
+    micro-unit integer matrices is EXACT (order-independent, equal to
+    the BIGINT computation an oracle replays) only while every partial
+    sum stays below 2^53 — i.e. ``factor · dim · max_abs² < 2^53``,
+    where ``factor`` is 1 for a plain Gram/dot block and 4 for the
+    composed squared-distance form ``‖v‖² − 2·(M@Cᵀ) + ‖c‖²`` (whose
+    terms combine to up to 4× a single partial sum). Beyond the bound
+    the matmul silently rounds, flipping argmin tie rules with no
+    error — so violations must raise loudly (r7 ADVICE item). At
+    dim=64/factor=1 the bound allows |x| ≲ 11.8 in float units
+    (max_abs ≲ 1.18e7 micro-units); real embedding spaces sit far
+    inside it."""
+    if dim > 0 and factor * dim * float(max_abs) * float(max_abs) \
+            >= 2.0 ** 53:
+        raise ValueError(
+            f"{where}: exact-BLAS precondition violated — "
+            f"max|quantized| = {max_abs:.0f} micro-units at dim {dim} "
+            f"(factor {factor}) exceeds the 2^53 exactness bound; "
+            f"results would silently diverge from the integer oracle. "
+            f"Rescale the embeddings (|x| must stay under "
+            f"{(2.0 ** 53 / (factor * dim)) ** 0.5 / _SCALE:.2f})."
+        )
 
 
 def _assign(pts: DataFrame, cents: DataFrame, id_col: str) -> DataFrame:

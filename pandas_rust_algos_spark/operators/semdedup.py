@@ -51,6 +51,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from pandas_rust_algos_spark.operators.kmeans import (
+    check_exact_blas,
     kmeans_fixed,
     sql_kmeans_fixed,
 )
@@ -102,7 +103,10 @@ def semantic_dedup(
         pdf = pdf.sort_values(id_col, kind="mergesort")
         M = np.stack(pdf["vq"].to_numpy()).astype(np.float64)
         # exact: micro-unit products/sums stay < 2^53, so the BLAS
-        # result IS the integer Gram matrix
+        # result IS the integer Gram matrix — guarded, not assumed
+        # (out-of-range inputs would silently break the tie rule)
+        check_exact_blas(float(np.abs(M).max(initial=0.0)), M.shape[1],
+                         "semantic_dedup Gram block")
         G = M @ M.T
         nv = np.sqrt(np.diag(G))
         # RAW cosine compares bit-identically cross-engine: the dot is

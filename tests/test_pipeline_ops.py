@@ -226,3 +226,73 @@ def test_decontaminate_semantic_planted(spark):
 
     with _pytest.raises(ValueError):
         decontaminate_semantic(corpus, bench, threshold=1.5)
+
+
+def test_decontaminate_semantic_empty_benchmark_twins_agree(spark):
+    """EMPTY benchmark: the Spark branch returns every corpus row with
+    max_cosine=-2.0/contaminated=false, and the r8-fixed SQL twin
+    (LEFT JOIN from the corpus, not a bare CROSS JOIN) matches —
+    previously the twin yielded ZERO rows on this edge (r7 ADVICE)."""
+    import duckdb
+    import pandas as pd
+
+    from pandas_rust_algos_spark.operators.decontam import (
+        decontaminate_semantic,
+        sql_decontaminate_semantic,
+    )
+
+    corpus = spark.createDataFrame(
+        [(1, [0.5, 0.5]), (2, [1.0, 0.0]), (3, None)],
+        "vec_id long, embedding array<float>")
+    bench = spark.createDataFrame(
+        [], "vec_id long, embedding array<float>")
+    got = decontaminate_semantic(
+        corpus, bench, id_col="vec_id").toPandas().sort_values(
+        "vec_id").reset_index(drop=True)
+    assert list(got["vec_id"]) == [1, 2]
+    assert (got["max_cosine"] == -2.0).all()
+    assert (~got["contaminated"]).all()
+    assert got["nearest_bench_id"].isna().all()
+
+    con = duckdb.connect()
+    con.register("corpus_t", pd.DataFrame(
+        {"vec_id": [1, 2, 3],
+         "embedding": [[0.5, 0.5], [1.0, 0.0], None]}))
+    con.register("bench_t", pd.DataFrame(
+        {"vec_id": pd.Series([], dtype="int64"),
+         "embedding": pd.Series([], dtype="object")}))
+    sql = sql_decontaminate_semantic(
+        "(SELECT * FROM corpus_t)", "(SELECT * FROM bench_t)",
+        id_col="vec_id")
+    want = con.execute(sql).df().sort_values("vec_id").reset_index(
+        drop=True)
+    assert list(want["vec_id"]) == [1, 2]
+    assert (want["max_cosine"] == -2.0).all()
+    assert (~want["contaminated"]).all()
+    assert want["nearest_bench_id"].isna().all()
+
+
+def test_exact_blas_guard_raises_out_of_range(spark):
+    """check_exact_blas rejects inputs whose micro-unit magnitude
+    breaks float64-matmul exactness (silent hash divergence before the
+    r8 guard); in-range inputs pass."""
+    import pytest as _pytest
+
+    from pandas_rust_algos_spark.operators.decontam import (
+        decontaminate_semantic,
+    )
+    from pandas_rust_algos_spark.operators.kmeans import check_exact_blas
+
+    check_exact_blas(1.2e6, 64, "ok")  # |x| ~ 1.2 at dim 64: fine
+    with _pytest.raises(ValueError, match="exact-BLAS precondition"):
+        check_exact_blas(1.2e7, 64, "too big")
+    with _pytest.raises(ValueError, match="exact-BLAS precondition"):
+        check_exact_blas(6e6, 64, "distance form", factor=4)
+
+    big = 20.0  # quantizes to 2e7 micro-units > the dim-64 bound
+    bench = spark.createDataFrame(
+        [(100, [big] * 64)], "vec_id long, embedding array<float>")
+    corpus = spark.createDataFrame(
+        [(1, [0.1] * 64)], "vec_id long, embedding array<float>")
+    with _pytest.raises(ValueError, match="exact-BLAS precondition"):
+        decontaminate_semantic(corpus, bench, id_col="vec_id")

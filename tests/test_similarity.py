@@ -325,3 +325,46 @@ def test_train_centroids_fast_matches_dataframe_lloyd(spark, emb):
         got = _train_centroids_fast(
             pts, "vec_id", k=k, iters=iters, salt=salt)
         assert got == want, (k, iters, salt)
+
+
+def test_train_centroids_fast_fewer_points_than_k(spark, emb):
+    """k > corpus size must clamp to the seed count and still match
+    kmeans._fixed_centroids (it simply has fewer seed rows) — before
+    the r8 fix the update loop indexed past the seed list."""
+    from pyspark.sql import functions as SF
+
+    from pandas_rust_algos_spark.operators.ann_portable import (
+        _collect_centroids,
+        _train_centroids_fast,
+    )
+    from pandas_rust_algos_spark.operators.kmeans import (
+        _fixed_centroids,
+        _quantize,
+    )
+
+    pts = emb.where(SF.col("vec_id") < 3).select(
+        SF.col("vec_id"), _quantize(SF.col("embedding")).alias("v"))
+    want = _collect_centroids(_fixed_centroids(
+        pts, "vec_id", k=8, iters=2, checkpoint=False))
+    got = _train_centroids_fast(pts, "vec_id", k=8, iters=2)
+    assert len(got) == 3
+    assert got == want
+
+
+def test_pq_fixed_dims_probe_skips_null_rows(spark):
+    """A leading NULL vector must not break the dims probe (r7 ADVICE:
+    the probe read the literal first row)."""
+    from pandas_rust_algos_spark.operators.ann_portable import (
+        pq_topk_fixed,
+    )
+
+    rows = [(0, None)] + [
+        (i, [float((i * 7 + j) % 5) for j in range(8)])
+        for i in range(1, 13)
+    ]
+    df = spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>")
+    qs = df.where(F.col("vec_id") == 1).select(
+        F.col("vec_id").alias("query_id"), "embedding")
+    out = pq_topk_fixed(df, qs, k=3, m=2, k_codes=4, iters=1)
+    assert out.count() == 3
