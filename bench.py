@@ -140,6 +140,9 @@ HEADLINE = [
     "wav_media_features",
     "hard_negatives",
     "decontam_semantic",
+    # round 8: composed IVF+PQ retrieval (coarse cells prune, residual
+    # PQ-ADC scores probed cells only)
+    "ann_ivfpq_topk_portable",
 ]
 
 

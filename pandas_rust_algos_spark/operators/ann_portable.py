@@ -67,8 +67,10 @@ from pandas_rust_algos_spark.operators.kmeans import (
 
 __all__ = [
     "ivf_topk_fixed",
+    "ivfpq_topk_fixed",
     "pq_topk_fixed",
     "sql_ivf_topk_fixed",
+    "sql_ivfpq_topk_fixed",
     "sql_pq_topk_fixed",
 ]
 
@@ -361,6 +363,136 @@ def pq_topk_fixed(
     )
 
 
+def ivfpq_topk_fixed(
+    df: DataFrame,
+    queries: DataFrame,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+    k: int = 5,
+    n_cells: int = 8,
+    n_probe: int = 3,
+    m: int = 4,
+    k_codes: int = 8,
+    iters: int = 2,
+) -> DataFrame:
+    """COMPOSED portable IVF+PQ retrieval — the production ANN shape
+    at 100 TB (r7 VERDICT next-#4): coarse IVF cells PRUNE the corpus
+    (each query touches ~n_probe/n_cells of it), and PQ-ADC scores
+    only the probed cells' codes — unlike :func:`pq_topk_fixed`, which
+    scores the full code table per query by construction.
+
+    The composition follows the standard IVF-ADC recipe (Jégou et al.
+    2011, "Product Quantization for Nearest Neighbor Search"): PQ
+    codebooks are trained on the RESIDUALS ``r = v − centroid[cell]``
+    (residuals concentrate near 0, so a small codebook covers them far
+    better than the raw space), queries probe their ``n_probe``
+    nearest cells, and the ADC distance per candidate is
+    ``Σ_j d²(q_residual_sub_j, book_j[code_j])`` with the query
+    residual taken against the PROBED cell's centroid. Everything
+    stays on the integer micro-unit grid (residuals of integers are
+    integers), so a DuckDB oracle unrolls coarse training, assignment,
+    residual sub-codebook training, encoding, probing, and ADC end to
+    end — bit-exact.
+
+    Returns ``(query_id, vec_id, approx_dist_sq, rank)``; a corpus
+    vector lives in exactly ONE cell so each (query, candidate) pair
+    surfaces at most once — no distinct pass. Self-matches excluded.
+
+    Scale shape: coarse training as in :func:`ivf_topk_fixed`
+    (driver-coordinated Lloyd, k×dim partial-sum traffic/iter);
+    residuals are computed once as a zero-exchange map and
+    checkpointed (at 100 TB: persisted/written once) before the m
+    sub-codebook trainings scan them; both centroid sets are METADATA
+    riding the search plan as literals; search is one broadcast join
+    of the exploded query probes onto the coded corpus cells. The
+    float MLlib composition is :func:`similarity.ivfpq_topk`."""
+    if n_probe < 1 or n_probe > n_cells:
+        raise ValueError(f"need 1 <= n_probe <= n_cells, got "
+                         f"{n_probe}/{n_cells}")
+    first = df.where(F.col(vec_col).isNotNull()).select(vec_col).first()
+    dims = len(first[0]) if first is not None else 0
+    if dims == 0 or dims % m != 0:
+        raise ValueError(f"dims {dims} not divisible by m={m}")
+    sub = dims // m
+    pts = df.where(F.col(vec_col).isNotNull()).select(
+        F.col(id_col), _quantize(F.col(vec_col)).alias("v"))
+    cmatrix = _lit_lmatrix(_train_centroids_fast(
+        pts, id_col, k=n_cells, iters=iters))
+
+    asg = (
+        pts.withColumn("cell", _argmin_cell(F.col("v"), cmatrix))
+        .withColumn(
+            "r",
+            F.zip_with(
+                "v", F.element_at(cmatrix, F.col("cell") + 1),
+                lambda a, b: a - b),
+        )
+        # reused by m sub-codebook trainings AND the encode pass —
+        # materialize once instead of re-running assignment per scan
+        .localCheckpoint(eager=True)
+    )
+
+    def _train(j: int) -> list[list[int]]:
+        res_j = asg.select(
+            id_col, F.slice("r", j * sub + 1, sub).alias("v"))
+        return _train_centroids_fast(
+            res_j, id_col, k=k_codes, iters=iters, salt=f":{j}")
+
+    from concurrent.futures import ThreadPoolExecutor
+
+    with ThreadPoolExecutor(max_workers=m) as ex:
+        books = [_lit_lmatrix(b) for b in ex.map(_train, range(m))]
+
+    coded = asg.select(
+        id_col,
+        "cell",
+        F.array(*[
+            _argmin_cell(F.slice("r", j * sub + 1, sub), books[j])
+            for j in range(m)
+        ]).alias("codes"),
+    )
+    probes = (
+        queries.where(F.col(vec_col).isNotNull())
+        .select(
+            F.col(query_id_col).alias("__qid"),
+            _quantize(F.col(vec_col)).alias("qv"),
+        )
+        .withColumn(
+            "cell", F.explode(_top_cells(F.col("qv"), cmatrix, n_probe)))
+        .withColumn(
+            "qr",
+            F.zip_with(
+                "qv", F.element_at(cmatrix, F.col("cell") + 1),
+                lambda a, b: a - b),
+        )
+    )
+    approx = None
+    for j in range(m):
+        dj = _dist_sq(
+            F.slice("qr", j * sub + 1, sub),
+            F.element_at(books[j], F.element_at("codes", j + 1) + 1),
+        )
+        approx = dj if approx is None else approx + dj
+    scored = (
+        coded.join(F.broadcast(probes), "cell")
+        .where(F.col("__qid") != F.col(id_col))
+        .select(
+            F.col("__qid").alias(query_id_col),
+            id_col,
+            approx.alias("approx_dist_sq"),
+        )
+    )
+    w = Window.partitionBy(query_id_col).orderBy(
+        "approx_dist_sq", id_col)
+    return (
+        scored.withColumn(
+            "rank", F.row_number().over(w).cast("long"))
+        .where(F.col("rank") <= k)
+    )
+
+
 _SQL_QDIST = ("LIST_SUM(LIST_TRANSFORM(RANGE(1, LEN(q.qv) + 1), "
               "ii -> (q.qv[ii] - c.c[ii]) * (q.qv[ii] - c.c[ii])))")
 
@@ -381,7 +513,7 @@ def sql_ivf_topk_fixed(
     the same table by ``query_pred`` (mirroring the gate): the same
     quantization, Lloyd chain, argmin cell assignment, top-n_probe
     probe selection, exact in-cell distances, and (dist, id) rank."""
-    ctes = [f"""pts AS (
+    ctes = [f"""pts AS MATERIALIZED (
       SELECT {id_col}, {sql_quantize(vec_col)} AS v
       FROM {table} WHERE {vec_col} IS NOT NULL
     )"""]
@@ -448,7 +580,7 @@ def sql_pq_topk_fixed(
     if dims % m != 0:
         raise ValueError(f"dims {dims} not divisible by m={m}")
     sub = dims // m
-    ctes = [f"""pts AS (
+    ctes = [f"""pts AS MATERIALIZED (
       SELECT {id_col}, {sql_quantize(vec_col)} AS v
       FROM {table} WHERE {vec_col} IS NOT NULL
     )"""]
@@ -484,6 +616,111 @@ def sql_pq_topk_fixed(
     ctes.append(f"""tot AS (
       SELECT qid, {id_col}, SUM(dj) AS d
       FROM parts WHERE qid <> {id_col}
+      GROUP BY 1, 2
+    )""")
+    return f"""
+    WITH {', '.join(ctes)}
+    SELECT qid AS {query_id_col}, {id_col},
+           CAST(d AS BIGINT) AS approx_dist_sq, rnk AS rank
+    FROM (
+      SELECT *, CAST(ROW_NUMBER() OVER (
+        PARTITION BY qid ORDER BY d, {id_col}) AS BIGINT) AS rnk
+      FROM tot
+    ) WHERE rnk <= {k}
+    """
+
+
+def sql_ivfpq_topk_fixed(
+    table: str = "embeddings",
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    *,
+    query_pred: str = "vec_id < 10",
+    query_id_col: str = "query_id",
+    k: int = 5,
+    n_cells: int = 8,
+    n_probe: int = 3,
+    m: int = 4,
+    k_codes: int = 8,
+    iters: int = 2,
+    dims: int = 64,
+) -> str:
+    """DuckDB twin of :func:`ivfpq_topk_fixed`: the coarse Lloyd
+    chain, argmin assignment + integer residuals, per-subspace Lloyd
+    chains OVER THE RESIDUALS (same per-subspace seed salt), exact
+    integer encoding, top-``n_probe`` probe selection with per-cell
+    query residuals, and the residual-ADC sum over the probed cells
+    only — the whole composed retrieval unrolled as chained CTEs."""
+    if dims % m != 0:
+        raise ValueError(f"dims {dims} not divisible by m={m}")
+    sub = dims // m
+    ctes = [f"""pts AS MATERIALIZED (
+      SELECT {id_col}, {sql_quantize(vec_col)} AS v
+      FROM {table} WHERE {vec_col} IS NOT NULL
+    )"""]
+    chain, cent = sql_kmeans_fixed_ctes(
+        "pts", id_col, k=n_cells, iters=iters)
+    ctes.extend(chain)
+    dist_pc = ("LIST_SUM(LIST_TRANSFORM(RANGE(1, LEN(p.v) + 1), "
+               "ii -> (p.v[ii] - c.c[ii]) * (p.v[ii] - c.c[ii])))")
+    ctes.append(f"""asg AS MATERIALIZED (
+      SELECT {id_col}, v, cell,
+             LIST_TRANSFORM(RANGE(1, LEN(v) + 1),
+                            ii -> v[ii] - cc[ii]) AS r
+      FROM (
+        SELECT p.{id_col}, p.v, c.cid AS cell, c.c AS cc,
+               ROW_NUMBER() OVER (PARTITION BY p.{id_col}
+                 ORDER BY {dist_pc}, c.cid) AS rn
+        FROM pts p CROSS JOIN {cent} c
+      ) WHERE rn = 1
+    )""")
+    part_selects = []
+    for j in range(m):
+        lo = j * sub + 1
+        hi = (j + 1) * sub
+        ctes.append(f"""p{j} AS (
+      SELECT {id_col}, LIST_SLICE(r, {lo}, {hi}) AS v FROM asg
+    )""")
+        bchain, bcent = sql_kmeans_fixed_ctes(
+            f"p{j}", id_col, k=k_codes, iters=iters,
+            salt=f":{j}", prefix=f"b{j}_")
+        ctes.extend(bchain)
+        ctes.append(f"""e{j} AS (
+      SELECT {id_col}, cid AS code FROM (
+        SELECT p.{id_col}, c.cid,
+               ROW_NUMBER() OVER (PARTITION BY p.{id_col}
+                 ORDER BY {dist_pc}, c.cid) AS rn
+        FROM p{j} p CROSS JOIN {bcent} c
+      ) WHERE rn = 1
+    )""")
+        qd = (f"LIST_SUM(LIST_TRANSFORM(RANGE(1, {sub} + 1), "
+              f"ii -> (pr.qr[{lo - 1} + ii] - bc.c[ii]) "
+              f"* (pr.qr[{lo - 1} + ii] - bc.c[ii])))")
+        part_selects.append(f"""
+      SELECT pr.qid, a.{id_col}, {qd} AS dj
+      FROM probe pr
+      JOIN asg a USING (cell)
+      JOIN e{j} ej ON ej.{id_col} = a.{id_col}
+      JOIN {bcent} bc ON bc.cid = ej.code
+      WHERE pr.qid <> a.{id_col}""")
+    ctes.append(f"""q AS (
+      SELECT {id_col} AS qid, v AS qv FROM pts WHERE {query_pred}
+    )""")
+    ctes.append(f"""probe AS (
+      SELECT qid, cell,
+             LIST_TRANSFORM(RANGE(1, LEN(qv) + 1),
+                            ii -> qv[ii] - cc[ii]) AS qr
+      FROM (
+        SELECT q.qid, q.qv, c.cid AS cell, c.c AS cc,
+               ROW_NUMBER() OVER (PARTITION BY q.qid
+                 ORDER BY {_SQL_QDIST}, c.cid) AS rn
+        FROM q CROSS JOIN {cent} c
+      ) WHERE rn <= {n_probe}
+    )""")
+    ctes.append(f"""parts AS ({' UNION ALL '.join(part_selects)})""")
+    ctes.append(f"""tot AS (
+      SELECT qid, {id_col}, SUM(dj) AS d
+      FROM parts
       GROUP BY 1, 2
     )""")
     return f"""

@@ -25,7 +25,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 __all__ = ["cosine", "dot", "cosine_topk", "hard_negative_topk",
-           "lsh_signature", "lsh_topk", "ivf_topk"]
+           "lsh_signature", "lsh_topk", "ivf_topk", "ivfpq_topk"]
 
 
 def dot(a: Column, b: Column) -> Column:
@@ -551,3 +551,210 @@ def pq_topk(
     return exact.withColumn("rank", F.row_number().over(w2)).where(
         F.col("rank") <= k
     )
+
+
+def ivfpq_topk(
+    df: DataFrame,
+    queries: DataFrame,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+    k: int = 5,
+    n_cells: int = 16,
+    n_probe: int = 4,
+    m: int = 4,
+    k_codes: int = 16,
+    seed: int = 42,
+    round_digits: int = 6,
+    rerank: int | None = None,
+    train_fraction: float = 0.25,
+    max_train_rows: int = 100_000,
+) -> DataFrame:
+    """COMPOSED IVF+PQ ANN — the production retrieval shape at 100 TB:
+    coarse IVF cells PRUNE the corpus (each query's ADC pass touches
+    ~``n_probe/n_cells`` of the code table), PQ codes compress what
+    remains to ``m`` small ints per vector, and an optional exact pass
+    re-ranks the tiny shortlist. Composes :func:`ivf_topk`'s coarse
+    quantizer with :func:`pq_topk`'s ADC scoring — previously each ran
+    alone, so PQ scored the FULL code table per query
+    (r7 VERDICT next-#4).
+
+    Scoring follows the inner-product IVF-ADC decomposition: with
+    residual codes ``r = v − c_cell``,
+    ``q·v = q·c_cell + q·r ≈ q·c_cell + Σ_j table_j[code_j]`` where
+    ``table_j[c] = q_sub_j · book_j[c]`` — the per-query score tables
+    are CELL-INDEPENDENT (computed once per query from the raw query
+    vector), only the scalar base ``q·c_cell`` varies per probe. PQ
+    codebooks are trained on residuals (they concentrate near zero,
+    so ``k_codes`` sub-centroids cover them far better than the raw
+    space — Jégou et al. 2011).
+
+    Scale shape: two bounded MLlib trainings (coarse + m sub-books, on
+    a capped sample); cell assignment, residuals, and encoding are
+    zero-exchange literal-matrix expressions; the search is ONE
+    broadcast join of the exploded query probes onto the coded corpus
+    (each corpus row carries m codes + a cell int, ~1000× smaller than
+    raw embeddings); rerank joins raw vectors for |queries|·rerank
+    rows only. The oracle-able fixed-point twin is
+    :func:`ann_portable.ivfpq_topk_fixed`."""
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector
+
+    if n_probe < 1 or n_probe > n_cells:
+        raise ValueError(f"need 1 <= n_probe <= n_cells, got "
+                         f"{n_probe}/{n_cells}")
+    cand = df.select(F.col(id_col), _as_double(F.col(vec_col)).alias("v"))
+    first = df.where(F.col(vec_col).isNotNull()).select(vec_col).first()
+    dims = len(first[0]) if first is not None else 0
+    if dims == 0 or dims % m != 0:
+        raise ValueError(f"dims {dims} not divisible by m={m}")
+    sub = dims // m
+
+    def unit(vcol: Column) -> Column:
+        return F.transform(vcol, lambda x: x / norm(vcol))
+
+    train = (
+        cand.sample(fraction=min(1.0, train_fraction), seed=seed)
+        .limit(max_train_rows)
+        .select(array_to_vector(unit(F.col("v"))).alias("features"))
+        .persist()
+    )
+    try:
+        if train.count() < n_cells * 10:
+            train.unpersist()
+            train = cand.limit(max_train_rows).select(
+                array_to_vector(unit(F.col("v"))).alias("features")
+            ).persist()
+        km = KMeans(k=n_cells, seed=seed, maxIter=20).fit(train)
+    finally:
+        train.unpersist()
+    cmatrix = _lit_matrix([list(c) for c in km.clusterCenters()])
+
+    def nearest_cells(vcol: Column, n: int) -> Column:
+        scored = F.transform(
+            cmatrix,
+            lambda c, i: F.struct(
+                (-dot(vcol, c)).alias("negd"), i.alias("cell")),
+        )
+        return F.transform(
+            F.slice(F.array_sort(scored), 1, n),
+            lambda s: s.getField("cell"),
+        )
+
+    # residuals against the assigned cell — computed once, reused by
+    # the m sub-book trainings and the encode pass
+    asg = (
+        cand.withColumn("cell", nearest_cells(F.col("v"), 1)[0])
+        .withColumn(
+            "r",
+            F.zip_with(
+                "v", F.element_at(cmatrix, F.col("cell") + 1),
+                lambda a, b: a - b),
+        )
+        .persist()
+    )
+    try:
+        books = []
+        res_sample = asg.limit(max_train_rows)
+        for j in range(m):
+            feats = res_sample.select(array_to_vector(
+                F.slice(F.col("r"), j * sub + 1, sub)).alias("features"))
+            kmj = KMeans(k=k_codes, seed=seed + j, maxIter=20).fit(feats)
+            books.append(
+                _lit_matrix([list(c) for c in kmj.clusterCenters()]))
+
+        def encode(rcol: Column) -> Column:
+            codes = []
+            for j in range(m):
+                sv = F.slice(rcol, j * sub + 1, sub)
+                scored = F.transform(
+                    books[j],
+                    lambda c, i: F.struct(
+                        F.aggregate(
+                            F.zip_with(
+                                sv, c, lambda x, y: (x - y) * (x - y)),
+                            F.lit(0.0), lambda a, x: a + x,
+                        ).alias("d"),
+                        i.alias("code"),
+                    ),
+                )
+                codes.append(F.array_min(scored).getField("code"))
+            return F.array(*codes)
+
+        coded = asg.select(id_col, "cell", encode(F.col("r")).alias("codes"))
+
+        probes = (
+            queries.select(
+                F.col(query_id_col).alias("qid"),
+                _as_double(F.col(vec_col)).alias("qv"),
+            )
+            .withColumn(
+                "cell", F.explode(nearest_cells(F.col("qv"), n_probe)))
+            .withColumn(
+                "base",
+                dot(F.col("qv"), F.element_at(cmatrix, F.col("cell") + 1)))
+            .withColumn(
+                "tables",
+                F.array(*[
+                    F.transform(
+                        books[j],
+                        lambda c: dot(
+                            F.slice(F.col("qv"), j * sub + 1, sub), c))
+                    for j in range(m)
+                ]),
+            )
+            .drop("qv")
+        )
+        idx = F.sequence(F.lit(0), F.lit(m - 1))
+        approx = F.col("base") + F.aggregate(
+            idx,
+            F.lit(0.0),
+            lambda acc, j: acc
+            + F.element_at(
+                F.element_at(F.col("tables"), j + 1),
+                F.element_at(F.col("codes"), j + 1) + 1,
+            ),
+        )
+        # one cell per corpus row ⇒ each (query, candidate) pair appears
+        # at most once; no distinct pass (unlike LSH bands)
+        scored = (
+            coded.join(F.broadcast(probes), "cell")
+            .where(F.col("qid") != F.col(id_col))
+            .select(
+                F.col("qid").alias(query_id_col),
+                id_col,
+                F.round(approx, round_digits).alias("approx_dot"),
+            )
+        )
+        w = Window.partitionBy(query_id_col).orderBy(
+            F.col("approx_dot").desc(), F.col(id_col))
+        ranked = scored.withColumn("rank", F.row_number().over(w))
+        if rerank is None:
+            return ranked.where(F.col("rank") <= k)
+        if rerank < k:
+            raise ValueError(f"rerank ({rerank}) must be >= k ({k})")
+        short = ranked.where(F.col("rank") <= rerank).select(
+            query_id_col, id_col)
+        cvec = df.select(
+            F.col(id_col), _as_double(F.col(vec_col)).alias("__cv"))
+        qvec = queries.select(
+            F.col(query_id_col), _as_double(F.col(vec_col)).alias("__qv"))
+        exact = (
+            short.join(cvec, id_col)
+            .join(F.broadcast(qvec), query_id_col)
+            .select(
+                query_id_col, id_col,
+                F.round(dot(F.col("__qv"), F.col("__cv")), round_digits)
+                .alias("exact_dot"),
+            )
+        )
+        w2 = Window.partitionBy(query_id_col).orderBy(
+            F.col("exact_dot").desc(), F.col(id_col))
+        return exact.withColumn("rank", F.row_number().over(w2)).where(
+            F.col("rank") <= k)
+    finally:
+        # the returned plan recomputes asg's cheap expression maps if
+        # needed (the trained books are plan literals) — the cache only
+        # ever served the m sub-book training scans
+        asg.unpersist()

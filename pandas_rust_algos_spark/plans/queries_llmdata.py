@@ -886,6 +886,38 @@ def ann_pq_topk_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "ann_ivfpq_topk_portable",
+    oracle=__import__(
+        "pandas_rust_algos_spark.operators.ann_portable",
+        fromlist=["sql_ivfpq_topk_fixed"],
+    ).sql_ivfpq_topk_fixed(k=5, n_cells=8, n_probe=3, m=4, k_codes=8,
+                           iters=2, dims=64),
+)
+def ann_ivfpq_topk_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """COMPOSED IVF+PQ retrieval in portable fixed-point mode — the
+    production 100 TB ANN shape (r7 VERDICT next-#4): coarse cells
+    prune the corpus to ~n_probe/n_cells per query, PQ-ADC scores only
+    the probed cells' RESIDUAL codes (Jégou et al. 2011 IVF-ADC), and
+    every quantity stays on the integer micro-unit grid — so the
+    DuckDB oracle unrolls coarse Lloyd, assignment, residuals, four
+    residual sub-codebook Lloyd chains, encoding, probing, and the ADC
+    sum end to end and the neighbor lists hash-match bit-exactly.
+    Composes the two already-oracled ingredients (ann_ivf/ann_pq); the
+    float MLlib composition is ``similarity.ivfpq_topk`` (recall-gated
+    in tests/test_similarity.py)."""
+    from pandas_rust_algos_spark.operators.ann_portable import (
+        ivfpq_topk_fixed,
+    )
+
+    emb = _emb(spark, sf_dir)
+    queries = emb.where(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    return ivfpq_topk_fixed(emb, queries, k=5, n_cells=8, n_probe=3,
+                            m=4, k_codes=8, iters=2)
+
+
+@register(
     "semantic_dedup",
     oracle=__import__(
         "pandas_rust_algos_spark.operators.semdedup",

@@ -89,72 +89,32 @@ def register(name: str, oracle: str | None = None, description: str = ""):
 
 # The driver's correctness gate samples the FIRST ~50 registry entries per
 # round. Every gate has at least one driver CORRECTNESS row (zero reds ever);
-# staleness is the only dimension. Round 7 front-loads (a) gates NEW in
-# round 7 plus gates whose modules changed in round 7 (ADVICE fixes:
-# dedup.py NULL-text coalesce, datasplit stratified_top_n, tiff.py padding),
-# then (b) the 7 gates whose newest driver row is still r1, then (c) the 32
-# r2-era gates, then (d) the r3-era gates oldest-first — the driver window
+# staleness is the only dimension. Round 8 front-loads (a) gates NEW in
+# round 8 plus gates whose modules changed in round 8 (ADVICE fixes:
+# ann_portable k-clamp/dims-probe/exact-BLAS guard, dsir driver-side logs,
+# decontam empty-benchmark twin, semdedup guard, dedup whale-bucket cap),
+# then (b) the 5 gates whose newest driver row is still r2, then (c) the 43
+# r3-era gates oldest-first (VERDICT r7 next-#2) — the driver window
 # truncates at ~50; next round resumes from whatever is left.
 _GATE_PRIORITY: tuple[str, ...] = (
-    # (a) new in round 7 / modules changed in round 7 — inserted as authored
-    "ann_ivf_topk_portable",   # new: oracle-able IVF (VERDICT r6 #3)
-    "ann_pq_topk_portable",    # new: oracle-able PQ (VERDICT r6 #3)
-    "semantic_dedup",          # new: SemDeDup tier (VERDICT r6 #4)
-    "group_approx_stats_bounds",  # new: sketch-accuracy contract (r6 #6)
-    "wordpiece_learn",         # new: likelihood-gain trainer (r6 #8)
-    "heavy_hitters_approx_bounds",  # new: Misra-Gries contract gate
-    "dsir_weights",            # new: DSIR importance-resampling scores
-    "wav_media_features",      # new: RIFF/WAVE container-path gate
-    "hard_negatives",          # new: contrastive hard-negative mining
-    "decontam_semantic",       # new: paraphrase-tier decontamination
-    "mulaw_media_features",    # multimodal.py audio_media_from_vecs changed
-    "token_drift_kl",          # drift.py exchange fusion re-check (r6 #7)
-    "dup_spans",          # dedup.py NULL-text coalesce (ADVICE r6)
-    "dup_spans_strip",    # dedup.py NULL-text coalesce (ADVICE r6)
-    "stratified_top_n",   # datasplit.py NULL/dup-key + __rn fixes (ADVICE r6)
-    "tiff_media_features",  # tiff.py word-alignment padding (ADVICE r6)
-    # (b) newest driver row is r1-era
-    "heavy_hitters_approx",
-    "lang_id",
-    "minhash_near_dupes",
-    "scalar_functions",
-    "simhash_fingerprints",
-    "text_quality",
-    "token_stats",
-    # (c) newest driver row is r2-era
-    "asof_join",
-    "group_cumcount",
-    "group_cummin_cummax",
-    "group_cumprod",
-    "group_cumsum",
-    "group_cumsum_skipna",
-    "group_diff_pct",
-    "group_ewm_mean",
-    "group_ewm_mean_noskip",
-    "group_ewm_mean_recursive",
-    "group_ewm_var_std",
-    "group_expanding",
-    "group_fillna",
-    "group_head_tail",
-    "group_interpolate",
-    "group_rank",
-    "group_sample",
-    "group_shift",
-    "group_sum_salted",
-    "group_zscore",
-    "q10_returned_items",
-    "q1_pricing_summary",
-    "q3_top_orders",
-    "q5_region_revenue",
-    "rolling_corr_cov",
-    "rolling_quantile",
-    "rolling_stats",
+    # (a) new in round 8 / modules changed in round 8
+    "ann_ivfpq_topk_portable",  # new: composed IVF+PQ retrieval (r7 #4)
+    "unigram_lm_learn",        # new: SentencePiece-style trainer (r7 #5)
+    "minhash_near_dupes_capped",  # new: whale-bucket guard (r7 #6)
+    "ann_ivf_topk_portable",   # ann_portable.py k-clamp + guard (ADVICE r7)
+    "ann_pq_topk_portable",    # ann_portable.py dims probe (ADVICE r7)
+    "dsir_weights",            # dsir.py driver-side libm logs (ADVICE r7)
+    "decontam_semantic",       # decontam.py twin edge + guard (ADVICE r7)
+    "semantic_dedup",          # semdedup.py exact-BLAS guard (ADVICE r7)
+    "minhash_near_dupes",      # dedup.py whale-bucket cap wiring (r7 #6)
+    "group_winsorize",         # grouped_transform sf1-ratio work (r7 #7)
+    # (b) newest driver row is r2-era
     "rolling_time_1h",
     "rolling_time_1h_closed_right",
     "take_1d",
     "take_2d",
     "topk_per_group",
-    # (d) newest driver row is r3-era, oldest-first
+    # (c) newest driver row is r3-era, oldest-first
     "asof_join_forward",
     "asof_join_nearest",
     "bigram_lm",
@@ -174,7 +134,6 @@ _GATE_PRIORITY: tuple[str, ...] = (
     "events_stream_funnel",
     "events_variant_props",
     "fuzzy_join",
-    "group_winsorize",
     "inverted_index",
     "media_features",
     "pack_sequences",
