@@ -141,8 +141,9 @@ HEADLINE = [
     "hard_negatives",
     "decontam_semantic",
     # round 8: composed IVF+PQ retrieval (coarse cells prune, residual
-    # PQ-ADC scores probed cells only)
+    # PQ-ADC scores probed cells only), unigram-LM tokenizer trainer
     "ann_ivfpq_topk_portable",
+    "unigram_lm_learn",
 ]
 
 

@@ -841,6 +841,34 @@ def wordpiece_learn_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "unigram_lm_learn",
+    oracle=__import__(
+        "pandas_rust_algos_spark.operators.unigram",
+        fromlist=["sql_unigram_lm_learn"],
+    ).sql_unigram_lm_learn(max_piece_len=3, seed_size=60, iters=2,
+                           prune_per_step=8),
+)
+def unigram_lm_learn_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unigram-LM (SentencePiece-style) tokenizer training
+    (``operators/unigram.py``) — completes the trainer family (BPE,
+    WordPiece, unigram; r7 VERDICT next-#5): seed the candidate vocab
+    from weighted substring counts, then hard-EM iterations — exact
+    integer Viterbi segmentation of the distinct words under
+    micro-unit piece costs, least-used pruning, add-1-smoothed cost
+    re-estimation (the one ln per piece evaluated in CPython on the
+    driver, the dsir recipe). The DuckDB oracle replays seeding, the
+    same list_reduce Viterbi DP, prune ranks, and LN cost trees —
+    pieces AND counts AND costs hash-match bit-exactly. One corpus
+    scan; everything after is vocabulary-sized."""
+    from pandas_rust_algos_spark.operators.unigram import (
+        unigram_lm_learn,
+    )
+
+    return unigram_lm_learn(_docs(spark, sf_dir), max_piece_len=3,
+                            seed_size=60, iters=2, prune_per_step=8)
+
+
+@register(
     "bpe_encode_tokens",
     oracle=__import__(
         "pandas_rust_algos_spark.operators.bpe",

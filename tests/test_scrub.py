@@ -398,3 +398,81 @@ def test_wordpiece_merges_match_reference_trainer(spark):
     assert bpe != [(a, b) for a, b, _, _ in expected]
     with pytest.raises(ValueError):
         wordpiece_learn_merges(docs, n_merges=0)
+
+
+def test_unigram_lm_learn_hand_checkable(spark):
+    """Hand-derived trainer run: words abab×10 cd×5, max_piece_len 2,
+    3 multi-char seeds, one hard-EM iteration pruning one piece.
+    Seeding: chars a/b:20 c/d:5; multis ab:20 ba:10 cd:5 (T=85, V=7).
+    Viterbi: 'abab'→ab|ab (2 pieces of equal-cost beats any 3+-piece
+    split), 'cd'→cd (1 beats 2) ⇒ counts ab:20 cd:5, rest 0. Prune
+    rank (cnt ASC, piece ASC) over multis drops 'ba'. Re-estimated
+    costs use T=25, V=6."""
+    import math
+
+    from pandas_rust_algos_spark.operators.unigram import (
+        unigram_lm_learn,
+    )
+
+    docs = spark.createDataFrame(
+        [(i, "abab" if i < 10 else "cd") for i in range(15)],
+        "doc_id long, text string")
+    got = sorted(
+        (r["piece"], r["viterbi_count"], r["cost"])
+        for r in unigram_lm_learn(
+            docs, max_piece_len=2, seed_size=3, iters=1,
+            prune_per_step=1).collect()
+    )
+
+    def cost(c, t, v):
+        return math.floor(-math.log((c + 1) / (t + v)) * 1e6)
+
+    c0 = cost(0, 25, 6)
+    assert got == sorted([
+        ("a", 0, c0), ("b", 0, c0), ("c", 0, c0), ("d", 0, c0),
+        ("ab", 20, cost(20, 25, 6)), ("cd", 5, cost(5, 25, 6)),
+    ])
+
+    with pytest.raises(ValueError):
+        unigram_lm_learn(docs, max_piece_len=1)
+    with pytest.raises(ValueError):
+        unigram_lm_learn(docs, iters=0)
+
+
+def test_unigram_lm_matches_duckdb_twin(spark):
+    """Twin equality on an awkward corpus (repeats, shared prefixes,
+    a max_word_len casualty) — pieces, counts, AND costs bit-match."""
+    import duckdb
+    import pandas as pd
+
+    from pandas_rust_algos_spark.operators.unigram import (
+        sql_unigram_lm_learn,
+        unigram_lm_learn,
+    )
+
+    texts = [
+        "the theme theater then the",
+        "thesis the theme         the",
+        "a aa aaa aaaa ab aab",
+        "x" * 80 + " xy xy xyz",  # 80-char word excluded both sides
+    ]
+    docs = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)],
+        "doc_id long, text string")
+    got = sorted(
+        (r["piece"], r["viterbi_count"], r["cost"])
+        for r in unigram_lm_learn(
+            docs, max_piece_len=3, seed_size=10, iters=2,
+            prune_per_step=3).collect()
+    )
+    con = duckdb.connect()
+    con.register("docs_t", pd.DataFrame(
+        {"doc_id": range(len(texts)), "text": texts}))
+    want = sorted(
+        (p, int(c), int(k)) for p, c, k in con.execute(
+            sql_unigram_lm_learn(
+                table="docs_t", max_piece_len=3, seed_size=10,
+                iters=2, prune_per_step=3)).fetchall()
+    )
+    con.close()
+    assert got == want and len(got) > 0
