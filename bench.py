@@ -144,6 +144,7 @@ HEADLINE = [
     # PQ-ADC scores probed cells only), unigram-LM tokenizer trainer
     "ann_ivfpq_topk_portable",
     "unigram_lm_learn",
+    "minhash_near_dupes_capped",
 ]
 
 

@@ -63,6 +63,61 @@ def test_minhash_estimate_bounds(spark, docs):
         assert 0.5 <= est[(1, 3)] < 1.0
 
 
+def _components(pairs, nodes):
+    """Union-find closure — the partition dup_clusters resolves."""
+    parent = {n: n for n in nodes}
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in pairs:
+        parent.setdefault(a, a)
+        parent.setdefault(b, b)
+        parent[find(a)] = find(b)
+    groups = {}
+    for n in parent:
+        groups.setdefault(find(n), set()).add(n)
+    return {frozenset(g) for g in groups.values()}
+
+
+def test_minhash_whale_bucket_cap_preserves_clusters(spark):
+    """The whale-bucket guard (max_bucket): a planted whale of
+    identical docs routes through the consecutive-id chain (n−1 pairs
+    instead of n(n−1)/2) yet resolves to the SAME connected
+    components as the uncapped all-pairs path — the closure
+    dup_clusters computes is preserved (r7 VERDICT next-#6)."""
+    whale = [(i, BASE) for i in range(12)]             # one whale bucket
+    near = [(100, BASE.replace("lazy", "sleepy")),     # near-dupe of whale
+            (200, "short unrelated snippet"),
+            (201, "short unrelated snippet"),          # small exact pair
+            (300, "completely different text about quantum "
+                  "chromodynamics and the strong nuclear force")]
+    docs = spark.createDataFrame(
+        whale + near, "doc_id long, text string")
+    ids = [i for i, _ in whale + near]
+
+    uncapped = {(r["id_a"], r["id_b"]) for r in dd.minhash_near_dupes(
+        docs, threshold=0.5).collect()}
+    capped = {(r["id_a"], r["id_b"]) for r in dd.minhash_near_dupes(
+        docs, threshold=0.5, max_bucket=3).collect()}
+
+    # the whale's quadratic pair set collapsed to a chain-sized one
+    n_whale_uncapped = sum(1 for a, b in uncapped if a < 12 and b < 12)
+    n_whale_capped = sum(1 for a, b in capped if a < 12 and b < 12)
+    assert n_whale_uncapped == 12 * 11 // 2
+    assert n_whale_capped < n_whale_uncapped
+    assert n_whale_capped >= 11  # at least one chain linking all 12
+
+    # ...but the connected components are identical
+    assert _components(capped, ids) == _components(uncapped, ids)
+
+    with pytest.raises(ValueError, match="max_bucket"):
+        dd.minhash_near_dupes(docs, max_bucket=1)
+
+
 def test_simhash_identical_and_near(spark, docs):
     fps = {r["doc_id"]: r["simhash"] for r in dd.simhash(docs).collect()}
     assert fps[1] == fps[2]  # identical text -> identical fingerprint
