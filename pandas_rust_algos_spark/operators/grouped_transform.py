@@ -1028,14 +1028,22 @@ def group_winsorize(
     [lower, upper] linear-interpolated percentile bounds, keeping every
     row — the outlier-taming transform of a feature pipeline.
 
-    One shuffle: within-group ranks and the straddling order statistics
-    are all window aggregates over the SAME group partitioning (the
-    rank-window quantile formulation of :func:`~.grouped_agg
-    .group_quantile` — no value buffering, O(1) state per row, no
-    agg+join-back round trip). NULLs sort last, rank targets use the
-    non-null count, and NULL inputs stay NULL (guarded — least/greatest
-    silently skip NULLs on both engines, which would otherwise turn a
-    NULL into the lower bound)."""
+    Plan (the r8 rewrite — the ``group_describe`` recipe applied to a
+    transform): the bounds are computed on a NARROW (keys, value)
+    projection — one exchange+sort for the within-group ranks, then
+    the straddling order statistics are picked in a groupBy that
+    reuses the window's partitioning — and joined back to the input by
+    key (group-cardinality rows; AQE broadcasts a small bounds side).
+    The FULL-WIDTH rows never shuffle and never buffer. The previous
+    formulation ran the rank window plus SIX unbounded-frame window
+    aggregates over the full-width rows — at sf1 with a 3-value key
+    that re-buffered ~2M-row partitions seven times per task and
+    measured 5.6× for 10× data; this shape moves only (keys, value)
+    through the exchange. Semantics unchanged: NULLs sort last, rank
+    targets use the non-null count, NULL inputs stay NULL, NULL keys
+    form their own group (null-safe join back), and all-NULL groups
+    pass values through (least/greatest skip NULL bounds on both
+    engines)."""
     if not (0.0 <= lower <= upper <= 1.0):
         raise ValueError(
             f"need 0 <= lower <= upper <= 1, got {lower}, {upper}"
@@ -1044,19 +1052,39 @@ def group_winsorize(
     out_col = out_col or f"{value}_wins"
     v = F.col(value)
     wp = Window.partitionBy(*keys)
-    rn = F.row_number().over(wp.orderBy(v.asc_nulls_last())) - 1
-    n = F.count(value).over(wp)
-    tmp = df.withColumn("__rn", rn).withColumn("__n", n)
+    nn = (
+        df.select(*keys, v.alias("__v"))
+        .where(F.col("__v").isNotNull())
+        .withColumn(
+            "__rn",
+            F.row_number().over(wp.orderBy(F.col("__v"))) - 1)
+        .withColumn("__n", F.count("__v").over(wp))
+    )
 
-    def bound(q: float) -> Column:
+    def pick(q: float, name: str) -> Column:
         target = F.lit(q) * (F.col("__n") - 1)
         lo, hi = F.floor(target), F.ceil(target)
-        vlo = F.max(F.when(F.col("__rn") == lo, v)).over(wp)
-        vhi = F.max(F.when(F.col("__rn") == hi, v)).over(wp)
-        frac = F.max(F.when(F.col("__rn") == lo, target - lo)).over(wp)
-        return vlo + frac * (vhi - vlo)
+        vlo = F.max(F.when(F.col("__rn") == lo, F.col("__v")))
+        vhi = F.max(F.when(F.col("__rn") == hi, F.col("__v")))
+        frac = F.max(F.when(F.col("__rn") == lo, target - lo))
+        return (vlo + frac * (vhi - vlo)).alias(name)
 
+    bounds = nn.groupBy(*keys).agg(
+        pick(lower, "__blo"), pick(upper, "__bhi"))
+    bkeys = [f"__bk{i}" for i in range(len(keys))]
+    bounds = bounds.select(
+        *[F.col(k).alias(b) for k, b in zip(keys, bkeys)],
+        "__blo", "__bhi")
+    cond = None
+    for k, b in zip(keys, bkeys):
+        c = df[k].eqNullSafe(bounds[b])
+        cond = c if cond is None else cond & c
     clipped = F.when(
-        v.isNotNull(), F.least(F.greatest(v, bound(lower)), bound(upper))
+        v.isNotNull(),
+        F.least(F.greatest(v, F.col("__blo")), F.col("__bhi")),
     )
-    return tmp.withColumn(out_col, clipped).drop("__rn", "__n")
+    return (
+        df.join(bounds, cond, "left")
+        .withColumn(out_col, clipped)
+        .drop("__blo", "__bhi", *bkeys)
+    )

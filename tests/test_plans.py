@@ -152,11 +152,17 @@ def test_attribution_single_user_shuffle(spark, sf_dir):
     assert len(re.findall(r"hashpartitioning\(user_id", plan)) >= 1
 
 
-def test_winsorize_single_exchange(spark, sf_dir):
-    """Winsorize: rank windows and clip share ONE group shuffle."""
+def test_winsorize_single_shuffle_narrow_bounds(spark, sf_dir):
+    """Winsorize (r8 shape): ONE shuffle total, and it carries only
+    the narrow (keys, value) bounds side — the full-width rows reach
+    the clip through a broadcast join, never an exchange."""
     import re
 
     plan = plan_of(spark, sf_dir, "group_winsorize")
-    ex = {m.group(1) for m in re.finditer(
-        r"Exchange[^(\n]*\((\d+)\)", plan.split("== Initial Plan ==")[0])}
-    assert len(ex) <= 1, f"expected <=1 exchange, saw {len(ex)}"
+    final = plan.split("== Initial Plan ==")[0]
+    shuffles = {m.group(1) for m in re.finditer(
+        r"\bExchange (?:hash|range|single|round)[^(\n]*\((\d+)\)",
+        final)}
+    assert len(shuffles) <= 1, \
+        f"expected <=1 shuffle exchange, saw {len(shuffles)}"
+    assert "BroadcastHashJoin" in final, "bounds must broadcast back"
