@@ -145,6 +145,7 @@ HEADLINE = [
     "ann_ivfpq_topk_portable",
     "unigram_lm_learn",
     "minhash_near_dupes_capped",
+    "unigram_encode_counts",
 ]
 
 

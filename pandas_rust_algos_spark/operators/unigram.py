@@ -62,11 +62,18 @@ from pyspark.sql import functions as F
 
 from pandas_rust_algos_spark.operators.text import tokens
 
-__all__ = ["unigram_lm_learn", "sql_unigram_lm_learn"]
+__all__ = ["unigram_lm_learn", "unigram_encode_counts",
+           "sql_unigram_lm_learn", "sql_unigram_encode_counts"]
 
-# unreachable-cost sentinel for out-of-vocab substrings: large enough
-# to never win, small enough that L additions can never overflow
-_BIG = 4_611_686_018_427_387_904  # 2^62
+# out-of-vocab (UNK) cost sentinel. Two bounds pick its size: it must
+# DOMINATE any real path (a real piece costs ≤ −ln(1/(T+V))·1e6 ≈ 4e7
+# even at petabyte counts, so a word of up to ~4e5 chars of real
+# pieces stays under 2^44 — one UNK piece always loses to any real
+# segmentation), and L/2 of them must SUM without int64 overflow (an
+# all-UNK word may accumulate one sentinel per 2 chars, safe to
+# ~5e5-char words; 2^62 overflowed at 2 pieces under ANSI mode).
+# Half-megabyte single "words" are beyond any tokenizer-trainer input.
+_BIG = 1 << 44
 _SEP = "\x02"
 
 
@@ -108,21 +115,19 @@ def _cost(c: int, t: int, v: int) -> int:
     return math.floor(-math.log((c + 1) / (t + v)) * 1e6)
 
 
-def unigram_lm_learn(
+def _train(
     docs: DataFrame,
-    text_col: str = "text",
+    text_col: str,
     *,
-    max_piece_len: int = 3,
-    seed_size: int = 60,
-    iters: int = 2,
-    prune_per_step: int = 8,
-    max_word_len: int = 64,
-) -> DataFrame:
-    """Train a unigram-LM subword vocabulary over ``docs``; returns
-    one row per surviving piece: ``(piece, viterbi_count, cost)`` —
-    the piece's weighted usage count in the final E-step's Viterbi
-    segmentation and its re-estimated micro-unit cost. See the module
-    docstring for the algorithm and determinism contract."""
+    max_piece_len: int,
+    seed_size: int,
+    iters: int,
+    prune_per_step: int,
+    max_word_len: int,
+) -> tuple[dict[str, int], dict[str, int]]:
+    """The driver-coordinated trainer core shared by the learn and
+    encode surfaces: returns ``(final_counts, final_costs)`` — both
+    vocabulary-sized metadata dicts."""
     if max_piece_len < 2:
         raise ValueError("max_piece_len must be >= 2")
     if iters < 1 or prune_per_step < 0 or seed_size < 1:
@@ -199,10 +204,85 @@ def unigram_lm_learn(
         t = sum(cnts.values())
         v = len(cnts)
         costs = {p: _cost(c, t, v) for p, c in cnts.items()}
+    return cnts, costs
 
+
+def unigram_lm_learn(
+    docs: DataFrame,
+    text_col: str = "text",
+    *,
+    max_piece_len: int = 3,
+    seed_size: int = 60,
+    iters: int = 2,
+    prune_per_step: int = 8,
+    max_word_len: int = 64,
+) -> DataFrame:
+    """Train a unigram-LM subword vocabulary over ``docs``; returns
+    one row per surviving piece: ``(piece, viterbi_count, cost)`` —
+    the piece's weighted usage count in the final E-step's Viterbi
+    segmentation and its re-estimated micro-unit cost. See the module
+    docstring for the algorithm and determinism contract."""
+    cnts, costs = _train(
+        docs, text_col, max_piece_len=max_piece_len,
+        seed_size=seed_size, iters=iters,
+        prune_per_step=prune_per_step, max_word_len=max_word_len)
     rows = sorted((p, int(cnts[p]), int(costs[p])) for p in costs)
     return docs.sparkSession.createDataFrame(
         rows, schema="piece string, viterbi_count long, cost long")
+
+
+def unigram_encode_counts(
+    docs: DataFrame,
+    text_col: str = "text",
+    *,
+    id_col: str = "doc_id",
+    max_piece_len: int = 3,
+    seed_size: int = 60,
+    iters: int = 2,
+    prune_per_step: int = 8,
+    max_word_len: int = 64,
+) -> DataFrame:
+    """Unigram tokenizer ENCODING — the companion surface to
+    :func:`unigram_lm_learn` (the ``bpe_encode_counts`` shape): train
+    the vocabulary, Viterbi-segment every word under the final costs,
+    and return per-document ``(id, n_words, n_chars, n_tokens)``.
+    ``n_chars − n_tokens`` is the subword compression the document
+    absorbed.
+
+    Unlike training, encoding covers EVERY word (no ``max_word_len``
+    exclusion — documents must be fully countable): substrings absent
+    from the vocabulary cost the BIG sentinel, so an all-unknown word
+    deterministically segments into the fewest such pieces — the UNK
+    fallback, identical in the oracle.
+
+    Scale shape: the corpus is word-exploded once; the Viterbi DP runs
+    over the DISTINCT vocabulary with the trained costs riding as one
+    map literal (zero exchange beyond the distinct), and widths join
+    back to word instances on the word key (AQE broadcasts small
+    vocabularies)."""
+    _, costs = _train(
+        docs, text_col, max_piece_len=max_piece_len,
+        seed_size=seed_size, iters=iters,
+        prune_per_step=prune_per_step, max_word_len=max_word_len)
+    cost_map = F.create_map(
+        *[F.lit(x) for p, c in sorted(costs.items()) for x in (p, c)])
+    inst = docs.select(
+        F.col(id_col), F.explode(tokens(text_col)).alias("w"))
+    widths = inst.select("w").distinct().select(
+        "w",
+        (F.size(F.split(
+            _viterbi_best(F.col("w"), cost_map, max_piece_len)
+            .getField("s"), _SEP)) - 1).cast("long").alias("n_tok"),
+    )
+    return (
+        inst.join(widths, "w")
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_words"),
+            F.sum(F.length("w")).cast("long").alias("n_chars"),
+            F.sum("n_tok").alias("n_tokens"),
+        )
+    )
 
 
 def _sql_viterbi(w: str, m: str, ml: int) -> str:
@@ -231,22 +311,19 @@ def _sql_viterbi(w: str, m: str, ml: int) -> str:
     )[CAST(length({w}) + 1 AS INTEGER)]"""
 
 
-def sql_unigram_lm_learn(
+def _sql_train_parts(
     *,
-    text_expr: str = "text",
-    table: str = "documents",
-    max_piece_len: int = 3,
-    seed_size: int = 60,
-    iters: int = 2,
-    prune_per_step: int = 8,
-    max_word_len: int = 64,
-) -> str:
-    """DuckDB twin of :func:`unigram_lm_learn`: the same word counts,
-    substring seeding, smoothed micro-unit costs (``LN`` over the
-    same integer ratios — identical libm bits to the driver's
-    CPython), Viterbi DP, prune ranks, and re-estimation, unrolled as
-    chained CTEs with one (cost, map, E-count, prune) block per
-    iteration."""
+    text_expr: str,
+    table: str,
+    max_piece_len: int,
+    seed_size: int,
+    iters: int,
+    prune_per_step: int,
+    max_word_len: int,
+) -> tuple[list[str], str]:
+    """The trainer CTE chain shared by the learn and encode twins:
+    returns ``(parts, final_k)`` where ``final_k`` holds
+    ``(piece, cnt, cost)``."""
     ml = max_piece_len
     parts = [f"""
     WITH w AS (
@@ -312,8 +389,77 @@ def sql_unigram_lm_learn(
       FROM v{k} CROSS JOIN (SELECT SUM(c) AS t, COUNT(*) AS v FROM v{k})
     )""")
         prev_v, prev_k = f"v{k}", f"k{k}"
+    return parts, prev_k
+
+
+def sql_unigram_lm_learn(
+    *,
+    text_expr: str = "text",
+    table: str = "documents",
+    max_piece_len: int = 3,
+    seed_size: int = 60,
+    iters: int = 2,
+    prune_per_step: int = 8,
+    max_word_len: int = 64,
+) -> str:
+    """DuckDB twin of :func:`unigram_lm_learn`: the same word counts,
+    substring seeding, smoothed micro-unit costs (``LN`` over the
+    same integer ratios — identical libm bits to the driver's
+    CPython), Viterbi DP, prune ranks, and re-estimation, unrolled as
+    chained CTEs with one (cost, map, E-count, prune) block per
+    iteration."""
+    parts, final_k = _sql_train_parts(
+        text_expr=text_expr, table=table, max_piece_len=max_piece_len,
+        seed_size=seed_size, iters=iters,
+        prune_per_step=prune_per_step, max_word_len=max_word_len)
     parts.append(f"""
     SELECT piece, cnt AS viterbi_count, cost
-    FROM {prev_k}
+    FROM {final_k}
     ORDER BY piece""")
+    return "".join(parts)
+
+
+def sql_unigram_encode_counts(
+    *,
+    text_expr: str = "text",
+    table: str = "documents",
+    id_col: str = "doc_id",
+    max_piece_len: int = 3,
+    seed_size: int = 60,
+    iters: int = 2,
+    prune_per_step: int = 8,
+    max_word_len: int = 64,
+) -> str:
+    """DuckDB twin of :func:`unigram_encode_counts`: the trainer CTE
+    chain, then every word (no length exclusion) Viterbi-segmented
+    under the final cost map, widths joined back to the per-doc word
+    instances."""
+    parts, final_k = _sql_train_parts(
+        text_expr=text_expr, table=table, max_piece_len=max_piece_len,
+        seed_size=seed_size, iters=iters,
+        prune_per_step=prune_per_step, max_word_len=max_word_len)
+    vit = _sql_viterbi("vw.w", "mm.m", max_piece_len)
+    parts.append(f""",
+    mf AS (SELECT MAP(LIST(piece), LIST(cost)) AS m FROM {final_k}),
+    dw AS (
+      SELECT {id_col}, word AS w FROM (
+        SELECT {id_col},
+               UNNEST(LIST_FILTER(STRING_SPLIT_REGEX(TRIM({text_expr}),
+                      '\\s+'), x -> x <> '')) AS word
+        FROM {table}
+      )
+    ),
+    vw AS (SELECT DISTINCT w FROM dw),
+    widths AS (
+      SELECT vw.w,
+             CAST(len(string_split(({vit}).s, chr(2))) - 1 AS BIGINT)
+               AS n_tok
+      FROM vw CROSS JOIN mf mm
+    )
+    SELECT dw.{id_col},
+           COUNT(*) AS n_words,
+           CAST(SUM(length(dw.w)) AS BIGINT) AS n_chars,
+           CAST(SUM(widths.n_tok) AS BIGINT) AS n_tokens
+    FROM dw JOIN widths ON dw.w = widths.w
+    GROUP BY dw.{id_col}""")
     return "".join(parts)

@@ -869,6 +869,33 @@ def unigram_lm_learn_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "unigram_encode_counts",
+    oracle=__import__(
+        "pandas_rust_algos_spark.operators.unigram",
+        fromlist=["sql_unigram_encode_counts"],
+    ).sql_unigram_encode_counts(max_piece_len=3, seed_size=60, iters=2,
+                                prune_per_step=8),
+)
+def unigram_encode_counts_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unigram tokenizer ENCODING (``operators/unigram.py``) — the
+    companion to ``unigram_lm_learn``, mirroring the
+    ``bpe_encode_tokens`` surface: train the vocabulary, then
+    Viterbi-segment every word of every document under the final
+    costs (unknown substrings pay the BIG sentinel — the UNK
+    fallback), returning per-doc ``(doc_id, n_words, n_chars,
+    n_tokens)``. The oracle replays training AND encoding, so the
+    per-document token counts hash-match bit-exactly. One corpus word
+    explode; the DP runs over distinct words only."""
+    from pandas_rust_algos_spark.operators.unigram import (
+        unigram_encode_counts,
+    )
+
+    return unigram_encode_counts(_docs(spark, sf_dir), max_piece_len=3,
+                                 seed_size=60, iters=2,
+                                 prune_per_step=8)
+
+
+@register(
     "bpe_encode_tokens",
     oracle=__import__(
         "pandas_rust_algos_spark.operators.bpe",

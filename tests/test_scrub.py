@@ -476,3 +476,49 @@ def test_unigram_lm_matches_duckdb_twin(spark):
     )
     con.close()
     assert got == want and len(got) > 0
+
+
+def test_unigram_encode_counts(spark):
+    """Encode surface: per-doc widths under the trained vocab — the
+    hand-checkable corpus segments 'abab'→ab|ab (2 tokens, 4 chars)
+    and 'cd'→cd (1 token); unknown-only words fall back to the
+    fewest-BIG-pieces segmentation; twin equality vs DuckDB."""
+    import duckdb
+    import pandas as pd
+
+    from pandas_rust_algos_spark.operators.unigram import (
+        sql_unigram_encode_counts,
+        unigram_encode_counts,
+    )
+
+    texts = ["abab" if i < 10 else "cd" for i in range(15)]
+    # 'q' seeds as a single char; 'qq' (count 1) misses the 3-multi
+    # seed cut, so it segments q|q on trained single-char costs
+    texts.append("abab cd qq")
+    # a char appearing ONLY in an over-max_word_len word is never
+    # trained — that word encodes via the BIG-sentinel UNK fallback
+    # (fewest unknown pieces, deterministic both engines)
+    texts.append("z" * 70)
+    docs = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)],
+        "doc_id long, text string")
+    got = {r["doc_id"]: (r["n_words"], r["n_chars"], r["n_tokens"])
+           for r in unigram_encode_counts(
+               docs, max_piece_len=2, seed_size=3, iters=1,
+               prune_per_step=1).collect()}
+    assert got[0] == (1, 4, 2)       # ab|ab
+    assert got[14] == (1, 2, 1)      # cd
+    # abab(2) + cd(1) + q|q(2)
+    assert got[15] == (3, 8, 5)
+    # 70 unknown chars -> 35 two-char BIG pieces (fewest pieces wins)
+    assert got[16] == (1, 70, 35)
+
+    con = duckdb.connect()
+    con.register("docs_t", pd.DataFrame(
+        {"doc_id": range(len(texts)), "text": texts}))
+    want = {int(i): (int(a), int(b), int(c)) for i, a, b, c in
+            con.execute(sql_unigram_encode_counts(
+                table="docs_t", max_piece_len=2, seed_size=3, iters=1,
+                prune_per_step=1)).fetchall()}
+    con.close()
+    assert got == want
