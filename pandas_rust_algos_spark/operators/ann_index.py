@@ -39,7 +39,8 @@ from pandas_rust_algos_spark.operators.similarity import (
     norm,
 )
 
-__all__ = ["append_ivf_index", "build_ivf_index", "ivf_index_query"]
+__all__ = ["append_ivf_index", "build_ivf_index", "ivf_index_query",
+           "build_ivfpq_index_fixed", "ivfpq_index_query_fixed"]
 
 
 def _nearest_cells(cmatrix, vcol, n: int):
@@ -212,3 +213,197 @@ def ivf_index_query(
         F.col("sim").desc(), F.col("id"))
     return scored.withColumn("rank", F.row_number().over(w)) \
         .where(F.col("rank") <= k)
+
+
+def build_ivfpq_index_fixed(
+    df: DataFrame,
+    path: str,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_cells: int = 8,
+    m: int = 4,
+    k_codes: int = 8,
+    iters: int = 2,
+) -> dict:
+    """Persist a COMPOSED IVF+PQ index in portable fixed-point mode —
+    the disk-backed shape of ``ann_portable.ivfpq_topk_fixed``:
+
+        {path}/meta.json               n_cells, m, k_codes, dims, ...
+        {path}/centroids.parquet       coarse (cell, c) integer rows
+        {path}/books.parquet           (j, code, c) residual sub-books
+        {path}/codes/cell=<i>/*.parquet  (id, codes) — m smallints/row
+
+    The stored table is the CODE table, not the vectors: at 768-dim
+    float32 corpora the codes directory is ~700× smaller than the
+    embedding store, and it is partitioned by coarse cell so a query
+    reads only its probed ``cell=`` directories (true storage
+    partition pruning, the ``build_ivf_index`` contract applied to
+    codes). Because every quantity is on the integer micro-unit grid
+    (fixed-point Lloyd coarse cells, residual sub-codebooks, exact
+    BIGINT ADC), a query through the persisted index is BIT-IDENTICAL
+    to the in-memory composed op — and to its DuckDB oracle — so the
+    storage layout, cell routing, and ADC math are all value-provable.
+
+    Build cost: the ``ivfpq_topk_fixed`` training passes (coarse
+    driver-coordinated Lloyd, residuals checkpointed once, m residual
+    sub-book trainings) plus one ``partitionBy(cell)`` write of the
+    m-int code rows — the single intended shuffle; it IS the index."""
+    from pandas_rust_algos_spark.operators.ann_portable import (
+        _argmin_cell,
+        _lit_lmatrix,
+        _train_centroids_fast,
+    )
+    from pandas_rust_algos_spark.operators.kmeans import _quantize
+
+    first = df.where(F.col(vec_col).isNotNull()).select(vec_col).first()
+    dims = len(first[0]) if first is not None else 0
+    if dims == 0 or dims % m != 0:
+        raise ValueError(f"dims {dims} not divisible by m={m}")
+    sub = dims // m
+    pts = df.where(F.col(vec_col).isNotNull()).select(
+        F.col(id_col), _quantize(F.col(vec_col)).alias("v"))
+    coarse = _train_centroids_fast(pts, id_col, k=n_cells, iters=iters)
+    cmatrix = _lit_lmatrix(coarse)
+    asg = (
+        pts.withColumn("cell", _argmin_cell(F.col("v"), cmatrix))
+        .withColumn(
+            "r",
+            F.zip_with("v", F.element_at(cmatrix, F.col("cell") + 1),
+                       lambda a, b: a - b))
+        .localCheckpoint(eager=True)
+    )
+
+    def _train(j: int):
+        return _train_centroids_fast(
+            asg.select(id_col, F.slice("r", j * sub + 1, sub).alias("v")),
+            id_col, k=k_codes, iters=iters, salt=f":{j}")
+
+    from concurrent.futures import ThreadPoolExecutor
+
+    with ThreadPoolExecutor(max_workers=m) as ex:
+        books = list(ex.map(_train, range(m)))
+    bmats = [_lit_lmatrix(b) for b in books]
+
+    spark = df.sparkSession
+    os.makedirs(path, exist_ok=True)
+    spark.createDataFrame(
+        [(i, c) for i, c in enumerate(coarse)],
+        "cell int, c array<long>",
+    ).coalesce(1).write.mode("overwrite") \
+        .parquet(os.path.join(path, "centroids.parquet"))
+    spark.createDataFrame(
+        [(j, i, c) for j, b in enumerate(books) for i, c in enumerate(b)],
+        "j int, code int, c array<long>",
+    ).coalesce(1).write.mode("overwrite") \
+        .parquet(os.path.join(path, "books.parquet"))
+
+    coded = asg.select(
+        F.col(id_col).alias("id"),
+        F.array(*[
+            _argmin_cell(F.slice("r", j * sub + 1, sub), bmats[j])
+            .cast("int")
+            for j in range(m)
+        ]).alias("codes"),
+        "cell",
+    )
+    coded.write.mode("overwrite").partitionBy("cell") \
+        .parquet(os.path.join(path, "codes"))
+
+    meta = {"n_cells": n_cells, "m": m, "k_codes": k_codes,
+            "iters": iters, "dims": dims, "id_col": id_col,
+            "vec_col": vec_col, "mode": "fixed"}
+    with open(os.path.join(path, "meta.json"), "w") as fh:
+        json.dump(meta, fh)
+    return meta
+
+
+def ivfpq_index_query_fixed(
+    spark: SparkSession,
+    path: str,
+    queries: DataFrame,
+    *,
+    query_id_col: str = "query_id",
+    vec_col: str = "embedding",
+    n_probe: int = 3,
+    k: int = 5,
+) -> DataFrame:
+    """Top-k by residual ADC through a persisted fixed-point IVF+PQ
+    index; returns ``(query_id_col, id, approx_dist_sq, rank)`` —
+    bit-identical to ``ann_portable.ivfpq_topk_fixed`` with the same
+    parameters (and to its DuckDB oracle).
+
+    The probe set resolves DRIVER-side from the KiB centroid table,
+    so the codes scan opens only the probed ``cell=`` directories;
+    centroids and sub-books ride the scoring plan as literals. I/O
+    per query batch is ~``n_probe/n_cells`` of an already-~700×-
+    compressed code table."""
+    from pandas_rust_algos_spark.operators.ann_portable import (
+        _dist_sq,
+        _lit_lmatrix,
+        _top_cells,
+    )
+    from pandas_rust_algos_spark.operators.kmeans import _quantize
+
+    with open(os.path.join(path, "meta.json")) as fh:
+        meta = json.load(fh)
+    if not 1 <= n_probe <= meta["n_cells"]:
+        raise ValueError(
+            f"n_probe must be in [1, {meta['n_cells']}], got {n_probe}")
+    m, dims = meta["m"], meta["dims"]
+    sub = dims // m
+    coarse = sorted(
+        (r["cell"], list(r["c"])) for r in spark.read.parquet(
+            os.path.join(path, "centroids.parquet")).collect())
+    cmatrix = _lit_lmatrix([c for _, c in coarse])
+    brows = spark.read.parquet(os.path.join(path, "books.parquet")) \
+        .collect()
+    books = {}
+    for r in brows:
+        books.setdefault(r["j"], {})[r["code"]] = list(r["c"])
+    bmats = [
+        _lit_lmatrix([books[j][i] for i in sorted(books[j])])
+        for j in range(m)
+    ]
+
+    probes = (
+        queries.where(F.col(vec_col).isNotNull())
+        .select(
+            F.col(query_id_col).alias("__qid"),
+            _quantize(F.col(vec_col)).alias("qv"),
+        )
+        .withColumn(
+            "cell", F.explode(_top_cells(F.col("qv"), cmatrix, n_probe)))
+        .withColumn(
+            "qr",
+            F.zip_with("qv", F.element_at(cmatrix, F.col("cell") + 1),
+                       lambda a, b: a - b))
+        .persist()
+    )
+    probed = sorted(
+        {r["cell"] for r in probes.select("cell").distinct().collect()})
+    codes = (
+        spark.read.parquet(os.path.join(path, "codes"))
+        .where(F.col("cell").isin(probed))
+    )
+    approx = None
+    for j in range(m):
+        dj = _dist_sq(
+            F.slice("qr", j * sub + 1, sub),
+            F.element_at(bmats[j], F.element_at("codes", j + 1) + 1),
+        )
+        approx = dj if approx is None else approx + dj
+    scored = (
+        codes.join(F.broadcast(probes), "cell")
+        .where(F.col("__qid") != F.col("id"))
+        .select(
+            F.col("__qid").alias(query_id_col),
+            "id",
+            approx.alias("approx_dist_sq"),
+        )
+    )
+    w = Window.partitionBy(query_id_col).orderBy("approx_dist_sq", "id")
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("long"))
+        .where(F.col("rank") <= k)
+    )

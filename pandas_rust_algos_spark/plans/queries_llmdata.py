@@ -1582,6 +1582,46 @@ def ann_index_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "ann_ivfpq_index_read",
+    oracle=__import__(
+        "pandas_rust_algos_spark.operators.ann_portable",
+        fromlist=["sql_ivfpq_topk_fixed"],
+    ).sql_ivfpq_topk_fixed(k=5, n_cells=8, n_probe=3, m=4, k_codes=8,
+                           iters=2, dims=64),
+)
+def ann_ivfpq_index_read(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """COMPOSED IVF+PQ retrieval through a PERSISTED index
+    (``operators/ann_index.build_ivfpq_index_fixed``): the code table
+    (m smallints per vector, ~700× smaller than the embeddings at
+    production dims) is written partitioned by coarse cell, queries
+    resolve their probe set driver-side from the KiB centroid table
+    and read ONLY the probed ``cell=`` directories, and the residual
+    ADC runs over the stored codes. Everything is fixed-point, so the
+    persisted read path is BIT-IDENTICAL to the in-memory
+    ``ann_ivfpq_topk_portable`` gate AND to the same DuckDB oracle —
+    the storage layout, cell routing, and ADC math are value-proven,
+    at partial probe (n_probe=3 of 8, real pruning — asserted via
+    inputFiles in tests/test_ann_index.py)."""
+    import tempfile
+
+    from pandas_rust_algos_spark.operators.ann_index import (
+        build_ivfpq_index_fixed,
+        ivfpq_index_query_fixed,
+    )
+
+    emb = _emb(spark, sf_dir)
+    idx = tempfile.mkdtemp(prefix="ivfpq_gate_")
+    build_ivfpq_index_fixed(emb, idx, n_cells=8, m=4, k_codes=8,
+                            iters=2)
+    queries = emb.where(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    out = ivfpq_index_query_fixed(spark, idx, queries, n_probe=3, k=5)
+    return out.select("query_id", F.col("id").alias("vec_id"),
+                      "approx_dist_sq", "rank")
+
+
+@register(
     "ann_index_append_topk",
     oracle="""
     WITH q AS (

@@ -155,3 +155,50 @@ def test_append_keeps_partition_pruning(spark, tmp_path):
     assert m and "cell" in m.group(1), plan[:2000]
     in_vals = re.search(r"cell#\d+L? IN \(([^)]*)\)", m.group(1))
     assert in_vals and len(in_vals.group(1).split(",")) <= 2, m.group(1)
+
+
+def test_ivfpq_index_matches_inmemory_and_prunes(spark, tmp_path):
+    """The persisted fixed-point IVF+PQ index: (1) the disk read path
+    is BIT-IDENTICAL to the in-memory composed op with the same
+    params (storage layout, cell routing, ADC all value-equal), and
+    (2) a partial probe reads only the probed cell= directories of
+    the CODE table (real storage partition pruning)."""
+    import re
+
+    from pandas_rust_algos_spark.operators.ann_index import (
+        build_ivfpq_index_fixed,
+        ivfpq_index_query_fixed,
+    )
+    from pandas_rust_algos_spark.operators.ann_portable import (
+        ivfpq_topk_fixed,
+    )
+
+    path = str(tmp_path / "ivfpq")
+    full = _corpus(spark)
+    build_ivfpq_index_fixed(full, path, n_cells=8, m=4, k_codes=4,
+                            iters=1)
+    queries = full.where(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), "embedding")
+    got = {(r["query_id"], r["id"], r["approx_dist_sq"], r["rank"])
+           for r in ivfpq_index_query_fixed(
+               spark, path, queries, n_probe=3, k=4).collect()}
+    want = {(r["query_id"], r["vec_id"], r["approx_dist_sq"],
+             r["rank"])
+            for r in ivfpq_topk_fixed(
+                full, queries, k=4, n_cells=8, n_probe=3, m=4,
+                k_codes=4, iters=1).collect()}
+    assert got == want and len(got) > 0
+
+    one = full.where(F.col("vec_id") == 0).select(
+        F.col("vec_id").alias("query_id"), "embedding")
+    out = ivfpq_index_query_fixed(spark, path, one, n_probe=2, k=3)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    m = re.search(r"PartitionFilters: \[([^\]]*)\]", plan)
+    assert m and "cell" in m.group(1), plan[:2000]
+    in_vals = re.search(r"cell#\d+L? IN \(([^)]*)\)", m.group(1))
+    assert in_vals and len(in_vals.group(1).split(",")) <= 2, m.group(1)
+
+    with pytest.raises(ValueError, match="n_probe"):
+        ivfpq_index_query_fixed(spark, path, one, n_probe=9)
+    with pytest.raises(ValueError, match="divisible"):
+        build_ivfpq_index_fixed(full, path + "2", m=3)
