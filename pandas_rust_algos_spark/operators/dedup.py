@@ -260,20 +260,53 @@ def minhash_near_dupes(
     if max_bucket is not None:
         if max_bucket < 2:
             raise ValueError(f"max_bucket must be >= 2, got {max_bucket}")
-        wb = Window.partitionBy("band", "bucket")
-        b = b.withColumn("__bn", F.count(F.lit(1)).over(wb))
-        small = b.where(F.col("__bn") <= max_bucket)
-        wchain = wb.orderBy(id_col)
-        whale = (
-            b.where(F.col("__bn") > max_bucket)
-            .select(
-                F.col(id_col).alias("id_a"),
-                F.col("sig").alias("sig_a"),
-                F.lead(id_col).over(wchain).alias("id_b"),
-                F.lead("sig").over(wchain).alias("sig_b"),
-            )
-            .where(F.col("id_b").isNotNull())
+        # The guard must cost ~nothing when no whale exists (the
+        # overwhelmingly common case): annotating every band row with
+        # its bucket size — window count (sorts the whole exploded
+        # table) or joining sizes onto the wide sig-carrying rows —
+        # measured ~2× the gate. Instead, ONE narrow counting job
+        # materializes the WHALE KEY SET up front: (band, bucket)
+        # pairs with > max_bucket members. Each key represents
+        # ≥ max_bucket docs, so the set holds ≤ docs·bands/max_bucket
+        # rows — the limit(cap+1)-guarded collect is metadata-sized by
+        # construction (at 1e9 docs × 8 bands ÷ 1000 it tops out in
+        # the low millions only if the ENTIRE corpus is whales; the
+        # fallback below keeps even that case distributed). Then:
+        # zero whales → the EXACT unguarded plan runs (the guard cost
+        # IS the one narrow count); few whales → the key set rides
+        # the anti/semi probes as an explicit broadcast; a key set
+        # too big to collect → plain joins, AQE decides.
+        whales_df = (
+            b.select("band", "bucket")
+            .groupBy("band", "bucket")
+            .agg(F.count(F.lit(1)).alias("__bn"))
+            .where(F.col("__bn") > max_bucket)
+            .select("band", "bucket")
         )
+        _cap = 100_000
+        wk = whales_df.limit(_cap + 1).collect()
+        if not wk:
+            small, whale = b, None
+        else:
+            if len(wk) <= _cap:
+                whales = F.broadcast(b.sparkSession.createDataFrame(
+                    [(r["band"], r["bucket"]) for r in wk],
+                    "band int, bucket long"))
+            else:
+                whales = whales_df
+            small = b.join(whales, ["band", "bucket"], "left_anti")
+            wchain = Window.partitionBy("band", "bucket") \
+                .orderBy(id_col)
+            whale = (
+                b.join(whales, ["band", "bucket"], "left_semi")
+                .select(
+                    F.col(id_col).alias("id_a"),
+                    F.col("sig").alias("sig_a"),
+                    F.lead(id_col).over(wchain).alias("id_b"),
+                    F.lead("sig").over(wchain).alias("sig_b"),
+                )
+                .where(F.col("id_b").isNotNull())
+            )
     else:
         small, whale = b, None
     left = small.select(F.col(id_col).alias("id_a"),
