@@ -241,10 +241,14 @@ def main() -> None:
     # outgrew that window at 41 queries (r3) and again at 92 (r6/r7,
     # parsed:null). Keep the last stdout line compact and final.
     if not only:  # subset runs must not clobber the full-suite record
+        # non-default SFs (sf1 rehearsals) get their own side file so
+        # a rehearsal cannot clobber the driver-scale sf0.1 record
+        name = ("BENCH_RUNS.json" if sf == "0.1"
+                else f"BENCH_RUNS_sf{sf}.json")
         try:
             with open(os.path.join(
                     os.path.dirname(os.path.abspath(__file__)),
-                    "BENCH_RUNS.json"), "w") as f:
+                    name), "w") as f:
                 json.dump({"sf": sf, "runs": runs,
                            "abbrev": abbrev_names()}, f)
         except OSError:
