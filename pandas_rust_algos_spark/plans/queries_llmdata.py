@@ -878,6 +878,28 @@ def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
                       F.col("rank").cast("long").alias("rank"))
 
 
+@register("ann_ivfpq_topk")
+def ann_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The float COMPOSED IVF+PQ production default
+    (``similarity.ivfpq_topk``): coarse cells prune the code-table
+    scan to ~n_probe/n_cells per query, residual-trained PQ codes
+    ADC-score what remains (cell-independent per-query score tables +
+    a per-probe scalar base), exact re-rank of the 100-candidate
+    shortlist. MLlib float k-means quantizers ⇒ rows-only like its
+    ``ann_ivf_topk``/``ann_pq_topk`` ingredients (recall + rerank
+    floors asserted in tests/test_similarity.py); the bit-exact
+    oracled twins are ``ann_ivfpq_topk_portable`` and the persisted
+    ``ann_ivfpq_index_read``."""
+    emb = _emb(spark, sf_dir)
+    queries = emb.where(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    out = sim.ivfpq_topk(emb, queries, k=5, n_cells=16, n_probe=6,
+                         m=8, k_codes=16, rerank=100)
+    return out.select("query_id", "vec_id", "exact_dot",
+                      F.col("rank").cast("long").alias("rank"))
+
+
 @register(
     "ann_ivf_topk_portable",
     oracle=__import__(

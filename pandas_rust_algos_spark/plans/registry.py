@@ -102,6 +102,7 @@ _GATE_PRIORITY: tuple[str, ...] = (
     "unigram_lm_learn",        # new: SentencePiece-style trainer (r7 #5)
     "unigram_encode_counts",   # new: unigram encode surface (r8)
     "ann_ivfpq_index_read",    # new: persisted IVF+PQ code table (r8)
+    "ann_ivfpq_topk",          # new: float composed default, rows-only (r8)
     "minhash_near_dupes_capped",  # new: whale-bucket guard (r7 #6)
     "ann_ivf_topk_portable",   # ann_portable.py k-clamp + guard (ADVICE r7)
     "ann_pq_topk_portable",    # ann_portable.py dims probe (ADVICE r7)
