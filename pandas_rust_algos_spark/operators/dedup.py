@@ -202,27 +202,43 @@ def minhash_near_dupes(
     wires 1000: all-pairs for every realistic near-dupe cluster,
     chains only for degenerate whales.
 
+    **Setting ``max_bucket`` makes construction EAGER** (r8 ADVICE,
+    documented rather than deferred after measuring the alternatives
+    — see SCALE.md r9): the builder runs ONE narrow counting job over
+    the persisted band table to materialize the whale key set before
+    the plan is returned, so bucket sizes can prune the plan itself —
+    zero whales (the overwhelmingly common case) means the returned
+    plan IS the exact unguarded plan reading the shared cache. The
+    fully-lazy alternative (broadcast anti/semi probes against the
+    count aggregate) measured +0.9 s WORSE at sf0.1 because Catalyst
+    re-instantiates the aggregate subplan per probe — the count runs
+    2–3× with no exchange reuse. Pass ``max_bucket=None`` for a pure
+    lazy plan-builder (explain-only callers, conditional pipelines).
+
     Fused plan: the signature array (num_hashes longs, ~256 B/doc)
     rides THROUGH the band explode into the bucket self-join, so the
     matched pair carries both signatures and the estimate is computed
-    in place — no re-join of the signature table per side. The
-    signature table is persisted (num_hashes longs per doc — tiny at
-    any corpus size) because it feeds both self-join sides and
+    in place — no re-join of the signature table per side. With the
+    guard on, the EXPLODED BAND TABLE is persisted (id + sig + band +
+    bucket; bands× the signature store, still tiny next to the
+    corpus): the whale count populates the cache and both self-join
+    sides reread it with zero re-explode, so the guard's marginal
+    cost is only the narrow count itself. Unguarded, the signature
+    table is persisted instead (it feeds both self-join sides and
     Catalyst does not materialize common subplans: without it the
-    whole shingle+hash pipeline runs twice. The pipeline is four
-    exchanges end-to-end (signature agg, two bucket-join sides over
-    the cached signatures, pair dedup) — down from 33 in the
-    unfused form — and the estimate filter runs BEFORE the dedup
-    shuffle so only above-threshold pairs shuffle twice. The whale
-    branch adds NO exchange: the per-bucket count and the chain lead
-    share the (band, bucket) partitioning. Cost still tracks true
-    near-duplicate density — only docs sharing a band bucket ever
-    meet."""
+    whole shingle+hash pipeline runs twice). The estimate filter runs
+    BEFORE the dedup shuffle so only above-threshold pairs shuffle
+    twice. The whale chain adds NO exchange: the per-bucket lead
+    window shares the (band, bucket) partitioning of the semi probe.
+    Cost still tracks true near-duplicate density — only docs sharing
+    a band bucket ever meet."""
     rows_per_band = num_hashes // bands
     sigs = minhash_signatures(
         df, id_col, text_col, k=k, num_hashes=num_hashes,
         hash_mode=hash_mode,
-    ).persist()
+    )
+    if max_bucket is None:
+        sigs = sigs.persist()
 
     def bucket_expr(i: int):
         cols = [F.col("sig")[i * rows_per_band + r]
@@ -261,21 +277,31 @@ def minhash_near_dupes(
         if max_bucket < 2:
             raise ValueError(f"max_bucket must be >= 2, got {max_bucket}")
         # The guard must cost ~nothing when no whale exists (the
-        # overwhelmingly common case): annotating every band row with
-        # its bucket size — window count (sorts the whole exploded
-        # table) or joining sizes onto the wide sig-carrying rows —
-        # measured ~2× the gate. Instead, ONE narrow counting job
-        # materializes the WHALE KEY SET up front: (band, bucket)
-        # pairs with > max_bucket members. Each key represents
-        # ≥ max_bucket docs, so the set holds ≤ docs·bands/max_bucket
-        # rows — the limit(cap+1)-guarded collect is metadata-sized by
-        # construction (at 1e9 docs × 8 bands ÷ 1000 it tops out in
-        # the low millions only if the ENTIRE corpus is whales; the
-        # fallback below keeps even that case distributed). Then:
-        # zero whales → the EXACT unguarded plan runs (the guard cost
-        # IS the one narrow count); few whales → the key set rides
-        # the anti/semi probes as an explicit broadcast; a key set
-        # too big to collect → plain joins, AQE decides.
+        # overwhelmingly common case). Designs measured and rejected
+        # (SCALE.md r8–r9): window-count annotate and wide-row count
+        # join — ~2× the gate (sorts/shuffles the wide sig rows);
+        # fully-lazy broadcast anti/semi against the count aggregate —
+        # +0.9 s, because Catalyst re-instantiates the aggregate
+        # subplan per probe (no exchange reuse across the three
+        # references) so the count runs 2–3×. What survives: ONE
+        # narrow counting job over the PERSISTED exploded band table
+        # materializes the whale key set up front; the pair-join
+        # sides then reread that same cache with zero re-explode, so
+        # the guard's marginal cost is only the narrow count itself.
+        # Each key represents > max_bucket docs, so the set holds
+        # ≤ docs·bands/max_bucket rows — the limit(cap+1)-guarded
+        # collect is metadata-sized by construction (1e9 docs × 8
+        # bands ÷ 1000 tops out in the low millions only if the
+        # ENTIRE corpus is whales; the fallback below keeps even that
+        # case distributed). Zero whales → the EXACT unguarded plan
+        # runs over the cache; few whales → the key set rides the
+        # anti/semi probes as an explicit broadcast; a key set too
+        # big to collect → plain joins, AQE decides. NOTE this makes
+        # the builder EAGER when max_bucket is set: constructing the
+        # DataFrame runs the signature pipeline once to size buckets
+        # (documented in the docstring; pass max_bucket=None for a
+        # pure lazy plan).
+        b = b.persist()
         whales_df = (
             b.select("band", "bucket")
             .groupBy("band", "bucket")
