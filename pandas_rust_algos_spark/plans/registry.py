@@ -89,67 +89,16 @@ def register(name: str, oracle: str | None = None, description: str = ""):
 
 # The driver's correctness gate samples the FIRST ~50 registry entries per
 # round. Every gate has at least one driver CORRECTNESS row (zero reds ever);
-# staleness is the only dimension. Round 8 front-loads (a) gates NEW in
-# round 8 plus gates whose modules changed in round 8 (ADVICE fixes:
-# ann_portable k-clamp/dims-probe/exact-BLAS guard, dsir driver-side logs,
-# decontam empty-benchmark twin, semdedup guard, dedup whale-bucket cap),
-# then (b) the 5 gates whose newest driver row is still r2, then (c) the 43
-# r3-era gates oldest-first (VERDICT r7 next-#2) — the driver window
-# truncates at ~50; next round resumes from whatever is left.
+# staleness is the only dimension. Round 9 front-loads exactly what the r8
+# VERDICT next-#2 prescribed: (a) the 10 gates whose newest driver row is
+# still r3-era, then (b) the 44 r4-era gates (oldest era first; alphabetical
+# within an era — the CORRECTNESS files carry no finer ordering). The driver
+# window truncates at ~50, so positions 51+ (the last r4 gates) ride along
+# only if the window stretches; gates whose modules changed in round 9
+# (dedup/unigram/ann) are re-verified by the full driver_sim instead —
+# their newest driver rows are r8-era, the freshest there is.
 _GATE_PRIORITY: tuple[str, ...] = (
-    # (a) new in round 8 / modules changed in round 8
-    "ann_ivfpq_topk_portable",  # new: composed IVF+PQ retrieval (r7 #4)
-    "unigram_lm_learn",        # new: SentencePiece-style trainer (r7 #5)
-    "unigram_encode_counts",   # new: unigram encode surface (r8)
-    "ann_ivfpq_index_read",    # new: persisted IVF+PQ code table (r8)
-    "ann_ivfpq_topk",          # new: float composed default, rows-only (r8)
-    "minhash_near_dupes_capped",  # new: whale-bucket guard (r7 #6)
-    "ann_ivf_topk_portable",   # ann_portable.py k-clamp + guard (ADVICE r7)
-    "ann_pq_topk_portable",    # ann_portable.py dims probe (ADVICE r7)
-    "dsir_weights",            # dsir.py driver-side libm logs (ADVICE r7)
-    "decontam_semantic",       # decontam.py twin edge + guard (ADVICE r7)
-    "semantic_dedup",          # semdedup.py exact-BLAS guard (ADVICE r7)
-    "minhash_near_dupes",      # dedup.py whale-bucket cap wiring (r7 #6)
-    "group_winsorize",         # grouped_transform sf1-ratio work (r7 #7)
-    # (b) newest driver row is r2-era
-    "rolling_time_1h",
-    "rolling_time_1h_closed_right",
-    "take_1d",
-    "take_2d",
-    "topk_per_group",
-    # (c) newest driver row is r3-era, oldest-first
-    "asof_join_forward",
-    "asof_join_nearest",
-    "bigram_lm",
-    "bpe_token_stats",
-    "chunk_documents",
-    "curate_pipeline",
-    "decontaminate",
-    "dedup_keep_canonical",
-    "embedding_quantize",
-    "events_attribution",
-    "events_cohort_retention",
-    "events_funnel",
-    "events_resample_5m",
-    "events_session_paths",
-    "events_sessionize",
-    "events_stream_dedup",
-    "events_stream_funnel",
-    "events_variant_props",
-    "fuzzy_join",
-    "inverted_index",
-    "media_features",
-    "pack_sequences",
-    "pagerank_suppliers",
-    "pii_scrub",
-    "profile_lineitem",
-    "q11_important_parts",
-    "q12_late_priority",
-    "q13_order_distribution",
-    "q16_supplier_parts",
-    "q20_excess_suppliers",
-    "q21_waiting_suppliers",
-    "quality_filter",
+    # (a) newest driver row is r3-era
     "repetition_signals",
     "scd2_join",
     "shard_assign",
@@ -160,6 +109,51 @@ _GATE_PRIORITY: tuple[str, ...] = (
     "train_val_split",
     "udtf_pii_spans",
     "url_domains",
+    # (b) newest driver row is r4-era
+    "ab_test_readout",
+    "ann_ivf_topk",
+    "ann_lsh_topk",
+    "ann_pq_topk",
+    "basket_pairs",
+    "cosine_topk",
+    "date_interval_functions",
+    "doc_lm_score",
+    "domain_mix_sample",
+    "drift_report",
+    "embedding_near_dupes",
+    "events_anomaly",
+    "events_cusum",
+    "events_stream_cusum",
+    "events_stream_enrich",
+    "events_stream_join",
+    "events_stream_sessions",
+    "expectations_report",
+    "gif_media_features",
+    "graph_shortest_hops",
+    "group_by_all",
+    "group_first_last_string",
+    "group_nth",
+    "group_ohlc",
+    "group_quantile_midpoint",
+    "group_quantile_nearest",
+    "grouping_sets_revenue",
+    "interval_merge",
+    "map_functions",
+    "minhash_near_dupes_portable",
+    "pack_sequences_sharded",
+    "pii_mask",
+    "png_media_features",
+    "q2_min_cost_supplier",
+    "q4_priority_orders",
+    "q6_forecast_revenue",
+    "q7_nation_trade",
+    "q8_market_share",
+    "q9_product_profit",
+    "recursive_cte_tree",
+    "string_functions_ext",
+    "try_functions",
+    "window_frames",
+    "window_rank_suite",
 )
 
 
