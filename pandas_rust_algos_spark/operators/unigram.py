@@ -42,12 +42,16 @@ into ≤ len·max_piece_len substrings; each E-step is one narrow
 projection computing the per-word DP (state is a length-L array —
 bounded by ``max_word_len``) plus one vocab-sized count aggregation.
 The trainer state (pieces, counts, costs — ≤ seed_size + alphabet
-rows) is METADATA: it rides each E-step as one map literal and
-returns to the driver as one vocab-sized collect per iteration,
-exactly the centroids-as-metadata pattern of the fixed-point k-means
-family. Words longer than ``max_word_len`` are excluded from
-training on both engines (SentencePiece's own
-``max_sentencepiece_length``-style junk guard).
+rows) is METADATA: it rides each E-step as one map literal below 16k
+pieces and as a single broadcast row above (the IVF centroid-matrix
+switch, ``_with_cost_map``), and returns to the driver as one
+vocab-sized collect per iteration, exactly the
+centroids-as-metadata pattern of the fixed-point k-means family.
+Words longer than ``max_word_len`` are excluded from training on
+both engines (SentencePiece's own ``max_sentencepiece_length``-style
+junk guard); the encode surface caps its DP at
+``encode_max_word_len`` instead (over-length junk counts UNK chunks
+directly — see :func:`unigram_encode_counts`).
 
 Reference scope: no text surface exists in the reference (SURVEY
 §2.3) — driver-brief training-pipeline extension.
@@ -75,6 +79,38 @@ __all__ = ["unigram_lm_learn", "unigram_encode_counts",
 # Half-megabyte single "words" are beyond any tokenizer-trainer input.
 _BIG = 1 << 44
 _SEP = "\x02"
+
+# Above this many pieces, the trained cost map stops riding the plan
+# as a create_map literal (2·V Literal nodes per E-step — at a
+# 32k-piece production vocab that bloats the serialized plan and the
+# codegen constant pool, the same failure mode the IVF centroid
+# matrix hits at production dims) and switches to ONE broadcast row
+# cross-joined onto the word table: the expression tree stays O(1)
+# and the pieces move as broadcast data, not plan text. Mirrors
+# similarity._CENTROID_LITERAL_MAX (r8 VERDICT next-#3).
+_COSTMAP_LITERAL_MAX = 16_384
+
+
+def _with_cost_map(df: DataFrame, costs: dict[str, int]) -> tuple[DataFrame, Column]:
+    """Attach the piece→cost map to ``df``: as a ``create_map`` plan
+    literal below :data:`_COSTMAP_LITERAL_MAX` pieces, else as a
+    single broadcast row (``__costmap`` map column). Returns the
+    (possibly cross-joined) frame and the map column; the Viterbi DP
+    is indifferent to which form it gets."""
+    items = sorted(costs.items())
+    if len(items) > _COSTMAP_LITERAL_MAX:
+        from pyspark.sql.types import (
+            LongType, MapType, StringType, StructField, StructType,
+        )
+
+        cm_df = df.sparkSession.createDataFrame(
+            [({p: int(c) for p, c in items},)],
+            StructType([StructField(
+                "__costmap", MapType(StringType(), LongType()))]),
+        )
+        return df.crossJoin(F.broadcast(cm_df)), F.col("__costmap")
+    return df, F.create_map(
+        *[F.lit(x) for p, c in items for x in (p, c)])
 
 
 def _viterbi_best(wcol: Column, cost_map: Column, ml: int) -> Column:
@@ -175,9 +211,8 @@ def _train(
     # --- hard-EM iterations -----------------------------------------
     cnts: dict[str, int] = {}
     for _ in range(iters):
-        cost_map = F.create_map(
-            *[F.lit(x) for p, c in sorted(costs.items()) for x in (p, c)])
-        seg = words.select(
+        src, cost_map = _with_cost_map(words, costs)
+        seg = src.select(
             "n",
             _viterbi_best(F.col("w"), cost_map, max_piece_len)
             .getField("s").alias("s"),
@@ -241,6 +276,7 @@ def unigram_encode_counts(
     iters: int = 2,
     prune_per_step: int = 8,
     max_word_len: int = 64,
+    encode_max_word_len: int = 256,
 ) -> DataFrame:
     """Unigram tokenizer ENCODING — the companion surface to
     :func:`unigram_lm_learn` (the ``bpe_encode_counts`` shape): train
@@ -249,31 +285,41 @@ def unigram_encode_counts(
     ``n_chars − n_tokens`` is the subword compression the document
     absorbed.
 
-    Unlike training, encoding covers EVERY word (no ``max_word_len``
-    exclusion — documents must be fully countable): substrings absent
-    from the vocabulary cost the BIG sentinel, so an all-unknown word
-    deterministically segments into the fewest such pieces — the UNK
-    fallback, identical in the oracle.
+    Unlike training, encoding covers EVERY word (documents must be
+    fully countable): substrings absent from the vocabulary cost the
+    BIG sentinel, so an all-unknown word deterministically segments
+    into the fewest such pieces — the UNK fallback, identical in the
+    oracle. Words longer than ``encode_max_word_len`` skip the DP and
+    count ``ceil(len / max_piece_len)`` tokens directly — the cost
+    the all-UNK path would charge — identically on both engines (r8
+    ADVICE): without the bound a single multi-megabyte whitespace-
+    free junk token (base64, minified JS) drives the DP's grown
+    per-prefix state to O(L²) and can overflow the int64 cost sum
+    under ANSI mode (~L/2 BIG sentinels of 2^44 past ~1e6 chars).
+    At the default bound the worst DP path sums 256·2^44 < 2^53 —
+    comfortably inside int64.
 
     Scale shape: the corpus is word-exploded once; the Viterbi DP runs
     over the DISTINCT vocabulary with the trained costs riding as one
-    map literal (zero exchange beyond the distinct), and widths join
-    back to word instances on the word key (AQE broadcasts small
-    vocabularies)."""
+    map literal below 16k pieces and as a single broadcast row above
+    (:func:`_with_cost_map`), and widths join back to word instances
+    on the word key (AQE broadcasts small vocabularies)."""
     _, costs = _train(
         docs, text_col, max_piece_len=max_piece_len,
         seed_size=seed_size, iters=iters,
         prune_per_step=prune_per_step, max_word_len=max_word_len)
-    cost_map = F.create_map(
-        *[F.lit(x) for p, c in sorted(costs.items()) for x in (p, c)])
     inst = docs.select(
         F.col(id_col), F.explode(tokens(text_col)).alias("w"))
-    widths = inst.select("w").distinct().select(
-        "w",
+    src, cost_map = _with_cost_map(inst.select("w").distinct(), costs)
+    ml = max_piece_len
+    n_tok = F.when(
+        F.length("w") > encode_max_word_len,
+        F.floor((F.length("w") + ml - 1) / F.lit(ml)).cast("long"),
+    ).otherwise(
         (F.size(F.split(
-            _viterbi_best(F.col("w"), cost_map, max_piece_len)
-            .getField("s"), _SEP)) - 1).cast("long").alias("n_tok"),
-    )
+            _viterbi_best(F.col("w"), cost_map, ml)
+            .getField("s"), _SEP)) - 1).cast("long"))
+    widths = src.select("w", n_tok.alias("n_tok"))
     return (
         inst.join(widths, "w")
         .groupBy(id_col)
@@ -429,16 +475,19 @@ def sql_unigram_encode_counts(
     iters: int = 2,
     prune_per_step: int = 8,
     max_word_len: int = 64,
+    encode_max_word_len: int = 256,
 ) -> str:
     """DuckDB twin of :func:`unigram_encode_counts`: the trainer CTE
-    chain, then every word (no length exclusion) Viterbi-segmented
-    under the final cost map, widths joined back to the per-doc word
-    instances."""
+    chain, then every word Viterbi-segmented under the final cost map
+    (over-length words count ``ceil(len / max_piece_len)`` UNK tokens
+    directly, the same guard as the Spark side), widths joined back
+    to the per-doc word instances."""
     parts, final_k = _sql_train_parts(
         text_expr=text_expr, table=table, max_piece_len=max_piece_len,
         seed_size=seed_size, iters=iters,
         prune_per_step=prune_per_step, max_word_len=max_word_len)
     vit = _sql_viterbi("vw.w", "mm.m", max_piece_len)
+    ml = max_piece_len
     parts.append(f""",
     mf AS (SELECT MAP(LIST(piece), LIST(cost)) AS m FROM {final_k}),
     dw AS (
@@ -452,8 +501,12 @@ def sql_unigram_encode_counts(
     vw AS (SELECT DISTINCT w FROM dw),
     widths AS (
       SELECT vw.w,
-             CAST(len(string_split(({vit}).s, chr(2))) - 1 AS BIGINT)
-               AS n_tok
+             CASE WHEN length(vw.w) > {encode_max_word_len}
+                  THEN CAST(FLOOR((length(vw.w) + {ml} - 1)
+                                  / {ml}) AS BIGINT)
+                  ELSE CAST(len(string_split(({vit}).s, chr(2))) - 1
+                            AS BIGINT)
+             END AS n_tok
       FROM vw CROSS JOIN mf mm
     )
     SELECT dw.{id_col},

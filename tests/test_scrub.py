@@ -522,3 +522,89 @@ def test_unigram_encode_counts(spark):
                 prune_per_step=1)).fetchall()}
     con.close()
     assert got == want
+
+
+def test_unigram_costmap_broadcast_switch(spark, monkeypatch):
+    """Above _COSTMAP_LITERAL_MAX pieces the trained cost map rides as
+    ONE broadcast row instead of a create_map plan literal (the IVF
+    centroid-matrix switch, r8 VERDICT next-#3). Forcing the switch
+    low must leave trainer output bit-identical — the DP is
+    indifferent to which form carries the map."""
+    from pandas_rust_algos_spark.operators import unigram as ug
+
+    docs = spark.createDataFrame(
+        [(i, "abab" if i < 10 else "cd") for i in range(15)],
+        "doc_id long, text string")
+
+    def run():
+        return sorted(
+            (r["piece"], r["viterbi_count"], r["cost"])
+            for r in ug.unigram_lm_learn(
+                docs, max_piece_len=2, seed_size=3, iters=1,
+                prune_per_step=1).collect())
+
+    literal = run()
+    monkeypatch.setattr(ug, "_COSTMAP_LITERAL_MAX", 2)
+    assert run() == literal
+
+    enc = {r["doc_id"]: r["n_tokens"] for r in ug.unigram_encode_counts(
+        docs, max_piece_len=2, seed_size=3, iters=1,
+        prune_per_step=1).collect()}
+    assert enc[0] == 2 and enc[14] == 1  # ab|ab, cd — broadcast path
+
+
+def test_with_cost_map_multi_thousand_piece_vocab(spark):
+    """The switch at realistic production vocab width: a synthetic
+    20k-piece cost map exceeds the 16,384-literal cap, so
+    _with_cost_map must return the broadcast-row form, and the
+    Viterbi DP must still pick the trained pieces through it."""
+    from pandas_rust_algos_spark.operators import unigram as ug
+
+    costs = {f"w{i:05d}": 1_000_000 + i for i in range(20_000)}
+    costs.update({"ab": 10, "a": 500, "b": 500})
+    words = spark.createDataFrame([("abab",), ("ba",)], "w string")
+    src, cm = ug._with_cost_map(words, costs)
+    assert "__costmap" in src.columns  # broadcast row, not plan literal
+    got = {r["w"]: r["s"] for r in src.select(
+        "w", ug._viterbi_best(F.col("w"), cm, 2)
+        .getField("s").alias("s")).collect()}
+    assert got["abab"] == "\x02ab\x02ab"
+    assert got["ba"] == "\x02b\x02a"
+
+
+def test_unigram_encode_max_word_len_guard(spark):
+    """Words past encode_max_word_len skip the Viterbi DP and count
+    ceil(len/max_piece_len) UNK tokens directly (r8 ADVICE: a single
+    multi-megabyte junk token would otherwise grow O(L²) DP state and
+    overflow the int64 cost sum). Both engines apply the same cap, so
+    the twin still hash-matches; a 5,000-char word is instant."""
+    import duckdb
+    import pandas as pd
+
+    from pandas_rust_algos_spark.operators.unigram import (
+        sql_unigram_encode_counts,
+        unigram_encode_counts,
+    )
+
+    texts = ["abab cd", "abab " + "z" * 5_000, "y" * 300]
+    docs = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)],
+        "doc_id long, text string")
+    got = {r["doc_id"]: (r["n_words"], r["n_chars"], r["n_tokens"])
+           for r in unigram_encode_counts(
+               docs, max_piece_len=2, seed_size=3, iters=1,
+               prune_per_step=1).collect()}
+    # 5000-char junk word: ceil(5000/2) = 2500 direct UNK tokens
+    assert got[1] == (2, 5_004, 2 + 2_500)
+    # 300 > 256 default bound: ceil(300/2) = 150
+    assert got[2] == (1, 300, 150)
+
+    con = duckdb.connect()
+    con.register("docs_t", pd.DataFrame(
+        {"doc_id": range(len(texts)), "text": texts}))
+    want = {int(i): (int(a), int(b), int(c)) for i, a, b, c in
+            con.execute(sql_unigram_encode_counts(
+                table="docs_t", max_piece_len=2, seed_size=3, iters=1,
+                prune_per_step=1)).fetchall()}
+    con.close()
+    assert got == want
