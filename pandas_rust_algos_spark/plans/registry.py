@@ -154,6 +154,10 @@ _GATE_PRIORITY: tuple[str, ...] = (
     "try_functions",
     "window_frames",
     "window_rank_suite",
+    # new in round 9 — beyond the ~50-gate driver window by design
+    # (the window is reserved for the stale refresh above); verified
+    # by the full driver_sim this round, rotated forward next round
+    "ann_ivfpq_rerank_topk",
 )
 
 
