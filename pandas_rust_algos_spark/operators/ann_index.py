@@ -329,11 +329,22 @@ def ivfpq_index_query_fixed(
     vec_col: str = "embedding",
     n_probe: int = 3,
     k: int = 5,
+    rerank_k: int | None = None,
+    vectors: DataFrame | None = None,
 ) -> DataFrame:
     """Top-k by residual ADC through a persisted fixed-point IVF+PQ
     index; returns ``(query_id_col, id, approx_dist_sq, rank)`` —
     bit-identical to ``ann_portable.ivfpq_topk_fixed`` with the same
     parameters (and to its DuckDB oracle).
+
+    With ``rerank_k`` (≥ k), the ADC top-``rerank_k`` shortlist per
+    query re-scores on EXACT integer distances against ``vectors``
+    (the raw embedding table — required, since the index stores only
+    codes) and the output becomes ``(query_id_col, id, dist_sq,
+    rank)``, matching ``ivfpq_topk_fixed(rerank_k=...)`` bit-exactly.
+    The exact pass joins |queries|·rerank_k shortlist rows back to
+    the vector store — a pointwise sub-scan of the big table, never
+    a second full pass.
 
     The probe set resolves DRIVER-side from the KiB centroid table,
     so the codes scan opens only the probed ``cell=`` directories;
@@ -352,6 +363,13 @@ def ivfpq_index_query_fixed(
     if not 1 <= n_probe <= meta["n_cells"]:
         raise ValueError(
             f"n_probe must be in [1, {meta['n_cells']}], got {n_probe}")
+    if rerank_k is not None:
+        if rerank_k < k:
+            raise ValueError(f"rerank_k ({rerank_k}) must be >= k ({k})")
+        if vectors is None:
+            raise ValueError(
+                "rerank_k needs the raw vector table (vectors=...): "
+                "the persisted index stores only PQ codes")
     m, dims = meta["m"], meta["dims"]
     sub = dims // m
     coarse = sorted(
@@ -413,7 +431,30 @@ def ivfpq_index_query_fixed(
         )
     )
     w = Window.partitionBy(query_id_col).orderBy("approx_dist_sq", "id")
+    ranked = scored.withColumn(
+        "rank", F.row_number().over(w).cast("long"))
+    if rerank_k is None:
+        return ranked.where(F.col("rank") <= k)
+    short = ranked.where(F.col("rank") <= rerank_k) \
+        .select(query_id_col, "id")
+    cvec = vectors.where(F.col(meta["vec_col"]).isNotNull()).select(
+        F.col(meta["id_col"]).alias("id"),
+        _quantize(F.col(meta["vec_col"])).alias("__cv"),
+    )
+    qvec = queries.where(F.col(vec_col).isNotNull()).select(
+        F.col(query_id_col).alias("__rqid"),
+        _quantize(F.col(vec_col)).alias("__qv"),
+    )
+    exact = (
+        short.join(cvec, "id")
+        .join(F.broadcast(qvec), F.col(query_id_col) == F.col("__rqid"))
+        .select(
+            query_id_col, "id",
+            _dist_sq(F.col("__qv"), F.col("__cv")).alias("dist_sq"),
+        )
+    )
+    w2 = Window.partitionBy(query_id_col).orderBy("dist_sq", "id")
     return (
-        scored.withColumn("rank", F.row_number().over(w).cast("long"))
+        exact.withColumn("rank", F.row_number().over(w2).cast("long"))
         .where(F.col("rank") <= k)
     )

@@ -198,7 +198,25 @@ def test_ivfpq_index_matches_inmemory_and_prunes(spark, tmp_path):
     in_vals = re.search(r"cell#\d+L? IN \(([^)]*)\)", m.group(1))
     assert in_vals and len(in_vals.group(1).split(",")) <= 2, m.group(1)
 
+    # (3) persisted rerank path == in-memory rerank path (which is
+    # itself oracled via the ann_ivfpq_rerank_topk gate): exact
+    # shortlist re-scores against the raw vector table bit-match
+    got_rr = {(r["query_id"], r["id"], r["dist_sq"], r["rank"])
+              for r in ivfpq_index_query_fixed(
+                  spark, path, queries, n_probe=3, k=4,
+                  rerank_k=10, vectors=full).collect()}
+    want_rr = {(r["query_id"], r["vec_id"], r["dist_sq"], r["rank"])
+               for r in ivfpq_topk_fixed(
+                   full, queries, k=4, n_cells=8, n_probe=3, m=4,
+                   k_codes=4, iters=1, rerank_k=10).collect()}
+    assert got_rr == want_rr and len(got_rr) > 0
+
     with pytest.raises(ValueError, match="n_probe"):
         ivfpq_index_query_fixed(spark, path, one, n_probe=9)
     with pytest.raises(ValueError, match="divisible"):
         build_ivfpq_index_fixed(full, path + "2", m=3)
+    with pytest.raises(ValueError, match="rerank_k"):
+        ivfpq_index_query_fixed(spark, path, one, k=5, rerank_k=2,
+                                vectors=full)
+    with pytest.raises(ValueError, match="vector table"):
+        ivfpq_index_query_fixed(spark, path, one, k=3, rerank_k=10)
