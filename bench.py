@@ -146,8 +146,10 @@ HEADLINE = [
     "unigram_lm_learn",
     "minhash_near_dupes_capped",
     "unigram_encode_counts",
-    # round 9: exact shortlist rerank on the portable IVF+PQ path
+    # round 9: exact shortlist rerank on the portable IVF+PQ path,
+    # incremental dedup through a persisted minhash signature store
     "ann_ivfpq_rerank_topk",
+    "minhash_store_incremental",
 ]
 
 

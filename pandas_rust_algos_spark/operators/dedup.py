@@ -130,6 +130,24 @@ def minhash_signatures(
     )
 
 
+def _band_bucket_expr(i: int, rows_per_band: int, hash_mode: str) -> Column:
+    """Bucket key for band ``i`` over the ``sig`` column: hash of the
+    band's signature slice (xxhash64 fast path, md5-prefix portable
+    path — the same split as :func:`_mh_hash`). Shared by the fused
+    near-dup pipeline and the persisted signature store."""
+    cols = [F.col("sig")[i * rows_per_band + r]
+            for r in range(rows_per_band)]
+    if hash_mode == "portable":
+        return F.conv(
+            F.substring(
+                F.md5(F.concat_ws(
+                    ":", F.lit(str(i)),
+                    *[c.cast("string") for c in cols])), 1, 15),
+            16, 10,
+        ).cast("long")
+    return F.xxhash64(F.lit(i), *cols)
+
+
 def minhash_candidates(
     sigs: DataFrame,
     id_col: str = "doc_id",
@@ -240,26 +258,15 @@ def minhash_near_dupes(
     if max_bucket is None:
         sigs = sigs.persist()
 
-    def bucket_expr(i: int):
-        cols = [F.col("sig")[i * rows_per_band + r]
-                for r in range(rows_per_band)]
-        if hash_mode == "portable":
-            return F.conv(
-                F.substring(
-                    F.md5(F.concat_ws(
-                        ":", F.lit(str(i)),
-                        *[c.cast("string") for c in cols])), 1, 15),
-                16, 10,
-            ).cast("long")
-        return F.xxhash64(F.lit(i), *cols)
-
     b = sigs.select(
         F.col(id_col),
         F.col("sig"),
         F.explode(
             F.array(*[
-                F.struct(F.lit(i).alias("band"),
-                         bucket_expr(i).alias("bucket"))
+                F.struct(
+                    F.lit(i).alias("band"),
+                    _band_bucket_expr(i, rows_per_band, hash_mode)
+                    .alias("bucket"))
                 for i in range(bands)
             ])
         ).alias("bb"),

@@ -1,0 +1,194 @@
+"""Persisted MinHash signature store + incremental near-dup ingest.
+
+The 100 TB ingest shape for approximate dedup: a production corpus is
+not re-shingled per batch. The signature table (``num_hashes`` longs
+per doc, ~256 B — ~1000× smaller than the text it summarizes) is the
+durable artifact; each new batch computes ONLY its own signatures,
+bands them, and joins against the store's band projection:
+
+- ``write_minhash_store``  — signatures → ``{path}/sigs.parquet`` +
+  frozen hyper-parameters in ``{path}/meta.json``.
+- ``append_minhash_store`` — signatures for a new batch under the
+  STORED parameters (frozen-params contract, the ``append_ivf_index``
+  recipe: mixing k/num_hashes/bands/hash_mode across ingests would
+  silently break bucket agreement, so the store's meta wins and the
+  call refuses overlapping ids).
+- ``minhash_store_near_dupes`` — near-dup pairs TOUCHING the new
+  batch: new×stored and new×new, estimated jaccard ≥ threshold.
+  stored×stored pairs were already resolved when those docs were
+  ingested — the whole point of incrementality is never re-paying
+  them.
+
+Cost per ingest: one shingle pass over the NEW batch only, one narrow
+scan of the stored signature parquet (no text), one (band, bucket)
+join whose left side is batch-sized — AQE broadcasts it when small.
+Identical signatures to a from-scratch run (signatures are a pure
+function of the text and the frozen params), so incremental results
+equal the full-corpus pipeline filtered to new-touching pairs — the
+property the gate's DuckDB oracle and the unit tests pin.
+
+Reference scope: no persistence surface exists in the reference
+(SURVEY §2.3) — driver-brief training-pipeline extension, mirroring
+``ann_index``'s persisted-quantizer pattern for the dedup family.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from pandas_rust_algos_spark.operators.dedup import (
+    _band_bucket_expr,
+    minhash_signatures,
+)
+
+__all__ = [
+    "write_minhash_store",
+    "append_minhash_store",
+    "minhash_store_near_dupes",
+]
+
+
+def _band_table(sigs: DataFrame, id_col: str, num_hashes: int,
+                bands: int, hash_mode: str) -> DataFrame:
+    """(id, sig, band, bucket) — the exploded band projection of a
+    signature table (the near-dup pipeline's shape, sig carried so
+    the estimate computes in place at the join)."""
+    rpb = num_hashes // bands
+    return sigs.select(
+        F.col(id_col),
+        F.col("sig"),
+        F.explode(
+            F.array(*[
+                F.struct(
+                    F.lit(i).alias("band"),
+                    _band_bucket_expr(i, rpb, hash_mode).alias("bucket"))
+                for i in range(bands)
+            ])
+        ).alias("bb"),
+    ).select(id_col, "sig", "bb.band", "bb.bucket")
+
+
+def _read_meta(path: str) -> dict:
+    with open(os.path.join(path, "meta.json")) as fh:
+        return json.load(fh)
+
+
+def write_minhash_store(
+    df: DataFrame,
+    path: str,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 5,
+    num_hashes: int = 32,
+    bands: int = 8,
+    hash_mode: str = "fast",
+) -> dict:
+    """Create the store: one signature pass over ``df``, parameters
+    frozen in ``meta.json``. The parquet is the index — one row of
+    ``num_hashes`` longs per doc, repartitionable/compactable like
+    any table; no text is retained."""
+    if num_hashes % bands != 0:
+        raise ValueError(
+            f"num_hashes ({num_hashes}) must divide into bands ({bands})")
+    sigs = minhash_signatures(
+        df, id_col, text_col, k=k, num_hashes=num_hashes,
+        hash_mode=hash_mode)
+    os.makedirs(path, exist_ok=True)
+    sigs.write.mode("overwrite").parquet(os.path.join(path, "sigs.parquet"))
+    meta = {"k": k, "num_hashes": num_hashes, "bands": bands,
+            "hash_mode": hash_mode, "id_col": id_col,
+            "text_col": text_col}
+    with open(os.path.join(path, "meta.json"), "w") as fh:
+        json.dump(meta, fh)
+    return meta
+
+
+def append_minhash_store(
+    spark: SparkSession,
+    path: str,
+    new_docs: DataFrame,
+) -> dict:
+    """Ingest a batch: signatures under the STORED parameters, parquet
+    append. Refuses ids already present (the store is append-only and
+    id-keyed; a re-ingest would double those docs' band rows)."""
+    meta = _read_meta(path)
+    sigs_path = os.path.join(path, "sigs.parquet")
+    stored_ids = spark.read.parquet(sigs_path).select(meta["id_col"])
+    dup = (new_docs.select(meta["id_col"]).join(
+        stored_ids, meta["id_col"], "left_semi").limit(1).collect())
+    if dup:
+        raise ValueError(
+            f"append_minhash_store: id {dup[0][0]!r} already in the "
+            "store (append-only, id-keyed)")
+    sigs = minhash_signatures(
+        new_docs, meta["id_col"], meta["text_col"], k=meta["k"],
+        num_hashes=meta["num_hashes"], hash_mode=meta["hash_mode"])
+    sigs.write.mode("append").parquet(sigs_path)
+    return meta
+
+
+def minhash_store_near_dupes(
+    spark: SparkSession,
+    path: str,
+    new_docs: DataFrame,
+    *,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Near-dup pairs touching the new batch: ``(id_a, id_b,
+    est_jaccard)`` with ``id_a < id_b``, where at least one side is a
+    new doc, estimated jaccard (fraction of agreeing minhashes) ≥
+    ``threshold``.
+
+    Plan: the NEW batch's band table is computed once and persisted
+    (it is both the join's probe side and part of its build side —
+    new×new pairs must surface too); the stored side is a narrow
+    parquet scan of signatures plus the band explode — the corpus
+    text is never touched. One (band, bucket) join, batch-sized on
+    the left (AQE broadcasts it when small), then the in-place
+    agreement estimate and one canonical-pair distinct. Equal to the
+    full-corpus :func:`dedup.minhash_near_dupes` restricted to
+    new-touching pairs — signatures are a pure function of (text,
+    frozen params), which is what the gate's oracle replays."""
+    meta = _read_meta(path)
+    id_col, nh = meta["id_col"], meta["num_hashes"]
+    sigs_new = minhash_signatures(
+        new_docs, id_col, meta["text_col"], k=meta["k"],
+        num_hashes=nh, hash_mode=meta["hash_mode"])
+    b_new = _band_table(
+        sigs_new, id_col, nh, meta["bands"], meta["hash_mode"]
+    ).persist()
+    stored = spark.read.parquet(os.path.join(path, "sigs.parquet"))
+    b_all = _band_table(
+        stored, id_col, nh, meta["bands"], meta["hash_mode"]
+    ).unionByName(b_new)
+    left = b_new.select(
+        F.col(id_col).alias("id_n"), F.col("sig").alias("sig_n"),
+        "band", "bucket")
+    right = b_all.select(
+        F.col(id_col).alias("id_o"), F.col("sig").alias("sig_o"),
+        "band", "bucket")
+    est = (
+        F.size(
+            F.filter(
+                F.zip_with("sig_n", "sig_o", lambda a, b: a == b),
+                lambda x: x,
+            )
+        ).cast("double")
+        / nh
+    )
+    return (
+        left.join(right, ["band", "bucket"])
+        .where(F.col("id_n") != F.col("id_o"))
+        .select(
+            F.least("id_n", "id_o").alias("id_a"),
+            F.greatest("id_n", "id_o").alias("id_b"),
+            est.alias("est_jaccard"),
+        )
+        .where(F.col("est_jaccard") >= threshold)
+        .distinct()
+    )

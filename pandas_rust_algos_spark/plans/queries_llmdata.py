@@ -208,7 +208,8 @@ def simhash_fingerprints_portable(spark: SparkSession, sf_dir: str) -> DataFrame
 
 def _minhash_portable_oracle(num_hashes: int = 16, bands: int = 4,
                              threshold: float = 0.5,
-                             max_bucket: int | None = None) -> str:
+                             max_bucket: int | None = None,
+                             pair_pred: str | None = None) -> str:
     """DuckDB twin of the ENTIRE portable-hash minhash pipeline:
     shingles → md5-prefix minhashes → band buckets → candidate join →
     agreement-fraction estimate. Same md5 strings on both engines ⇒
@@ -216,7 +217,12 @@ def _minhash_portable_oracle(num_hashes: int = 16, bands: int = 4,
     (the xxhash64 default stays the scale path). ``max_bucket``
     replays the whale-bucket guard: buckets above it contribute their
     consecutive-id chain instead of all pairs (same window-count +
-    lead construction as the Spark side)."""
+    lead construction as the Spark side). ``pair_pred`` (a template
+    over ``{a}``/``{b}`` doc ids) restricts the candidate pairs —
+    the incremental-store gate uses it to keep only new-touching
+    pairs, which is exactly what the batch-vs-store join produces
+    (signatures are a pure function of text + params, so the full
+    replay filtered to those pairs IS the incremental result)."""
     rpb = num_hashes // bands
 
     def h60(sexpr: str) -> str:
@@ -237,12 +243,14 @@ def _minhash_portable_oracle(num_hashes: int = 16, bands: int = 4,
     shingle_sql = (
         "LIST_TRANSFORM(RANGE(1, GREATEST(LENGTH(text) - 4, 1) + 1), "
         "i -> SUBSTR(text, CAST(i AS INT), 5))")
+    filt = ("" if pair_pred is None else
+            " AND " + pair_pred.format(a="x.doc_id", b="y.doc_id"))
     if max_bucket is None:
-        cand = """cand AS (
+        cand = f"""cand AS (
       SELECT DISTINCT x.doc_id AS id_a, y.doc_id AS id_b
       FROM bk x JOIN bk y
         ON x.band = y.band AND x.bucket = y.bucket
-       AND x.doc_id < y.doc_id
+       AND x.doc_id < y.doc_id{filt}
     )"""
     else:
         cand = f"""bk2 AS (
@@ -294,6 +302,41 @@ def minhash_near_dupes_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dd.minhash_near_dupes(
         _docs(spark, sf_dir), num_hashes=16, bands=4,
         threshold=0.5, hash_mode="portable")
+
+
+@register(
+    "minhash_store_incremental",
+    oracle=_minhash_portable_oracle(
+        pair_pred="({a} % 5 = 0 OR {b} % 5 = 0)"),
+)
+def minhash_store_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental MinHash dedup through a PERSISTED signature store
+    (`operators/minhash_store.py` — the 100 TB ingest shape: the
+    corpus is never re-shingled; the durable artifact is the
+    ~256 B/doc signature parquet). The gate builds the store from the
+    doc_id % 5 != 0 docs, then ingests the % 5 == 0 batch: one
+    shingle pass over the BATCH only, a narrow scan of the stored
+    signatures, one (band, bucket) join, and the in-place agreement
+    estimate. Because signatures are a pure function of (text, frozen
+    params), the result equals the full-corpus portable pipeline
+    restricted to new-touching pairs — which is exactly what the
+    DuckDB oracle replays (the shared portable-oracle builder with a
+    pair predicate)."""
+    import tempfile
+
+    from pandas_rust_algos_spark.operators.minhash_store import (
+        minhash_store_near_dupes,
+        write_minhash_store,
+    )
+
+    docs = _docs(spark, sf_dir)
+    idx = tempfile.mkdtemp(prefix="mh_store_gate_")
+    write_minhash_store(
+        docs.where(F.col("doc_id") % 5 != 0), idx,
+        num_hashes=16, bands=4, hash_mode="portable")
+    return minhash_store_near_dupes(
+        spark, idx, docs.where(F.col("doc_id") % 5 == 0),
+        threshold=0.5)
 
 
 @register("minhash_near_dupes_capped",

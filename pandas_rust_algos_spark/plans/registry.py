@@ -158,6 +158,7 @@ _GATE_PRIORITY: tuple[str, ...] = (
     # (the window is reserved for the stale refresh above); verified
     # by the full driver_sim this round, rotated forward next round
     "ann_ivfpq_rerank_topk",
+    "minhash_store_incremental",
 )
 
 

@@ -428,3 +428,63 @@ def test_semantic_dedup_planted(spark):
     import pytest as _pytest
     with _pytest.raises(ValueError):
         sd.semantic_dedup(df, threshold=0.0)
+
+
+def test_minhash_store_incremental(spark, tmp_path):
+    """The persisted signature store: (1) incremental near-dupes
+    through the store equal the full-corpus pipeline restricted to
+    new-touching pairs (signatures are a pure function of text +
+    frozen params); (2) append ingests under the STORED params and
+    refuses id re-ingest; (3) a second batch sees dupes against both
+    the original store and the first appended batch."""
+    from pandas_rust_algos_spark.operators.minhash_store import (
+        append_minhash_store,
+        minhash_store_near_dupes,
+        write_minhash_store,
+    )
+
+    base = "the quick brown fox jumps over the lazy dog again and again"
+    texts = {i: base for i in (0, 3, 7)}             # a dupe cluster
+    texts.update({i: base.replace("lazy", "sleepy")
+                  for i in (4, 8)})                  # near-dupes of it
+    texts.update({1: "completely different content about spark plans",
+                  2: "unrelated words entirely " * 3,
+                  5: "yet another standalone document body",
+                  6: "numbers one two three four five six seven"})
+    docs = spark.createDataFrame(
+        sorted(texts.items()), "doc_id long, text string")
+    old = docs.where(F.col("doc_id") < 6)
+    new = docs.where(F.col("doc_id") >= 6)
+
+    path = str(tmp_path / "mh")
+    meta = write_minhash_store(old, path, num_hashes=16, bands=4,
+                               hash_mode="portable")
+    assert meta["num_hashes"] == 16
+    inc = {(r["id_a"], r["id_b"], r["est_jaccard"])
+           for r in minhash_store_near_dupes(
+               spark, path, new, threshold=0.5).collect()}
+    full = {(r["id_a"], r["id_b"], r["est_jaccard"])
+            for r in dd.minhash_near_dupes(
+                docs, threshold=0.5, num_hashes=16, bands=4,
+                hash_mode="portable").collect()
+            if r["id_a"] >= 6 or r["id_b"] >= 6}
+    assert inc == full and len(inc) > 0     # (7,8) at least
+
+    append_minhash_store(spark, path, new)
+    with pytest.raises(ValueError, match="already in the store"):
+        append_minhash_store(spark, path, new)
+
+    batch2 = spark.createDataFrame(
+        [(20, base), (21, "fresh singleton text body here")],
+        "doc_id long, text string")
+    inc2 = {(r["id_a"], r["id_b"]) for r in minhash_store_near_dupes(
+        spark, path, batch2, threshold=0.5).collect()}
+    # 20 duplicates the cluster {0,3,7}: 7 came in via APPEND — the
+    # store must see both the original write and the appended batch
+    assert {(0, 20), (3, 20), (7, 20)} <= inc2
+    assert all(a == 20 or b == 20 or a == 21 or b == 21
+               for a, b in inc2)
+
+    with pytest.raises(ValueError, match="divide"):
+        write_minhash_store(old, str(tmp_path / "bad"), num_hashes=16,
+                            bands=5)
