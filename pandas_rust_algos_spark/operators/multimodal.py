@@ -809,10 +809,12 @@ def image_media_from_vecs(
     (pure double arithmetic — bit-reproducible in any engine, which is
     what makes the downstream decode oracle-checkable). ``jpeg`` means
     LOSSLESS JPEG (T.81 SOF3) — exact round trip, so it stays
-    oracle-checkable like png/gif. ``tiff`` is the baseline
-    uncompressed profile (`operators/tiff.py`), written little-endian
-    for even ids and BIG-endian for odd ids so a decode gate covers
-    both byte orders from one column."""
+    oracle-checkable like png/gif. ``tiff`` payloads vary BY ID so a
+    single decode gate covers the whole profile matrix from one
+    column: little-endian ``II`` for even ids, BIG-endian ``MM`` for
+    odd; ids ≡ 2 (mod 4) compress with TIFF-LZW and ids ≡ 3 (mod 4)
+    add the horizontal-differencing predictor (`operators/tiff.py`,
+    both from scratch — r9)."""
     if codec not in ("png", "gif", "jpeg", "tiff"):
         raise ValueError(f"codec must be png|gif|jpeg|tiff, got {codec!r}")
     if codec == "gif" and channels != 3:
@@ -855,6 +857,8 @@ def image_media_from_vecs(
                  else _quantize(v)[:, :, 0]),
                 rows_per_strip=2,  # small: tiny images still multi-strip
                 big_endian=bool(int(i) % 2),
+                compression="lzw" if int(i) % 4 >= 2 else "none",
+                predictor=2 if int(i) % 4 == 3 else 1,
             )
             for i, v in zip(ids, vs)
         ])

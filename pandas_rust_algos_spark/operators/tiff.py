@@ -5,13 +5,19 @@ big-endian ``MM`` — decoded from the same code path (endianness is a
 per-file header property, the one thing TIFF forces every reader to
 get right).
 
-Scope, stated honestly: this is the *baseline uncompressed* profile —
-the archival/scientific-capture flavor a crawl actually encounters
-for scanned documents and raw sensor dumps. LZW/JPEG-in-TIFF
-compression and planar configuration 2 raise ``NotImplementedError``
-loudly (the LZW entropy coder exists in ``multimodal``'s GIF codec
-but TIFF-LZW differs in bit order and early-change; wiring that is a
-separate, careful job — not silently decoded wrong).
+Scope: baseline uncompressed (Compression=1) AND TIFF-LZW
+(Compression=5, spec §13) with the horizontal-differencing predictor
+(tag 317, Predictor=2) — the archival/scanned-document flavors a
+crawl actually encounters. TIFF-LZW is implemented from scratch here
+(r9; previously a loud guard): unlike GIF's LZW it packs codes
+MSB-first and uses the EARLY-CHANGE convention — the writer widens
+the code size when the next code to assign reaches 2^n − 1 (one
+earlier than GIF), and the decoder, whose table additions lag the
+writer's by exactly one code, compensates by widening at 2^n − 2.
+The 9-bit era is pinned against the spec's own <7 7 7 8 8 7 7 6 6>
+example stream in tests; round trips cross every width boundary and
+the 4094-entry table reset. JPEG-in-TIFF and planar configuration 2
+still raise ``NotImplementedError`` loudly.
 
 Like the other from-scratch codecs here (PNG/GIF/JPEG/μ-law), the
 encoder⇄decoder round trip is bit-exact, so the media gate's
@@ -34,17 +40,129 @@ __all__ = ["encode_tiff", "decode_tiff"]
 # tag ids (TIFF 6.0 §8)
 _WIDTH, _LENGTH, _BITS, _COMPRESSION, _PHOTOMETRIC = 256, 257, 258, 259, 262
 _STRIP_OFFSETS, _SAMPLES, _ROWS_PER_STRIP, _STRIP_COUNTS = 273, 277, 278, 279
-_PLANAR = 284
+_PLANAR, _PREDICTOR = 284, 317
+
+# TIFF-LZW (spec §13): 256 = ClearCode, 257 = EndOfInformation, first
+# dictionary entry 258; 12-bit ceiling; table reset once the next
+# assignable code reaches 4094 (libtiff's threshold).
+_LZW_CLEAR, _LZW_EOI, _LZW_FIRST = 256, 257, 258
+_LZW_RESET_AT = 4094
+
+
+def _lzw_encode(data: bytes) -> bytes:
+    """TIFF-LZW compress one strip: MSB-first bit packing, early
+    change (the writer switches to n+1-bit codes as soon as the next
+    code to ASSIGN reaches 2^n − 1 — one code earlier than GIF)."""
+    out = bytearray()
+    acc = accbits = 0
+    nbits = 9
+
+    def emit(code: int) -> None:
+        nonlocal acc, accbits
+        acc = (acc << nbits) | code
+        accbits += nbits
+        while accbits >= 8:
+            accbits -= 8
+            out.append((acc >> accbits) & 0xFF)
+
+    table: dict[bytes, int] = {bytes([i]): i for i in range(256)}
+    next_code = _LZW_FIRST
+    emit(_LZW_CLEAR)
+    w = b""
+    for b in data:
+        wc = w + bytes([b])
+        if wc in table:
+            w = wc
+            continue
+        emit(table[w])
+        table[wc] = next_code
+        next_code += 1
+        if next_code == (1 << nbits) - 1 and nbits < 12:
+            nbits += 1
+        w = bytes([b])
+        if next_code >= _LZW_RESET_AT:
+            emit(_LZW_CLEAR)
+            table = {bytes([i]): i for i in range(256)}
+            next_code = _LZW_FIRST
+            nbits = 9
+    if w:
+        emit(table[w])
+    emit(_LZW_EOI)
+    if accbits:
+        out.append((acc << (8 - accbits)) & 0xFF)
+    return bytes(out)
+
+
+def _lzw_decode(data: bytes) -> bytes:
+    """TIFF-LZW decompress one strip. The decoder's table additions
+    lag the writer's by one code (the entry for code m completes only
+    when code m+1 arrives), so it widens at 2^n − 2 where the writer
+    widened at 2^n − 1 — the early-change compensation every TIFF
+    reader must get right."""
+    out = bytearray()
+    bitpos = 0
+    total = len(data) * 8
+    nbits = 9
+    table: list[bytes] = []
+    prev: bytes | None = None
+    while bitpos + nbits <= total:
+        byte = bitpos >> 3
+        chunk = int.from_bytes(data[byte:byte + 3].ljust(3, b"\0"), "big")
+        code = (chunk >> (24 - (bitpos & 7) - nbits)) & ((1 << nbits) - 1)
+        bitpos += nbits
+        if code == _LZW_CLEAR:
+            table = [bytes([i]) for i in range(256)] + [b"", b""]
+            nbits = 9
+            prev = None
+            continue
+        if code == _LZW_EOI:
+            break
+        if not table:
+            raise ValueError("TIFF-LZW: data before first ClearCode")
+        if code < len(table):
+            entry = table[code]
+        elif code == len(table) and prev is not None:
+            entry = prev + prev[:1]  # the KwKwK case
+        else:
+            raise ValueError(f"TIFF-LZW: corrupt code {code}")
+        out += entry
+        if prev is not None:
+            table.append(prev + entry[:1])
+            if len(table) == (1 << nbits) - 2 and nbits < 12:
+                nbits += 1
+        prev = entry
+    return bytes(out)
+
+
+def _undiff_rows(a: np.ndarray, spp: int) -> np.ndarray:
+    """Invert the horizontal-differencing predictor (tag 317 = 2):
+    per-row, per-channel modulo-256 prefix sum along the width."""
+    h = a.shape[0]
+    v = a.reshape(h, -1, spp)
+    return np.add.accumulate(v, axis=1, dtype=np.uint8).reshape(a.shape)
+
+
+def _diff_rows(a: np.ndarray, spp: int) -> np.ndarray:
+    """Apply the horizontal-differencing predictor: per-row,
+    per-channel modulo-256 deltas along the width."""
+    h = a.shape[0]
+    v = a.reshape(h, -1, spp).copy()
+    v[:, 1:, :] -= v[:, :-1, :]  # uint8 arithmetic wraps mod 256
+    return v.reshape(a.shape)
 
 _TYPE_SHORT, _TYPE_LONG = 3, 4
 _TYPE_SIZE = {1: 1, 2: 1, 3: 2, 4: 4, 5: 8}
 
 
 def encode_tiff(arr: np.ndarray, *, rows_per_strip: int = 4,
-                big_endian: bool = False) -> bytes:
+                big_endian: bool = False, compression: str = "none",
+                predictor: int = 1) -> bytes:
     """Encode HxW (grayscale) or HxWx3 (RGB) uint8 pixels as baseline
-    uncompressed TIFF. ``rows_per_strip`` deliberately defaults small
-    so even tiny gate images exercise multi-strip assembly;
+    TIFF — uncompressed or TIFF-LZW (``compression="lzw"``), with the
+    optional horizontal-differencing predictor (``predictor=2``,
+    LZW-only per spec §14: deltas concentrate mass near zero so the
+    dictionary coder bites). ``rows_per_strip`` deliberately defaults
+    small so even tiny gate images exercise multi-strip assembly;
     ``big_endian=True`` writes an ``MM`` file (same pixels, every
     multi-byte field swapped) so the decoder's endianness handling is
     testable from the encoder alone."""
@@ -59,12 +177,22 @@ def encode_tiff(arr: np.ndarray, *, rows_per_strip: int = 4,
         raise ValueError("empty image")
     if rows_per_strip < 1:
         raise ValueError("rows_per_strip must be >= 1")
+    if compression not in ("none", "lzw"):
+        raise ValueError(f"compression must be none|lzw, got {compression!r}")
+    if predictor not in (1, 2):
+        raise ValueError(f"predictor must be 1|2, got {predictor}")
+    if predictor == 2 and compression != "lzw":
+        raise ValueError("predictor=2 is only defined for LZW (spec §14)")
     bo = ">" if big_endian else "<"
+    if predictor == 2:
+        a = _diff_rows(a.reshape(h, w * spp), spp).reshape(a.shape)
     flat = a.reshape(h, w * spp)
     strips = [
         flat[r:r + rows_per_strip].tobytes()
         for r in range(0, h, rows_per_strip)
     ]
+    if compression == "lzw":
+        strips = [_lzw_encode(s) for s in strips]
 
     out = bytearray()
     out += (b"MM" if big_endian else b"II")
@@ -119,7 +247,8 @@ def encode_tiff(arr: np.ndarray, *, rows_per_strip: int = 4,
         entry(_WIDTH, _TYPE_LONG, 1, w),
         entry(_LENGTH, _TYPE_LONG, 1, h),
         entry(_BITS, _TYPE_SHORT, spp, [8] * spp),
-        entry(_COMPRESSION, _TYPE_SHORT, 1, 1),
+        entry(_COMPRESSION, _TYPE_SHORT, 1,
+              5 if compression == "lzw" else 1),
         entry(_PHOTOMETRIC, _TYPE_SHORT, 1, 1 if spp == 1 else 2),
         entry(_STRIP_OFFSETS, off_typ, n_strips,
               strip_offsets if n_strips == 1 else 0),
@@ -129,6 +258,8 @@ def encode_tiff(arr: np.ndarray, *, rows_per_strip: int = 4,
               [len(s) for s in strips] if n_strips == 1 else 0),
         entry(_PLANAR, _TYPE_SHORT, 1, 1),
     ]
+    if predictor == 2:
+        entries.append(entry(_PREDICTOR, _TYPE_SHORT, 1, 2))
     entries.sort(key=lambda e: struct.unpack(bo + "H", e[:2])[0])
 
     pad_even()
@@ -194,11 +325,14 @@ def decode_tiff(payload: bytes) -> np.ndarray:
         return fields[tag][0]
 
     comp = one(_COMPRESSION, 1)
-    if comp != 1:
+    if comp not in (1, 5):
         raise NotImplementedError(
             f"TIFF compression {comp} not supported (baseline "
-            "uncompressed only; LZW/JPEG-in-TIFF need distinct entropy "
-            "decoders)")
+            "uncompressed + LZW; JPEG-in-TIFF needs a distinct entropy "
+            "decoder)")
+    pred = one(_PREDICTOR, 1)
+    if pred not in (1, 2):
+        raise NotImplementedError(f"TIFF predictor {pred} not supported")
     if one(_PLANAR, 1) != 1:
         raise NotImplementedError("planar configuration 2 not supported")
     w, h = one(_WIDTH), one(_LENGTH)
@@ -213,11 +347,18 @@ def decode_tiff(payload: bytes) -> np.ndarray:
     counts = fields[_STRIP_COUNTS]
     if len(offsets) != len(counts):
         raise ValueError("strip offsets/counts length mismatch")
-    data = b"".join(
-        payload[o:o + c] for o, c in zip(offsets, counts))
+    raw = (payload[o:o + c] for o, c in zip(offsets, counts))
+    if comp == 5:
+        data = b"".join(_lzw_decode(s) for s in raw)
+    else:
+        data = b"".join(raw)
     need = h * w * spp
     if len(data) < need:
         raise ValueError(
             f"truncated TIFF: {len(data)} strip bytes < {need}")
     a = np.frombuffer(data[:need], dtype=np.uint8)
+    if pred == 2:
+        # predictor deltas are row-local, so inverting on the fully
+        # assembled rows is strip-boundary-safe
+        a = _undiff_rows(a.reshape(h, w * spp), spp).reshape(-1)
     return a.reshape((h, w) if spp == 1 else (h, w, 3))

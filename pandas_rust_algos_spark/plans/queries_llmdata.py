@@ -546,15 +546,17 @@ def decontam_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def tiff_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Baseline TIFF decode, hash-checked end-to-end
-    (``operators/tiff.py``): embeddings quantize to 4x4 RGB pixels and
-    encode as real multi-strip TIFF payloads — little-endian ``II``
-    for even ids, BIG-endian ``MM`` for odd ids, so ONE gate covers
-    both byte orders and strip reassembly — then decode back through
-    the Arrow-batched feature path. The oracle recomputes the
-    quantization straight from the source table; check_md5 over the
-    canonical pixel CSV proves every strip read, offset walk, and
-    byte-order swap value-exactly."""
+    """TIFF decode, hash-checked end-to-end (``operators/tiff.py``):
+    embeddings quantize to 4x4 RGB pixels and encode as real
+    multi-strip TIFF payloads varying BY ID — little-endian ``II``
+    for even ids, BIG-endian ``MM`` for odd, TIFF-LZW compression for
+    ids ≡ 2 (mod 4), LZW + horizontal-differencing predictor for
+    ids ≡ 3 (mod 4) — so ONE gate covers both byte orders, strip
+    reassembly, the from-scratch LZW entropy decoder (MSB-first,
+    early-change — r9), and the predictor inversion. The oracle
+    recomputes the quantization straight from the source table;
+    check_md5 over the canonical pixel CSV proves every strip read,
+    offset walk, byte-order swap, and LZW bit walk value-exactly."""
     tune(spark)
     e = spread(load_table(spark, sf_dir, "embeddings"), cap=8)
     media = mm.image_media_from_vecs(

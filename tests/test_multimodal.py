@@ -731,15 +731,16 @@ def test_tiff_roundtrip_both_endians_and_guards():
     with _pytest.raises(ValueError, match="magic"):
         decode_tiff(b"II\x2b\x00" + b"\x00" * 8)
     ok = bytearray(encode_tiff(np.zeros((4, 4), np.uint8)))
-    # flip Compression (tag 259) value to 5 (LZW): must refuse loudly
+    # flip Compression (tag 259) to 7 (JPEG-in-TIFF, still out of
+    # scope): must refuse loudly. (5 = LZW is decoded since r9.)
     import struct as _struct
     ifd = _struct.unpack("<L", ok[4:8])[0]
     n = _struct.unpack("<H", ok[ifd:ifd + 2])[0]
     for i in range(n):
         base = ifd + 2 + 12 * i
         if _struct.unpack("<H", ok[base:base + 2])[0] == 259:
-            ok[base + 8:base + 10] = _struct.pack("<H", 5)
-    with _pytest.raises(NotImplementedError, match="compression 5"):
+            ok[base + 8:base + 10] = _struct.pack("<H", 7)
+    with _pytest.raises(NotImplementedError, match="compression 7"):
         decode_tiff(bytes(ok))
     # truncate the pixel strips: must refuse, not return garbage
     full = encode_tiff(np.arange(48, dtype=np.uint8).reshape(4, 12),
@@ -803,3 +804,77 @@ def test_tiff_word_alignment():
                     assert off % 2 == 0, f"tag {tag} value at odd offset"
             out = decode_tiff(payload)
             assert np.array_equal(out, a)
+
+
+def test_tiff_lzw_spec_example_stream():
+    """The 9-bit era of the TIFF-LZW writer pinned against the spec's
+    own §13 example input <7 7 7 8 8 7 7 6 6>: the code sequence is
+    Clear,7,258,8,8,258,6,6,EOI — hand-packed MSB-first below — and
+    the decoder inverts it exactly (including the KwKwK-free early
+    dictionary growth and the final partial-byte flush)."""
+    from pandas_rust_algos_spark.operators.tiff import (
+        _lzw_decode,
+        _lzw_encode,
+    )
+
+    data = bytes([7, 7, 7, 8, 8, 7, 7, 6, 6])
+    codes = [256, 7, 258, 8, 8, 258, 6, 6, 257]
+    acc = 0
+    for c in codes:
+        acc = (acc << 9) | c
+    nbits = 9 * len(codes)
+    pad = (-nbits) % 8
+    expected = (acc << pad).to_bytes((nbits + pad) // 8, "big")
+    assert _lzw_encode(data) == expected
+    assert _lzw_decode(expected) == data
+
+
+def test_tiff_lzw_width_boundaries_and_reset():
+    """Round trips that cross every code-width boundary (9→10→11→12)
+    and the 4094-entry table reset: the writer widens at 2^n−1, the
+    decoder — whose table adds lag by one code — at 2^n−2; a
+    symmetric off-by-one would desynchronize the bit reader within a
+    few codes of the boundary and corrupt everything after it."""
+    from pandas_rust_algos_spark.operators.tiff import (
+        _lzw_decode,
+        _lzw_encode,
+    )
+
+    rng = np.random.RandomState(42)
+    for n in (700, 3_000, 40_000):  # ~9→10, →11, →12 + reset
+        data = rng.randint(0, 256, n).astype(np.uint8).tobytes()
+        assert _lzw_decode(_lzw_encode(data)) == data
+    runs = b"".join(bytes([i % 251]) * (i % 7 + 1)
+                    for i in range(12_000))
+    assert _lzw_decode(_lzw_encode(runs)) == runs
+
+
+def test_tiff_lzw_roundtrip_and_predictor():
+    """encode_tiff(compression='lzw') round-trips bit-exactly for
+    gray + RGB, both endians, multi-strip, with and without the
+    horizontal-differencing predictor; predictor=2 visibly shrinks a
+    smooth gradient; invalid combinations refuse loudly."""
+    from pandas_rust_algos_spark.operators.tiff import (
+        decode_tiff,
+        encode_tiff,
+    )
+
+    rng = np.random.RandomState(7)
+    gray = rng.randint(0, 256, (11, 13)).astype(np.uint8)
+    rgb = rng.randint(0, 256, (9, 5, 3)).astype(np.uint8)
+    grad = np.add.outer(np.arange(16), np.arange(64)).astype(np.uint8)
+    for a in (gray, rgb, grad):
+        for be in (False, True):
+            for pred in (1, 2):
+                payload = encode_tiff(a, rows_per_strip=3,
+                                      big_endian=be, compression="lzw",
+                                      predictor=pred)
+                assert np.array_equal(decode_tiff(payload), a)
+    # the predictor earns its keep on smooth content
+    plain = encode_tiff(grad, compression="lzw", predictor=1)
+    pred2 = encode_tiff(grad, compression="lzw", predictor=2)
+    assert len(pred2) < len(plain)
+    with pytest.raises(ValueError, match="predictor"):
+        encode_tiff(gray, compression="none", predictor=2)
+    with pytest.raises(ValueError, match="compression"):
+        encode_tiff(gray, compression="zip")
