@@ -138,6 +138,7 @@ def minhash_store_near_dupes(
     new_docs: DataFrame,
     *,
     threshold: float = 0.5,
+    max_bucket: int | None = None,
 ) -> DataFrame:
     """Near-dup pairs touching the new batch: ``(id_a, id_b,
     est_jaccard)`` with ``id_a < id_b``, where at least one side is a
@@ -153,7 +154,24 @@ def minhash_store_near_dupes(
     agreement estimate and one canonical-pair distinct. Equal to the
     full-corpus :func:`dedup.minhash_near_dupes` restricted to
     new-touching pairs — signatures are a pure function of (text,
-    frozen params), which is what the gate's oracle replays."""
+    frozen params), which is what the gate's oracle replays.
+
+    ``max_bucket`` is the incremental twin of the main pipeline's
+    whale-bucket guard: a boilerplate bucket with millions of STORED
+    members would multiply every new doc landing in it by the whole
+    bucket (|batch∩bucket|·|bucket| pairs). Stored buckets larger
+    than ``max_bucket`` contribute only their MIN-ID REPRESENTATIVE
+    to the join, so each new doc links to the whale's component
+    through one pair per band. Closure holds provided earlier ingests
+    linked the whale's members among themselves (which the capped
+    main pipeline's consecutive-id chain does); what it gives up —
+    a representative whose estimate dips below ``threshold`` drops
+    the link — is the chain's documented compromise, immaterial for
+    true boilerplate whales. Unlike the main pipeline (where the lazy
+    form re-ran the whole shingle pipeline per probe), the guard here
+    stays LAZY: the bucket count re-derives from the signature
+    PARQUET — a narrow scan with no text work — so the extra
+    aggregate instantiation is cheap."""
     meta = _read_meta(path)
     id_col, nh = meta["id_col"], meta["num_hashes"]
     sigs_new = minhash_signatures(
@@ -163,9 +181,27 @@ def minhash_store_near_dupes(
         sigs_new, id_col, nh, meta["bands"], meta["hash_mode"]
     ).persist()
     stored = spark.read.parquet(os.path.join(path, "sigs.parquet"))
-    b_all = _band_table(
-        stored, id_col, nh, meta["bands"], meta["hash_mode"]
-    ).unionByName(b_new)
+    b_stored = _band_table(
+        stored, id_col, nh, meta["bands"], meta["hash_mode"])
+    if max_bucket is not None:
+        if max_bucket < 2:
+            raise ValueError(f"max_bucket must be >= 2, got {max_bucket}")
+        whales = F.broadcast(
+            b_stored.groupBy("band", "bucket")
+            .agg(F.count(F.lit(1)).alias("__bn"))
+            .where(F.col("__bn") > max_bucket)
+            .select("band", "bucket"))
+        reps = (
+            b_stored.join(whales, ["band", "bucket"], "left_semi")
+            .groupBy("band", "bucket")
+            .agg(F.min(F.struct(id_col, "sig")).alias("__rep"))
+            .select("band", "bucket", f"__rep.{id_col}", "__rep.sig")
+        )
+        b_stored = (
+            b_stored.join(whales, ["band", "bucket"], "left_anti")
+            .unionByName(reps.select(id_col, "sig", "band", "bucket"))
+        )
+    b_all = b_stored.unionByName(b_new)
     left = b_new.select(
         F.col(id_col).alias("id_n"), F.col("sig").alias("sig_n"),
         "band", "bucket")

@@ -488,3 +488,42 @@ def test_minhash_store_incremental(spark, tmp_path):
     with pytest.raises(ValueError, match="divide"):
         write_minhash_store(old, str(tmp_path / "bad"), num_hashes=16,
                             bands=5)
+
+
+def test_minhash_store_whale_cap(spark, tmp_path):
+    """The incremental guard: a planted whale bucket in the STORE
+    contributes only its min-id representative to the batch join, so
+    each new dupe links through one pair per band instead of one per
+    whale member — pair count bounded, component connectivity kept."""
+    from pandas_rust_algos_spark.operators.minhash_store import (
+        minhash_store_near_dupes,
+        write_minhash_store,
+    )
+
+    base = "the quick brown fox jumps over the lazy dog once more"
+    whale = [(i, base) for i in range(12)]
+    other = [(50, "entirely different text about catalyst exchanges")]
+    store_docs = spark.createDataFrame(
+        whale + other, "doc_id long, text string")
+    new = spark.createDataFrame(
+        [(100, base), (101, "another unrelated fresh document")],
+        "doc_id long, text string")
+    path = str(tmp_path / "mhw")
+    write_minhash_store(store_docs, path, num_hashes=16, bands=4,
+                        hash_mode="portable")
+
+    uncapped = {(r["id_a"], r["id_b"]) for r in minhash_store_near_dupes(
+        spark, path, new, threshold=0.5).collect()}
+    capped = {(r["id_a"], r["id_b"]) for r in minhash_store_near_dupes(
+        spark, path, new, threshold=0.5, max_bucket=4).collect()}
+    # uncapped: doc 100 pairs with all 12 whale members
+    assert {(i, 100) for i in range(12)} <= uncapped
+    # capped: only the min-id representative (0) survives per bucket,
+    # keeping doc 100 connected to the whale's component
+    assert (0, 100) in capped
+    assert not any(a in range(1, 12) or b in range(1, 12)
+                   for a, b in capped)
+    assert len(capped) < len(uncapped)
+
+    with pytest.raises(ValueError, match="max_bucket"):
+        minhash_store_near_dupes(spark, path, new, max_bucket=1)
