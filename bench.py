@@ -150,6 +150,17 @@ HEADLINE = [
     # incremental dedup through a persisted minhash signature store
     "ann_ivfpq_rerank_topk",
     "minhash_store_incremental",
+    # round 9 (cont.): hybrid retrieval + weighted sampling + bloom
+    # screening
+    "hybrid_rrf_topk",
+    "mmr_diversify_topk",
+    "priority_sample_weighted",
+    "decontam_bloom",
+    "bm25_batch_topk",
+    "decontam_bloom_store",
+    "group_robust_zscore",
+    "retrieval_pipeline_e2e",
+    "kfold_assign",
 ]
 
 

@@ -34,6 +34,10 @@ __all__ = [
     "stratified_sample",
     "domain_mix_sample",
     "token_budget_sample",
+    "priority_sample",
+    "sql_priority_sample",
+    "kfold_assign",
+    "sql_kfold_assign",
 ]
 
 
@@ -423,3 +427,164 @@ def sql_stratified_top_n(
       FROM {table}
     ) WHERE __rn <= {n}
     """
+
+
+def priority_sample(
+    df: DataFrame,
+    key_col: str,
+    weight_col: str,
+    k: int,
+    *,
+    salt: str = "ps-v1",
+) -> DataFrame:
+    """Weighted sampling WITHOUT replacement via **priority sampling**
+    (Duffield, Lund & Thorup, JACM'07): every row draws a deterministic
+    uniform ``u ∈ (0,1]`` from its salted md5, its *priority* is
+    ``w/u``, and the sample is the top-``k`` priorities. Inclusion
+    probability tracks weight (heavy rows are near-certain members),
+    and the returned ``est_weight = max(w, τ)`` — with τ the (k+1)-th
+    priority — is the scheme's unbiased subset-sum estimator: summing
+    ``est_weight`` over any predicate's sampled rows estimates that
+    predicate's true weight sum with near-optimal variance. The
+    training-data use: sample documents ∝ quality/length weights for
+    mixture audits without materializing the mixture.
+
+    Output: ``(key_col, weight, priority, rank, est_weight)``, ranks
+    1..k by (priority DESC, key).
+
+    Determinism + portability: ``u = (h+1)/2^52`` where ``h`` is the
+    13-hex-digit md5 prefix — h+1 ≤ 2^52 is exactly representable and
+    the divisor is a power of two, so ``u`` is EXACT; ``w/u`` is then
+    one IEEE division both engines round identically (registry rule 2).
+    Same md5(key ':' salt) recipe as :func:`train_val_split`, so the
+    sample is stable across runs, engines, partitionings and retries.
+
+    Scale shape (100 TB): the top-(k+1) is ``orderBy().limit()`` —
+    Spark's TakeOrderedAndProject keeps a k+1-size heap per partition
+    and merges heaps on the driver; no total sort, no shuffle of the
+    corpus. τ joins back as a broadcast one-row aggregate. The only
+    full-corpus work is the narrow hash projection.
+    """
+    if k < 1:
+        raise ValueError(f"k must be >= 1, got {k}")
+    h = F.conv(
+        F.substring(
+            F.md5(
+                F.concat_ws(
+                    ":", F.col(key_col).cast("string"), F.lit(salt)
+                ).cast("binary")
+            ),
+            1, 13,
+        ),
+        16, 10,
+    ).cast("long")
+    u = (h + F.lit(1)).cast("double") / F.lit(float(16 ** 13))
+    w = F.col(weight_col).cast("double")
+    scored = df.select(
+        F.col(key_col), w.alias("weight"), (w / u).alias("priority")
+    )
+    # the (k+1)-row TakeOrdered result feeds BOTH the τ aggregate and
+    # the kept-rows branch of one final plan — Catalyst computes an
+    # uncached subtree once per reference, which would re-run the
+    # full corpus scan twice; persisting k+1 rows (lazy, populated by
+    # whichever branch runs first) keeps the corpus pass single
+    top = scored.orderBy(
+        F.col("priority").desc(), F.col(key_col)
+    ).limit(k + 1).persist()
+    wnd = Window.orderBy(F.col("priority").desc(), F.col(key_col))
+    ranked = top.withColumn(
+        "rank", F.row_number().over(wnd).cast("long"))
+    tau = ranked.where(F.col("rank") == k + 1).agg(
+        F.max("priority").alias("__tau"))
+    return (
+        ranked.where(F.col("rank") <= k)
+        .crossJoin(F.broadcast(tau))
+        .select(
+            key_col, "weight", "priority", "rank",
+            F.greatest(
+                F.col("weight"), F.coalesce(F.col("__tau"), F.lit(0.0))
+            ).alias("est_weight"),
+        )
+    )
+
+
+def sql_priority_sample(
+    table: str,
+    key_expr: str,
+    weight_expr: str,
+    k: int,
+    *,
+    salt: str = "ps-v1",
+) -> str:
+    """DuckDB twin of :func:`priority_sample` — same md5 input, same
+    exact ``(h+1)/2^52`` uniform, same single division, same
+    (priority DESC, key) order and τ estimator."""
+    h = (f"CAST('0x' || SUBSTR(md5(CAST({key_expr} AS VARCHAR) "
+         f"|| ':' || '{salt}'), 1, 13) AS BIGINT)")
+    pri = (f"CAST({weight_expr} AS DOUBLE) / "
+           f"(CAST({h} + 1 AS DOUBLE) / CAST({float(16 ** 13)!r} AS DOUBLE))")
+    return f"""
+    WITH scored AS (
+      SELECT {key_expr} AS key,
+             CAST({weight_expr} AS DOUBLE) AS weight,
+             {pri} AS priority
+      FROM {table}
+    ), top AS (
+      SELECT key, weight, priority,
+             CAST(ROW_NUMBER() OVER (ORDER BY priority DESC, key)
+                  AS BIGINT) AS rank
+      FROM scored ORDER BY priority DESC, key LIMIT {k + 1}
+    ), tau AS (
+      SELECT MAX(CASE WHEN rank = {k + 1} THEN priority END) AS t
+      FROM top
+    )
+    SELECT key AS {key_expr}, weight, priority, rank,
+           GREATEST(weight, COALESCE(t, CAST(0.0 AS DOUBLE)))
+             AS est_weight
+    FROM top CROSS JOIN tau WHERE rank <= {k}
+    """
+
+
+def kfold_assign(
+    df: DataFrame,
+    key_col: str,
+    k: int,
+    *,
+    salt: str = "fold-v1",
+    out_col: str = "fold",
+) -> DataFrame:
+    """Deterministic k-fold assignment: fold = md5₅₂(key ':' salt)
+    mod k — every row tagged 0..k-1 as a pure function of (key, salt),
+    so folds are reproducible across runs, engines, partitionings and
+    task retries, and ``where(fold != i)`` / ``where(fold == i)`` give
+    train/validation for round i with no coordination. Rotating
+    ``salt`` yields an independent fold system (repeated CV). Folds
+    are balanced to within the hash's uniformity (exactly equal-size
+    folds would require a global sort — the wrong trade at corpus
+    scale, same reasoning as :func:`train_val_split`'s threshold
+    membership)."""
+    if k < 2:
+        raise ValueError(f"k must be >= 2, got {k}")
+    h = F.conv(
+        F.substring(
+            F.md5(
+                F.concat_ws(
+                    ":", F.col(key_col).cast("string"), F.lit(salt)
+                ).cast("binary")
+            ),
+            1, 13,
+        ),
+        16, 10,
+    ).cast("long")
+    return df.withColumn(out_col, (h % k).cast("int"))
+
+
+def sql_kfold_assign(
+    key_expr: str,
+    k: int,
+    *,
+    salt: str = "fold-v1",
+) -> str:
+    """DuckDB twin of the :func:`kfold_assign` fold expression."""
+    return (f"CAST(CAST('0x' || SUBSTR(md5(CAST({key_expr} AS VARCHAR) "
+            f"|| ':' || '{salt}'), 1, 13) AS BIGINT) % {k} AS INTEGER)")

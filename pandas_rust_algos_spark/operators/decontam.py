@@ -44,7 +44,10 @@ from pandas_rust_algos_spark.operators.text import (
 
 __all__ = ["token_ngrams", "decontaminate", "decontaminate_semantic",
            "sql_decontaminate_semantic", "sql_token_ngrams",
-           "decontaminate_spans", "sql_decontaminate_spans"]
+           "decontaminate_spans", "sql_decontaminate_spans",
+           "bloom_decontaminate", "sql_bloom_decontaminate",
+           "write_bloom_store", "append_bloom_store",
+           "bloom_store_decontaminate"]
 
 
 def token_ngrams(col: Column | str, n: int) -> Column:
@@ -382,3 +385,291 @@ def sql_decontaminate_spans(
            COALESCE(a.mr, 0) >= {min_run} AS contaminated
     FROM tot t LEFT JOIN agg a USING ({id_col})
     """
+
+
+def _bloom_pos(gram_col, i: int, m_bits: int):
+    """Bloom position ``i`` for a gram: the engine's portable
+    52-bit md5-prefix hash of ``'i:gram'``, mod ``m_bits``. Identical
+    in any engine with md5 (shared recipe with datasplit/frequency)."""
+    h = F.conv(
+        F.substring(
+            F.md5(F.concat_ws(":", F.lit(str(i)), gram_col)), 1, 13),
+        16, 10,
+    ).cast("long")
+    return h % m_bits
+
+
+def bloom_decontaminate(
+    corpus: DataFrame,
+    benchmark: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 5,
+    m_bits: int = 1 << 16,
+    n_hashes: int = 4,
+    min_hits: int = 1,
+) -> DataFrame:
+    """:func:`decontaminate` with the benchmark gram set compressed
+    into a **Bloom filter**: same per-document report shape
+    ``(id_col, n_grams, n_flagged, contaminated)``, but the probe side
+    ships a bitmap of ``m_bits`` bits (``m_bits/32`` bigint words, 8 KiB
+    at the default 2¹⁶) instead of the gram strings themselves.
+
+    Why it exists at 100 TB: exact ``decontaminate`` broadcasts the
+    benchmark's distinct grams — correct while eval sets are small, but
+    a *union of many benchmarks* (the production case: every eval suite
+    you ever ran) grows that broadcast linearly. The Bloom bitmap is
+    constant-size however many grams feed it, at the price of false
+    positives (never negatives): ``n_flagged`` over-counts by the FP
+    rate ≈ (1−e^(−k·g/m))^k, so the report is a conservative screen —
+    docs it clears are definitely clean; flagged docs re-check against
+    the exact gram set (now filtered to a tiny candidate corpus).
+
+    Bitmap construction is pure column algebra, portable across
+    engines: position ``i`` of a gram is the md5-prefix hash of
+    ``'i:gram'`` mod ``m_bits``; word = pos >> 5, bit = pos & 31
+    (32-bit words in bigint columns — no sign games), words BIT_OR'd
+    into the ≤``m_bits/32``-row bloom table that broadcasts to the
+    probe join. A gram is *flagged* iff all ``n_hashes`` bits are set
+    (BOOL_AND over its positions). Gramless documents report
+    ``n_grams = 0`` (explode_outer keeps them; their NULL placeholder
+    is never hashed — a NULL gram must not probe the constant
+    ``'i:'`` position).
+    """
+    grams = token_ngrams(text_col, n)
+    bench_grams = (
+        benchmark.select(F.explode(grams).alias("gram")).distinct()
+    )
+    # F.shiftleft only takes a literal bit count; the per-row shift
+    # goes through the SQL form (same function, column-valued arg)
+    mask = F.expr("shiftleft(CAST(1 AS BIGINT), CAST(pos % 32 AS INT))")
+    bloom = (
+        bench_grams.select(
+            F.explode(F.array(*[
+                _bloom_pos(F.col("gram"), i, m_bits)
+                for i in range(n_hashes)
+            ])).alias("pos"))
+        .select(F.shiftright(F.col("pos"), 5).alias("word"),
+                mask.alias("m"))
+        .groupBy("word")
+        .agg(F.bit_or("m").alias("bits"))
+    )
+
+    dg = corpus.select(
+        F.col(id_col), F.explode_outer(grams).alias("gram"))
+    pos_arr = F.when(
+        F.col("gram").isNotNull(),
+        F.array(*[
+            _bloom_pos(F.col("gram"), i, m_bits) for i in range(n_hashes)
+        ]),
+    )
+    probed = dg.select(
+        id_col, "gram", F.explode_outer(pos_arr).alias("pos")
+    ).withColumn("word", F.shiftright(F.col("pos"), 5))
+    hit = F.coalesce(
+        F.col("bits").bitwiseAND(mask) == mask, F.lit(False))
+    gram_flags = (
+        probed.join(F.broadcast(bloom), "word", "left")
+        .groupBy(id_col, "gram")
+        .agg(F.bool_and(hit).alias("flagged"))
+    )
+    return gram_flags.groupBy(id_col).agg(
+        F.count("gram").alias("n_grams"),
+        F.count(F.when(F.col("gram").isNotNull()
+                       & F.col("flagged"), 1)).alias("n_flagged"),
+    ).select(
+        id_col, "n_grams", "n_flagged",
+        (F.col("n_flagged") >= min_hits).alias("contaminated"),
+    )
+
+
+def sql_bloom_decontaminate(
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    bench_where: str = "doc_id % 10 = 0",
+    corpus_where: str = "doc_id % 10 <> 0",
+    table: str = "documents",
+    n: int = 5,
+    m_bits: int = 1 << 16,
+    n_hashes: int = 4,
+    min_hits: int = 1,
+) -> str:
+    """DuckDB twin of :func:`bloom_decontaminate` — same md5 positions,
+    same 32-bit-word BIT_OR bitmap, same BOOL_AND flag rule, so the
+    flagged counts (false positives included) hash-match bit-exactly."""
+    idx = ", ".join(str(i) for i in range(n_hashes))
+    pos = (f"CAST('0x' || SUBSTR(md5(CAST(i AS VARCHAR) || ':' || gram),"
+           f" 1, 13) AS BIGINT) % {m_bits}")
+    mask = "(CAST(1 AS BIGINT) << CAST((pos % 32) AS INTEGER))"
+    return f"""
+    WITH ii AS (SELECT UNNEST([{idx}]) AS i),
+    bg AS (
+      SELECT DISTINCT UNNEST({sql_token_ngrams(text_col, n)}) AS gram
+      FROM {table} WHERE {bench_where}
+    ), bpos AS (
+      SELECT {pos} AS pos FROM bg CROSS JOIN ii
+    ), bloom AS (
+      SELECT pos >> 5 AS word, BIT_OR({mask}) AS bits
+      FROM bpos GROUP BY 1
+    ), cg AS (
+      SELECT {id_col},
+             {sql_token_ngrams(text_col, n)} AS grams
+      FROM {table} WHERE {corpus_where}
+    ), ex AS (
+      SELECT {id_col},
+             UNNEST(CASE WHEN LEN(grams) = 0
+                         THEN [CAST(NULL AS VARCHAR)] ELSE grams END)
+               AS gram
+      FROM cg
+    ), probe AS (
+      SELECT {id_col}, gram, {pos} AS pos
+      FROM ex CROSS JOIN ii WHERE gram IS NOT NULL
+      UNION ALL
+      SELECT {id_col}, gram, CAST(NULL AS BIGINT) AS pos
+      FROM ex WHERE gram IS NULL
+    ), j AS (
+      SELECT {id_col}, gram,
+             COALESCE((bits & {mask}) = {mask}, FALSE) AS hit
+      FROM probe LEFT JOIN bloom ON (pos >> 5) = word
+    ), gf AS (
+      SELECT {id_col}, gram, BOOL_AND(hit) AS flagged
+      FROM j GROUP BY 1, 2
+    )
+    SELECT {id_col},
+           CAST(COUNT(gram) AS BIGINT) AS n_grams,
+           CAST(COUNT(CASE WHEN gram IS NOT NULL AND flagged
+                           THEN 1 END) AS BIGINT) AS n_flagged,
+           COUNT(CASE WHEN gram IS NOT NULL AND flagged THEN 1 END)
+             >= {min_hits} AS contaminated
+    FROM gf GROUP BY 1
+    """
+
+
+# ------------------------------------------------- persisted bloom store
+
+
+def _bloom_words(bench: DataFrame, text_col: str, n: int,
+                 m_bits: int, n_hashes: int) -> DataFrame:
+    """(word, bits) bitmap rows for a benchmark frame — the shared
+    builder for the one-shot screen and the persisted store."""
+    mask = F.expr("shiftleft(CAST(1 AS BIGINT), CAST(pos % 32 AS INT))")
+    return (
+        bench.select(F.explode(token_ngrams(text_col, n)).alias("gram"))
+        .distinct()
+        .select(F.explode(F.array(*[
+            _bloom_pos(F.col("gram"), i, m_bits) for i in range(n_hashes)
+        ])).alias("pos"))
+        .select(F.shiftright(F.col("pos"), 5).alias("word"),
+                mask.alias("m"))
+        .groupBy("word")
+        .agg(F.bit_or("m").alias("bits"))
+    )
+
+
+def write_bloom_store(
+    bench: DataFrame,
+    path: str,
+    *,
+    text_col: str = "text",
+    n: int = 5,
+    m_bits: int = 1 << 16,
+    n_hashes: int = 4,
+) -> dict:
+    """Persist the decontamination screen: the Bloom bitmap words as a
+    tiny parquet (≤ ``m_bits/32`` rows) plus frozen parameters in
+    ``meta.json`` — the sketch-store maintenance shape (same recipe as
+    the minhash signature store / IVF index): eval suites arrive over
+    time, the screen is maintained incrementally, and the corpus-side
+    probe never re-reads any benchmark text."""
+    import json
+    import os
+
+    words = _bloom_words(bench, text_col, n, m_bits, n_hashes)
+    os.makedirs(path, exist_ok=True)
+    words.coalesce(1).write.mode("overwrite").parquet(
+        os.path.join(path, "words.parquet"))
+    meta = {"text_col": text_col, "n": n, "m_bits": m_bits,
+            "n_hashes": n_hashes}
+    with open(os.path.join(path, "meta.json"), "w") as fh:
+        json.dump(meta, fh)
+    return meta
+
+
+def append_bloom_store(
+    spark,
+    path: str,
+    more_bench: DataFrame,
+) -> dict:
+    """Fold another benchmark into the stored screen under the FROZEN
+    parameters. Bitmap union is a per-word BIT_OR — idempotent, so
+    re-ingesting a suite is harmless (unlike id-keyed stores). The
+    stored table is metadata-sized (≤ ``m_bits/32`` rows), so the
+    merge collects it and rewrites in place — no
+    read-and-overwrite-the-same-parquet hazard."""
+    import json
+    import os
+
+    with open(os.path.join(path, "meta.json")) as fh:
+        meta = json.load(fh)
+    wp = os.path.join(path, "words.parquet")
+    old = spark.read.parquet(wp).collect()
+    new = _bloom_words(more_bench, meta["text_col"], meta["n"],
+                       meta["m_bits"], meta["n_hashes"]).collect()
+    merged: dict[int, int] = {}
+    for r in list(old) + list(new):
+        merged[r["word"]] = merged.get(r["word"], 0) | r["bits"]
+    spark.createDataFrame(
+        sorted(merged.items()), "word bigint, bits bigint"
+    ).coalesce(1).write.mode("overwrite").parquet(wp)
+    return meta
+
+
+def bloom_store_decontaminate(
+    spark,
+    corpus: DataFrame,
+    path: str,
+    *,
+    id_col: str = "doc_id",
+    min_hits: int = 1,
+) -> DataFrame:
+    """Probe ``corpus`` against a persisted screen — identical
+    semantics to :func:`bloom_decontaminate` with the bitmap read from
+    the store instead of rebuilt, so appends ≡ rebuild-from-union is a
+    testable (and oracled) equivalence."""
+    import json
+    import os
+
+    with open(os.path.join(path, "meta.json")) as fh:
+        meta = json.load(fh)
+    bloom = spark.read.parquet(os.path.join(path, "words.parquet"))
+    grams = token_ngrams(meta["text_col"], meta["n"])
+    dg = corpus.select(
+        F.col(id_col), F.explode_outer(grams).alias("gram"))
+    pos_arr = F.when(
+        F.col("gram").isNotNull(),
+        F.array(*[
+            _bloom_pos(F.col("gram"), i, meta["m_bits"])
+            for i in range(meta["n_hashes"])
+        ]),
+    )
+    probed = dg.select(
+        id_col, "gram", F.explode_outer(pos_arr).alias("pos")
+    ).withColumn("word", F.shiftright(F.col("pos"), 5))
+    mask = F.expr("shiftleft(CAST(1 AS BIGINT), CAST(pos % 32 AS INT))")
+    hit = F.coalesce(
+        F.col("bits").bitwiseAND(mask) == mask, F.lit(False))
+    gram_flags = (
+        probed.join(F.broadcast(bloom), "word", "left")
+        .groupBy(id_col, "gram")
+        .agg(F.bool_and(hit).alias("flagged"))
+    )
+    return gram_flags.groupBy(id_col).agg(
+        F.count("gram").alias("n_grams"),
+        F.count(F.when(F.col("gram").isNotNull()
+                       & F.col("flagged"), 1)).alias("n_flagged"),
+    ).select(
+        id_col, "n_grams", "n_flagged",
+        (F.col("n_flagged") >= min_hits).alias("contaminated"),
+    )

@@ -59,6 +59,7 @@ __all__ = [
     "group_ewm_var",
     "group_zscore",
     "group_winsorize",
+    "group_robust_zscore",
 ]
 
 
@@ -1087,4 +1088,75 @@ def group_winsorize(
         df.join(bounds, cond, "left")
         .withColumn(out_col, clipped)
         .drop("__blo", "__bhi", *bkeys)
+    )
+
+
+def group_robust_zscore(
+    df: DataFrame,
+    keys: Sequence[str] | str,
+    value: str,
+    *,
+    scale_const: float = 1.4826,
+    out_col: str | None = None,
+) -> DataFrame:
+    """Per-group ROBUST standardization: ``(x − median) /
+    (1.4826·MAD)`` where MAD is the median absolute deviation — the
+    outlier-resistant twin of :func:`group_zscore` (one corrupted
+    whale value drags a mean/std z-score arbitrarily; the breakdown
+    point of median/MAD is 50%). 1.4826 ≈ 1/Φ⁻¹(3/4) makes the score
+    σ-consistent under normality, so the usual |z| > 3 cutoffs carry
+    over.
+
+    Plan (the ``group_winsorize`` narrow-side recipe): both medians
+    are computed on a NARROW (keys, value) projection — never the
+    full-width rows — and join back by key (group-cardinality rows;
+    AQE broadcasts the stats side). Two aggregate passes (median, then
+    median of |dev|) are inherent to MAD. NULL values stay NULL, NULL
+    keys form their own group (null-safe joins), and an all-equal
+    group (MAD = 0) yields NULL — a zero spread admits no standard
+    score.
+
+    Determinism: medians round to 6 (the ``group_median`` gate recipe
+    — interpolated order statistics are the registry's documented
+    round-6 case); the final score is IEEE arithmetic on those rounded
+    stats, rounded to 6 for the same reason.
+    """
+    keys = _cols(keys)
+    out_col = out_col or f"{value}_rz"
+    v = F.col(value)
+    narrow = (
+        df.select(*keys, v.alias("__v")).where(F.col("__v").isNotNull())
+    )
+    med = narrow.groupBy(*keys).agg(
+        F.round(F.median("__v"), 6).alias("__med"))
+    mkeys = [f"__mk{i}" for i in range(len(keys))]
+    medr = med.select(
+        *[F.col(k).alias(m) for k, m in zip(keys, mkeys)], "__med")
+
+    def _cond(left: DataFrame, right: DataFrame, rkeys):
+        cond = None
+        for k, rk in zip(keys, rkeys):
+            c = left[k].eqNullSafe(right[rk])
+            cond = c if cond is None else cond & c
+        return cond
+
+    dev = narrow.join(medr, _cond(narrow, medr, mkeys)).select(
+        *keys, F.abs(F.col("__v") - F.col("__med")).alias("__d"))
+    mad = dev.groupBy(*keys).agg(
+        F.round(F.median("__d"), 6).alias("__mad"))
+    skeys = [f"__sk{i}" for i in range(len(keys))]
+    madr = mad.select(
+        *[F.col(k).alias(s) for k, s in zip(keys, skeys)], "__mad")
+    stats = med.join(madr, _cond(med, madr, skeys)).select(
+        *[madr[s] for s in skeys], "__med", "__mad")
+    rz = F.when(
+        v.isNotNull() & (F.col("__mad") > 0),
+        F.round(
+            (v - F.col("__med"))
+            / (F.lit(scale_const) * F.col("__mad")), 6),
+    )
+    return (
+        df.join(stats, _cond(df, stats, skeys), "left")
+        .withColumn(out_col, rz)
+        .drop("__med", "__mad", *skeys)
     )

@@ -34,7 +34,8 @@ from pyspark.sql import functions as F
 
 from pandas_rust_algos_spark.operators.text import token_count, tokens
 
-__all__ = ["tfidf_topk", "bm25_topk", "inverted_index",
+__all__ = ["tfidf_topk", "bm25_topk", "bm25_batch_topk",
+           "sql_bm25_batch_topk", "inverted_index",
            "hashing_vectorize", "sql_hashing_vectorize"]
 
 
@@ -331,4 +332,144 @@ def sql_hashing_vectorize(
            ARRAY_TO_STRING(LIST(CAST(v AS VARCHAR) ORDER BY b), ',')
              AS vec_csv
     FROM dense GROUP BY 1
+    """
+
+
+def bm25_batch_topk(
+    docs: DataFrame,
+    queries: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    query_id_col: str = "query_id",
+    term_col: str = "term",
+    k: int = 10,
+    k1: float = 1.2,
+    b: float = 0.75,
+) -> DataFrame:
+    """:func:`bm25_topk` for a *query table* — the production retrieval
+    shape: thousands of queries scored against the corpus in ONE pass,
+    not one job per query. ``queries`` carries ``(query_id, term)``
+    rows (duplicate terms within a query are collapsed — BM25 is a
+    bag-of-TERMS model here, matching the single-query operator).
+
+    Plan: the corpus-side work (doc lengths, token explode, tf) is
+    computed once for the UNION of all query terms — the term filter
+    is a broadcast semi-join against the distinct-term set instead of
+    the single-query ``isin`` literal, so a 10k-query batch costs the
+    same corpus scans as one query. df per matched term is corpus-wide
+    (identical to the single-query semantics). Per-(query, doc) scores
+    sum the matched term parts in exact fixed point; the per-query
+    top-k is one window over the scored set — rows = Σ_q |docs
+    matching q|, never corpus × queries.
+
+    Output: ``(query_id, doc_id, score, rank)`` with ranks 1..k per
+    query by (score DESC, doc_id).
+    """
+    q = queries.select(
+        F.col(query_id_col).alias("qid"), F.col(term_col).alias("term")
+    ).distinct()
+    qterms = q.select("term").distinct()
+
+    dl = docs.select(F.col(id_col), token_count(text_col).alias("dl"))
+    stats = dl.agg(
+        F.sum("dl").alias("total_tokens"),
+        F.count(F.lit(1)).alias("n_docs"),
+    )
+    tok = docs.select(
+        F.col(id_col), F.explode(tokens(text_col)).alias("term")
+    ).join(F.broadcast(qterms), "term", "left_semi")
+    tf = tok.groupBy(id_col, "term").agg(F.count(F.lit(1)).alias("tf"))
+    dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    avgdl = F.col("total_tokens").cast("double") / F.col("n_docs")
+    part = (
+        F.ln(1.0 + (F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5))
+        * (F.col("tf") * (k1 + 1.0))
+        / (F.col("tf") + k1 * (1.0 - b + b * F.col("dl") / avgdl))
+    )
+    scored = (
+        tf.join(F.broadcast(dfreq), "term")
+        .join(F.broadcast(q), "term")          # fan out to queries
+        .join(dl, id_col)
+        .crossJoin(F.broadcast(stats))
+        .select(
+            F.col("qid").alias(query_id_col),
+            F.col(id_col),
+            F.floor(part * 1e6).cast("long").alias("part_micro"),
+        )
+        .groupBy(query_id_col, id_col)
+        .agg((F.sum("part_micro").cast("double") / 1e6).alias("score"))
+    )
+    w = Window.partitionBy(query_id_col).orderBy(
+        F.col("score").desc(), F.col(id_col))
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("long"))
+        .where(F.col("rank") <= k)
+    )
+
+
+def sql_bm25_batch_topk(
+    queries: dict[object, list[str]],
+    *,
+    k: int = 10,
+    k1: float = 1.2,
+    b: float = 0.75,
+    id_expr: str = "doc_id",
+    text_expr: str = "text",
+    table: str = "documents",
+    qid_sql_type: str = "BIGINT",
+) -> str:
+    """DuckDB twin of :func:`bm25_batch_topk` for a literal query set —
+    same df/avgdl statistics, same fixed-point term-part sum, same
+    per-query (score DESC, doc_id) rank."""
+    from pandas_rust_algos_spark.operators.text import sql_token_count
+
+    if not queries:
+        raise ValueError("queries must be non-empty")
+    vals = ", ".join(
+        f"(CAST({qid!r} AS {qid_sql_type}), '" + t.replace("'", "''") + "')"
+        for qid, terms in queries.items() for t in sorted(set(terms))
+    )
+    return f"""
+    WITH q(qid, term) AS (VALUES {vals}),
+    dl AS (
+      SELECT {id_expr} AS doc_id,
+             CAST({sql_token_count(text_expr)} AS BIGINT) AS dl
+      FROM {table}
+    ), st AS (
+      SELECT SUM(dl) AS total_tokens, COUNT(*) AS n_docs FROM dl
+    ), tok AS (
+      SELECT {id_expr} AS doc_id,
+             UNNEST(LIST_FILTER(STRING_SPLIT_REGEX(TRIM({text_expr}), '\\s+'),
+                    x -> x <> '')) AS term
+      FROM {table}
+    ), tf AS (
+      SELECT doc_id, term, COUNT(*) AS tf FROM tok
+      WHERE term IN (SELECT term FROM q) GROUP BY 1, 2
+    ), dfreq AS (
+      SELECT term, COUNT(*) AS df FROM tf GROUP BY 1
+    ), scored AS (
+      SELECT q.qid AS query_id, tf.doc_id,
+             CAST(SUM(CAST(FLOOR(
+               LN(CAST(1.0 AS DOUBLE)
+                  + (n_docs - df + CAST(0.5 AS DOUBLE))
+                    / (df + CAST(0.5 AS DOUBLE)))
+               * (tf * CAST({k1 + 1.0!r} AS DOUBLE))
+               / (tf + CAST({k1!r} AS DOUBLE)
+                       * (CAST({1.0 - b!r} AS DOUBLE)
+                          + CAST({b!r} AS DOUBLE) * dl
+                            / (CAST(total_tokens AS DOUBLE) / n_docs)))
+               * 1e6) AS BIGINT)) AS DOUBLE) / 1e6 AS score
+      FROM tf JOIN dfreq USING (term)
+              JOIN q ON q.term = tf.term
+              JOIN dl ON tf.doc_id = dl.doc_id
+              CROSS JOIN st
+      GROUP BY 1, 2
+    )
+    SELECT query_id, doc_id, score,
+           CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+                                   ORDER BY score DESC, doc_id)
+                AS BIGINT) AS rank
+    FROM scored
+    QUALIFY rank <= {k}
     """

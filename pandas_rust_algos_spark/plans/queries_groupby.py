@@ -951,3 +951,44 @@ def group_winsorize_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         "l_returnflag", "l_orderkey", "l_linenumber", "l_extendedprice",
         F.round("wins", 6).alias("wins"),
     )
+
+
+@register(
+    "group_robust_zscore",
+    oracle="""
+    WITH nn AS (
+      SELECT l_returnflag AS k, l_extendedprice AS v
+      FROM lineitem WHERE l_extendedprice IS NOT NULL
+    ), med AS (
+      SELECT k, ROUND(MEDIAN(v), 6) AS med FROM nn GROUP BY 1
+    ), mad AS (
+      SELECT nn.k, ROUND(MEDIAN(ABS(v - med)), 6) AS mad
+      FROM nn JOIN med USING (k) GROUP BY 1
+    )
+    SELECT l.l_returnflag, l.l_orderkey, l.l_linenumber,
+           l.l_extendedprice,
+           CASE WHEN l.l_extendedprice IS NOT NULL AND mad > 0
+                THEN ROUND((l.l_extendedprice - med)
+                           / (CAST(1.4826 AS DOUBLE) * mad), 6) END AS rz
+    FROM lineitem l
+    LEFT JOIN med ON l.l_returnflag = med.k
+    LEFT JOIN mad ON l.l_returnflag = mad.k
+    """,
+)
+def group_robust_zscore_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust (median/MAD) per-group standardization — the
+    outlier-resistant twin of ``group_zscore`` (breakdown point 50%
+    vs 0%). Both medians run on a narrow (keys, value) projection and
+    broadcast back; full rows never shuffle
+    (``grouped_transform.group_robust_zscore``)."""
+    from pandas_rust_algos_spark.operators.grouped_transform import (
+        group_robust_zscore,
+    )
+
+    li = _li(spark, sf_dir)
+    out = group_robust_zscore(
+        li, "l_returnflag", "l_extendedprice", out_col="rz")
+    return out.select(
+        "l_returnflag", "l_orderkey", "l_linenumber", "l_extendedprice",
+        "rz",
+    )

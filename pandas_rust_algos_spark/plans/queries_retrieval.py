@@ -1,0 +1,337 @@
+"""Gate queries for the round-9 retrieval / sampling / screening
+extensions: hybrid RRF fusion, MMR diversification, multi-query BM25,
+the composed retrieval pipeline, priority sampling, k-fold assignment,
+and the Bloom decontamination screen (one-shot + persisted store).
+All DuckDB-oracled — the determinism recipes are rank-based fusion
+(integer ranks, one IEEE division per term), round-6 cosine, exact
+fixed-point BM25 part sums, an exact power-of-two uniform, md5 mod-k
+folds, and md5-positioned bitmap words.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from pandas_rust_algos_spark.operators import datasplit as ds
+from pandas_rust_algos_spark.operators import decontam as dc
+from pandas_rust_algos_spark.operators import retrieval as rv
+from pandas_rust_algos_spark.operators import tfidf as ti
+from pandas_rust_algos_spark.operators.similarity import cosine_topk
+from pandas_rust_algos_spark.plans.registry import register
+from pandas_rust_algos_spark.session import tune
+from pandas_rust_algos_spark.sources import load_table, spread
+
+
+def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    tune(spark)
+    return spread(load_table(spark, sf_dir, "documents"))
+
+
+def _emb(spark: SparkSession, sf_dir: str) -> DataFrame:
+    tune(spark)
+    return spread(load_table(spark, sf_dir, "embeddings"))
+
+
+_RRF_TERMS = ["spark", "join", "window"]
+_RRF_QVEC = 0  # doc/vec id spaces coincide in the fixtures
+_RRF_N = 50  # per-ranker candidate depth
+_RRF_K0 = 60
+
+
+def _rrf_oracle() -> str:
+    lex = f"""
+    lexsc AS ({ti.sql_bm25_score(_RRF_TERMS)}),
+    lex AS (
+      SELECT doc_id,
+             CAST(ROW_NUMBER() OVER (ORDER BY score DESC, doc_id)
+                  AS BIGINT) AS rank_1
+      FROM (SELECT doc_id, score FROM lexsc
+            ORDER BY score DESC, doc_id LIMIT {_RRF_N})
+    )"""
+    vec = f"""
+    q AS (
+      SELECT embedding::DOUBLE[] AS qv FROM embeddings
+      WHERE vec_id = {_RRF_QVEC}
+    ), c AS (
+      SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+    ), vsc AS (
+      SELECT vec_id AS doc_id,
+             ROUND(LIST_DOT_PRODUCT(qv, v) /
+                   (SQRT(LIST_DOT_PRODUCT(qv, qv))
+                    * SQRT(LIST_DOT_PRODUCT(v, v))), 6) AS sim
+      FROM c, q WHERE vec_id <> {_RRF_QVEC}
+    ), vec AS (
+      SELECT doc_id,
+             CAST(ROW_NUMBER() OVER (ORDER BY sim DESC, doc_id)
+                  AS BIGINT) AS rank_2
+      FROM (SELECT doc_id, sim FROM vsc
+            ORDER BY sim DESC, doc_id LIMIT {_RRF_N})
+    )"""
+    t1 = rv.sql_rrf_term("rank_1", _RRF_K0)
+    t2 = rv.sql_rrf_term("rank_2", _RRF_K0)
+    return f"""
+    WITH {lex}, {vec},
+    fused AS (
+      SELECT COALESCE(lex.doc_id, vec.doc_id) AS doc_id,
+             rank_1, rank_2, {t1} + {t2} AS rrf_score
+      FROM lex FULL OUTER JOIN vec ON lex.doc_id = vec.doc_id
+    )
+    SELECT doc_id, rank_1, rank_2, rrf_score,
+           CAST(ROW_NUMBER() OVER (ORDER BY rrf_score DESC, doc_id)
+                AS BIGINT) AS rank
+    FROM fused
+    QUALIFY rank <= 10
+    """
+
+
+@register("hybrid_rrf_topk", oracle=_rrf_oracle())
+def hybrid_rrf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hybrid retrieval: BM25 top-50 (lexical) fused with exact-cosine
+    top-50 (vector, query = embedding 0 over the shared doc/vec id
+    space) by reciprocal-rank fusion, final top-10. The first-stage
+    rankers keep their own audited corpus-scale plans; the fusion
+    itself is a full-outer join of two 50-row lists — rank-based, so
+    no score calibration across modalities, and metadata-sized at any
+    corpus scale (``operators/retrieval.rrf_fuse_topk``)."""
+    docs = _docs(spark, sf_dir)
+    emb = _emb(spark, sf_dir)
+    lex = ti.bm25_topk(docs, _RRF_TERMS, k=_RRF_N)
+    queries = emb.where(F.col("vec_id") == _RRF_QVEC).select(
+        F.col("vec_id").alias("query_id"), "embedding")
+    vec = cosine_topk(emb, queries, k=_RRF_N).select(
+        F.col("vec_id").alias("doc_id"), "rank")
+    return rv.rrf_fuse_topk(
+        [lex.select("doc_id", "rank"), vec],
+        id_col="doc_id", k0=_RRF_K0, k=10,
+    )
+
+
+@register(
+    "mmr_diversify_topk",
+    oracle=rv.sql_mmr_diversify(3, shortlist_k=25, k=10, lam=0.7),
+)
+def mmr_diversify_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MMR-diversified top-10 from an exact cosine top-25 shortlist
+    (query = embedding 3, λ = 0.7): the greedy
+    relevance-minus-redundancy re-rank every retrieval stack runs to
+    stop near-duplicate passages crowding a context window. The
+    DuckDB oracle replays the greedy loop as 10 unrolled CTE steps on
+    the same round-6 similarities — selections AND scores hash-match
+    (``operators/retrieval.mmr_diversify``)."""
+    return rv.mmr_diversify(
+        _emb(spark, sf_dir), 3, shortlist_k=25, k=10, lam=0.7)
+
+
+@register(
+    "priority_sample_weighted",
+    oracle=ds.sql_priority_sample(
+        "documents", "doc_id", "n_chars", 40, salt="gate"),
+)
+def priority_sample_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted sampling without replacement (Duffield-Lund-Thorup
+    priority sampling): 40 documents ∝ length, with the τ-threshold
+    ``est_weight`` unbiased subset-sum estimator. Membership is a pure
+    function of (doc_id, salt) — the oracle reproduces the EXACT
+    sample, priorities included; the plan is a narrow hash projection
+    into a TakeOrdered top-41, never a total sort
+    (``operators/datasplit.priority_sample``)."""
+    docs = _docs(spark, sf_dir)
+    return ds.priority_sample(docs, "doc_id", "n_chars", 40, salt="gate")
+
+
+@register(
+    "decontam_bloom",
+    oracle=dc.sql_bloom_decontaminate(
+        n=5, m_bits=1 << 16, n_hashes=4, min_hits=1),
+)
+def decontam_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination through a constant-size Bloom bitmap
+    (2¹⁶ bits, 4 hashes) instead of broadcasting the gram set — the
+    screen that stays 8 KiB however many eval suites feed it. Same
+    bench/corpus split as the exact ``decontaminate`` gate; the oracle
+    rebuilds the identical bitmap (md5 positions, 32-bit BIT_OR words)
+    so even the false positives match bit-exactly
+    (``operators/decontam.bloom_decontaminate``)."""
+    docs = _docs(spark, sf_dir)
+    bench = docs.where(F.col("doc_id") % 10 == 0)
+    corpus = docs.where(F.col("doc_id") % 10 != 0)
+    out = dc.bloom_decontaminate(
+        corpus, bench, n=5, m_bits=1 << 16, n_hashes=4, min_hits=1)
+    return out.select(
+        "doc_id", F.col("n_grams").cast("long"),
+        F.col("n_flagged").cast("long"), "contaminated")
+
+
+_BATCH_QUERIES = {
+    0: ["spark", "join", "window"],
+    1: ["data", "quality", "filter"],
+    2: ["stream", "watermark"],
+}
+
+
+@register(
+    "bm25_batch_topk",
+    oracle=ti.sql_bm25_batch_topk(_BATCH_QUERIES, k=5),
+)
+def bm25_batch_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-query BM25 in ONE corpus pass — the production retrieval
+    shape (a query TABLE, not a literal term list): the corpus-side
+    token/tf/df work is shared across the whole batch via a
+    broadcast-semi term filter, per-(query, doc) scores sum in exact
+    fixed point, and the per-query top-5 is one window — rows =
+    Σ_q |matching docs|, never corpus × queries
+    (``operators/tfidf.bm25_batch_topk``)."""
+    docs = _docs(spark, sf_dir)
+    q = spark.createDataFrame(
+        [(qid, t) for qid, terms in _BATCH_QUERIES.items()
+         for t in terms],
+        "query_id long, term string")
+    return ti.bm25_batch_topk(docs, q, k=5)
+
+
+@register(
+    "decontam_bloom_store",
+    oracle=dc.sql_bloom_decontaminate(
+        n=5, m_bits=1 << 16, n_hashes=4, min_hits=1),
+)
+def decontam_bloom_store(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The PERSISTED bloom screen with incremental benchmark ingest:
+    write the store from half the eval split, append the other half
+    (bitmap union = per-word BIT_OR — idempotent), probe the corpus
+    through the stored words. The oracle is the ONE-SHOT screen over
+    the full benchmark — hash-matching it proves append ≡
+    rebuild-from-union, the maintenance contract of a screen that eval
+    suites feed over time (``operators/decontam.write_bloom_store`` /
+    ``append_bloom_store`` / ``bloom_store_decontaminate``)."""
+    import tempfile
+
+    docs = _docs(spark, sf_dir)
+    bench = docs.where(F.col("doc_id") % 10 == 0)
+    corpus = docs.where(F.col("doc_id") % 10 != 0)
+    root = tempfile.mkdtemp(prefix="bloom_store_gate_")
+    dc.write_bloom_store(
+        bench.where(F.col("doc_id") % 20 == 0), root,
+        n=5, m_bits=1 << 16, n_hashes=4)
+    dc.append_bloom_store(
+        spark, root, bench.where(F.col("doc_id") % 20 != 0))
+    out = dc.bloom_store_decontaminate(spark, corpus, root, min_hits=1)
+    return out.select(
+        "doc_id", F.col("n_grams").cast("long"),
+        F.col("n_flagged").cast("long"), "contaminated")
+
+
+_NORM_SQL_RV = (
+    "TRIM(REGEXP_REPLACE(REGEXP_REPLACE(LOWER(text), '[.,!?;:]', '', 'g'),"
+    " '\\s+', ' ', 'g'))"
+)
+
+
+def _rrf_pipeline_oracle() -> str:
+    """The e2e twin: exact-dedup survivors feed BOTH rankers (BM25
+    statistics — N, avgdl, df — are computed over the deduped corpus,
+    exactly as the Spark plan does), then the same RRF fusion."""
+    lex = f"""
+    kept AS (
+      SELECT MIN(doc_id) AS doc_id FROM documents
+      GROUP BY MD5({_NORM_SQL_RV})
+    ), kd AS (
+      SELECT d.* FROM documents d JOIN kept USING (doc_id)
+    ),
+    lexsc AS ({ti.sql_bm25_score(_RRF_TERMS, table="kd")}),
+    lex AS (
+      SELECT doc_id,
+             CAST(ROW_NUMBER() OVER (ORDER BY score DESC, doc_id)
+                  AS BIGINT) AS rank_1
+      FROM (SELECT doc_id, score FROM lexsc
+            ORDER BY score DESC, doc_id LIMIT {_RRF_N})
+    )"""
+    vec = f"""
+    q AS (
+      SELECT embedding::DOUBLE[] AS qv FROM embeddings
+      WHERE vec_id = {_RRF_QVEC}
+    ), c AS (
+      SELECT e.vec_id, e.embedding::DOUBLE[] AS v
+      FROM embeddings e JOIN kept ON e.vec_id = kept.doc_id
+    ), vsc AS (
+      SELECT vec_id AS doc_id,
+             ROUND(LIST_DOT_PRODUCT(qv, v) /
+                   (SQRT(LIST_DOT_PRODUCT(qv, qv))
+                    * SQRT(LIST_DOT_PRODUCT(v, v))), 6) AS sim
+      FROM c, q WHERE vec_id <> {_RRF_QVEC}
+    ), vec AS (
+      SELECT doc_id,
+             CAST(ROW_NUMBER() OVER (ORDER BY sim DESC, doc_id)
+                  AS BIGINT) AS rank_2
+      FROM (SELECT doc_id, sim FROM vsc
+            ORDER BY sim DESC, doc_id LIMIT {_RRF_N})
+    )"""
+    t1 = rv.sql_rrf_term("rank_1", _RRF_K0)
+    t2 = rv.sql_rrf_term("rank_2", _RRF_K0)
+    return f"""
+    WITH {lex}, {vec},
+    fused AS (
+      SELECT COALESCE(lex.doc_id, vec.doc_id) AS doc_id,
+             rank_1, rank_2, {t1} + {t2} AS rrf_score
+      FROM lex FULL OUTER JOIN vec ON lex.doc_id = vec.doc_id
+    )
+    SELECT doc_id, rank_1, rank_2, rrf_score,
+           CAST(ROW_NUMBER() OVER (ORDER BY rrf_score DESC, doc_id)
+                AS BIGINT) AS rank
+    FROM fused
+    QUALIFY rank <= 10
+    """
+
+
+@register("retrieval_pipeline_e2e", oracle=_rrf_pipeline_oracle())
+def retrieval_pipeline_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The retrieval user story end-to-end: exact-dedup the corpus
+    (keep the min-id representative per normalized content), run BOTH
+    first-stage rankers over the SURVIVORS — BM25 corpus statistics
+    (N, avgdl, df) are recomputed on the deduped corpus, and the
+    vector candidates semi-join the kept ids — then RRF-fuse to the
+    final top-10. Composes `dedup_exact` + `bm25_topk` + `cosine_topk`
+    + `rrf_fuse_topk`, each keeping its own audited scale plan; the
+    only new wiring is two kept-id joins (32-byte digests shuffle for
+    the dedup, id lists for the joins — never document text)."""
+    from pandas_rust_algos_spark.operators import dedup as dd
+
+    docs = _docs(spark, sf_dir)
+    emb = _emb(spark, sf_dir)
+    kept = dd.dedup_exact(docs).select(F.col("rep_id").alias("doc_id"))
+    kd = docs.join(kept, "doc_id")
+    emb_k = emb.join(
+        kept.select(F.col("doc_id").alias("vec_id")), "vec_id")
+    lex = ti.bm25_topk(kd, _RRF_TERMS, k=_RRF_N)
+    queries = emb.where(F.col("vec_id") == _RRF_QVEC).select(
+        F.col("vec_id").alias("query_id"), "embedding")
+    vec = cosine_topk(emb_k, queries, k=_RRF_N).select(
+        F.col("vec_id").alias("doc_id"), "rank")
+    return rv.rrf_fuse_topk(
+        [lex.select("doc_id", "rank"), vec],
+        id_col="doc_id", k0=_RRF_K0, k=10,
+    )
+
+
+@register(
+    "kfold_assign",
+    oracle=f"""
+    SELECT {ds.sql_kfold_assign('doc_id', 5, salt='gate')} AS fold,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           MIN(doc_id) AS min_id, MAX(doc_id) AS max_id
+    FROM documents GROUP BY 1
+    """,
+)
+def kfold_assign_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic 5-fold CV assignment (md5 mod k — a pure row
+    property, reproducible across engines/partitionings/retries);
+    the gate reports per-fold counts and id ranges, proving the EXACT
+    fold membership cross-engine
+    (``operators/datasplit.kfold_assign``)."""
+    docs = _docs(spark, sf_dir)
+    out = ds.kfold_assign(docs, "doc_id", 5, salt="gate")
+    return out.groupBy("fold").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.min("doc_id").alias("min_id"),
+        F.max("doc_id").alias("max_id"),
+    )

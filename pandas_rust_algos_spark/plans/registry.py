@@ -98,6 +98,16 @@ def register(name: str, oracle: str | None = None, description: str = ""):
 # (dedup/unigram/ann) are re-verified by the full driver_sim instead —
 # their newest driver rows are r8-era, the freshest there is.
 _GATE_PRIORITY: tuple[str, ...] = (
+    # (0) round-9 additions — never had a driver row yet
+    "hybrid_rrf_topk",
+    "mmr_diversify_topk",
+    "priority_sample_weighted",
+    "decontam_bloom",
+    "bm25_batch_topk",
+    "decontam_bloom_store",
+    "group_robust_zscore",
+    "retrieval_pipeline_e2e",
+    "kfold_assign",
     # (a) newest driver row is r3-era
     "repetition_signals",
     "scd2_join",
@@ -179,6 +189,7 @@ def _load_all() -> None:
     from pandas_rust_algos_spark.plans import queries_llmdata  # noqa: F401
     from pandas_rust_algos_spark.plans import queries_scrub  # noqa: F401
     from pandas_rust_algos_spark.plans import queries_pipeline  # noqa: F401
+    from pandas_rust_algos_spark.plans import queries_retrieval  # noqa: F401
 
     ordered = {n: _REGISTRY[n] for n in _GATE_PRIORITY if n in _REGISTRY}
     if len(ordered) < len(_REGISTRY):

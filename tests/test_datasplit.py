@@ -229,3 +229,41 @@ def test_stratified_top_n_null_keys_and_rn_exclusion(spark):
              stratified_top_n(df.repartition(5), "lang",
                               "doc_id", 5).collect()}
     assert again == sel
+
+
+def test_kfold_assign_covers_and_balances(spark):
+    from pandas_rust_algos_spark.operators.datasplit import kfold_assign
+    from pyspark.sql import functions as F
+
+    df = spark.range(1000).select(F.col("id").alias("k"))
+    out = kfold_assign(df, "k", 5, salt="t")
+    counts = {r["fold"]: r["n"] for r in
+              out.groupBy("fold").agg(F.count(F.lit(1)).alias("n")).collect()}
+    assert set(counts) == {0, 1, 2, 3, 4}
+    assert sum(counts.values()) == 1000
+    # md5 uniformity: folds within a loose band of n/k
+    assert all(120 <= c <= 280 for c in counts.values()), counts
+
+
+def test_kfold_assign_deterministic_and_salt_rotates(spark):
+    from pandas_rust_algos_spark.operators.datasplit import kfold_assign
+    from pyspark.sql import functions as F
+
+    df = spark.range(300).select(F.col("id").alias("k"))
+    a = {r["k"]: r["fold"] for r in kfold_assign(df, "k", 4).collect()}
+    b = {r["k"]: r["fold"] for r in
+         kfold_assign(df.repartition(7), "k", 4).collect()}
+    assert a == b
+    c = {r["k"]: r["fold"] for r in
+         kfold_assign(df, "k", 4, salt="other").collect()}
+    assert a != c  # independent fold system
+
+
+def test_kfold_assign_rejects_bad_k(spark):
+    import pytest
+    from pandas_rust_algos_spark.operators.datasplit import kfold_assign
+    from pyspark.sql import functions as F
+
+    df = spark.range(3).select(F.col("id").alias("k"))
+    with pytest.raises(ValueError):
+        kfold_assign(df, "k", 1)

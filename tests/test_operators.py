@@ -1668,3 +1668,26 @@ def test_heavy_hitters_approx_bounds_report(spark, sf_dir):
     with _pytest.raises(ValueError):
         heavy_hitters_approx_bounds_report(planted, "user_id",
                                            support=1.5)
+
+
+def test_group_robust_zscore_semantics(spark):
+    """Hand case: group A = [1,2,3,4,100] — median 3, MAD 1 (devs
+    [2,1,0,1,97] → median 1): the whale's robust z is huge, the
+    inliers' are small; a NULL value stays NULL; an all-equal group
+    (MAD 0) yields NULL."""
+    from pandas_rust_algos_spark.operators.grouped_transform import (
+        group_robust_zscore,
+    )
+    from pyspark.sql import functions as F
+
+    df = spark.createDataFrame(
+        [("a", 1.0), ("a", 2.0), ("a", 3.0), ("a", 4.0), ("a", 100.0),
+         ("a", None), ("b", 7.0), ("b", 7.0), ("b", 7.0)],
+        "k string, v double")
+    out = {(r["k"], r["v"]): r["rz"]
+           for r in group_robust_zscore(df, "k", "v", out_col="rz").collect()}
+    assert out[("a", 3.0)] == 0.0
+    assert abs(out[("a", 2.0)] - round(-1 / 1.4826, 6)) < 1e-9
+    assert out[("a", 100.0)] > 60
+    assert out[("a", None)] is None
+    assert out[("b", 7.0)] is None  # MAD = 0
