@@ -161,6 +161,7 @@ HEADLINE = [
     "group_robust_zscore",
     "retrieval_pipeline_e2e",
     "kfold_assign",
+    "docs_stream_bloom_screen",
 ]
 
 

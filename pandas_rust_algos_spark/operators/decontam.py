@@ -47,7 +47,7 @@ __all__ = ["token_ngrams", "decontaminate", "decontaminate_semantic",
            "decontaminate_spans", "sql_decontaminate_spans",
            "bloom_decontaminate", "sql_bloom_decontaminate",
            "write_bloom_store", "append_bloom_store",
-           "bloom_store_decontaminate"]
+           "bloom_store_decontaminate", "bloom_probe_rowwise"]
 
 
 def token_ngrams(col: Column | str, n: int) -> Column:
@@ -669,6 +669,64 @@ def bloom_store_decontaminate(
         F.count("gram").alias("n_grams"),
         F.count(F.when(F.col("gram").isNotNull()
                        & F.col("flagged"), 1)).alias("n_flagged"),
+    ).select(
+        id_col, "n_grams", "n_flagged",
+        (F.col("n_flagged") >= min_hits).alias("contaminated"),
+    )
+
+
+def bloom_probe_rowwise(
+    df: DataFrame,
+    bloom: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 5,
+    m_bits: int = 1 << 16,
+    n_hashes: int = 4,
+    min_hits: int = 1,
+) -> DataFrame:
+    """:func:`bloom_decontaminate`'s probe restructured to a SINGLE
+    aggregation level so it runs as a Structured Streaming plan (the
+    screen-at-ingest shape): instead of exploding a gram's
+    ``n_hashes`` positions into rows (which needs a per-gram BOOL_AND
+    aggregation *below* the per-document one — two levels, illegal in
+    streaming), each position becomes a COLUMN and the bitmap is
+    left-joined once per position (broadcast — the bitmap is ≤
+    ``m_bits/32`` rows), making "all bits set" a row-level AND.
+    One ``groupBy(id)`` then counts grams and flagged grams —
+    streaming-legal, and identical output to the exploded batch plan
+    (grams are already distinct per document, so ``count(gram)`` needs
+    no streaming-unsupported countDistinct).
+
+    Works on batch frames too — the gate equality batch ≡ stream ≡
+    DuckDB rests on exactly that."""
+    grams = token_ngrams(text_col, n)
+    dg = df.select(F.col(id_col), F.explode_outer(grams).alias("gram"))
+    out = dg
+    hit_cols = []
+    for i in range(n_hashes):
+        pos = F.when(F.col("gram").isNotNull(),
+                     _bloom_pos(F.col("gram"), i, m_bits))
+        b = bloom.select(F.col("word").alias(f"__w{i}"),
+                         F.col("bits").alias(f"__b{i}"))
+        out = out.withColumn(f"__p{i}", pos).join(
+            F.broadcast(b),
+            F.shiftright(F.col(f"__p{i}"), 5) == F.col(f"__w{i}"),
+            "left",
+        )
+        mask = F.expr(
+            f"shiftleft(CAST(1 AS BIGINT), CAST(__p{i} % 32 AS INT))")
+        hit_cols.append(F.coalesce(
+            F.col(f"__b{i}").bitwiseAND(mask) == mask, F.lit(False)))
+    flagged = hit_cols[0]
+    for h in hit_cols[1:]:
+        flagged = flagged & h
+    out = out.withColumn("__flagged", flagged)
+    return out.groupBy(id_col).agg(
+        F.count("gram").alias("n_grams"),
+        F.count(F.when(F.col("gram").isNotNull()
+                       & F.col("__flagged"), 1)).alias("n_flagged"),
     ).select(
         id_col, "n_grams", "n_flagged",
         (F.col("n_flagged") >= min_hits).alias("contaminated"),

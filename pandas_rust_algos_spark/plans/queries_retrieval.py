@@ -335,3 +335,44 @@ def kfold_assign_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("doc_id").alias("min_id"),
         F.max("doc_id").alias("max_id"),
     )
+
+
+@register(
+    "docs_stream_bloom_screen",
+    oracle=dc.sql_bloom_decontaminate(
+        n=5, m_bits=1 << 16, n_hashes=4, min_hits=1),
+)
+def docs_stream_bloom_screen(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The decontamination screen AT INGEST: documents arrive as a
+    Structured Streaming source, probe the persisted Bloom store via a
+    stream-static broadcast join, and the drained result must equal
+    the batch screen — which must equal DuckDB (the oracle is the same
+    one-shot twin, so this single gate pins stream ≡ batch ≡ SQL).
+    The probe is the single-aggregation row-wise plan
+    (``operators/decontam.bloom_probe_rowwise``): each hash position
+    is a COLUMN joined to the ≤2k-row bitmap, because streaming
+    forbids the exploded plan's per-gram aggregation level. State is
+    one count row per document — watermark-free completeness is fine
+    for the availableNow backfill harness; a production ingest keys
+    the aggregation by (arrival window, doc) under a watermark."""
+    from pandas_rust_algos_spark.streaming import events as se
+
+    tune(spark)
+    import tempfile
+
+    docs = _docs(spark, sf_dir)
+    bench = docs.where(F.col("doc_id") % 10 == 0)
+    root = tempfile.mkdtemp(prefix="bloom_stream_gate_")
+    dc.write_bloom_store(bench, root, n=5, m_bits=1 << 16, n_hashes=4)
+    bloom = spark.read.parquet(root + "/words.parquet")
+
+    stream = se.read_table_stream(spark, sf_dir, "documents").where(
+        F.col("doc_id") % 10 != 0)
+    screened = dc.bloom_probe_rowwise(
+        stream, bloom, n=5, m_bits=1 << 16, n_hashes=4, min_hits=1)
+    out = se.run_available_now(
+        screened, table="docs_stream_bloom_out",
+        output_mode="complete", state_partitions=8)
+    return out.select(
+        "doc_id", F.col("n_grams").cast("long"),
+        F.col("n_flagged").cast("long"), "contaminated")

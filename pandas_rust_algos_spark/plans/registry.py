@@ -108,6 +108,7 @@ _GATE_PRIORITY: tuple[str, ...] = (
     "group_robust_zscore",
     "retrieval_pipeline_e2e",
     "kfold_assign",
+    "docs_stream_bloom_screen",
     # (a) newest driver row is r3-era
     "repetition_signals",
     "scd2_join",

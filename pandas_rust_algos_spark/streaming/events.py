@@ -240,3 +240,25 @@ def run_available_now(
         if prev is not None:
             spark.conf.set("spark.sql.shuffle.partitions", prev)
     return spark.table(table)
+
+
+def read_table_stream(spark: SparkSession, sf_dir: str,
+                      table: str) -> DataFrame:
+    """Any fixture table as an unbounded file stream — the
+    ``read_events_stream`` recipe generalized (schema from the batch
+    file, symlink-dir source so the read-only single-file fixture can
+    back a FileStreamSource; production reads a landing directory or
+    a Kafka topic). No timestamp rebuild: used for tables without the
+    events NANOS column (e.g. ``documents`` for the screen-at-ingest
+    gate)."""
+    path = os.path.join(sf_dir, f"{table}.parquet")
+    schema = spark.read.parquet(path).schema
+    stream_dir = tempfile.mkdtemp(prefix=f"{table}_stream_")
+    link = os.path.join(stream_dir, f"{table}.parquet")
+    if not os.path.exists(link):
+        os.symlink(path, link)
+    return (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(stream_dir)
+    )

@@ -271,3 +271,16 @@ def test_bloom_store_append_idempotent(spark, tmp_path):
     after = sorted(map(tuple, spark.read.parquet(
         p + "/words.parquet").collect()))
     assert before == after
+
+
+def test_bloom_rowwise_probe_equals_exploded(spark):
+    """The streaming-legal single-aggregation probe must equal the
+    batch exploded plan row-for-row (the stream ≡ batch half of the
+    gate's three-way equality)."""
+    corpus, bench = _toy_corpus(spark)
+    words = dc._bloom_words(bench, "text", 5, 1 << 16, 4)
+    a = sorted(map(tuple, dc.bloom_decontaminate(
+        corpus, bench, n=5).collect()))
+    b = sorted(map(tuple, dc.bloom_probe_rowwise(
+        corpus, words, n=5).collect()))
+    assert a == b
