@@ -162,6 +162,7 @@ HEADLINE = [
     "retrieval_pipeline_e2e",
     "kfold_assign",
     "docs_stream_bloom_screen",
+    "priority_sample_stratified",
 ]
 
 

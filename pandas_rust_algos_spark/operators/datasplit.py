@@ -38,6 +38,8 @@ __all__ = [
     "sql_priority_sample",
     "kfold_assign",
     "sql_kfold_assign",
+    "priority_sample_stratified",
+    "sql_priority_sample_stratified",
 ]
 
 
@@ -588,3 +590,100 @@ def sql_kfold_assign(
     """DuckDB twin of the :func:`kfold_assign` fold expression."""
     return (f"CAST(CAST('0x' || SUBSTR(md5(CAST({key_expr} AS VARCHAR) "
             f"|| ':' || '{salt}'), 1, 13) AS BIGINT) % {k} AS INTEGER)")
+
+
+def priority_sample_stratified(
+    df: DataFrame,
+    strata_col: str,
+    key_col: str,
+    weight_col: str,
+    k: int,
+    *,
+    salt: str = "ps-v1",
+) -> DataFrame:
+    """:func:`priority_sample` per stratum in ONE pass: top-``k``
+    priorities within every ``strata_col`` group (e.g. k docs per
+    language ∝ quality weight), with the per-stratum τ estimator.
+    The global TakeOrdered becomes a window rank keyed by stratum —
+    one shuffle of the narrow (stratum, key, weight, priority)
+    projection however many strata there are, instead of one job per
+    stratum. Same exact uniform and same estimator contract as the
+    global sampler; output adds ``strata_col``."""
+    if k < 1:
+        raise ValueError(f"k must be >= 1, got {k}")
+    h = F.conv(
+        F.substring(
+            F.md5(
+                F.concat_ws(
+                    ":", F.col(key_col).cast("string"), F.lit(salt)
+                ).cast("binary")
+            ),
+            1, 13,
+        ),
+        16, 10,
+    ).cast("long")
+    u = (h + F.lit(1)).cast("double") / F.lit(float(16 ** 13))
+    w = F.col(weight_col).cast("double")
+    scored = df.select(
+        F.col(strata_col), F.col(key_col), w.alias("weight"),
+        (w / u).alias("priority"),
+    )
+    wnd = Window.partitionBy(strata_col).orderBy(
+        F.col("priority").desc(), F.col(key_col))
+    ranked = scored.withColumn(
+        "rank", F.row_number().over(wnd).cast("long")
+    ).where(F.col("rank") <= k + 1)
+    tau = ranked.where(F.col("rank") == k + 1).groupBy(strata_col).agg(
+        F.max("priority").alias("__tau"))
+    tkeys = tau.select(
+        F.col(strata_col).alias("__ts"), "__tau")
+    return (
+        ranked.where(F.col("rank") <= k)
+        .join(F.broadcast(tkeys),
+              ranked[strata_col].eqNullSafe(tkeys["__ts"]), "left")
+        .select(
+            strata_col, key_col, "weight", "priority", "rank",
+            F.greatest(
+                F.col("weight"), F.coalesce(F.col("__tau"), F.lit(0.0))
+            ).alias("est_weight"),
+        )
+    )
+
+
+def sql_priority_sample_stratified(
+    table: str,
+    strata_expr: str,
+    key_expr: str,
+    weight_expr: str,
+    k: int,
+    *,
+    salt: str = "ps-v1",
+) -> str:
+    """DuckDB twin of :func:`priority_sample_stratified`."""
+    h = (f"CAST('0x' || SUBSTR(md5(CAST({key_expr} AS VARCHAR) "
+         f"|| ':' || '{salt}'), 1, 13) AS BIGINT)")
+    pri = (f"CAST({weight_expr} AS DOUBLE) / "
+           f"(CAST({h} + 1 AS DOUBLE) / CAST({float(16 ** 13)!r} AS DOUBLE))")
+    return f"""
+    WITH scored AS (
+      SELECT {strata_expr} AS s, {key_expr} AS key,
+             CAST({weight_expr} AS DOUBLE) AS weight,
+             {pri} AS priority
+      FROM {table}
+    ), ranked AS (
+      SELECT s, key, weight, priority,
+             CAST(ROW_NUMBER() OVER (PARTITION BY s
+                                     ORDER BY priority DESC, key)
+                  AS BIGINT) AS rank
+      FROM scored QUALIFY rank <= {k + 1}
+    ), tau AS (
+      SELECT s, MAX(CASE WHEN rank = {k + 1} THEN priority END) AS t
+      FROM ranked GROUP BY 1
+    )
+    SELECT r.s AS {strata_expr}, r.key AS {key_expr}, r.weight,
+           r.priority, r.rank,
+           GREATEST(r.weight, COALESCE(t, CAST(0.0 AS DOUBLE)))
+             AS est_weight
+    FROM ranked r LEFT JOIN tau ON r.s IS NOT DISTINCT FROM tau.s
+    WHERE r.rank <= {k}
+    """

@@ -164,6 +164,13 @@ def mmr_diversify(
     (``shortlist_k`` rels + ``shortlist_k²`` sims: metadata-sized, the
     same class as the kmeans centroid collect). At 100 TB nothing
     changes: shortlists are shortlists.
+
+    **Construction is EAGER** (the r8-ADVICE lesson, documented up
+    front): the greedy selection needs the similarity values, so
+    building the result runs the shortlist + pairwise jobs immediately
+    and the returned DataFrame is a k-row literal — explain-only
+    callers should stop at :func:`~pandas_rust_algos_spark.operators.
+    similarity.cosine_topk`, the lazy first stage.
     """
     queries = emb.where(F.col(id_col) == query_id).select(
         F.col(id_col).alias("query_id"), vec_col

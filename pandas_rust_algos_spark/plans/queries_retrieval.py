@@ -376,3 +376,20 @@ def docs_stream_bloom_screen(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select(
         "doc_id", F.col("n_grams").cast("long"),
         F.col("n_flagged").cast("long"), "contaminated")
+
+
+@register(
+    "priority_sample_stratified",
+    oracle=ds.sql_priority_sample_stratified(
+        "documents", "lang", "doc_id", "n_chars", 15, salt="gate"),
+)
+def priority_sample_stratified_q(spark: SparkSession,
+                                 sf_dir: str) -> DataFrame:
+    """Per-stratum weighted sampling without replacement in ONE pass:
+    top-15 priorities per language ∝ document length, with each
+    stratum's own τ estimator — the global TakeOrdered becomes a
+    window rank keyed by stratum, one narrow shuffle for all strata
+    (``operators/datasplit.priority_sample_stratified``)."""
+    docs = _docs(spark, sf_dir)
+    return ds.priority_sample_stratified(
+        docs, "lang", "doc_id", "n_chars", 15, salt="gate")

@@ -109,6 +109,7 @@ _GATE_PRIORITY: tuple[str, ...] = (
     "retrieval_pipeline_e2e",
     "kfold_assign",
     "docs_stream_bloom_screen",
+    "priority_sample_stratified",
     # (a) newest driver row is r3-era
     "repetition_signals",
     "scd2_join",

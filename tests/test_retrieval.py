@@ -284,3 +284,28 @@ def test_bloom_rowwise_probe_equals_exploded(spark):
     b = sorted(map(tuple, dc.bloom_probe_rowwise(
         corpus, words, n=5).collect()))
     assert a == b
+
+
+def test_priority_sample_stratified_per_stratum(spark):
+    """Each stratum yields k rows with ranks 1..k and its own tau;
+    the within-stratum sample equals the global sampler run on that
+    stratum alone (same salt => same priorities)."""
+    df = spark.range(300).select(
+        F.col("id").alias("doc_id"),
+        (F.col("id") % 3).cast("string").alias("s"),
+        (F.col("id") % 11 + 1).alias("w"))
+    out = ds.priority_sample_stratified(
+        df, "s", "doc_id", "w", 10, salt="t").collect()
+    by_s = {}
+    for r in out:
+        by_s.setdefault(r["s"], []).append(r)
+    assert set(by_s) == {"0", "1", "2"}
+    for s, rows in by_s.items():
+        assert sorted(r["rank"] for r in rows) == list(range(1, 11))
+        solo = ds.priority_sample(
+            df.where(F.col("s") == s), "doc_id", "w", 10, salt="t"
+        ).collect()
+        assert sorted(r["doc_id"] for r in rows) == \
+               sorted(r["doc_id"] for r in solo)
+        assert sorted(r["est_weight"] for r in rows) == \
+               sorted(r["est_weight"] for r in solo)
