@@ -366,8 +366,16 @@ def docs_stream_bloom_screen(spark: SparkSession, sf_dir: str) -> DataFrame:
     dc.write_bloom_store(bench, root, n=5, m_bits=1 << 16, n_hashes=4)
     bloom = spark.read.parquet(root + "/words.parquet")
 
-    stream = se.read_table_stream(spark, sf_dir, "documents").where(
-        F.col("doc_id") % 10 != 0)
+    # a single-file FileStreamSource scans as ONE task per microbatch
+    # (sources.spread can't probe a streaming plan's partitioning), so
+    # fan out before the per-gram hashing — without this the probe ran
+    # serially and the sf1 rehearsal measured 6.6× for 10× data; a
+    # production Kafka/landing-dir source brings its own partitioning
+    stream = (
+        se.read_table_stream(spark, sf_dir, "documents")
+        .where(F.col("doc_id") % 10 != 0)
+        .repartition(spark.sparkContext.defaultParallelism)
+    )
     screened = dc.bloom_probe_rowwise(
         stream, bloom, n=5, m_bits=1 << 16, n_hashes=4, min_hits=1)
     out = se.run_available_now(
