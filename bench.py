@@ -163,6 +163,7 @@ HEADLINE = [
     "kfold_assign",
     "docs_stream_bloom_screen",
     "priority_sample_stratified",
+    "dedup_soft_weights",
 ]
 
 

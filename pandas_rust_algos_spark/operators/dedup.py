@@ -27,6 +27,7 @@ from pyspark.sql import functions as F
 __all__ = [
     "normalize_text",
     "dedup_exact",
+    "dedup_soft_weights",
     "shingles",
     "minhash_signatures",
     "minhash_candidates",
@@ -1052,3 +1053,36 @@ def sql_strip_duplicated_spans(
              AS n_removed
     FROM base b LEFT JOIN kept USING ({id_col})
     """
+
+
+def dedup_soft_weights(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    *,
+    normalized: bool = True,
+) -> DataFrame:
+    """SOFT dedup: instead of dropping duplicates, weight every
+    document ``1/n_copies`` of its exact-content cluster — the
+    down-weighting recipe (used e.g. where dropping all-but-one copy
+    loses legitimate republication signal): summing ``weight`` over
+    any slice counts unique contents, and a sampler drawing ∝ weight
+    sees each content once in expectation. Output per input row:
+    ``(id_col, content_hash, n_copies, weight, is_rep)`` with
+    ``is_rep`` marking the min-id representative (so a hard-dedup
+    filter is the same frame WHERE is_rep).
+
+    One shuffle of the narrow (id, 32-byte digest) projection; the
+    count and min ride a single window over that partitioning —
+    document text never shuffles (the :func:`dedup_exact` scale shape
+    applied to a transform)."""
+    content = normalize_text(text_col) if normalized else F.col(text_col)
+    narrow = df.select(F.col(id_col), F.md5(content).alias("content_hash"))
+    wd = Window.partitionBy("content_hash")
+    n = F.count(F.lit(1)).over(wd)
+    return narrow.select(
+        id_col, "content_hash",
+        n.cast("long").alias("n_copies"),
+        (F.lit(1.0) / n).alias("weight"),
+        (F.col(id_col) == F.min(id_col).over(wd)).alias("is_rep"),
+    )

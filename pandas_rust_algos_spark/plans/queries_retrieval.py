@@ -401,3 +401,32 @@ def priority_sample_stratified_q(spark: SparkSession,
     docs = _docs(spark, sf_dir)
     return ds.priority_sample_stratified(
         docs, "lang", "doc_id", "n_chars", 15, salt="gate")
+
+
+_NORM_MD5 = f"MD5({_NORM_SQL_RV})"
+
+
+@register(
+    "dedup_soft_weights",
+    oracle=f"""
+    SELECT doc_id,
+           {_NORM_MD5} AS content_hash,
+           CAST(COUNT(*) OVER (PARTITION BY {_NORM_MD5}) AS BIGINT)
+             AS n_copies,
+           CAST(1.0 AS DOUBLE)
+             / COUNT(*) OVER (PARTITION BY {_NORM_MD5}) AS weight,
+           doc_id = MIN(doc_id) OVER (PARTITION BY {_NORM_MD5})
+             AS is_rep
+    FROM documents
+    """,
+)
+def dedup_soft_weights_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Soft dedup: weight each document 1/n_copies of its
+    exact-content cluster instead of dropping — summing weights
+    counts unique contents, sampling ∝ weight sees each content once
+    in expectation, and WHERE is_rep recovers the hard dedup. One
+    narrow digest shuffle, text never moves
+    (``operators/dedup.dedup_soft_weights``)."""
+    from pandas_rust_algos_spark.operators import dedup as dd
+
+    return dd.dedup_soft_weights(_docs(spark, sf_dir))

@@ -110,6 +110,7 @@ _GATE_PRIORITY: tuple[str, ...] = (
     "kfold_assign",
     "docs_stream_bloom_screen",
     "priority_sample_stratified",
+    "dedup_soft_weights",
     # (a) newest driver row is r3-era
     "repetition_signals",
     "scd2_join",

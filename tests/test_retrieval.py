@@ -309,3 +309,32 @@ def test_priority_sample_stratified_per_stratum(spark):
                sorted(r["doc_id"] for r in solo)
         assert sorted(r["est_weight"] for r in rows) == \
                sorted(r["est_weight"] for r in solo)
+
+
+def test_rrf_three_rankers(spark):
+    """N>2 fusion: term order is the declared list order and missing
+    lists contribute zero."""
+    a = spark.createDataFrame([(1, 1), (2, 2)], "doc_id long, rank long")
+    b = spark.createDataFrame([(2, 1), (3, 2)], "doc_id long, rank long")
+    c = spark.createDataFrame([(3, 1), (1, 2)], "doc_id long, rank long")
+    out = {r["doc_id"]: r for r in
+           rv.rrf_fuse_topk([a, b, c], k=3).collect()}
+    assert out[1]["rrf_score"] == 1.0 / 61 + 1.0 / 62
+    assert out[2]["rrf_score"] == 1.0 / 62 + 1.0 / 61
+    assert out[3]["rrf_score"] == 1.0 / 62 + 1.0 / 61
+    assert out[1]["rank_2"] is None and out[1]["rank_3"] == 2
+
+
+def test_dedup_soft_weights_semantics(spark):
+    from pandas_rust_algos_spark.operators import dedup as dd
+
+    df = spark.createDataFrame(
+        [(1, "same text"), (2, "Same  text."), (3, "different")],
+        "doc_id long, text string")
+    out = {r["doc_id"]: r for r in dd.dedup_soft_weights(df).collect()}
+    # 1 and 2 normalize to the same content -> cluster of 2
+    assert out[1]["n_copies"] == 2 and out[2]["n_copies"] == 2
+    assert out[1]["weight"] == 0.5 and out[3]["weight"] == 1.0
+    assert out[1]["is_rep"] and not out[2]["is_rep"] and out[3]["is_rep"]
+    # weights sum to the number of unique contents
+    assert sum(r["weight"] for r in out.values()) == 2.0
