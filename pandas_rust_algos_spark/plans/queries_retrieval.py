@@ -1,11 +1,13 @@
 """Gate queries for the round-9 retrieval / sampling / screening
 extensions: hybrid RRF fusion, MMR diversification, multi-query BM25,
-the composed retrieval pipeline, priority sampling, k-fold assignment,
-and the Bloom decontamination screen (one-shot + persisted store).
-All DuckDB-oracled — the determinism recipes are rank-based fusion
-(integer ranks, one IEEE division per term), round-6 cosine, exact
-fixed-point BM25 part sums, an exact power-of-two uniform, md5 mod-k
-folds, and md5-positioned bitmap words.
+the composed retrieval pipeline, priority sampling (global +
+stratified), k-fold assignment, soft dedup, and the Bloom
+decontamination screen (one-shot + persisted store + streaming
+screen-at-ingest). All DuckDB-oracled — the determinism recipes are
+rank-based fusion (integer ranks, one IEEE division per term),
+round-6 cosine, exact fixed-point BM25 part sums, an exact
+power-of-two uniform, md5 mod-k folds, exact 1/n cluster weights,
+and md5-positioned bitmap words.
 """
 
 from __future__ import annotations

@@ -89,12 +89,14 @@ def register(name: str, oracle: str | None = None, description: str = ""):
 
 # The driver's correctness gate samples the FIRST ~50 registry entries per
 # round. Every gate has at least one driver CORRECTNESS row (zero reds ever);
-# staleness is the only dimension. Round 9 front-loads exactly what the r8
-# VERDICT next-#2 prescribed: (a) the 10 gates whose newest driver row is
+# staleness is the only dimension. Round 9 ordering: (0) the twelve
+# round-9-continuation gates that have never had a driver row (freshness
+# beats staleness — a first row beats a refreshed one), then the r8
+# VERDICT next-#2 rotation: (a) the 10 gates whose newest driver row is
 # still r3-era, then (b) the 44 r4-era gates (oldest era first; alphabetical
 # within an era — the CORRECTNESS files carry no finer ordering). The driver
-# window truncates at ~50, so positions 51+ (the last r4 gates) ride along
-# only if the window stretches; gates whose modules changed in round 9
+# window truncates at ~50, so the tail of (b) rides along only if the
+# window stretches; gates whose modules changed in round 9
 # (dedup/unigram/ann) are re-verified by the full driver_sim instead —
 # their newest driver rows are r8-era, the freshest there is.
 _GATE_PRIORITY: tuple[str, ...] = (
