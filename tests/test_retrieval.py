@@ -338,3 +338,20 @@ def test_dedup_soft_weights_semantics(spark):
     assert out[1]["is_rep"] and not out[2]["is_rep"] and out[3]["is_rep"]
     # weights sum to the number of unique contents
     assert sum(r["weight"] for r in out.values()) == 2.0
+
+
+def test_priority_sample_estimator_subset_sum(spark, sf_dir):
+    """Estimator quality on the real fixture: Σ est_weight over the
+    sample is the unbiased estimator of the corpus's total weight —
+    for this deterministic (salt-fixed) draw of 40/500 it must land
+    within 25% of the true Σ n_chars (loose enough for any single
+    draw, tight enough to catch a broken τ)."""
+    from pandas_rust_algos_spark.sources import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    true_total = docs.agg(F.sum("n_chars")).collect()[0][0]
+    out = ds.priority_sample(docs, "doc_id", "n_chars", 40,
+                             salt="gate").collect()
+    est_total = sum(r["est_weight"] for r in out)
+    assert abs(est_total - true_total) / true_total < 0.25, (
+        est_total, true_total)
