@@ -489,7 +489,11 @@ def priority_sample(
     # the kept-rows branch of one final plan — Catalyst computes an
     # uncached subtree once per reference, which would re-run the
     # full corpus scan twice; persisting k+1 rows (lazy, populated by
-    # whichever branch runs first) keeps the corpus pass single
+    # whichever branch runs first) keeps the corpus pass single.
+    # The entry is deliberately NOT unpersisted here: the returned
+    # plan still references it lazily (house style — same k+1-row
+    # class as the dedup/ann_index persisted helpers); callers that
+    # loop may top.unpersist() after materializing.
     top = scored.orderBy(
         F.col("priority").desc(), F.col(key_col)
     ).limit(k + 1).persist()
@@ -517,10 +521,17 @@ def sql_priority_sample(
     k: int,
     *,
     salt: str = "ps-v1",
+    key_name: str | None = None,
 ) -> str:
     """DuckDB twin of :func:`priority_sample` — same md5 input, same
     exact ``(h+1)/2^52`` uniform, same single division, same
-    (priority DESC, key) order and τ estimator."""
+    (priority DESC, key) order and τ estimator.
+
+    The key column is emitted ``AS {key_name}``, defaulting to
+    ``key_expr`` — when ``key_expr`` is an expression rather than a
+    bare column name, pass ``key_name`` so the output alias stays a
+    valid identifier."""
+    key_name = key_name or key_expr
     h = (f"CAST('0x' || SUBSTR(md5(CAST({key_expr} AS VARCHAR) "
          f"|| ':' || '{salt}'), 1, 13) AS BIGINT)")
     pri = (f"CAST({weight_expr} AS DOUBLE) / "
@@ -540,7 +551,7 @@ def sql_priority_sample(
       SELECT MAX(CASE WHEN rank = {k + 1} THEN priority END) AS t
       FROM top
     )
-    SELECT key AS {key_expr}, weight, priority, rank,
+    SELECT key AS {key_name}, weight, priority, rank,
            GREATEST(weight, COALESCE(t, CAST(0.0 AS DOUBLE)))
              AS est_weight
     FROM top CROSS JOIN tau WHERE rank <= {k}
@@ -658,8 +669,17 @@ def sql_priority_sample_stratified(
     k: int,
     *,
     salt: str = "ps-v1",
+    strata_name: str | None = None,
+    key_name: str | None = None,
 ) -> str:
-    """DuckDB twin of :func:`priority_sample_stratified`."""
+    """DuckDB twin of :func:`priority_sample_stratified`.
+
+    Output aliases default to the input expressions — pass
+    ``strata_name`` / ``key_name`` when ``strata_expr`` /
+    ``key_expr`` are expressions rather than bare column names, so
+    the emitted ``AS`` aliases stay valid identifiers."""
+    strata_name = strata_name or strata_expr
+    key_name = key_name or key_expr
     h = (f"CAST('0x' || SUBSTR(md5(CAST({key_expr} AS VARCHAR) "
          f"|| ':' || '{salt}'), 1, 13) AS BIGINT)")
     pri = (f"CAST({weight_expr} AS DOUBLE) / "
@@ -680,7 +700,7 @@ def sql_priority_sample_stratified(
       SELECT s, MAX(CASE WHEN rank = {k + 1} THEN priority END) AS t
       FROM ranked GROUP BY 1
     )
-    SELECT r.s AS {strata_expr}, r.key AS {key_expr}, r.weight,
+    SELECT r.s AS {strata_name}, r.key AS {key_name}, r.weight,
            r.priority, r.rank,
            GREATEST(r.weight, COALESCE(t, CAST(0.0 AS DOUBLE)))
              AS est_weight

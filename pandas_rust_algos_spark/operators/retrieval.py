@@ -44,6 +44,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 
 from pandas_rust_algos_spark.operators.similarity import cosine, cosine_topk
 
@@ -201,9 +202,15 @@ def mmr_diversify(
         pw[(r["ib"], r["ia"])] = r["sim"]
 
     picked = _mmr_greedy(rel, pw, k, lam)
-    return emb.sparkSession.createDataFrame(
-        picked, f"sel_rank bigint, {id_col} bigint, rel double, mmr double"
-    )
+    # id field type follows the input frame (string/int doc ids both
+    # work — the greedy loop itself is id-type-agnostic)
+    out_schema = T.StructType([
+        T.StructField("sel_rank", T.LongType(), False),
+        T.StructField(id_col, emb.schema[id_col].dataType, True),
+        T.StructField("rel", T.DoubleType(), True),
+        T.StructField("mmr", T.DoubleType(), True),
+    ])
+    return emb.sparkSession.createDataFrame(picked, out_schema)
 
 
 def sql_mmr_diversify(

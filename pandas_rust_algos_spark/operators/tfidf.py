@@ -426,8 +426,18 @@ def sql_bm25_batch_topk(
 
     if not queries:
         raise ValueError("queries must be non-empty")
+
+    def _qid_lit(qid: object) -> str:
+        # string qids escape like terms ('' doubling) — repr() of a
+        # string containing a quote emits double quotes, which SQL
+        # reads as an identifier, not a literal
+        if isinstance(qid, str):
+            return "'" + qid.replace("'", "''") + "'"
+        return repr(qid)
+
     vals = ", ".join(
-        f"(CAST({qid!r} AS {qid_sql_type}), '" + t.replace("'", "''") + "')"
+        f"(CAST({_qid_lit(qid)} AS {qid_sql_type}), '"
+        + t.replace("'", "''") + "')"
         for qid, terms in queries.items() for t in sorted(set(terms))
     )
     return f"""
