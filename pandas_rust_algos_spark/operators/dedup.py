@@ -1072,17 +1072,29 @@ def dedup_soft_weights(
     ``is_rep`` marking the min-id representative (so a hard-dedup
     filter is the same frame WHERE is_rep).
 
-    One shuffle of the narrow (id, 32-byte digest) projection; the
-    count and min ride a single window over that partitioning —
-    document text never shuffles (the :func:`dedup_exact` scale shape
-    applied to a transform)."""
+    Scale shape: the per-content count and min-id come from a
+    ``groupBy(content_hash).agg(...)`` joined back to the narrow
+    (id, 32-byte digest) projection — NOT a window over
+    ``partitionBy(content_hash)``. A window count is not map-side
+    combinable: every copy of one content must colocate in a single
+    sort partition, so a boilerplate whale (empty docs, error pages —
+    the same pathology the MinHash whale-bucket guard insures
+    against) funnels all its copies through one task at 100 TB. The
+    groupBy form partial-aggregates each partition's copies down to
+    one (hash, count, min) row before the shuffle, so a whale costs
+    one row per upstream partition; the join back is digest-keyed and
+    AQE handles any residual skew. Document text never shuffles (the
+    :func:`dedup_exact` scale shape applied to a transform — same
+    narrow-bounds recipe as ``group_winsorize`` /
+    ``group_robust_zscore``)."""
     content = normalize_text(text_col) if normalized else F.col(text_col)
     narrow = df.select(F.col(id_col), F.md5(content).alias("content_hash"))
-    wd = Window.partitionBy("content_hash")
-    n = F.count(F.lit(1)).over(wd)
-    return narrow.select(
-        id_col, "content_hash",
-        n.cast("long").alias("n_copies"),
-        (F.lit(1.0) / n).alias("weight"),
-        (F.col(id_col) == F.min(id_col).over(wd)).alias("is_rep"),
+    stats = narrow.groupBy("content_hash").agg(
+        F.count(F.lit(1)).cast("long").alias("n_copies"),
+        F.min(id_col).alias("__rep_id"),
+    )
+    return narrow.join(stats, "content_hash").select(
+        id_col, "content_hash", "n_copies",
+        (F.lit(1.0) / F.col("n_copies")).alias("weight"),
+        (F.col(id_col) == F.col("__rep_id")).alias("is_rep"),
     )

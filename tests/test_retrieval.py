@@ -275,8 +275,12 @@ def test_bloom_store_append_idempotent(spark, tmp_path):
 
 def test_bloom_rowwise_probe_equals_exploded(spark):
     """The streaming-legal single-aggregation probe must equal the
-    batch exploded plan row-for-row (the stream ≡ batch half of the
-    gate's three-way equality)."""
+    batch entry point row-for-row. Since round 10 the batch functions
+    DELEGATE to the rowwise probe (one data-sized shuffle instead of
+    two), so the exploded-plan equivalence proof lives in the DuckDB
+    oracle (sql_bloom_decontaminate still computes the two-level
+    explode + BOOL_AND shape) — this test now pins the delegation
+    wiring (params threaded through correctly)."""
     corpus, bench = _toy_corpus(spark)
     words = dc._bloom_words(bench, "text", 5, 1 << 16, 4)
     a = sorted(map(tuple, dc.bloom_decontaminate(
@@ -338,6 +342,30 @@ def test_dedup_soft_weights_semantics(spark):
     assert out[1]["is_rep"] and not out[2]["is_rep"] and out[3]["is_rep"]
     # weights sum to the number of unique contents
     assert sum(r["weight"] for r in out.values()) == 2.0
+
+
+def test_dedup_soft_weights_whale_immune_plan(spark):
+    """Planted boilerplate whale: one content with 200 copies. The
+    per-content stats must come from a map-side-combinable aggregate
+    joined back — NOT a window over partitionBy(content_hash), which
+    would funnel every copy of the whale through one sort partition
+    at scale. Pin both the semantics and the plan shape."""
+    from pandas_rust_algos_spark.operators import dedup as dd
+
+    rows = [(i, "boilerplate   Error page!") for i in range(200)]
+    rows += [(1000 + i, f"unique doc {i}") for i in range(50)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = dd.dedup_soft_weights(df)
+    plan = out._jdf.queryExecution().optimizedPlan().toString()
+    assert "Window" not in plan, "whale-exposed window is back"
+    got = out.collect()
+    assert len(got) == 250
+    whale = [r for r in got if r["n_copies"] == 200]
+    assert len(whale) == 200
+    assert all(r["weight"] == 1.0 / 200 for r in whale)
+    reps = [r["doc_id"] for r in whale if r["is_rep"]]
+    assert reps == [0]  # min-id representative, exactly one
+    assert sum(r["weight"] for r in got) == pytest.approx(51.0)
 
 
 def test_priority_sample_estimator_subset_sum(spark, sf_dir):
