@@ -437,51 +437,14 @@ def bloom_decontaminate(
     is never hashed — a NULL gram must not probe the constant
     ``'i:'`` position).
     """
-    grams = token_ngrams(text_col, n)
-    bench_grams = (
-        benchmark.select(F.explode(grams).alias("gram")).distinct()
-    )
-    # F.shiftleft only takes a literal bit count; the per-row shift
-    # goes through the SQL form (same function, column-valued arg)
-    mask = F.expr("shiftleft(CAST(1 AS BIGINT), CAST(pos % 32 AS INT))")
-    bloom = (
-        bench_grams.select(
-            F.explode(F.array(*[
-                _bloom_pos(F.col("gram"), i, m_bits)
-                for i in range(n_hashes)
-            ])).alias("pos"))
-        .select(F.shiftright(F.col("pos"), 5).alias("word"),
-                mask.alias("m"))
-        .groupBy("word")
-        .agg(F.bit_or("m").alias("bits"))
-    )
-
-    dg = corpus.select(
-        F.col(id_col), F.explode_outer(grams).alias("gram"))
-    pos_arr = F.when(
-        F.col("gram").isNotNull(),
-        F.array(*[
-            _bloom_pos(F.col("gram"), i, m_bits) for i in range(n_hashes)
-        ]),
-    )
-    probed = dg.select(
-        id_col, "gram", F.explode_outer(pos_arr).alias("pos")
-    ).withColumn("word", F.shiftright(F.col("pos"), 5))
-    hit = F.coalesce(
-        F.col("bits").bitwiseAND(mask) == mask, F.lit(False))
-    gram_flags = (
-        probed.join(F.broadcast(bloom), "word", "left")
-        .groupBy(id_col, "gram")
-        .agg(F.bool_and(hit).alias("flagged"))
-    )
-    return gram_flags.groupBy(id_col).agg(
-        F.count("gram").alias("n_grams"),
-        F.count(F.when(F.col("gram").isNotNull()
-                       & F.col("flagged"), 1)).alias("n_flagged"),
-    ).select(
-        id_col, "n_grams", "n_flagged",
-        (F.col("n_flagged") >= min_hits).alias("contaminated"),
-    )
+    bloom = _bloom_words(benchmark, text_col, n, m_bits, n_hashes)
+    # the probe is the shared single-aggregation rowwise shape (one
+    # data-sized shuffle; the old exploded two-level plan — a per-gram
+    # BOOL_AND below the per-document groupBy — shuffled the exploded
+    # gram stream twice and is gate-proven identical in output)
+    return bloom_probe_rowwise(
+        corpus, bloom, id_col=id_col, text_col=text_col, n=n,
+        m_bits=m_bits, n_hashes=n_hashes, min_hits=min_hits)
 
 
 def sql_bloom_decontaminate(
@@ -644,35 +607,11 @@ def bloom_store_decontaminate(
     with open(os.path.join(path, "meta.json")) as fh:
         meta = json.load(fh)
     bloom = spark.read.parquet(os.path.join(path, "words.parquet"))
-    grams = token_ngrams(meta["text_col"], meta["n"])
-    dg = corpus.select(
-        F.col(id_col), F.explode_outer(grams).alias("gram"))
-    pos_arr = F.when(
-        F.col("gram").isNotNull(),
-        F.array(*[
-            _bloom_pos(F.col("gram"), i, meta["m_bits"])
-            for i in range(meta["n_hashes"])
-        ]),
-    )
-    probed = dg.select(
-        id_col, "gram", F.explode_outer(pos_arr).alias("pos")
-    ).withColumn("word", F.shiftright(F.col("pos"), 5))
-    mask = F.expr("shiftleft(CAST(1 AS BIGINT), CAST(pos % 32 AS INT))")
-    hit = F.coalesce(
-        F.col("bits").bitwiseAND(mask) == mask, F.lit(False))
-    gram_flags = (
-        probed.join(F.broadcast(bloom), "word", "left")
-        .groupBy(id_col, "gram")
-        .agg(F.bool_and(hit).alias("flagged"))
-    )
-    return gram_flags.groupBy(id_col).agg(
-        F.count("gram").alias("n_grams"),
-        F.count(F.when(F.col("gram").isNotNull()
-                       & F.col("flagged"), 1)).alias("n_flagged"),
-    ).select(
-        id_col, "n_grams", "n_flagged",
-        (F.col("n_flagged") >= min_hits).alias("contaminated"),
-    )
+    # shared single-aggregation probe (see bloom_decontaminate)
+    return bloom_probe_rowwise(
+        corpus, bloom, id_col=id_col, text_col=meta["text_col"],
+        n=meta["n"], m_bits=meta["m_bits"],
+        n_hashes=meta["n_hashes"], min_hits=min_hits)
 
 
 def bloom_probe_rowwise(
