@@ -89,70 +89,22 @@ def register(name: str, oracle: str | None = None, description: str = ""):
 
 # The driver's correctness gate samples the FIRST ~50 registry entries per
 # round. Every gate has at least one driver CORRECTNESS row (zero reds ever);
-# staleness is the only dimension. Round 9 ordering: (0) the twelve
-# round-9-continuation gates that have never had a driver row (freshness
-# beats staleness — a first row beats a refreshed one), then the r8
-# VERDICT next-#2 rotation: (a) the 10 gates whose newest driver row is
-# still r3-era, then (b) the 44 r4-era gates (oldest era first; alphabetical
-# within an era — the CORRECTNESS files carry no finer ordering). The driver
-# window truncates at ~50, so the tail of (b) rides along only if the
-# window stretches; gates whose modules changed in round 9
-# (dedup/unigram/ann) are re-verified by the full driver_sim instead —
-# their newest driver rows are r8-era, the freshest there is.
+# staleness is the only dimension. Round 10 ordering (the r9 VERDICT next-#3
+# rotation): (0) gates that have never had a driver row — the two r9
+# additions that landed beyond the window plus this round's new gates
+# (freshness beats staleness — a first row beats a refreshed one); then
+# (a) the 16 gates whose newest driver row is r4-era, then (b) the 41
+# r5-era gates (oldest era first; alphabetical within an era — the
+# CORRECTNESS files carry no finer ordering). The driver window truncates
+# at ~50, so the tail of (b) rides along only if the window stretches;
+# everything is sim-verified regardless.
 _GATE_PRIORITY: tuple[str, ...] = (
-    # (0) round-9 additions — never had a driver row yet
-    "hybrid_rrf_topk",
-    "mmr_diversify_topk",
-    "priority_sample_weighted",
-    "decontam_bloom",
-    "bm25_batch_topk",
-    "decontam_bloom_store",
-    "group_robust_zscore",
-    "retrieval_pipeline_e2e",
-    "kfold_assign",
-    "docs_stream_bloom_screen",
-    "priority_sample_stratified",
-    "dedup_soft_weights",
-    # (a) newest driver row is r3-era
-    "repetition_signals",
-    "scd2_join",
-    "shard_assign",
-    "snapshot_diff",
-    "stratified_sample",
-    "tfidf_topterms",
-    "token_budget_sample",
-    "train_val_split",
-    "udtf_pii_spans",
-    "url_domains",
-    # (b) newest driver row is r4-era
-    "ab_test_readout",
-    "ann_ivf_topk",
-    "ann_lsh_topk",
-    "ann_pq_topk",
-    "basket_pairs",
-    "cosine_topk",
-    "date_interval_functions",
-    "doc_lm_score",
-    "domain_mix_sample",
-    "drift_report",
-    "embedding_near_dupes",
-    "events_anomaly",
-    "events_cusum",
-    "events_stream_cusum",
-    "events_stream_enrich",
-    "events_stream_join",
-    "events_stream_sessions",
-    "expectations_report",
-    "gif_media_features",
-    "graph_shortest_hops",
-    "group_by_all",
-    "group_first_last_string",
-    "group_nth",
-    "group_ohlc",
-    "group_quantile_midpoint",
-    "group_quantile_nearest",
-    "grouping_sets_revenue",
-    "interval_merge",
+    # (0) never had a driver row yet
+    "ann_ivfpq_rerank_topk",
+    "minhash_store_incremental",
+    "minhash_store_stream_ingest",
+    "ann_float_recall_bounds",
+    # (a) newest driver row is r4-era
     "map_functions",
     "minhash_near_dupes_portable",
     "pack_sequences_sharded",
@@ -169,11 +121,48 @@ _GATE_PRIORITY: tuple[str, ...] = (
     "try_functions",
     "window_frames",
     "window_rank_suite",
-    # new in round 9 — beyond the ~50-gate driver window by design
-    # (the window is reserved for the stale refresh above); verified
-    # by the full driver_sim this round, rotated forward next round
-    "ann_ivfpq_rerank_topk",
-    "minhash_store_incremental",
+    # (b) newest driver row is r5-era
+    "ann_index_append_topk",
+    "ann_index_topk",
+    "bloom_join_revenue",
+    "bm25_topk",
+    "bpe_encode_tokens",
+    "bpe_learn_merges",
+    "bpe_token_freqs",
+    "cube_revenue",
+    "delete_mor_read",
+    "distinct_agg",
+    "events_stream_tumbling",
+    "formats_roundtrip",
+    "group_count",
+    "group_melt",
+    "group_pivot",
+    "group_sum",
+    "heavy_hitters",
+    "jaccard_prefix_join",
+    "jpeg_media_features",
+    "listagg_top_customers",
+    "matview_incremental",
+    "merge_upsert_read",
+    "ngram_jaccard",
+    "q14_promo_share",
+    "q15_top_supplier",
+    "q17_small_qty_revenue",
+    "q18_large_orders",
+    "q19_bracket_revenue",
+    "q22_idle_customers",
+    "range_join",
+    "regr_aggregates",
+    "restore_read",
+    "rollup_revenue",
+    "schema_evolution_read",
+    "semi_anti_join",
+    "set_ops",
+    "simhash_fingerprints_portable",
+    "skew_join_salted",
+    "table_cdf_read",
+    "webdataset_export",
+    "zorder_codes",
 )
 
 
