@@ -48,7 +48,10 @@ from pandas_rust_algos_spark.operators.dedup import (
 __all__ = [
     "write_minhash_store",
     "append_minhash_store",
+    "stream_ingest_minhash_store",
+    "read_store_sigs",
     "minhash_store_near_dupes",
+    "minhash_store_pairs",
 ]
 
 
@@ -118,7 +121,7 @@ def append_minhash_store(
     id-keyed; a re-ingest would double those docs' band rows)."""
     meta = _read_meta(path)
     sigs_path = os.path.join(path, "sigs.parquet")
-    stored_ids = spark.read.parquet(sigs_path).select(meta["id_col"])
+    stored_ids = read_store_sigs(spark, path).select(meta["id_col"])
     dup = (new_docs.select(meta["id_col"]).join(
         stored_ids, meta["id_col"], "left_semi").limit(1).collect())
     if dup:
@@ -130,6 +133,129 @@ def append_minhash_store(
         num_hashes=meta["num_hashes"], hash_mode=meta["hash_mode"])
     sigs.write.mode("append").parquet(sigs_path)
     return meta
+
+
+def read_store_sigs(spark: SparkSession, path: str) -> DataFrame:
+    """All signatures in the store: the batch-written flat
+    ``sigs.parquet`` plus (when present) the streaming-ingested
+    ``sigs_stream.parquet`` — batch-id partition dirs whose extra
+    column is dropped so both surfaces read as ONE signature table.
+    Every probe goes through here, so streamed docs participate in
+    later near-dup checks exactly like batch-appended ones."""
+    sigs = spark.read.parquet(os.path.join(path, "sigs.parquet"))
+    stream_path = os.path.join(path, "sigs_stream.parquet")
+    if os.path.isdir(stream_path):
+        streamed = spark.read.parquet(stream_path).drop("batch_id")
+        sigs = sigs.unionByName(streamed)
+    return sigs
+
+
+def stream_ingest_minhash_store(
+    path: str,
+    stream_docs: DataFrame,
+    *,
+    checkpoint: str,
+    available_now: bool = True,
+):
+    """Streaming ingest for the signature store — the Bloom store's
+    ``docs_stream_bloom_screen`` twin for the OTHER persisted
+    maintenance surface: documents arrive as a stream, each
+    micro-batch computes signatures under the STORED parameters
+    (frozen-params contract, same as :func:`append_minhash_store`)
+    and lands in ``sigs_stream.parquet/batch_id=<id>`` via dynamic
+    partition overwrite — the ``sinks.write_stream_partitioned``
+    idempotence recipe: foreachBatch is at-least-once, so a replayed
+    batch rewrites its own partition directory byte-for-byte instead
+    of duplicating signatures. Signatures are a pure function of
+    (text, frozen params), so a drained stream's store state is
+    IDENTICAL to a batch :func:`append_minhash_store` of the same
+    docs — which is what the gate's portable oracle replays.
+
+    Per micro-batch cost: one shingle pass over the batch only (the
+    store is never read — ingest is write-only, unlike the probe);
+    returns the StreamingQuery (caller owns awaitTermination)."""
+    meta = _read_meta(path)
+    ingest_path = os.path.join(path, "sigs_stream.parquet")
+
+    def sink(batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        sigs = minhash_signatures(
+            batch_df, meta["id_col"], meta["text_col"], k=meta["k"],
+            num_hashes=meta["num_hashes"], hash_mode=meta["hash_mode"])
+        prev = spark.conf.get(
+            "spark.sql.sources.partitionOverwriteMode", "static")
+        spark.conf.set(
+            "spark.sql.sources.partitionOverwriteMode", "dynamic")
+        try:
+            (
+                sigs.withColumn("batch_id", F.lit(batch_id))
+                .write.mode("overwrite")
+                .partitionBy("batch_id")
+                .parquet(ingest_path)
+            )
+        finally:
+            spark.conf.set(
+                "spark.sql.sources.partitionOverwriteMode", prev)
+
+    writer = (
+        stream_docs.writeStream.foreachBatch(sink)
+        .option("checkpointLocation", checkpoint)
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
+def minhash_store_pairs(
+    spark: SparkSession,
+    path: str,
+    new_ids: DataFrame,
+    *,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Near-dup pairs touching ``new_ids``, computed FROM THE STORE
+    ALONE — no document text, no shingling: both join sides are the
+    stored signature table (:func:`read_store_sigs`), the probe side
+    restricted to the given ids by a semi join. This is the
+    post-ingest audit shape ("which of the docs I just streamed in
+    collide with anything?"): the stream already paid the signature
+    pass, so the probe is a narrow parquet scan + band explode on
+    both sides. Output/ordering contract identical to
+    :func:`minhash_store_near_dupes`: ``(id_a, id_b, est_jaccard)``,
+    ``id_a < id_b``, estimate ≥ threshold, at least one side in
+    ``new_ids``."""
+    meta = _read_meta(path)
+    id_col, nh = meta["id_col"], meta["num_hashes"]
+    sigs = read_store_sigs(spark, path)
+    b_all = _band_table(
+        sigs, id_col, nh, meta["bands"], meta["hash_mode"])
+    b_new = b_all.join(new_ids.select(id_col), id_col, "left_semi")
+    left = b_new.select(
+        F.col(id_col).alias("id_n"), F.col("sig").alias("sig_n"),
+        "band", "bucket")
+    right = b_all.select(
+        F.col(id_col).alias("id_o"), F.col("sig").alias("sig_o"),
+        "band", "bucket")
+    est = (
+        F.size(
+            F.filter(
+                F.zip_with("sig_n", "sig_o", lambda a, b: a == b),
+                lambda x: x,
+            )
+        ).cast("double")
+        / nh
+    )
+    return (
+        left.join(right, ["band", "bucket"])
+        .where(F.col("id_n") != F.col("id_o"))
+        .select(
+            F.least("id_n", "id_o").alias("id_a"),
+            F.greatest("id_n", "id_o").alias("id_b"),
+            est.alias("est_jaccard"),
+        )
+        .where(F.col("est_jaccard") >= threshold)
+        .distinct()
+    )
 
 
 def minhash_store_near_dupes(
@@ -180,7 +306,7 @@ def minhash_store_near_dupes(
     b_new = _band_table(
         sigs_new, id_col, nh, meta["bands"], meta["hash_mode"]
     ).persist()
-    stored = spark.read.parquet(os.path.join(path, "sigs.parquet"))
+    stored = read_store_sigs(spark, path)
     b_stored = _band_table(
         stored, id_col, nh, meta["bands"], meta["hash_mode"])
     if max_bucket is not None:

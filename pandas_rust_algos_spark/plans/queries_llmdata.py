@@ -339,6 +339,56 @@ def minhash_store_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
         threshold=0.5)
 
 
+@register(
+    "minhash_store_stream_ingest",
+    oracle=_minhash_portable_oracle(
+        pair_pred="({a} % 5 = 0 OR {b} % 5 = 0)"),
+)
+def minhash_store_stream_ingest(spark: SparkSession,
+                                sf_dir: str) -> DataFrame:
+    """STREAMING ingest for the persisted signature store — the Bloom
+    store's screen-at-ingest twin for the dedup family (r9 VERDICT
+    next-#5): the doc_id % 5 == 0 batch arrives as a Structured
+    Streaming source, each micro-batch computes signatures under the
+    store's FROZEN params inside foreachBatch and lands in a
+    batch_id partition dir (dynamic partition overwrite → replay-
+    idempotent, the ``sinks.write_stream_partitioned`` recipe). After
+    the drain, the near-dup audit runs FROM THE STORE ALONE
+    (``minhash_store_pairs`` — no re-shingling, both join sides are
+    the ~256 B/doc signature parquet). Signatures are a pure function
+    of (text, frozen params), so drained-stream state ≡ batch append ≡
+    the full-corpus portable pipeline filtered to new-touching pairs —
+    the SAME DuckDB oracle as ``minhash_store_incremental``, which is
+    the equivalence the gate pins cross-engine."""
+    import tempfile
+
+    from pandas_rust_algos_spark.operators.minhash_store import (
+        minhash_store_pairs,
+        stream_ingest_minhash_store,
+        write_minhash_store,
+    )
+    from pandas_rust_algos_spark.streaming import events as se
+
+    docs = _docs(spark, sf_dir)
+    idx = tempfile.mkdtemp(prefix="mh_store_stream_gate_")
+    write_minhash_store(
+        docs.where(F.col("doc_id") % 5 != 0), idx,
+        num_hashes=16, bands=4, hash_mode="portable")
+    # single-file FileStreamSource = one task/microbatch: fan out
+    # before the shingle hashing (the docs_stream_bloom_screen lesson)
+    stream = (
+        se.read_table_stream(spark, sf_dir, "documents")
+        .where(F.col("doc_id") % 5 == 0)
+        .repartition(spark.sparkContext.defaultParallelism)
+    )
+    ckpt = tempfile.mkdtemp(prefix="mh_store_stream_ckpt_")
+    q = stream_ingest_minhash_store(idx, stream, checkpoint=ckpt)
+    q.awaitTermination()
+    return minhash_store_pairs(
+        spark, idx, docs.where(F.col("doc_id") % 5 == 0),
+        threshold=0.5)
+
+
 @register("minhash_near_dupes_capped",
           oracle=_minhash_portable_oracle(max_bucket=4))
 def minhash_near_dupes_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -944,6 +994,41 @@ def ann_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
                          m=8, k_codes=16, rerank=100)
     return out.select("query_id", "vec_id", "exact_dot",
                       F.col("rank").cast("long").alias("rank"))
+
+
+@register(
+    "ann_float_recall_bounds",
+    oracle="""
+    WITH q AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_queries
+               FROM embeddings WHERE vec_id < 10)
+    SELECT 'ivf' AS tier, n_queries, CAST(5 AS BIGINT) AS k,
+           TRUE AS recall_ok FROM q
+    UNION ALL
+    SELECT 'pq' AS tier, n_queries, CAST(5 AS BIGINT) AS k,
+           TRUE AS recall_ok FROM q
+    UNION ALL
+    SELECT 'ivfpq' AS tier, n_queries, CAST(5 AS BIGINT) AS k,
+           TRUE AS recall_ok FROM q
+    """,
+)
+def ann_float_recall_bounds(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The ORACLED companion to the rows-only float ANN trio (r9
+    VERDICT next-#6, the ``group_approx_stats_bounds`` recipe): the
+    MLlib-k-means tiers can't be value-replayed by DuckDB, so this
+    gate computes each tier AND its exact brute-force baseline in one
+    plan (``similarity.ann_recall_report``) and emits per-tier
+    booleans asserting mean recall ≥ floor — which the oracle pins
+    TRUE, so an index-quality regression flips the value hash.
+    Measured mean recalls at the floors' margins: ivf 0.60-0.62,
+    pq 0.68-0.94, ivfpq 0.46-0.64 across sf0.01/sf0.1 vs floors
+    0.3/0.4/0.25 (loose because k-means cell shapes move with
+    partitioning; still 15-100× above random K-of-N). The rows-only
+    trio keeps its scale-default role."""
+    emb = _emb(spark, sf_dir)
+    queries = emb.where(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    return sim.ann_recall_report(emb, queries, k=5, dims=64)
 
 
 @register(

@@ -490,6 +490,81 @@ def test_minhash_store_incremental(spark, tmp_path):
                             bands=5)
 
 
+def test_minhash_store_stream_ingest(spark, tmp_path):
+    """Streaming ingest (foreachBatch → batch_id partition dirs):
+    (1) a drained stream's store state equals a batch append of the
+    same docs (signatures are a pure function of text + frozen
+    params); (2) replaying the whole stream with a fresh checkpoint
+    does not duplicate signatures (dynamic partition overwrite on
+    batch_id — the at-least-once idempotence contract); (3) the
+    store-only probe (``minhash_store_pairs``, no re-shingling)
+    equals the full-corpus pipeline restricted to new-touching
+    pairs."""
+    from pandas_rust_algos_spark.operators.minhash_store import (
+        append_minhash_store,
+        minhash_store_pairs,
+        read_store_sigs,
+        stream_ingest_minhash_store,
+        write_minhash_store,
+    )
+
+    base = "the quick brown fox jumps over the lazy dog again and again"
+    texts = {i: base for i in (0, 3, 7)}
+    texts.update({i: base.replace("lazy", "sleepy") for i in (4, 8)})
+    texts.update({1: "completely different content about spark plans",
+                  2: "unrelated words entirely " * 3,
+                  5: "yet another standalone document body",
+                  6: "numbers one two three four five six seven"})
+    docs = spark.createDataFrame(
+        sorted(texts.items()), "doc_id long, text string")
+    old = docs.where(F.col("doc_id") < 6)
+    new = docs.where(F.col("doc_id") >= 6)
+
+    landing = str(tmp_path / "landing")
+    new.coalesce(1).write.parquet(landing)
+
+    def drain(path, ckpt_name):
+        stream = (spark.readStream.schema(new.schema)
+                  .option("maxFilesPerTrigger", 1).parquet(landing))
+        q = stream_ingest_minhash_store(
+            path, stream, checkpoint=str(tmp_path / ckpt_name))
+        q.awaitTermination()
+
+    path_s = str(tmp_path / "mh_stream")
+    write_minhash_store(old, path_s, num_hashes=16, bands=4,
+                        hash_mode="portable")
+    drain(path_s, "ckpt1")
+
+    # (1) drained state ≡ batch append state
+    path_b = str(tmp_path / "mh_batch")
+    write_minhash_store(old, path_b, num_hashes=16, bands=4,
+                        hash_mode="portable")
+    append_minhash_store(spark, path_b, new)
+    sig_s = sorted(map(tuple, read_store_sigs(spark, path_s).collect()))
+    sig_b = sorted(map(tuple, read_store_sigs(spark, path_b).collect()))
+    assert sig_s == sig_b and len(sig_s) == 9
+
+    # (2) full replay with a fresh checkpoint rewrites, not duplicates
+    drain(path_s, "ckpt2")
+    assert read_store_sigs(spark, path_s).count() == 9
+
+    # (2b) streamed ids now count as stored — batch append refuses them
+    with pytest.raises(ValueError, match="already in the store"):
+        append_minhash_store(spark, path_s, new)
+
+    # (3) store-only probe ≡ full pipeline restricted to new-touching
+    got = {(r["id_a"], r["id_b"], r["est_jaccard"])
+           for r in minhash_store_pairs(
+               spark, path_s, new.select("doc_id"),
+               threshold=0.5).collect()}
+    full = {(r["id_a"], r["id_b"], r["est_jaccard"])
+            for r in dd.minhash_near_dupes(
+                docs, threshold=0.5, num_hashes=16, bands=4,
+                hash_mode="portable").collect()
+            if r["id_a"] >= 6 or r["id_b"] >= 6}
+    assert got == full and len(got) > 0
+
+
 def test_minhash_store_whale_cap(spark, tmp_path):
     """The incremental guard: a planted whale bucket in the STORE
     contributes only its min-id representative to the batch join, so
