@@ -164,6 +164,10 @@ HEADLINE = [
     "docs_stream_bloom_screen",
     "priority_sample_stratified",
     "dedup_soft_weights",
+    # round 10: streaming signature-store ingest, oracled float-ANN
+    # recall bounds
+    "minhash_store_stream_ingest",
+    "ann_float_recall_bounds",
 ]
 
 

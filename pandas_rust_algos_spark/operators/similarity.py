@@ -25,7 +25,8 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 __all__ = ["cosine", "dot", "cosine_topk", "hard_negative_topk",
-           "lsh_signature", "lsh_topk", "ivf_topk", "ivfpq_topk"]
+           "lsh_signature", "lsh_topk", "ivf_topk", "ivfpq_topk",
+           "ann_recall_report"]
 
 
 def dot(a: Column, b: Column) -> Column:
@@ -434,12 +435,26 @@ def pq_train_codebooks(
     )
     books: list[list[list[float]]] = []
     for j in range(m):
+        # persist the (bounded, ≤max_train_rows × d/m doubles) feature
+        # frame: MLlib's Lloyd loop evaluates its input once per
+        # iteration, so an uncached slice re-reads the source and
+        # re-projects ~20× per sub-book — measured 2× of the whole
+        # training cost at gate scale, with bit-identical centroids
         feats = sample.select(
             array_to_vector(F.slice(F.col("v"), j * sub + 1, sub)).alias(
                 "features"
             )
-        )
-        km = KMeans(k=k_codes, seed=seed + j, maxIter=20).fit(feats)
+        ).persist()
+        try:
+            # seeded random init: k-means|| costs ~5 distributed init
+            # passes per fit — measured 2× of sub-book training time —
+            # for no measurable distortion gain on the low-dim (d/m)
+            # bounded samples these books train on; the coarse IVF
+            # quantizer (few fits, quality-critical cells) keeps ||
+            km = KMeans(k=k_codes, seed=seed + j, maxIter=20,
+                        initMode="random").fit(feats)
+        finally:
+            feats.unpersist()
         books.append([[float(x) for x in c] for c in km.clusterCenters()])
     return books
 
@@ -684,9 +699,20 @@ def ivfpq_topk(
             # tiny-input fallback, as in the coarse training above
             res_sample = asg.limit(max_train_rows)
         for j in range(m):
+            # persisted for the same reason as pq_train_codebooks:
+            # the Lloyd loop re-evaluates an uncached input per
+            # iteration (bounded: ≤max_train_rows × d/m doubles)
             feats = res_sample.select(array_to_vector(
-                F.slice(F.col("r"), j * sub + 1, sub)).alias("features"))
-            kmj = KMeans(k=k_codes, seed=seed + j, maxIter=20).fit(feats)
+                F.slice(F.col("r"), j * sub + 1, sub)).alias("features")
+            ).persist()
+            try:
+                # seeded random init, same rationale as
+                # pq_train_codebooks (residual sub-books are even
+                # more concentrated)
+                kmj = KMeans(k=k_codes, seed=seed + j, maxIter=20,
+                             initMode="random").fit(feats)
+            finally:
+                feats.unpersist()
             books.append(
                 _lit_matrix([list(c) for c in kmj.clusterCenters()]))
 
@@ -784,3 +810,101 @@ def ivfpq_topk(
         # needed (the trained books are plan literals) — the cache only
         # ever served the m sub-book training scans
         asg.unpersist()
+
+
+def ann_recall_report(
+    df: DataFrame,
+    queries: DataFrame,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+    k: int = 5,
+    dims: int | None = None,
+    ivf_floor: float = 0.3,
+    pq_floor: float = 0.4,
+    ivfpq_floor: float = 0.25,
+) -> DataFrame:
+    """Bounds-contract companion to the float ANN trio (the
+    ``group_approx_bounds_report`` recipe, r9 VERDICT next-#6): the
+    three MLlib-k-means tiers produce engine-specific rankings — no
+    DuckDB oracle can replay them value-for-value — so this report
+    computes each tier AND its exact brute-force baseline in ONE plan
+    and emits only what an oracle CAN pin: one row per tier,
+    ``(tier, n_queries, k, recall_ok)``, where ``recall_ok`` asserts
+    mean recall ≥ the tier's floor. The quantizers are seeded and the
+    data is fixed, so the verdict is stable under the gate's pinned
+    session config — and a recall regression flips a boolean, which
+    flips the value hash.
+
+    Truth sets follow each tier's own metric (the
+    tests/test_similarity.py convention): IVF against the COSINE
+    brute force, the PQ family against the DOT-PRODUCT brute force
+    (PQ approximates raw inner products — normalizing its baseline
+    would mis-score a correct implementation). Mean recall is
+    computed as total matched pairs / (n_queries·k) — a semi join of
+    each tier's (query, id) pairs against its baseline's, so nothing
+    but top-k lists ever aggregates.
+
+    Scale shape: the brute baselines are the standard broadcast-query
+    crossJoin + per-query rank window (corpus never shuffles); the
+    tiers keep their own audited plans; every aggregate here is over
+    top-k lists (|queries|·k rows). Floors are loose by design — cell
+    shapes vary with partitioning (see the pq recall test's note) —
+    but sit 15-60× above the random-K-of-N baseline, so they separate
+    a working index from a broken one at every fixture scale."""
+    brute_cos = cosine_topk(
+        df, queries, id_col=id_col, vec_col=vec_col,
+        query_id_col=query_id_col, k=k,
+    ).select(query_id_col, id_col)
+
+    cand = df.select(F.col(id_col), _as_double(F.col(vec_col)).alias("v"))
+    qs = queries.select(
+        F.col(query_id_col).alias("qid"),
+        _as_double(F.col(vec_col)).alias("qv"))
+    w = Window.partitionBy(query_id_col).orderBy(
+        F.col("s").desc(), F.col(id_col))
+    brute_dot = (
+        cand.crossJoin(F.broadcast(qs))
+        .where(F.col("qid") != F.col(id_col))
+        .select(F.col("qid").alias(query_id_col), F.col(id_col),
+                F.round(dot(F.col("qv"), F.col("v")), 6).alias("s"))
+        .withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select(query_id_col, id_col)
+    )
+
+    nq = queries.select(
+        F.countDistinct(query_id_col).cast("long").alias("n_queries"))
+
+    def tier_row(tier: str, ann: DataFrame, brute: DataFrame,
+                 floor: float) -> DataFrame:
+        hits = (
+            ann.select(query_id_col, id_col)
+            .join(brute, [query_id_col, id_col], "left_semi")
+            .agg(F.count(F.lit(1)).alias("__n_hits"))
+        )
+        return hits.crossJoin(F.broadcast(nq)).select(
+            F.lit(tier).alias("tier"),
+            F.col("n_queries"),
+            F.lit(k).cast("long").alias("k"),
+            (
+                F.col("__n_hits").cast("double")
+                / (F.col("n_queries") * F.lit(k))
+                >= F.lit(floor)
+            ).alias("recall_ok"),
+        )
+
+    ivf = ivf_topk(df, queries, id_col=id_col, vec_col=vec_col,
+                   query_id_col=query_id_col, k=k)
+    pq = pq_topk(df, queries, id_col=id_col, vec_col=vec_col,
+                 query_id_col=query_id_col, k=k, m=8, k_codes=16,
+                 rerank=100, dims=dims)
+    ivfpq = ivfpq_topk(df, queries, id_col=id_col, vec_col=vec_col,
+                       query_id_col=query_id_col, k=k, n_cells=16,
+                       n_probe=6, m=8, k_codes=16, rerank=100, dims=dims)
+    return (
+        tier_row("ivf", ivf, brute_cos, ivf_floor)
+        .unionByName(tier_row("pq", pq, brute_dot, pq_floor))
+        .unionByName(tier_row("ivfpq", ivfpq, brute_dot, ivfpq_floor))
+    )

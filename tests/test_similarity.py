@@ -508,3 +508,20 @@ def test_ivfpq_rerank_exact_shortlist(spark, emb, sf_dir):
 
     with pytest.raises(ValueError):
         ap.ivfpq_topk_fixed(emb, q, rerank_k=2, **kw)  # rerank_k < k
+
+
+def test_ann_recall_report_bounds(spark, emb, queries):
+    """The oracled bounds companion (ann_float_recall_bounds gate):
+    three tier rows, booleans TRUE at the default floors on the real
+    fixture, n_queries/k carried exactly; a floor of 1.01 must flip
+    the boolean (the report really measures recall, not a constant)."""
+    rows = {r["tier"]: r for r in sim.ann_recall_report(
+        emb, queries, k=K, dims=64).collect()}
+    assert set(rows) == {"ivf", "pq", "ivfpq"}
+    for tier, r in rows.items():
+        assert r["n_queries"] == N_QUERIES and r["k"] == K
+        assert r["recall_ok"] is True, f"{tier} below its floor"
+    flipped = {r["tier"]: r["recall_ok"] for r in sim.ann_recall_report(
+        emb, queries, k=K, dims=64, ivf_floor=1.01, pq_floor=1.01,
+        ivfpq_floor=1.01).collect()}
+    assert set(flipped.values()) == {False}
