@@ -168,6 +168,11 @@ HEADLINE = [
     # recall bounds
     "minhash_store_stream_ingest",
     "ann_float_recall_bounds",
+    # round 10 (cont.): weighted grouped aggregations + the soft-dedup
+    # composition
+    "group_weighted_stats",
+    "group_weighted_quantile",
+    "dedup_weighted_stats",
 ]
 
 

@@ -1,0 +1,249 @@
+"""Weighted grouped aggregations: weighted mean / variance / quantile.
+
+Driver-brief training-pipeline extensions (the reference has no
+weighted kernels — SURVEY §2.3): the natural companions to
+:func:`~pandas_rust_algos_spark.operators.dedup.dedup_soft_weights`,
+whose ``1/n_copies`` weights turn corpus statistics over ALL rows into
+statistics over unique contents — and, more generally, the primitives
+behind quality-weighted mixture audits (mean tokens per language
+weighted by quality score, weighted length percentiles for packing
+budgets, importance-weighted eval slices).
+
+Semantics
+---------
+Frequency-weight conventions, NA-skipping like the rest of the
+grouped family (a NULL value OR a NULL weight drops the observation):
+
+- ``weighted mean  = Σwx / Σw``
+- ``weighted var   = (Σwx² − (Σwx)²/Σw) / (Σw − ddof)`` — with
+  ``ddof=1`` this is the frequency-weights unbiased estimator (each
+  unit of weight counts as one observation, the soft-dedup reading);
+  NULL when ``Σw − ddof ≤ 0``.
+- ``weighted quantile(q) = min{ x : cumw(x) ≥ q·W }`` with ``cumw``
+  the running weight in value order (RANGE frame, so equal values
+  accumulate together and tie order cannot matter) — the standard
+  left-continuous inverse-CDF rule; at ``q=0.5`` the weighted median.
+
+Determinism (registry rules)
+----------------------------
+Every sum is :func:`functions.na.fixed_sum` — weights and products
+quantized to 1e-6 micro-units, summed exactly in BIGINT, so results
+are partitioning-independent and bit-identical to the DuckDB twins
+(``sql_*`` here build on ``registry.dsum`` with the same expressions);
+the finishing arithmetic is single IEEE ops both engines round
+identically. The quantile compares integer micro-unit cumulative
+weights against ``q · W`` in one IEEE multiply.
+
+Scale shape (100 TB)
+--------------------
+Mean/var are single map-side-combinable ``groupBy().agg()`` passes —
+three long-sums wide, the cheapest shuffle shape there is; a
+boilerplate whale group partial-aggregates like any other sum.
+The quantile pays the within-group sort every exact quantile pays
+(the ``group_quantile`` class, documented trade-off); at corpus scale
+prefer bucketed pre-aggregation (weight-sum per value bucket) when an
+approximate weighted quantile suffices — the exact op is the oracle
+anchor.
+"""
+
+from __future__ import annotations
+
+from typing import Sequence
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from pandas_rust_algos_spark.functions.na import fixed_sum
+
+__all__ = [
+    "group_weighted_mean",
+    "group_weighted_var",
+    "group_weighted_stats",
+    "group_weighted_quantile",
+    "sql_group_weighted_stats",
+    "sql_group_weighted_quantile",
+]
+
+
+def _cols(x: Sequence[str] | str) -> list[str]:
+    return [x] if isinstance(x, str) else list(x)
+
+
+def _observed(df: DataFrame, value_col: str, weight_col: str) -> DataFrame:
+    """NA-skip: drop rows where the value OR the weight is NULL (an
+    unweighted-NA observation has no defined contribution)."""
+    return df.where(
+        F.col(value_col).isNotNull() & F.col(weight_col).isNotNull())
+
+
+def group_weighted_mean(
+    df: DataFrame,
+    keys: Sequence[str] | str,
+    value_col: str,
+    weight_col: str,
+    *,
+    out_col: str = "wmean",
+) -> DataFrame:
+    """Per-group weighted mean Σwx/Σw (fixed-point sums, one IEEE
+    division). NULL for groups with zero observed weight."""
+    keys = _cols(keys)
+    d = _observed(df, value_col, weight_col)
+    sw = fixed_sum(F.col(weight_col))
+    swx = fixed_sum(F.col(weight_col) * F.col(value_col))
+    return d.groupBy(*keys).agg(
+        (swx / F.nullif(sw, F.lit(0.0))).alias(out_col))
+
+
+def group_weighted_var(
+    df: DataFrame,
+    keys: Sequence[str] | str,
+    value_col: str,
+    weight_col: str,
+    *,
+    ddof: int = 1,
+    out_col: str = "wvar",
+) -> DataFrame:
+    """Per-group frequency-weights variance
+    ``(Σwx² − (Σwx)²/Σw) / (Σw − ddof)``; NULL when ``Σw − ddof ≤ 0``
+    (the ``group_var`` min-observations rule carried to weights)."""
+    keys = _cols(keys)
+    d = _observed(df, value_col, weight_col)
+    w, x = F.col(weight_col), F.col(value_col)
+    sw = fixed_sum(w)
+    swx = fixed_sum(w * x)
+    swxx = fixed_sum(w * x * x)
+    denom = sw - F.lit(float(ddof))
+    var = (swxx - swx * swx / sw) / denom
+    return d.groupBy(*keys).agg(
+        F.when(denom > 0, var).alias(out_col))
+
+
+def group_weighted_stats(
+    df: DataFrame,
+    keys: Sequence[str] | str,
+    value_col: str,
+    weight_col: str,
+    *,
+    ddof: int = 1,
+) -> DataFrame:
+    """Weighted mean AND variance in ONE groupBy pass (the shape the
+    SQL twin emits): ``(keys..., wmean, wvar)`` — three fixed-point
+    sums wide, map-side combined."""
+    keys = _cols(keys)
+    d = _observed(df, value_col, weight_col)
+    w, x = F.col(weight_col), F.col(value_col)
+    sw = fixed_sum(w)
+    swx = fixed_sum(w * x)
+    swxx = fixed_sum(w * x * x)
+    denom = sw - F.lit(float(ddof))
+    return d.groupBy(*keys).agg(
+        (swx / F.nullif(sw, F.lit(0.0))).alias("wmean"),
+        F.when(denom > 0, (swxx - swx * swx / sw) / denom).alias("wvar"),
+    )
+
+
+def group_weighted_quantile(
+    df: DataFrame,
+    keys: Sequence[str] | str,
+    value_col: str,
+    weight_col: str,
+    *,
+    q: float = 0.5,
+    out_col: str = "wquantile",
+) -> DataFrame:
+    """Per-group weighted quantile: the smallest value whose cumulative
+    weight (value order, RANGE frame — ties accumulate together)
+    reaches ``q`` of the group's total weight. Weights quantized to
+    micro-units exactly like the sums, so the crossing row — and hence
+    the picked value — is engine- and partitioning-independent."""
+    if not 0.0 < q <= 1.0:
+        raise ValueError(f"q must be in (0, 1], got {q}")
+    keys = _cols(keys)
+    d = _observed(df, value_col, weight_col)
+    wq = F.floor(F.col(weight_col) * F.lit(1e6)).cast("long")
+    d = d.select(*keys, F.col(value_col), wq.alias("__wq"))
+    cum = Window.partitionBy(*keys).orderBy(value_col)  # RANGE frame
+    tot = Window.partitionBy(*keys)
+    d = d.select(
+        *keys, value_col,
+        F.sum("__wq").over(cum).alias("__cw"),
+        F.sum("__wq").over(tot).alias("__tw"),
+    )
+    return (
+        d.where(F.col("__cw").cast("double")
+                >= F.lit(q) * F.col("__tw").cast("double"))
+        .groupBy(*keys)
+        .agg(F.min(value_col).alias(out_col))
+    )
+
+
+def sql_group_weighted_stats(
+    table: str,
+    key_expr: str,
+    value_expr: str,
+    weight_expr: str,
+    *,
+    ddof: int = 1,
+    key_name: str | None = None,
+) -> str:
+    """DuckDB twin of weighted mean + var in one statement — same
+    micro-unit sums (``registry.dsum`` shape inlined), same finishing
+    IEEE arithmetic, same NULL rules. ``key_name`` sets the output
+    alias (defaults to ``key_expr``; pass it when the expr is not a
+    bare column name)."""
+    key_name = key_name or key_expr
+
+    def dsum(e: str) -> str:
+        # outer parens are load-bearing: the trailing "/ 1e6" would
+        # otherwise re-associate inside composite expressions like
+        # swx * swx / sw
+        return (f"(CAST(SUM(CAST(FLOOR(({e}) * 1e6) AS BIGINT)) "
+                f"AS DOUBLE) / 1e6)")
+
+    sw = dsum(weight_expr)
+    swx = dsum(f"({weight_expr}) * ({value_expr})")
+    swxx = dsum(f"({weight_expr}) * ({value_expr}) * ({value_expr})")
+    return f"""
+    SELECT {key_expr} AS {key_name},
+           {swx} / NULLIF({sw}, CAST(0.0 AS DOUBLE)) AS wmean,
+           CASE WHEN {sw} - {float(ddof)!r} > 0
+                THEN ({swxx} - {swx} * {swx} / {sw})
+                     / ({sw} - {float(ddof)!r})
+           END AS wvar
+    FROM {table}
+    WHERE ({value_expr}) IS NOT NULL AND ({weight_expr}) IS NOT NULL
+    GROUP BY 1
+    """
+
+
+def sql_group_weighted_quantile(
+    table: str,
+    key_expr: str,
+    value_expr: str,
+    weight_expr: str,
+    *,
+    q: float = 0.5,
+    key_name: str | None = None,
+) -> str:
+    """DuckDB twin of :func:`group_weighted_quantile` — same micro-unit
+    cumulative weights over a RANGE-framed value order, same one IEEE
+    threshold multiply. ``key_name`` as in
+    :func:`sql_group_weighted_stats`."""
+    key_name = key_name or key_expr
+    return f"""
+    WITH t AS (
+      SELECT {key_expr} AS k, {value_expr} AS x,
+             CAST(FLOOR(({weight_expr}) * 1e6) AS BIGINT) AS wq
+      FROM {table}
+      WHERE ({value_expr}) IS NOT NULL AND ({weight_expr}) IS NOT NULL
+    ), c AS (
+      SELECT k, x,
+             SUM(wq) OVER (PARTITION BY k ORDER BY x) AS cw,
+             SUM(wq) OVER (PARTITION BY k) AS tw
+      FROM t
+    )
+    SELECT k AS {key_name}, MIN(x) AS wquantile
+    FROM c
+    WHERE CAST(cw AS DOUBLE) >= {float(q)!r} * CAST(tw AS DOUBLE)
+    GROUP BY 1
+    """

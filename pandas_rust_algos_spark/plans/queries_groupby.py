@@ -20,6 +20,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from pandas_rust_algos_spark.operators import grouped_agg as ga
+from pandas_rust_algos_spark.operators import weighted as wt
 from pandas_rust_algos_spark.plans.registry import dsum, register
 from pandas_rust_algos_spark.session import tune
 from pandas_rust_algos_spark.sources import load_table
@@ -395,6 +396,42 @@ def group_approx_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             {"0.5": "approx_p50", "0.95": "approx_p95"}),
         "l_returnflag",
     )
+
+
+@register(
+    "group_weighted_stats",
+    oracle=wt.sql_group_weighted_stats(
+        "lineitem", "l_returnflag", "l_discount", "l_quantity"),
+)
+def group_weighted_stats_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Volume-weighted discount statistics per return flag: weighted
+    mean AND frequency-weights variance in ONE map-side-combined
+    groupBy (three fixed-point long sums wide — the cheapest shuffle
+    shape). Weighted aggregation is the training-pipeline primitive
+    behind soft-dedup-corrected corpus stats and quality-weighted
+    mixture audits (``operators/weighted.py``, r10)."""
+    li = _li(spark, sf_dir)
+    return wt.group_weighted_stats(li, "l_returnflag",
+                                   "l_discount", "l_quantity")
+
+
+@register(
+    "group_weighted_quantile",
+    oracle=wt.sql_group_weighted_quantile(
+        "lineitem", "l_returnflag", "l_extendedprice", "l_quantity",
+        q=0.5),
+)
+def group_weighted_quantile_q(spark: SparkSession,
+                              sf_dir: str) -> DataFrame:
+    """Volume-weighted median price per return flag: smallest value
+    whose cumulative micro-unit weight (value order, RANGE frame —
+    ties accumulate together) reaches half the group's total. The
+    left-continuous inverse-CDF rule, integer cumulative weights ⇒
+    the crossing value is engine- and partitioning-independent
+    (``operators/weighted.py:group_weighted_quantile``)."""
+    li = _li(spark, sf_dir)
+    return wt.group_weighted_quantile(
+        li, "l_returnflag", "l_extendedprice", "l_quantity", q=0.5)
 
 
 @register(

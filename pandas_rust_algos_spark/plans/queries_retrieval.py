@@ -432,3 +432,35 @@ def dedup_soft_weights_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pandas_rust_algos_spark.operators import dedup as dd
 
     return dd.dedup_soft_weights(_docs(spark, sf_dir))
+
+
+@register(
+    "dedup_weighted_stats",
+    oracle=__import__(
+        "pandas_rust_algos_spark.operators.weighted",
+        fromlist=["sql_group_weighted_stats"],
+    ).sql_group_weighted_stats(
+        f"""(SELECT lang, n_chars,
+                CAST(1.0 AS DOUBLE)
+                  / COUNT(*) OVER (PARTITION BY {_NORM_MD5}) AS weight
+         FROM documents) sw""",
+        "lang", "n_chars", "weight", key_name="lang"),
+)
+def dedup_weighted_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The soft-dedup COMPOSITION: per-language document-length stats
+    with every exact-content cluster counted once — weights from
+    ``dedup_soft_weights`` (1/n_copies) feed ``group_weighted_stats``,
+    so boilerplate-duplicated pages stop skewing the corpus profile
+    WITHOUT dropping rows. Wiring is one digest-keyed id join of the
+    weight column back to the narrow (lang, n_chars) projection; the
+    stats stay a three-long-sums map-side-combined groupBy. The oracle
+    replays the whole pipeline (md5 content hash → per-content count →
+    1/n weight → micro-unit weighted sums) in one statement."""
+    from pandas_rust_algos_spark.operators import dedup as dd
+    from pandas_rust_algos_spark.operators import weighted as wt
+
+    docs = _docs(spark, sf_dir)
+    weights = dd.dedup_soft_weights(docs).select("doc_id", "weight")
+    joined = docs.select("doc_id", "lang", "n_chars").join(
+        weights, "doc_id")
+    return wt.group_weighted_stats(joined, "lang", "n_chars", "weight")

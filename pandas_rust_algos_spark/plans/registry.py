@@ -104,6 +104,9 @@ _GATE_PRIORITY: tuple[str, ...] = (
     "minhash_store_incremental",
     "minhash_store_stream_ingest",
     "ann_float_recall_bounds",
+    "group_weighted_stats",
+    "group_weighted_quantile",
+    "dedup_weighted_stats",
     # (a) newest driver row is r4-era
     "map_functions",
     "minhash_near_dupes_portable",

@@ -1,0 +1,128 @@
+"""Unit tests for weighted grouped aggregations (operators/weighted.py):
+hand-computed cases, NA rules, tie handling, partitioning invariance,
+and the soft-dedup composition identity. Cross-engine value proofs live
+in the registry gates (group_weighted_stats / group_weighted_quantile /
+dedup_weighted_stats)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from pandas_rust_algos_spark.operators import weighted as wt
+
+
+def _df(spark, rows):
+    return spark.createDataFrame(rows, "k string, x double, w double")
+
+
+def test_weighted_mean_hand_case(spark):
+    # group a: (1.0, w2) (4.0, w1) -> (2*1 + 1*4)/3 = 2.0
+    df = _df(spark, [("a", 1.0, 2.0), ("a", 4.0, 1.0), ("b", 10.0, 5.0)])
+    out = {r["k"]: r["wmean"] for r in
+           wt.group_weighted_mean(df, "k", "x", "w").collect()}
+    assert out["a"] == pytest.approx(2.0, abs=1e-6)
+    assert out["b"] == pytest.approx(10.0, abs=1e-6)
+
+
+def test_weighted_var_hand_case(spark):
+    # frequency weights: [1,1,4] (w=2 on the 1.0) vs plain var of
+    # the expanded sample [1,1,4]: mean=2, ss=(1+1+4), var=((1-2)^2*2
+    # + (4-2)^2)/ (3-1) = (2+4)/2 = 3
+    df = _df(spark, [("a", 1.0, 2.0), ("a", 4.0, 1.0)])
+    out = {r["k"]: r["wvar"] for r in
+           wt.group_weighted_var(df, "k", "x", "w").collect()}
+    assert out["a"] == pytest.approx(3.0, abs=1e-5)
+
+
+def test_weighted_stats_combined_matches_parts(spark):
+    df = _df(spark, [("a", 1.0, 2.0), ("a", 4.0, 1.0),
+                     ("b", 7.0, 0.5), ("b", 9.0, 1.5)])
+    comb = {r["k"]: (r["wmean"], r["wvar"]) for r in
+            wt.group_weighted_stats(df, "k", "x", "w").collect()}
+    m = {r["k"]: r["wmean"] for r in
+         wt.group_weighted_mean(df, "k", "x", "w").collect()}
+    v = {r["k"]: r["wvar"] for r in
+         wt.group_weighted_var(df, "k", "x", "w").collect()}
+    for k in comb:
+        assert comb[k][0] == m[k] and comb[k][1] == v[k]
+
+
+def test_weighted_na_rules(spark):
+    # NULL value or NULL weight drops the observation entirely
+    df = spark.createDataFrame(
+        [("a", None, 5.0), ("a", 3.0, None), ("a", 2.0, 1.0),
+         ("z", 1.0, None)],
+        "k string, x double, w double")
+    rows = wt.group_weighted_stats(df, "k", "x", "w").collect()
+    out = {r["k"]: r for r in rows}
+    assert out["a"]["wmean"] == pytest.approx(2.0, abs=1e-6)
+    # sum(w)=1, ddof=1 -> denominator 0 -> NULL variance
+    assert out["a"]["wvar"] is None
+    # group with no observed rows disappears (like the NA-skip family)
+    assert "z" not in out
+
+
+def test_weighted_quantile_hand_and_ties(spark):
+    # ties accumulate together under the RANGE frame: two w=0.25 rows
+    # at x=1 reach exactly half the total weight -> median = 1
+    df = _df(spark, [("a", 1.0, 0.25), ("a", 1.0, 0.25), ("a", 2.0, 0.5)])
+    out = {r["k"]: r["wquantile"] for r in wt.group_weighted_quantile(
+        df, "k", "x", "w", q=0.5).collect()}
+    assert out["a"] == 1.0
+    # q=1 is the weighted max
+    out1 = {r["k"]: r["wquantile"] for r in wt.group_weighted_quantile(
+        df, "k", "x", "w", q=1.0).collect()}
+    assert out1["a"] == 2.0
+    # heavy tail drags the median up
+    df2 = _df(spark, [("a", 1.0, 1.0), ("a", 5.0, 10.0)])
+    out2 = {r["k"]: r["wquantile"] for r in wt.group_weighted_quantile(
+        df2, "k", "x", "w", q=0.5).collect()}
+    assert out2["a"] == 5.0
+    with pytest.raises(ValueError, match="q must be"):
+        wt.group_weighted_quantile(df, "k", "x", "w", q=0.0)
+
+
+def test_weighted_partitioning_invariance(spark):
+    rows = [("g%d" % (i % 3), float(i % 17), 0.1 + (i % 5))
+            for i in range(500)]
+    df = _df(spark, rows)
+    a = sorted(map(tuple, wt.group_weighted_stats(
+        df.repartition(1), "k", "x", "w").collect()))
+    b = sorted(map(tuple, wt.group_weighted_stats(
+        df.repartition(13), "k", "x", "w").collect()))
+    assert a == b
+    qa = sorted(map(tuple, wt.group_weighted_quantile(
+        df.repartition(1), "k", "x", "w", q=0.75).collect()))
+    qb = sorted(map(tuple, wt.group_weighted_quantile(
+        df.repartition(13), "k", "x", "w", q=0.75).collect()))
+    assert qa == qb
+
+
+def test_weighted_stats_plan_is_single_aggregate(spark):
+    """Scale shape: mean+var must be ONE map-side-combinable groupBy
+    (partial HashAggregate below the exchange), no window, no join."""
+    df = _df(spark, [("a", 1.0, 2.0)])
+    out = wt.group_weighted_stats(df, "k", "x", "w")
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "Window" not in plan and "Join" not in plan
+    assert plan.count("HashAggregate") == 2  # partial + final
+
+
+def test_soft_dedup_composition_counts_contents_once(spark):
+    """The identity the dedup_weighted_stats gate is built on: with
+    weight = 1/n_copies, weighted stats over ALL rows equal plain
+    stats over one representative per content (up to the documented
+    1e-6 micro-unit quantization of 1/3-style weights)."""
+    from pandas_rust_algos_spark.operators import dedup as dd
+
+    rows = [(i, "dup dup dup", 11.0) for i in range(3)]
+    rows += [(10, "unique one", 5.0), (11, "unique two", 8.0)]
+    docs = spark.createDataFrame(rows, "doc_id long, text string, x double")
+    w = dd.dedup_soft_weights(docs).select("doc_id", "weight", "is_rep")
+    j = docs.join(w, "doc_id")
+    wm = wt.group_weighted_mean(
+        j.select(F.lit("all").alias("k"), "x", "weight"),
+        "k", "x", "weight").collect()[0]["wmean"]
+    plain = (11.0 + 5.0 + 8.0) / 3
+    assert wm == pytest.approx(plain, abs=1e-5)
