@@ -151,6 +151,27 @@ class GroupBy:
         return _ga.group_idxmin(self._df, self._keys, value, idx,
                                 dropna_keys=self._dropna)
 
+    def weighted_mean(self, value: str, weight: str) -> DataFrame:
+        from pandas_rust_algos_spark.operators import weighted as _wt
+
+        return _wt.group_weighted_mean(self._df, self._keys, value, weight,
+                                       dropna_keys=self._dropna)
+
+    def weighted_var(self, value: str, weight: str,
+                     *, ddof: int = 1) -> DataFrame:
+        from pandas_rust_algos_spark.operators import weighted as _wt
+
+        return _wt.group_weighted_var(self._df, self._keys, value, weight,
+                                      ddof=ddof, dropna_keys=self._dropna)
+
+    def weighted_quantile(self, value: str, weight: str,
+                          *, q: float = 0.5) -> DataFrame:
+        from pandas_rust_algos_spark.operators import weighted as _wt
+
+        return _wt.group_weighted_quantile(self._df, self._keys, value,
+                                           weight, q=q,
+                                           dropna_keys=self._dropna)
+
     # ------------------------------------- transforms (need row order)
 
     def _ordered(self) -> Sequence[str] | str:

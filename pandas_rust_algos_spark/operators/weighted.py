@@ -54,6 +54,7 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from pandas_rust_algos_spark.functions.na import fixed_sum
+from pandas_rust_algos_spark.operators.grouped_agg import _prep
 
 __all__ = [
     "group_weighted_mean",
@@ -83,11 +84,12 @@ def group_weighted_mean(
     weight_col: str,
     *,
     out_col: str = "wmean",
+    dropna_keys: bool = True,
 ) -> DataFrame:
     """Per-group weighted mean Σwx/Σw (fixed-point sums, one IEEE
     division). NULL for groups with zero observed weight."""
     keys = _cols(keys)
-    d = _observed(df, value_col, weight_col)
+    d = _observed(_prep(df, keys, dropna_keys), value_col, weight_col)
     sw = fixed_sum(F.col(weight_col))
     swx = fixed_sum(F.col(weight_col) * F.col(value_col))
     return d.groupBy(*keys).agg(
@@ -102,12 +104,13 @@ def group_weighted_var(
     *,
     ddof: int = 1,
     out_col: str = "wvar",
+    dropna_keys: bool = True,
 ) -> DataFrame:
     """Per-group frequency-weights variance
     ``(Σwx² − (Σwx)²/Σw) / (Σw − ddof)``; NULL when ``Σw − ddof ≤ 0``
     (the ``group_var`` min-observations rule carried to weights)."""
     keys = _cols(keys)
-    d = _observed(df, value_col, weight_col)
+    d = _observed(_prep(df, keys, dropna_keys), value_col, weight_col)
     w, x = F.col(weight_col), F.col(value_col)
     sw = fixed_sum(w)
     swx = fixed_sum(w * x)
@@ -125,12 +128,13 @@ def group_weighted_stats(
     weight_col: str,
     *,
     ddof: int = 1,
+    dropna_keys: bool = True,
 ) -> DataFrame:
     """Weighted mean AND variance in ONE groupBy pass (the shape the
     SQL twin emits): ``(keys..., wmean, wvar)`` — three fixed-point
     sums wide, map-side combined."""
     keys = _cols(keys)
-    d = _observed(df, value_col, weight_col)
+    d = _observed(_prep(df, keys, dropna_keys), value_col, weight_col)
     w, x = F.col(weight_col), F.col(value_col)
     sw = fixed_sum(w)
     swx = fixed_sum(w * x)
@@ -150,6 +154,7 @@ def group_weighted_quantile(
     *,
     q: float = 0.5,
     out_col: str = "wquantile",
+    dropna_keys: bool = True,
 ) -> DataFrame:
     """Per-group weighted quantile: the smallest value whose cumulative
     weight (value order, RANGE frame — ties accumulate together)
@@ -159,7 +164,7 @@ def group_weighted_quantile(
     if not 0.0 < q <= 1.0:
         raise ValueError(f"q must be in (0, 1], got {q}")
     keys = _cols(keys)
-    d = _observed(df, value_col, weight_col)
+    d = _observed(_prep(df, keys, dropna_keys), value_col, weight_col)
     wq = F.floor(F.col(weight_col) * F.lit(1e6)).cast("long")
     d = d.select(*keys, F.col(value_col), wq.alias("__wq"))
     cum = Window.partitionBy(*keys).orderBy(value_col)  # RANGE frame

@@ -126,3 +126,20 @@ def test_soft_dedup_composition_counts_contents_once(spark):
         "k", "x", "weight").collect()[0]["wmean"]
     plain = (11.0 + 5.0 + 8.0) / 3
     assert wm == pytest.approx(plain, abs=1e-5)
+
+
+def test_weighted_facade_and_dropna_keys(spark):
+    from pandas_rust_algos_spark import api
+
+    df = spark.createDataFrame(
+        [("a", 1.0, 2.0), ("a", 4.0, 1.0), (None, 9.0, 1.0)],
+        "k string, x double, w double")
+    out = {r["k"]: r["wmean"] for r in
+           api.groupby(df, "k").weighted_mean("x", "w").collect()}
+    assert out == {"a": pytest.approx(2.0, abs=1e-6)}  # NULL key dropped
+    kept = api.groupby(df, "k", dropna=False).weighted_mean(
+        "x", "w").collect()
+    assert {r["k"] for r in kept} == {"a", None}
+    med = {r["k"]: r["wquantile"] for r in
+           api.groupby(df, "k").weighted_quantile("x", "w").collect()}
+    assert med["a"] == 1.0  # cumw at x=1 is 2/3 >= 0.5
