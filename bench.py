@@ -267,6 +267,12 @@ def main() -> None:
     # and parses the final JSON line, and the full-name per-query dict
     # outgrew that window at 41 queries (r3) and again at 92 (r6/r7,
     # parsed:null). Keep the last stdout line compact and final.
+    if only:
+        # subset runs print their raw triples instead of touching the
+        # side files, so attribution/merge work gets real samples
+        print(json.dumps({"metric": "headline_suite_raw_runs",
+                          "runs": runs, "sf": sf},
+                         separators=(",", ":")))
     if not only:  # subset runs must not clobber the full-suite record
         # non-default SFs (sf1 rehearsals) get their own side file so
         # a rehearsal cannot clobber the driver-scale sf0.1 record
