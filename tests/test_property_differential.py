@@ -345,3 +345,67 @@ def test_expectations_match_bruteforce(spark, rows):
     assert rep[("in_range[-3,3]", "x")] == \
         sum(1 for x in xs if x is not None and not -3 <= x <= 3)
     assert rep[("unique", "g,x")] == len(rows) - len(set(rows))
+
+
+@st.composite
+def weighted_series(draw):
+    n = draw(st.integers(min_value=3, max_value=40))
+    keys = draw(st.lists(st.integers(0, 2), min_size=n, max_size=n))
+    vals = draw(st.lists(st.one_of(st.none(), st.integers(-9, 9)),
+                         min_size=n, max_size=n))
+    # weights in micro-unit-exact steps of 0.25 so the 1e-6 fixed-point
+    # quantization is lossless and numpy can be the exact reference
+    wts = draw(st.lists(
+        st.one_of(st.none(),
+                  st.integers(0, 12).map(lambda i: i * 0.25)),
+        min_size=n, max_size=n))
+    return keys, vals, wts
+
+
+@settings(**_SETTINGS)
+@given(data=weighted_series())
+def test_weighted_stats_match_numpy_on_random_input(spark, data):
+    """Weighted mean/var/median vs a direct numpy replay of the
+    documented formulas (frequency weights, NA-skip on value OR
+    weight, left-continuous weighted quantile)."""
+    from pandas_rust_algos_spark.operators import weighted as wt
+
+    keys, vals, wts = data
+    rows = [(str(k), float(v) if v is not None else None,
+             w) for k, v, w in zip(keys, vals, wts)]
+    sdf = spark.createDataFrame(rows, "k string, x double, w double")
+
+    obs: dict[str, list[tuple[float, float]]] = {}
+    for k, v, w in zip(keys, vals, wts):
+        if v is None or w is None:
+            continue
+        obs.setdefault(str(k), []).append((float(v), float(w)))
+
+    got = {r["k"]: (r["wmean"], r["wvar"]) for r in
+           wt.group_weighted_stats(sdf, "k", "x", "w").collect()}
+    gq = {r["k"]: r["wquantile"] for r in wt.group_weighted_quantile(
+        sdf, "k", "x", "w", q=0.5).collect()}
+
+    for k, pairs in obs.items():
+        sw = sum(w for _, w in pairs)
+        swx = sum(w * x for x, w in pairs)
+        swxx = sum(w * x * x for x, w in pairs)
+        wmean = swx / sw if sw > 0 else None
+        wvar = ((swxx - swx * swx / sw) / (sw - 1.0)
+                if sw - 1.0 > 0 else None)
+        g_mean, g_var = got[k]
+        assert _close(g_mean, wmean), (k, rows)
+        assert _close(g_var, wvar), (k, rows)
+        # weighted median: min x with cumw >= 0.5*W over value order
+        if sw > 0:
+            want = None
+            cum = 0.0
+            for x, w in sorted(pairs):
+                cum += w
+                if cum >= 0.5 * sw:
+                    want = x
+                    break
+            assert gq[k] == want, (k, rows)
+        else:
+            assert k not in gq  # zero total weight -> no crossing row
+    assert set(got) == set(obs)
