@@ -173,6 +173,7 @@ HEADLINE = [
     "group_weighted_stats",
     "group_weighted_quantile",
     "dedup_weighted_stats",
+    "jsonl_quarantine_read",
 ]
 
 

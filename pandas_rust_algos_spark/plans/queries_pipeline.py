@@ -1464,6 +1464,71 @@ def merge_upsert_read(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "jsonl_quarantine_read",
+    oracle="""
+    SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(n_chars) AS BIGINT) AS sum_chars
+    FROM documents GROUP BY lang
+    UNION ALL
+    SELECT '__quarantined__' AS lang, CAST(4 AS BIGINT) AS n_docs,
+           CAST(NULL AS BIGINT) AS sum_chars
+    """,
+)
+def jsonl_quarantine_read(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSONL landing with MALFORMED-LINE QUARANTINE
+    (``sources/formats.land_with_quarantine``): the documents table is
+    exported to JSON-lines, four deterministic bad lines are planted
+    (truncated JSON, non-JSON text, a bare array, and a VALID JSON
+    line whose doc_id fails bigint coercion — the PERMISSIVE
+    type-failure case), and the landing pass parses the text ONCE into
+    parquet carrying the corrupt column. Clean rows re-aggregate to
+    the exact source per-language profile (round-trip + quarantine
+    completeness in one hash: a swallowed bad line would change the
+    quarantine count, a mis-parsed clean line would change a
+    lang/sum bucket); quarantined rows surface as an audit row. Scale
+    shape: one sequential text scan, parquet out, clean/quarantine
+    reads are row-group-pruned parquet filters — DROPMALFORMED
+    (silent deletion), caching a corpus-sized text scan, and the
+    Databricks-only badRecordsPath are all documented non-answers."""
+    import os
+    import tempfile
+
+    from pandas_rust_algos_spark.sources.formats import (
+        land_with_quarantine,
+        write_sink,
+    )
+
+    tune(spark)
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "lang", "n_chars")
+    root = tempfile.mkdtemp(prefix="jsonl_gate_")
+    drop = os.path.join(root, "drop")
+    write_sink(docs, drop, "json", mode="overwrite")
+    bad = "\n".join([
+        '{"doc_id": 900001, "lang": "xx"',          # truncated object
+        "this line is not json at all",              # not JSON
+        "[1, 2, 3]",                                 # bare array row
+        '{"doc_id": "not-a-number", "lang": "yy", "n_chars": 5}',
+    ])
+    with open(os.path.join(drop, "part-99999-bad.json"), "w") as fh:
+        fh.write(bad + "\n")
+    clean, quarantined = land_with_quarantine(
+        spark, drop, "json", "doc_id bigint, lang string, n_chars bigint",
+        os.path.join(root, "landed"))
+    agg = clean.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_chars").alias("sum_chars"),
+    )
+    qrow = quarantined.agg(
+        F.count(F.lit(1)).alias("n_docs")
+    ).select(
+        F.lit("__quarantined__").alias("lang"), "n_docs",
+        F.lit(None).cast("long").alias("sum_chars"),
+    )
+    return agg.unionByName(qrow)
+
+
+@register(
     "formats_roundtrip",
     oracle=f"""
     WITH agg AS (

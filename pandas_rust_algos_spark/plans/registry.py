@@ -107,6 +107,7 @@ _GATE_PRIORITY: tuple[str, ...] = (
     "group_weighted_stats",
     "group_weighted_quantile",
     "dedup_weighted_stats",
+    "jsonl_quarantine_read",
     # (a) newest driver row is r4-era
     "map_functions",
     "minhash_near_dupes_portable",

@@ -1,5 +1,6 @@
 from pandas_rust_algos_spark.sources.formats import (
     convert_to_parquet,
+    land_with_quarantine,
     read_source,
     write_sink,
 )
@@ -42,6 +43,7 @@ __all__ = [
     "read_source",
     "write_sink",
     "convert_to_parquet",
+    "land_with_quarantine",
     "zorder_column",
     "write_zordered",
     "VersionedTable",

@@ -26,7 +26,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql.types import StructType
 
-__all__ = ["read_source", "write_sink", "convert_to_parquet"]
+__all__ = ["read_source", "write_sink", "convert_to_parquet",
+           "land_with_quarantine"]
 
 _FORMATS = ("parquet", "orc", "csv", "json")
 
@@ -100,3 +101,61 @@ def convert_to_parquet(
     df = read_source(spark, src_path, fmt, schema=schema, **options)
     write_sink(df, dest_path, "parquet", mode=mode)
     return spark.read.parquet(dest_path)
+
+
+def land_with_quarantine(
+    spark: SparkSession,
+    src_path: str,
+    fmt: str,
+    schema: StructType | str,
+    dest_path: str,
+    *,
+    corrupt_col: str = "_corrupt_record",
+    mode: str = "error",
+    **options: str,
+) -> tuple[DataFrame, DataFrame]:
+    """Land a text drop (csv/json) with MALFORMED-LINE QUARANTINE:
+    one sequential pass reads in PERMISSIVE mode with the corrupt
+    column captured and writes EVERYTHING — parsed fields plus the
+    raw text of unparseable lines — to parquet; returns
+    ``(clean, quarantined)`` as filters over that parquet.
+
+    Why this shape and not the alternatives:
+
+    - ``DROPMALFORMED`` silently deletes data — a landing pipeline
+      must be able to audit/replay what it rejected.
+    - Filtering the corrupt column directly on the text scan is
+      disallowed by Spark unless the scan is cached (the parser only
+      materializes the raw record lazily; the internal-column check
+      raises AnalysisException) — and caching a corpus-sized text
+      scan is exactly what a 100 TB landing job cannot do.
+    - ``badRecordsPath`` is a Databricks extension, not OSS Spark.
+
+    So: pay the text parse ONCE, persist the verdict to parquet, and
+    let clean/quarantine reads be predicate-pushdown parquet filters
+    (``corrupt IS NULL`` prunes on row-group stats). A row is
+    *quarantined* iff the corrupt column is non-null — covering both
+    unparseable lines and PERMISSIVE type-coercion failures (which
+    null the bad field and still populate the corrupt column).
+    """
+    if fmt not in ("csv", "json"):
+        raise ValueError(
+            f"quarantine landing is for text formats (csv/json), got "
+            f"{fmt!r} — columnar formats fail loudly at write time")
+    if isinstance(schema, str):
+        schema = StructType.fromDDL(schema)
+    if corrupt_col in schema.fieldNames():
+        raise ValueError(f"schema already contains {corrupt_col!r}")
+    from pyspark.sql.types import StringType, StructField
+
+    with_corrupt = StructType(
+        list(schema.fields) + [StructField(corrupt_col, StringType())])
+    raw = read_source(
+        spark, src_path, fmt, schema=with_corrupt,
+        mode="PERMISSIVE", columnNameOfCorruptRecord=corrupt_col,
+        **options)
+    raw.write.mode(mode).parquet(dest_path)
+    landed = spark.read.parquet(dest_path)
+    quarantined = landed.where(landed[corrupt_col].isNotNull())
+    clean = landed.where(landed[corrupt_col].isNull()).drop(corrupt_col)
+    return clean, quarantined

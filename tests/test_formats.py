@@ -98,3 +98,54 @@ def test_sql_face_matches_dataframe_face(spark, sf_dir):
     plan = got._jdf.queryExecution().executedPlan().toString()
     assert "PushedFilters: [" in plan and "l_quantity" in plan.split(
         "PushedFilters")[1][:250]
+
+
+def test_land_with_quarantine_splits_and_preserves(spark, tmp_path):
+    """Malformed lines and type-coercion failures land in quarantine
+    with their raw text; clean rows round-trip exactly; the clean
+    filter is a pushdown-backed parquet read (no re-parse)."""
+    import os
+
+    from pandas_rust_algos_spark.sources import land_with_quarantine
+
+    rows = [(1, "en", 10), (2, "fr", 20), (3, "en", 30)]
+    src = spark.createDataFrame(
+        rows, "doc_id long, lang string, n_chars long")
+    drop = str(tmp_path / "drop")
+    write_sink(src, drop, "json")
+    planted = [
+        '{"doc_id": 99, "lang": "xx"',                # truncated
+        "garbage",                                     # not JSON
+        '{"doc_id": "nope", "lang": "yy", "n_chars": 5}',  # bad type
+    ]
+    with open(os.path.join(drop, "part-zz-bad.json"), "w") as fh:
+        fh.write("\n".join(planted) + "\n")
+
+    clean, quar = land_with_quarantine(
+        spark, drop, "json", "doc_id long, lang string, n_chars long",
+        str(tmp_path / "landed"))
+    assert sorted(map(tuple, clean.collect())) == sorted(rows)
+    q = quar.collect()
+    assert len(q) == 3
+    # the raw text of every rejected line is preserved for audit/replay
+    raws = {r["_corrupt_record"] for r in q}
+    assert raws == set(planted)
+    # type-failure rows keep the fields that DID parse
+    byraw = {r["_corrupt_record"]: r for r in q}
+    assert byraw[planted[2]]["lang"] == "yy"
+    assert byraw[planted[2]]["doc_id"] is None
+    # clean read is a parquet filter with the corrupt-IS-NULL pushdown
+    plan = clean._jdf.queryExecution().executedPlan().toString()
+    assert "parquet" in plan.lower()
+    assert "PushedFilters" in plan
+
+
+def test_land_with_quarantine_contracts(spark, tmp_path):
+    from pandas_rust_algos_spark.sources import land_with_quarantine
+
+    with pytest.raises(ValueError, match="text formats"):
+        land_with_quarantine(spark, "x", "parquet", SCHEMA, "y")
+    with pytest.raises(ValueError, match="already contains"):
+        land_with_quarantine(
+            spark, "x", "json",
+            "a long, _corrupt_record string", "y")
