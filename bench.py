@@ -174,6 +174,7 @@ HEADLINE = [
     "group_weighted_quantile",
     "dedup_weighted_stats",
     "jsonl_quarantine_read",
+    "group_weighted_quantiles_multi",
 ]
 
 

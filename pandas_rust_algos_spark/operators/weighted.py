@@ -61,7 +61,9 @@ __all__ = [
     "group_weighted_var",
     "group_weighted_stats",
     "group_weighted_quantile",
+    "group_weighted_quantiles",
     "sql_group_weighted_stats",
+    "sql_group_weighted_quantiles",
     "sql_group_weighted_quantile",
 ]
 
@@ -180,6 +182,86 @@ def group_weighted_quantile(
         .groupBy(*keys)
         .agg(F.min(value_col).alias(out_col))
     )
+
+
+def group_weighted_quantiles(
+    df: DataFrame,
+    keys: Sequence[str] | str,
+    value_col: str,
+    weight_col: str,
+    qs: Sequence[float],
+    *,
+    dropna_keys: bool = True,
+) -> DataFrame:
+    """MULTIPLE weighted quantiles in ONE pass (the packing-budget
+    shape: p50/p90/p99 of weighted sequence lengths in one job): the
+    cumulative-weight window is computed once; each requested ``q``
+    becomes one conditional MIN aggregate over the same rows —
+    ``min(x WHERE cumw ≥ q·W)`` is exactly the single-q rule, so each
+    output column equals :func:`group_weighted_quantile` at that
+    ``q``. Output columns ``wq_<q with '.' as '_'>`` in input order
+    (e.g. ``wq_0_5``, ``wq_0_99``)."""
+    if not qs:
+        raise ValueError("qs must be non-empty")
+    for q in qs:
+        if not 0.0 < q <= 1.0:
+            raise ValueError(f"every q must be in (0, 1], got {q}")
+    keys = _cols(keys)
+    d = _observed(_prep(df, keys, dropna_keys), value_col, weight_col)
+    wq = F.floor(F.col(weight_col) * F.lit(1e6)).cast("long")
+    d = d.select(*keys, F.col(value_col), wq.alias("__wq"))
+    cum = Window.partitionBy(*keys).orderBy(value_col)  # RANGE frame
+    tot = Window.partitionBy(*keys)
+    d = d.select(
+        *keys, value_col,
+        F.sum("__wq").over(cum).alias("__cw"),
+        F.sum("__wq").over(tot).alias("__tw"),
+    )
+    aggs = []
+    for q in qs:
+        crossed = (F.col("__cw").cast("double")
+                   >= F.lit(float(q)) * F.col("__tw").cast("double"))
+        name = "wq_" + repr(float(q)).replace(".", "_")
+        aggs.append(
+            F.min(F.when(crossed, F.col(value_col))).alias(name))
+    return d.groupBy(*keys).agg(*aggs)
+
+
+def sql_group_weighted_quantiles(
+    table: str,
+    key_expr: str,
+    value_expr: str,
+    weight_expr: str,
+    qs: Sequence[float],
+    *,
+    key_name: str | None = None,
+) -> str:
+    """DuckDB twin of :func:`group_weighted_quantiles` — same shared
+    cumulative window, one conditional MIN per q."""
+    key_name = key_name or key_expr
+    sels = []
+    for q in qs:
+        name = "wq_" + repr(float(q)).replace(".", "_")
+        sels.append(
+            f"MIN(CASE WHEN CAST(cw AS DOUBLE) >= {float(q)!r} * "
+            f"CAST(tw AS DOUBLE) THEN x END) AS {name}")
+    sel = ",\n           ".join(sels)
+    return f"""
+    WITH t AS (
+      SELECT {key_expr} AS k, {value_expr} AS x,
+             CAST(FLOOR(({weight_expr}) * 1e6) AS BIGINT) AS wq
+      FROM {table}
+      WHERE ({value_expr}) IS NOT NULL AND ({weight_expr}) IS NOT NULL
+    ), c AS (
+      SELECT k, x,
+             SUM(wq) OVER (PARTITION BY k ORDER BY x) AS cw,
+             SUM(wq) OVER (PARTITION BY k) AS tw
+      FROM t
+    )
+    SELECT k AS {key_name},
+           {sel}
+    FROM c GROUP BY 1
+    """
 
 
 def sql_group_weighted_stats(

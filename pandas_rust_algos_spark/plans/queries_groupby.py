@@ -435,6 +435,25 @@ def group_weighted_quantile_q(spark: SparkSession,
 
 
 @register(
+    "group_weighted_quantiles_multi",
+    oracle=wt.sql_group_weighted_quantiles(
+        "lineitem", "l_returnflag", "l_extendedprice", "l_quantity",
+        qs=(0.25, 0.5, 0.9)),
+)
+def group_weighted_quantiles_multi(spark: SparkSession,
+                                   sf_dir: str) -> DataFrame:
+    """p25/p50/p90 volume-weighted prices in ONE pass — the
+    packing-budget shape: the cumulative-weight window is computed
+    once and each q is one conditional MIN over the same rows, so k
+    quantiles cost one within-group sort instead of k
+    (``operators/weighted.py:group_weighted_quantiles``)."""
+    li = _li(spark, sf_dir)
+    return wt.group_weighted_quantiles(
+        li, "l_returnflag", "l_extendedprice", "l_quantity",
+        qs=(0.25, 0.5, 0.9))
+
+
+@register(
     "group_approx_stats_bounds",
     oracle="""
     SELECT l_returnflag,

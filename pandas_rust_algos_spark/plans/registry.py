@@ -108,6 +108,7 @@ _GATE_PRIORITY: tuple[str, ...] = (
     "group_weighted_quantile",
     "dedup_weighted_stats",
     "jsonl_quarantine_read",
+    "group_weighted_quantiles_multi",
     # (a) newest driver row is r4-era
     "map_functions",
     "minhash_near_dupes_portable",

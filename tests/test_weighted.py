@@ -143,3 +143,32 @@ def test_weighted_facade_and_dropna_keys(spark):
     med = {r["k"]: r["wquantile"] for r in
            api.groupby(df, "k").weighted_quantile("x", "w").collect()}
     assert med["a"] == 1.0  # cumw at x=1 is 2/3 >= 0.5
+
+
+def test_weighted_quantiles_multi_matches_single(spark):
+    """Each wq_<q> column of the one-pass multi-quantile equals the
+    single-q operator at that q; one window pass serves every q."""
+    rows = [("g%d" % (i % 2), float((i * 7) % 13), 0.5 + (i % 4))
+            for i in range(200)]
+    df = _df(spark, rows)
+    multi = {r["k"]: r for r in wt.group_weighted_quantiles(
+        df, "k", "x", "w", qs=(0.25, 0.5, 0.9, 1.0)).collect()}
+    for q, col in [(0.25, "wq_0_25"), (0.5, "wq_0_5"),
+                   (0.9, "wq_0_9"), (1.0, "wq_1_0")]:
+        single = {r["k"]: r["wquantile"] for r in
+                  wt.group_weighted_quantile(
+                      df, "k", "x", "w", q=q).collect()}
+        for k in single:
+            assert multi[k][col] == single[k], (q, k)
+    # the window pass count (cumulative + total = 2, sharing one
+    # partitioning) must NOT grow with the number of requested qs
+    def nwin(qs):
+        return wt.group_weighted_quantiles(
+            df, "k", "x", "w", qs=qs
+        )._jdf.queryExecution().optimizedPlan().toString().count("Window")
+
+    assert nwin((0.5,)) == nwin((0.25, 0.5, 0.9, 1.0)) == 2
+    with pytest.raises(ValueError, match="non-empty"):
+        wt.group_weighted_quantiles(df, "k", "x", "w", qs=())
+    with pytest.raises(ValueError, match="every q"):
+        wt.group_weighted_quantiles(df, "k", "x", "w", qs=(0.5, 1.5))
