@@ -175,6 +175,7 @@ HEADLINE = [
     "dedup_weighted_stats",
     "jsonl_quarantine_read",
     "group_weighted_quantiles_multi",
+    "docs_stream_quarantine_land",
 ]
 
 

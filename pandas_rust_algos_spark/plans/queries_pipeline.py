@@ -1529,6 +1529,72 @@ def jsonl_quarantine_read(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "docs_stream_quarantine_land",
+    oracle="""
+    SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(n_chars) AS BIGINT) AS sum_chars
+    FROM documents GROUP BY lang
+    UNION ALL
+    SELECT '__quarantined__' AS lang, CAST(4 AS BIGINT) AS n_docs,
+           CAST(NULL AS BIGINT) AS sum_chars
+    """,
+)
+def docs_stream_quarantine_land(spark: SparkSession,
+                                sf_dir: str) -> DataFrame:
+    """Quarantine landing AT INGEST — the streaming twin of
+    ``jsonl_quarantine_read`` and the third member of the
+    screen-at-ingest family (bloom screen, signature-store ingest):
+    the landing directory is watched as a stream
+    (``sources/formats.stream_land_with_quarantine``), each
+    micro-batch parses its files ONCE in PERMISSIVE mode and lands to
+    ``batch_id=<id>`` parquet via dynamic partition overwrite
+    (replay-idempotent). The drained landing re-aggregates to the
+    SAME oracle as the batch gate, pinning stream ≡ batch ≡ DuckDB in
+    one hash — including the planted-bad-line quarantine count."""
+    import os
+    import tempfile
+
+    from pandas_rust_algos_spark.sources.formats import (
+        stream_land_with_quarantine,
+        write_sink,
+    )
+
+    tune(spark)
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "lang", "n_chars")
+    root = tempfile.mkdtemp(prefix="jsonl_stream_gate_")
+    drop = os.path.join(root, "drop")
+    write_sink(docs, drop, "json", mode="overwrite")
+    bad = "\n".join([
+        '{"doc_id": 900001, "lang": "xx"',
+        "this line is not json at all",
+        "[1, 2, 3]",
+        '{"doc_id": "not-a-number", "lang": "yy", "n_chars": 5}',
+    ])
+    with open(os.path.join(drop, "part-99999-bad.json"), "w") as fh:
+        fh.write(bad + "\n")
+    landed_path = os.path.join(root, "landed")
+    q = stream_land_with_quarantine(
+        spark, drop, "json",
+        "doc_id bigint, lang string, n_chars bigint", landed_path,
+        checkpoint=os.path.join(root, "ckpt"), maxFilesPerTrigger="2")
+    q.awaitTermination()
+    landed = spark.read.parquet(landed_path)
+    clean = landed.where(F.col("_corrupt_record").isNull())
+    agg = clean.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_chars").alias("sum_chars"),
+    )
+    qrow = landed.where(F.col("_corrupt_record").isNotNull()).agg(
+        F.count(F.lit(1)).alias("n_docs")
+    ).select(
+        F.lit("__quarantined__").alias("lang"), "n_docs",
+        F.lit(None).cast("long").alias("sum_chars"),
+    )
+    return agg.unionByName(qrow)
+
+
+@register(
     "formats_roundtrip",
     oracle=f"""
     WITH agg AS (

@@ -109,6 +109,7 @@ _GATE_PRIORITY: tuple[str, ...] = (
     "dedup_weighted_stats",
     "jsonl_quarantine_read",
     "group_weighted_quantiles_multi",
+    "docs_stream_quarantine_land",
     # (a) newest driver row is r4-era
     "map_functions",
     "minhash_near_dupes_portable",

@@ -2,6 +2,7 @@ from pandas_rust_algos_spark.sources.formats import (
     convert_to_parquet,
     land_with_quarantine,
     read_source,
+    stream_land_with_quarantine,
     write_sink,
 )
 from pandas_rust_algos_spark.sources.layout import (
@@ -44,6 +45,7 @@ __all__ = [
     "write_sink",
     "convert_to_parquet",
     "land_with_quarantine",
+    "stream_land_with_quarantine",
     "zorder_column",
     "write_zordered",
     "VersionedTable",

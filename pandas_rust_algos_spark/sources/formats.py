@@ -27,7 +27,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql.types import StructType
 
 __all__ = ["read_source", "write_sink", "convert_to_parquet",
-           "land_with_quarantine"]
+           "land_with_quarantine", "stream_land_with_quarantine"]
 
 _FORMATS = ("parquet", "orc", "csv", "json")
 
@@ -159,3 +159,74 @@ def land_with_quarantine(
     quarantined = landed.where(landed[corrupt_col].isNotNull())
     clean = landed.where(landed[corrupt_col].isNull()).drop(corrupt_col)
     return clean, quarantined
+
+
+def stream_land_with_quarantine(
+    spark: SparkSession,
+    src_path: str,
+    fmt: str,
+    schema: StructType | str,
+    dest_path: str,
+    *,
+    checkpoint: str,
+    corrupt_col: str = "_corrupt_record",
+    available_now: bool = True,
+    **options: str,
+):
+    """Streaming twin of :func:`land_with_quarantine` — the landing
+    DIRECTORY watched as a stream (the production text-drop shape:
+    files keep arriving; each is parsed exactly once): every
+    micro-batch reads PERMISSIVE with the corrupt column and lands to
+    ``{dest_path}/batch_id=<id>`` parquet via dynamic partition
+    overwrite, so the at-least-once foreachBatch contract yields
+    effectively-once landed rows (the ``sinks.write_stream_partitioned``
+    recipe — a replayed batch rewrites its own directory). Clean and
+    quarantined reads are the same pushdown parquet filters as the
+    batch path, with ``batch_id`` riding along as lineage. Returns the
+    StreamingQuery (caller owns awaitTermination)."""
+    if fmt not in ("csv", "json"):
+        raise ValueError(
+            f"quarantine landing is for text formats (csv/json), got "
+            f"{fmt!r}")
+    if isinstance(schema, str):
+        schema = StructType.fromDDL(schema)
+    if corrupt_col in schema.fieldNames():
+        raise ValueError(f"schema already contains {corrupt_col!r}")
+    from pyspark.sql import functions as F
+    from pyspark.sql.types import StringType, StructField
+
+    with_corrupt = StructType(
+        list(schema.fields) + [StructField(corrupt_col, StringType())])
+    reader = (
+        spark.readStream.schema(with_corrupt)
+        .option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", corrupt_col)
+    )
+    for k, v in options.items():
+        reader = reader.option(k, v)
+    stream = reader.format(fmt).load(src_path)
+
+    def sink(batch_df: DataFrame, batch_id: int) -> None:
+        sess = batch_df.sparkSession
+        prev = sess.conf.get(
+            "spark.sql.sources.partitionOverwriteMode", "static")
+        sess.conf.set(
+            "spark.sql.sources.partitionOverwriteMode", "dynamic")
+        try:
+            (
+                batch_df.withColumn("batch_id", F.lit(batch_id))
+                .write.mode("overwrite")
+                .partitionBy("batch_id")
+                .parquet(dest_path)
+            )
+        finally:
+            sess.conf.set(
+                "spark.sql.sources.partitionOverwriteMode", prev)
+
+    writer = (
+        stream.writeStream.foreachBatch(sink)
+        .option("checkpointLocation", checkpoint)
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()

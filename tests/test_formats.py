@@ -149,3 +149,49 @@ def test_land_with_quarantine_contracts(spark, tmp_path):
         land_with_quarantine(
             spark, "x", "json",
             "a long, _corrupt_record string", "y")
+
+
+def test_stream_land_with_quarantine_matches_batch(spark, tmp_path):
+    """Drained streaming landing ≡ batch landing (same clean rows,
+    same quarantined raw lines); a full replay with a fresh
+    checkpoint rewrites its batch dirs instead of duplicating."""
+    import os
+
+    from pandas_rust_algos_spark.sources import (
+        land_with_quarantine,
+        stream_land_with_quarantine,
+    )
+
+    rows = [(i, "en" if i % 2 else "fr", 10 * i) for i in range(1, 9)]
+    src = spark.createDataFrame(
+        rows, "doc_id long, lang string, n_chars long")
+    drop = str(tmp_path / "drop")
+    write_sink(src.repartition(3), drop, "json")
+    with open(os.path.join(drop, "part-bad.json"), "w") as fh:
+        fh.write('{"doc_id": 1, "lang"\nnope\n')
+
+    schema = "doc_id long, lang string, n_chars long"
+
+    def drain(dest, ckpt):
+        q = stream_land_with_quarantine(
+            spark, drop, "json", schema, dest,
+            checkpoint=str(tmp_path / ckpt), maxFilesPerTrigger="1")
+        q.awaitTermination()
+
+    dest_s = str(tmp_path / "landed_stream")
+    drain(dest_s, "ck1")
+    clean_b, quar_b = land_with_quarantine(
+        spark, drop, "json", schema, str(tmp_path / "landed_batch"))
+
+    landed = spark.read.parquet(dest_s)
+    clean_s = landed.where(landed["_corrupt_record"].isNull()).select(
+        "doc_id", "lang", "n_chars")
+    assert sorted(map(tuple, clean_s.collect())) == \
+        sorted(map(tuple, clean_b.collect()))
+    quar_s = {r["_corrupt_record"] for r in
+              landed.where(landed["_corrupt_record"].isNotNull())
+              .collect()}
+    assert quar_s == {r["_corrupt_record"] for r in quar_b.collect()}
+    n = landed.count()
+    drain(dest_s, "ck2")  # full replay, fresh checkpoint
+    assert spark.read.parquet(dest_s).count() == n
