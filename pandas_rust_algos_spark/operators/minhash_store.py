@@ -156,6 +156,7 @@ def stream_ingest_minhash_store(
     *,
     checkpoint: str,
     available_now: bool = True,
+    guard_existing: bool = False,
 ):
     """Streaming ingest for the signature store — the Bloom store's
     ``docs_stream_bloom_screen`` twin for the OTHER persisted
@@ -171,14 +172,38 @@ def stream_ingest_minhash_store(
     IDENTICAL to a batch :func:`append_minhash_store` of the same
     docs — which is what the gate's portable oracle replays.
 
-    Per micro-batch cost: one shingle pass over the batch only (the
-    store is never read — ingest is write-only, unlike the probe);
-    returns the StreamingQuery (caller owns awaitTermination)."""
+    Idempotence contract — PER CHECKPOINT: replay-safety relies on the
+    checkpoint assigning each source file the same ``batch_id``, so a
+    replayed batch overwrites its own partition. A FRESH checkpoint
+    over the same source (or after new files arrived) maps files to
+    DIFFERENT batch ids, and dynamic partition overwrite leaves the
+    old partitions in place — duplicating signatures. Re-ingesting
+    from scratch therefore requires deleting ``sigs_stream.parquet``
+    (and the old checkpoint) first; this function never does so
+    itself, because at-least-once replay of batch 0 under the SAME
+    checkpoint must not wipe sibling partitions.
+
+    Id uniqueness is CALLER-OWNED by default: unlike
+    :func:`append_minhash_store`'s eager check, the write-only fast
+    path never reads the store, so streaming an id that already exists
+    duplicates its signature (and hence its band rows in every later
+    probe). Pass ``guard_existing=True`` to left-anti each micro-batch
+    against the store's current ids — one narrow signature-parquet
+    scan per batch, the probe-side cost this path otherwise avoids.
+
+    Per micro-batch cost: one shingle pass over the batch only (plus
+    the id scan iff ``guard_existing``); returns the StreamingQuery
+    (caller owns awaitTermination)."""
     meta = _read_meta(path)
     ingest_path = os.path.join(path, "sigs_stream.parquet")
 
     def sink(batch_df: DataFrame, batch_id: int) -> None:
         spark = batch_df.sparkSession
+        if guard_existing:
+            stored_ids = read_store_sigs(spark, path).select(
+                meta["id_col"])
+            batch_df = batch_df.join(
+                stored_ids, meta["id_col"], "left_anti")
         sigs = minhash_signatures(
             batch_df, meta["id_col"], meta["text_col"], k=meta["k"],
             num_hashes=meta["num_hashes"], hash_mode=meta["hash_mode"])

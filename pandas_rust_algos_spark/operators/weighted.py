@@ -41,9 +41,11 @@ three long-sums wide, the cheapest shuffle shape there is; a
 boilerplate whale group partial-aggregates like any other sum.
 The quantile pays the within-group sort every exact quantile pays
 (the ``group_quantile`` class, documented trade-off); at corpus scale
-prefer bucketed pre-aggregation (weight-sum per value bucket) when an
-approximate weighted quantile suffices — the exact op is the oracle
-anchor.
+use :func:`group_weighted_quantile_approx` — bucketed pre-aggregation
+(micro-unit weight-sum per equi-width value cell, ≤ bins rows per
+group, mergeable cell-wise via ``histsketch.hist_merge``) whose
+cumulative-WEIGHT walk is error-bounded by one cell width. The exact
+op remains the oracle anchor.
 """
 
 from __future__ import annotations
@@ -62,6 +64,7 @@ __all__ = [
     "group_weighted_stats",
     "group_weighted_quantile",
     "group_weighted_quantiles",
+    "group_weighted_quantile_approx",
     "sql_group_weighted_stats",
     "sql_group_weighted_quantiles",
     "sql_group_weighted_quantile",
@@ -70,6 +73,21 @@ __all__ = [
 
 def _cols(x: Sequence[str] | str) -> list[str]:
     return [x] if isinstance(x, str) else list(x)
+
+
+def _q_name(q: float) -> str:
+    """Identifier-safe output column name for quantile ``q``.
+
+    ``repr(float(q))`` breaks for scientific-notation reprs (q=1e-05 →
+    ``wq_1e-05`` — invalid unquoted SQL alias, backtick-needing Spark
+    name). Format with a fixed 6-decimal formatter instead (matches the
+    1e-6 micro-unit weight resolution — finer q is unrepresentable in
+    the crossing test anyway), strip trailing zeros, '.'→'_'.
+    """
+    s = f"{float(q):.6f}".rstrip("0")
+    if s.endswith("."):
+        s += "0"  # keep one decimal digit: wq_1_0, not wq_1
+    return "wq_" + s.replace(".", "_")
 
 
 def _observed(df: DataFrame, value_col: str, weight_col: str) -> DataFrame:
@@ -162,7 +180,12 @@ def group_weighted_quantile(
     weight (value order, RANGE frame — ties accumulate together)
     reaches ``q`` of the group's total weight. Weights quantized to
     micro-units exactly like the sums, so the crossing row — and hence
-    the picked value — is engine- and partitioning-independent."""
+    the picked value — is engine- and partitioning-independent.
+
+    Groups whose total quantized weight is zero (all weights 0 or
+    < 1e-6) are DROPPED — the mean/var NULL convention: without
+    positive weight no quantile is defined (the ``cw >= q*tw`` test
+    would otherwise trivially pick the group's min)."""
     if not 0.0 < q <= 1.0:
         raise ValueError(f"q must be in (0, 1], got {q}")
     keys = _cols(keys)
@@ -177,8 +200,10 @@ def group_weighted_quantile(
         F.sum("__wq").over(tot).alias("__tw"),
     )
     return (
-        d.where(F.col("__cw").cast("double")
-                >= F.lit(q) * F.col("__tw").cast("double"))
+        d.where(
+            (F.col("__tw") > 0)
+            & (F.col("__cw").cast("double")
+               >= F.lit(q) * F.col("__tw").cast("double")))
         .groupBy(*keys)
         .agg(F.min(value_col).alias(out_col))
     )
@@ -200,7 +225,8 @@ def group_weighted_quantiles(
     ``min(x WHERE cumw ≥ q·W)`` is exactly the single-q rule, so each
     output column equals :func:`group_weighted_quantile` at that
     ``q``. Output columns ``wq_<q with '.' as '_'>`` in input order
-    (e.g. ``wq_0_5``, ``wq_0_99``)."""
+    (e.g. ``wq_0_5``, ``wq_0_99``). Zero-total-weight groups are
+    dropped, matching the single-q rule."""
     if not qs:
         raise ValueError("qs must be non-empty")
     for q in qs:
@@ -221,10 +247,43 @@ def group_weighted_quantiles(
     for q in qs:
         crossed = (F.col("__cw").cast("double")
                    >= F.lit(float(q)) * F.col("__tw").cast("double"))
-        name = "wq_" + repr(float(q)).replace(".", "_")
         aggs.append(
-            F.min(F.when(crossed, F.col(value_col))).alias(name))
-    return d.groupBy(*keys).agg(*aggs)
+            F.min(F.when(crossed, F.col(value_col))).alias(_q_name(q)))
+    return d.where(F.col("__tw") > 0).groupBy(*keys).agg(*aggs)
+
+
+def group_weighted_quantile_approx(
+    df: DataFrame,
+    group: str,
+    value_col: str,
+    weight_col: str,
+    qs: Sequence[float],
+    *,
+    lo: float,
+    hi: float,
+    bins: int = 256,
+    dropna_keys: bool = True,
+) -> DataFrame:
+    """Approximate weighted quantiles via the weighted histogram
+    sketch — the 100 TB path: one map-side-combined pass builds
+    ``(group, bin, Σ micro-unit weight)`` (≤ ``bins`` rows per group,
+    mergeable cell-wise, no within-group sort), then the cumulative-
+    WEIGHT walk picks and interpolates the crossing cell. Error ≤ one
+    cell width ``(hi-lo)/bins`` in the value domain vs
+    :func:`group_weighted_quantile` (pinned by the unit tests);
+    out-of-range values clamp into the edge cells (frozen-domain
+    contract, ``histsketch`` docstring). Output ``(group, q, est)``.
+    Single group column (the sketch family's shape)."""
+    from pandas_rust_algos_spark.operators.histsketch import (
+        hist_sketch_weighted,
+        hist_weighted_quantiles,
+    )
+
+    d = _prep(df, [group], dropna_keys)
+    sk = hist_sketch_weighted(
+        d, group, value_col, weight_col, lo=lo, hi=hi, bins=bins)
+    return hist_weighted_quantiles(
+        sk, group, qs, lo=lo, hi=hi, bins=bins)
 
 
 def sql_group_weighted_quantiles(
@@ -241,10 +300,9 @@ def sql_group_weighted_quantiles(
     key_name = key_name or key_expr
     sels = []
     for q in qs:
-        name = "wq_" + repr(float(q)).replace(".", "_")
         sels.append(
             f"MIN(CASE WHEN CAST(cw AS DOUBLE) >= {float(q)!r} * "
-            f"CAST(tw AS DOUBLE) THEN x END) AS {name}")
+            f"CAST(tw AS DOUBLE) THEN x END) AS {_q_name(q)}")
     sel = ",\n           ".join(sels)
     return f"""
     WITH t AS (
@@ -260,7 +318,7 @@ def sql_group_weighted_quantiles(
     )
     SELECT k AS {key_name},
            {sel}
-    FROM c GROUP BY 1
+    FROM c WHERE tw > 0 GROUP BY 1
     """
 
 
@@ -331,6 +389,7 @@ def sql_group_weighted_quantile(
     )
     SELECT k AS {key_name}, MIN(x) AS wquantile
     FROM c
-    WHERE CAST(cw AS DOUBLE) >= {float(q)!r} * CAST(tw AS DOUBLE)
+    WHERE tw > 0
+      AND CAST(cw AS DOUBLE) >= {float(q)!r} * CAST(tw AS DOUBLE)
     GROUP BY 1
     """

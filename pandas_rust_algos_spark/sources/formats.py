@@ -182,8 +182,19 @@ def stream_land_with_quarantine(
     effectively-once landed rows (the ``sinks.write_stream_partitioned``
     recipe — a replayed batch rewrites its own directory). Clean and
     quarantined reads are the same pushdown parquet filters as the
-    batch path, with ``batch_id`` riding along as lineage. Returns the
-    StreamingQuery (caller owns awaitTermination)."""
+    batch path, with ``batch_id`` riding along as lineage.
+
+    Idempotence contract — PER CHECKPOINT: replay-safety relies on the
+    checkpoint assigning each source file the same ``batch_id``. A
+    FRESH checkpoint over the same directory (or after new files
+    arrived) maps files to different batch ids, and dynamic partition
+    overwrite leaves the stale partitions in place — duplicating
+    landed rows. Re-landing from scratch requires deleting
+    ``dest_path`` (and the old checkpoint) first; this function never
+    wipes them itself, because a same-checkpoint replay of batch 0
+    must not delete sibling partitions.
+
+    Returns the StreamingQuery (caller owns awaitTermination)."""
     if fmt not in ("csv", "json"):
         raise ValueError(
             f"quarantine landing is for text formats (csv/json), got "

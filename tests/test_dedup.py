@@ -496,7 +496,8 @@ def test_minhash_store_stream_ingest(spark, tmp_path):
     same docs (signatures are a pure function of text + frozen
     params); (2) replaying the whole stream with a fresh checkpoint
     does not duplicate signatures (dynamic partition overwrite on
-    batch_id — the at-least-once idempotence contract); (3) the
+    batch_id — the at-least-once idempotence contract, which holds
+    per batch→file mapping); (3) the
     store-only probe (``minhash_store_pairs``, no re-shingling)
     equals the full-corpus pipeline restricted to new-touching
     pairs."""
@@ -544,7 +545,10 @@ def test_minhash_store_stream_ingest(spark, tmp_path):
     sig_b = sorted(map(tuple, read_store_sigs(spark, path_b).collect()))
     assert sig_s == sig_b and len(sig_s) == 9
 
-    # (2) full replay with a fresh checkpoint rewrites, not duplicates
+    # (2) full replay rewrites, not duplicates — because this fresh
+    # checkpoint reproduces the SAME batch→file mapping (identical
+    # source files + maxFilesPerTrigger); the documented contract is
+    # per-checkpoint, a differently-batched replay needs a truncate
     drain(path_s, "ckpt2")
     assert read_store_sigs(spark, path_s).count() == 9
 
@@ -563,6 +567,19 @@ def test_minhash_store_stream_ingest(spark, tmp_path):
                 hash_mode="portable").collect()
             if r["id_a"] >= 6 or r["id_b"] >= 6}
     assert got == full and len(got) > 0
+
+    # (4) guard_existing: re-streaming ids already stored is silently
+    # skipped per batch (left_anti vs the store) instead of
+    # duplicating their band rows in every later probe
+    landing2 = str(tmp_path / "landing2")
+    docs.where(F.col("doc_id").isin(6, 7)).coalesce(1).write.parquet(
+        landing2)  # 6,7 already streamed in above
+    stream2 = (spark.readStream.schema(new.schema).parquet(landing2))
+    q2 = stream_ingest_minhash_store(
+        path_s, stream2, checkpoint=str(tmp_path / "ckpt3"),
+        guard_existing=True)
+    q2.awaitTermination()
+    assert read_store_sigs(spark, path_s).count() == 9  # unchanged
 
 
 def test_minhash_store_whale_cap(spark, tmp_path):

@@ -172,3 +172,138 @@ def test_weighted_quantiles_multi_matches_single(spark):
         wt.group_weighted_quantiles(df, "k", "x", "w", qs=())
     with pytest.raises(ValueError, match="every q"):
         wt.group_weighted_quantiles(df, "k", "x", "w", qs=(0.5, 1.5))
+
+
+def test_weighted_quantile_zero_total_weight_drops_group(spark):
+    """A group whose quantized total weight is zero (all weights 0 or
+    < 1e-6) has no defined quantile — it must be DROPPED like the
+    mean/var NULL convention, not return the group's min (the trivial
+    0 >= q*0 crossing). Both the single-q and multi-q operators, and
+    both DuckDB twins, share the tw > 0 predicate."""
+    import duckdb
+
+    df = _df(spark, [("z", 3.0, 0.0), ("z", 7.0, 1e-9),
+                     ("a", 1.0, 1.0), ("a", 2.0, 1.0)])
+    single = {r["k"]: r["wquantile"] for r in wt.group_weighted_quantile(
+        df, "k", "x", "w", q=0.5).collect()}
+    assert "z" not in single and single["a"] == 1.0
+    multi = {r["k"]: r for r in wt.group_weighted_quantiles(
+        df, "k", "x", "w", qs=(0.5,)).collect()}
+    assert "z" not in multi and multi["a"]["wq_0_5"] == 1.0
+    # DuckDB twins agree
+    con = duckdb.connect()
+    con.execute("CREATE TABLE src AS SELECT * FROM (VALUES "
+                "('z', 3.0, 0.0), ('z', 7.0, 1e-9), "
+                "('a', 1.0, 1.0), ('a', 2.0, 1.0)) v(k, x, w)")
+    sq = con.execute(wt.sql_group_weighted_quantile(
+        "src", "k", "x", "w", q=0.5)).fetchall()
+    assert dict(sq) == {"a": 1.0}
+    mq = con.execute(wt.sql_group_weighted_quantiles(
+        "src", "k", "x", "w", qs=(0.5,))).fetchall()
+    assert dict(mq) == {"a": 1.0}
+
+
+def test_weighted_quantile_approx_error_bound_vs_exact(spark):
+    """The sketch-walk estimate must land within ONE CELL WIDTH of the
+    exact weighted quantile for every (group, q): both use the same
+    left-continuous cumulative-weight crossing with the same micro-
+    unit quantization, so the exact crossing value lies in the sketch's
+    crossing cell and the interpolated estimate cannot leave it."""
+    rows = [("g%d" % (i % 3), float((i * 17) % 101), 0.25 + (i % 7))
+            for i in range(600)]
+    df = _df(spark, rows)
+    lo, hi, bins = 0.0, 101.0, 64
+    width = (hi - lo) / bins
+    qs = (0.25, 0.5, 0.9, 0.99)
+    approx = {(r["k"], r["q"]): r["est"]
+              for r in wt.group_weighted_quantile_approx(
+                  df, "k", "x", "w", qs, lo=lo, hi=hi,
+                  bins=bins).collect()}
+    for q in qs:
+        exact = {r["k"]: r["wquantile"] for r in
+                 wt.group_weighted_quantile(
+                     df, "k", "x", "w", q=q).collect()}
+        for k, ev in exact.items():
+            assert abs(approx[(k, q)] - ev) <= width + 1e-6, (k, q)
+    # zero-weight groups drop, matching the exact op
+    z = _df(spark, [("z", 3.0, 0.0), ("a", 1.0, 1.0)])
+    got = wt.group_weighted_quantile_approx(
+        z, "k", "x", "w", (0.5,), lo=0.0, hi=10.0, bins=8).collect()
+    assert {r["k"] for r in got} == {"a"}
+
+
+def test_weighted_hist_sketch_merge_equals_rescan(spark):
+    """Cell-wise merge of per-slice weighted sketches is EXACT (BIGINT
+    micro-unit sums are distributive): merging two halves equals the
+    sketch of the whole, so an append-only pipeline folds slices
+    without rescans — and the quantile walk over either is
+    identical."""
+    from pandas_rust_algos_spark.operators import histsketch as hs
+
+    rows = [("g%d" % (i % 2), float(i % 50), 0.1 + (i % 3))
+            for i in range(400)]
+    df = _df(spark, rows)
+    args = dict(lo=0.0, hi=50.0, bins=32)
+    whole = hs.hist_sketch_weighted(df, "k", "x", "w", **args)
+    h1 = hs.hist_sketch_weighted(
+        df.where(F.col("x") < 25), "k", "x", "w", **args)
+    h2 = hs.hist_sketch_weighted(
+        df.where(F.col("x") >= 25), "k", "x", "w", **args)
+    merged = hs.hist_merge(h1, h2, cnt_col="wcnt")
+    assert (sorted(map(tuple, whole.collect()))
+            == sorted(map(tuple, merged.collect())))
+    qw = sorted(map(tuple, hs.hist_weighted_quantiles(
+        whole, "k", (0.5, 0.9), **args).collect()))
+    qm = sorted(map(tuple, hs.hist_weighted_quantiles(
+        merged, "k", (0.5, 0.9), **args).collect()))
+    assert qw == qm
+
+
+def test_weighted_hist_sketch_duckdb_twin_bit_exact(spark):
+    """The DuckDB twins replay sketch AND walk bit-exactly — the gate
+    contract, checked here at unit scale with clamped out-of-range
+    values in play."""
+    import duckdb
+
+    rows = [("g%d" % (i % 2), float(i) - 5.0, 0.5 + (i % 4))
+            for i in range(120)]  # values -5..114 clamp into [0, 100)
+    df = _df(spark, rows)
+    from pandas_rust_algos_spark.operators import histsketch as hs
+
+    args = dict(lo=0.0, hi=100.0, bins=16)
+    qs = (0.5, 0.95)
+    sk = hs.hist_sketch_weighted(df, "k", "x", "w", **args)
+    got = sorted(map(tuple, hs.hist_weighted_quantiles(
+        sk, "k", qs, **args).collect()))
+    con = duckdb.connect()
+    con.register("src_pd", df.toPandas())
+    con.execute("CREATE TABLE src AS SELECT * FROM src_pd")
+    inner = hs.sql_hist_weighted_quantiles(
+        hs.sql_hist_sketch_weighted("k", "x", "w", "src", **args),
+        qs, **args)
+    want = sorted(map(tuple, con.execute(inner).fetchall()))
+    assert got == want
+
+
+def test_weighted_quantile_column_names_identifier_safe(spark):
+    """q values with scientific-notation reprs (1e-05) must still
+    produce identifier-safe names in BOTH surfaces (repr-based naming
+    emitted 'wq_1e-05' — invalid unquoted SQL, backtick-needing
+    Spark)."""
+    import re
+
+    import duckdb
+
+    assert wt._q_name(1e-05) == "wq_0_00001"
+    assert wt._q_name(0.5) == "wq_0_5"
+    assert wt._q_name(1.0) == "wq_1_0"  # legacy gate name preserved
+    df = _df(spark, [("a", 1.0, 1.0), ("a", 2.0, 1.0)])
+    out = wt.group_weighted_quantiles(df, "k", "x", "w", qs=(1e-05, 0.5))
+    assert out.columns == ["k", "wq_0_00001", "wq_0_5"]
+    for c in out.columns:
+        assert re.fullmatch(r"[A-Za-z_][A-Za-z0-9_]*", c), c
+    con = duckdb.connect()
+    con.execute("CREATE TABLE src AS SELECT 'a' AS k, 1.0 AS x, 1.0 AS w")
+    rows = con.execute(wt.sql_group_weighted_quantiles(
+        "src", "k", "x", "w", qs=(1e-05, 0.5))).df()
+    assert list(rows.columns) == ["k", "wq_0_00001", "wq_0_5"]
