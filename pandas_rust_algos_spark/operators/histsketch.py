@@ -57,6 +57,10 @@ __all__ = [
     "hist_quantiles",
     "sql_hist_sketch",
     "sql_hist_quantiles",
+    "hist_sketch_weighted",
+    "hist_weighted_quantiles",
+    "sql_hist_sketch_weighted",
+    "sql_hist_weighted_quantiles",
 ]
 
 
@@ -104,18 +108,21 @@ def hist_sketch(
     )
 
 
-def hist_merge(*sketches: DataFrame) -> DataFrame:
+def hist_merge(*sketches: DataFrame, cnt_col: str = "cnt") -> DataFrame:
     """Merge histogram sketches cell-wise (sum per ``(group, bin)``) —
     EXACT by distributivity, like ``cms_merge``: the merge of
     per-partition/per-day sketches is byte-identical to the sketch of
-    the concatenated data. All inputs must share (lo, hi, bins)."""
+    the concatenated data. All inputs must share (lo, hi, bins).
+    ``cnt_col="wcnt"`` merges WEIGHTED sketches — micro-unit weight
+    sums are BIGINT, so cell-wise SUM stays exact there too."""
     if not sketches:
         raise ValueError("hist_merge needs at least one sketch")
     group = sketches[0].columns[0]
     merged = sketches[0]
     for s in sketches[1:]:
         merged = merged.unionByName(s)
-    return merged.groupBy(group, "bin").agg(F.sum("cnt").alias("cnt"))
+    return merged.groupBy(group, "bin").agg(
+        F.sum(cnt_col).alias(cnt_col))
 
 
 def hist_quantiles(
@@ -197,6 +204,164 @@ def sql_hist_sketch(
     WHERE {col_expr} IS NOT NULL
       AND NOT ISNAN(CAST({col_expr} AS DOUBLE))
     GROUP BY 1, 2
+    """
+
+
+def hist_sketch_weighted(
+    df: DataFrame,
+    group: str,
+    col: str,
+    weight_col: str,
+    *,
+    lo: float,
+    hi: float,
+    bins: int = 256,
+) -> DataFrame:
+    """Weighted histogram sketch ``(group, bin, wcnt)``: per cell, the
+    1e-6 micro-unit SUM of weights (BIGINT — the ``weighted.py``
+    quantization, so merges stay exact and both engines agree
+    bit-for-bit). This is the 100 TB path the exact
+    ``group_weighted_quantile`` docstring names: an append-only
+    pipeline maintains ≤ ``bins`` rows per group per slice and folds
+    them cell-wise (``hist_merge(cnt_col="wcnt")``) — no within-group
+    sort, no rescan. NA rule matches the exact op (NULL value or NULL
+    weight drops the row); NaN on either axis drops too (the engines
+    disagree on floor(NaN))."""
+    _check(lo, hi, bins)
+    v, w = F.col(col).cast("double"), F.col(weight_col).cast("double")
+    return (
+        df.where(v.isNotNull() & ~F.isnan(v)
+                 & w.isNotNull() & ~F.isnan(w))
+        .select(F.col(group),
+                _bin_expr(F.col(col), lo, hi, bins).alias("bin"),
+                F.floor(w * F.lit(1e6)).cast("long").alias("__wq"))
+        .groupBy(group, "bin")
+        .agg(F.sum("__wq").alias("wcnt"))
+    )
+
+
+def hist_weighted_quantiles(
+    sketch: DataFrame,
+    group: str,
+    qs: Sequence[float],
+    *,
+    lo: float,
+    hi: float,
+    bins: int = 256,
+) -> DataFrame:
+    """Weighted quantile estimates from weighted sketches alone:
+    ``(group, q, est)``. Same walk as :func:`hist_quantiles` but over
+    cumulative WEIGHT: the target is ``q·W`` (one IEEE multiply of the
+    BIGINT micro-unit total, the exact op's crossing test); the
+    answering cell is the first whose cumulative weight reaches it;
+    the estimate interpolates linearly inside the cell on the weight
+    axis — error ≤ one cell width in the VALUE domain, independent of
+    row count and weight skew across cells. Zero-total-weight groups
+    are dropped (the exact op's ``tw > 0`` rule). Cost: ≤ bins rows
+    per group — a window scan over KiB of state, never over data."""
+    _check(lo, hi, bins)
+    if not qs:
+        raise ValueError("qs must be non-empty")
+    for q in qs:
+        if not (0.0 < q <= 1.0):
+            raise ValueError(f"quantiles must be in (0, 1], got {q}")
+    width = (hi - lo) / bins
+    w = Window.partitionBy(group).orderBy("bin")
+    cum = (
+        sketch
+        .withColumn("cum", F.sum("wcnt").over(w))
+        .withColumn("tw", F.sum("wcnt").over(Window.partitionBy(group)))
+        .where(F.col("tw") > 0)
+    )
+    out = None
+    for q in qs:
+        target = F.lit(float(q)) * F.col("tw").cast("double")
+        cum_before = (F.col("cum") - F.col("wcnt")).cast("double")
+        hit = (
+            cum.where((F.col("cum").cast("double") >= target)
+                      & (cum_before < target))
+            .select(
+                F.col(group),
+                F.lit(float(q)).alias("q"),
+                F.round(
+                    F.lit(float(lo))
+                    + F.col("bin").cast("double") * F.lit(width)
+                    + F.lit(width)
+                    * (target - cum_before)
+                    / F.col("wcnt").cast("double"),
+                    6,
+                ).alias("est"),
+            )
+        )
+        out = hit if out is None else out.unionByName(hit)
+    return out
+
+
+def sql_hist_sketch_weighted(
+    group_expr: str,
+    col_expr: str,
+    weight_expr: str,
+    table: str,
+    *,
+    lo: float,
+    hi: float,
+    bins: int = 256,
+) -> str:
+    """DuckDB twin of :func:`hist_sketch_weighted`: same bin
+    expression, same micro-unit weight quantization."""
+    raw = (f"CAST(FLOOR((CAST({col_expr} AS DOUBLE) - {float(lo)}) "
+           f"* {float(bins)} / {float(hi - lo)}) AS BIGINT)")
+    return f"""
+    SELECT {group_expr} AS grp,
+           GREATEST(0, LEAST({bins - 1}, {raw})) AS bin,
+           SUM(CAST(FLOOR(CAST({weight_expr} AS DOUBLE) * 1e6)
+               AS BIGINT)) AS wcnt
+    FROM {table}
+    WHERE {col_expr} IS NOT NULL
+      AND NOT ISNAN(CAST({col_expr} AS DOUBLE))
+      AND {weight_expr} IS NOT NULL
+      AND NOT ISNAN(CAST({weight_expr} AS DOUBLE))
+    GROUP BY 1, 2
+    """
+
+
+def sql_hist_weighted_quantiles(
+    sketch_cte: str,
+    qs: Sequence[float],
+    *,
+    lo: float,
+    hi: float,
+    bins: int = 256,
+) -> str:
+    """DuckDB twin of :func:`hist_weighted_quantiles` over a weighted
+    sketch CTE with columns ``(grp, bin, wcnt)`` — same cumulative
+    weight walk, same in-cell interpolation, same tw > 0 drop."""
+    if not qs:
+        raise ValueError("qs must be non-empty")
+    width = (hi - lo) / bins
+    arms = []
+    for q in qs:
+        arms.append(f"""
+      SELECT grp, CAST({float(q)} AS DOUBLE) AS q,
+             ROUND({float(lo)} + CAST(bin AS DOUBLE) * {width}
+                   + {width} * (target - CAST(cum_before AS DOUBLE))
+                     / CAST(wcnt AS DOUBLE), 6) AS est
+      FROM (
+        SELECT grp, bin, wcnt, cum, cum - wcnt AS cum_before,
+               {float(q)} * CAST(tw AS DOUBLE) AS target
+        FROM cumulated WHERE tw > 0
+      ) WHERE CAST(cum AS DOUBLE) >= target
+          AND CAST(cum_before AS DOUBLE) < target""")
+    return f"""
+    WITH sk AS ({sketch_cte}),
+    cumulated AS (
+      SELECT grp, bin, wcnt,
+             SUM(wcnt) OVER (PARTITION BY grp ORDER BY bin
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+             SUM(wcnt) OVER (PARTITION BY grp) AS tw
+      FROM sk
+    )
+    {" UNION ALL ".join(arms)}
     """
 
 

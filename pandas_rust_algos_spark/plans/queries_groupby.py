@@ -453,6 +453,45 @@ def group_weighted_quantiles_multi(spark: SparkSession,
         qs=(0.25, 0.5, 0.9))
 
 
+_WQA_ARGS = dict(lo=0.0, hi=110_000.0, bins=512)
+_WQA_QS = (0.5, 0.9, 0.99)
+
+
+def _weighted_quantile_approx_oracle() -> str:
+    from pandas_rust_algos_spark.operators.histsketch import (
+        sql_hist_sketch_weighted,
+        sql_hist_weighted_quantiles,
+    )
+
+    sk = sql_hist_sketch_weighted(
+        "l_returnflag", "l_extendedprice", "l_quantity", "lineitem",
+        **_WQA_ARGS)
+    inner = sql_hist_weighted_quantiles(sk, _WQA_QS, **_WQA_ARGS)
+    return f"SELECT grp AS l_returnflag, q, est FROM ({inner})"
+
+
+@register(
+    "group_weighted_quantile_approx",
+    oracle=_weighted_quantile_approx_oracle(),
+)
+def group_weighted_quantile_approx_q(spark: SparkSession,
+                                     sf_dir: str) -> DataFrame:
+    """Volume-weighted p50/p90/p99 prices from a ≤ 512-row-per-group
+    WEIGHTED histogram sketch — the 100 TB companion to the exact
+    ``group_weighted_quantile``: micro-unit weight sums per equi-width
+    cell build in one map-side-combined pass (no within-group sort),
+    merge cell-wise like CMS, and the cumulative-weight walk
+    interpolates the crossing cell with error ≤ one cell width
+    (≈ 215 here; pinned vs the exact op in tests/test_weighted.py).
+    The DuckDB oracle replays bin assignment, quantization, walk, and
+    interpolation from the same expressions
+    (``operators/weighted.py:group_weighted_quantile_approx``)."""
+    li = _li(spark, sf_dir)
+    return wt.group_weighted_quantile_approx(
+        li, "l_returnflag", "l_extendedprice", "l_quantity", _WQA_QS,
+        **_WQA_ARGS)
+
+
 @register(
     "group_approx_stats_bounds",
     oracle="""
