@@ -40,6 +40,7 @@ from pandas_rust_algos_spark.operators.similarity import (
 )
 
 __all__ = ["append_ivf_index", "build_ivf_index", "ivf_index_query",
+           "stream_append_ivf_index",
            "build_ivfpq_index_fixed", "ivfpq_index_query_fixed"]
 
 
@@ -158,6 +159,103 @@ def append_ivf_index(df: DataFrame, path: str) -> dict:
     return meta
 
 
+def _read_cells(spark: SparkSession, path: str) -> DataFrame:
+    """All indexed vectors ``(id, v, cell)``: the batch-written
+    ``cells`` layout plus (when present) the streaming-ingested
+    ``cells_stream`` batch-id partitions, with the lineage column
+    dropped so both surfaces read as ONE table. Every query goes
+    through here, so streamed vectors serve probes exactly like
+    batch-appended ones; ``cell`` is a partition column in BOTH
+    layouts, so the probed-cell filter still prunes at file-listing
+    time (asserted via inputFiles in tests/test_ann_index.py)."""
+    cells = spark.read.parquet(os.path.join(path, "cells"))
+    stream_path = os.path.join(path, "cells_stream")
+    if os.path.isdir(stream_path):
+        streamed = spark.read.parquet(stream_path).drop("batch_id")
+        cells = cells.unionByName(streamed)
+    return cells
+
+
+def stream_append_ivf_index(
+    path: str,
+    stream_vecs: DataFrame,
+    *,
+    checkpoint: str,
+    available_now: bool = True,
+):
+    """Streaming ingest for the persisted IVF index — the
+    ``minhash_store.stream_ingest_minhash_store`` recipe applied to
+    the LAST persisted maintenance surface that lacked a
+    screen-at-ingest twin: embedding vectors arrive as a stream, each
+    micro-batch is assigned to the FROZEN coarse quantizer (the
+    ``append_ivf_index`` contract — centroids read once at stream
+    start, no retrain) and lands in
+    ``cells_stream/batch_id=<id>/cell=<i>/`` via dynamic partition
+    overwrite, so the at-least-once foreachBatch contract yields
+    effectively-once indexed vectors: a replayed batch rewrites its
+    own ``batch_id`` partitions byte-for-byte. Cell assignment is a
+    pure function of (vector, frozen centroids), so a drained
+    stream's index state is IDENTICAL to a batch
+    :func:`append_ivf_index` of the same vectors — which is what the
+    gate's brute-force oracle proves at all-cells probe.
+
+    Idempotence contract — PER CHECKPOINT (the signature-store rule):
+    a FRESH checkpoint maps files to different batch ids and dynamic
+    overwrite leaves stale partitions in place; re-ingesting from
+    scratch requires deleting ``cells_stream`` (and the old
+    checkpoint) first. Id uniqueness is caller-owned (write-only fast
+    path — the batch ``append_ivf_index`` has no id check either;
+    IVF stores are multiset by design).
+
+    Per micro-batch cost: one narrow assignment pass over the batch
+    (centroid matrix rides as a plan literal) plus the partitioned
+    write — the existing corpus never shuffles, the store is never
+    read. Returns the StreamingQuery (caller owns awaitTermination).
+    """
+    with open(os.path.join(path, "meta.json")) as fh:
+        meta = json.load(fh)
+    centers = [
+        list(r["centroid"])
+        for r in stream_vecs.sparkSession.read.parquet(
+            os.path.join(path, "centroids.parquet"))
+        .orderBy("cell").collect()
+    ]
+    ingest_path = os.path.join(path, "cells_stream")
+
+    def sink(batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        cmatrix = _lit_matrix(centers)
+        assigned = batch_df.select(
+            F.col(meta["id_col"]).alias("id"),
+            _as_double(F.col(meta["vec_col"])).alias("v"),
+        ).select(
+            "id", "v",
+            _nearest_cells(cmatrix, F.col("v"), 1)[0].alias("cell"),
+        )
+        prev = spark.conf.get(
+            "spark.sql.sources.partitionOverwriteMode", "static")
+        spark.conf.set(
+            "spark.sql.sources.partitionOverwriteMode", "dynamic")
+        try:
+            (
+                assigned.withColumn("batch_id", F.lit(batch_id))
+                .write.mode("overwrite")
+                .partitionBy("batch_id", "cell")
+                .parquet(ingest_path)
+            )
+        finally:
+            spark.conf.set(
+                "spark.sql.sources.partitionOverwriteMode", prev)
+
+    writer = (
+        stream_vecs.writeStream.foreachBatch(sink)
+        .option("checkpointLocation", checkpoint)
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
 def ivf_index_query(
     spark: SparkSession,
     path: str,
@@ -198,10 +296,8 @@ def ivf_index_query(
         {r["cell"] for r in probes.select("cell").distinct().collect()}
     )
 
-    cells = (
-        spark.read.parquet(os.path.join(path, "cells"))
-        .where(F.col("cell").isin(probed_cells))
-    )
+    cells = _read_cells(spark, path).where(
+        F.col("cell").isin(probed_cells))
     sim = F.round(cosine(F.col("qv"), F.col("v")), round_digits)
     scored = (
         cells.join(F.broadcast(probes), "cell")

@@ -1857,3 +1857,66 @@ def ann_index_append_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     out = ivf_index_query(spark, idx, queries, n_probe=16, k=5)
     return out.select("query_id", F.col("id").alias("vec_id"), "sim",
                       F.col("rank").cast("long").alias("rank"))
+
+
+@register(
+    "ann_index_stream_append",
+    oracle="""
+    WITH q AS (
+      SELECT vec_id AS qid, embedding::DOUBLE[] AS qv
+      FROM embeddings WHERE vec_id < 10
+    ), c AS (
+      SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+    ), s AS (
+      SELECT qid, vec_id,
+             ROUND(LIST_DOT_PRODUCT(qv, v) /
+                   (SQRT(LIST_DOT_PRODUCT(qv, qv)) * SQRT(LIST_DOT_PRODUCT(v, v))),
+                   6) AS sim
+      FROM q, c WHERE qid <> vec_id
+    ), r AS (
+      SELECT qid, vec_id, sim,
+             ROW_NUMBER() OVER (PARTITION BY qid ORDER BY sim DESC, vec_id) AS rn
+      FROM s
+    )
+    SELECT qid AS query_id, vec_id, sim, CAST(rn AS BIGINT) AS rank
+    FROM r WHERE rn <= 5
+    """,
+)
+def ann_index_stream_append(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAMING ingest into the persisted IVF index, value-proven
+    end-to-end (``operators/ann_index.stream_append_ivf_index``): the
+    index is built on the even-id half of the corpus, the odd half
+    arrives as a file stream and lands through foreachBatch —
+    assigned to the FROZEN coarse quantizer, batch_id-partitioned
+    idempotent writes (the signature-store recipe). Probing all cells
+    through the unified read path must then reproduce the exact
+    brute-force top-5 over the FULL corpus: the oracle is blind to
+    the build/stream split, so a dropped, duplicated (replayed), or
+    mis-routed streamed vector breaks the hash. Replay idempotence
+    and partial-probe pruning over the union layout are pinned in
+    tests/test_ann_index.py."""
+    import tempfile
+
+    from pandas_rust_algos_spark.operators.ann_index import (
+        build_ivf_index, ivf_index_query, stream_append_ivf_index,
+    )
+
+    emb = _emb(spark, sf_dir)
+    idx = tempfile.mkdtemp(prefix="ivf_stream_gate_")
+    build_ivf_index(emb.where(F.col("vec_id") % 2 == 0), idx,
+                    n_cells=16, seed=42)
+    landing = tempfile.mkdtemp(prefix="ivf_stream_landing_")
+    odd = emb.where(F.col("vec_id") % 2 == 1)
+    odd.coalesce(2).write.mode("overwrite").parquet(landing)
+    stream = (spark.readStream.schema(odd.schema)
+              .option("maxFilesPerTrigger", 1).parquet(landing))
+    q = stream_append_ivf_index(
+        idx, stream,
+        checkpoint=tempfile.mkdtemp(prefix="ivf_stream_ckpt_"))
+    q.awaitTermination()
+    queries = emb.where(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    out = ivf_index_query(spark, idx, queries, n_probe=16, k=5)
+    return out.select("query_id", F.col("id").alias("vec_id"), "sim",
+                      F.col("rank").cast("long").alias("rank"))

@@ -157,6 +157,96 @@ def test_append_keeps_partition_pruning(spark, tmp_path):
     assert in_vals and len(in_vals.group(1).split(",")) <= 2, m.group(1)
 
 
+def test_stream_append_equals_batch_append_and_replays(spark, tmp_path):
+    """Streaming IVF ingest: (1) a drained stream's index state equals
+    a batch append of the same vectors (cell assignment is a pure
+    function of the frozen centroids); (2) replaying the whole stream
+    with an identically-batched fresh checkpoint rewrites, not
+    duplicates (dynamic partition overwrite on batch_id); (3) queries
+    through the unified read path at full probe equal brute force over
+    the whole corpus."""
+    from pandas_rust_algos_spark.operators.ann_index import (
+        _read_cells, append_ivf_index, stream_append_ivf_index,
+    )
+
+    full = _corpus(spark, n=200)
+    even = full.where(F.col("vec_id") % 2 == 0)
+    odd = full.where(F.col("vec_id") % 2 == 1)
+    landing = str(tmp_path / "landing")
+    odd.coalesce(2).write.parquet(landing)
+
+    def drain(path, ckpt):
+        stream = (spark.readStream.schema(odd.schema)
+                  .option("maxFilesPerTrigger", 1).parquet(landing))
+        q = stream_append_ivf_index(
+            path, stream, checkpoint=str(tmp_path / ckpt))
+        q.awaitTermination()
+
+    path_s = str(tmp_path / "idx_s")
+    build_ivf_index(even, path_s, n_cells=4, seed=7)
+    drain(path_s, "ckpt1")
+
+    path_b = str(tmp_path / "idx_b")
+    build_ivf_index(even, path_b, n_cells=4, seed=7)
+    append_ivf_index(odd, path_b)
+
+    # (1) drained state ≡ batch append state (same (id, cell) rows)
+    got = sorted((r["id"], r["cell"]) for r in
+                 _read_cells(spark, path_s).collect())
+    want = sorted((r["id"], r["cell"]) for r in
+                  _read_cells(spark, path_b).collect())
+    assert got == want and len(got) == 200
+
+    # (2) identically-batched replay rewrites its own partitions
+    drain(path_s, "ckpt2")
+    assert _read_cells(spark, path_s).count() == 200
+
+    # (3) full-probe query through the union layout ≡ brute force
+    queries = full.where(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), "embedding")
+    got_q = ivf_index_query(spark, path_s, queries, n_probe=4, k=3)
+    want_q = cosine_topk(full, queries, k=3,
+                         id_col="vec_id", query_id_col="query_id")
+    g = {(r["query_id"], r["rank"]): r["id"] for r in got_q.collect()}
+    w = {(r["query_id"], r["rank"]): r["vec_id"] for r in want_q.collect()}
+    assert g == w
+
+
+def test_stream_append_keeps_partition_pruning(spark, tmp_path):
+    """The probed-cell filter must prune BOTH layouts at file-listing
+    time: every file the plan opens — batch ``cells`` or streamed
+    ``cells_stream/batch_id=*`` — lies in a probed ``cell=`` dir."""
+    from pandas_rust_algos_spark.operators.ann_index import (
+        stream_append_ivf_index,
+    )
+
+    full = _corpus(spark, n=300)
+    odd = full.where(F.col("vec_id") % 2 == 1)
+    landing = str(tmp_path / "landing")
+    odd.coalesce(1).write.parquet(landing)
+    path = str(tmp_path / "idx")
+    build_ivf_index(full.where(F.col("vec_id") % 2 == 0), path,
+                    n_cells=8, seed=7)
+    stream = spark.readStream.schema(odd.schema).parquet(landing)
+    q = stream_append_ivf_index(
+        path, stream, checkpoint=str(tmp_path / "ckpt"))
+    q.awaitTermination()
+    queries = full.where(F.col("vec_id") == 0).select(
+        F.col("vec_id").alias("query_id"), "embedding")
+    out = ivf_index_query(spark, path, queries, n_probe=2, k=3)
+    import re
+
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    filters = re.findall(r"PartitionFilters: \[([^\]]*)\]", plan)
+    with_cell = [f for f in filters if "cell" in f]
+    # both scans (cells + cells_stream) carry the cell partition filter
+    assert len(with_cell) >= 2, plan[:3000]
+    # and each is selective: at most the 2 probed cell values
+    for f in with_cell:
+        in_vals = re.search(r"cell#\d+L? IN \(([^)]*)\)", f)
+        assert in_vals and len(in_vals.group(1).split(",")) <= 2, f
+
+
 def test_ivfpq_index_matches_inmemory_and_prunes(spark, tmp_path):
     """The persisted fixed-point IVF+PQ index: (1) the disk read path
     is BIT-IDENTICAL to the in-memory composed op with the same
