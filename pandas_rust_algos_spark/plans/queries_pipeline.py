@@ -1810,3 +1810,111 @@ def restore_read(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_supp"),
         F.sum("s_suppkey").alias("sum_key"),
     )
+
+
+_PACK_NORM_MD5 = (
+    "MD5(TRIM(REGEXP_REPLACE(REGEXP_REPLACE(LOWER(text),"
+    " '[.,!?;:]', '', 'g'), '\\s+', ' ', 'g')))"
+)
+
+
+def _pack_budget_weighted_oracle() -> str:
+    """One statement replaying the WHOLE composition: soft-dedup
+    weights (1/n_copies over the md5 content hash), the shared
+    cumulative-weight walk for p50/p90/p99 of token counts, and the
+    greedy next-fit pack fold under the p99 budget (the
+    ``pack_sequences_sharded`` recursive CTE with the budget a scalar
+    subquery instead of a literal)."""
+    cnt = tx.sql_token_count("text")
+    b = "(SELECT p99 FROM b)"
+    return f"""
+    WITH RECURSIVE d AS (
+      SELECT doc_id, doc_id % 4 AS shard,
+             COALESCE({cnt}, 0) AS cnt,
+             CAST(FLOOR((CAST(1.0 AS DOUBLE)
+               / COUNT(*) OVER (PARTITION BY {_PACK_NORM_MD5})) * 1e6)
+               AS BIGINT) AS wq
+      FROM documents
+    ), c AS (
+      SELECT cnt AS x,
+             SUM(wq) OVER (ORDER BY cnt) AS cw,
+             SUM(wq) OVER () AS tw
+      FROM d
+    ), b AS (
+      SELECT
+        MIN(CASE WHEN CAST(cw AS DOUBLE) >= 0.5 * CAST(tw AS DOUBLE)
+            THEN x END) AS p50,
+        MIN(CASE WHEN CAST(cw AS DOUBLE) >= 0.9 * CAST(tw AS DOUBLE)
+            THEN x END) AS p90,
+        MIN(CASE WHEN CAST(cw AS DOUBLE) >= 0.99 * CAST(tw AS DOUBLE)
+            THEN x END) AS p99
+      FROM c WHERE tw > 0
+    ), rows_in AS (
+      SELECT doc_id, shard, cnt,
+             ROW_NUMBER() OVER (PARTITION BY shard ORDER BY doc_id) AS rn
+      FROM d
+    ), r AS (
+      SELECT shard, rn, doc_id, cnt, 0 AS pack_idx, cnt AS fill, 0 AS pos
+      FROM rows_in WHERE rn = 1
+      UNION ALL
+      SELECT i.shard, i.rn, i.doc_id, i.cnt,
+             CASE WHEN r.fill + i.cnt > {b}
+                  THEN r.pack_idx + 1 ELSE r.pack_idx END,
+             CASE WHEN r.fill + i.cnt > {b}
+                  THEN i.cnt ELSE r.fill + i.cnt END,
+             CASE WHEN r.fill + i.cnt > {b}
+                  THEN 0 ELSE r.pos + 1 END
+      FROM r JOIN rows_in i ON i.shard = r.shard AND i.rn = r.rn + 1
+    )
+    SELECT doc_id, cnt AS n_tokens,
+           shard || '-' || pack_idx AS pack_id,
+           CAST(pos AS INTEGER) AS pack_pos,
+           (SELECT p50 FROM b) AS budget_p50,
+           (SELECT p90 FROM b) AS budget_p90,
+           {b} AS budget
+    FROM r
+    """
+
+
+@register("pack_budget_weighted", oracle=_pack_budget_weighted_oracle())
+def pack_budget_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The packing-budget COMPOSITION the weighted-quantile family was
+    built for (``dedup_weighted_stats`` pattern, one step further):
+    soft-dedup weights (1/n_copies) feed ``group_weighted_quantiles``
+    — p50/p90/p99 of per-document token counts with every exact-
+    content cluster counted ONCE, one shared cumulative-weight window
+    for all three — and the p99 becomes the ``pack_sequences`` budget,
+    so boilerplate-duplicated short docs cannot shrink the packing
+    budget the way an unweighted percentile would let them. The
+    budget row is a metadata-sized collect (one row — the documented
+    whale-set/centroid pattern); packing is the value-sharded
+    row-for-row-provable fold; the oracle replays weights, walk, AND
+    fold in one recursive-CTE statement. At corpus scale swap the
+    exact quantile for ``group_weighted_quantile_approx`` (same
+    crossing rule over the mergeable weighted histogram — the single-
+    group exact window funnels one sort partition; the sketch never
+    does)."""
+    from pandas_rust_algos_spark.operators import weighted as wt
+    from pandas_rust_algos_spark.operators.packing import pack_sequences
+
+    tune(spark)
+    docs = load_table(spark, sf_dir, "documents")
+    base = docs.select(
+        "doc_id", (F.col("doc_id") % 4).alias("shard"),
+        tx.token_count("text").alias("n_tokens"))
+    weights = dd.dedup_soft_weights(docs).select("doc_id", "weight")
+    j = base.join(weights, "doc_id")
+    qrow = wt.group_weighted_quantiles(
+        j.select(F.lit("all").alias("g"),
+                 F.col("n_tokens").alias("x"), "weight"),
+        "g", "x", "weight", qs=(0.5, 0.9, 0.99)).collect()[0]
+    p50, p90, p99 = (int(qrow["wq_0_5"]), int(qrow["wq_0_9"]),
+                     int(qrow["wq_0_99"]))
+    packed = pack_sequences(j.select("doc_id", "shard", "n_tokens"),
+                            "n_tokens", budget=p99,
+                            order_col="doc_id", shard_col="shard")
+    return packed.select(
+        "doc_id", "n_tokens", "pack_id", "pack_pos",
+        F.lit(p50).cast("long").alias("budget_p50"),
+        F.lit(p90).cast("long").alias("budget_p90"),
+        F.lit(p99).cast("long").alias("budget"))
