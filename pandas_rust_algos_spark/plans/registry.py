@@ -89,69 +89,21 @@ def register(name: str, oracle: str | None = None, description: str = ""):
 
 # The driver's correctness gate samples the FIRST ~50 registry entries per
 # round. Every gate has at least one driver CORRECTNESS row (zero reds ever);
-# staleness is the only dimension. Round 10 ordering (the r9 VERDICT next-#3
-# rotation): (0) gates that have never had a driver row — the two r9
-# additions that landed beyond the window plus this round's new gates
-# (freshness beats staleness — a first row beats a refreshed one); then
-# (a) the 16 gates whose newest driver row is r4-era, then (b) the 41
-# r5-era gates (oldest era first; alphabetical within an era — the
+# staleness is the only dimension. Round 11 ordering (the r10 VERDICT next-#2
+# rotation): (0) gates that have never had a driver row — this round's new
+# gates (freshness beats staleness — a first row beats a refreshed one); then
+# (a) the 17 gates whose newest driver row is r5-era, then (b) the 45
+# r6-era gates (oldest era first; alphabetical within an era — the
 # CORRECTNESS files carry no finer ordering). The driver window truncates
 # at ~50, so the tail of (b) rides along only if the window stretches;
 # everything is sim-verified regardless.
 _GATE_PRIORITY: tuple[str, ...] = (
-    # (0) never had a driver row yet
-    "ann_ivfpq_rerank_topk",
-    "minhash_store_incremental",
-    "minhash_store_stream_ingest",
-    "ann_float_recall_bounds",
-    "group_weighted_stats",
-    "group_weighted_quantile",
-    "dedup_weighted_stats",
-    "jsonl_quarantine_read",
-    "group_weighted_quantiles_multi",
-    "docs_stream_quarantine_land",
-    # (a) newest driver row is r4-era
-    "map_functions",
-    "minhash_near_dupes_portable",
-    "pack_sequences_sharded",
-    "pii_mask",
-    "png_media_features",
-    "q2_min_cost_supplier",
-    "q4_priority_orders",
-    "q6_forecast_revenue",
-    "q7_nation_trade",
-    "q8_market_share",
-    "q9_product_profit",
-    "recursive_cte_tree",
-    "string_functions_ext",
-    "try_functions",
-    "window_frames",
-    "window_rank_suite",
-    # (b) newest driver row is r5-era
-    "ann_index_append_topk",
-    "ann_index_topk",
-    "bloom_join_revenue",
-    "bm25_topk",
-    "bpe_encode_tokens",
-    "bpe_learn_merges",
-    "bpe_token_freqs",
-    "cube_revenue",
-    "delete_mor_read",
-    "distinct_agg",
-    "events_stream_tumbling",
-    "formats_roundtrip",
-    "group_count",
-    "group_melt",
-    "group_pivot",
-    "group_sum",
-    "heavy_hitters",
-    "jaccard_prefix_join",
-    "jpeg_media_features",
-    "listagg_top_customers",
-    "matview_incremental",
-    "merge_upsert_read",
-    "ngram_jaccard",
-    "q14_promo_share",
+    # (0) never had a driver row yet — this round's new gates
+    "group_weighted_quantile_approx",
+    "ann_index_stream_append",
+    "pack_budget_weighted",
+    # (a) newest driver row is r5-era (the full 17, r10 VERDICT
+    #     next-#2)
     "q15_top_supplier",
     "q17_small_qty_revenue",
     "q18_large_orders",
@@ -169,6 +121,54 @@ _GATE_PRIORITY: tuple[str, ...] = (
     "table_cdf_read",
     "webdataset_export",
     "zorder_codes",
+    # (b) newest driver row is r6-era (all 45; the driver window
+    #     truncates at ~50 so the tail rides along only if it
+    #     stretches — everything is sim-verified regardless)
+    "array_functions",
+    "bucketed_join_revenue",
+    "cms_heavy_hitters",
+    "cms_incremental_merge",
+    "decontam_spans",
+    "dedup_exact",
+    "doc_fingerprint",
+    "dup_clusters",
+    "events_json_props",
+    "events_rollup_hour_day",
+    "events_sliding_2h_1h",
+    "events_stream_cms",
+    "events_stream_hll",
+    "events_tumbling_1h",
+    "group_any_all",
+    "group_any_all_kleene",
+    "group_approx_stats",
+    "group_corr_cov",
+    "group_cut_qcut",
+    "group_describe",
+    "group_first_last",
+    "group_histogram",
+    "group_idx_mode",
+    "group_mean",
+    "group_median",
+    "group_min_max",
+    "group_prod",
+    "group_quantile_higher",
+    "group_quantile_linear",
+    "group_quantile_lower",
+    "group_skew",
+    "group_sum_mincount",
+    "group_value_counts",
+    "group_var_std_sem",
+    "hashing_features",
+    "hist_incremental_merge",
+    "hist_quantiles_prices",
+    "hll_incremental_merge",
+    "hll_nunique_orders",
+    "kmeans_clusters",
+    "kmv_incremental_merge",
+    "kmv_nunique_orders",
+    "kmv_set_ops_customers",
+    "triangle_count",
+    "update_mor_read",
 )
 
 
