@@ -192,6 +192,7 @@ HEADLINE = [
     "group_weighted_quantile_approx",
     "ann_index_stream_append",
     "pack_budget_weighted",
+    "events_stream_hist",
 ]
 
 # The r1-era contract basket: the 18 queries whose aggregate the judge

@@ -172,6 +172,34 @@ class GroupBy:
                                            weight, q=q,
                                            dropna_keys=self._dropna)
 
+    def weighted_quantiles(self, value: str, weight: str,
+                           qs: Sequence[float]) -> DataFrame:
+        """k weighted quantiles in ONE within-group sort (shared
+        cumulative-weight window; columns ``wq_<q>``)."""
+        from pandas_rust_algos_spark.operators import weighted as _wt
+
+        return _wt.group_weighted_quantiles(self._df, self._keys, value,
+                                            weight, qs,
+                                            dropna_keys=self._dropna)
+
+    def weighted_quantile_approx(self, value: str, weight: str,
+                                 qs: Sequence[float], *, lo: float,
+                                 hi: float, bins: int = 256) -> DataFrame:
+        """Sketch-backed weighted quantiles (error ≤ one cell width,
+        no within-group sort — the corpus-scale path). Single group
+        column only: the histogram-sketch family's shape."""
+        from pandas_rust_algos_spark.operators import weighted as _wt
+
+        keys = ([self._keys] if isinstance(self._keys, str)
+                else list(self._keys))
+        if len(keys) != 1:
+            raise ValueError(
+                "weighted_quantile_approx takes exactly one grouping "
+                f"column (the sketch family's shape), got {keys}")
+        return _wt.group_weighted_quantile_approx(
+            self._df, keys[0], value, weight, qs, lo=lo, hi=hi,
+            bins=bins, dropna_keys=self._dropna)
+
     # ------------------------------------- transforms (need row order)
 
     def _ordered(self) -> Sequence[str] | str:

@@ -468,6 +468,53 @@ def events_stream_cms_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_HSTREAM_ARGS = dict(lo=0.0, hi=512.0, bins=64)
+_HSTREAM_QS = (0.5, 0.95)
+
+
+def _hist_stream_oracle() -> str:
+    from pandas_rust_algos_spark.operators.histsketch import (
+        sql_hist_quantiles,
+        sql_hist_sketch,
+    )
+
+    sk = sql_hist_sketch(
+        f"STRFTIME(DATE_TRUNC('hour', ts), '{_FMT_DUCK}')",
+        "value", "events", **_HSTREAM_ARGS)
+    inner = sql_hist_quantiles(sk, _HSTREAM_QS, **_HSTREAM_ARGS)
+    return f"SELECT grp AS window_start, q, est FROM ({inner})"
+
+
+@register("events_stream_hist", oracle=_hist_stream_oracle())
+def events_stream_hist_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming histogram sketch (``streaming/events.hist_windowed``):
+    per-hour value-distribution sketches on the event stream with
+    state bounded at ≤ bins cell rows PER WINDOW regardless of event
+    volume — live percentile tracking (p50/p95 latency-style
+    dashboards), the DISTRIBUTION member completing the streaming
+    sketch family (CMS frequencies, HLL cardinality). Cell counts
+    fold by SUM (insertion-order-independent), so the availableNow-
+    drained cells equal the batch sketch over the same rows; the
+    drained state then runs through the batch ``hist_quantiles``
+    walk, and the per-window estimates must hash-equal the full
+    DuckDB sketch+walk replay — stream == batch, value-proven through
+    the estimator, the ``events_stream_hll`` contract for the
+    quantile tier."""
+    tune(spark)
+    from pandas_rust_algos_spark.operators.histsketch import (
+        hist_quantiles,
+    )
+    from pandas_rust_algos_spark.streaming import events as se
+
+    stream = se.read_events_stream(spark, sf_dir)
+    cells = se.run_available_now(
+        se.hist_windowed(stream, "value", **_HSTREAM_ARGS),
+        table="events_stream_hist_out", state_partitions=8,
+    )
+    return hist_quantiles(
+        cells, "window_start", _HSTREAM_QS, **_HSTREAM_ARGS)
+
+
 def _hll_oracle() -> str:
     from pandas_rust_algos_spark.operators.frequency import sql_hll_nunique
 

@@ -147,6 +147,51 @@ def hll_windowed(
     )
 
 
+def hist_windowed(
+    stream: DataFrame,
+    col: str = "value",
+    *,
+    lo: float,
+    hi: float,
+    bins: int = 64,
+    window: str = "1 hour",
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Per-window equi-width histogram sketch over a stream:
+    ``(window_start, bin, cnt)`` — the streaming form of
+    ``operators/histsketch.hist_sketch``, completing the streaming
+    sketch family (CMS frequencies, HLL cardinality, histogram
+    DISTRIBUTION — live latency/value percentiles per hour). State
+    per window is ≤ ``bins`` cell rows no matter how many events
+    arrive (counting per cell folds incrementally — SUM is what makes
+    the sketch a valid streaming aggregate), the watermark evicts
+    closed windows, and because cell counts are insertion-order-
+    independent the drained result must EQUAL the batch sketch over
+    the same rows — the gate runs the drained cells through the batch
+    quantile walk and checks per-window estimates against a full
+    DuckDB replay. Same NULL/NaN drop as the batch sketch (the
+    engines disagree on floor(NaN))."""
+    from pandas_rust_algos_spark.operators.histsketch import (
+        _bin_expr,
+        _check,
+    )
+
+    _check(lo, hi, bins)
+    v = F.col(col).cast("double")
+    return (
+        stream.where(v.isNotNull() & ~F.isnan(v))
+        .withWatermark("ts", watermark)
+        .select("ts", _bin_expr(F.col(col), lo, hi, bins).alias("bin"))
+        .groupBy(F.window("ts", window).alias("w"), "bin")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .select(
+            F.date_format("w.start", "yyyy-MM-dd HH:mm:ss")
+            .alias("window_start"),
+            "bin", "cnt",
+        )
+    )
+
+
 def session_counts(
     stream: DataFrame,
     *,

@@ -416,6 +416,36 @@ def test_stream_cms_matches_batch_sketch(spark, sf_dir):
     assert s_rows == b_rows and len(s_rows) > 0
 
 
+def test_stream_hist_matches_batch_sketch(spark, sf_dir):
+    """The windowed streaming histogram sketch must equal the batch
+    sketch built per hour over the same rows: cell counts fold by
+    SUM (insertion-order-independent), so micro-batch boundaries
+    cannot change any cell — and therefore no quantile estimate."""
+    from pandas_rust_algos_spark.operators.histsketch import _bin_expr
+    from pandas_rust_algos_spark.sources import load_table
+
+    args = dict(lo=0.0, hi=512.0, bins=64)
+    stream = se.read_events_stream(spark, sf_dir)
+    streamed = se.run_available_now(
+        se.hist_windowed(stream, "value", **args),
+        table="t_stream_hist")
+
+    ev = load_table(spark, sf_dir, "events")
+    v = F.col("value").cast("double")
+    batch = (
+        ev.where(v.isNotNull() & ~F.isnan(v))
+        .select("ts", _bin_expr(F.col("value"), 0.0, 512.0, 64)
+                .alias("bin"))
+        .groupBy(F.window("ts", "1 hour").alias("w"), "bin")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .select(F.date_format("w.start", "yyyy-MM-dd HH:mm:ss")
+                .alias("window_start"), "bin", "cnt")
+    )
+    s_rows = sorted(map(tuple, streamed.collect()))
+    b_rows = sorted(map(tuple, batch.collect()))
+    assert s_rows == b_rows and len(s_rows) > 0
+
+
 def test_stream_hll_matches_batch_registers(spark, sf_dir):
     """The windowed streaming HLL registers must equal the batch
     register build per hour over the same rows: max(rho) is

@@ -145,6 +145,22 @@ def test_weighted_facade_and_dropna_keys(spark):
     assert med["a"] == 1.0  # cumw at x=1 is 2/3 >= 0.5
 
 
+def test_weighted_facade_quantiles_and_approx(spark):
+    from pandas_rust_algos_spark import api
+
+    df = _df(spark, [("a", 1.0, 1.0), ("a", 2.0, 1.0), ("a", 3.0, 2.0)])
+    multi = api.groupby(df, "k").weighted_quantiles(
+        "x", "w", (0.5, 0.9)).collect()[0]
+    assert multi["wq_0_5"] == 2.0 and multi["wq_0_9"] == 3.0
+    approx = {(r["k"], r["q"]): r["est"]
+              for r in api.groupby(df, "k").weighted_quantile_approx(
+                  "x", "w", (0.5,), lo=0.0, hi=4.0, bins=16).collect()}
+    assert abs(approx[("a", 0.5)] - 2.0) <= 4.0 / 16 + 1e-9
+    with pytest.raises(ValueError, match="exactly one grouping"):
+        api.groupby(df, ["k", "x"]).weighted_quantile_approx(
+            "x", "w", (0.5,), lo=0.0, hi=4.0)
+
+
 def test_weighted_quantiles_multi_matches_single(spark):
     """Each wq_<q> column of the one-pass multi-quantile equals the
     single-q operator at that q; one window pass serves every q."""
