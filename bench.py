@@ -193,6 +193,7 @@ HEADLINE = [
     "ann_index_stream_append",
     "pack_budget_weighted",
     "events_stream_hist",
+    "pack_budget_weighted_approx",
 ]
 
 # The r1-era contract basket: the 18 queries whose aggregate the judge

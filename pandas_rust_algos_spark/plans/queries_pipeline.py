@@ -1918,3 +1918,97 @@ def pack_budget_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(p50).cast("long").alias("budget_p50"),
         F.lit(p90).cast("long").alias("budget_p90"),
         F.lit(p99).cast("long").alias("budget"))
+
+
+def _pack_budget_weighted_approx_oracle() -> str:
+    """The scale-path twin of :func:`_pack_budget_weighted_oracle`:
+    the budget comes from the WEIGHTED HISTOGRAM SKETCH walk (the
+    mergeable no-sort path) instead of the exact cumulative window —
+    sketch, walk, FLOOR, and the greedy fold all replayed in one
+    statement (the sketch/walk SQL is the gate-shared
+    ``histsketch.sql_hist_*_weighted`` pair verbatim, nested as a
+    scalar subquery)."""
+    from pandas_rust_algos_spark.operators.histsketch import (
+        sql_hist_sketch_weighted,
+        sql_hist_weighted_quantiles,
+    )
+
+    cnt = tx.sql_token_count("text")
+    table = (f"(SELECT 'all' AS gk, {cnt} AS x, "
+             f"CAST(1.0 AS DOUBLE)"
+             f"/COUNT(*) OVER (PARTITION BY {_PACK_NORM_MD5}) AS w "
+             f"FROM documents) dsub")
+    sk = sql_hist_sketch_weighted("gk", "x", "w", table,
+                                  lo=0.0, hi=128.0, bins=128)
+    walk = sql_hist_weighted_quantiles(sk, (0.99,),
+                                       lo=0.0, hi=128.0, bins=128)
+    b = "(SELECT budget FROM bq)"
+    return f"""
+    WITH RECURSIVE bq AS (
+      SELECT CAST(FLOOR(est) AS BIGINT) AS budget FROM ({walk})
+    ), rows_in AS (
+      SELECT doc_id, doc_id % 4 AS shard, COALESCE({cnt}, 0) AS cnt,
+             ROW_NUMBER() OVER (PARTITION BY doc_id % 4
+                                ORDER BY doc_id) AS rn
+      FROM documents
+    ), r AS (
+      SELECT shard, rn, doc_id, cnt, 0 AS pack_idx, cnt AS fill, 0 AS pos
+      FROM rows_in WHERE rn = 1
+      UNION ALL
+      SELECT i.shard, i.rn, i.doc_id, i.cnt,
+             CASE WHEN r.fill + i.cnt > {b}
+                  THEN r.pack_idx + 1 ELSE r.pack_idx END,
+             CASE WHEN r.fill + i.cnt > {b}
+                  THEN i.cnt ELSE r.fill + i.cnt END,
+             CASE WHEN r.fill + i.cnt > {b}
+                  THEN 0 ELSE r.pos + 1 END
+      FROM r JOIN rows_in i ON i.shard = r.shard AND i.rn = r.rn + 1
+    )
+    SELECT doc_id, cnt AS n_tokens,
+           shard || '-' || pack_idx AS pack_id,
+           CAST(pos AS INTEGER) AS pack_pos,
+           {b} AS budget
+    FROM r
+    """
+
+
+@register("pack_budget_weighted_approx",
+          oracle=_pack_budget_weighted_approx_oracle())
+def pack_budget_weighted_approx(spark: SparkSession,
+                                sf_dir: str) -> DataFrame:
+    """The SCALE PATH of ``pack_budget_weighted``, value-proven: the
+    p99 packing budget comes from ``group_weighted_quantile_approx``
+    — the mergeable weighted histogram sketch (one map-side-combined
+    pass, ≤128 cells, no within-group sort) instead of the exact
+    single-partition cumulative window, then FLOOR to an integer
+    token budget. At cell width 1 token (lo=0, hi=128, bins=128 over
+    10–100-token documents) the approx budget sits within one token
+    of the exact crossing value, and the whole composition — soft-
+    dedup weights → sketch → walk → floor → greedy fold — is replayed
+    by ONE recursive-CTE oracle, so the corpus-scale recipe the exact
+    gate's docstring points to is itself hash-proven, not just
+    recommended."""
+    import math
+
+    from pandas_rust_algos_spark.operators import weighted as wt
+    from pandas_rust_algos_spark.operators.packing import pack_sequences
+
+    tune(spark)
+    docs = load_table(spark, sf_dir, "documents")
+    base = docs.select(
+        "doc_id", (F.col("doc_id") % 4).alias("shard"),
+        tx.token_count("text").alias("n_tokens"))
+    weights = dd.dedup_soft_weights(docs).select("doc_id", "weight")
+    j = base.join(weights, "doc_id")
+    est = wt.group_weighted_quantile_approx(
+        j.select(F.lit("all").alias("gk"),
+                 F.col("n_tokens").alias("x"), "weight"),
+        "gk", "x", "weight", (0.99,),
+        lo=0.0, hi=128.0, bins=128).collect()[0]["est"]
+    budget = int(math.floor(est))
+    packed = pack_sequences(j.select("doc_id", "shard", "n_tokens"),
+                            "n_tokens", budget=budget,
+                            order_col="doc_id", shard_col="shard")
+    return packed.select(
+        "doc_id", "n_tokens", "pack_id", "pack_pos",
+        F.lit(budget).cast("long").alias("budget"))
