@@ -314,8 +314,8 @@ def sql_hist_sketch_weighted(
     return f"""
     SELECT {group_expr} AS grp,
            GREATEST(0, LEAST({bins - 1}, {raw})) AS bin,
-           SUM(CAST(FLOOR(CAST({weight_expr} AS DOUBLE) * 1e6)
-               AS BIGINT)) AS wcnt
+           CAST(SUM(CAST(FLOOR(CAST({weight_expr} AS DOUBLE) * 1e6)
+               AS BIGINT)) AS BIGINT) AS wcnt
     FROM {table}
     WHERE {col_expr} IS NOT NULL
       AND NOT ISNAN(CAST({col_expr} AS DOUBLE))

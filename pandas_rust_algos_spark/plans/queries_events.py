@@ -630,6 +630,49 @@ def hist_incremental_merge_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _whist_merge_oracle() -> str:
+    from pandas_rust_algos_spark.operators.histsketch import (
+        sql_hist_sketch_weighted,
+    )
+
+    sk = sql_hist_sketch_weighted(
+        "l_returnflag", "l_extendedprice", "l_quantity", "lineitem",
+        **_HIST_ARGS)
+    return f"SELECT grp AS l_returnflag, bin, wcnt FROM ({sk})"
+
+
+@register("hist_weighted_incremental_merge", oracle=_whist_merge_oracle())
+def hist_weighted_incremental_merge_q(spark: SparkSession,
+                                      sf_dir: str) -> DataFrame:
+    """WEIGHTED histogram-sketch merge, STATE-exact: the same
+    base/delta shipdate split as ``hist_incremental_merge``, each
+    slice's micro-unit weight sums sketched independently and folded
+    cell-wise (``hist_merge(cnt_col='wcnt')``, BIGINT sums so the
+    fold is exact) — vs the oracle's one-scan full-table weighted
+    sketch. Proves the approximate weighted quantile's maintenance
+    story on real data: an append-only pipeline folds per-slice
+    weighted sketches without rescans and the walked quantiles cannot
+    tell the difference (``operators/histsketch.py:
+    hist_sketch_weighted``)."""
+    tune(spark)
+    from pandas_rust_algos_spark.operators.histsketch import (
+        hist_merge, hist_sketch_weighted,
+    )
+
+    li = load_table(spark, sf_dir, "lineitem")
+    cut = F.lit("1995-06-01").cast("date")
+    base = li.where(F.col("l_shipdate") < cut)
+    delta = li.where(~(F.col("l_shipdate") < cut)
+                     | F.col("l_shipdate").isNull())
+    return hist_merge(
+        hist_sketch_weighted(base, "l_returnflag", "l_extendedprice",
+                             "l_quantity", **_HIST_ARGS),
+        hist_sketch_weighted(delta, "l_returnflag", "l_extendedprice",
+                             "l_quantity", **_HIST_ARGS),
+        cnt_col="wcnt",
+    )
+
+
 def _kmv_oracle(k: int = 64) -> str:
     from pandas_rust_algos_spark.operators.kmv import (
         sql_kmv_estimate,
