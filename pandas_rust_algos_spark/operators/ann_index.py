@@ -31,6 +31,7 @@ import os
 from pyspark.sql import DataFrame, SparkSession, functions as F
 from pyspark.sql.window import Window
 
+from pandas_rust_algos_spark.session import local_df
 from pandas_rust_algos_spark.operators.similarity import (
     _as_double,
     _lit_matrix,
@@ -79,10 +80,14 @@ def build_ivf_index(
     def unit(vcol):
         return F.transform(vcol, lambda x: x / norm(vcol))
 
+    # coalesce(8): the bounded sample inherits the corpus scan's
+    # partitioning, so every Lloyd / k-means|| init pass pays a
+    # 32-task stage for KiB of data (the similarity.py training fix)
     train = (
         cand.sample(fraction=min(1.0, train_fraction), seed=seed)
         .limit(max_train_rows)
         .select(array_to_vector(unit(F.col("v"))).alias("features"))
+        .coalesce(8)
         .persist()
     )
     try:
@@ -90,7 +95,7 @@ def build_ivf_index(
             train.unpersist()
             train = cand.limit(max_train_rows).select(
                 array_to_vector(unit(F.col("v"))).alias("features")
-            ).persist()
+            ).coalesce(8).persist()
         km = KMeans(k=n_cells, seed=seed, maxIter=20).fit(train)
     finally:
         train.unpersist()
@@ -98,8 +103,8 @@ def build_ivf_index(
 
     spark = df.sparkSession
     os.makedirs(path, exist_ok=True)
-    spark.createDataFrame(
-        [(i, c) for i, c in enumerate(centers)],
+    local_df(
+        spark, [(i, c) for i, c in enumerate(centers)],
         "cell int, centroid array<double>",
     ).coalesce(1).write.mode("overwrite") \
         .parquet(os.path.join(path, "centroids.parquet"))
@@ -385,12 +390,13 @@ def build_ivfpq_index_fixed(
 
     spark = df.sparkSession
     os.makedirs(path, exist_ok=True)
-    spark.createDataFrame(
-        [(i, c) for i, c in enumerate(coarse)],
+    local_df(
+        spark, [(i, c) for i, c in enumerate(coarse)],
         "cell int, c array<long>",
     ).coalesce(1).write.mode("overwrite") \
         .parquet(os.path.join(path, "centroids.parquet"))
-    spark.createDataFrame(
+    local_df(
+        spark,
         [(j, i, c) for j, b in enumerate(books) for i, c in enumerate(b)],
         "j int, code int, c array<long>",
     ).coalesce(1).write.mode("overwrite") \

@@ -583,8 +583,10 @@ def append_bloom_store(
     merged: dict[int, int] = {}
     for r in list(old) + list(new):
         merged[r["word"]] = merged.get(r["word"], 0) | r["bits"]
-    spark.createDataFrame(
-        sorted(merged.items()), "word bigint, bits bigint"
+    from pandas_rust_algos_spark.session import local_df
+
+    local_df(
+        spark, sorted(merged.items()), "word bigint, bits bigint"
     ).coalesce(1).write.mode("overwrite").parquet(wp)
     return meta
 

@@ -65,6 +65,27 @@ def tune(spark: SparkSession) -> SparkSession:
     return spark
 
 
+def local_df(spark: SparkSession, rows, schema: str):
+    """Driver-built tiny DataFrame (centroids, codebooks, sketch words
+    — metadata-sized by construction) via the pandas/Arrow path.
+
+    The plain-list ``createDataFrame`` parallelizes over default
+    parallelism, and a later ``coalesce(1)`` of that parallelized
+    collection stalls ~6 s per action in local mode (measured: the
+    cost scales as 1/n_out — 6 s at coalesce(1), 1 s at coalesce(8) —
+    independent of ``spark.locality.wait``; parquet-backed and
+    pandas-backed frames don't exhibit it). The pandas path yields a
+    LocalTableScan whose coalesce(1) write is ~0.3 s, so every tiny
+    persisted artifact (one file on disk is the right layout for a
+    KiB table) should be built through here."""
+    import pandas as pd
+    from pyspark.sql.types import StructType
+
+    names = StructType.fromDDL(schema).fieldNames()
+    pdf = pd.DataFrame(list(rows), columns=names)
+    return spark.createDataFrame(pdf, schema)
+
+
 def get_spark(app_name: str = "pandas_rust_algos_spark") -> SparkSession:
     """Build (or reuse) a local SparkSession sized from SPARK_GRAFT_CPUS."""
     cpus = _cpus()
@@ -74,6 +95,14 @@ def get_spark(app_name: str = "pandas_rust_algos_spark") -> SparkSession:
         .config("spark.sql.shuffle.partitions", str(cpus))
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "8g"))
         .config("spark.ui.enabled", "false")
+        # Single-JVM harness: every task is process-local by
+        # construction, so the scheduler's delay-scheduling wait
+        # (default 3s/level) is pure stall — measured 6s on EVERY
+        # coalesce(1) of a driver-built table (2 locality levels),
+        # e.g. each tiny centroid/books write. Build-time-only conf.
+        # On a real multi-node cluster keep the default (or tune):
+        # there the wait buys HDFS block locality on big scans.
+        .config("spark.locality.wait", "0s")
     )
     for k, v in _RUNTIME_CONF.items():
         builder = builder.config(k, v)
