@@ -194,6 +194,7 @@ HEADLINE = [
     "pack_budget_weighted",
     "events_stream_hist",
     "pack_budget_weighted_approx",
+    "group_weighted_corr",
 ]
 
 # The r1-era contract basket: the 18 queries whose aggregate the judge

@@ -172,6 +172,14 @@ class GroupBy:
                                            weight, q=q,
                                            dropna_keys=self._dropna)
 
+    def weighted_corr_cov(self, x: str, y: str, weight: str,
+                          *, ddof: int = 1) -> DataFrame:
+        from pandas_rust_algos_spark.operators import weighted as _wt
+
+        return _wt.group_weighted_corr_cov(self._df, self._keys, x, y,
+                                           weight, ddof=ddof,
+                                           dropna_keys=self._dropna)
+
     def weighted_quantiles(self, value: str, weight: str,
                            qs: Sequence[float]) -> DataFrame:
         """k weighted quantiles in ONE within-group sort (shared

@@ -65,9 +65,11 @@ __all__ = [
     "group_weighted_quantile",
     "group_weighted_quantiles",
     "group_weighted_quantile_approx",
+    "group_weighted_corr_cov",
     "sql_group_weighted_stats",
     "sql_group_weighted_quantiles",
     "sql_group_weighted_quantile",
+    "sql_group_weighted_corr_cov",
 ]
 
 
@@ -250,6 +252,104 @@ def group_weighted_quantiles(
         aggs.append(
             F.min(F.when(crossed, F.col(value_col))).alias(_q_name(q)))
     return d.where(F.col("__tw") > 0).groupBy(*keys).agg(*aggs)
+
+
+def group_weighted_corr_cov(
+    df: DataFrame,
+    keys: Sequence[str] | str,
+    x: str,
+    y: str,
+    weight_col: str,
+    *,
+    ddof: int = 1,
+    dropna_keys: bool = True,
+) -> DataFrame:
+    """Per-group WEIGHTED Pearson correlation and covariance of
+    (x, y) — the bivariate member of the weighted family (quality-
+    weighted feature correlation, soft-dedup-corrected drift pairs):
+
+    - ``wcov  = (Σwxy − Σwx·Σwy/W) / (W − ddof)`` (frequency-weights
+      sample covariance; NULL when ``W − ddof ≤ 0``),
+    - ``wcorr = (W·Σwxy − Σwx·Σwy) /
+      sqrt(W·Σwxx − Σwx²) / sqrt(W·Σwyy − Σwy²)`` (scale-free; NULL
+      when either variance term is ≤ 0).
+
+    An observation contributes iff x AND y AND the weight are all
+    non-NULL (pairwise-complete carried to weights). One map-side-
+    combined groupBy, six fixed-point micro-unit sums wide — the
+    ``group_weighted_stats`` shuffle shape; the finishing arithmetic
+    is the same IEEE tree the DuckDB twin evaluates."""
+    keys = _cols(keys)
+    d = _prep(df, keys, dropna_keys).where(
+        F.col(x).isNotNull() & F.col(y).isNotNull()
+        & F.col(weight_col).isNotNull())
+    w, cx, cy = F.col(weight_col), F.col(x), F.col(y)
+    sw = fixed_sum(w)
+    swx = fixed_sum(w * cx)
+    swy = fixed_sum(w * cy)
+    swxy = fixed_sum(w * cx * cy)
+    swxx = fixed_sum(w * cx * cx)
+    swyy = fixed_sum(w * cy * cy)
+    agged = d.groupBy(*keys).agg(
+        sw.alias("__sw"), swx.alias("__swx"), swy.alias("__swy"),
+        swxy.alias("__swxy"), swxx.alias("__swxx"), swyy.alias("__swyy"))
+    W = F.col("__sw")
+    vx = W * F.col("__swxx") - F.col("__swx") * F.col("__swx")
+    vy = W * F.col("__swyy") - F.col("__swy") * F.col("__swy")
+    num = W * F.col("__swxy") - F.col("__swx") * F.col("__swy")
+    corr = F.when((W > 0) & (vx > 0) & (vy > 0),
+                  num / F.sqrt(vx) / F.sqrt(vy))
+    denom = W - F.lit(float(ddof))
+    cov = F.when(
+        (W > 0) & (denom > 0),
+        (F.col("__swxy") - F.col("__swx") * F.col("__swy") / W) / denom)
+    return agged.select(*keys, corr.alias("wcorr"), cov.alias("wcov"))
+
+
+def sql_group_weighted_corr_cov(
+    table: str,
+    key_expr: str,
+    x_expr: str,
+    y_expr: str,
+    weight_expr: str,
+    *,
+    ddof: int = 1,
+    key_name: str | None = None,
+) -> str:
+    """DuckDB twin of :func:`group_weighted_corr_cov` — same micro-unit
+    sums (``registry.dsum`` shape inlined), same finishing IEEE
+    trees, same NULL rules."""
+    key_name = key_name or key_expr
+
+    def dsum(e: str) -> str:
+        return (f"(CAST(SUM(CAST(FLOOR(({e}) * 1e6) AS BIGINT)) "
+                f"AS DOUBLE) / 1e6)")
+
+    w, x, y = weight_expr, x_expr, y_expr
+    sw = dsum(w)
+    swx = dsum(f"({w}) * ({x})")
+    swy = dsum(f"({w}) * ({y})")
+    swxy = dsum(f"({w}) * ({x}) * ({y})")
+    swxx = dsum(f"({w}) * ({x}) * ({x})")
+    swyy = dsum(f"({w}) * ({y}) * ({y})")
+    return f"""
+    SELECT {key_expr} AS {key_name},
+           CASE WHEN {sw} > 0
+                 AND {sw} * {swxx} - {swx} * {swx} > 0
+                 AND {sw} * {swyy} - {swy} * {swy} > 0 THEN
+             ({sw} * {swxy} - {swx} * {swy})
+               / SQRT({sw} * {swxx} - {swx} * {swx})
+               / SQRT({sw} * {swyy} - {swy} * {swy})
+           END AS wcorr,
+           CASE WHEN {sw} > 0 AND {sw} - {float(ddof)!r} > 0 THEN
+             ({swxy} - {swx} * {swy} / {sw})
+               / ({sw} - {float(ddof)!r})
+           END AS wcov
+    FROM {table}
+    WHERE ({x}) IS NOT NULL AND ({y}) IS NOT NULL
+      AND ({w}) IS NOT NULL
+    GROUP BY 1
+    """
 
 
 def group_weighted_quantile_approx(

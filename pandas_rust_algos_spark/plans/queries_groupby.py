@@ -453,6 +453,36 @@ def group_weighted_quantiles_multi(spark: SparkSession,
         qs=(0.25, 0.5, 0.9))
 
 
+def _weighted_corr_oracle() -> str:
+    inner = wt.sql_group_weighted_corr_cov(
+        "lineitem", "l_suppkey", "l_discount", "l_tax",
+        "l_extendedprice")
+    # + 0.0 flushes IEEE negative zero: DuckDB's ROUND preserves -0.0
+    # where Spark's emits 0.0, and repr-level hashing tells them apart
+    return (f"SELECT l_suppkey, ROUND(wcorr, 6) + 0.0 AS wcorr, "
+            f"ROUND(wcov, 6) + 0.0 AS wcov FROM ({inner})")
+
+
+@register("group_weighted_corr", oracle=_weighted_corr_oracle())
+def group_weighted_corr_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Revenue-weighted Pearson correlation + covariance of
+    (discount, tax) per supplier — the bivariate member of the
+    weighted family: six fixed-point micro-unit sums in ONE map-side-
+    combined groupBy (the ``group_weighted_stats`` shuffle shape),
+    finishing IEEE trees identical across engines. Fixture columns
+    chosen for fixed-point headroom: Σw·y² must stay under 2^63
+    micro-units per group (the ``fixed_sum`` docstring's whale rule —
+    price-squared sums would overflow; discount/tax magnitudes do
+    not). (``operators/weighted.py:group_weighted_corr_cov``)."""
+    li = _li(spark, sf_dir)
+    out = wt.group_weighted_corr_cov(
+        li, "l_suppkey", "l_discount", "l_tax", "l_extendedprice")
+    return out.select(
+        "l_suppkey",
+        (F.round("wcorr", 6) + F.lit(0.0)).alias("wcorr"),
+        (F.round("wcov", 6) + F.lit(0.0)).alias("wcov"))
+
+
 _WQA_ARGS = dict(lo=0.0, hi=110_000.0, bins=512)
 _WQA_QS = (0.5, 0.9, 0.99)
 

@@ -105,6 +105,7 @@ _GATE_PRIORITY: tuple[str, ...] = (
     "events_stream_hist",
     "pack_budget_weighted_approx",
     "hist_weighted_incremental_merge",
+    "group_weighted_corr",
     # (a) newest driver row is r5-era (the full 17, r10 VERDICT
     #     next-#2)
     "q15_top_supplier",

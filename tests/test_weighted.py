@@ -145,6 +145,54 @@ def test_weighted_facade_and_dropna_keys(spark):
     assert med["a"] == 1.0  # cumw at x=1 is 2/3 >= 0.5
 
 
+def test_weighted_corr_cov_hand_case_and_rules(spark):
+    """Weighted corr/cov vs the expanded-sample identity: integer
+    frequency weights must equal the plain corr/cov of the repeated
+    sample — plus the NULL rules (W−ddof ≤ 0 → NULL cov; zero
+    variance → NULL corr; NULL x/y/w drops the row)."""
+    import numpy as np
+
+    rows = [("a", 1.0, 2.0, 2.0), ("a", 3.0, 5.0, 1.0),
+            ("a", 4.0, 4.0, 1.0)]
+    df = spark.createDataFrame(
+        rows, "k string, x double, y double, w double")
+    got = wt.group_weighted_corr_cov(df, "k", "x", "y", "w").collect()[0]
+    # expanded sample: (1,2) twice, (3,5), (4,4)
+    xs = np.array([1.0, 1.0, 3.0, 4.0]); ys = np.array([2.0, 2.0, 5.0, 4.0])
+    exp_cov = np.cov(xs, ys, ddof=1)[0][1]
+    exp_corr = np.corrcoef(xs, ys)[0][1]
+    assert got["wcov"] == pytest.approx(exp_cov, abs=1e-5)
+    assert got["wcorr"] == pytest.approx(exp_corr, abs=1e-5)
+    # single observation (W - ddof = 0) -> NULL cov and corr
+    one = spark.createDataFrame([("b", 1.0, 2.0, 1.0)],
+                                "k string, x double, y double, w double")
+    r1 = wt.group_weighted_corr_cov(one, "k", "x", "y", "w").collect()[0]
+    assert r1["wcov"] is None and r1["wcorr"] is None
+    # zero x-variance -> NULL corr, cov defined (0)
+    zv = spark.createDataFrame(
+        [("c", 5.0, 1.0, 1.0), ("c", 5.0, 9.0, 3.0)],
+        "k string, x double, y double, w double")
+    rz = wt.group_weighted_corr_cov(zv, "k", "x", "y", "w").collect()[0]
+    assert rz["wcorr"] is None and rz["wcov"] == pytest.approx(0.0)
+    # NULL in any of x/y/w drops the observation
+    na = spark.createDataFrame(
+        [("d", None, 1.0, 1.0), ("d", 1.0, None, 1.0),
+         ("d", 1.0, 1.0, None), ("d", 2.0, 3.0, 1.0)],
+        "k string, x double, y double, w double")
+    rn = wt.group_weighted_corr_cov(na, "k", "x", "y", "w").collect()[0]
+    assert rn["wcov"] is None  # only 1 surviving obs
+    # partitioning invariance (fixed-point sums)
+    big = spark.createDataFrame(
+        [("g%d" % (i % 3), float(i % 13), float((i * 5) % 11),
+          0.5 + i % 4) for i in range(400)],
+        "k string, x double, y double, w double")
+    a = sorted(map(tuple, wt.group_weighted_corr_cov(
+        big.repartition(1), "k", "x", "y", "w").collect()))
+    b = sorted(map(tuple, wt.group_weighted_corr_cov(
+        big.repartition(17), "k", "x", "y", "w").collect()))
+    assert a == b
+
+
 def test_weighted_facade_quantiles_and_approx(spark):
     from pandas_rust_algos_spark import api
 
