@@ -1691,3 +1691,22 @@ def test_group_robust_zscore_semantics(spark):
     assert out[("a", 100.0)] > 60
     assert out[("a", None)] is None
     assert out[("b", 7.0)] is None  # MAD = 0
+
+
+def test_local_df_matches_list_path_and_is_fast_shape(spark):
+    """session.local_df: same rows/schema as the plain-list
+    createDataFrame (it only changes the construction path), including
+    array columns, and its plan is a LocalTableScan — the property
+    that makes coalesce(1) writes of KiB artifacts cheap (the
+    round-11 tiny-write stall fix)."""
+    from pandas_rust_algos_spark.session import local_df
+
+    rows = [(0, [1.0, 2.0]), (1, [3.5, -4.0])]
+    schema = "cell int, centroid array<double>"
+    a = local_df(spark, rows, schema)
+    b = spark.createDataFrame(rows, schema)
+    assert a.schema == b.schema
+    assert sorted(map(tuple, ((r[0], tuple(r[1])) for r in a.collect()))) \
+        == sorted(map(tuple, ((r[0], tuple(r[1])) for r in b.collect())))
+    plan = a._jdf.queryExecution().executedPlan().toString()
+    assert "LocalTableScan" in plan or "Scan ExistingRDD" not in plan
