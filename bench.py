@@ -22,16 +22,20 @@ computation on executors, nothing collected to the driver), after a
 warmup run of the flagship to exclude JVM/codegen warmup from steady-
 state numbers.
 
-Host-epoch hardening (r10 post-mortem): the official r10 capture
-landed in a contended host window and posted the r1-era 18-query
-contract basket at 2.22x of r1 while three same-code runs measured
-1.11x — uniform inflation on byte-identical plans. The basket is the
-contract the judge grades, so its capture must bound a transient
-epoch: basket queries run THEIR best-of-5 split across the suite —
-3 runs in suite order at the start (they lead HEADLINE) plus 2 more
-after the last query — and take the per-query MIN across both passes.
-A slow epoch at either end of the ~4-minute suite window can then
-inflate at most one pass; cost is ~+15s steady-state.
+Host-epoch hardening (r10 post-mortem, protocol fixed per r11
+ADVICE): the official r10 capture landed in a contended host window
+and posted the r1-era 18-query contract basket at 2.22x of r1 while
+three same-code runs measured 1.11x — uniform inflation on
+byte-identical plans. Basket queries therefore run a SECOND pass of
+2 runs after the last suite query. The r11 protocol took the
+per-query MIN across both passes (best-of-5) — but the r1 baseline
+the ratio is judged against was best-of-3, and min over more samples
+is biased downward as an order statistic regardless of host noise,
+so the OFFICIAL per-query number is now the FIRST-pass best-of-3
+(same protocol as r1 and as every non-basket query); the second pass
+is recorded in BENCH_RUNS.json as ``basket_pass2`` (raw runs) +
+``basket_min_bo5`` (the cross-check min) so a contended first pass
+is still detectable and attributable, without flattering the ratio.
 """
 
 from __future__ import annotations
@@ -144,7 +148,9 @@ HEADLINE = [
     "ann_ivf_topk_portable",
     "ann_pq_topk_portable",
     "semantic_dedup",
-    "group_approx_stats_bounds",
+    # r12: renamed from group_approx_stats_bounds (the oracled bounds
+    # report now carries the driver-facing family name; r11 VERDICT #6)
+    "group_approx_stats",
     "wordpiece_learn",
     "heavy_hitters_approx_bounds",
     "dsir_weights",
@@ -199,8 +205,9 @@ HEADLINE = [
 
 # The r1-era contract basket: the 18 queries whose aggregate the judge
 # holds to <=2x of the BENCH_r01 record. They lead HEADLINE, so the
-# main loop measures them at suite start; main() re-measures them after
-# the last query and takes per-query min (see module docstring).
+# main loop measures them at suite start (the OFFICIAL best-of-3);
+# main() re-measures them after the last query as a recorded
+# contention cross-check only (see module docstring).
 CONTRACT_BASKET = HEADLINE[:18]
 assert CONTRACT_BASKET[0] == "q1_pricing_summary"
 assert CONTRACT_BASKET[-1] == "fuzzy_join"
@@ -208,7 +215,7 @@ assert CONTRACT_BASKET[-1] == "fuzzy_join"
 
 def abbrev_names(names: list[str] | None = None) -> dict[str, str]:
     """name → unique short key: the initial of every ``_``-token with
-    digits kept (``group_approx_stats_bounds → gasb``,
+    digits kept (``group_approx_stats → gas``,
     ``q1_pricing_summary → q1ps``); collisions get ``2``, ``3``, … in
     list order. Deterministic for a fixed HEADLINE, so the official
     record's keys are stable across runs of the same round."""
@@ -292,18 +299,22 @@ def main() -> None:
         times[name] = min(rs)
 
     # contract-basket second pass (full-suite runs only): +2 runs per
-    # basket query at the END of the suite window, per-query min across
-    # both passes -> best-of-5 that a transient host epoch at either
-    # end of the window cannot inflate alone (module docstring)
+    # basket query at the END of the suite window, recorded as a
+    # contention CROSS-CHECK only — the official times[] stays the
+    # first-pass best-of-3 so the judged ratio uses the same order
+    # statistic as the r1 baseline record (module docstring; r11
+    # ADVICE: best-of-5 min is biased downward vs a best-of-3
+    # baseline regardless of host noise)
+    basket_pass2: dict[str, list[float]] = {}
     if not only:
         for name in CONTRACT_BASKET:
             fn = registry.get(name).fn
+            p2 = []
             for _ in range(2):
                 t0 = time.perf_counter()
                 _force(fn(spark, sf_dir))
-                runs[name].append(
-                    round(time.perf_counter() - t0, 3))
-            times[name] = min(runs[name])
+                p2.append(round(time.perf_counter() - t0, 3))
+            basket_pass2[name] = p2
 
     total = round(sum(times.values()), 3)
     # Raw per-run samples and the abbrev legend go to a side file, NOT
@@ -327,6 +338,10 @@ def main() -> None:
                     os.path.dirname(os.path.abspath(__file__)),
                     name), "w") as f:
                 json.dump({"sf": sf, "runs": runs,
+                           "basket_pass2": basket_pass2,
+                           "basket_min_bo5": {
+                               n: min(runs[n] + basket_pass2[n])
+                               for n in basket_pass2},
                            "abbrev": abbrev_names()}, f)
         except OSError:
             pass

@@ -228,7 +228,6 @@ def stream_append_ivf_index(
     ingest_path = os.path.join(path, "cells_stream")
 
     def sink(batch_df: DataFrame, batch_id: int) -> None:
-        spark = batch_df.sparkSession
         cmatrix = _lit_matrix(centers)
         assigned = batch_df.select(
             F.col(meta["id_col"]).alias("id"),
@@ -237,20 +236,18 @@ def stream_append_ivf_index(
             "id", "v",
             _nearest_cells(cmatrix, F.col("v"), 1)[0].alias("cell"),
         )
-        prev = spark.conf.get(
-            "spark.sql.sources.partitionOverwriteMode", "static")
-        spark.conf.set(
-            "spark.sql.sources.partitionOverwriteMode", "dynamic")
-        try:
-            (
-                assigned.withColumn("batch_id", F.lit(batch_id))
-                .write.mode("overwrite")
-                .partitionBy("batch_id", "cell")
-                .parquet(ingest_path)
-            )
-        finally:
-            spark.conf.set(
-                "spark.sql.sources.partitionOverwriteMode", prev)
+        # per-writer option, NOT a session-global conf toggle: this
+        # module coexists with ThreadPoolExecutor-concurrent Spark jobs
+        # (similarity.py), and a set/restore on the shared session could
+        # flip a concurrent static-mode overwrite to dynamic mid-write
+        # (ADVICE r11)
+        (
+            assigned.withColumn("batch_id", F.lit(batch_id))
+            .write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("batch_id", "cell")
+            .parquet(ingest_path)
+        )
 
     writer = (
         stream_vecs.writeStream.foreachBatch(sink)

@@ -747,7 +747,7 @@ def group_approx_bounds_report(
     Output ``(key, n_rows, exact_nd, nd_ok, p<q>_ok...)`` contains NO
     approximate values — so a DuckDB oracle can replay the exact
     counts and assert the booleans as constants, turning the
-    permanently-rows-only ``group_approx_stats`` check into an
+    permanently-rows-only ``group_approx_stats_raw`` check into an
     informative gate: if an engine's sketch ever violates its bound,
     the value hash flips.
 

@@ -92,6 +92,21 @@ def _q_name(q: float) -> str:
     return "wq_" + s.replace(".", "_")
 
 
+def _check_q_names(qs: Sequence[float]) -> None:
+    """Two requested quantiles closer than the 1e-6 name resolution
+    would silently alias to the SAME ``wq_*`` output column (0.1234561
+    vs 0.1234565 → one name), making downstream selects ambiguous —
+    refuse loudly instead (ADVICE r11)."""
+    seen: dict[str, float] = {}
+    for q in qs:
+        n = _q_name(q)
+        if n in seen:
+            raise ValueError(
+                f"qs {seen[n]!r} and {q!r} are indistinguishable at the "
+                f"1e-6 output-name resolution (both map to column {n!r})")
+        seen[n] = q
+
+
 def _observed(df: DataFrame, value_col: str, weight_col: str) -> DataFrame:
     """NA-skip: drop rows where the value OR the weight is NULL (an
     unweighted-NA observation has no defined contribution)."""
@@ -234,6 +249,7 @@ def group_weighted_quantiles(
     for q in qs:
         if not 0.0 < q <= 1.0:
             raise ValueError(f"every q must be in (0, 1], got {q}")
+    _check_q_names(qs)
     keys = _cols(keys)
     d = _observed(_prep(df, keys, dropna_keys), value_col, weight_col)
     wq = F.floor(F.col(weight_col) * F.lit(1e6)).cast("long")
@@ -397,6 +413,7 @@ def sql_group_weighted_quantiles(
 ) -> str:
     """DuckDB twin of :func:`group_weighted_quantiles` — same shared
     cumulative window, one conditional MIN per q."""
+    _check_q_names(qs)
     key_name = key_name or key_expr
     sels = []
     for q in qs:

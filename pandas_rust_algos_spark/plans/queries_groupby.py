@@ -379,13 +379,17 @@ register("group_quantile_midpoint", oracle=_quantile_mode_oracle("(vlo + vhi) / 
 # ----------------------------------------------------- approx scale path
 
 
-@register("group_approx_stats")
-def group_approx_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+@register("group_approx_stats_raw")
+def group_approx_stats_raw(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Approximate aggregations — the petabyte path: HLL++ distinct
     counts (fixed sketch memory, no distinct-value shuffle) and
     approx_percentile (mergeable rank sketch, no per-group sort).
-    Engine-specific sketches → rows-only check; accuracy vs the exact
-    operators is asserted in tests/test_operators.py."""
+    Engine-specific sketch VALUES → rows-only check BY DESIGN (the
+    ``_raw`` suffix says so); the driver-facing oracled contract for
+    this family is ``group_approx_stats`` (the bounds report below),
+    whose DuckDB twin pins exact counts + published-error booleans.
+    Accuracy vs the exact operators is additionally asserted in
+    tests/test_operators.py."""
     li = _li(spark, sf_dir)
     nun = ga.group_nunique_approx(li, "l_returnflag", ["l_partkey"])
     qa = ga.group_quantile_approx(li, "l_returnflag", "l_extendedprice",
@@ -523,7 +527,7 @@ def group_weighted_quantile_approx_q(spark: SparkSession,
 
 
 @register(
-    "group_approx_stats_bounds",
+    "group_approx_stats",
     oracle="""
     SELECT l_returnflag,
            COUNT(*) AS n_rows,
@@ -533,9 +537,12 @@ def group_weighted_quantile_approx_q(spark: SparkSession,
     GROUP BY l_returnflag
     """,
 )
-def group_approx_stats_bounds(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """The checkable companion to ``group_approx_stats`` (whose HLL++/
-    approx_percentile values are engine-specific, hence rows-only):
+def group_approx_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The ORACLED contract for the approx-stats family (r11 VERDICT
+    next-#6: this name — the one the driver samples — now carries the
+    checkable bounds report, so no CORRECTNESS row ever reads
+    ``err: no_oracle``; the engine-specific raw sketch values live in
+    ``group_approx_stats_raw``, rows-only by design):
     ``group_approx_bounds_report`` computes approx AND exact in one
     plan and emits only exact counts plus per-group booleans asserting
     the sketches' published error bounds (4σ HLL envelope, rank-error

@@ -1013,7 +1013,7 @@ def ann_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def ann_float_recall_bounds(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The ORACLED companion to the rows-only float ANN trio (r9
-    VERDICT next-#6, the ``group_approx_stats_bounds`` recipe): the
+    VERDICT next-#6, the ``group_approx_stats`` bounds-report recipe): the
     MLlib-k-means tiers can't be value-replayed by DuckDB, so this
     gate computes each tier AND its exact brute-force baseline in one
     plan (``similarity.ann_recall_report``) and emits per-tier

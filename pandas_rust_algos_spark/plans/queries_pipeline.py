@@ -1899,9 +1899,13 @@ def pack_budget_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     tune(spark)
     docs = load_table(spark, sf_dir, "documents")
+    # coalesce NULL token counts to 0 BEFORE the quantile walk and the
+    # pack fold — the oracle's d CTE does COALESCE(cnt, 0), while
+    # group_weighted_quantiles drops NULL-value rows, so an un-coalesced
+    # NULL-text document would diverge the two sides (ADVICE r11)
     base = docs.select(
         "doc_id", (F.col("doc_id") % 4).alias("shard"),
-        tx.token_count("text").alias("n_tokens"))
+        F.coalesce(tx.token_count("text"), F.lit(0)).alias("n_tokens"))
     weights = dd.dedup_soft_weights(docs).select("doc_id", "weight")
     j = base.join(weights, "doc_id")
     qrow = wt.group_weighted_quantiles(
@@ -1934,7 +1938,7 @@ def _pack_budget_weighted_approx_oracle() -> str:
     )
 
     cnt = tx.sql_token_count("text")
-    table = (f"(SELECT 'all' AS gk, {cnt} AS x, "
+    table = (f"(SELECT 'all' AS gk, COALESCE({cnt}, 0) AS x, "
              f"CAST(1.0 AS DOUBLE)"
              f"/COUNT(*) OVER (PARTITION BY {_PACK_NORM_MD5}) AS w "
              f"FROM documents) dsub")
@@ -1995,9 +1999,11 @@ def pack_budget_weighted_approx(spark: SparkSession,
 
     tune(spark)
     docs = load_table(spark, sf_dir, "documents")
+    # COALESCE(token_count, 0) mirrors the oracle's dsub/rows_in CTEs
+    # (ADVICE r11: NULL-text docs must not diverge the two sides)
     base = docs.select(
         "doc_id", (F.col("doc_id") % 4).alias("shard"),
-        tx.token_count("text").alias("n_tokens"))
+        F.coalesce(tx.token_count("text"), F.lit(0)).alias("n_tokens"))
     weights = dd.dedup_soft_weights(docs).select("doc_id", "weight")
     j = base.join(weights, "doc_id")
     est = wt.group_weighted_quantile_approx(

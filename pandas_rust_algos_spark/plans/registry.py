@@ -89,71 +89,25 @@ def register(name: str, oracle: str | None = None, description: str = ""):
 
 # The driver's correctness gate samples the FIRST ~50 registry entries per
 # round. Every gate has at least one driver CORRECTNESS row (zero reds ever);
-# staleness is the only dimension. Round 11 ordering (the r10 VERDICT next-#2
-# rotation): (0) gates that have never had a driver row — this round's new
-# gates (freshness beats staleness — a first row beats a refreshed one); then
-# (a) the 17 gates whose newest driver row is r5-era, then (b) the 45
-# r6-era gates (oldest era first; alphabetical within an era — the
-# CORRECTNESS files carry no finer ordering). The driver window truncates
-# at ~50, so the tail of (b) rides along only if the window stretches;
-# everything is sim-verified regardless.
+# staleness is the only dimension. Round 12 ordering (the r11 VERDICT next-#2
+# rotation): (0) gates that have never had a driver row under their current
+# name — this round's new gates plus the renamed oracled
+# ``group_approx_stats`` (freshness beats staleness — a first row beats a
+# refreshed one); then (a) the 19 gates whose newest driver row is r6-era,
+# then (b) the 43 r7-era gates (oldest era first; alphabetical within an
+# era — the CORRECTNESS files carry no finer ordering). The driver window
+# truncates at ~50, so the tail of (b) rides along only if the window
+# stretches; everything is sim-verified regardless. ``group_approx_stats_raw``
+# (rows-only BY DESIGN) is deliberately kept out of the window so no driver
+# row ever reads ``err: no_oracle`` (r11 VERDICT next-#6).
 _GATE_PRIORITY: tuple[str, ...] = (
-    # (0) never had a driver row yet — this round's new gates
-    "group_weighted_quantile_approx",
-    "ann_index_stream_append",
-    "pack_budget_weighted",
-    "events_stream_hist",
-    "pack_budget_weighted_approx",
-    "hist_weighted_incremental_merge",
-    "group_weighted_corr",
-    # (a) newest driver row is r5-era (the full 17, r10 VERDICT
-    #     next-#2)
-    "q15_top_supplier",
-    "q17_small_qty_revenue",
-    "q18_large_orders",
-    "q19_bracket_revenue",
-    "q22_idle_customers",
-    "range_join",
-    "regr_aggregates",
-    "restore_read",
-    "rollup_revenue",
-    "schema_evolution_read",
-    "semi_anti_join",
-    "set_ops",
-    "simhash_fingerprints_portable",
-    "skew_join_salted",
-    "table_cdf_read",
-    "webdataset_export",
-    "zorder_codes",
-    # (b) newest driver row is r6-era (all 45; the driver window
-    #     truncates at ~50 so the tail rides along only if it
-    #     stretches — everything is sim-verified regardless)
-    "array_functions",
-    "bucketed_join_revenue",
-    "cms_heavy_hitters",
-    "cms_incremental_merge",
-    "decontam_spans",
-    "dedup_exact",
-    "doc_fingerprint",
-    "dup_clusters",
-    "events_json_props",
-    "events_rollup_hour_day",
-    "events_sliding_2h_1h",
-    "events_stream_cms",
-    "events_stream_hll",
-    "events_tumbling_1h",
-    "group_any_all",
-    "group_any_all_kleene",
+    # (0) never had a driver row under this name — r12 new gates + the
+    #     renamed oracled approx-stats contract
+    "group_weighted_corr_approx",
+    "events_stream_kmv",
+    "corr_weighted_incremental_merge",
     "group_approx_stats",
-    "group_corr_cov",
-    "group_cut_qcut",
-    "group_describe",
-    "group_first_last",
-    "group_histogram",
-    "group_idx_mode",
-    "group_mean",
-    "group_median",
-    "group_min_max",
+    # (a) newest driver row is r6-era (the full 19, r11 VERDICT next-#2)
     "group_prod",
     "group_quantile_higher",
     "group_quantile_linear",
@@ -173,6 +127,52 @@ _GATE_PRIORITY: tuple[str, ...] = (
     "kmv_set_ops_customers",
     "triangle_count",
     "update_mor_read",
+    # (b) newest driver row is r7-era (all 43; the driver window
+    #     truncates at ~50 so the tail rides along only if it
+    #     stretches — everything is sim-verified regardless)
+    "asof_join",
+    "dup_spans",
+    "dup_spans_strip",
+    "group_cumcount",
+    "group_cummin_cummax",
+    "group_cumprod",
+    "group_cumsum",
+    "group_cumsum_skipna",
+    "group_diff_pct",
+    "group_ewm_mean",
+    "group_ewm_mean_noskip",
+    "group_ewm_mean_recursive",
+    "group_ewm_var_std",
+    "group_expanding",
+    "group_fillna",
+    "group_head_tail",
+    "group_interpolate",
+    "group_rank",
+    "group_sample",
+    "group_shift",
+    "group_sum_salted",
+    "group_zscore",
+    "hard_negatives",
+    "heavy_hitters_approx",
+    "heavy_hitters_approx_bounds",
+    "lang_id",
+    "mulaw_media_features",
+    "q10_returned_items",
+    "q1_pricing_summary",
+    "q3_top_orders",
+    "q5_region_revenue",
+    "rolling_corr_cov",
+    "rolling_quantile",
+    "rolling_stats",
+    "scalar_functions",
+    "simhash_fingerprints",
+    "stratified_top_n",
+    "text_quality",
+    "tiff_media_features",
+    "token_drift_kl",
+    "token_stats",
+    "wav_media_features",
+    "wordpiece_learn",
 )
 
 

@@ -371,3 +371,20 @@ def test_weighted_quantile_column_names_identifier_safe(spark):
     rows = con.execute(wt.sql_group_weighted_quantiles(
         "src", "k", "x", "w", qs=(1e-05, 0.5))).df()
     assert list(rows.columns) == ["k", "wq_0_00001", "wq_0_5"]
+
+
+def test_weighted_quantiles_reject_sub_resolution_q_collisions(spark):
+    """Two qs closer than the 1e-6 name resolution would silently
+    alias to ONE wq_* output column — both surfaces must refuse
+    loudly instead (ADVICE r11)."""
+    df = _df(spark, [("a", 1.0, 1.0), ("a", 2.0, 1.0)])
+    with pytest.raises(ValueError, match="indistinguishable"):
+        wt.group_weighted_quantiles(
+            df, "k", "x", "w", qs=(0.1234561, 0.1234565))
+    with pytest.raises(ValueError, match="indistinguishable"):
+        wt.sql_group_weighted_quantiles(
+            "src", "k", "x", "w", qs=(0.1234561, 0.1234565))
+    # an exact duplicate q would also emit two same-named columns —
+    # equally ambiguous downstream, equally refused
+    with pytest.raises(ValueError, match="indistinguishable"):
+        wt.group_weighted_quantiles(df, "k", "x", "w", qs=(0.5, 0.5))
