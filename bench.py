@@ -201,6 +201,10 @@ HEADLINE = [
     "events_stream_hist",
     "pack_budget_weighted_approx",
     "group_weighted_corr",
+    # round 12: mergeable 2-D weighted corr sketch, streaming KMV store
+    "group_weighted_corr_approx",
+    "corr_weighted_incremental_merge",
+    "events_stream_kmv",
 ]
 
 # The r1-era contract basket: the 18 queries whose aggregate the judge

@@ -61,6 +61,11 @@ __all__ = [
     "hist_weighted_quantiles",
     "sql_hist_sketch_weighted",
     "sql_hist_weighted_quantiles",
+    "hist2d_sketch_weighted",
+    "hist2d_merge",
+    "hist2d_weighted_corr_cov",
+    "sql_hist2d_sketch_weighted",
+    "sql_hist2d_weighted_corr_cov",
 ]
 
 
@@ -401,4 +406,255 @@ def sql_hist_quantiles(
       FROM sk
     )
     {" UNION ALL ".join(arms)}
+    """
+
+# --------------------------------------------------------------- 2-D tier
+#
+# The BIVARIATE extension (r11 VERDICT next-#3): a (group, binx, biny,
+# wcnt) cell grid over two value axes. Same contracts as the 1-D
+# weighted sketch — micro-unit BIGINT weight sums per cell, cell-wise
+# exact merge, frozen [lo, hi) domains — but the query it answers is
+# the weighted covariance/correlation of (x, y): every moment the
+# exact ``weighted.group_weighted_corr_cov`` needs (W, Σwx, Σwy, Σwxy,
+# Σwxx, Σwyy) is recoverable from the grid by replacing each
+# observation with its CELL CENTER. The center substitution perturbs x
+# by at most half a cell width (same for y), so the moment error — and
+# through the same finishing IEEE trees, the cov/corr error — is
+# bounded by the grid resolution, independent of row count.
+#
+# Determinism is the part that needs care: summing double moments
+# across cells would be order-dependent. So the per-group sufficient
+# statistics stay INTEGER — Σwcnt, Σwcnt·binx, Σwcnt·biny,
+# Σwcnt·binx·biny, Σwcnt·binx², Σwcnt·biny² are exact BIGINT sums in
+# any order — and the value-domain moments come out of ONE fixed
+# affine expression tree per group (x = cx0 + widthx·binx), evaluated
+# identically by Spark and DuckDB.
+
+
+def _check2d(lox: float, hix: float, loy: float, hiy: float,
+             binsx: int, binsy: int) -> None:
+    _check(lox, hix, binsx)
+    _check(loy, hiy, binsy)
+
+
+def hist2d_sketch_weighted(
+    df: DataFrame,
+    group: str,
+    x: str,
+    y: str,
+    weight_col: str,
+    *,
+    lox: float,
+    hix: float,
+    loy: float,
+    hiy: float,
+    binsx: int = 64,
+    binsy: int = 64,
+) -> DataFrame:
+    """Weighted 2-D histogram sketch ``(group, binx, biny, wcnt)``:
+    per cell, the 1e-6 micro-unit BIGINT sum of weights — ≤
+    ``binsx·binsy`` rows per group regardless of data size, built in
+    ONE map-side-combined pass (raw rows shuffle only as combined
+    cell ids). NA rule matches the exact bivariate op
+    (``weighted.group_weighted_corr_cov``): a row contributes iff x
+    AND y AND the weight are all non-NULL; NaN on any of the three
+    drops too (the engines disagree on floor(NaN))."""
+    _check2d(lox, hix, loy, hiy, binsx, binsy)
+    vx = F.col(x).cast("double")
+    vy = F.col(y).cast("double")
+    w = F.col(weight_col).cast("double")
+    return (
+        df.where(vx.isNotNull() & ~F.isnan(vx)
+                 & vy.isNotNull() & ~F.isnan(vy)
+                 & w.isNotNull() & ~F.isnan(w))
+        .select(F.col(group),
+                _bin_expr(F.col(x), lox, hix, binsx).alias("binx"),
+                _bin_expr(F.col(y), loy, hiy, binsy).alias("biny"),
+                F.floor(w * F.lit(1e6)).cast("long").alias("__wq"))
+        .groupBy(group, "binx", "biny")
+        .agg(F.sum("__wq").alias("wcnt"))
+    )
+
+
+def hist2d_merge(*sketches: DataFrame) -> DataFrame:
+    """Merge 2-D weighted sketches cell-wise (BIGINT sum per
+    ``(group, binx, biny)``) — EXACT by distributivity: the fold of
+    per-slice sketches is byte-identical to the sketch of the
+    concatenated data, so an append-only pipeline maintains a live
+    correlation summary without rescans. All inputs must share
+    (lox, hix, loy, hiy, binsx, binsy)."""
+    if not sketches:
+        raise ValueError("hist2d_merge needs at least one sketch")
+    group = sketches[0].columns[0]
+    merged = sketches[0]
+    for s in sketches[1:]:
+        merged = merged.unionByName(s)
+    return merged.groupBy(group, "binx", "biny").agg(
+        F.sum("wcnt").alias("wcnt"))
+
+
+def hist2d_weighted_corr_cov(
+    sketch: DataFrame,
+    group: str,
+    *,
+    lox: float,
+    hix: float,
+    loy: float,
+    hiy: float,
+    binsx: int = 64,
+    binsy: int = 64,
+    ddof: int = 1,
+) -> DataFrame:
+    """Weighted Pearson correlation + covariance estimates from 2-D
+    sketches alone: ``(group, wcorr, wcov)``. Every observation is
+    represented by its cell center, so each recovered moment — and
+    the finishing cov/corr — deviates from the exact op by a bound
+    set by the cell widths, not the data size. The per-group
+    sufficient statistics are six exact BIGINT sums over ≤
+    ``binsx·binsy`` cells (order-independent); the affine
+    center-substitution and the cov/corr finish are ONE fixed double
+    expression tree shared verbatim with the DuckDB twin. NULL rules
+    match the exact op: corr NULL when either variance term ≤ 0, cov
+    NULL when ``W − ddof ≤ 0``. Cost: a KiB-state aggregate, never a
+    data scan."""
+    _check2d(lox, hix, loy, hiy, binsx, binsy)
+    wx = (hix - lox) / binsx
+    wy = (hiy - loy) / binsy
+    cx0 = lox + 0.5 * wx  # center of x-cell 0
+    cy0 = loy + 0.5 * wy
+    bx, by, w = F.col("binx"), F.col("biny"), F.col("wcnt")
+    agged = sketch.groupBy(group).agg(
+        F.sum(w).alias("__m0"),
+        F.sum(w * bx).alias("__sx"),
+        F.sum(w * by).alias("__sy"),
+        F.sum(w * bx * by).alias("__sxy"),
+        F.sum(w * bx * bx).alias("__sxx"),
+        F.sum(w * by * by).alias("__syy"),
+    )
+    # micro-units -> real units, then the affine center substitution
+    # x = cx0 + wx*binx (same tree as the SQL twin, parenthesized
+    # identically)
+    m0 = F.col("__m0").cast("double") / F.lit(1e6)
+    sx = F.col("__sx").cast("double") / F.lit(1e6)
+    sy = F.col("__sy").cast("double") / F.lit(1e6)
+    sxy = F.col("__sxy").cast("double") / F.lit(1e6)
+    sxx = F.col("__sxx").cast("double") / F.lit(1e6)
+    syy = F.col("__syy").cast("double") / F.lit(1e6)
+    mx = F.lit(cx0) * m0 + F.lit(wx) * sx
+    my = F.lit(cy0) * m0 + F.lit(wy) * sy
+    mxx = (F.lit(cx0 * cx0) * m0 + F.lit(2.0 * cx0 * wx) * sx
+           + F.lit(wx * wx) * sxx)
+    myy = (F.lit(cy0 * cy0) * m0 + F.lit(2.0 * cy0 * wy) * sy
+           + F.lit(wy * wy) * syy)
+    mxy = (F.lit(cx0 * cy0) * m0 + F.lit(cx0 * wy) * sy
+           + F.lit(cy0 * wx) * sx + F.lit(wx * wy) * sxy)
+    vx_ = m0 * mxx - mx * mx
+    vy_ = m0 * myy - my * my
+    num = m0 * mxy - mx * my
+    corr = F.when((m0 > 0) & (vx_ > 0) & (vy_ > 0),
+                  num / F.sqrt(vx_) / F.sqrt(vy_))
+    denom = m0 - F.lit(float(ddof))
+    cov = F.when((m0 > 0) & (denom > 0),
+                 (mxy - mx * my / m0) / denom)
+    return agged.select(
+        F.col(group), corr.alias("wcorr"), cov.alias("wcov"))
+
+
+def sql_hist2d_sketch_weighted(
+    group_expr: str,
+    x_expr: str,
+    y_expr: str,
+    weight_expr: str,
+    table: str,
+    *,
+    lox: float,
+    hix: float,
+    loy: float,
+    hiy: float,
+    binsx: int = 64,
+    binsy: int = 64,
+) -> str:
+    """DuckDB twin of :func:`hist2d_sketch_weighted`: same bin
+    expressions, same micro-unit quantization, same NA rule."""
+    _check2d(lox, hix, loy, hiy, binsx, binsy)
+
+    def raw(e: str, lo: float, hi: float, bins: int) -> str:
+        r = (f"CAST(FLOOR((CAST({e} AS DOUBLE) - {float(lo)}) "
+             f"* {float(bins)} / {float(hi - lo)}) AS BIGINT)")
+        return f"GREATEST(0, LEAST({bins - 1}, {r}))"
+
+    return f"""
+    SELECT {group_expr} AS grp,
+           {raw(x_expr, lox, hix, binsx)} AS binx,
+           {raw(y_expr, loy, hiy, binsy)} AS biny,
+           CAST(SUM(CAST(FLOOR(CAST({weight_expr} AS DOUBLE) * 1e6)
+               AS BIGINT)) AS BIGINT) AS wcnt
+    FROM {table}
+    WHERE {x_expr} IS NOT NULL
+      AND NOT ISNAN(CAST({x_expr} AS DOUBLE))
+      AND {y_expr} IS NOT NULL
+      AND NOT ISNAN(CAST({y_expr} AS DOUBLE))
+      AND {weight_expr} IS NOT NULL
+      AND NOT ISNAN(CAST({weight_expr} AS DOUBLE))
+    GROUP BY 1, 2, 3
+    """
+
+
+def sql_hist2d_weighted_corr_cov(
+    sketch_cte: str,
+    *,
+    lox: float,
+    hix: float,
+    loy: float,
+    hiy: float,
+    binsx: int = 64,
+    binsy: int = 64,
+    ddof: int = 1,
+) -> str:
+    """DuckDB twin of :func:`hist2d_weighted_corr_cov` over a sketch
+    CTE with columns ``(grp, binx, biny, wcnt)`` — identical integer
+    sufficient statistics, identical affine/finish trees, identical
+    NULL rules."""
+    _check2d(lox, hix, loy, hiy, binsx, binsy)
+    wx = (hix - lox) / binsx
+    wy = (hiy - loy) / binsy
+    cx0 = lox + 0.5 * wx
+    cy0 = loy + 0.5 * wy
+    m0 = "(CAST(im0 AS DOUBLE) / 1e6)"
+    sx = "(CAST(isx AS DOUBLE) / 1e6)"
+    sy = "(CAST(isy AS DOUBLE) / 1e6)"
+    sxy = "(CAST(isxy AS DOUBLE) / 1e6)"
+    sxx = "(CAST(isxx AS DOUBLE) / 1e6)"
+    syy = "(CAST(isyy AS DOUBLE) / 1e6)"
+    mx = f"({cx0!r} * {m0} + {wx!r} * {sx})"
+    my = f"({cy0!r} * {m0} + {wy!r} * {sy})"
+    mxx = (f"({cx0 * cx0!r} * {m0} + {2.0 * cx0 * wx!r} * {sx} "
+           f"+ {wx * wx!r} * {sxx})")
+    myy = (f"({cy0 * cy0!r} * {m0} + {2.0 * cy0 * wy!r} * {sy} "
+           f"+ {wy * wy!r} * {syy})")
+    mxy = (f"({cx0 * cy0!r} * {m0} + {cx0 * wy!r} * {sy} "
+           f"+ {cy0 * wx!r} * {sx} + {wx * wy!r} * {sxy})")
+    vx_ = f"({m0} * {mxx} - {mx} * {mx})"
+    vy_ = f"({m0} * {myy} - {my} * {my})"
+    num = f"({m0} * {mxy} - {mx} * {my})"
+    return f"""
+    WITH sk2 AS ({sketch_cte}),
+    stats AS (
+      SELECT grp,
+             CAST(SUM(wcnt) AS BIGINT) AS im0,
+             CAST(SUM(wcnt * binx) AS BIGINT) AS isx,
+             CAST(SUM(wcnt * biny) AS BIGINT) AS isy,
+             CAST(SUM(wcnt * binx * biny) AS BIGINT) AS isxy,
+             CAST(SUM(wcnt * binx * binx) AS BIGINT) AS isxx,
+             CAST(SUM(wcnt * biny * biny) AS BIGINT) AS isyy
+      FROM sk2 GROUP BY 1
+    )
+    SELECT grp,
+           CASE WHEN {m0} > 0 AND {vx_} > 0 AND {vy_} > 0 THEN
+             {num} / SQRT({vx_}) / SQRT({vy_})
+           END AS wcorr,
+           CASE WHEN {m0} > 0 AND {m0} - {float(ddof)!r} > 0 THEN
+             ({mxy} - {mx} * {my} / {m0}) / ({m0} - {float(ddof)!r})
+           END AS wcov
+    FROM stats
     """

@@ -207,20 +207,17 @@ def stream_ingest_minhash_store(
         sigs = minhash_signatures(
             batch_df, meta["id_col"], meta["text_col"], k=meta["k"],
             num_hashes=meta["num_hashes"], hash_mode=meta["hash_mode"])
-        prev = spark.conf.get(
-            "spark.sql.sources.partitionOverwriteMode", "static")
-        spark.conf.set(
-            "spark.sql.sources.partitionOverwriteMode", "dynamic")
-        try:
-            (
-                sigs.withColumn("batch_id", F.lit(batch_id))
-                .write.mode("overwrite")
-                .partitionBy("batch_id")
-                .parquet(ingest_path)
-            )
-        finally:
-            spark.conf.set(
-                "spark.sql.sources.partitionOverwriteMode", prev)
+        # per-writer option, NOT a session-global conf toggle — a
+        # set/restore on the shared session could flip a CONCURRENT
+        # static-mode overwrite to dynamic mid-write (the ann_index
+        # stream sink's ADVICE-r11 fix, applied to this sibling sink)
+        (
+            sigs.withColumn("batch_id", F.lit(batch_id))
+            .write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("batch_id")
+            .parquet(ingest_path)
+        )
 
     writer = (
         stream_docs.writeStream.foreachBatch(sink)

@@ -673,6 +673,57 @@ def hist_weighted_incremental_merge_q(spark: SparkSession,
     )
 
 
+# the group_weighted_corr_approx grid (queries_groupby._WCA_ARGS
+# shape) over (discount, tax) weighted by quantity
+_H2D_ARGS = dict(lox=0.0, hix=0.11, binsx=11,
+                 loy=0.0, hiy=0.09, binsy=9)
+
+
+def _corr_whist_merge_oracle() -> str:
+    from pandas_rust_algos_spark.operators.histsketch import (
+        sql_hist2d_sketch_weighted,
+    )
+
+    sk = sql_hist2d_sketch_weighted(
+        "l_returnflag", "l_discount", "l_tax", "l_quantity",
+        "lineitem", **_H2D_ARGS)
+    return f"SELECT grp AS l_returnflag, binx, biny, wcnt FROM ({sk})"
+
+
+@register("corr_weighted_incremental_merge",
+          oracle=_corr_whist_merge_oracle())
+def corr_weighted_incremental_merge_q(spark: SparkSession,
+                                      sf_dir: str) -> DataFrame:
+    """2-D WEIGHTED histogram-sketch merge, STATE-exact: the same
+    base/delta shipdate split as the 1-D weighted gate, each slice's
+    (binx, biny) micro-unit weight cells sketched independently and
+    folded cell-wise (``hist2d_merge``, BIGINT sums so the fold is
+    exact) — vs the oracle's one-scan full-table 2-D sketch. Every
+    merged cell must hash-match, which proves the approximate
+    weighted CORRELATION's maintenance story on real data: an
+    append-only pipeline folds per-slice 2-D sketches without
+    rescans, and since ``hist2d_weighted_corr_cov`` is a pure
+    function of the cells, the maintained corr/cov summary cannot
+    tell the difference (``operators/histsketch.py:
+    hist2d_sketch_weighted``; r11 VERDICT next-#3)."""
+    tune(spark)
+    from pandas_rust_algos_spark.operators.histsketch import (
+        hist2d_merge, hist2d_sketch_weighted,
+    )
+
+    li = load_table(spark, sf_dir, "lineitem")
+    cut = F.lit("1995-06-01").cast("date")
+    base = li.where(F.col("l_shipdate") < cut)
+    delta = li.where(~(F.col("l_shipdate") < cut)
+                     | F.col("l_shipdate").isNull())
+    return hist2d_merge(
+        hist2d_sketch_weighted(base, "l_returnflag", "l_discount",
+                               "l_tax", "l_quantity", **_H2D_ARGS),
+        hist2d_sketch_weighted(delta, "l_returnflag", "l_discount",
+                               "l_tax", "l_quantity", **_H2D_ARGS),
+    )
+
+
 def _kmv_oracle(k: int = 64) -> str:
     from pandas_rust_algos_spark.operators.kmv import (
         sql_kmv_estimate,
@@ -1624,3 +1675,113 @@ def ab_test_readout(spark: SparkSession, sf_dir: str) -> DataFrame:
     z = F.try_divide(p_a - p_b, F.nullif(denom, F.lit(0.0)))
     return s.select("n_a", "x_a", "n_b", "x_b",
                     p_a.alias("p_a"), p_b.alias("p_b"), z.alias("z"))
+
+
+def _kmv_stream_oracle(k: int = 64) -> str:
+    from pandas_rust_algos_spark.operators.kmv import (
+        sql_kmv_estimate,
+        sql_kmv_sketch,
+    )
+
+    hour = f"STRFTIME(DATE_TRUNC('hour', ts), '{_FMT_DUCK}')"
+    sk = sql_kmv_sketch(hour, "user_id", "events", k=k)
+    est = sql_kmv_estimate("hs_a", k=k)
+    union_est = sql_kmv_estimate("ku", k=k)
+    return f"""
+    WITH sk AS ({sk}),
+    prev AS (
+      SELECT STRFTIME(STRPTIME(grp, '{_FMT_DUCK}') + INTERVAL 1 HOUR,
+                      '{_FMT_DUCK}') AS grp,
+             hs
+      FROM sk
+    ), j AS (
+      SELECT sk.grp,
+             (LIST_SORT(LIST_DISTINCT(sk.hs || prev.hs)))[1:{k}] AS ku,
+             LIST_INTERSECT(sk.hs, prev.hs) AS hs_both,
+             sk.hs AS hs_a
+      FROM sk JOIN prev USING (grp)
+    ), m AS (
+      SELECT grp, ku, hs_a,
+             LEN(LIST_INTERSECT(ku, hs_both)) AS n_both
+      FROM j
+    )
+    SELECT grp AS window_start,
+           CAST(ROUND({est}) AS BIGINT) AS est,
+           CAST(ROUND({union_est}) AS BIGINT) AS union_prev_est,
+           CAST(ROUND((CAST(n_both AS DOUBLE) / CAST(LEN(ku) AS DOUBLE))
+                      * ({union_est})) AS BIGINT) AS inter_prev_est,
+           ROUND(CAST(n_both AS DOUBLE) / CAST(LEN(ku) AS DOUBLE), 6)
+             AS jaccard_prev_est
+    FROM m
+    """
+
+
+@register("events_stream_kmv", oracle=_kmv_stream_oracle())
+def events_stream_kmv_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming KMV through a PERSISTED per-hour sketch store
+    (``streaming/events.kmv_windowed_store``) — the set-algebra
+    member completing the streaming sketch family (r11 VERDICT
+    next-#4). The event fixture is re-landed as three slice files so
+    the drain really exercises the multi-batch fold: each micro-batch
+    sketches its own rows and ``kmv_merge``s into the store (exact by
+    the min-k union property, idempotent under replay), leaving ≤ k
+    BIGINTs per hour. The drained store then answers, from KiB of
+    state alone, BOTH live questions: distinct users per hour
+    (``kmv_estimate``) and the hour-over-hour key overlap
+    (``kmv_set_ops`` against the previous hour's sketch — union,
+    intersection, Jaccard). The DuckDB oracle replays the batch
+    sketch per hour, the window-shift self-join, the min-k union
+    composition, and every estimator division bit-exactly — proving
+    drained-stream state ≡ batch sketch ≡ the full set-algebra
+    surface."""
+    import tempfile
+
+    from pandas_rust_algos_spark.operators.kmv import (
+        kmv_estimate, kmv_set_ops,
+    )
+    from pandas_rust_algos_spark.streaming import events as se
+
+    tune(spark)
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id", "ts", "user_id")
+    stream_dir = tempfile.mkdtemp(prefix="events_kmv_slices_")
+    # three slice files -> three micro-batches (maxFilesPerTrigger=1);
+    # NULL event_ids land in slice 0 so no row is lost vs the oracle
+    import glob
+    import os as _os
+    import shutil
+
+    for i in range(3):
+        part_dir = tempfile.mkdtemp(prefix=f"events_kmv_part{i}_")
+        (ev.where(
+            F.pmod(F.coalesce(F.col("event_id"), F.lit(0)), F.lit(3))
+            == i)
+         .coalesce(1).write.mode("overwrite").parquet(part_dir))
+        [pf] = glob.glob(_os.path.join(part_dir, "part-*.parquet"))
+        shutil.move(pf, _os.path.join(stream_dir, f"slice{i}.parquet"))
+    schema = spark.read.parquet(stream_dir).schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(stream_dir)
+    )
+    store = tempfile.mkdtemp(prefix="events_kmv_store_") + "/store"
+    ckpt = tempfile.mkdtemp(prefix="events_kmv_ckpt_")
+    q = se.kmv_windowed_store(stream, store, checkpoint=ckpt,
+                              key="user_id", k=64,
+                              hash_mode="portable")
+    q.awaitTermination()
+    sk = spark.read.parquet(store)
+    est = kmv_estimate(sk, "window_start", k=64)
+    prev = sk.select(
+        F.date_format(
+            F.to_timestamp(F.col("window_start"), "yyyy-MM-dd HH:mm:ss")
+            + F.expr("INTERVAL 1 HOUR"),
+            "yyyy-MM-dd HH:mm:ss").alias("window_start"),
+        "hs")
+    ops = kmv_set_ops(sk, prev, k=64).select(
+        "window_start",
+        F.col("union_est").alias("union_prev_est"),
+        F.col("inter_est").alias("inter_prev_est"),
+        F.col("jaccard_est").alias("jaccard_prev_est"))
+    return est.join(ops, "window_start")

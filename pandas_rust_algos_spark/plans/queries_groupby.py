@@ -526,6 +526,50 @@ def group_weighted_quantile_approx_q(spark: SparkSession,
         **_WQA_ARGS)
 
 
+# discount is an 11-point 0.00–0.10 lattice, tax a 9-point 0.00–0.08
+# lattice: one cell per lattice point, so the sketch is ≤ 99 cells per
+# supplier and the center substitution is (up to IEEE cell-edge
+# rounding, identical in both engines) an affine relabeling
+_WCA_ARGS = dict(lox=0.0, hix=0.11, binsx=11,
+                 loy=0.0, hiy=0.09, binsy=9)
+
+
+def _weighted_corr_approx_oracle() -> str:
+    inner = wt.sql_group_weighted_corr_approx(
+        "lineitem", "l_suppkey", "l_discount", "l_tax",
+        "l_extendedprice", **_WCA_ARGS)
+    # + 0.0 flushes IEEE negative zero (the exact gate's rule)
+    return (f"SELECT grp AS l_suppkey, ROUND(wcorr, 6) + 0.0 AS wcorr, "
+            f"ROUND(wcov, 6) + 0.0 AS wcov FROM ({inner})")
+
+
+@register("group_weighted_corr_approx",
+          oracle=_weighted_corr_approx_oracle())
+def group_weighted_corr_approx_q(spark: SparkSession,
+                                 sf_dir: str) -> DataFrame:
+    """Revenue-weighted corr/cov of (discount, tax) per supplier from
+    the 2-D WEIGHTED histogram sketch — the mergeable tier the
+    quantile family got in r11, extended to the bivariate op (r11
+    VERDICT next-#3): ≤ 99 cells per supplier built in ONE
+    map-side-combined pass, folded cell-wise without rescans
+    (``corr_weighted_incremental_merge`` proves merge ≡ rescan on
+    real data); six exact BIGINT cell-moment sums finish through the
+    same affine/corr IEEE tree the DuckDB oracle replays. Error is
+    grid-bounded; on this lattice fixture each distinct (discount,
+    tax) pair owns its own cell, so the estimate tracks the exact
+    ``group_weighted_corr`` gate (equality pinned in
+    tests/test_weighted.py on an integer lattice)
+    (``operators/weighted.py:group_weighted_corr_approx``)."""
+    li = _li(spark, sf_dir)
+    out = wt.group_weighted_corr_approx(
+        li, "l_suppkey", "l_discount", "l_tax", "l_extendedprice",
+        **_WCA_ARGS)
+    return out.select(
+        "l_suppkey",
+        (F.round("wcorr", 6) + F.lit(0.0)).alias("wcorr"),
+        (F.round("wcov", 6) + F.lit(0.0)).alias("wcov"))
+
+
 @register(
     "group_approx_stats",
     oracle="""

@@ -307,3 +307,72 @@ def read_table_stream(spark: SparkSession, sf_dir: str,
         .option("maxFilesPerTrigger", 1)
         .parquet(stream_dir)
     )
+
+
+def kmv_windowed_store(
+    stream: DataFrame,
+    store_path: str,
+    *,
+    checkpoint: str,
+    key: str = "user_id",
+    k: int = 64,
+    trunc: str = "hour",
+    hash_mode: str = "portable",
+    available_now: bool = True,
+):
+    """Maintain a PERSISTED per-window KMV sketch store over a stream
+    — the set-algebra member of the streaming sketch family (CMS
+    frequency, HLL cardinality, histogram distribution; r11 VERDICT
+    next-#4). KMV's bottom-k fold has no bounded built-in streaming
+    aggregate (a ``collect_set`` state would grow with distinct
+    keys), so the maintenance runs through the persisted-store
+    recipe (``minhash_store``/``ann_index`` pattern): each
+    micro-batch sketches ITS OWN rows per window (one batch-local
+    distinct + rank pass), merges with the stored sketches via
+    ``kmv_merge`` — exact by the min-k union property — and rewrites
+    the store, whose total size is ≤ k BIGINTs per window no matter
+    how many events arrived. Because a KMV sketch merged with itself
+    is itself (union → distinct → min-k), an at-least-once replay of
+    a micro-batch is IDEMPOTENT with no partition-overwrite
+    bookkeeping needed.
+
+    The prior state is re-read eagerly per batch (a KiB driver
+    collect rebuilt through ``session.local_df`` — the documented
+    tiny-table path), so the overwrite never reads the path it
+    writes. Drained-store state ≡ the batch ``kmv_sketch`` over the
+    same rows, which is what the gate's DuckDB oracle replays — and
+    the store answers "overlap between this hour's and last hour's
+    keys" LIVE through ``kmv_set_ops`` on KiB of state. Window
+    eviction (retention) is a caller-side DELETE by window age; late
+    rows simply merge into their window, exactly."""
+    from pandas_rust_algos_spark.operators.kmv import (
+        kmv_merge,
+        kmv_sketch,
+    )
+    from pandas_rust_algos_spark.session import local_df
+
+    win = F.date_format(F.date_trunc(trunc, F.col("ts")),
+                        "yyyy-MM-dd HH:mm:ss")
+
+    def sink(batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        mini = kmv_sketch(
+            batch_df.select(win.alias("window_start"), F.col(key)),
+            "window_start", key, k=k, hash_mode=hash_mode)
+        sketches = [mini]
+        if os.path.isdir(store_path):
+            rows = [(r["window_start"], list(r["hs"]))
+                    for r in spark.read.parquet(store_path).collect()]
+            if rows:
+                sketches.append(local_df(
+                    spark, rows, "window_start string, hs array<bigint>"))
+        merged = kmv_merge(*sketches, k=k)
+        merged.coalesce(1).write.mode("overwrite").parquet(store_path)
+
+    writer = (
+        stream.writeStream.foreachBatch(sink)
+        .option("checkpointLocation", checkpoint)
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()

@@ -471,3 +471,58 @@ def test_stream_hll_matches_batch_registers(spark, sf_dir):
     s_rows = sorted(map(tuple, streamed.collect()))
     b_rows = sorted(map(tuple, batch.collect()))
     assert s_rows == b_rows and len(s_rows) > 0
+
+
+def test_kmv_windowed_store_matches_batch_and_is_idempotent(
+        spark, tmp_path):
+    """The persisted streaming KMV store after a multi-batch drain
+    must EQUAL the batch kmv_sketch over the same rows (min-k merge
+    is exact), and re-merging the drained store with itself must be a
+    no-op (the at-least-once replay idempotence the sink relies on)."""
+    import datetime as dt
+
+    from pandas_rust_algos_spark.operators.kmv import (
+        kmv_merge, kmv_sketch,
+    )
+
+    t0 = dt.datetime(2024, 1, 1, 0, 0, 0)
+    rows = [(i, t0 + dt.timedelta(minutes=(i * 7) % 180), i % 40)
+            for i in range(300)]
+    ev = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long")
+    src = tmp_path / "slices"
+    src.mkdir()
+    # two slice files -> two micro-batches under maxFilesPerTrigger=1
+    import glob
+    import shutil
+
+    for i in range(2):
+        part = tmp_path / f"part{i}"
+        (ev.where(F.col("event_id") % 2 == i)
+         .coalesce(1).write.mode("overwrite").parquet(str(part)))
+        [pf] = glob.glob(str(part / "part-*.parquet"))
+        shutil.move(pf, str(src / f"slice{i}.parquet"))
+    schema = spark.read.parquet(str(src)).schema
+    stream = (spark.readStream.schema(schema)
+              .option("maxFilesPerTrigger", 1).parquet(str(src)))
+    store = str(tmp_path / "store")
+    q = se.kmv_windowed_store(
+        stream, store, checkpoint=str(tmp_path / "ckpt"),
+        key="user_id", k=16, hash_mode="portable")
+    q.awaitTermination()
+
+    win = F.date_format(F.date_trunc("hour", F.col("ts")),
+                        "yyyy-MM-dd HH:mm:ss")
+    batch = kmv_sketch(
+        ev.select(win.alias("window_start"), "user_id"),
+        "window_start", "user_id", k=16, hash_mode="portable")
+    got = sorted((r["window_start"], tuple(r["hs"]))
+                 for r in spark.read.parquet(store).collect())
+    want = sorted((r["window_start"], tuple(r["hs"]))
+                  for r in batch.collect())
+    assert got == want and len(got) == 3  # 3 hours of data
+    # replay idempotence: store merged with itself == store
+    sk = spark.read.parquet(store)
+    remerged = sorted((r["window_start"], tuple(r["hs"]))
+                      for r in kmv_merge(sk, sk, k=16).collect())
+    assert remerged == got

@@ -388,3 +388,116 @@ def test_weighted_quantiles_reject_sub_resolution_q_collisions(spark):
     # equally ambiguous downstream, equally refused
     with pytest.raises(ValueError, match="indistinguishable"):
         wt.group_weighted_quantiles(df, "k", "x", "w", qs=(0.5, 0.5))
+
+
+def _df2(spark, rows):
+    return spark.createDataFrame(
+        rows, "k string, x double, y double, w double")
+
+
+_LATTICE_ARGS = dict(lox=-0.5, hix=10.5, binsx=11,
+                     loy=-0.5, hiy=10.5, binsy=11)
+
+
+def test_weighted_corr_approx_exact_on_lattice(spark):
+    """When every integer (x, y) lattice point owns its own cell, the
+    center substitution is the identity (bin b spans [b-0.5, b+0.5),
+    center = b), so the sketch estimate must EQUAL the exact op."""
+    rows = [("a", float(i % 11), float((3 * i + 2) % 11),
+             0.5 + (i % 4)) for i in range(200)]
+    rows += [("b", float(i % 7), float(i % 7), 1.0) for i in range(50)]
+    df = _df2(spark, rows)
+    exact = {r["k"]: (r["wcorr"], r["wcov"]) for r in
+             wt.group_weighted_corr_cov(df, "k", "x", "y", "w").collect()}
+    approx = {r["k"]: (r["wcorr"], r["wcov"]) for r in
+              wt.group_weighted_corr_approx(
+                  df, "k", "x", "y", "w", **_LATTICE_ARGS).collect()}
+    assert set(exact) == set(approx)
+    for k in exact:
+        for e, a in zip(exact[k], approx[k]):
+            if e is None:
+                assert a is None
+            else:
+                assert a == pytest.approx(e, abs=1e-9), k
+    # perfectly-correlated group b: corr exactly 1
+    assert approx["b"][0] == pytest.approx(1.0, abs=1e-9)
+
+
+def test_weighted_corr_approx_error_bounded_on_continuous(spark):
+    """On continuous data the estimate deviates by a grid-resolution
+    bound, not a data-size one: with 64x64 cells over the value range
+    the corr error stays well under the half-cell-width scale."""
+    import math
+
+    rows = []
+    for i in range(600):
+        x = (i * 37 % 1000) / 10.0        # [0, 100)
+        y = 0.7 * x + 20.0 * math.sin(i)  # correlated + noise
+        rows.append(("a", x, y, 1.0 + (i % 5) / 7.0))
+    df = _df2(spark, rows)
+    args = dict(lox=0.0, hix=100.0, binsx=64,
+                loy=-25.0, hiy=95.0, binsy=64)
+    [e] = wt.group_weighted_corr_cov(df, "k", "x", "y", "w").collect()
+    [a] = wt.group_weighted_corr_approx(
+        df, "k", "x", "y", "w", **args).collect()
+    assert a["wcorr"] == pytest.approx(e["wcorr"], abs=0.02)
+    assert a["wcov"] == pytest.approx(e["wcov"], rel=0.05)
+
+
+def test_weighted_corr_approx_merge_equals_rescan(spark):
+    """2-D cell-wise merge is EXACT (BIGINT micro-unit sums): merging
+    two slices equals the one-scan sketch, and the corr/cov finish —
+    a pure function of the cells — cannot tell the difference."""
+    from pandas_rust_algos_spark.operators import histsketch as hs
+
+    rows = [("g%d" % (i % 2), float(i % 9), float((i * 5) % 9),
+             0.1 + (i % 3)) for i in range(300)]
+    df = _df2(spark, rows)
+    args = dict(lox=-0.5, hix=8.5, binsx=9, loy=-0.5, hiy=8.5, binsy=9)
+    whole = hs.hist2d_sketch_weighted(df, "k", "x", "y", "w", **args)
+    m = hs.hist2d_merge(
+        hs.hist2d_sketch_weighted(
+            df.where(F.col("x") < 4), "k", "x", "y", "w", **args),
+        hs.hist2d_sketch_weighted(
+            df.where(F.col("x") >= 4), "k", "x", "y", "w", **args),
+    )
+    assert (sorted(map(tuple, whole.collect()))
+            == sorted(map(tuple, m.collect())))
+    cw = sorted(map(tuple, hs.hist2d_weighted_corr_cov(
+        whole, "k", **args).collect()))
+    cm = sorted(map(tuple, hs.hist2d_weighted_corr_cov(
+        m, "k", **args).collect()))
+    assert cw == cm
+
+
+def test_weighted_corr_approx_duckdb_twin_bit_exact(spark):
+    """The DuckDB replay of sketch build + moment finish must match
+    the Spark side bit-for-bit (round-6 on both, the gate's rule)."""
+    import duckdb
+
+    rows = [("a", float(i % 11), float((3 * i + 2) % 11),
+             0.5 + (i % 4)) for i in range(200)]
+    rows += [("c", 1.0, None, 2.0), ("c", 2.0, 5.0, None),
+             ("c", 3.0, 4.0, 1.0), ("c", 5.0, 1.0, 2.0)]
+    df = _df2(spark, rows)
+    got = {
+        r["k"]: (r["wcorr"], r["wcov"])
+        for r in wt.group_weighted_corr_approx(
+            df, "k", "x", "y", "w", **_LATTICE_ARGS)
+        .select("k", F.round("wcorr", 6).alias("wcorr"),
+                F.round("wcov", 6).alias("wcov")).collect()
+    }
+    con = duckdb.connect()
+    con.execute("CREATE TABLE src (k VARCHAR, x DOUBLE, y DOUBLE, "
+                "w DOUBLE)")
+    con.executemany("INSERT INTO src VALUES (?, ?, ?, ?)",
+                    [tuple(r) for r in rows])
+    sql = wt.sql_group_weighted_corr_approx(
+        "src", "k", "x", "y", "w", **_LATTICE_ARGS)
+    want = {
+        r[0]: (r[1], r[2])
+        for r in con.execute(
+            f"SELECT grp, ROUND(wcorr, 6), ROUND(wcov, 6) "
+            f"FROM ({sql})").fetchall()
+    }
+    assert got == want
