@@ -218,21 +218,16 @@ def stream_land_with_quarantine(
     stream = reader.format(fmt).load(src_path)
 
     def sink(batch_df: DataFrame, batch_id: int) -> None:
-        sess = batch_df.sparkSession
-        prev = sess.conf.get(
-            "spark.sql.sources.partitionOverwriteMode", "static")
-        sess.conf.set(
-            "spark.sql.sources.partitionOverwriteMode", "dynamic")
-        try:
-            (
-                batch_df.withColumn("batch_id", F.lit(batch_id))
-                .write.mode("overwrite")
-                .partitionBy("batch_id")
-                .parquet(dest_path)
-            )
-        finally:
-            sess.conf.set(
-                "spark.sql.sources.partitionOverwriteMode", prev)
+        # per-writer option, NOT a session-global conf toggle — a
+        # set/restore on the shared session could flip a concurrent
+        # static-mode overwrite to dynamic mid-write (ADVICE r11)
+        (
+            batch_df.withColumn("batch_id", F.lit(batch_id))
+            .write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("batch_id")
+            .parquet(dest_path)
+        )
 
     writer = (
         stream.writeStream.foreachBatch(sink)

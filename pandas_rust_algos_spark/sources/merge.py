@@ -33,18 +33,17 @@ __all__ = ["merge_into_partitioned", "write_stream_upsert"]
 
 
 def _dynamic_overwrite(df: DataFrame, path: str, partition_col: str) -> None:
-    spark = df.sparkSession
-    prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
-    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
-    try:
-        (
-            df.repartition(partition_col)
-            .write.mode("overwrite")
-            .partitionBy(partition_col)
-            .parquet(path)
-        )
-    finally:
-        spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
+    # per-writer option, NOT a session-global conf toggle: a
+    # set/restore on the shared session could flip a concurrent
+    # static-mode overwrite to dynamic mid-write (the ann_index /
+    # minhash_store stream sinks' ADVICE-r11 fix, applied here too)
+    (
+        df.repartition(partition_col)
+        .write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy(partition_col)
+        .parquet(path)
+    )
 
 
 def merge_into_partitioned(

@@ -33,21 +33,19 @@ def write_stream_partitioned(
     ``awaitTermination``/``stop``)."""
 
     def sink(batch_df: DataFrame, batch_id: int) -> None:
-        spark = batch_df.sparkSession
-        prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
-        spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
-        try:
-            from pyspark.sql import functions as F
+        from pyspark.sql import functions as F
 
-            (
-                batch_df.withColumn("batch_id", F.lit(batch_id))
-                .repartition(*partition_by)
-                .write.mode("overwrite")
-                .partitionBy("batch_id", *partition_by)
-                .parquet(path)
-            )
-        finally:
-            spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
+        # per-writer option, NOT a session-global conf toggle — a
+        # set/restore on the shared session could flip a concurrent
+        # static-mode overwrite to dynamic mid-write (ADVICE r11)
+        (
+            batch_df.withColumn("batch_id", F.lit(batch_id))
+            .repartition(*partition_by)
+            .write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("batch_id", *partition_by)
+            .parquet(path)
+        )
 
     writer = (
         stream.writeStream.foreachBatch(sink)
