@@ -201,10 +201,12 @@ HEADLINE = [
     "events_stream_hist",
     "pack_budget_weighted_approx",
     "group_weighted_corr",
-    # round 12: mergeable 2-D weighted corr sketch, streaming KMV store
+    # round 12: mergeable 2-D weighted corr sketch, streaming KMV store,
+    # streaming per-window correlation
     "group_weighted_corr_approx",
     "corr_weighted_incremental_merge",
     "events_stream_kmv",
+    "events_stream_corr",
 ]
 
 # The r1-era contract basket: the 18 queries whose aggregate the judge

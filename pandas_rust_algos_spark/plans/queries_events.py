@@ -1785,3 +1785,59 @@ def events_stream_kmv_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("inter_est").alias("inter_prev_est"),
         F.col("jaccard_est").alias("jaccard_prev_est"))
     return est.join(ops, "window_start")
+
+
+_CSTREAM_ARGS = dict(lox=0.0, hix=512.0, binsx=32,
+                     loy=0.0, hiy=64.0, binsy=64)
+
+
+def _corr_stream_oracle() -> str:
+    from pandas_rust_algos_spark.operators.histsketch import (
+        sql_hist2d_sketch_weighted,
+        sql_hist2d_weighted_corr_cov,
+    )
+
+    sk = sql_hist2d_sketch_weighted(
+        f"STRFTIME(DATE_TRUNC('hour', ts), '{_FMT_DUCK}')",
+        "value", "(user_id % 64)", "1.0", "events", **_CSTREAM_ARGS)
+    inner = sql_hist2d_weighted_corr_cov(sk, **_CSTREAM_ARGS)
+    return (f"SELECT grp AS window_start, "
+            f"ROUND(wcorr, 6) + 0.0 AS wcorr, "
+            f"ROUND(wcov, 6) + 0.0 AS wcov FROM ({inner})")
+
+
+@register("events_stream_corr", oracle=_corr_stream_oracle())
+def events_stream_corr_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming 2-D histogram sketch → LIVE per-hour correlation
+    (``streaming/events.hist2d_windowed``): the bivariate member of
+    the streaming sketch family — per-window (value, user-bucket)
+    cells with state bounded at ≤ binsx·binsy rows per window
+    regardless of event volume (micro-unit weight SUM per cell is a
+    valid incremental streaming aggregate), drained cells finish
+    through the batch ``hist2d_weighted_corr_cov`` moment tree, so a
+    dashboard gets hour-by-hour corr/cov with grid-bounded error and
+    no rescans. Cell sums are insertion-order-independent, so the
+    drained state equals the batch 2-D sketch over the same rows —
+    the DuckDB oracle replays sketch build AND the affine
+    center-substitution finish bit-exactly (stream ≡ batch,
+    value-proven through the estimator, the ``events_stream_hist``
+    contract for the correlation member)."""
+    tune(spark)
+    from pandas_rust_algos_spark.operators.histsketch import (
+        hist2d_weighted_corr_cov,
+    )
+    from pandas_rust_algos_spark.streaming import events as se
+
+    stream = se.read_events_stream(spark, sf_dir).select(
+        "ts", F.col("value").alias("x"),
+        (F.col("user_id") % 64).cast("double").alias("y"))
+    cells = se.run_available_now(
+        se.hist2d_windowed(stream, "x", "y", **_CSTREAM_ARGS),
+        table="events_stream_corr_out", state_partitions=8,
+    )
+    out = hist2d_weighted_corr_cov(
+        cells, "window_start", **_CSTREAM_ARGS)
+    return out.select(
+        "window_start",
+        (F.round("wcorr", 6) + F.lit(0.0)).alias("wcorr"),
+        (F.round("wcov", 6) + F.lit(0.0)).alias("wcov"))

@@ -106,6 +106,7 @@ _GATE_PRIORITY: tuple[str, ...] = (
     "group_weighted_corr_approx",
     "events_stream_kmv",
     "corr_weighted_incremental_merge",
+    "events_stream_corr",
     "group_approx_stats",
     # (a) newest driver row is r6-era (the full 19, r11 VERDICT next-#2)
     "group_prod",

@@ -376,3 +376,64 @@ def kmv_windowed_store(
     if available_now:
         writer = writer.trigger(availableNow=True)
     return writer.start()
+
+
+def hist2d_windowed(
+    stream: DataFrame,
+    x: str,
+    y: str,
+    *,
+    lox: float,
+    hix: float,
+    loy: float,
+    hiy: float,
+    binsx: int = 32,
+    binsy: int = 32,
+    weight: str | None = None,
+    window: str = "1 hour",
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Per-window 2-D weighted histogram sketch over a stream:
+    ``(window_start, binx, biny, wcnt)`` — the streaming form of
+    ``operators/histsketch.hist2d_sketch_weighted``, giving the
+    streaming sketch family its CORRELATION member (CMS frequencies,
+    HLL cardinality, histogram distribution, KMV set algebra, and now
+    live bivariate moments): feed the drained cells to
+    ``hist2d_weighted_corr_cov`` for per-window corr/cov with
+    grid-bounded error. State per window is ≤ binsx·binsy cell rows
+    no matter how many events arrive (micro-unit weight SUM per cell
+    folds incrementally — SUM is what makes the sketch a valid
+    streaming aggregate), the watermark evicts closed windows, and
+    because cell sums are insertion-order-independent the drained
+    result must EQUAL the batch 2-D sketch over the same rows — the
+    gate runs the drained cells through the batch moment finish and
+    checks per-window corr/cov against a full DuckDB replay.
+    ``weight=None`` sketches unweighted (w = 1.0 — plain corr as the
+    constant-weight special case). NULL/NaN on x, y, or the weight
+    drops the row (the batch op's rule)."""
+    from pandas_rust_algos_spark.operators.histsketch import (
+        _bin_expr,
+        _check2d,
+    )
+
+    _check2d(lox, hix, loy, hiy, binsx, binsy)
+    vx = F.col(x).cast("double")
+    vy = F.col(y).cast("double")
+    w = F.lit(1.0) if weight is None else F.col(weight).cast("double")
+    return (
+        stream.where(vx.isNotNull() & ~F.isnan(vx)
+                     & vy.isNotNull() & ~F.isnan(vy)
+                     & w.isNotNull() & ~F.isnan(w))
+        .withWatermark("ts", watermark)
+        .select("ts",
+                _bin_expr(F.col(x), lox, hix, binsx).alias("binx"),
+                _bin_expr(F.col(y), loy, hiy, binsy).alias("biny"),
+                F.floor(w * F.lit(1e6)).cast("long").alias("__wq"))
+        .groupBy(F.window("ts", window).alias("w"), "binx", "biny")
+        .agg(F.sum("__wq").alias("wcnt"))
+        .select(
+            F.date_format("w.start", "yyyy-MM-dd HH:mm:ss")
+            .alias("window_start"),
+            "binx", "biny", "wcnt",
+        )
+    )

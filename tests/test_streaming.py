@@ -526,3 +526,36 @@ def test_kmv_windowed_store_matches_batch_and_is_idempotent(
     remerged = sorted((r["window_start"], tuple(r["hs"]))
                       for r in kmv_merge(sk, sk, k=16).collect())
     assert remerged == got
+
+
+def test_hist2d_windowed_stream_cells_equal_batch(spark, sf_dir):
+    """The drained per-window 2-D cells must EQUAL the batch
+    hist2d_sketch_weighted over the same rows (cell sums are
+    insertion-order-independent), so the streaming corr gate's moment
+    finish sees identical state either way."""
+    from pandas_rust_algos_spark.operators.histsketch import (
+        hist2d_sketch_weighted,
+    )
+
+    args = dict(lox=0.0, hix=512.0, binsx=16, loy=0.0, hiy=64.0,
+                binsy=16)
+    stream = se.read_events_stream(spark, sf_dir).select(
+        "ts", F.col("value").alias("x"),
+        (F.col("user_id") % 64).cast("double").alias("y"))
+    cells = se.run_available_now(
+        se.hist2d_windowed(stream, "x", "y", **args),
+        table="t_stream_hist2d", state_partitions=8)
+
+    from pandas_rust_algos_spark.sources import load_table
+
+    ev = load_table(spark, sf_dir, "events").select(
+        F.date_format(F.date_trunc("hour", F.col("ts")),
+                      "yyyy-MM-dd HH:mm:ss").alias("window_start"),
+        F.col("value").alias("x"),
+        (F.col("user_id") % 64).cast("double").alias("y"),
+        F.lit(1.0).alias("w"))
+    batch = hist2d_sketch_weighted(
+        ev, "window_start", "x", "y", "w", **args)
+    got = sorted(map(tuple, cells.collect()))
+    want = sorted(map(tuple, batch.collect()))
+    assert got == want and len(got) > 0
