@@ -351,8 +351,7 @@ def build_ivfpq_index_fixed(
     from pandas_rust_algos_spark.operators.ann_portable import (
         _argmin_cell,
         _lit_lmatrix,
-        _plan_key,
-        _train_cached,
+        _train_centroids_fast,
     )
     from pandas_rust_algos_spark.operators.kmeans import _quantize
     from pandas_rust_algos_spark.operators.similarity import probe_dims
@@ -364,11 +363,7 @@ def build_ivfpq_index_fixed(
     sub = dims // m
     pts = df.where(F.col(vec_col).isNotNull()).select(
         F.col(id_col), _quantize(F.col(vec_col)).alias("v"))
-    # the search gates' training memo applies verbatim: the persisted
-    # index is the SAME deterministic training (r11 VERDICT next-#5)
-    pk = _plan_key(pts)
-    coarse = _train_cached((pk, "coarse", n_cells, iters), pts, id_col,
-                           k=n_cells, iters=iters)
+    coarse = _train_centroids_fast(pts, id_col, k=n_cells, iters=iters)
     cmatrix = _lit_lmatrix(coarse)
     asg = (
         pts.withColumn("cell", _argmin_cell(F.col("v"), cmatrix))
@@ -380,8 +375,7 @@ def build_ivfpq_index_fixed(
     )
 
     def _train(j: int):
-        return _train_cached(
-            (pk, "ivfpq_res", n_cells, m, j, k_codes, iters),
+        return _train_centroids_fast(
             asg.select(id_col, F.slice("r", j * sub + 1, sub).alias("v")),
             id_col, k=k_codes, iters=iters, salt=f":{j}")
 

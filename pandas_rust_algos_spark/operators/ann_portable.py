@@ -73,62 +73,7 @@ __all__ = [
     "sql_ivf_topk_fixed",
     "sql_ivfpq_topk_fixed",
     "sql_pq_topk_fixed",
-    "clear_train_cache",
 ]
-
-# Process-level memo of trained fixed-point centroid/codebook sets
-# (r11 VERDICT next-#5): the portable trainings are DETERMINISTIC
-# functions of (source rows, k, iters, salt) — the same argument the
-# persisted index makes — so re-deriving them per gate invocation
-# (and ×3 under bench best-of-3) is pure waste: the ivf/ivfpq/rerank
-# gates share one coarse quantizer, and the two ivfpq gates share
-# four residual sub-books. The key is the CANONICALIZED logical plan
-# of the quantized-points frame (it embeds the source file paths and
-# every transformation) plus the training params — NOT valid across
-# mutated inputs at the same path, which the fixtures (read-only) and
-# tests (fresh tmp dirs) never do; set PRA_ANN_TRAIN_CACHE=0 or call
-# :func:`clear_train_cache` to opt out. Values are KiB centroid
-# lists; correctness is unaffected by construction (the cached value
-# is bit-identical to a retrain — pinned by the trainer-equivalence
-# unit test).
-_TRAIN_CACHE: dict[tuple, list[list[int]]] = {}
-
-
-def clear_train_cache() -> None:
-    """Drop all memoized trainings (tests / mutated-input callers)."""
-    _TRAIN_CACHE.clear()
-
-
-def _cache_enabled() -> bool:
-    import os
-
-    return os.environ.get("PRA_ANN_TRAIN_CACHE", "1") != "0"
-
-
-def _plan_key(df: DataFrame) -> str:
-    """Stable identity of a DataFrame's contents for the training
-    memo: the canonicalized analyzed plan (source paths + expression
-    tree, with expr ids normalized away)."""
-    return (df._jdf.queryExecution().analyzed().canonicalized()
-            .toString())
-
-
-def _train_cached(
-    key: tuple | None,
-    pts: DataFrame,
-    id_col: str,
-    *,
-    k: int,
-    iters: int,
-    salt: str = "",
-) -> list[list[int]]:
-    if key is None or not _cache_enabled():
-        return _train_centroids_fast(pts, id_col, k=k, iters=iters,
-                                     salt=salt)
-    if key not in _TRAIN_CACHE:
-        _TRAIN_CACHE[key] = _train_centroids_fast(
-            pts, id_col, k=k, iters=iters, salt=salt)
-    return _TRAIN_CACHE[key]
 
 
 def _lit_lvec(vals) -> Column:
@@ -311,10 +256,8 @@ def ivf_topk_fixed(
                          f"{n_probe}/{n_cells}")
     pts = df.where(F.col(vec_col).isNotNull()).select(
         F.col(id_col), _quantize(F.col(vec_col)).alias("v"))
-    pk = _plan_key(pts)
-    cmatrix = _lit_lmatrix(_train_cached(
-        (pk, "coarse", n_cells, iters), pts, id_col,
-        k=n_cells, iters=iters))
+    cmatrix = _lit_lmatrix(_train_centroids_fast(
+        pts, id_col, k=n_cells, iters=iters))
 
     corpus = pts.withColumn("cell", _argmin_cell(F.col("v"), cmatrix))
     probes = (
@@ -370,16 +313,14 @@ def pq_topk_fixed(
     sub = dims // m
     pts = df.where(F.col(vec_col).isNotNull()).select(
         F.col(id_col), _quantize(F.col(vec_col)).alias("v"))
-    pk = _plan_key(pts)
 
     # the m sub-codebook trainings are independent — submit their
     # jobs concurrently (Spark schedules parallel jobs fine)
     def _train(j: int) -> list[list[int]]:
         sub_pts = pts.select(
             id_col, F.slice("v", j * sub + 1, sub).alias("v"))
-        return _train_cached(
-            (pk, "pq", m, j, k_codes, iters), sub_pts, id_col,
-            k=k_codes, iters=iters, salt=f":{j}")
+        return _train_centroids_fast(
+            sub_pts, id_col, k=k_codes, iters=iters, salt=f":{j}")
 
     from concurrent.futures import ThreadPoolExecutor
 
@@ -485,10 +426,8 @@ def ivfpq_topk_fixed(
     sub = dims // m
     pts = df.where(F.col(vec_col).isNotNull()).select(
         F.col(id_col), _quantize(F.col(vec_col)).alias("v"))
-    pk = _plan_key(pts)
-    cmatrix = _lit_lmatrix(_train_cached(
-        (pk, "coarse", n_cells, iters), pts, id_col,
-        k=n_cells, iters=iters))
+    cmatrix = _lit_lmatrix(_train_centroids_fast(
+        pts, id_col, k=n_cells, iters=iters))
 
     asg = (
         pts.withColumn("cell", _argmin_cell(F.col("v"), cmatrix))
@@ -506,11 +445,7 @@ def ivfpq_topk_fixed(
     def _train(j: int) -> list[list[int]]:
         res_j = asg.select(
             id_col, F.slice("r", j * sub + 1, sub).alias("v"))
-        # asg's localCheckpoint gives it a fresh RDD id per call, so
-        # the key is derived from pts + the coarse params instead —
-        # residuals are a pure function of those
-        return _train_cached(
-            (pk, "ivfpq_res", n_cells, m, j, k_codes, iters),
+        return _train_centroids_fast(
             res_j, id_col, k=k_codes, iters=iters, salt=f":{j}")
 
     from concurrent.futures import ThreadPoolExecutor

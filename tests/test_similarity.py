@@ -525,40 +525,3 @@ def test_ann_recall_report_bounds(spark, emb, queries):
         emb, queries, k=K, dims=64, ivf_floor=1.01, pq_floor=1.01,
         ivfpq_floor=1.01).collect()}
     assert set(flipped.values()) == {False}
-
-
-def test_train_cache_hits_and_is_transparent(spark, emb):
-    """The training memo must (a) return the identical centroid list
-    on a key hit WITHOUT retraining, (b) be keyed on the canonicalized
-    plan so a different source frame trains fresh, and (c) be fully
-    transparent — cached vs cache-disabled results are equal."""
-    import os
-
-    from pyspark.sql import functions as SF
-
-    from pandas_rust_algos_spark.operators import ann_portable as ap
-
-    pts = emb.select(
-        SF.col("vec_id"),
-        __import__(
-            "pandas_rust_algos_spark.operators.kmeans",
-            fromlist=["_quantize"])._quantize(
-                SF.col("embedding")).alias("v"))
-    ap.clear_train_cache()
-    key = (ap._plan_key(pts), "coarse", 4, 2)
-    a = ap._train_cached(key, pts, "vec_id", k=4, iters=2)
-    assert key in ap._TRAIN_CACHE
-    # hit: same object back, no retrain
-    b = ap._train_cached(key, pts, "vec_id", k=4, iters=2)
-    assert b is a
-    # plan keys differ for different frames
-    half = pts.where(SF.col("vec_id") % 2 == 0)
-    assert ap._plan_key(half) != ap._plan_key(pts)
-    # transparency: disabling the cache reproduces the same centroids
-    os.environ["PRA_ANN_TRAIN_CACHE"] = "0"
-    try:
-        c = ap._train_cached(key, pts, "vec_id", k=4, iters=2)
-    finally:
-        os.environ.pop("PRA_ANN_TRAIN_CACHE", None)
-    assert c == a and c is not a
-    ap.clear_train_cache()
