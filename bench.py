@@ -148,9 +148,10 @@ HEADLINE = [
     "ann_ivf_topk_portable",
     "ann_pq_topk_portable",
     "semantic_dedup",
-    # r12: renamed from group_approx_stats_bounds (the oracled bounds
-    # report now carries the driver-facing family name; r11 VERDICT #6)
-    "group_approx_stats",
+    # HEADLINE keeps the r11 official key (gasb): the oracled bounds
+    # report gained the driver-facing alias ``group_approx_stats``
+    # (r11 VERDICT #6) but the bench record never renames a key.
+    "group_approx_stats_bounds",
     "wordpiece_learn",
     "heavy_hitters_approx_bounds",
     "dsir_weights",

@@ -570,17 +570,17 @@ def group_weighted_corr_approx_q(spark: SparkSession,
         (F.round("wcov", 6) + F.lit(0.0)).alias("wcov"))
 
 
-@register(
-    "group_approx_stats",
-    oracle="""
+_GAS_BOUNDS_ORACLE = """
     SELECT l_returnflag,
            COUNT(*) AS n_rows,
            COUNT(DISTINCT l_partkey) AS exact_nd,
            TRUE AS nd_ok, TRUE AS p50_ok, TRUE AS p95_ok
     FROM lineitem WHERE l_returnflag IS NOT NULL
     GROUP BY l_returnflag
-    """,
-)
+    """
+
+
+@register("group_approx_stats", oracle=_GAS_BOUNDS_ORACLE)
 def group_approx_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The ORACLED contract for the approx-stats family (r11 VERDICT
     next-#6: this name — the one the driver samples — now carries the
@@ -598,6 +598,13 @@ def group_approx_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ga.group_approx_bounds_report(
         li, "l_returnflag", "l_partkey", "l_extendedprice",
         rsd=0.05, accuracy=100, qs=(0.5, 0.95))
+
+
+# The pre-r12 name of the bounds report stays DECLARED (same fn, same
+# oracle): a declared query name must never disappear round-over-round,
+# and the alias costs nothing — both names replay the identical plan.
+register("group_approx_stats_bounds",
+         oracle=_GAS_BOUNDS_ORACLE)(group_approx_stats)
 
 
 # --------------------------------------------------------- first/last/nth
