@@ -70,36 +70,29 @@ def build_ivf_index(
     seed: int = 42,
     train_fraction: float = 0.25,
     max_train_rows: int = 100_000,
+    write_partitions: int | None = None,
 ) -> dict:
     """Train, assign, and persist; returns the meta dict."""
-    from pyspark.ml.clustering import KMeans
-    from pyspark.ml.functions import array_to_vector
+    from pandas_rust_algos_spark.operators.similarity import (
+        _collect_vecs,
+        _kmeans_local,
+    )
 
     cand = df.select(F.col(id_col), _as_double(F.col(vec_col)).alias("v"))
 
-    def unit(vcol):
-        return F.transform(vcol, lambda x: x / norm(vcol))
-
-    # coalesce(8): the bounded sample inherits the corpus scan's
-    # partitioning, so every Lloyd / k-means|| init pass pays a
-    # 32-task stage for KiB of data (the similarity.py training fix)
-    train = (
+    # ONE collect job over the bounded sample, then in-driver seeded
+    # k-means++/Lloyd (similarity._kmeans_local: the MLlib fit it
+    # replaces ran ~25 scheduler-bound jobs over a KiB sample; the
+    # sample is O(1) in corpus size by construction, so in-process
+    # training is the FAISS-shaped scale answer). Unit normalization
+    # happens inside the trainer (directional cells, as before).
+    vs = _collect_vecs(
         cand.sample(fraction=min(1.0, train_fraction), seed=seed)
-        .limit(max_train_rows)
-        .select(array_to_vector(unit(F.col("v"))).alias("features"))
-        .coalesce(8)
-        .persist()
+        .limit(max_train_rows).select("v")
     )
-    try:
-        if train.count() < n_cells * 10:
-            train.unpersist()
-            train = cand.limit(max_train_rows).select(
-                array_to_vector(unit(F.col("v"))).alias("features")
-            ).coalesce(8).persist()
-        km = KMeans(k=n_cells, seed=seed, maxIter=20).fit(train)
-    finally:
-        train.unpersist()
-    centers = [[float(x) for x in c] for c in km.clusterCenters()]
+    if len(vs) < n_cells * 10:
+        vs = _collect_vecs(cand.limit(max_train_rows).select("v"))
+    centers = _kmeans_local(vs, k=n_cells, seed=seed, normalize=True)
 
     spark = df.sparkSession
     os.makedirs(path, exist_ok=True)
@@ -115,7 +108,18 @@ def build_ivf_index(
         F.col("v"),
         _nearest_cells(cmatrix, F.col("v"), 1)[0].alias("cell"),
     )
-    assigned.write.mode("overwrite").partitionBy("cell") \
+    # Cluster rows by cell BEFORE the partitioned write (guide §6/§8):
+    # an un-clustered partitionBy fans every scan task out across all
+    # cells — measured 440 files for a 16-cell gate build (scan_tasks ×
+    # n_cells), and every probe pays the per-file open cost forever
+    # after. One payload shuffle at build time is the worked-example
+    # trade: the index is written once, probed many times.
+    # ``write_partitions`` sizes the shuffle (≥ n_cells ⇒ ~1 file per
+    # cell locally; at real scale pass ≈ corpus_bytes / 512 MB so big
+    # cells split into several near-target files).
+    n_write = write_partitions or n_cells
+    assigned.repartition(n_write, "cell") \
+        .write.mode("overwrite").partitionBy("cell") \
         .parquet(os.path.join(path, "cells"))
 
     meta = {"n_cells": n_cells, "seed": seed, "id_col": id_col,
@@ -159,7 +163,11 @@ def append_ivf_index(df: DataFrame, path: str) -> dict:
         F.col("v"),
         _nearest_cells(cmatrix, F.col("v"), 1)[0].alias("cell"),
     )
-    assigned.write.mode("append").partitionBy("cell") \
+    # same cell-clustering as the build write (guide §6): without it
+    # every append multiplies the store's file count by its scan-task
+    # count × n_cells
+    assigned.repartition(meta["n_cells"], "cell") \
+        .write.mode("append").partitionBy("cell") \
         .parquet(os.path.join(path, "cells"))
     return meta
 
@@ -352,6 +360,7 @@ def build_ivfpq_index_fixed(
         _argmin_cell,
         _lit_lmatrix,
         _train_centroids_fast,
+        _train_centroids_multi,
     )
     from pandas_rust_algos_spark.operators.kmeans import _quantize
     from pandas_rust_algos_spark.operators.similarity import probe_dims
@@ -374,15 +383,12 @@ def build_ivfpq_index_fixed(
         .localCheckpoint(eager=True)
     )
 
-    def _train(j: int):
-        return _train_centroids_fast(
-            asg.select(id_col, F.slice("r", j * sub + 1, sub).alias("v")),
-            id_col, k=k_codes, iters=iters, salt=f":{j}")
-
-    from concurrent.futures import ThreadPoolExecutor
-
-    with ThreadPoolExecutor(max_workers=m) as ex:
-        books = list(ex.map(_train, range(m)))
+    # m residual sub-books in LOCKSTEP (one seed job + one combined
+    # partial-sum job per iteration; bit-identical per book)
+    books = _train_centroids_multi(
+        asg.select(id_col, F.col("r").alias("v")), id_col,
+        k=k_codes, iters=iters,
+        specs=[(j * sub + 1, sub, f":{j}") for j in range(m)])
     bmats = [_lit_lmatrix(b) for b in books]
 
     spark = df.sparkSession
@@ -408,7 +414,10 @@ def build_ivfpq_index_fixed(
         ]).alias("codes"),
         "cell",
     )
-    coded.write.mode("overwrite").partitionBy("cell") \
+    # cell-clustered write, as in build_ivf_index (guide §6): one code
+    # file per cell instead of scan_tasks × n_cells tiny files
+    coded.repartition(n_cells, "cell") \
+        .write.mode("overwrite").partitionBy("cell") \
         .parquet(os.path.join(path, "codes"))
 
     meta = {"n_cells": n_cells, "m": m, "k_codes": k_codes,

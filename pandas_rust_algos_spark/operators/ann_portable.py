@@ -77,11 +77,25 @@ __all__ = [
 
 
 def _lit_lvec(vals) -> Column:
-    return F.array(*[F.lit(int(v)).cast("long") for v in vals])
+    """A long vector as ONE ArrayType literal. The per-element
+    ``F.array(*[F.lit(v).cast("long")])`` form costs one py4j round
+    trip per element — measured 1.2–1.6 s of pure driver overhead for
+    an 8×64 centroid matrix, identical execution — while a single
+    ``F.lit(list)`` is one call. The cast pins array<bigint> so the
+    exact-BIGINT distance algebra never runs on int32 (overflow)."""
+    vs = [int(v) for v in vals]
+    if not vs:
+        return F.array().cast("array<bigint>")
+    return F.lit(vs).cast("array<bigint>")
 
 
 def _lit_lmatrix(rows) -> Column:
-    return F.array(*[_lit_lvec(r) for r in rows])
+    """A list of long vectors as ONE array<array<bigint>> literal
+    (single py4j call; see :func:`_lit_lvec`)."""
+    rs = [[int(v) for v in r] for r in rows]
+    if not rs:
+        return F.array().cast("array<array<bigint>>")
+    return F.lit(rs).cast("array<array<bigint>>")
 
 
 def _dist_sq(a: Column, b: Column) -> Column:
@@ -230,6 +244,144 @@ def _train_centroids_fast(
     return cents
 
 
+def _train_centroids_multi(
+    pts: DataFrame,
+    id_col: str,
+    *,
+    k: int,
+    iters: int,
+    specs: list[tuple[int, int, str]],
+) -> list[list[list[int]]]:
+    """Train ALL of a PQ family's sub-codebooks in LOCKSTEP — one
+    combined seed job plus ONE combined partial-sum job per Lloyd
+    iteration, instead of ``m`` independent chains of
+    :func:`_train_centroids_fast` (even submitted concurrently, m
+    chains pay m× the scheduler/task overhead per iteration; the
+    gates' trainings are job-overhead-bound, not data-bound).
+
+    ``specs`` is ``[(offset, width, salt), ...]`` — 1-based
+    ``F.slice`` windows of the quantized vector column ``v`` plus the
+    per-book seed salt. Each book's math is UNCHANGED from the
+    single-book trainer (same md5 seed ranking over the FULL frame,
+    same exact integer argmin with lowest-cid ties, same
+    ``floor(sum/count)`` updates, same empty-cluster carry), so the
+    output is bit-identical per book — pinned by a unit test against
+    per-slice :func:`_train_centroids_fast` calls.
+
+    Scale shape: identical to the single-book trainer — per iteration
+    one narrow corpus scan whose output is Σ_j k·width_j partial-sum
+    rows (metadata), never a row of the corpus shuffled."""
+    import numpy as np
+    import pandas as pd
+
+    m = len(specs)
+    if m == 0:
+        return []
+
+    def _hash(salt: str) -> Column:
+        return F.conv(
+            F.substring(
+                F.md5(F.concat(F.col(id_col).cast("string"),
+                               F.lit(salt))),
+                1, 15),
+            16, 10,
+        ).cast("long")
+
+    # ONE seed job: union of the per-book TakeOrdered branches; rows
+    # re-sorted driver-side by the same (hash, id) key each branch was
+    # ordered by, so book-local seed ORDER (= cid assignment) matches
+    # the single-book trainer exactly.
+    seed_branches = None
+    for j, (off, w, salt) in enumerate(specs):
+        br = (
+            pts.withColumn("__h", _hash(salt))
+            .orderBy("__h", id_col).limit(k)
+            .select(
+                F.lit(j).alias("__b"), "__h",
+                F.col(id_col).alias("__id"),
+                F.slice("v", off, w).alias("v"))
+        )
+        seed_branches = br if seed_branches is None else \
+            seed_branches.unionByName(br)
+    seed_rows: dict[int, list] = {j: [] for j in range(m)}
+    for r in seed_branches.collect():
+        seed_rows[r["__b"]].append((r["__h"], r["__id"], list(r["v"])))
+    books: list[list[list[int]]] = []
+    ks: list[int] = []
+    for j in range(m):
+        seed_rows[j].sort(key=lambda t: (t[0], t[1]))
+        books.append([v for _, _, v in seed_rows[j]])
+        ks.append(min(k, len(books[j])))
+    if all(not b for b in books):
+        return books
+
+    widths = [w for _, w, _ in specs]
+    for _ in range(iters):
+        Cs, cns = [], []
+        for j in range(m):
+            C = np.array(books[j], dtype=np.float64)
+            check_exact_blas(
+                float(np.abs(C).max(initial=0.0)), widths[j],
+                "ann_portable._train_centroids_multi centroids",
+                factor=4)
+            Cs.append(C)
+            cns.append((C * C).sum(axis=1))
+
+        def _partials(batches, Cs=Cs, cns=cns):
+            sums = [np.zeros((ks[j], widths[j]), dtype=np.int64)
+                    for j in range(m)]
+            cnts = [np.zeros(ks[j], dtype=np.int64) for j in range(m)]
+            for pdf in batches:
+                Mfull = np.stack(pdf["v"].to_numpy()).astype(np.int64)
+                for j, (off, w, _salt) in enumerate(specs):
+                    Mi = Mfull[:, off - 1:off - 1 + w]
+                    check_exact_blas(
+                        float(np.abs(Mi).max(initial=0)), w,
+                        "ann_portable._train_centroids_multi batch",
+                        factor=4)
+                    M = Mi.astype(np.float64)
+                    d = ((M * M).sum(axis=1)[:, None]
+                         - 2.0 * (M @ Cs[j].T) + cns[j][None, :])
+                    a = np.argmin(d, axis=1)
+                    np.add.at(sums[j], a, Mi)
+                    np.add.at(cnts[j], a, 1)
+            rows = []
+            for j in range(m):
+                for cid in range(ks[j]):
+                    if cnts[j][cid]:
+                        for i in range(widths[j]):
+                            rows.append((j, cid, i,
+                                         int(sums[j][cid, i]),
+                                         int(cnts[j][cid])))
+            yield pd.DataFrame(
+                rows, columns=["b", "cid", "i", "s", "n"])
+
+        merged = (
+            pts.mapInPandas(
+                _partials, "b int, cid int, i int, s long, n long")
+            .groupBy("b", "cid", "i")
+            .agg(F.sum("s").alias("s"), F.sum("n").alias("n"))
+            .collect()
+        )
+        accs: list[dict[int, list]] = [{} for _ in range(m)]
+        for r in merged:
+            accs[r["b"]].setdefault(
+                r["cid"], [None] * widths[r["b"]])[r["i"]] = (
+                r["s"], r["n"])
+        for j in range(m):
+            new_cents = []
+            for cid in range(ks[j]):
+                if cid in accs[j]:
+                    new_cents.append([
+                        int(np.floor(float(s) / float(n)))
+                        for s, n in accs[j][cid]
+                    ])
+                else:
+                    new_cents.append(books[j][cid])
+            books[j] = new_cents
+    return books
+
+
 def ivf_topk_fixed(
     df: DataFrame,
     queries: DataFrame,
@@ -314,18 +466,13 @@ def pq_topk_fixed(
     pts = df.where(F.col(vec_col).isNotNull()).select(
         F.col(id_col), _quantize(F.col(vec_col)).alias("v"))
 
-    # the m sub-codebook trainings are independent — submit their
-    # jobs concurrently (Spark schedules parallel jobs fine)
-    def _train(j: int) -> list[list[int]]:
-        sub_pts = pts.select(
-            id_col, F.slice("v", j * sub + 1, sub).alias("v"))
-        return _train_centroids_fast(
-            sub_pts, id_col, k=k_codes, iters=iters, salt=f":{j}")
-
-    from concurrent.futures import ThreadPoolExecutor
-
-    with ThreadPoolExecutor(max_workers=m) as ex:
-        books = [_lit_lmatrix(b) for b in ex.map(_train, range(m))]
+    # the m sub-codebook trainings are independent and share every
+    # corpus scan — train them in LOCKSTEP (one seed job + one
+    # partial-sum job per iteration for ALL books; bit-identical per
+    # book to m separate chains)
+    books = [_lit_lmatrix(b) for b in _train_centroids_multi(
+        pts, id_col, k=k_codes, iters=iters,
+        specs=[(j * sub + 1, sub, f":{j}") for j in range(m)])]
 
     coded = pts.select(
         id_col,
@@ -442,16 +589,13 @@ def ivfpq_topk_fixed(
         .localCheckpoint(eager=True)
     )
 
-    def _train(j: int) -> list[list[int]]:
-        res_j = asg.select(
-            id_col, F.slice("r", j * sub + 1, sub).alias("v"))
-        return _train_centroids_fast(
-            res_j, id_col, k=k_codes, iters=iters, salt=f":{j}")
-
-    from concurrent.futures import ThreadPoolExecutor
-
-    with ThreadPoolExecutor(max_workers=m) as ex:
-        books = [_lit_lmatrix(b) for b in ex.map(_train, range(m))]
+    # m residual sub-books in LOCKSTEP over the checkpointed
+    # assignments (one seed job + one partial-sum job per iteration
+    # for ALL books; bit-identical per book to m separate chains)
+    res = asg.select(id_col, F.col("r").alias("v"))
+    books = [_lit_lmatrix(b) for b in _train_centroids_multi(
+        res, id_col, k=k_codes, iters=iters,
+        specs=[(j * sub + 1, sub, f":{j}") for j in range(m)])]
 
     coded = asg.select(
         id_col,

@@ -14,8 +14,11 @@ Three tiers:
   probe the nearest cells. Data-adaptive; wins on clustered
   embeddings.
 
-No Python UDFs in the search paths; expression-level throughout
-(KMeans training is the one ML-lib call, at build time).
+No Python UDFs in the search paths; expression-level throughout.
+Quantizer training is seeded k-means++/Lloyd run IN-DRIVER over a
+``max_train_rows``-capped sample (``_kmeans_local`` — O(1) in corpus
+size by construction; the FAISS convention), so no training job chain
+ever touches the cluster beyond one bounded-sample collect.
 """
 
 from __future__ import annotations
@@ -81,6 +84,87 @@ def probe_dims(df: DataFrame, vec_col: str) -> int:
     skips this probe job entirely (r8 VERDICT next-#5)."""
     first = df.where(F.col(vec_col).isNotNull()).select(vec_col).first()
     return len(first[0]) if first is not None else 0
+
+
+def _collect_vecs(sample: DataFrame) -> list[list[float]]:
+    """Collect a single-array-column BOUNDED sample (one job)."""
+    return [list(r[0]) for r in sample.collect()]
+
+
+def _kmeans_local(
+    vs: list[list[float]],
+    *,
+    k: int,
+    seed: int,
+    max_iter: int = 20,
+    normalize: bool = False,
+    tol: float = 1e-4,
+) -> list[list[float]]:
+    """Seeded k-means++ + Lloyd, vectorized IN-DRIVER over an
+    already-collected bounded sample (r12, guide §1.2/§2.4): quantizer
+    training only ever sees a ``max_train_rows``-capped sample — O(1)
+    in corpus size by construction — so distributing it bought nothing
+    but scheduler latency: each MLlib ``fit`` ran ~20 Lloyd jobs (plus
+    ~5 k-means|| init passes) over KiB of data, and the ANN gates pay
+    per-job overhead, not compute (measured: one fit ≈ 0.5–1.5 s at
+    gate scale vs <10 ms here; the FAISS convention — train the
+    quantizer in-process on a bounded sample, keep corpus-side
+    assignment/search distributed). NumPy row-block ops stay well
+    under driver memory for any sane (max_train_rows × dims).
+
+    Determinism: rows are canonically sorted (lexicographic) before
+    seeding, so the trained centers depend only on the sample SET,
+    not on partition/collect order — strictly stronger than the MLlib
+    path (whose k-means|| draws were partition-layout dependent).
+    Init is seeded NumPy-RandomState k-means++ (D² sampling); Lloyd
+    stops at ``tol`` max center shift (the MLlib default) or
+    ``max_iter``. Empty clusters keep their previous center."""
+    import numpy as np
+
+    X = np.asarray(vs, dtype=np.float64)
+    if X.size == 0:
+        return []
+    if normalize:
+        n = np.sqrt((X * X).sum(axis=1))
+        n[n == 0] = 1.0
+        X = X / n[:, None]
+    X = X[np.lexsort(X.T[::-1])]
+    k = min(k, len(X))
+    rng = np.random.RandomState(seed)
+    idx = [int(rng.randint(len(X)))]
+    d2 = ((X - X[idx[0]]) ** 2).sum(axis=1)
+    for _ in range(1, k):
+        tot = float(d2.sum())
+        if tot <= 0.0:
+            # all remaining mass sits on chosen centers (duplicate
+            # rows): top up with the first not-yet-chosen indices
+            rest = [i for i in range(len(X)) if i not in set(idx)]
+            idx.extend(rest[: k - len(idx)])
+            break
+        nxt = int(rng.choice(len(X), p=d2 / tot))
+        idx.append(nxt)
+        d2 = np.minimum(d2, ((X - X[nxt]) ** 2).sum(axis=1))
+    C = X[list(idx)].copy()
+    kk = len(C)
+    for _ in range(max_iter):
+        d = (
+            (X * X).sum(axis=1)[:, None]
+            - 2.0 * (X @ C.T)
+            + (C * C).sum(axis=1)[None, :]
+        )
+        a = d.argmin(axis=1)
+        sums = np.zeros_like(C)
+        cnts = np.zeros(kk, dtype=np.int64)
+        np.add.at(sums, a, X)
+        np.add.at(cnts, a, 1)
+        newC = C.copy()
+        nz = cnts > 0
+        newC[nz] = sums[nz] / cnts[nz][:, None]
+        shift = float(np.sqrt(((newC - C) ** 2).sum(axis=1)).max())
+        C = newC
+        if shift <= tol:
+            break
+    return [[float(x) for x in c] for c in C]
 
 
 def cosine_topk(
@@ -292,7 +376,8 @@ def ivf_topk(
 
     - **Training** runs on a ``train_fraction`` sample capped at
       ``max_train_rows`` — centroids only need the corpus *shape*, not
-      the corpus, so the one MLlib pass is bounded regardless of input
+      the corpus, so the one bounded-sample collect + in-driver fit
+      is O(1) regardless of input
       size (with a fall-back to the full corpus when the sample is too
       small to seed ``n_cells`` cells). Training vectors are
       unit-normalized so euclidean k-means on the unit sphere yields
@@ -310,39 +395,21 @@ def ivf_topk(
     Unlike LSH, cell quality adapts to the data distribution, which is
     why IVF wins on clustered embeddings.
     """
-    from pyspark.ml.clustering import KMeans
-    from pyspark.ml.functions import array_to_vector
-
     cand = df.select(F.col(id_col), _as_double(F.col(vec_col)).alias("v"))
 
-    def unit(vcol: Column) -> Column:
-        # O(d²) per row — only ever applied to the bounded training
-        # sample; the search path needs no normalization (see docstring)
-        return F.transform(vcol, lambda x: x / norm(vcol))
-
-    # coalesce(8): a bounded (≤max_train_rows) sample inherits the
-    # corpus scan's partition count, so every Lloyd iteration pays a
-    # 32-task stage for KiB of data — 8 merged partitions keep the
-    # 100k-row cap parallel while cutting fit wall ~40% at gate scale
-    train = (
+    # ONE collect job over the bounded sample, then in-driver seeded
+    # k-means++/Lloyd (``_kmeans_local``): the previous MLlib fit ran
+    # ~25 scheduler-bound jobs over this same KiB-sized sample.
+    # Normalization happens in NumPy (unit vectors ⇒ directional,
+    # spherical-k-means-shaped cells, as before).
+    vs = _collect_vecs(
         cand.sample(fraction=min(1.0, train_fraction), seed=seed)
-        .limit(max_train_rows)
-        .select(array_to_vector(unit(F.col("v"))).alias("features"))
-        .coalesce(8)
-        .persist()
+        .limit(max_train_rows).select("v")
     )
-    try:
-        if train.count() < n_cells * 10:
-            train.unpersist()
-            train = cand.limit(max_train_rows).select(
-                array_to_vector(unit(F.col("v"))).alias("features")
-            ).coalesce(8).persist()
-        km = KMeans(k=n_cells, seed=seed, maxIter=20).fit(train)
-    finally:
-        train.unpersist()
-    centers = [
-        (i, [float(x) for x in c]) for i, c in enumerate(km.clusterCenters())
-    ]
+    if len(vs) < n_cells * 10:
+        vs = _collect_vecs(cand.limit(max_train_rows).select("v"))
+    centers = list(enumerate(_kmeans_local(
+        vs, k=n_cells, seed=seed, normalize=True)))
 
     # Centroids normally ride the plan as ONE array<array<double>>
     # literal — zero exchange, zero shipped state. Past a size
@@ -427,51 +494,30 @@ def pq_train_codebooks(
     metadata-sized (m·k·(d/m) doubles), the only training-time pass;
     everything downstream is pure expressions. Pass ``dims`` (the
     FAISS convention) to skip the fallback width-probe job."""
-    from pyspark.ml.clustering import KMeans
-    from pyspark.ml.functions import array_to_vector
-
     if dims is None:
         dims = probe_dims(df, vec_col)
     if dims == 0 or dims % m != 0:
         raise ValueError(f"dims {dims} not divisible by m={m}")
     sub = dims // m
-    # coalesce(8): same Lloyd-stage task-count rationale as the
-    # ivf/ivfpq coarse trainings
-    sample = df.select(_as_double(F.col(vec_col)).alias("v")).limit(
-        max_train_rows
-    ).coalesce(8)
-    def _fit(j: int) -> list[list[float]]:
-        # persist the (bounded, ≤max_train_rows × d/m doubles) feature
-        # frame: MLlib's Lloyd loop evaluates its input once per
-        # iteration, so an uncached slice re-reads the source and
-        # re-projects ~20× per sub-book — measured 2× of the whole
-        # training cost at gate scale, with bit-identical centroids
-        feats = sample.select(
-            array_to_vector(F.slice(F.col("v"), j * sub + 1, sub)).alias(
-                "features"
-            )
-        ).persist()
-        try:
-            # seeded random init: k-means|| costs ~5 distributed init
-            # passes per fit — measured 2× of sub-book training time —
-            # for no measurable distortion gain on the low-dim (d/m)
-            # bounded samples these books train on; the coarse IVF
-            # quantizer (few fits, quality-critical cells) keeps ||
-            km = KMeans(k=k_codes, seed=seed + j, maxIter=20,
-                        initMode="random").fit(feats)
-        finally:
-            feats.unpersist()
-        return [[float(x) for x in c] for c in km.clusterCenters()]
+    # ONE collect job over the bounded sample, then every sub-book
+    # trains in-driver on its NumPy column slice (``_kmeans_local``):
+    # the previous m concurrent MLlib fits each ran ~20 Lloyd jobs
+    # over a persisted slice of this same capped sample — pure
+    # scheduler latency at any scale, since the sample is O(1) in the
+    # corpus by construction.
+    import numpy as np
 
-    # the m sub-book fits are independent seeded jobs whose wall cost
-    # at gate scale is scheduler latency, not data — submit them
-    # concurrently (the build_ivfpq_index_fixed recipe); list(ex.map)
-    # preserves j-order, so the books — and everything downstream —
-    # are bit-identical to the serial loop
-    from concurrent.futures import ThreadPoolExecutor
-
-    with ThreadPoolExecutor(max_workers=m) as ex:
-        return list(ex.map(_fit, range(m)))
+    vs = np.asarray(_collect_vecs(
+        df.select(_as_double(F.col(vec_col)).alias("v"))
+        .limit(max_train_rows)
+    ), dtype=np.float64)
+    if vs.size == 0:
+        return [[] for _ in range(m)]
+    return [
+        _kmeans_local(vs[:, j * sub:(j + 1) * sub].tolist(),
+                      k=k_codes, seed=seed + j)
+        for j in range(m)
+    ]
 
 
 def pq_topk(
@@ -510,57 +556,55 @@ def pq_topk(
     )
     dims = sum(len(b[0]) for b in books)
     sub = dims // m
-    bmats = [_lit_matrix(b) for b in books]
 
-    def encode(vcol: Column) -> Column:
-        codes = []
-        for j in range(m):
-            sv = F.slice(vcol, j * sub + 1, sub)
-            scored = F.transform(
-                bmats[j],
-                lambda c, i: F.struct(
-                    # nearest sub-centroid by euclidean distance ==
-                    # max (dot - ||c||²/2); fold keeps it one pass
-                    (
-                        F.aggregate(
-                            F.zip_with(sv, c, lambda x, y: (x - y) * (x - y)),
-                            F.lit(0.0),
-                            lambda a, x: a + x,
-                        )
-                    ).alias("d"),
-                    i.alias("code"),
-                ),
-            )
-            codes.append(F.array_min(scored).getField("code"))
-        return F.array(*codes)
+    # The encode / score-table expression trees are built as SQL TEXT
+    # and parsed in ONE ``F.expr`` call each (r12, guide §1.2 "driver
+    # work"): the per-``Column``-op py4j round trip measures ~4 ms on
+    # this host, so assembling these m-way trees call-by-call cost
+    # ~1.5 s of pure driver latency per query build — ~100× the cost
+    # of parsing the same tree from text. The codebooks ride as one
+    # 3-D array literal column (a single ``F.lit``); the parsed plan
+    # is operation-for-operation the tree the Column API built.
+    def _enc_sub(j: int) -> str:
+        # nearest sub-centroid by squared euclidean distance; struct
+        # (d, code) min gives the lowest-code tie rule, as before
+        return (
+            f"array_min(transform(__bk[{j}], (c, i) -> "
+            f"struct(aggregate(zip_with(slice(__v, {j * sub + 1}, "
+            f"{sub}), c, (x, y) -> (x - y) * (x - y)), 0.0D, "
+            f"(a, x) -> a + x) AS d, i AS code))).code"
+        )
 
-    def score_table(qcol: Column) -> Column:
-        # m × k_codes: table[j][c] = q_sub_j · centroid_{j,c}
-        tables = []
-        for j in range(m):
-            qv = F.slice(qcol, j * sub + 1, sub)
-            tables.append(
-                F.transform(bmats[j], lambda c: dot(qv, c))
-            )
-        return F.array(*tables)
+    def _dot_sql(a: str, b: str) -> str:
+        return (f"aggregate(zip_with({a}, {b}, (x, y) -> x * y), "
+                f"0.0D, (acc, x) -> acc + x)")
 
-    coded = df.select(
-        F.col(id_col), encode(_as_double(F.col(vec_col))).alias("codes")
+    def _tbl_sub(j: int) -> str:
+        return (f"transform(__bk[{j}], c -> "
+                f"{_dot_sql(f'slice(__q, {j * sub + 1}, {sub})', 'c')})")
+
+    cast_vec = f"transform(`{vec_col}`, x -> CAST(x AS DOUBLE))"
+    coded = (
+        df.select(F.col(id_col), F.expr(cast_vec).alias("__v"))
+        .withColumn("__bk", F.lit(books))
+        .select(id_col, F.expr(
+            "array(" + ", ".join(_enc_sub(j) for j in range(m)) + ")"
+        ).alias("codes"))
     )
-    qs = queries.select(
-        F.col(query_id_col).alias("qid"),
-        score_table(_as_double(F.col(vec_col))).alias("tables"),
+    qs = (
+        queries.select(
+            F.col(query_id_col).alias("qid"),
+            F.expr(cast_vec).alias("__q"))
+        .withColumn("__bk", F.lit(books))
+        .select("qid", F.expr(
+            "array(" + ", ".join(_tbl_sub(j) for j in range(m)) + ")"
+        ).alias("tables"))
     )
     # approx dot = Σ_j tables[j][codes[j]]; element_at is 1-based
-    idx = F.sequence(F.lit(0), F.lit(m - 1))
-    approx = F.aggregate(
-        idx,
-        F.lit(0.0),
-        lambda acc, j: acc
-        + F.element_at(
-            F.element_at(F.col("tables"), j + 1),
-            F.element_at(F.col("codes"), j + 1) + 1,
-        ),
+    approx = F.expr(
+        f"aggregate(sequence(0, {m - 1}), 0.0D, (acc, j) -> acc + "
+        f"element_at(element_at(tables, j + 1), "
+        f"element_at(codes, j + 1) + 1))"
     )
     scored = coded.crossJoin(F.broadcast(qs)).select(
         F.col("qid").alias(query_id_col),
@@ -637,7 +681,7 @@ def ivfpq_topk(
     so ``k_codes`` sub-centroids cover them far better than the raw
     space — Jégou et al. 2011).
 
-    Scale shape: two bounded MLlib trainings (coarse + m sub-books, on
+    Scale shape: two bounded in-driver trainings (coarse + m sub-books, on
     a capped sample); cell assignment, residuals, and encoding are
     zero-exchange literal-matrix expressions; the search is ONE
     broadcast join of the exploded query probes onto the coded corpus
@@ -645,9 +689,6 @@ def ivfpq_topk(
     raw embeddings); rerank joins raw vectors for |queries|·rerank
     rows only. The oracle-able fixed-point twin is
     :func:`ann_portable.ivfpq_topk_fixed`."""
-    from pyspark.ml.clustering import KMeans
-    from pyspark.ml.functions import array_to_vector
-
     if n_probe < 1 or n_probe > n_cells:
         raise ValueError(f"need 1 <= n_probe <= n_cells, got "
                          f"{n_probe}/{n_cells}")
@@ -658,30 +699,17 @@ def ivfpq_topk(
         raise ValueError(f"dims {dims} not divisible by m={m}")
     sub = dims // m
 
-    def unit(vcol: Column) -> Column:
-        return F.transform(vcol, lambda x: x / norm(vcol))
-
-    # coalesce(8): a bounded (≤max_train_rows) sample inherits the
-    # corpus scan's partition count, so every Lloyd iteration pays a
-    # 32-task stage for KiB of data — 8 merged partitions keep the
-    # 100k-row cap parallel while cutting fit wall ~40% at gate scale
-    train = (
+    # coarse quantizer: ONE collect of the bounded sample + in-driver
+    # seeded k-means++/Lloyd (see ``_kmeans_local`` — the MLlib fit it
+    # replaces ran ~25 scheduler-bound jobs over KiB of sample)
+    vs = _collect_vecs(
         cand.sample(fraction=min(1.0, train_fraction), seed=seed)
-        .limit(max_train_rows)
-        .select(array_to_vector(unit(F.col("v"))).alias("features"))
-        .coalesce(8)
-        .persist()
+        .limit(max_train_rows).select("v")
     )
-    try:
-        if train.count() < n_cells * 10:
-            train.unpersist()
-            train = cand.limit(max_train_rows).select(
-                array_to_vector(unit(F.col("v"))).alias("features")
-            ).coalesce(8).persist()
-        km = KMeans(k=n_cells, seed=seed, maxIter=20).fit(train)
-    finally:
-        train.unpersist()
-    cmatrix = _lit_matrix([list(c) for c in km.clusterCenters()])
+    if len(vs) < n_cells * 10:
+        vs = _collect_vecs(cand.limit(max_train_rows).select("v"))
+    cmatrix = _lit_matrix(_kmeans_local(
+        vs, k=n_cells, seed=seed, normalize=True))
 
     def nearest_cells(vcol: Column, n: int) -> Column:
         scored = F.transform(
@@ -694,8 +722,11 @@ def ivfpq_topk(
             lambda s: s.getField("cell"),
         )
 
-    # residuals against the assigned cell — computed once, reused by
-    # the m sub-book trainings and the encode pass
+    # residuals against the assigned cell — a narrow expression map
+    # reused by the sub-book training sample and the encode pass (no
+    # persist: training is now ONE bounded-sample collect, so nothing
+    # scans asg repeatedly; the encode pass recomputes the cheap
+    # expressions in its own single scan)
     asg = (
         cand.withColumn("cell", nearest_cells(F.col("v"), 1)[0])
         .withColumn(
@@ -704,139 +735,118 @@ def ivfpq_topk(
                 "v", F.element_at(cmatrix, F.col("cell") + 1),
                 lambda a, b: a - b),
         )
-        .persist()
     )
-    try:
-        books = []
-        # the same seeded-sample recipe as the coarse training: a bare
-        # unordered limit()'s row set depends on task completion order,
-        # so the trained books (and results) would not be stable
-        # run-to-run or partitioning-invariant (r8 ADVICE)
-        res_sample = asg.sample(
-            fraction=min(1.0, train_fraction), seed=seed
-        ).limit(max_train_rows).coalesce(8)
-        if res_sample.count() < k_codes * 4:
-            # tiny-input fallback, as in the coarse training above
-            res_sample = asg.limit(max_train_rows).coalesce(8)
-        def _fit_book(j: int):
-            # persisted for the same reason as pq_train_codebooks:
-            # the Lloyd loop re-evaluates an uncached input per
-            # iteration (bounded: ≤max_train_rows × d/m doubles)
-            feats = res_sample.select(array_to_vector(
-                F.slice(F.col("r"), j * sub + 1, sub)).alias("features")
-            ).persist()
-            try:
-                # seeded random init, same rationale as
-                # pq_train_codebooks (residual sub-books are even
-                # more concentrated)
-                kmj = KMeans(k=k_codes, seed=seed + j, maxIter=20,
-                             initMode="random").fit(feats)
-            finally:
-                feats.unpersist()
-            return _lit_matrix([list(c) for c in kmj.clusterCenters()])
+    # the same seeded-sample recipe as the coarse training: a bare
+    # unordered limit()'s row set depends on task completion order
+    # (r8 ADVICE); ONE collect of the bounded residual sample, then
+    # all m sub-books fit in-driver on NumPy column slices
+    # (``_kmeans_local`` — replaces m concurrent MLlib fit chains)
+    import numpy as np
 
-        # independent seeded fits, submitted concurrently (the
-        # pq_train_codebooks / build_ivfpq_index_fixed recipe);
-        # j-order preserved ⇒ bit-identical books
-        from concurrent.futures import ThreadPoolExecutor
+    rvs = np.asarray(_collect_vecs(
+        asg.sample(fraction=min(1.0, train_fraction), seed=seed)
+        .limit(max_train_rows).select("r")
+    ), dtype=np.float64)
+    if len(rvs) < k_codes * 4:
+        # tiny-input fallback, as in the coarse training above
+        rvs = np.asarray(_collect_vecs(
+            asg.limit(max_train_rows).select("r")), dtype=np.float64)
+    books = [
+        _lit_matrix(_kmeans_local(
+            rvs[:, j * sub:(j + 1) * sub].tolist(),
+            k=k_codes, seed=seed + j))
+        for j in range(m)
+    ] if rvs.size else [_lit_matrix([]) for _ in range(m)]
 
-        with ThreadPoolExecutor(max_workers=m) as ex:
-            books.extend(ex.map(_fit_book, range(m)))
+    def encode(rcol: Column) -> Column:
+        codes = []
+        for j in range(m):
+            sv = F.slice(rcol, j * sub + 1, sub)
+            scored = F.transform(
+                books[j],
+                lambda c, i: F.struct(
+                    F.aggregate(
+                        F.zip_with(
+                            sv, c, lambda x, y: (x - y) * (x - y)),
+                        F.lit(0.0), lambda a, x: a + x,
+                    ).alias("d"),
+                    i.alias("code"),
+                ),
+            )
+            codes.append(F.array_min(scored).getField("code"))
+        return F.array(*codes)
 
-        def encode(rcol: Column) -> Column:
-            codes = []
-            for j in range(m):
-                sv = F.slice(rcol, j * sub + 1, sub)
-                scored = F.transform(
+    coded = asg.select(id_col, "cell", encode(F.col("r")).alias("codes"))
+
+    probes = (
+        queries.select(
+            F.col(query_id_col).alias("qid"),
+            _as_double(F.col(vec_col)).alias("qv"),
+        )
+        .withColumn(
+            "cell", F.explode(nearest_cells(F.col("qv"), n_probe)))
+        .withColumn(
+            "base",
+            dot(F.col("qv"), F.element_at(cmatrix, F.col("cell") + 1)))
+        .withColumn(
+            "tables",
+            F.array(*[
+                F.transform(
                     books[j],
-                    lambda c, i: F.struct(
-                        F.aggregate(
-                            F.zip_with(
-                                sv, c, lambda x, y: (x - y) * (x - y)),
-                            F.lit(0.0), lambda a, x: a + x,
-                        ).alias("d"),
-                        i.alias("code"),
-                    ),
-                )
-                codes.append(F.array_min(scored).getField("code"))
-            return F.array(*codes)
-
-        coded = asg.select(id_col, "cell", encode(F.col("r")).alias("codes"))
-
-        probes = (
-            queries.select(
-                F.col(query_id_col).alias("qid"),
-                _as_double(F.col(vec_col)).alias("qv"),
-            )
-            .withColumn(
-                "cell", F.explode(nearest_cells(F.col("qv"), n_probe)))
-            .withColumn(
-                "base",
-                dot(F.col("qv"), F.element_at(cmatrix, F.col("cell") + 1)))
-            .withColumn(
-                "tables",
-                F.array(*[
-                    F.transform(
-                        books[j],
-                        lambda c: dot(
-                            F.slice(F.col("qv"), j * sub + 1, sub), c))
-                    for j in range(m)
-                ]),
-            )
-            .drop("qv")
+                    lambda c: dot(
+                        F.slice(F.col("qv"), j * sub + 1, sub), c))
+                for j in range(m)
+            ]),
         )
-        idx = F.sequence(F.lit(0), F.lit(m - 1))
-        approx = F.col("base") + F.aggregate(
-            idx,
-            F.lit(0.0),
-            lambda acc, j: acc
-            + F.element_at(
-                F.element_at(F.col("tables"), j + 1),
-                F.element_at(F.col("codes"), j + 1) + 1,
-            ),
+        .drop("qv")
+    )
+    idx = F.sequence(F.lit(0), F.lit(m - 1))
+    approx = F.col("base") + F.aggregate(
+        idx,
+        F.lit(0.0),
+        lambda acc, j: acc
+        + F.element_at(
+            F.element_at(F.col("tables"), j + 1),
+            F.element_at(F.col("codes"), j + 1) + 1,
+        ),
+    )
+    # one cell per corpus row ⇒ each (query, candidate) pair appears
+    # at most once; no distinct pass (unlike LSH bands)
+    scored = (
+        coded.join(F.broadcast(probes), "cell")
+        .where(F.col("qid") != F.col(id_col))
+        .select(
+            F.col("qid").alias(query_id_col),
+            id_col,
+            F.round(approx, round_digits).alias("approx_dot"),
         )
-        # one cell per corpus row ⇒ each (query, candidate) pair appears
-        # at most once; no distinct pass (unlike LSH bands)
-        scored = (
-            coded.join(F.broadcast(probes), "cell")
-            .where(F.col("qid") != F.col(id_col))
-            .select(
-                F.col("qid").alias(query_id_col),
-                id_col,
-                F.round(approx, round_digits).alias("approx_dot"),
-            )
+    )
+    w = Window.partitionBy(query_id_col).orderBy(
+        F.col("approx_dot").desc(), F.col(id_col))
+    ranked = scored.withColumn("rank", F.row_number().over(w))
+    if rerank is None:
+        return ranked.where(F.col("rank") <= k)
+    if rerank < k:
+        raise ValueError(f"rerank ({rerank}) must be >= k ({k})")
+    short = ranked.where(F.col("rank") <= rerank).select(
+        query_id_col, id_col)
+    cvec = df.select(
+        F.col(id_col), _as_double(F.col(vec_col)).alias("__cv"))
+    qvec = queries.select(
+        F.col(query_id_col), _as_double(F.col(vec_col)).alias("__qv"))
+    exact = (
+        short.join(cvec, id_col)
+        .join(F.broadcast(qvec), query_id_col)
+        .select(
+            query_id_col, id_col,
+            F.round(dot(F.col("__qv"), F.col("__cv")), round_digits)
+            .alias("exact_dot"),
         )
-        w = Window.partitionBy(query_id_col).orderBy(
-            F.col("approx_dot").desc(), F.col(id_col))
-        ranked = scored.withColumn("rank", F.row_number().over(w))
-        if rerank is None:
-            return ranked.where(F.col("rank") <= k)
-        if rerank < k:
-            raise ValueError(f"rerank ({rerank}) must be >= k ({k})")
-        short = ranked.where(F.col("rank") <= rerank).select(
-            query_id_col, id_col)
-        cvec = df.select(
-            F.col(id_col), _as_double(F.col(vec_col)).alias("__cv"))
-        qvec = queries.select(
-            F.col(query_id_col), _as_double(F.col(vec_col)).alias("__qv"))
-        exact = (
-            short.join(cvec, id_col)
-            .join(F.broadcast(qvec), query_id_col)
-            .select(
-                query_id_col, id_col,
-                F.round(dot(F.col("__qv"), F.col("__cv")), round_digits)
-                .alias("exact_dot"),
-            )
-        )
-        w2 = Window.partitionBy(query_id_col).orderBy(
-            F.col("exact_dot").desc(), F.col(id_col))
-        return exact.withColumn("rank", F.row_number().over(w2)).where(
-            F.col("rank") <= k)
-    finally:
-        # the returned plan recomputes asg's cheap expression maps if
-        # needed (the trained books are plan literals) — the cache only
-        # ever served the m sub-book training scans
-        asg.unpersist()
+    )
+    w2 = Window.partitionBy(query_id_col).orderBy(
+        F.col("exact_dot").desc(), F.col(id_col))
+    return exact.withColumn("rank", F.row_number().over(w2)).where(
+        F.col("rank") <= k)
 
 
 def ann_recall_report(

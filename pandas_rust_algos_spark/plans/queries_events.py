@@ -1746,18 +1746,29 @@ def events_stream_kmv_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_id", "ts", "user_id")
     stream_dir = tempfile.mkdtemp(prefix="events_kmv_slices_")
     # three slice files -> three micro-batches (maxFilesPerTrigger=1);
-    # NULL event_ids land in slice 0 so no row is lost vs the oracle
+    # NULL event_ids land in slice 0 so no row is lost vs the oracle.
+    # r12: ONE partitionBy write replaces three filtered scans — the
+    # old loop paid 3 full event scans + 3 write jobs to land the same
+    # rows. repartition(3, "__slice") clusters each slice into its own
+    # task (hash of 3 distinct values → each slice wholly in one task
+    # ⇒ exactly one file per slice dir), avoiding the coalesce(1)
+    # single-task funnel (measured: repart3 0.39 s vs coalesce1 0.44 s
+    # vs 3-scan loop 0.62 s isolated, same rows; slice membership is
+    # the same pmod; KMV folding is order-independent so in-file row
+    # order is immaterial)
     import glob
     import os as _os
     import shutil
 
+    part_dir = tempfile.mkdtemp(prefix="events_kmv_parts_")
+    (ev.withColumn(
+        "__slice",
+        F.pmod(F.coalesce(F.col("event_id"), F.lit(0)), F.lit(3)))
+     .repartition(3, "__slice").write.mode("overwrite")
+     .partitionBy("__slice").parquet(part_dir))
     for i in range(3):
-        part_dir = tempfile.mkdtemp(prefix=f"events_kmv_part{i}_")
-        (ev.where(
-            F.pmod(F.coalesce(F.col("event_id"), F.lit(0)), F.lit(3))
-            == i)
-         .coalesce(1).write.mode("overwrite").parquet(part_dir))
-        [pf] = glob.glob(_os.path.join(part_dir, "part-*.parquet"))
+        [pf] = glob.glob(
+            _os.path.join(part_dir, f"__slice={i}", "part-*.parquet"))
         shutil.move(pf, _os.path.join(stream_dir, f"slice{i}.parquet"))
     schema = spark.read.parquet(stream_dir).schema
     stream = (

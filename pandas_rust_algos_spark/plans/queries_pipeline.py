@@ -1635,10 +1635,22 @@ def formats_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     root = tempfile.mkdtemp(prefix="formats_gate_")
     from pandas_rust_algos_spark.functions import fixed_sum
 
+    # The three sink writes are independent jobs over the same narrow
+    # projection — submit them from a small thread pool so each job's
+    # task tail back-fills the executors the others free (guide §2.6:
+    # actions are only sequential because driver code calls them
+    # sequentially). Same three writes, same bytes, same read-backs.
+    from concurrent.futures import ThreadPoolExecutor
+
+    def _land(fmt: str) -> None:
+        write_sink(li, f"{root}/{fmt}", fmt, mode="overwrite")
+
+    with ThreadPoolExecutor(max_workers=3) as ex:
+        list(ex.map(_land, ("csv", "json", "orc")))
+
     outs = []
     for fmt in ("csv", "json", "orc"):
         path = f"{root}/{fmt}"
-        write_sink(li, path, fmt, mode="overwrite")
         back = read_source(
             spark, path, fmt,
             schema=None if fmt == "orc" else schema)

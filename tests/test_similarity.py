@@ -405,6 +405,45 @@ def test_train_centroids_fast_matches_dataframe_lloyd(spark, emb):
         assert got == want, (k, iters, salt)
 
 
+def test_train_centroids_multi_matches_per_slice_fast(spark, emb):
+    """The lockstep multi-book trainer is BIT-IDENTICAL, book by book,
+    to m independent per-slice _train_centroids_fast chains — the
+    property that lets the PQ/IVFPQ gates train every sub-codebook in
+    one combined job per iteration without touching their oracles.
+    Covers uneven clamps (k > points) and a non-uniform slice set."""
+    from pyspark.sql import functions as SF
+
+    from pandas_rust_algos_spark.operators.ann_portable import (
+        _train_centroids_fast,
+        _train_centroids_multi,
+    )
+    from pandas_rust_algos_spark.operators.kmeans import _quantize
+
+    pts = emb.select(
+        SF.col("vec_id"), _quantize(SF.col("embedding")).alias("v"))
+    dims = len(pts.first()["v"])
+    sub = dims // 4
+    specs = [(j * sub + 1, sub, f":{j}") for j in range(4)]
+    got = _train_centroids_multi(pts, "vec_id", k=8, iters=2,
+                                 specs=specs)
+    for j, (off, w, salt) in enumerate(specs):
+        want = _train_centroids_fast(
+            pts.select("vec_id", SF.slice("v", off, w).alias("v")),
+            "vec_id", k=8, iters=2, salt=salt)
+        assert got[j] == want, j
+
+    # clamp path: fewer points than k, mixed widths
+    tiny = pts.where(SF.col("vec_id") < 3)
+    specs2 = [(1, dims, ""), (1, sub, ":x")]
+    got2 = _train_centroids_multi(tiny, "vec_id", k=8, iters=2,
+                                  specs=specs2)
+    for j, (off, w, salt) in enumerate(specs2):
+        want = _train_centroids_fast(
+            tiny.select("vec_id", SF.slice("v", off, w).alias("v")),
+            "vec_id", k=8, iters=2, salt=salt)
+        assert got2[j] == want, j
+
+
 def test_train_centroids_fast_fewer_points_than_k(spark, emb):
     """k > corpus size must clamp to the seed count and still match
     kmeans._fixed_centroids (it simply has fewer seed rows) — before
