@@ -149,7 +149,13 @@ def pagerank_fixed(
     e = (
         edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
         .distinct()
-        .repartition("src")  # the one edge shuffle, reused every iteration
+        # the one edge shuffle, reused every iteration: partition by
+        # DST — the rank⋈edge join broadcasts the rank side (tiny), so
+        # the edge partitioning survives the join and the per-iteration
+        # contribution groupBy("dst") reuses it with NO new exchange
+        # (guide §2.4 "two operations keyed the same way share one
+        # exchange"); keyed by src it was re-shuffled every iteration
+        .repartition("dst")
         .persist(StorageLevel.MEMORY_AND_DISK)
     )
     nodes = (
@@ -224,6 +230,17 @@ def triangle_counts(
     partitioning-independent, which is why this enumeration strategy
     can be oracled against a plain 3-way SQL join over the canonical
     ``a < b`` edge list."""
+    from pyspark import StorageLevel
+
+    # Persist the reused frames (guide §5, the pagerank_fixed recipe):
+    # without this, lazy evaluation re-derives the canonical edge list
+    # — including whatever expensive lineage produced ``edges`` (the
+    # basket gate's collect_set + pair expansion) — once per reference:
+    # ``e`` feeds the degree union (×2), the orientation join, and
+    # through ``o`` both adjacency probes, so the edge derivation ran
+    # ~6× (measured: a 419-operator plan with the scan→aggregate→
+    # explode→distinct subtree repeated in every branch). MEMORY_AND_DISK
+    # because at graph scale the edge set may not fit in memory.
     e = (
         edges.where(F.col(src) != F.col(dst))
         .select(
@@ -231,12 +248,14 @@ def triangle_counts(
             F.greatest(src, dst).alias("b"),
         )
         .distinct()
+        .persist(StorageLevel.MEMORY_AND_DISK)
     )
     deg = (
         e.select(F.col("a").alias("v"))
         .union(e.select(F.col("b").alias("v")))
         .groupBy("v")
         .agg(F.count(F.lit(1)).alias("deg"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
     )
     da = deg.select(F.col("v").alias("a"), F.col("deg").alias("da"))
     db = deg.select(F.col("v").alias("b"), F.col("deg").alias("db"))
@@ -249,10 +268,14 @@ def triangle_counts(
             F.when(low, F.col("a")).otherwise(F.col("b")).alias("u"),
             F.when(low, F.col("b")).otherwise(F.col("a")).alias("v"),
         )
+        # referenced by the adjacency build AND the intersection probe
+        .persist(StorageLevel.MEMORY_AND_DISK)
     )
     from pyspark.sql.types import ArrayType
 
-    adj = o.groupBy("u").agg(F.collect_list("v").alias("nbrs"))
+    # referenced twice (both endpoints' out-list probes)
+    adj = o.groupBy("u").agg(F.collect_list("v").alias("nbrs")) \
+        .persist(StorageLevel.MEMORY_AND_DISK)
     empty = F.array().cast(ArrayType(e.schema["a"].dataType))
     au = adj.select("u", F.col("nbrs").alias("nu"))
     av = adj.select(F.col("u").alias("v"), F.col("nbrs").alias("nv"))

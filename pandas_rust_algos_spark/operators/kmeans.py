@@ -121,14 +121,51 @@ def kmeans_fixed(
     start, then return the final assignment ``(id, cluster, dist_sq)``
     — ``dist_sq`` is the exact integer squared distance in micro-unit²,
     which pins the final centroids through the hash, not just the
-    labels."""
+    labels.
+
+    r12 shape (guide §2.4 — remove shuffles outright): training runs
+    through :func:`ann_portable._train_centroids_fast` (BIT-IDENTICAL
+    to :func:`_fixed_centroids` — same seeds, distances, tie rule,
+    update — pinned by tests/test_similarity.py), whose per-iteration
+    cost is one narrow scan emitting k×dim integer partial-sum rows;
+    the final assignment is a zero-shuffle ``array_min`` expression
+    over the trained centroid literal — the per-iteration rows×k
+    ``crossJoin`` + per-id window SORT-SHUFFLE of the previous
+    DataFrame chain never runs. Centroid state (k×dim longs) is
+    metadata-sized driver state, the same class as the centroid
+    collect every caller did at the end anyway."""
     if k < 1 or iters < 0:
         raise ValueError(f"need k >= 1 and iters >= 0, got {k}/{iters}")
+    from pandas_rust_algos_spark.operators.ann_portable import (
+        _lit_lmatrix,
+        _train_centroids_fast,
+    )
+
     pts = df.where(F.col(vec_col).isNotNull()).select(
         F.col(id_col), _quantize(F.col(vec_col)).alias("v"))
-    cents = _fixed_centroids(pts, id_col, k=k, iters=iters)
-    return _assign(pts, cents, id_col).select(
-        id_col, F.col("cid").alias("cluster"), "dist_sq")
+    cents = _train_centroids_fast(pts, id_col, k=k, iters=iters)
+    cmat = _lit_lmatrix(cents)
+    # exact-integer argmin with the (d, cid) tie rule: array_min over
+    # structs compares d first, then cid — identical to the window
+    # ``orderBy("d", "cid")`` rank-1 row of :func:`_assign`
+    best = F.array_min(
+        F.transform(
+            cmat,
+            lambda c, i: F.struct(
+                F.aggregate(
+                    F.zip_with("v", c, lambda a, b: (a - b) * (a - b)),
+                    F.lit(0).cast("long"),
+                    lambda acc, x: acc + x,
+                ).alias("d"),
+                i.alias("cid"),
+            ),
+        )
+    )
+    return pts.select(
+        F.col(id_col),
+        best["cid"].alias("cluster"),
+        best["d"].alias("dist_sq"),
+    )
 
 
 def kmeans_fixed_centroids(
