@@ -58,8 +58,15 @@ def _lit_vec(values) -> Column:
     """A double vector as ONE ArrayType literal (a single constant object
     in the plan), not ``dims`` Literal expression nodes — at realistic
     embedding dims (768+) the per-element form bloats the expression
-    tree past codegen limits (wholestage fallback, slow analysis)."""
-    return F.lit([float(x) for x in values])
+    tree past codegen limits (wholestage fallback, slow analysis).
+    Parsed from SQL text for the same ~0.4 ms/element py4j reason as
+    :func:`_lit_matrix` (exact: repr round-trip + ``D`` literal)."""
+    import math
+
+    vs = [float(x) for x in values]
+    if not vs or not all(math.isfinite(x) for x in vs):
+        return F.lit(vs)
+    return F.expr("array(" + ",".join(repr(x) + "D" for x in vs) + ")")
 
 
 # Above this many doubles (cells × dims), an IVF centroid matrix stops
@@ -70,8 +77,25 @@ _CENTROID_LITERAL_MAX = 16_384
 
 
 def _lit_matrix(rows) -> Column:
-    """A list of double vectors as ONE array<array<double>> literal."""
-    return F.lit([[float(x) for x in r] for r in rows])
+    """A list of double vectors as ONE array<array<double>> literal.
+
+    Built as SQL TEXT parsed by one ``F.expr`` (r12, guide §1.2
+    driver-side work): ``F.lit`` on a nested list falls back to one
+    py4j round trip per element — measured ~0.4 ms/element, i.e. ~1 s
+    for a 16×64 centroid matrix — while parsing the equivalent literal
+    text costs ~5 ms. ``repr(float)`` is the shortest round-trip
+    representation and the ``D`` suffix parses via Double.parseDouble,
+    so the parsed plan is value-exact (verified bit-equal)."""
+    import math
+
+    rs = [[float(x) for x in r] for r in rows]
+    if not rs or any(not r for r in rs) or not all(
+            math.isfinite(x) for r in rs for x in r):
+        return F.lit(rs)  # empty/degenerate/non-finite: rare, tiny
+    return F.expr(
+        "array(" + ",".join(
+            "array(" + ",".join(repr(x) + "D" for x in r) + ")"
+            for r in rs) + ")")
 
 
 def probe_dims(df: DataFrame, vec_col: str) -> int:
@@ -584,9 +608,22 @@ def pq_topk(
                 f"{_dot_sql(f'slice(__q, {j * sub + 1}, {sub})', 'c')})")
 
     cast_vec = f"transform(`{vec_col}`, x -> CAST(x AS DOUBLE))"
+    # the 3-D codebook literal as parsed SQL text, like _lit_matrix
+    # (r12): F.lit on the nested list measured ~1.4 s of py4j per call
+    import math as _math
+
+    if books and all(
+            _math.isfinite(x) for bk in books for r in bk for x in r):
+        bk_col = F.expr("array(" + ",".join(
+            "array(" + ",".join(
+                "array(" + ",".join(repr(float(x)) + "D" for x in r) + ")"
+                for r in bk) + ")"
+            for bk in books) + ")")
+    else:
+        bk_col = F.lit(books)
     coded = (
         df.select(F.col(id_col), F.expr(cast_vec).alias("__v"))
-        .withColumn("__bk", F.lit(books))
+        .withColumn("__bk", bk_col)
         .select(id_col, F.expr(
             "array(" + ", ".join(_enc_sub(j) for j in range(m)) + ")"
         ).alias("codes"))
@@ -595,7 +632,7 @@ def pq_topk(
         queries.select(
             F.col(query_id_col).alias("qid"),
             F.expr(cast_vec).alias("__q"))
-        .withColumn("__bk", F.lit(books))
+        .withColumn("__bk", bk_col)
         .select("qid", F.expr(
             "array(" + ", ".join(_tbl_sub(j) for j in range(m)) + ")"
         ).alias("tables"))
