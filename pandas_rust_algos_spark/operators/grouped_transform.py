@@ -1024,6 +1024,7 @@ def group_winsorize(
     lower: float = 0.05,
     upper: float = 0.95,
     out_col: str | None = None,
+    broadcast_stats: bool = True,
 ) -> DataFrame:
     """Per-group winsorization: clip ``value`` to the group's
     [lower, upper] linear-interpolated percentile bounds, keeping every
@@ -1044,7 +1045,16 @@ def group_winsorize(
     targets use the non-null count, NULL inputs stay NULL, NULL keys
     form their own group (null-safe join back), and all-NULL groups
     pass values through (least/greatest skip NULL bounds on both
-    engines)."""
+    engines).
+
+    ``broadcast_stats`` (default True) pins the join-back to a
+    broadcast of the group-cardinality bounds side, so the full-width
+    input is NEVER shuffled — without the hint the post-aggregation
+    size ESTIMATE inherits the scan's, the static planner plans
+    sort-merge, and the fact table pays a shuffle write that AQE's
+    runtime broadcast conversion cannot un-spend. Set False only when
+    the group count itself is data-sized (too many groups to hold in
+    executor memory), where a shuffle join is the right plan."""
     if not (0.0 <= lower <= upper <= 1.0):
         raise ValueError(
             f"need 0 <= lower <= upper <= 1, got {lower}, {upper}"
@@ -1076,6 +1086,8 @@ def group_winsorize(
     bounds = bounds.select(
         *[F.col(k).alias(b) for k, b in zip(keys, bkeys)],
         "__blo", "__bhi")
+    if broadcast_stats:
+        bounds = F.broadcast(bounds)
     cond = None
     for k, b in zip(keys, bkeys):
         c = df[k].eqNullSafe(bounds[b])
@@ -1098,6 +1110,7 @@ def group_robust_zscore(
     *,
     scale_const: float = 1.4826,
     out_col: str | None = None,
+    broadcast_stats: bool = True,
 ) -> DataFrame:
     """Per-group ROBUST standardization: ``(x − median) /
     (1.4826·MAD)`` where MAD is the median absolute deviation — the
@@ -1109,12 +1122,19 @@ def group_robust_zscore(
 
     Plan (the ``group_winsorize`` narrow-side recipe): both medians
     are computed on a NARROW (keys, value) projection — never the
-    full-width rows — and join back by key (group-cardinality rows;
-    AQE broadcasts the stats side). Two aggregate passes (median, then
-    median of |dev|) are inherent to MAD. NULL values stay NULL, NULL
-    keys form their own group (null-safe joins), and an all-equal
-    group (MAD = 0) yields NULL — a zero spread admits no standard
-    score.
+    full-width rows — and join back by key. Two aggregate passes
+    (median, then median of |dev|) are inherent to MAD; the SECOND
+    pass carries the group median through (``min`` of a per-group
+    constant), so the stats side is built in exactly two narrow scans
+    with no med⋈mad re-join and no re-derivation of the median
+    subtree. ``broadcast_stats`` (default True) pins the join-back to
+    a broadcast of the group-cardinality stats side so the full-width
+    input never shuffles (the ``group_winsorize`` rationale — size
+    estimates after aggregation inherit the scan's, so the static
+    planner would otherwise plan a sort-merge exchange on the fact
+    table). NULL values stay NULL, NULL keys form their own group
+    (null-safe joins), and an all-equal group (MAD = 0) yields NULL —
+    a zero spread admits no standard score.
 
     Determinism: medians round to 6 (the ``group_median`` gate recipe
     — interpolated order statistics are the registry's documented
@@ -1140,15 +1160,22 @@ def group_robust_zscore(
             cond = c if cond is None else cond & c
         return cond
 
+    if broadcast_stats:
+        medr = F.broadcast(medr)
     dev = narrow.join(medr, _cond(narrow, medr, mkeys)).select(
-        *keys, F.abs(F.col("__v") - F.col("__med")).alias("__d"))
+        *keys, "__med", F.abs(F.col("__v") - F.col("__med")).alias("__d"))
+    # one aggregation yields BOTH stats: __med is constant within a
+    # group, so min() recovers it exactly — no med⋈mad join, and the
+    # median subtree is never re-derived for a second scan
     mad = dev.groupBy(*keys).agg(
-        F.round(F.median("__d"), 6).alias("__mad"))
+        F.round(F.median("__d"), 6).alias("__mad"),
+        F.min("__med").alias("__med"))
     skeys = [f"__sk{i}" for i in range(len(keys))]
-    madr = mad.select(
-        *[F.col(k).alias(s) for k, s in zip(keys, skeys)], "__mad")
-    stats = med.join(madr, _cond(med, madr, skeys)).select(
-        *[madr[s] for s in skeys], "__med", "__mad")
+    stats = mad.select(
+        *[F.col(k).alias(s) for k, s in zip(keys, skeys)],
+        "__med", "__mad")
+    if broadcast_stats:
+        stats = F.broadcast(stats)
     rz = F.when(
         v.isNotNull() & (F.col("__mad") > 0),
         F.round(
