@@ -9,13 +9,18 @@ across the weighted vocabulary, (2) pick the most frequent pair, and
 (3) merge its occurrences leftmost-non-overlapping in every word.
 
 Scale shape (100 TB): the corpus is touched ONCE (the word-frequency
-aggregation — one shuffle, map-side combined). Every merge step then
-runs over the VOCABULARY (words × weights), which is orders of
-magnitude smaller; per step: one vocab-sized pair aggregation + a
-1-row TakeOrdered for the winning pair, joined back as a broadcast —
-ZERO driver collects. Each step's merged vocab is localCheckpoint-ed
-so step k+1 doesn't recompute steps 1..k (the same lineage-truncation
-pattern as the iterative graph operators).
+aggregation — one shuffle, map-side combined — materialized by ONE
+eager localCheckpoint of the encoded vocabulary). Every merge step
+then runs over the VOCABULARY (words × weights), which is orders of
+magnitude smaller; per step: one vocab-sized pair aggregation ending
+in a 1-ROW TakeOrdered collect (the winning pair — metadata-sized by
+construction, the kmeans-centroid convention), after which the merge
+is a LITERAL string replace over the checkpointed vocab. The r12
+restructuring replaced per-step eager checkpoints + broadcast
+crossJoins with the literal chain: step k's state is k narrow
+replaces over the one in-memory vocab, so nothing vocabulary-sized is
+ever re-materialized and the final rule table is a driver-built
+LocalTableScan (``session.local_df``).
 
 Determinism (the gate contract): symbols are wrapped as
 ``\\x02 sym \\x03`` and concatenated, so a merge is a plain (non-regex)
@@ -57,6 +62,93 @@ def _symbols(s):
     return F.split(F.expr(f"substring({s}, 2, length({s})-2)"), _B + _A)
 
 
+def _word_counts(docs: DataFrame, text_col: str) -> DataFrame:
+    return (
+        docs.select(F.explode(tokens(text_col)).alias("w"))
+        .groupBy("w").agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+def _merge_loop(
+    words: DataFrame,
+    n_merges: int,
+    *,
+    ranking: str = "count",
+    n_states: int | None = None,
+):
+    """Driver-paced merge trainer shared by the BPE and WordPiece
+    learners and the encode surfaces. ONE eager localCheckpoint
+    materializes the encoded vocabulary (the only corpus-derived
+    state); each step then runs one vocab-sized pair aggregation whose
+    1-row winner is collected (metadata-sized), and the merge is
+    applied as a LITERAL plain-string replace — step k's state is k
+    narrow replaces over the in-memory vocab, no per-step
+    re-materialization, no broadcast builds.
+
+    Returns ``(rules, state)``: the collected winner Rows (< n_merges
+    only if some step has no adjacent pair left, mirroring the lazy
+    formulation where an empty winner emptied every later step) and
+    the vocab state ``(w, n, s)`` with ``min(len(rules), n_states)``
+    merges applied (learning needs ``n_merges - 1`` — the last winner
+    is never applied; encoding needs all ``n_merges``)."""
+    if n_states is None:
+        n_states = n_merges - 1
+    state = words.select(
+        "w", "n", _encode(F.col("w")).alias("s")
+    ).localCheckpoint(eager=True)
+    rules = []
+    for step in range(1, n_merges + 1):
+        syms = _symbols("s")
+        pairs = (
+            state.select(
+                "n",
+                F.explode(
+                    F.arrays_zip(
+                        F.slice(syms, 1, F.size(syms) - 1).alias("a"),
+                        F.slice(syms, 2, F.size(syms) - 1).alias("b"),
+                    )
+                ).alias("p"),
+            )
+            .groupBy(F.col("p.a").alias("merge_left"),
+                     F.col("p.b").alias("merge_right"))
+            .agg(F.sum("n").alias("pair_count"))
+        )
+        if ranking == "wordpiece":
+            unigrams = (
+                state.select("n", F.explode(syms).alias("sym"))
+                .groupBy("sym").agg(F.sum("n").alias("c_sym"))
+            )
+            ua = unigrams.select(F.col("sym").alias("merge_left"),
+                                 F.col("c_sym").alias("c_a"))
+            ub = unigrams.select(F.col("sym").alias("merge_right"),
+                                 F.col("c_sym").alias("c_b"))
+            score = F.col("pair_count").cast("double") / (
+                F.col("c_a").cast("double") * F.col("c_b").cast("double"))
+            best = (
+                pairs.join(ua, "merge_left").join(ub, "merge_right")
+                .select("merge_left", "merge_right", "pair_count",
+                        score.alias("score"))
+                .orderBy(F.col("score").desc(),
+                         "merge_left", "merge_right")
+                .limit(1).collect()
+            )
+        else:
+            best = pairs.orderBy(
+                F.col("pair_count").desc(), "merge_left", "merge_right"
+            ).limit(1).collect()
+        if not best:
+            break
+        r = best[0]
+        rules.append(r)
+        if step <= n_states:
+            pat = _A + r["merge_left"] + _B + _A + r["merge_right"] + _B
+            rep = _A + r["merge_left"] + r["merge_right"] + _B
+            state = state.select(
+                "w", "n",
+                F.replace(F.col("s"), F.lit(pat), F.lit(rep)).alias("s"))
+    return rules, state
+
+
 def bpe_learn_merges(
     docs: DataFrame,
     text_col: str = "text",
@@ -70,50 +162,16 @@ def bpe_learn_merges(
     weighted frequency at the time it won."""
     if n_merges < 1:
         raise ValueError("n_merges must be >= 1")
-    words = (
-        docs.select(F.explode(tokens(text_col)).alias("w"))
-        .groupBy("w").agg(F.count(F.lit(1)).alias("n"))
+    from pandas_rust_algos_spark.session import local_df
+
+    rules, _ = _merge_loop(_word_counts(docs, text_col), n_merges)
+    return local_df(
+        docs.sparkSession,
+        [(step, r["merge_left"], r["merge_right"], r["pair_count"])
+         for step, r in enumerate(rules, start=1)],
+        "step BIGINT, merge_left STRING, merge_right STRING, "
+        "pair_count BIGINT",
     )
-    cur = words.select("n", _encode(F.col("w")).alias("s"))
-    rules = []
-    for step in range(1, n_merges + 1):
-        syms = _symbols("s")
-        pairs = (
-            cur.select(
-                "n",
-                F.explode(
-                    F.arrays_zip(
-                        F.slice(syms, 1, F.size(syms) - 1).alias("a"),
-                        F.slice(syms, 2, F.size(syms) - 1).alias("b"),
-                    )
-                ).alias("p"),
-            )
-            .groupBy(F.col("p.a").alias("merge_left"),
-                     F.col("p.b").alias("merge_right"))
-            .agg(F.sum("n").alias("pair_count"))
-        )
-        best = pairs.orderBy(
-            F.col("pair_count").desc(), "merge_left", "merge_right"
-        ).limit(1)
-        rules.append(best.select(
-            F.lit(step).cast("long").alias("step"),
-            "merge_left", "merge_right", "pair_count"))
-        if step < n_merges:
-            pat = F.concat(F.lit(_A), F.col("merge_left"), F.lit(_B),
-                           F.lit(_A), F.col("merge_right"), F.lit(_B))
-            rep = F.concat(F.lit(_A), F.col("merge_left"),
-                           F.col("merge_right"), F.lit(_B))
-            cur = (
-                cur.crossJoin(F.broadcast(best))
-                .select("n", F.replace(F.col("s"), pat, rep).alias("s"))
-                # vocab-sized; truncate lineage so step k+1 does not
-                # re-run steps 1..k once per downstream reference
-                .localCheckpoint(eager=True)
-            )
-    out = rules[0]
-    for r in rules[1:]:
-        out = out.unionByName(r)
-    return out
 
 
 def wordpiece_learn_merges(
@@ -142,68 +200,26 @@ def wordpiece_learn_merges(
     counts; per step one vocab-sized pair aggregation PLUS one
     vocab-sized unigram-symbol aggregation (the score's denominator),
     two broadcast-sized joins of the pair table to the unigram
-    counts, a 1-row TakeOrdered winner, zero driver collects."""
+    counts, then the 1-row winner collects (metadata-sized) and the
+    merge applies as a literal replace (see :func:`_merge_loop`).
+    The RANKING uses the unrounded double; the returned ``score``
+    rounds to 6 in Spark (registry rule 4), applied to the collected
+    literal so the rounding semantics stay the engine's."""
     if n_merges < 1:
         raise ValueError("n_merges must be >= 1")
-    words = (
-        docs.select(F.explode(tokens(text_col)).alias("w"))
-        .groupBy("w").agg(F.count(F.lit(1)).alias("n"))
+    from pandas_rust_algos_spark.session import local_df
+
+    rules, _ = _merge_loop(
+        _word_counts(docs, text_col), n_merges, ranking="wordpiece")
+    out = local_df(
+        docs.sparkSession,
+        [(step, r["merge_left"], r["merge_right"], r["pair_count"],
+          r["score"])
+         for step, r in enumerate(rules, start=1)],
+        "step BIGINT, merge_left STRING, merge_right STRING, "
+        "pair_count BIGINT, score DOUBLE",
     )
-    cur = words.select("n", _encode(F.col("w")).alias("s"))
-    rules = []
-    for step in range(1, n_merges + 1):
-        syms = _symbols("s")
-        exploded = cur.select("n", syms.alias("syms"))
-        unigrams = (
-            exploded.select("n", F.explode("syms").alias("sym"))
-            .groupBy("sym").agg(F.sum("n").alias("c_sym"))
-        )
-        pairs = (
-            exploded.select(
-                "n",
-                F.explode(
-                    F.arrays_zip(
-                        F.slice("syms", 1, F.size("syms") - 1).alias("a"),
-                        F.slice("syms", 2, F.size("syms") - 1).alias("b"),
-                    )
-                ).alias("p"),
-            )
-            .groupBy(F.col("p.a").alias("merge_left"),
-                     F.col("p.b").alias("merge_right"))
-            .agg(F.sum("n").alias("pair_count"))
-        )
-        ua = unigrams.select(F.col("sym").alias("merge_left"),
-                             F.col("c_sym").alias("c_a"))
-        ub = unigrams.select(F.col("sym").alias("merge_right"),
-                             F.col("c_sym").alias("c_b"))
-        score = F.col("pair_count").cast("double") / (
-            F.col("c_a").cast("double") * F.col("c_b").cast("double"))
-        scored = (
-            pairs.join(ua, "merge_left").join(ub, "merge_right")
-            .select("merge_left", "merge_right", "pair_count",
-                    score.alias("__score"))
-        )
-        best = scored.orderBy(
-            F.col("__score").desc(), "merge_left", "merge_right"
-        ).limit(1)
-        rules.append(best.select(
-            F.lit(step).cast("long").alias("step"),
-            "merge_left", "merge_right", "pair_count",
-            F.round("__score", 6).alias("score")))
-        if step < n_merges:
-            pat = F.concat(F.lit(_A), F.col("merge_left"), F.lit(_B),
-                           F.lit(_A), F.col("merge_right"), F.lit(_B))
-            rep = F.concat(F.lit(_A), F.col("merge_left"),
-                           F.col("merge_right"), F.lit(_B))
-            cur = (
-                cur.crossJoin(F.broadcast(best))
-                .select("n", F.replace(F.col("s"), pat, rep).alias("s"))
-                .localCheckpoint(eager=True)
-            )
-    out = rules[0]
-    for r in rules[1:]:
-        out = out.unionByName(r)
-    return out
+    return out.withColumn("score", F.round("score", 6))
 
 
 def _sql_chain(
@@ -335,39 +351,19 @@ def _encoded_vocab(docs: DataFrame, text_col: str, n_merges: int):
     """(per-doc word instances, vocabulary with fully-merged symbol
     state) — the shared core of the two encode surfaces.
 
-    Scale shape: the corpus is word-exploded ONCE; the merge fold runs
-    over the DISTINCT vocabulary (orders of magnitude smaller), with
-    the learned rule list riding as one broadcast row and applied via
-    a single ``F.aggregate`` lambda — plan size stays O(1) in
-    ``n_merges`` (no per-rule expression unrolling), and the fold
-    itself is a narrow projection with zero extra shuffles. Encoded
+    Scale shape: the corpus is word-exploded ONCE for the vocabulary
+    (materialized by :func:`_merge_loop`'s single checkpoint) and once
+    for per-doc instances; learning and encoding now SHARE the merged
+    vocabulary state — the loop runs with ``n_states = n_merges``
+    (every learned rule applied, in rank order, as a literal replace),
+    so the encode side is the final state itself: no re-learning
+    subtree, no rule-fold over a second distinct-vocab scan. Encoded
     widths then join back to word instances on the word key (AQE picks
     broadcast when the vocab is small enough)."""
-    rules = bpe_learn_merges(docs, text_col, n_merges=n_merges).agg(
-        F.sort_array(
-            F.collect_list(F.struct("step", "merge_left", "merge_right"))
-        ).alias("__rules")
-    )
+    _, state = _merge_loop(
+        _word_counts(docs, text_col), n_merges, n_states=n_merges)
     words = docs.select("doc_id", F.explode(tokens(text_col)).alias("w"))
-    vocab = words.select("w").distinct()
-    enc = (
-        vocab.crossJoin(F.broadcast(rules))
-        .select(
-            "w",
-            F.aggregate(
-                "__rules",
-                _encode(F.col("w")),
-                lambda acc, r: F.replace(
-                    acc,
-                    F.concat(F.lit(_A), r["merge_left"], F.lit(_B),
-                             F.lit(_A), r["merge_right"], F.lit(_B)),
-                    F.concat(F.lit(_A), r["merge_left"],
-                             r["merge_right"], F.lit(_B)),
-                ),
-            ).alias("s"),
-        )
-    )
-    return words, enc
+    return words, state.select("w", "s")
 
 
 def bpe_encode_counts(
