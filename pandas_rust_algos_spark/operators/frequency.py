@@ -474,9 +474,14 @@ def basket_pairs(
     """
     if min_pairs < 1:
         raise ValueError(f"min_pairs must be >= 1, got {min_pairs}")
+    from pyspark import StorageLevel
+
+    # feeds FOUR derivations (basket arrays, item counts x2 join
+    # sides, total-basket count) — without the persist each one
+    # re-runs the scan + distinct (guide §5: reused and expensive)
     items = df.select(
         F.col(basket_col).alias("b"), F.col(item_col).alias("i")
-    ).distinct()
+    ).distinct().persist(StorageLevel.MEMORY_AND_DISK)
     n_orders = items.select(F.count_distinct("b").alias("n_baskets"))
     arr = items.groupBy("b").agg(F.array_sort(F.collect_set("i")).alias("a"))
     pairs = (

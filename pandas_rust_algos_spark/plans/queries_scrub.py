@@ -574,11 +574,15 @@ def doc_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     formula covers: ``ln((c+1)/(total_w1+V))`` with absent counts as
     zero.
 
-    Plan: train-side bigram counts and w1 marginals aggregate map-side
-    then shuffle once each; doc bigrams pre-aggregate per (doc, w1,
-    w2) before the LM join, so the join input is bounded by distinct
-    bigrams per doc, not token count; vocabulary joins as a broadcast
-    1-row agg. Per-bigram log-probs quantize to integer
+    Plan: the train half is bigram-exploded ONCE into the persisted
+    count table ``c`` (distinct-bigram cardinality); the w1 marginals
+    and the vocabulary both derive from ``c`` (``total_w1 = Σc`` over
+    the history, ``V = count_distinct(w2)`` over seen pairs — the
+    identical values, since every instance lands in some counted
+    pair), so neither pays a second corpus explode. Doc bigrams
+    pre-aggregate per (doc, w1, w2) before the LM join, so the join
+    input is bounded by distinct bigrams per doc, not token count;
+    vocabulary joins as a broadcast 1-row agg. Per-bigram log-probs quantize to integer
     micro-units (scale, ROUND to an integral double, THEN cast — a
     bare double-to-long cast is engine-ambiguous: DuckDB rounds
     fractional doubles where Spark truncates) and accumulate exactly,
@@ -596,10 +600,14 @@ def doc_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.split_part(F.col("gram"), F.lit(" "), F.lit(2)).alias("w2"),
         )
 
+    from pyspark import StorageLevel
+
     tb = bigrams(d.where(F.col("doc_id") % 2 == 0))
-    c = tb.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c"))
-    marg = tb.groupBy("w1").agg(F.count(F.lit(1)).alias("total_w1"))
-    v = tb.agg(F.count_distinct(F.col("w2")).alias("vocab"))
+    c = tb.groupBy("w1", "w2").agg(
+        F.count(F.lit(1)).alias("c")
+    ).persist(StorageLevel.MEMORY_AND_DISK)
+    marg = c.groupBy("w1").agg(F.sum("c").alias("total_w1"))
+    v = c.agg(F.count_distinct(F.col("w2")).alias("vocab"))
 
     k = bigrams(d, "doc_id").groupBy("doc_id", "w1", "w2").agg(
         F.count(F.lit(1)).alias("k"))
