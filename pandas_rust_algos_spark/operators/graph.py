@@ -78,8 +78,11 @@ def shortest_hops(
     nodes. Frontiers shrink as the reachable set saturates — and an
     empty frontier is detected via the join becoming empty, with zero
     driver-side data inspection (no collect; the loop is a fixed
-    ``max_hops`` unroll). ``localCheckpoint`` truncates the visited
-    set's growing lineage each wave."""
+    ``max_hops`` unroll). ``localCheckpoint`` truncates each WAVE's
+    lineage; the visited set is a flat union of those checkpointed
+    waves, which needs no checkpoint of its own (every leaf is
+    already in memory — materializing the union too paid a second
+    eager job per wave for nothing, r12)."""
     if max_hops < 0:
         raise ValueError(f"max_hops must be >= 0, got {max_hops}")
     from pyspark import StorageLevel
@@ -105,7 +108,7 @@ def shortest_hops(
             .withColumn("hops", F.lit(h).cast("long"))
             .localCheckpoint(eager=True)
         )
-        visited = visited.unionByName(nxt).localCheckpoint(eager=True)
+        visited = visited.unionByName(nxt)
         frontier = nxt
     return visited
 
