@@ -94,13 +94,27 @@ def dsir_log_weights(
 
     if n < 1 or buckets < 2:
         raise ValueError(f"need n >= 1 and buckets >= 2, got {n}/{buckets}")
-    # both models are <= buckets rows — metadata-sized driver collects
-    # (they would ride as broadcasts regardless); the log-ratio per
-    # bucket is then CPython libm, not JVM Math.log (see module doc)
+    from pyspark import StorageLevel
+
+    # the raw model IS docfeat rolled up by bucket, so the raw corpus
+    # is gram-exploded ONCE (into the persisted per-doc bucket counts)
+    # instead of once per surface; the target model keeps its own
+    # explode (a different slice). Both models are <= buckets rows —
+    # metadata-sized driver collects (they would ride as broadcasts
+    # regardless); the log-ratio per bucket is then CPython libm, not
+    # JVM Math.log (see module doc)
+    docfeat = (
+        raw.select(F.col(id_col),
+                   F.explode(token_ngrams(text_col, n)).alias("g"))
+        .select(id_col, _bucket(F.col("g"), buckets).alias("b"))
+        .groupBy(id_col, "b").agg(F.count(F.lit(1)).alias("c_db"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
     p_cnt = {r["b"]: r["c"] for r in
              _model(target, text_col, n, buckets).collect()}
     q_cnt = {r["b"]: r["c"] for r in
-             _model(raw, text_col, n, buckets).collect()}
+             docfeat.groupBy("b")
+             .agg(F.sum("c_db").alias("c")).collect()}
     n_p = sum(p_cnt.values())
     n_q = sum(q_cnt.values())
     # every docfeat bucket appears in q (it was counted from raw), so
@@ -111,12 +125,6 @@ def dsir_log_weights(
          - math.log((c_q + 1) / (n_q + buckets)))
         for b, c_q in q_cnt.items()
     ]
-    docfeat = (
-        raw.select(F.col(id_col),
-                   F.explode(token_ngrams(text_col, n)).alias("g"))
-        .select(id_col, _bucket(F.col("g"), buckets).alias("b"))
-        .groupBy(id_col, "b").agg(F.count(F.lit(1)).alias("c_db"))
-    )
     if dlr_rows:
         dlr = raw.sparkSession.createDataFrame(
             dlr_rows, schema="b long, dlr double")
