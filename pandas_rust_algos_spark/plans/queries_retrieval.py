@@ -296,12 +296,20 @@ def retrieval_pipeline_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
     + `rrf_fuse_topk`, each keeping its own audited scale plan; the
     only new wiring is two kept-id joins (32-byte digests shuffle for
     the dedup, id lists for the joins — never document text)."""
+    from pyspark import StorageLevel
+
     from pandas_rust_algos_spark.operators import dedup as dd
 
     docs = _docs(spark, sf_dir)
     emb = _emb(spark, sf_dir)
-    kept = dd.dedup_exact(docs).select(F.col("rep_id").alias("doc_id"))
-    kd = docs.join(kept, "doc_id")
+    # the dedup window and the kept-corpus join feed EVERY downstream
+    # branch (BM25 reads its input 4x: doc lengths twice, the term
+    # explode, and the tf-derived df; the vector side joins kept ids)
+    # — without the persists the digest window re-ran 9x (guide §5)
+    kept = dd.dedup_exact(docs).select(
+        F.col("rep_id").alias("doc_id")
+    ).persist(StorageLevel.MEMORY_AND_DISK)
+    kd = docs.join(kept, "doc_id").persist(StorageLevel.MEMORY_AND_DISK)
     emb_k = emb.join(
         kept.select(F.col("doc_id").alias("vec_id")), "vec_id")
     lex = ti.bm25_topk(kd, _RRF_TERMS, k=_RRF_N)
