@@ -1919,7 +1919,12 @@ def pack_budget_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", (F.col("doc_id") % 4).alias("shard"),
         F.coalesce(tx.token_count("text"), F.lit(0)).alias("n_tokens"))
     weights = dd.dedup_soft_weights(docs).select("doc_id", "weight")
-    j = base.join(weights, "doc_id")
+    # j feeds BOTH the budget quantile collect and the pack fold —
+    # without the persist the soft-weights window re-runs (guide §5)
+    from pyspark import StorageLevel
+
+    j = base.join(weights, "doc_id").persist(
+        StorageLevel.MEMORY_AND_DISK)
     qrow = wt.group_weighted_quantiles(
         j.select(F.lit("all").alias("g"),
                  F.col("n_tokens").alias("x"), "weight"),
@@ -2017,7 +2022,12 @@ def pack_budget_weighted_approx(spark: SparkSession,
         "doc_id", (F.col("doc_id") % 4).alias("shard"),
         F.coalesce(tx.token_count("text"), F.lit(0)).alias("n_tokens"))
     weights = dd.dedup_soft_weights(docs).select("doc_id", "weight")
-    j = base.join(weights, "doc_id")
+    # j feeds BOTH the budget quantile collect and the pack fold —
+    # without the persist the soft-weights window re-runs (guide §5)
+    from pyspark import StorageLevel
+
+    j = base.join(weights, "doc_id").persist(
+        StorageLevel.MEMORY_AND_DISK)
     est = wt.group_weighted_quantile_approx(
         j.select(F.lit("all").alias("gk"),
                  F.col("n_tokens").alias("x"), "weight"),
