@@ -767,16 +767,31 @@ def group_approx_bounds_report(
     for q in qs:
         bound_qs.append(max(float(q) - eps, 0.0))
         bound_qs.append(min(float(q) + eps, 1.0))
-    aggs = [
+    # countDistinct runs in its OWN aggregation, not alongside the
+    # sketch functions: a distinct agg mixed with non-distinct aggs
+    # makes Catalyst key the PARTIAL aggregation by (key, nd_col), so
+    # every distinct nd value carries its own HLL++ registers,
+    # exact-percentile value map and QuantileSummaries buffer through
+    # the Exchange — effectively serializing the whole column inside
+    # per-distinct-value object buffers (measured 57-column shuffle,
+    # one row per (key, nd)). Split, the sketch agg partials key by
+    # ``key`` alone (|groups| buffer rows per partition) and the
+    # distinct leg is a plain two-stage codegen hash aggregate; the
+    # tiny per-group results re-join by broadcast. Sketch VALUES are
+    # merge-order-robust (HLL++ register max is order-independent;
+    # the percentile sketches only feed bound booleans whose published
+    # error guarantees hold under any merge order — and this shape
+    # merges |partitions| partials instead of |distinct nd|).
+    g_nd = kdf.groupBy(key).agg(F.countDistinct(c_nd).alias("exact_nd"))
+    g_sk = kdf.groupBy(key).agg(
         F.count(F.lit(1)).alias("n_rows"),
-        F.countDistinct(c_nd).alias("exact_nd"),
         F.approx_count_distinct(c_nd, rsd).alias("__apx_nd"),
         F.percentile_approx(
             c_q, list(map(float, qs)), accuracy).alias("__apx_q"),
         F.percentile(
             c_q, F.array(*[F.lit(b) for b in bound_qs])).alias("__b"),
-    ]
-    g = kdf.groupBy(key).agg(*aggs)
+    )
+    g = g_sk.join(F.broadcast(g_nd), key)
     g = g.select(
         "*",
         *[F.col("__b")[2 * i].alias(f"__lo{i}") for i in range(len(qs))],

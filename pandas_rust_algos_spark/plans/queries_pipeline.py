@@ -1244,8 +1244,22 @@ def bucketed_join_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         "l_orderkey", "l_extendedprice", "l_discount")
     orders = load_table(spark, sf_dir, "orders").select(
         "o_orderkey", "o_orderstatus")
-    write_bucketed(li, "gate_bkt_lineitem", "l_orderkey", num_buckets=8)
-    write_bucketed(orders, "gate_bkt_orders", "o_orderkey", num_buckets=8)
+    # the two bucketed landings are independent (distinct tables, no
+    # shared input lineage beyond the parquet scans) — submit them
+    # concurrently so the small orders write back-fills the executors
+    # the lineitem write's task tail frees (guide §2.6, the
+    # formats_roundtrip recipe)
+    from concurrent.futures import ThreadPoolExecutor
+
+    def _bland(args) -> None:
+        bdf, tbl, key = args
+        write_bucketed(bdf, tbl, key, num_buckets=8)
+
+    with ThreadPoolExecutor(max_workers=2) as ex:
+        list(ex.map(_bland, (
+            (li, "gate_bkt_lineitem", "l_orderkey"),
+            (orders, "gate_bkt_orders", "o_orderkey"),
+        )))
     prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
     try:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
