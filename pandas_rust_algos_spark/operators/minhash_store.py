@@ -46,6 +46,7 @@ from pandas_rust_algos_spark.operators.dedup import (
 )
 
 __all__ = [
+    "freeze_minhash_params",
     "write_minhash_store",
     "append_minhash_store",
     "stream_ingest_minhash_store",
@@ -80,6 +81,35 @@ def _read_meta(path: str) -> dict:
         return json.load(fh)
 
 
+def freeze_minhash_params(
+    path: str,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 5,
+    num_hashes: int = 32,
+    bands: int = 8,
+    hash_mode: str = "fast",
+) -> dict:
+    """Freeze the store's hyper-parameters in ``{path}/meta.json``
+    WITHOUT computing any signatures. Every ingest surface (batch
+    append, streaming foreachBatch) reads only this file, so once the
+    params are frozen the bootstrap signature write and a streaming
+    ingest are INDEPENDENT Spark jobs over disjoint output paths —
+    a caller can overlap them from a small thread pool (guide §2.6)
+    instead of serializing bootstrap → drain."""
+    if num_hashes % bands != 0:
+        raise ValueError(
+            f"num_hashes ({num_hashes}) must divide into bands ({bands})")
+    meta = {"k": k, "num_hashes": num_hashes, "bands": bands,
+            "hash_mode": hash_mode, "id_col": id_col,
+            "text_col": text_col}
+    os.makedirs(path, exist_ok=True)
+    with open(os.path.join(path, "meta.json"), "w") as fh:
+        json.dump(meta, fh)
+    return meta
+
+
 def write_minhash_store(
     df: DataFrame,
     path: str,
@@ -94,20 +124,19 @@ def write_minhash_store(
     """Create the store: one signature pass over ``df``, parameters
     frozen in ``meta.json``. The parquet is the index — one row of
     ``num_hashes`` longs per doc, repartitionable/compactable like
-    any table; no text is retained."""
-    if num_hashes % bands != 0:
-        raise ValueError(
-            f"num_hashes ({num_hashes}) must divide into bands ({bands})")
+    any table; no text is retained.
+
+    Params freeze FIRST (same bytes an explicit
+    :func:`freeze_minhash_params` writes), so a concurrent streaming
+    ingest can start as soon as the meta exists rather than after the
+    bootstrap signature job finishes."""
+    meta = freeze_minhash_params(
+        path, id_col=id_col, text_col=text_col, k=k,
+        num_hashes=num_hashes, bands=bands, hash_mode=hash_mode)
     sigs = minhash_signatures(
         df, id_col, text_col, k=k, num_hashes=num_hashes,
         hash_mode=hash_mode)
-    os.makedirs(path, exist_ok=True)
     sigs.write.mode("overwrite").parquet(os.path.join(path, "sigs.parquet"))
-    meta = {"k": k, "num_hashes": num_hashes, "bands": bands,
-            "hash_mode": hash_mode, "id_col": id_col,
-            "text_col": text_col}
-    with open(os.path.join(path, "meta.json"), "w") as fh:
-        json.dump(meta, fh)
     return meta
 
 

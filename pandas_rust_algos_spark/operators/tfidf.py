@@ -128,10 +128,18 @@ def bm25_topk(
     addition order Spark picks cannot flip ranks; registry determinism
     rule 1). The corpus stats (N, total token count → avgdl) ride as a
     broadcast one-row aggregate, and df for the ≤|query| matched terms
-    as a broadcast join — the only full-corpus work is the token-count
-    projection (narrow) and the term filter BEFORE the explode output
-    shuffles, so the scored set is |docs containing a query term|, not
-    the corpus.
+    aggregates from the PERSISTED tf rows and broadcasts back — the
+    only full-corpus work is
+    the stats projection (narrow) and the term filter BEFORE the
+    explode output shuffles, so the scored set is |docs containing a
+    query term|, not the corpus. The document length rides THROUGH the
+    explode and the tf aggregation (a per-doc constant, folded with
+    ``max``) instead of joining back a corpus-sized length table —
+    that join was a sort-merge whose build side was every document in
+    the corpus, for a probe side of only the matching docs; the token
+    array materializes once in its own projection so size + explode
+    share one tokenizer run (CollapseProject keeps a non-cheap alias
+    referenced twice in its own project).
 
     Scale shape (100 TB): filter-at-the-scan on the query terms makes
     every shuffle O(matching docs); the global top-k is a TakeOrdered
@@ -142,15 +150,27 @@ def bm25_topk(
     """
     if not query_terms:
         raise ValueError("query_terms must be non-empty")
-    dl = docs.select(F.col(id_col), token_count(text_col).alias("dl"))
-    stats = dl.agg(
+    stats = docs.select(token_count(text_col).alias("dl")).agg(
         F.sum("dl").alias("total_tokens"),
         F.count(F.lit(1)).alias("n_docs"),
     )
-    tok = docs.select(
-        F.col(id_col), F.explode(tokens(text_col)).alias("term")
-    ).where(F.col("term").isin(list(query_terms)))
-    tf = tok.groupBy(id_col, "term").agg(F.count(F.lit(1)).alias("tf"))
+    tok = (
+        docs.select(F.col(id_col), tokens(text_col).alias("__toks"))
+        .select(
+            F.col(id_col),
+            F.size("__toks").cast("long").alias("dl"),
+            F.explode("__toks").alias("term"),
+        )
+        .where(F.col("term").isin(list(query_terms)))
+    )
+    # tf persists because it feeds BOTH df and the scoring pass — the
+    # lazy form re-derived the whole corpus explode as the df build
+    # side. It is matched-rows-sized (|docs containing a query term| ×
+    # terms), never the corpus. A count window over term was tried
+    # instead and rejected: ≤|query| distinct partition keys collapse
+    # the sort onto a handful of tasks (guide §2.5 synthetic-key skew).
+    tf = tok.groupBy(id_col, "term").agg(
+        F.count(F.lit(1)).alias("tf"), F.max("dl").alias("dl")).persist()
     dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
     avgdl = F.col("total_tokens").cast("double") / F.col("n_docs")
     part = (
@@ -160,7 +180,6 @@ def bm25_topk(
     )
     scored = (
         tf.join(F.broadcast(dfreq), "term")
-        .join(dl, id_col)
         .crossJoin(F.broadcast(stats))
         .select(
             F.col(id_col),
@@ -361,7 +380,9 @@ def bm25_batch_topk(
     (identical to the single-query semantics). Per-(query, doc) scores
     sum the matched term parts in exact fixed point; the per-query
     top-k is one window over the scored set — rows = Σ_q |docs
-    matching q|, never corpus × queries.
+    matching q|, never corpus × queries. As in :func:`bm25_topk`, the
+    document length rides through the explode and the tf aggregation
+    instead of joining back a corpus-sized length table.
 
     Output: ``(query_id, doc_id, score, rank)`` with ranks 1..k per
     query by (score DESC, doc_id).
@@ -371,15 +392,22 @@ def bm25_batch_topk(
     ).distinct()
     qterms = q.select("term").distinct()
 
-    dl = docs.select(F.col(id_col), token_count(text_col).alias("dl"))
-    stats = dl.agg(
+    stats = docs.select(token_count(text_col).alias("dl")).agg(
         F.sum("dl").alias("total_tokens"),
         F.count(F.lit(1)).alias("n_docs"),
     )
-    tok = docs.select(
-        F.col(id_col), F.explode(tokens(text_col)).alias("term")
-    ).join(F.broadcast(qterms), "term", "left_semi")
-    tf = tok.groupBy(id_col, "term").agg(F.count(F.lit(1)).alias("tf"))
+    tok = (
+        docs.select(F.col(id_col), tokens(text_col).alias("__toks"))
+        .select(
+            F.col(id_col),
+            F.size("__toks").cast("long").alias("dl"),
+            F.explode("__toks").alias("term"),
+        )
+        .join(F.broadcast(qterms), "term", "left_semi")
+    )
+    # persisted for the same df/scoring dual use as bm25_topk
+    tf = tok.groupBy(id_col, "term").agg(
+        F.count(F.lit(1)).alias("tf"), F.max("dl").alias("dl")).persist()
     dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
     avgdl = F.col("total_tokens").cast("double") / F.col("n_docs")
     part = (
@@ -390,7 +418,6 @@ def bm25_batch_topk(
     scored = (
         tf.join(F.broadcast(dfreq), "term")
         .join(F.broadcast(q), "term")          # fan out to queries
-        .join(dl, id_col)
         .crossJoin(F.broadcast(stats))
         .select(
             F.col("qid").alias(query_id_col),

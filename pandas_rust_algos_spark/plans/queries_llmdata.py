@@ -359,10 +359,19 @@ def minhash_store_stream_ingest(spark: SparkSession,
     of (text, frozen params), so drained-stream state ≡ batch append ≡
     the full-corpus portable pipeline filtered to new-touching pairs —
     the SAME DuckDB oracle as ``minhash_store_incremental``, which is
-    the equivalence the gate pins cross-engine."""
+    the equivalence the gate pins cross-engine.
+
+    Bootstrap ∥ drain: both ingest surfaces read only the frozen
+    ``meta.json`` and write DISJOINT store paths (``sigs.parquet`` vs
+    ``sigs_stream.parquet/batch_id=*``), so once the params are frozen
+    the bootstrap signature job and the stream drain are independent —
+    they run overlapped from a 2-thread pool (guide §2.6) and only the
+    post-drain audit waits on both."""
     import tempfile
+    from concurrent.futures import ThreadPoolExecutor
 
     from pandas_rust_algos_spark.operators.minhash_store import (
+        freeze_minhash_params,
         minhash_store_pairs,
         stream_ingest_minhash_store,
         write_minhash_store,
@@ -371,9 +380,8 @@ def minhash_store_stream_ingest(spark: SparkSession,
 
     docs = _docs(spark, sf_dir)
     idx = tempfile.mkdtemp(prefix="mh_store_stream_gate_")
-    write_minhash_store(
-        docs.where(F.col("doc_id") % 5 != 0), idx,
-        num_hashes=16, bands=4, hash_mode="portable")
+    freeze_minhash_params(idx, num_hashes=16, bands=4,
+                          hash_mode="portable")
     # single-file FileStreamSource = one task/microbatch: fan out
     # before the shingle hashing (the docs_stream_bloom_screen lesson)
     stream = (
@@ -382,8 +390,23 @@ def minhash_store_stream_ingest(spark: SparkSession,
         .repartition(spark.sparkContext.defaultParallelism)
     )
     ckpt = tempfile.mkdtemp(prefix="mh_store_stream_ckpt_")
-    q = stream_ingest_minhash_store(idx, stream, checkpoint=ckpt)
-    q.awaitTermination()
+
+    def bootstrap() -> None:
+        spark.sparkContext.setJobDescription(
+            "minhash_store_stream_ingest: bootstrap sigs")
+        write_minhash_store(
+            docs.where(F.col("doc_id") % 5 != 0), idx,
+            num_hashes=16, bands=4, hash_mode="portable")
+
+    def drain() -> None:
+        spark.sparkContext.setJobDescription(
+            "minhash_store_stream_ingest: stream drain")
+        q = stream_ingest_minhash_store(idx, stream, checkpoint=ckpt)
+        q.awaitTermination()
+
+    with ThreadPoolExecutor(max_workers=2) as pool:
+        for f in [pool.submit(bootstrap), pool.submit(drain)]:
+            f.result()
     return minhash_store_pairs(
         spark, idx, docs.where(F.col("doc_id") % 5 == 0),
         threshold=0.5)

@@ -582,6 +582,63 @@ def test_minhash_store_stream_ingest(spark, tmp_path):
     assert read_store_sigs(spark, path_s).count() == 9  # unchanged
 
 
+def test_minhash_store_meta_only_stream_then_bootstrap(spark, tmp_path):
+    """The bootstrap ∥ drain overlap contract: a streaming ingest needs
+    ONLY the frozen ``meta.json`` — it must succeed against a store
+    with no ``sigs.parquet`` yet, and a bootstrap signature write
+    landing AFTERWARDS (the worst-case interleaving of the overlapped
+    gate) must yield the identical store state as the old sequential
+    bootstrap → drain order."""
+    from pandas_rust_algos_spark.operators.minhash_store import (
+        freeze_minhash_params,
+        read_store_sigs,
+        stream_ingest_minhash_store,
+        write_minhash_store,
+    )
+
+    base = "the quick brown fox jumps over the lazy dog again and again"
+    docs = spark.createDataFrame(
+        [(0, base), (1, "some other words entirely " * 2),
+         (6, base), (7, "yet another standalone document body")],
+        "doc_id long, text string")
+    old = docs.where(F.col("doc_id") < 6)
+    new = docs.where(F.col("doc_id") >= 6)
+    landing = str(tmp_path / "landing")
+    new.coalesce(1).write.parquet(landing)
+
+    # params frozen, NO signatures yet — drain the stream first
+    path = str(tmp_path / "mh_meta_only")
+    meta = freeze_minhash_params(path, num_hashes=16, bands=4,
+                                 hash_mode="portable")
+    assert meta["num_hashes"] == 16 and meta["bands"] == 4
+    stream = (spark.readStream.schema(new.schema)
+              .option("maxFilesPerTrigger", 1).parquet(landing))
+    q = stream_ingest_minhash_store(
+        path, stream, checkpoint=str(tmp_path / "ckpt"))
+    q.awaitTermination()
+    # bootstrap lands after the drain — the overlapped gate's
+    # worst-case ordering
+    assert write_minhash_store(old, path, num_hashes=16, bands=4,
+                               hash_mode="portable") == meta
+
+    seq = str(tmp_path / "mh_sequential")
+    write_minhash_store(old, seq, num_hashes=16, bands=4,
+                        hash_mode="portable")
+    stream2 = (spark.readStream.schema(new.schema)
+               .option("maxFilesPerTrigger", 1).parquet(landing))
+    q2 = stream_ingest_minhash_store(
+        seq, stream2, checkpoint=str(tmp_path / "ckpt2"))
+    q2.awaitTermination()
+
+    got = sorted(map(tuple, read_store_sigs(spark, path).collect()))
+    want = sorted(map(tuple, read_store_sigs(spark, seq).collect()))
+    assert got == want and len(got) == 4
+
+    with pytest.raises(ValueError, match="must divide"):
+        freeze_minhash_params(str(tmp_path / "bad"), num_hashes=16,
+                              bands=5)
+
+
 def test_minhash_store_whale_cap(spark, tmp_path):
     """The incremental guard: a planted whale bucket in the STORE
     contributes only its min-id representative to the batch join, so
