@@ -218,32 +218,38 @@ def _train_centroids_fast(
                 a = np.argmin(d, axis=1)
                 np.add.at(sums, a, Mi)
                 np.add.at(cnts, a, 1)
-            rows = []
-            for cid in range(k):
-                if cnts[cid]:
-                    for i in range(dim):
-                        rows.append((cid, i, int(sums[cid, i]),
-                                     int(cnts[cid])))
-            yield pd.DataFrame(rows,
-                               columns=["cid", "i", "s", "n"])
+            rows = [
+                (cid, [int(x) for x in sums[cid]], int(cnts[cid]))
+                for cid in range(k) if cnts[cid]
+            ]
+            yield pd.DataFrame(rows, columns=["cid", "s", "n"])
 
-        merged = (
-            pts.mapInPandas(_partials, "cid int, i int, s long, n long")
-            .groupBy("cid", "i")
-            .agg(F.sum("s").alias("s"), F.sum("n").alias("n"))
-            .collect()
-        )
-        acc: dict[int, list] = {}
-        for r in merged:
-            acc.setdefault(r["cid"], [None] * dim)[r["i"]] = (
-                r["s"], r["n"])
+        # collect the per-task partials directly (≤ k rows per task,
+        # each an array of dim longs) and merge in the driver — int64
+        # addition is exact and order-independent, so this equals the
+        # former groupBy+sum while skipping one shuffle stage per
+        # Lloyd iteration (the trainings are job-latency-bound)
+        parts = pts.mapInPandas(
+            _partials, "cid int, s array<long>, n long").collect()
+        acc_s: dict[int, list] = {}
+        acc_n: dict[int, int] = {}
+        for r in parts:
+            cid = r["cid"]
+            if cid in acc_n:
+                acc_n[cid] += r["n"]
+                sl = acc_s[cid]
+                for i, v in enumerate(r["s"]):
+                    sl[i] += v
+            else:
+                acc_n[cid] = r["n"]
+                acc_s[cid] = list(r["s"])
         new_cents = []
         for cid in range(k):
-            if cid in acc:
+            if cid in acc_n:
                 # floor(sum/count) in double — the engines' exact rule
                 new_cents.append([
-                    int(np.floor(float(s) / float(n)))
-                    for s, n in acc[cid]
+                    int(np.floor(float(s) / float(acc_n[cid])))
+                    for s in acc_s[cid]
                 ])
             else:
                 new_cents.append(cents[cid])  # empty-cluster carry
@@ -352,36 +358,40 @@ def _train_centroids_multi(
                     a = np.argmin(d, axis=1)
                     np.add.at(sums[j], a, Mi)
                     np.add.at(cnts[j], a, 1)
-            rows = []
-            for j in range(m):
-                for cid in range(ks[j]):
-                    if cnts[j][cid]:
-                        for i in range(widths[j]):
-                            rows.append((j, cid, i,
-                                         int(sums[j][cid, i]),
-                                         int(cnts[j][cid])))
-            yield pd.DataFrame(
-                rows, columns=["b", "cid", "i", "s", "n"])
+            rows = [
+                (j, cid,
+                 [int(x) for x in sums[j][cid]], int(cnts[j][cid]))
+                for j in range(m)
+                for cid in range(ks[j]) if cnts[j][cid]
+            ]
+            yield pd.DataFrame(rows, columns=["b", "cid", "s", "n"])
 
-        merged = (
-            pts.mapInPandas(
-                _partials, "b int, cid int, i int, s long, n long")
-            .groupBy("b", "cid", "i")
-            .agg(F.sum("s").alias("s"), F.sum("n").alias("n"))
-            .collect()
-        )
-        accs: list[dict[int, list]] = [{} for _ in range(m)]
-        for r in merged:
-            accs[r["b"]].setdefault(
-                r["cid"], [None] * widths[r["b"]])[r["i"]] = (
-                r["s"], r["n"])
+        # per-task partials collected directly (≤ Σ_j k rows per task,
+        # arrays of width_j longs) and merged in the driver — exact
+        # int64 algebra, one shuffle stage fewer per Lloyd iteration
+        # (same rationale as the single-book trainer above)
+        parts = pts.mapInPandas(
+            _partials, "b int, cid int, s array<long>, n long").collect()
+        acc_s: list[dict[int, list]] = [{} for _ in range(m)]
+        acc_n: list[dict[int, int]] = [{} for _ in range(m)]
+        for r in parts:
+            j, cid = r["b"], r["cid"]
+            if cid in acc_n[j]:
+                acc_n[j][cid] += r["n"]
+                sl = acc_s[j][cid]
+                for i, v in enumerate(r["s"]):
+                    sl[i] += v
+            else:
+                acc_n[j][cid] = r["n"]
+                acc_s[j][cid] = list(r["s"])
         for j in range(m):
             new_cents = []
             for cid in range(ks[j]):
-                if cid in accs[j]:
+                if cid in acc_n[j]:
+                    n = acc_n[j][cid]
                     new_cents.append([
                         int(np.floor(float(s) / float(n)))
-                        for s, n in accs[j][cid]
+                        for s in acc_s[j][cid]
                     ])
                 else:
                     new_cents.append(books[j][cid])
