@@ -51,6 +51,7 @@ __all__ = [
     "append_minhash_store",
     "stream_ingest_minhash_store",
     "read_store_sigs",
+    "batch_band_table",
     "minhash_store_near_dupes",
     "minhash_store_pairs",
 ]
@@ -105,8 +106,14 @@ def freeze_minhash_params(
             "hash_mode": hash_mode, "id_col": id_col,
             "text_col": text_col}
     os.makedirs(path, exist_ok=True)
-    with open(os.path.join(path, "meta.json"), "w") as fh:
+    # temp + atomic rename: a re-freeze (write_minhash_store freezes
+    # before its signature job) must never expose a truncated file to
+    # a CONCURRENT reader — the overlapped bootstrap ∥ probe callers
+    # read meta.json while the bootstrap may be rewriting it
+    tmp = os.path.join(path, ".meta.json.tmp")
+    with open(tmp, "w") as fh:
         json.dump(meta, fh)
+    os.replace(tmp, os.path.join(path, "meta.json"))
     return meta
 
 
@@ -309,6 +316,24 @@ def minhash_store_pairs(
     )
 
 
+def batch_band_table(path: str, new_docs: DataFrame) -> DataFrame:
+    """The NEW batch's band table ``(id, sig, band, bucket)`` under the
+    store's FROZEN params — the probe side of
+    :func:`minhash_store_near_dupes`, exposed separately because it
+    reads only ``meta.json``: once the params are frozen it is
+    INDEPENDENT of the store's signature files, so a caller can
+    materialize it concurrently with the bootstrap signature write
+    (guide §2.6, the ``minhash_store_stream_ingest`` recipe) and pass
+    it through ``new_bands=``."""
+    meta = _read_meta(path)
+    sigs_new = minhash_signatures(
+        new_docs, meta["id_col"], meta["text_col"], k=meta["k"],
+        num_hashes=meta["num_hashes"], hash_mode=meta["hash_mode"])
+    return _band_table(
+        sigs_new, meta["id_col"], meta["num_hashes"], meta["bands"],
+        meta["hash_mode"])
+
+
 def minhash_store_near_dupes(
     spark: SparkSession,
     path: str,
@@ -316,6 +341,7 @@ def minhash_store_near_dupes(
     *,
     threshold: float = 0.5,
     max_bucket: int | None = None,
+    new_bands: DataFrame | None = None,
 ) -> DataFrame:
     """Near-dup pairs touching the new batch: ``(id_a, id_b,
     est_jaccard)`` with ``id_a < id_b``, where at least one side is a
@@ -348,15 +374,17 @@ def minhash_store_near_dupes(
     form re-ran the whole shingle pipeline per probe), the guard here
     stays LAZY: the bucket count re-derives from the signature
     PARQUET — a narrow scan with no text work — so the extra
-    aggregate instantiation is cheap."""
+    aggregate instantiation is cheap.
+
+    ``new_bands`` (optional): a precomputed :func:`batch_band_table`
+    of ``new_docs`` — callers that overlapped its materialization with
+    the bootstrap pass it through so the batch is not re-shingled
+    here. Contract: it must equal ``batch_band_table(path, new_docs)``
+    (pure function of text + frozen params)."""
     meta = _read_meta(path)
     id_col, nh = meta["id_col"], meta["num_hashes"]
-    sigs_new = minhash_signatures(
-        new_docs, id_col, meta["text_col"], k=meta["k"],
-        num_hashes=nh, hash_mode=meta["hash_mode"])
-    b_new = _band_table(
-        sigs_new, id_col, nh, meta["bands"], meta["hash_mode"]
-    ).persist()
+    b_new = (batch_band_table(path, new_docs)
+             if new_bands is None else new_bands).persist()
     stored = read_store_sigs(spark, path)
     b_stored = _band_table(
         stored, id_col, nh, meta["bands"], meta["hash_mode"])

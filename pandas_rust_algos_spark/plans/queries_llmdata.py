@@ -321,22 +321,52 @@ def minhash_store_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     params), the result equals the full-corpus portable pipeline
     restricted to new-touching pairs — which is exactly what the
     DuckDB oracle replays (the shared portable-oracle builder with a
-    pair predicate)."""
+    pair predicate).
+
+    Bootstrap ∥ probe bands: the batch's band table reads only the
+    frozen ``meta.json`` (signatures are a pure function of text +
+    params), so once the params are frozen it is independent of the
+    bootstrap signature write — the two jobs overlap from a 2-thread
+    pool (guide §2.6, the ``minhash_store_stream_ingest`` recipe);
+    only the (band, bucket) join against the STORED signatures waits
+    on both."""
     import tempfile
+    from concurrent.futures import ThreadPoolExecutor
 
     from pandas_rust_algos_spark.operators.minhash_store import (
+        batch_band_table,
+        freeze_minhash_params,
         minhash_store_near_dupes,
         write_minhash_store,
     )
 
     docs = _docs(spark, sf_dir)
+    batch = docs.where(F.col("doc_id") % 5 == 0)
     idx = tempfile.mkdtemp(prefix="mh_store_gate_")
-    write_minhash_store(
-        docs.where(F.col("doc_id") % 5 != 0), idx,
-        num_hashes=16, bands=4, hash_mode="portable")
+    freeze_minhash_params(idx, num_hashes=16, bands=4,
+                          hash_mode="portable")
+
+    def bootstrap() -> None:
+        spark.sparkContext.setJobDescription(
+            "minhash_store_incremental: bootstrap sigs")
+        write_minhash_store(
+            docs.where(F.col("doc_id") % 5 != 0), idx,
+            num_hashes=16, bands=4, hash_mode="portable")
+
+    def probe_bands() -> DataFrame:
+        spark.sparkContext.setJobDescription(
+            "minhash_store_incremental: batch band table")
+        b = batch_band_table(idx, batch).persist()
+        b.count()  # materialize into the cache while bootstrap runs
+        return b
+
+    with ThreadPoolExecutor(max_workers=2) as pool:
+        boot_f = pool.submit(bootstrap)
+        bands_f = pool.submit(probe_bands)
+        boot_f.result()
+        b_new = bands_f.result()
     return minhash_store_near_dupes(
-        spark, idx, docs.where(F.col("doc_id") % 5 == 0),
-        threshold=0.5)
+        spark, idx, batch, threshold=0.5, new_bands=b_new)
 
 
 @register(

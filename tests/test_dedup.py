@@ -489,6 +489,19 @@ def test_minhash_store_incremental(spark, tmp_path):
         write_minhash_store(old, str(tmp_path / "bad"), num_hashes=16,
                             bands=5)
 
+    # precomputed probe-side band table (the overlapped-bootstrap
+    # path): passing batch_band_table() through new_bands= must be
+    # result-identical to the default in-function derivation — the
+    # band table is a pure function of (text, frozen params)
+    from pandas_rust_algos_spark.operators.minhash_store import (
+        batch_band_table,
+    )
+
+    pre = batch_band_table(path, batch2)
+    inc2_pre = {(r["id_a"], r["id_b"]) for r in minhash_store_near_dupes(
+        spark, path, batch2, threshold=0.5, new_bands=pre).collect()}
+    assert inc2_pre == inc2
+
 
 def test_minhash_store_stream_ingest(spark, tmp_path):
     """Streaming ingest (foreachBatch → batch_id partition dirs):
