@@ -1453,6 +1453,10 @@ def merge_upsert_read(spark: SparkSession, sf_dir: str) -> DataFrame:
     merge_into_partitioned(
         spark, path, base.where(k % 3 != 0),
         key_cols=["o_orderkey"], partition_col="m")
+    # the merge consumes the batch three times (touched-partition
+    # collect, distinct-key broadcast build, upsert union into the
+    # rewrite) — persist it so the 3-branch union scan of orders runs
+    # once instead of per consumer (guide §5; within-invocation cache)
     batch = (
         base.where((k % 3 == 0) & (k % 2 == 0))
         .withColumn("__del", F.lit(False))
@@ -1463,7 +1467,7 @@ def merge_upsert_read(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionByName(
             base.where((k % 3 == 2) & (k % 5 == 0))
             .withColumn("__del", F.lit(True)))
-    )
+    ).persist()
     merge_into_partitioned(
         spark, path, batch,
         key_cols=["o_orderkey"], partition_col="m", delete_col="__del")
