@@ -602,8 +602,12 @@ def ivfpq_topk_fixed(
                 lambda a, b: a - b),
         )
         # reused by m sub-codebook trainings AND the encode pass —
-        # materialize once instead of re-running assignment per scan
-        .localCheckpoint(eager=True)
+        # persist() (lazy) rather than an EAGER localCheckpoint: the
+        # first consumer (the lockstep seed job) materializes the
+        # cache for the rest, so no dedicated materialization job is
+        # paid (the gates are job-latency-bound; at 100 TB this frame
+        # is persisted/written once either way)
+        .persist()
     )
 
     # m residual sub-books in LOCKSTEP over the checkpointed
