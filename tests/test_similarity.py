@@ -403,6 +403,13 @@ def test_train_centroids_fast_matches_dataframe_lloyd(spark, emb):
         got = _train_centroids_fast(
             pts, "vec_id", k=k, iters=iters, salt=salt)
         assert got == want, (k, iters, salt)
+        # partitioning independence: with >1 partition every task emits
+        # its own partial-sum rows, exercising the driver-side
+        # multi-partial merge (int64 addition is order-independent, so
+        # the centroids must be bit-identical to the 1-partition run)
+        got_mp = _train_centroids_fast(
+            pts.repartition(7), "vec_id", k=k, iters=iters, salt=salt)
+        assert got_mp == want, ("repartitioned", k, iters, salt)
 
 
 def test_train_centroids_multi_matches_per_slice_fast(spark, emb):
@@ -431,6 +438,11 @@ def test_train_centroids_multi_matches_per_slice_fast(spark, emb):
             pts.select("vec_id", SF.slice("v", off, w).alias("v")),
             "vec_id", k=8, iters=2, salt=salt)
         assert got[j] == want, j
+    # partitioning independence (driver-side multi-partial merge):
+    # a multi-partition frame must train bit-identical books
+    got_mp = _train_centroids_multi(pts.repartition(7), "vec_id", k=8,
+                                    iters=2, specs=specs)
+    assert got_mp == got
 
     # clamp path: fewer points than k, mixed widths
     tiny = pts.where(SF.col("vec_id") < 3)
