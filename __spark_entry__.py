@@ -94,6 +94,14 @@ def _tune_for_small_sf(spark: SparkSession, sf_dir: str) -> None:
 
 def _wrap(fn: Callable[[SparkSession, str], DataFrame]):
     def run(spark: SparkSession, sf_dir: str) -> DataFrame:
+        from pandas_rust_algos_spark import cachelife
+
+        # free the PREVIOUS query's tracked caches: a query whose
+        # returned plan references a persisted frame cannot unpersist
+        # it itself (the caller materializes later), so the next
+        # invocation releases — the harness never accumulates more
+        # than one query's caches on the shared session
+        cachelife.release()
         _ship_package(spark)
         _tune_for_small_sf(spark, sf_dir)
         return fn(spark, sf_dir)

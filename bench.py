@@ -259,6 +259,34 @@ def _force(df) -> None:
     df.write.format("noop").mode("overwrite").save()
 
 
+def _release_caches(spark) -> None:
+    """Free every query-scoped cache and assert none survived (r12
+    VERDICT #1/#7). Runs AFTER each timed run's clock stops: the timed
+    region stays exactly the build-round methodology (construct the
+    plan + materialize through the noop sink), while run 2 of a
+    best-of-3 now recomputes from the parquet inputs — Spark's
+    CacheManager matches canonicalized plans, so without the release
+    every re-built identical DataFrame silently reused the previous
+    run's InMemoryRelation and the best-of-N minimum timed a
+    warm-cache run. The emptiness assert makes any future persist-leak
+    fail loudly instead of contaminating minima. The SQL CacheManager
+    (not getPersistentRDDs) is the right thing to check: cross-run
+    reuse happens only through plan-fingerprint matching there, while
+    localCheckpoint RDDs are invocation-private and GC-reclaimed."""
+    from pandas_rust_algos_spark import cachelife
+
+    cachelife.release()
+    try:
+        empty = spark._jsparkSession.sharedState().cacheManager().isEmpty()
+    except Exception:
+        return  # introspection is best-effort; release() already ran
+    if not empty:
+        raise SystemExit(
+            "cache-hygiene violation: the SQL CacheManager is non-empty "
+            "after cachelife.release() — some query path persisted a "
+            "frame without cachelife.track() or an inline unpersist()")
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
@@ -287,6 +315,7 @@ def main() -> None:
     for t in TABLES:
         load_table(spark, sf_dir, t).count()
     _force(registry.get("q1_pricing_summary").fn(spark, sf_dir))
+    _release_caches(spark)
 
     # best-of-3 per query, raw runs preserved: the first run of a plan
     # shape pays one-time whole-stage-codegen compilation (measured
@@ -302,6 +331,7 @@ def main() -> None:
             t0 = time.perf_counter()
             _force(fn(spark, sf_dir))
             rs.append(round(time.perf_counter() - t0, 3))
+            _release_caches(spark)
         runs[name] = rs
         times[name] = min(rs)
 
@@ -321,6 +351,7 @@ def main() -> None:
                 t0 = time.perf_counter()
                 _force(fn(spark, sf_dir))
                 p2.append(round(time.perf_counter() - t0, 3))
+                _release_caches(spark)
             basket_pass2[name] = p2
 
     total = round(sum(times.values()), 3)

@@ -31,6 +31,7 @@ import os
 from pyspark.sql import DataFrame, SparkSession, functions as F
 from pyspark.sql.window import Window
 
+from pandas_rust_algos_spark import cachelife
 from pandas_rust_algos_spark.session import local_df
 from pandas_rust_algos_spark.operators.similarity import (
     _as_double,
@@ -296,12 +297,14 @@ def ivf_index_query(
     )
     cmatrix = _lit_matrix([r["centroid"] for r in centers])
 
-    probes = queries.select(
+    # persisted for the probed-cell collect below AND the broadcast
+    # scoring join in the returned plan → tracked for deferred release
+    probes = cachelife.track(queries.select(
         F.col(query_id_col).alias("qid"),
         _as_double(F.col(vec_col)).alias("qv"),
     ).withColumn(
         "cell", F.explode(_nearest_cells(cmatrix, F.col("qv"), n_probe))
-    ).persist()
+    ).persist())
     probed_cells = sorted(
         {r["cell"] for r in probes.select("cell").distinct().collect()}
     )

@@ -54,9 +54,12 @@ prescribed exactly this construction).
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
+from pandas_rust_algos_spark import cachelife
 from pandas_rust_algos_spark.operators.kmeans import (
     _fixed_centroids,
     _quantize,
@@ -141,6 +144,59 @@ def _collect_centroids(cents: DataFrame) -> list[list[int]]:
     return [c for _, c in rows]
 
 
+#: Above this many scan tasks, the Lloyd trainers fold their per-task
+#: partial sums through a bounded round-robin repartition + one more
+#: exact-int64 merge before the driver collect, so the driver receives
+#: at most ``_LLOYD_MERGE_TASKS × Σk`` rows regardless of input task
+#: count (at 1e9-row scale the direct collect grows linearly with task
+#: count — a multi-GB driver payload; r12 VERDICT next-#4). Below the
+#: threshold the fold is skipped: the repartition adds one (tiny)
+#: shuffle stage per iteration, which the job-latency-bound gates would
+#: pay for nothing. Env-tunable for cluster deployments.
+_LLOYD_MERGE_THRESHOLD = int(
+    os.environ.get("PRA_LLOYD_MERGE_THRESHOLD", "64"))
+_LLOYD_MERGE_TASKS = int(os.environ.get("PRA_LLOYD_MERGE_TASKS", "32"))
+
+
+def _bounded_partials(parts: DataFrame, n_tasks: int,
+                      key_cols: list[str], schema: str) -> DataFrame:
+    """Two-level merge for Lloyd partial-sum frames.
+
+    ``parts`` holds per-task rows ``(*key_cols, s array<long>, n long)``.
+    When the producing scan ran on more than ``_LLOYD_MERGE_THRESHOLD``
+    tasks, repartition round-robin to ``_LLOYD_MERGE_TASKS`` partitions
+    (the rows are k×dim longs each — metadata, so the shuffle is tiny)
+    and fold each partition's rows by key with exact int64 addition.
+    int64 partial sums are associative and commutative, so the fold is
+    bit-identical to merging the raw partials directly in the driver —
+    pinned by the trainer parity tests. No-op below the threshold."""
+    if n_tasks <= _LLOYD_MERGE_THRESHOLD:
+        return parts
+    import numpy as np
+    import pandas as pd
+
+    def _fold(batches):
+        acc_s: dict[tuple, object] = {}
+        acc_n: dict[tuple, int] = {}
+        for pdf in batches:
+            for t in pdf.itertuples(index=False):
+                key = tuple(getattr(t, c) for c in key_cols)
+                s = np.asarray(t.s, dtype=np.int64)
+                if key in acc_n:
+                    acc_n[key] += int(t.n)
+                    acc_s[key] = acc_s[key] + s
+                else:
+                    acc_n[key] = int(t.n)
+                    acc_s[key] = s.copy()
+        rows = [(*k, [int(x) for x in acc_s[k]], acc_n[k])
+                for k in acc_n]
+        if rows:
+            yield pd.DataFrame(rows, columns=[*key_cols, "s", "n"])
+
+    return parts.repartition(_LLOYD_MERGE_TASKS).mapInPandas(
+        _fold, schema)
+
+
 def _train_centroids_fast(
     pts: DataFrame,
     id_col: str,
@@ -160,8 +216,11 @@ def _train_centroids_fast(
       — every term is an exact integer below 2^53 on the micro-unit
       grid, so the matrix form IS the exact distance and ``argmin``
       (first minimum = lowest cid) reproduces the (d, cid) tie rule;
-    - per-batch sums accumulate in int64 (exact), merge through a
-      k×dim-row shuffle, and the centroid state (k×dim longs —
+    - per-batch sums accumulate in int64 (exact) and merge in the
+      DRIVER (the collect receives ≤ tasks×k rows of dim longs; above
+      ``_LLOYD_MERGE_THRESHOLD`` scan tasks a bounded two-level fold
+      caps it at ``_LLOYD_MERGE_TASKS``×k rows so driver memory does
+      not grow with task count), and the centroid state (k×dim longs —
       metadata) lives on the driver between iterations, exactly the
       state this module's callers collect at the end anyway (the
       pure-DataFrame zero-collect implementation remains
@@ -196,6 +255,7 @@ def _train_centroids_fast(
     # previously the update loop indexed past the seed list (r7 ADVICE)
     k = min(k, len(cents))
     dim = len(cents[0])
+    n_tasks = pts.rdd.getNumPartitions()
 
     for _ in range(iters):
         C = np.array(cents, dtype=np.float64)
@@ -224,13 +284,17 @@ def _train_centroids_fast(
             ]
             yield pd.DataFrame(rows, columns=["cid", "s", "n"])
 
-        # collect the per-task partials directly (≤ k rows per task,
-        # each an array of dim longs) and merge in the driver — int64
-        # addition is exact and order-independent, so this equals the
-        # former groupBy+sum while skipping one shuffle stage per
-        # Lloyd iteration (the trainings are job-latency-bound)
-        parts = pts.mapInPandas(
-            _partials, "cid int, s array<long>, n long").collect()
+        # collect the per-task partials (≤ k rows per task, each an
+        # array of dim longs) and merge in the driver — int64 addition
+        # is exact and order-independent, so this equals the former
+        # groupBy+sum while skipping one shuffle stage per Lloyd
+        # iteration (the trainings are job-latency-bound). Above
+        # _LLOYD_MERGE_THRESHOLD scan tasks the collect would grow
+        # linearly with task count (tasks×k×dim longs), so a bounded
+        # two-level fold caps it at _LLOYD_MERGE_TASKS×k rows first.
+        parts = _bounded_partials(
+            pts.mapInPandas(_partials, "cid int, s array<long>, n long"),
+            n_tasks, ["cid"], "cid int, s array<long>, n long").collect()
         acc_s: dict[int, list] = {}
         acc_n: dict[int, int] = {}
         for r in parts:
@@ -329,6 +393,7 @@ def _train_centroids_multi(
         return books
 
     widths = [w for _, w, _ in specs]
+    n_tasks = pts.rdd.getNumPartitions()
     for _ in range(iters):
         Cs, cns = [], []
         for j in range(m):
@@ -366,12 +431,16 @@ def _train_centroids_multi(
             ]
             yield pd.DataFrame(rows, columns=["b", "cid", "s", "n"])
 
-        # per-task partials collected directly (≤ Σ_j k rows per task,
-        # arrays of width_j longs) and merged in the driver — exact
-        # int64 algebra, one shuffle stage fewer per Lloyd iteration
-        # (same rationale as the single-book trainer above)
-        parts = pts.mapInPandas(
-            _partials, "b int, cid int, s array<long>, n long").collect()
+        # per-task partials collected (≤ Σ_j k rows per task, arrays
+        # of width_j longs) and merged in the driver — exact int64
+        # algebra, one shuffle stage fewer per Lloyd iteration (same
+        # rationale and the same bounded two-level fold at high task
+        # counts as the single-book trainer above)
+        parts = _bounded_partials(
+            pts.mapInPandas(
+                _partials, "b int, cid int, s array<long>, n long"),
+            n_tasks, ["b", "cid"],
+            "b int, cid int, s array<long>, n long").collect()
         acc_s: list[dict[int, list]] = [{} for _ in range(m)]
         acc_n: list[dict[int, int]] = [{} for _ in range(m)]
         for r in parts:
@@ -574,8 +643,10 @@ def ivfpq_topk_fixed(
 
     Scale shape: coarse training as in :func:`ivf_topk_fixed`
     (driver-coordinated Lloyd, k×dim partial-sum traffic/iter);
-    residuals are computed once as a zero-exchange map and
-    checkpointed (at 100 TB: persisted/written once) before the m
+    residuals are computed once as a zero-exchange map and LAZILY
+    persisted — the first consumer (the lockstep seed job)
+    materializes the cache for the rest (at 100 TB: persisted/written
+    once) — before the m
     sub-codebook trainings scan them; both centroid sets are METADATA
     riding the search plan as literals; search is one broadcast join
     of the exploded query probes onto the coded corpus cells. The
@@ -606,11 +677,13 @@ def ivfpq_topk_fixed(
         # first consumer (the lockstep seed job) materializes the
         # cache for the rest, so no dedicated materialization job is
         # paid (the gates are job-latency-bound; at 100 TB this frame
-        # is persisted/written once either way)
+        # is persisted/written once either way). The encode pass rides
+        # the RETURNED plan → tracked for deferred release.
         .persist()
     )
+    asg = cachelife.track(asg)
 
-    # m residual sub-books in LOCKSTEP over the checkpointed
+    # m residual sub-books in LOCKSTEP over the lazily persisted
     # assignments (one seed job + one partial-sum job per iteration
     # for ALL books; bit-identical per book to m separate chains)
     res = asg.select(id_col, F.col("r").alias("v"))

@@ -27,6 +27,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
+from pandas_rust_algos_spark import cachelife
+
 __all__ = [
     "split_threshold_hex",
     "train_val_split",
@@ -490,13 +492,11 @@ def priority_sample(
     # uncached subtree once per reference, which would re-run the
     # full corpus scan twice; persisting k+1 rows (lazy, populated by
     # whichever branch runs first) keeps the corpus pass single.
-    # The entry is deliberately NOT unpersisted here: the returned
-    # plan still references it lazily (house style — same k+1-row
-    # class as the dedup/ann_index persisted helpers); callers that
-    # loop may top.unpersist() after materializing.
-    top = scored.orderBy(
+    # The returned plan references the cache lazily, so it is tracked
+    # for deferred release by the materializing caller.
+    top = cachelife.track(scored.orderBy(
         F.col("priority").desc(), F.col(key_col)
-    ).limit(k + 1).persist()
+    ).limit(k + 1).persist())
     wnd = Window.orderBy(F.col("priority").desc(), F.col(key_col))
     ranked = top.withColumn(
         "rank", F.row_number().over(wnd).cast("long"))

@@ -24,6 +24,8 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
+from pandas_rust_algos_spark import cachelife
+
 __all__ = [
     "normalize_text",
     "dedup_exact",
@@ -257,7 +259,9 @@ def minhash_near_dupes(
         hash_mode=hash_mode,
     )
     if max_bucket is None:
-        sigs = sigs.persist()
+        # referenced by both self-join sides of the returned plan →
+        # tracked for deferred release by the materializing caller
+        sigs = cachelife.track(sigs.persist())
 
     b = sigs.select(
         F.col(id_col),
@@ -309,7 +313,7 @@ def minhash_near_dupes(
         # DataFrame runs the signature pipeline once to size buckets
         # (documented in the docstring; pass max_bucket=None for a
         # pure lazy plan).
-        b = b.persist()
+        b = cachelife.track(b.persist())
         whales_df = (
             b.select("band", "bucket")
             .groupBy("band", "bucket")
@@ -423,8 +427,9 @@ def simhash_near_dupes(
     """Near-dup pairs by SimHash hamming distance ≤ max_hamming.
     Candidates via 16-bit chunk banding (pigeonhole: distance ≤ 3 ⇒ at
     least one of 4 chunks identical), verified with bit_count(xor)."""
-    # persist: fingerprints feed both join sides (one long per doc)
-    fps = simhash(df, id_col, text_col).persist()
+    # persist: fingerprints feed both join sides (one long per doc);
+    # tracked — the cache rides the returned plan
+    fps = cachelife.track(simhash(df, id_col, text_col).persist())
     chunks = fps.select(
         F.col(id_col),
         F.col("simhash"),
@@ -474,8 +479,9 @@ def ngram_jaccard_pairs(
     )
     # persist: the gram table feeds sizes + both sides of the pair join;
     # unlike signatures it scales with total shingles, so spilling to
-    # disk (persist default) matters at large corpora
-    grams = grams.persist()
+    # disk (persist default) matters at large corpora. Tracked — the
+    # cache rides the returned plan.
+    grams = cachelife.track(grams.persist())
     sizes = grams.groupBy(id_col).agg(F.count(F.lit(1)).alias("n"))
     ga = grams.select(F.col(id_col).alias("id_a"), "blk", "g")
     gb = grams.select(F.col(id_col).alias("id_b"), "blk", "g")
@@ -542,10 +548,10 @@ def jaccard_prefix_pairs(
     low-diversity corpora prefer :func:`minhash_near_dupes`."""
     if not 0 < threshold <= 1:
         raise ValueError(f"threshold must be in (0,1], got {threshold}")
-    grams = df.select(
+    grams = cachelife.track(df.select(
         F.col(id_col), F.col(block_col).alias("blk"),
         F.explode(shingles(text_col, k)).alias("g"),
-    ).persist()
+    ).persist())
     sizes = grams.groupBy(id_col).agg(F.count(F.lit(1)).alias("n"))
     dfreq = grams.groupBy("g").agg(F.count(F.lit(1)).alias("dfg"))
     w = Window.partitionBy(id_col).orderBy("dfg", "g")

@@ -103,7 +103,11 @@ def dsir_log_weights(
     # metadata-sized driver collects (they would ride as broadcasts
     # regardless); the log-ratio per bucket is then CPython libm, not
     # JVM Math.log (see module doc)
-    docfeat = (
+    from pandas_rust_algos_spark import cachelife
+
+    # tracked: the cache feeds the q-model collect here AND the
+    # returned per-doc weight plan
+    docfeat = cachelife.track(
         raw.select(F.col(id_col),
                    F.explode(token_ngrams(text_col, n)).alias("g"))
         .select(id_col, _bucket(F.col("g"), buckets).alias("b"))

@@ -28,6 +28,8 @@ from collections.abc import Sequence
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from pandas_rust_algos_spark import cachelife
+
 __all__ = [
     "cms_cells",
     "cms_estimate",
@@ -478,10 +480,11 @@ def basket_pairs(
 
     # feeds FOUR derivations (basket arrays, item counts x2 join
     # sides, total-basket count) — without the persist each one
-    # re-runs the scan + distinct (guide §5: reused and expensive)
-    items = df.select(
+    # re-runs the scan + distinct (guide §5: reused and expensive);
+    # tracked — the cache rides the returned plan
+    items = cachelife.track(df.select(
         F.col(basket_col).alias("b"), F.col(item_col).alias("i")
-    ).distinct().persist(StorageLevel.MEMORY_AND_DISK)
+    ).distinct().persist(StorageLevel.MEMORY_AND_DISK))
     n_orders = items.select(F.count_distinct("b").alias("n_baskets"))
     arr = items.groupBy("b").agg(F.array_sort(F.collect_set("i")).alias("a"))
     pairs = (

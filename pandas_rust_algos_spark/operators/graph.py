@@ -40,6 +40,8 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, functions as F
 
+from pandas_rust_algos_spark import cachelife
+
 __all__ = [
     "pagerank_fixed",
     "shortest_hops",
@@ -99,17 +101,22 @@ def shortest_hops(
         .localCheckpoint(eager=True)
     )
     frontier = visited
-    for h in range(1, max_hops + 1):
-        nxt = (
-            frontier.join(e, frontier.node == e.src)
-            .select(F.col("dst").alias("node"))
-            .distinct()
-            .join(visited, "node", "left_anti")
-            .withColumn("hops", F.lit(h).cast("long"))
-            .localCheckpoint(eager=True)
-        )
-        visited = visited.unionByName(nxt)
-        frontier = nxt
+    try:
+        for h in range(1, max_hops + 1):
+            nxt = (
+                frontier.join(e, frontier.node == e.src)
+                .select(F.col("dst").alias("node"))
+                .distinct()
+                .join(visited, "node", "left_anti")
+                .withColumn("hops", F.lit(h).cast("long"))
+                .localCheckpoint(eager=True)
+            )
+            visited = visited.unionByName(nxt)
+            frontier = nxt
+    finally:
+        # every wave is eagerly checkpointed, so the returned union
+        # never re-reads e — release it before returning
+        e.unpersist(blocking=False)
     return visited
 
 
@@ -148,8 +155,11 @@ def pagerank_fixed(
     # re-runs the whole edge lineage (scan + distinct + repartition)
     # and the degree/node aggregations once PER ITERATION — the #1
     # iterative-algorithm mistake on Spark. MEMORY_AND_DISK because at
-    # graph scale the edge set may not fit in executor memory.
-    e = (
+    # graph scale the edge set may not fit in executor memory. All
+    # three caches are referenced by the RETURNED lazy plan (the
+    # iteration unroll), so they are tracked for deferred release by
+    # the materializing caller.
+    e = cachelife.track(
         edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
         .distinct()
         # the one edge shuffle, reused every iteration: partition by
@@ -161,13 +171,13 @@ def pagerank_fixed(
         .repartition("dst")
         .persist(StorageLevel.MEMORY_AND_DISK)
     )
-    nodes = (
+    nodes = cachelife.track(
         e.select(F.col("src").alias("node"))
         .union(e.select(F.col("dst").alias("node")))
         .distinct()
         .persist(StorageLevel.MEMORY_AND_DISK)
     )
-    deg = (
+    deg = cachelife.track(
         e.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
         .persist(StorageLevel.MEMORY_AND_DISK)
     )
@@ -243,8 +253,9 @@ def triangle_counts(
     # through ``o`` both adjacency probes, so the edge derivation ran
     # ~6× (measured: a 419-operator plan with the scan→aggregate→
     # explode→distinct subtree repeated in every branch). MEMORY_AND_DISK
-    # because at graph scale the edge set may not fit in memory.
-    e = (
+    # because at graph scale the edge set may not fit in memory. All
+    # four caches ride the RETURNED plan → tracked for deferred release.
+    e = cachelife.track(
         edges.where(F.col(src) != F.col(dst))
         .select(
             F.least(src, dst).alias("a"),
@@ -253,7 +264,7 @@ def triangle_counts(
         .distinct()
         .persist(StorageLevel.MEMORY_AND_DISK)
     )
-    deg = (
+    deg = cachelife.track(
         e.select(F.col("a").alias("v"))
         .union(e.select(F.col("b").alias("v")))
         .groupBy("v")
@@ -265,7 +276,7 @@ def triangle_counts(
     low = (F.col("da") < F.col("db")) | (
         (F.col("da") == F.col("db")) & (F.col("a") < F.col("b"))
     )
-    o = (
+    o = cachelife.track(
         e.join(da, "a").join(db, "b")
         .select(
             F.when(low, F.col("a")).otherwise(F.col("b")).alias("u"),
@@ -277,8 +288,9 @@ def triangle_counts(
     from pyspark.sql.types import ArrayType
 
     # referenced twice (both endpoints' out-list probes)
-    adj = o.groupBy("u").agg(F.collect_list("v").alias("nbrs")) \
-        .persist(StorageLevel.MEMORY_AND_DISK)
+    adj = cachelife.track(
+        o.groupBy("u").agg(F.collect_list("v").alias("nbrs"))
+        .persist(StorageLevel.MEMORY_AND_DISK))
     empty = F.array().cast(ArrayType(e.schema["a"].dataType))
     au = adj.select("u", F.col("nbrs").alias("nu"))
     av = adj.select(F.col("u").alias("v"), F.col("nbrs").alias("nv"))

@@ -40,6 +40,8 @@ import os
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from pandas_rust_algos_spark import cachelife
+
 from pandas_rust_algos_spark.operators.dedup import (
     _band_bucket_expr,
     minhash_signatures,
@@ -383,8 +385,12 @@ def minhash_store_near_dupes(
     (pure function of text + frozen params)."""
     meta = _read_meta(path)
     id_col, nh = meta["id_col"], meta["num_hashes"]
-    b_new = (batch_band_table(path, new_docs)
-             if new_bands is None else new_bands).persist()
+    # ``new_bands`` arrives already persisted AND tracked by the caller
+    # (the overlap recipe materialized it into the cache while the
+    # bootstrap ran) — re-persisting it here was a no-op warning, so
+    # only the locally built band table persists + tracks here.
+    b_new = (cachelife.track(batch_band_table(path, new_docs).persist())
+             if new_bands is None else new_bands)
     stored = read_store_sigs(spark, path)
     b_stored = _band_table(
         stored, id_col, nh, meta["bands"], meta["hash_mode"])

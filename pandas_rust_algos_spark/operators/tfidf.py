@@ -32,6 +32,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
+from pandas_rust_algos_spark import cachelife
 from pandas_rust_algos_spark.operators.text import token_count, tokens
 
 __all__ = ["tfidf_topk", "bm25_topk", "bm25_batch_topk",
@@ -169,8 +170,10 @@ def bm25_topk(
     # terms), never the corpus. A count window over term was tried
     # instead and rejected: ≤|query| distinct partition keys collapse
     # the sort onto a handful of tasks (guide §2.5 synthetic-key skew).
-    tf = tok.groupBy(id_col, "term").agg(
-        F.count(F.lit(1)).alias("tf"), F.max("dl").alias("dl")).persist()
+    # Tracked for deferred release: the cache is referenced by the
+    # RETURNED plan, so the materializing caller unpersists it.
+    tf = cachelife.track(tok.groupBy(id_col, "term").agg(
+        F.count(F.lit(1)).alias("tf"), F.max("dl").alias("dl")).persist())
     dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
     avgdl = F.col("total_tokens").cast("double") / F.col("n_docs")
     part = (
@@ -405,9 +408,10 @@ def bm25_batch_topk(
         )
         .join(F.broadcast(qterms), "term", "left_semi")
     )
-    # persisted for the same df/scoring dual use as bm25_topk
-    tf = tok.groupBy(id_col, "term").agg(
-        F.count(F.lit(1)).alias("tf"), F.max("dl").alias("dl")).persist()
+    # persisted for the same df/scoring dual use as bm25_topk,
+    # tracked for the same deferred release
+    tf = cachelife.track(tok.groupBy(id_col, "term").agg(
+        F.count(F.lit(1)).alias("tf"), F.max("dl").alias("dl")).persist())
     dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
     avgdl = F.col("total_tokens").cast("double") / F.col("n_docs")
     part = (

@@ -356,7 +356,9 @@ def minhash_store_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     def probe_bands() -> DataFrame:
         spark.sparkContext.setJobDescription(
             "minhash_store_incremental: batch band table")
-        b = batch_band_table(idx, batch).persist()
+        from pandas_rust_algos_spark import cachelife
+
+        b = cachelife.track(batch_band_table(idx, batch).persist())
         b.count()  # materialize into the cache while bootstrap runs
         return b
 

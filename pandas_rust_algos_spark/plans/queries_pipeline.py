@@ -1468,9 +1468,15 @@ def merge_upsert_read(spark: SparkSession, sf_dir: str) -> DataFrame:
             base.where((k % 3 == 2) & (k % 5 == 0))
             .withColumn("__del", F.lit(True)))
     ).persist()
-    merge_into_partitioned(
-        spark, path, batch,
-        key_cols=["o_orderkey"], partition_col="m", delete_col="__del")
+    try:
+        merge_into_partitioned(
+            spark, path, batch,
+            key_cols=["o_orderkey"], partition_col="m", delete_col="__del")
+    finally:
+        # the merge's writes materialized every consumer of the batch;
+        # the returned frame reads the written parquet, so nothing
+        # references the cache past this point
+        batch.unpersist(blocking=False)
     from pandas_rust_algos_spark.functions import fixed_sum
 
     final = spark.read.parquet(path)
@@ -1941,8 +1947,10 @@ def pack_budget_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
     # without the persist the soft-weights window re-runs (guide §5)
     from pyspark import StorageLevel
 
-    j = base.join(weights, "doc_id").persist(
-        StorageLevel.MEMORY_AND_DISK)
+    from pandas_rust_algos_spark import cachelife
+
+    j = cachelife.track(base.join(weights, "doc_id").persist(
+        StorageLevel.MEMORY_AND_DISK))
     qrow = wt.group_weighted_quantiles(
         j.select(F.lit("all").alias("g"),
                  F.col("n_tokens").alias("x"), "weight"),
@@ -2044,8 +2052,10 @@ def pack_budget_weighted_approx(spark: SparkSession,
     # without the persist the soft-weights window re-runs (guide §5)
     from pyspark import StorageLevel
 
-    j = base.join(weights, "doc_id").persist(
-        StorageLevel.MEMORY_AND_DISK)
+    from pandas_rust_algos_spark import cachelife
+
+    j = cachelife.track(base.join(weights, "doc_id").persist(
+        StorageLevel.MEMORY_AND_DISK))
     est = wt.group_weighted_quantile_approx(
         j.select(F.lit("all").alias("gk"),
                  F.col("n_tokens").alias("x"), "weight"),

@@ -445,9 +445,12 @@ def q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     rev_fx = F.floor(
         F.col("l_extendedprice") * (1 - F.col("l_discount")) * F.lit(1e6)
     ).cast("long")
-    rev = (
-        li.groupBy("l_suppkey").agg(F.sum(rev_fx).alias("r_fx"))
-    ).persist()
+    from pandas_rust_algos_spark import cachelife
+
+    # referenced by the max aggregate AND the final filter join in the
+    # returned plan → tracked for deferred release
+    rev = cachelife.track(
+        li.groupBy("l_suppkey").agg(F.sum(rev_fx).alias("r_fx")).persist())
     best = rev.agg(F.max("r_fx").alias("r_fx"))
     return (
         rev.join(F.broadcast(best), "r_fx")

@@ -306,10 +306,13 @@ def retrieval_pipeline_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
     # branch (BM25 reads its input 4x: doc lengths twice, the term
     # explode, and the tf-derived df; the vector side joins kept ids)
     # — without the persists the digest window re-ran 9x (guide §5)
-    kept = dd.dedup_exact(docs).select(
+    from pandas_rust_algos_spark import cachelife
+
+    kept = cachelife.track(dd.dedup_exact(docs).select(
         F.col("rep_id").alias("doc_id")
-    ).persist(StorageLevel.MEMORY_AND_DISK)
-    kd = docs.join(kept, "doc_id").persist(StorageLevel.MEMORY_AND_DISK)
+    ).persist(StorageLevel.MEMORY_AND_DISK))
+    kd = cachelife.track(
+        docs.join(kept, "doc_id").persist(StorageLevel.MEMORY_AND_DISK))
     emb_k = emb.join(
         kept.select(F.col("doc_id").alias("vec_id")), "vec_id")
     lex = ti.bm25_topk(kd, _RRF_TERMS, k=_RRF_N)

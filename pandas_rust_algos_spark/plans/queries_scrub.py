@@ -602,10 +602,14 @@ def doc_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from pyspark import StorageLevel
 
+    from pandas_rust_algos_spark import cachelife
+
     tb = bigrams(d.where(F.col("doc_id") % 2 == 0))
-    c = tb.groupBy("w1", "w2").agg(
+    # the bigram counts feed marginals, vocab AND the scoring join in
+    # the returned plan → tracked for deferred release
+    c = cachelife.track(tb.groupBy("w1", "w2").agg(
         F.count(F.lit(1)).alias("c")
-    ).persist(StorageLevel.MEMORY_AND_DISK)
+    ).persist(StorageLevel.MEMORY_AND_DISK))
     marg = c.groupBy("w1").agg(F.sum("c").alias("total_w1"))
     v = c.agg(F.count_distinct(F.col("w2")).alias("vocab"))
 

@@ -576,3 +576,61 @@ def test_ann_recall_report_bounds(spark, emb, queries):
         emb, queries, k=K, dims=64, ivf_floor=1.01, pq_floor=1.01,
         ivfpq_floor=1.01).collect()}
     assert set(flipped.values()) == {False}
+
+
+def test_lloyd_two_level_merge_bounds_driver_collect(spark, emb, monkeypatch):
+    """Above _LLOYD_MERGE_THRESHOLD scan tasks the trainers fold their
+    per-task partials through a bounded repartition before the driver
+    collect (r12 VERDICT next-#4): the collected frame has at most
+    _LLOYD_MERGE_TASKS partitions — independent of the input task
+    count — and the trained centroids stay BIT-IDENTICAL to the
+    direct-merge path (exact int64 algebra is associative)."""
+    from pyspark.sql import functions as SF
+
+    from pandas_rust_algos_spark.operators import ann_portable as ap
+    from pandas_rust_algos_spark.operators.kmeans import _quantize
+
+    pts = emb.select(
+        SF.col("vec_id"), _quantize(SF.col("embedding")).alias("v"))
+    want = ap._train_centroids_fast(pts, "vec_id", k=5, iters=2)
+
+    # force the two-level path at gate scale: threshold below the
+    # high-partition fixture's task count, tiny bounded task count
+    monkeypatch.setattr(ap, "_LLOYD_MERGE_THRESHOLD", 4)
+    monkeypatch.setattr(ap, "_LLOYD_MERGE_TASKS", 3)
+    hi = pts.repartition(16)
+    got = ap._train_centroids_fast(hi, "vec_id", k=5, iters=2)
+    assert got == want
+
+    # the fold itself bounds the collected frame's partition count
+    # (16-task partials -> <= 3 partitions, <= 3*k rows)
+    import pandas as pd
+
+    def _partials_like(batches):
+        for pdf in batches:
+            if len(pdf):
+                yield pd.DataFrame(
+                    [(0, [1, 2], 1)], columns=["cid", "s", "n"])
+
+    parts = hi.mapInPandas(_partials_like, "cid int, s array<long>, n long")
+    folded = ap._bounded_partials(
+        parts, 16, ["cid"], "cid int, s array<long>, n long")
+    assert folded.rdd.getNumPartitions() <= 3
+    rows = folded.collect()
+    assert len(rows) <= 3
+    direct = parts.collect()
+    assert sum(r["n"] for r in rows) == sum(r["n"] for r in direct)
+    assert (sorted(sum(r["s"][0] for r in rows if r["cid"] == 0)
+                   for _ in [0])
+            == sorted(sum(r["s"][0] for r in direct if r["cid"] == 0)
+                      for _ in [0]))
+
+    # multi-book trainer takes the same path
+    dims = len(pts.first()["v"])
+    sub = dims // 2
+    specs = [(1, sub, ":0"), (sub + 1, sub, ":1")]
+    want_m = ap._train_centroids_multi(pts, "vec_id", k=4, iters=2,
+                                       specs=specs)
+    got_m = ap._train_centroids_multi(hi, "vec_id", k=4, iters=2,
+                                      specs=specs)
+    assert got_m == want_m
