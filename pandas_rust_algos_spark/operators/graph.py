@@ -177,8 +177,23 @@ def pagerank_fixed(
         .distinct()
         .persist(StorageLevel.MEMORY_AND_DISK)
     )
-    deg = cachelife.track(
-        e.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
+    # out-degree FOLDED ONTO the persisted edges once (a src-keyed
+    # count window over the cached edge partitions — no join): the
+    # former per-iteration ``contribs ⋈ deg`` ran n_iter times, and at
+    # graph scale deg is node-sized (NOT broadcastable), so each
+    # iteration paid a full edge⋈deg shuffle join. The window costs
+    # one src-keyed exchange at setup; ``ed`` then re-partitions by
+    # dst so the per-iteration contribution groupBy("dst") still
+    # reuses the cached partitioning with no new exchange (guide §1.2
+    # "remove per-iteration work", §2.4).
+    ed = cachelife.track(
+        e.withColumn(
+            "deg",
+            F.count(F.lit(1)).over(
+                __import__("pyspark.sql", fromlist=["Window"])
+                .Window.partitionBy("src")),
+        )
+        .repartition("dst")
         .persist(StorageLevel.MEMORY_AND_DISK)
     )
     base = (100 - damping_pct) * scale // 100
@@ -186,8 +201,7 @@ def pagerank_fixed(
     for i in range(n_iter):
         r = F.broadcast(ranks) if broadcast_ranks else ranks
         contribs = (
-            e.join(r, e.src == r.node)
-            .join(deg, "src")
+            ed.join(r, ed.src == r.node)
             .select("dst", F.expr("rank div deg").alias("c"))
         )
         sums = contribs.groupBy("dst").agg(F.sum("c").alias("s"))
